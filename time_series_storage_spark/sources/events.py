@@ -1,0 +1,139 @@
+"""Raw event storage — the engine's source of truth.
+
+The reference stores only mutated rollup rows (per-event JDBC upserts,
+/root/reference/src/time_series_storage/postgres/update.clj:41-93); raw
+events are never kept. We invert that (SURVEY.md section 7.1): events are
+append-only and rollups are derived, which preserves every query's
+observable semantics while giving replay, late data with unbounded
+lateness, and new-rollup backfill for free.
+
+Event schema (reference new-fact! signature, api.clj:23-26):
+
+    fact:  string                 fact id
+    ts:    timestamp              event time (arbitrary lateness allowed)
+    value: double                 measure (inc! => 1.0)
+    dims:  map<string,string>     category values; nil values rejected upstream
+
+Two stores:
+
+* ``MemoryEventStore`` — driver-side row buffer + ingested DataFrames.
+  For tests and small interactive sessions.
+* ``ParquetEventStore`` — parquet directory partitioned by
+  ``fact, p_date`` (day of ts). At 100 TB this is the layout that makes
+  every query's first step a partition-pruned scan: the fact equality
+  predicate prunes to one fact's subtree and the slice-range predicate
+  prunes to the covered days; within files, the Parquet min/max on ``ts``
+  skips row groups. Atomicity: each append is one parquet commit
+  (all-or-nothing at the FileOutputCommitter level), the analogue of the
+  reference's one-transaction-per-event guarantee (common.clj:34-38).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from typing import Iterable, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("fact", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("dims", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+
+class EventStore:
+    """Interface: append events, read them back as one DataFrame."""
+
+    def append_rows(
+        self, rows: Iterable[tuple[str, dt.datetime, float, Mapping[str, str]]]
+    ) -> None:
+        raise NotImplementedError
+
+    def append_df(self, df: DataFrame) -> None:
+        """Bulk ingest of a DataFrame already in EVENT_SCHEMA column order."""
+        raise NotImplementedError
+
+    def events_df(self) -> DataFrame:
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        raise NotImplementedError
+
+
+class MemoryEventStore(EventStore):
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._rows: list[tuple] = []
+        self._dfs: list[DataFrame] = []
+
+    def append_rows(self, rows) -> None:
+        self._rows.extend(
+            (str(f), ts, float(v), dict(d)) for f, ts, v, d in rows
+        )
+
+    def append_df(self, df: DataFrame) -> None:
+        self._dfs.append(df.select(*EVENT_SCHEMA.fieldNames()))
+
+    def events_df(self) -> DataFrame:
+        dfs = list(self._dfs)
+        if self._rows or not dfs:
+            dfs.append(self.spark.createDataFrame(self._rows, EVENT_SCHEMA))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def clear(self) -> None:
+        self._rows.clear()
+        self._dfs.clear()
+
+
+class ParquetEventStore(EventStore):
+    """Parquet-backed store partitioned by (fact, p_date).
+
+    ``p_date`` is a physical partition column derived from ``ts``; readers
+    get it back alongside the logical columns so the engine can add a
+    partition-pruning predicate for time ranges.
+    """
+
+    PARTITION_COLS = ("fact", "p_date")
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _with_pdate(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("p_date", F.to_date("ts"))
+
+    def append_rows(self, rows) -> None:
+        rows = [(str(f), ts, float(v), dict(d)) for f, ts, v, d in rows]
+        df = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        self.append_df(df)
+
+    def append_df(self, df: DataFrame) -> None:
+        (
+            self._with_pdate(df.select(*EVENT_SCHEMA.fieldNames()))
+            .write.mode("append")
+            .partitionBy(*self.PARTITION_COLS)
+            .parquet(self.path)
+        )
+
+    def events_df(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self._with_pdate(
+                self.spark.createDataFrame([], EVENT_SCHEMA)
+            )
+        # note: StructType.add mutates in place — build a fresh schema
+        full = T.StructType(
+            list(EVENT_SCHEMA.fields) + [T.StructField("p_date", T.DateType())]
+        )
+        return self.spark.read.schema(full).parquet(self.path)
+
+    def clear(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
