@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Each query is forced with the noop sink (full execution, no driver
+collect). One untimed warm-up pass runs first — first executions pay
+one-time JVM/codegen/broadcast warm-up costs that are not a property of
+the query plan; the timed pass measures steady-state latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # shuffle/spill scratch on tmpfs: the backing disk here has periodic
+    # multi-second write stalls that dwarf the queries themselves
+    scratch = "/dev/shm/spark-local"
+    os.makedirs(scratch, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tss-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    dfs = {name: fn(spark, sf_dir) for name, fn in qs.items()}
+    for df in dfs.values():  # warm-up pass (untimed)
+        df.write.format("noop").mode("overwrite").save()
+    # best-of-2: the sandbox VM pauses wholesale for tens of seconds at
+    # random; min of two runs measures the query, not the hypervisor
+    times: dict[str, float] = {}
+    for _ in range(2):
+        for name, df in dfs.items():
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, elapsed), elapsed)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,9 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    scratch = "/dev/shm/spark-local"
+    os.makedirs(scratch, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
     s = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
         .appName("tss-tests")

@@ -188,6 +188,9 @@ class TimeSeries:
         """
         dim_cols = dict(dim_cols or {})
         self._validate_event(fact_id, {k: "x" for k in dim_cols})
+        # create_map (not map_from_arrays): Catalyst simplifies
+        # GetMapValue(CreateMap(...)) back to the source column, so dim
+        # filters/projections reach the parquet scan untouched
         pairs = []
         for dim_id, src in dim_cols.items():
             pairs.append(F.lit(str(dim_id)))
@@ -196,9 +199,7 @@ class TimeSeries:
             F.lit(str(fact_id)).alias("fact"),
             F.col(ts_col).cast("timestamp").alias("ts"),
             F.col(value_col).cast("double").alias("value"),
-            F.map_from_arrays(
-                F.array(*pairs[0::2]), F.array(*pairs[1::2])
-            ).alias("dims"),
+            F.create_map(*pairs).alias("dims"),
         )
         self.store.append_df(events)
 
@@ -210,8 +211,8 @@ class TimeSeries:
         dimension: Dimension,
         grouping: list[str],
         query_data: Mapping[str, object],
-        start: dt.datetime,
-        finish: dt.datetime,
+        start: Optional[dt.datetime],
+        finish: Optional[dt.datetime],
     ) -> DataFrame:
         """events -> filtered, slice-bucketed, series-projected rows.
 
@@ -224,7 +225,7 @@ class TimeSeries:
         slice_minutes = dimension.slice or fact.slice
         ev = self.store.events_df().where(F.col("fact") == fact.id)
         # partition pruning on day range when the store carries p_date
-        if "p_date" in ev.columns:
+        if start is not None and finish is not None and "p_date" in ev.columns:
             lo = slice_datetime(start, slice_minutes).date()
             hi = slice_datetime(finish, slice_minutes).date()
             ev = ev.where(
@@ -238,15 +239,58 @@ class TimeSeries:
             if v is not None and str(k) in grouping:
                 ev = ev.where(F.col("dims").getItem(str(k)) == str(v))
         bucket = slice_expr(F.col("ts"), slice_minutes)
-        ev = ev.where(
-            (bucket >= F.lit(slice_datetime(start, slice_minutes)))
-            & (bucket <= F.lit(slice_datetime(finish, slice_minutes)))
-        )
+        if start is not None and finish is not None:
+            lo = slice_datetime(start, slice_minutes)
+            hi = slice_datetime(finish, slice_minutes)
+            # exact predicate on the bucket expression, plus an implied
+            # raw-ts range that Parquet row-group stats can prune on
+            # (bucket(ts) >= lo implies ts >= lo; bucket(ts) <= hi
+            # implies ts < hi + slice)
+            ev = ev.where(
+                (F.col("ts") >= F.lit(lo))
+                & (F.col("ts") < F.lit(hi + dt.timedelta(minutes=slice_minutes)))
+                & (bucket >= F.lit(lo))
+                & (bucket <= F.lit(hi))
+            )
         return ev.select(
             *[F.col("dims").getItem(g).alias(g) for g in grouping],
             bucket.alias("ts"),
             F.col("value"),
         )
+
+    def rollup_df(
+        self,
+        fact_id: str,
+        dimension_id: str,
+        query_data: Optional[Mapping[str, object]] = None,
+    ) -> DataFrame:
+        """Materializable rollup at slice grain (reference W4/W5/W6 tables).
+
+        The DataFrame equivalent of one ``(fact x grouping path)`` rollup
+        table (naming postgres/common.clj:25-32, upsert maintenance
+        update.clj:41-93): columns = grouping dims + ``ts`` (slice
+        bucket) + measures. In the reference these are mutated per event;
+        here they are derived — write this out (or feed it from
+        Structured Streaming) to get the same materialization.
+        """
+        fact = self.catalog.fact(fact_id)
+        dimension = self.catalog.dimension(dimension_id)
+        grouping = best_grouping(dimension, query_data)
+        rows = self._scan(fact, dimension, grouping, query_data or {}, None, None)
+        # step "hour" over slice buckets would re-truncate; group at the
+        # raw slice bucket instead: series + ts(slice) keys
+        keys = [F.col(c) for c in grouping] + [F.col("ts")]
+        if fact.type == "counter":
+            return rows.groupBy(*keys).agg(F.sum("value").alias("counter"))
+        if fact.type == "average":
+            return rows.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("counter"), F.sum("value").alias("total")
+            )
+        from .operators.collapse import histogram_bucket_expr
+
+        return rows.groupBy(
+            *keys, histogram_bucket_expr("value", fact).alias("bucket_lo")
+        ).agg(F.count(F.lit(1)).alias("counter"))
 
     def get_timeseries(
         self,

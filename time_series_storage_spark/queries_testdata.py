@@ -1,0 +1,380 @@
+"""Driver-facing query registry over /root/testdata tables.
+
+Exercises every read-path operator of SURVEY.md section 2 through the
+engine's public API against the synthetic ``events`` table, with an
+exact ANSI-SQL oracle per query (DuckDB-runnable) computing the same
+result directly from the raw parquet — the mapping described in
+FIXTURES.md section 3: ``events`` ingested as a counter fact
+(event occurrences), an average fact (value magnitude) and a histogram
+fact, with dimensions ``event_type`` and ``user_id`` (grouped by
+``[[event_type]]`` to exercise the hierarchy path).
+
+Output conventions shared by Spark query and oracle so the driver's
+order-insensitive value-hash matches:
+
+* time keys rendered as ``yyyy-MM-dd HH:mm:ss`` strings (Spark
+  timestamps are TIMESTAMP_LTZ, DuckDB's are naive — strings remove the
+  representation mismatch; session timezone is UTC);
+* count-like measures cast to BIGINT (exact);
+* double sums scaled+rounded to BIGINT (``round(x*100)``) — the two
+  engines sum floats in different orders, so raw doubles may differ in
+  the last ulp.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import TimeSeries
+from .sources.testdata import read_events
+
+START_S = "2024-01-01 00:00:00"
+FINISH_S = "2024-01-31 00:00:00"
+START = dt.datetime(2024, 1, 1, 0, 0, 0)
+FINISH = dt.datetime(2024, 1, 31, 0, 0, 0)
+SPARK_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+_ENGINES: dict = {}
+
+
+def build_engine(spark: SparkSession, sf_dir: str) -> TimeSeries:
+    """Engine over {sf_dir}/events.parquet (cached per sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    eng = TimeSeries(spark)
+    eng.define_fact("evt_count", "counter", 10)
+    eng.define_fact("evt_value", "average", 15)
+    eng.define_fact("evt_hist", "histogram", 15, start=0, end=500, step=50)
+    eng.define_dimension(
+        "event_type", facts=["evt_count", "evt_value", "evt_hist"]
+    )
+    eng.define_dimension(
+        "user_id", grouped_by=[["event_type"]], facts=["evt_count", "evt_value"]
+    )
+    src = read_events(spark, sf_dir)
+    dim_map = {"event_type": "event_type", "user_id": "user_id"}
+    eng.ingest_df(
+        "evt_count", src.withColumn("one", F.lit(1.0)),
+        value_col="one", dim_cols=dim_map,
+    )
+    eng.ingest_df("evt_value", src, dim_cols=dim_map)
+    eng.ingest_df("evt_hist", src, dim_cols={"event_type": "event_type"})
+    _ENGINES[key] = eng
+    return eng
+
+
+# -- SQL fragment helpers (oracle side) ------------------------------------
+
+def _bucket_sql(slice_minutes: int, col: str = "ts") -> str:
+    """DuckDB mirror of functions.time.slice_expr (hour-aligned)."""
+    return (
+        f"date_trunc('hour', {col}) + "
+        f"to_minutes(({f'minute({col})'}//{slice_minutes})*{slice_minutes})"
+    )
+
+
+def _range_sql(slice_minutes: int, col: str = "ts") -> str:
+    b = _bucket_sql(slice_minutes, col)
+    return (
+        f"{b} >= TIMESTAMP '{START_S}' AND {b} <= TIMESTAMP '{FINISH_S}'"
+    )
+
+
+def _ts_str(col="ts"):
+    return F.date_format(col, SPARK_FMT).alias("ts")
+
+
+def _long(col, alias):
+    return F.col(col).cast("long").alias(alias)
+
+
+def _x100(col, alias):
+    return F.round(F.col(col) * 100).cast("long").alias(alias)
+
+
+# -- queries ---------------------------------------------------------------
+# Each entry: name -> (spark_fn, oracle_sql or None). Names reference the
+# SURVEY.md section 2 operator rows they cover.
+
+def q_counter_none(spark, sf_dir):
+    """A10 step=none (:all bucket) + Q2 inclusive bucketed range scan."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries("evt_count", "event_type", {}, START, FINISH)
+    return df.select("event_type", _long("counter", "counter"))
+
+
+SQL_COUNTER_NONE = f"""
+SELECT event_type, COUNT(*)::BIGINT AS counter
+FROM events
+WHERE {_range_sql(10)}
+GROUP BY event_type
+"""
+
+
+def q_counter_hour(spark, sf_dir):
+    """A10 step=hour: Q3 hour collapse + Q5/Q6 dense grid zero-fill."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="hour"
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
+SQL_COUNTER_HOUR = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS c
+  FROM events WHERE {_range_sql(10)}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '{START_S}',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+), series AS (SELECT DISTINCT event_type FROM agg)
+SELECT s.event_type, strftime(g.h, '{DUCK_FMT}') AS ts,
+       COALESCE(a.c, 0)::BIGINT AS counter
+FROM series s CROSS JOIN grid g
+LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = g.h
+"""
+
+
+def q_counter_day_offset(spark, sf_dir):
+    """A10 offset hours: Q3 timezone shift before truncation."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="day", offset=3
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
+SQL_COUNTER_DAY_OFFSET = f"""
+WITH agg AS (
+  SELECT event_type,
+         date_trunc('day', ({_bucket_sql(10)}) + to_hours(3)) AS d,
+         COUNT(*)::BIGINT AS c
+  FROM events WHERE {_range_sql(10)}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 1 DAY)) AS d
+), series AS (SELECT DISTINCT event_type FROM agg)
+SELECT s.event_type, strftime(g.d, '{DUCK_FMT}') AS ts,
+       COALESCE(a.c, 0)::BIGINT AS counter
+FROM series s CROSS JOIN grid g
+LEFT JOIN agg a ON a.event_type = s.event_type AND a.d = g.d
+"""
+
+
+def q_counter_week(spark, sf_dir):
+    """A10 step=week: the Sunday-strictly-before rule (Q3, query.clj:24-30)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="week"
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
+SQL_COUNTER_WEEK = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(ts::DATE - to_days(isodow(ts::DATE)::INTEGER) AS TIMESTAMP) AS w,
+         COUNT(*)::BIGINT AS c
+  FROM events WHERE {_range_sql(10)}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+                                TIMESTAMP '2024-01-28 00:00:00',
+                                INTERVAL 7 DAY)) AS w
+), series AS (SELECT DISTINCT event_type FROM agg)
+SELECT s.event_type, strftime(g.w, '{DUCK_FMT}') AS ts,
+       COALESCE(a.c, 0)::BIGINT AS counter
+FROM series s CROSS JOIN grid g
+LEFT JOIN agg a ON a.event_type = s.event_type AND a.w = g.w
+"""
+
+
+def q_counter_month(spark, sf_dir):
+    """A10 step=month (calendar-aware grain)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="month"
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
+SQL_COUNTER_MONTH = f"""
+SELECT event_type, strftime(date_trunc('month', ts), '{DUCK_FMT}') AS ts,
+       COUNT(*)::BIGINT AS counter
+FROM events WHERE {_range_sql(10)}
+GROUP BY 1, 2
+"""
+
+
+def q_counter_hierarchy(spark, sf_dir):
+    """Q1 best-grouping: filter on the path dim of a hierarchy (W2 keys)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "user_id", {"event_type": "click"}, START, FINISH,
+        step="day",
+    )
+    return df.select(
+        "event_type", "user_id", _ts_str(), _long("counter", "counter")
+    )
+
+
+SQL_COUNTER_HIERARCHY = f"""
+WITH agg AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+         date_trunc('day', ts) AS d, COUNT(*)::BIGINT AS c
+  FROM events WHERE event_type = 'click' AND {_range_sql(10)}
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 00:00:00',
+                                INTERVAL 1 DAY)) AS d
+), series AS (SELECT DISTINCT event_type, user_id FROM agg)
+SELECT s.event_type, s.user_id, strftime(g.d, '{DUCK_FMT}') AS ts,
+       COALESCE(a.c, 0)::BIGINT AS counter
+FROM series s CROSS JOIN grid g
+LEFT JOIN agg a
+  ON a.event_type = s.event_type AND a.user_id = s.user_id AND a.d = g.d
+"""
+
+
+def q_counter_nil_filter(spark, sf_dir):
+    """Q2 nil-valued filter = wildcard (filter pair dropped, all series)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "user_id", {"event_type": None}, START, FINISH
+    )
+    return df.select("event_type", "user_id", _long("counter", "counter"))
+
+
+SQL_COUNTER_NIL_FILTER = f"""
+SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, COUNT(*)::BIGINT AS counter
+FROM events WHERE {_range_sql(10)}
+GROUP BY 1, 2
+"""
+
+
+def q_avg_hour(spark, sf_dir):
+    """A10 average fact: (counter,total) pair semantics (W5/Q4) + fill."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_value", "event_type", {}, START, FINISH, step="hour"
+    )
+    return df.select(
+        "event_type", _ts_str(), _long("counter", "counter"),
+        _x100("total", "total_x100"),
+    )
+
+
+SQL_AVG_HOUR = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*)::BIGINT AS c, SUM(value) AS t
+  FROM events WHERE {_range_sql(15)}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '{START_S}',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+), series AS (SELECT DISTINCT event_type FROM agg)
+SELECT s.event_type, strftime(g.h, '{DUCK_FMT}') AS ts,
+       COALESCE(a.c, 0)::BIGINT AS counter,
+       ROUND(COALESCE(a.t, 0) * 100)::BIGINT AS total_x100
+FROM series s CROSS JOIN grid g
+LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = g.h
+"""
+
+
+def q_avg_none(spark, sf_dir):
+    """A10 average, :all bucket."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries("evt_value", "event_type", {}, START, FINISH)
+    return df.select(
+        "event_type", _long("counter", "counter"), _x100("total", "total_x100")
+    )
+
+
+SQL_AVG_NONE = f"""
+SELECT event_type, COUNT(*)::BIGINT AS counter,
+       ROUND(SUM(value) * 100)::BIGINT AS total_x100
+FROM events WHERE {_range_sql(15)}
+GROUP BY event_type
+"""
+
+
+def q_hist_day(spark, sf_dir):
+    """W6+Q4 histogram (implemented for real): per-day bucket counts."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_hist", "event_type", {}, START, FINISH, step="day"
+    )
+    return df.select(
+        "event_type", _ts_str(), F.col("bucket_lo"), _long("counter", "counter")
+    )
+
+
+_HIST_BUCKET = "(0 + LEAST(GREATEST(FLOOR(value / 50), 0), 9) * 50)::INTEGER"
+
+SQL_HIST_DAY = f"""
+SELECT event_type, strftime(date_trunc('day', ts), '{DUCK_FMT}') AS ts,
+       {_HIST_BUCKET} AS bucket_lo, COUNT(*)::BIGINT AS counter
+FROM events WHERE {_range_sql(15)}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_hist_merged(spark, sf_dir):
+    """A11 get-histogram: one merged histogram per series (default + merge)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_histogram("evt_hist", "event_type", {}, START, FINISH)
+    return df.select(
+        "event_type", F.col("bucket_lo"), _long("counter", "counter")
+    )
+
+
+SQL_HIST_MERGED = f"""
+SELECT event_type, {_HIST_BUCKET} AS bucket_lo, COUNT(*)::BIGINT AS counter
+FROM events WHERE {_range_sql(15)}
+GROUP BY 1, 2
+"""
+
+
+def q_rollup_slice(spark, sf_dir):
+    """W1/W4/W5 rollup materialization at raw slice grain (15 min)."""
+    eng = build_engine(spark, sf_dir)
+    df = eng.rollup_df("evt_value", "event_type")
+    return df.select(
+        "event_type", _ts_str(), _long("counter", "counter"),
+        _x100("total", "total_x100"),
+    )
+
+
+SQL_ROLLUP_SLICE = f"""
+SELECT event_type, strftime({_bucket_sql(15)}, '{DUCK_FMT}') AS ts,
+       COUNT(*)::BIGINT AS counter, ROUND(SUM(value) * 100)::BIGINT AS total_x100
+FROM events
+GROUP BY 1, 2
+"""
+
+
+CORE_QUERIES = {
+    "ts_counter_none": (q_counter_none, SQL_COUNTER_NONE),
+    "ts_counter_hour_fill": (q_counter_hour, SQL_COUNTER_HOUR),
+    "ts_counter_day_offset3": (q_counter_day_offset, SQL_COUNTER_DAY_OFFSET),
+    "ts_counter_week_sunday": (q_counter_week, SQL_COUNTER_WEEK),
+    "ts_counter_month": (q_counter_month, SQL_COUNTER_MONTH),
+    "ts_counter_hierarchy_day": (q_counter_hierarchy, SQL_COUNTER_HIERARCHY),
+    "ts_counter_nil_filter": (q_counter_nil_filter, SQL_COUNTER_NIL_FILTER),
+    "ts_avg_hour_fill": (q_avg_hour, SQL_AVG_HOUR),
+    "ts_avg_none": (q_avg_none, SQL_AVG_NONE),
+    "ts_histogram_day": (q_hist_day, SQL_HIST_DAY),
+    "ts_histogram_merged": (q_hist_merged, SQL_HIST_MERGED),
+    "ts_rollup_slice15": (q_rollup_slice, SQL_ROLLUP_SLICE),
+}
