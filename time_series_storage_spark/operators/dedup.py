@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (it has no text processing at all), these
+are the operators a training-data pipeline needs, built Spark-first:
+
+* exact dedup           — hash-groupBy on a normalized fingerprint
+* n-gram Jaccard        — exact all-pairs via shingle join (quadratic
+                          baseline; correct at any scale but shuffles
+                          the full shingle inverted index)
+* MinHash + LSH         — the scale path: 64-perm signatures, 16x4
+                          banding, candidates verified with exact
+                          Jaccard. All candidate generation is
+                          equality-join on band keys, so it shuffles
+                          O(docs x bands) tiny rows instead of the
+                          shingle index squared.
+* SimHash               — 32-bit sign-of-votes signature, candidate
+                          pairs via 8-bit chunk banding (Hamming <= 3
+                          guarantees a shared chunk by pigeonhole).
+
+Everything is built-in Catalyst expressions (md5/conv/substring/
+aggregate) — no Python UDFs — and every randomized ingredient is a
+deterministic literal (hash family seeds baked in), so results are
+reproducible and oracle-checkable in any SQL engine.
+
+Float discipline: Jaccard is computed in *integer* arithmetic
+(``jacc_x1000 = common*1000 // (|A|+|B|-common)``) so thresholds never
+hit float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^31-1; the classic universal-hash modulus
+MINHASH_P = 2147483647
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16
+
+
+def minhash_coeffs(num_hashes: int = DEFAULT_NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P.
+
+    Knuth-style multiplicative constants; a is never 0 mod P.
+    """
+    out = []
+    for i in range(num_hashes):
+        a = ((2 * i + 1) * 2654435761) % MINHASH_P
+        b = (i * 40503 + 17) % MINHASH_P
+        out.append((a or 1, b))
+    return out
+
+
+def md5_long(col) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    The same value is computable in any SQL engine
+    (``('0x' || substr(md5(x),1,15))::BIGINT`` in DuckDB), which keeps
+    every downstream signature bit-for-bit reproducible off-Spark.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Distinct character k-grams per document: (id, shingle s).
+
+    Texts shorter than k contribute their whole text as one shingle.
+    """
+    npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"substring({text_col}, pos, {k})").alias("s"),
+        )
+        .distinct()
+    )
+
+
+def normalized_fingerprint(text_col) -> Column:
+    """Whitespace-collapsed, lowercased md5 — the exact-dup key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identical collapse: one survivor (min id) per
+    normalized fingerprint. Output: (id, dup_count).
+
+    Scale: a single hash-aggregate on the fingerprint; Catalyst does
+    map-side partial aggregation, so the shuffle carries one row per
+    distinct document text per partition.
+    """
+    return (
+        df.select(
+            F.col(id_col), normalized_fingerprint(text_col).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def _pair_jaccard(
+    shingles: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact integer Jaccard for candidate pairs (d1 < d2).
+
+    Joins the candidate list back to the shingle sets — at scale the
+    candidate list is far smaller than the shingle index, so both joins
+    are candidate-driven.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.select(F.col(id_col).alias("d1"), "s")
+    s2 = shingles.select(F.col(id_col).alias("d2"), "s")
+    common = (
+        pairs.join(s1, "d1")
+        .join(s2, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            # floor, not cast: DuckDB's double->BIGINT cast rounds while
+            # Spark's truncates — floor is identical in both engines
+            F.floor(
+                (F.col("common") * 1000)
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+            ).cast("long").alias("jacc_x1000"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold. Output
+    (d1, d2, jacc_x1000), d1 < d2.
+
+    The quadratic-exact baseline: the shingle equi-join generates one
+    row per co-occurring shingle. Fine to ~10^6 docs with pruning;
+    beyond that use :func:`minhash_lsh_pairs`.
+    """
+    sh = char_shingles(df, id_col, text_col, k)
+    pairs = (
+        sh.select(F.col(id_col).alias("d1"), "s")
+        .join(sh.select(F.col(id_col).alias("d2"), "s"), "s")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _pair_jaccard(sh, id_col, pairs).where(
+        F.col("jacc_x1000") >= threshold_x1000
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns.
+
+    One hash-aggregate: per shingle the 64 permutation hashes are pure
+    arithmetic on a shared 60-bit base hash; Catalyst evaluates them in
+    one codegen'd projection and the groupBy keeps only the running
+    minima (partial aggregation — the shuffle carries 64 longs per doc
+    per partition).
+    """
+    hm = (md5_long("s") % MINHASH_P).alias("hm")
+    base = shingles.select(F.col(id_col), hm)
+    aggs = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (d1 < d2) from signature columns.
+
+    rows-per-band r = num_hashes // bands; two docs are candidates iff
+    some band's r signature values all match. The band key is a string
+    concat so the join is a plain shuffled equi-join on
+    (band_id, band_key) — no custom partitioner needed, and skew is
+    bounded by bucket collision rates.
+    """
+    r = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{band * r + j}").cast("string") for j in range(r)]
+            )
+            for band in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("d1"), "band_id", "band_key"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("d2"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs, LSH candidates verified with exact
+    Jaccard. Output (d1, d2, jacc_x1000), d1 < d2, jacc >= threshold.
+
+    The scale path: signature build is one aggregate over the shingle
+    index; candidate generation is linear in docs x bands; exact
+    verification touches only candidate pairs.
+    """
+    sh = char_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    return _pair_jaccard(sh, id_col, pairs).where(
+        F.col("jacc_x1000") >= threshold_x1000
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """32-bit word-frequency SimHash per document: (id, simhash).
+
+    Word hash = first 8 md5 hex chars (32 bits); signature bit j is the
+    sign of sum(freq * (bit_j ? +1 : -1)) over words.
+    """
+    words = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w32 = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    withh = words.select(F.col(id_col), F.col("cnt"), w32.alias("h32"))
+    votes = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("h32"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sigs = withh.groupBy(id_col).agg(*votes)
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    return sigs.select(F.col(id_col), sig_expr.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Output (d1, d2, hamming). Candidates come from 8-bit chunk banding:
+    for distance <= 3, at least one of the 4 chunks is untouched
+    (pigeonhole), so the chunk equi-join finds every qualifying pair.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunk_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * t).bitwiseAND(F.lit(255))
+            for t in range(SIMHASH_CHUNKS)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(chunk_keys).alias("chunk_id", "chunk_key"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("d1"), F.col("simhash").alias("sig1"),
+        "chunk_id", "chunk_key",
+    )
+    b = exploded.select(
+        F.col(id_col).alias("d2"), F.col("simhash").alias("sig2"),
+        "chunk_id", "chunk_key",
+    )
+    ham = F.bit_count(
+        F.col("sig1").bitwiseXOR(F.col("sig2"))
+    ).cast("long").alias("hamming")
+    return (
+        a.join(b, ["chunk_id", "chunk_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham)
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design for opaque media at 100 TB: the payload is a ``binary`` column
+travelling next to a typed metadata struct, and all per-item decode /
+feature-extract work runs in Arrow-batched ``mapInPandas`` — one Python
+worker per partition, zero driver involvement, schema declared up front
+so Catalyst can prune everything the consumer doesn't read.
+
+The container has no image/audio codecs, so the decode step itself is
+STUBBED: ``decode_stub=True`` (default) substitutes a deterministic fake
+decoder (byte-derived, reproducible, oracle-checkable); passing
+``decode_stub=False`` raises ``NotImplementedError`` at the exact point
+a real codec (PIL / torchaudio / pyav) would be called. Everything
+around the stub — schemas, batch iteration, partitioning, explode of
+per-frame rows — is real and tested.
+
+Schema conventions:
+
+    media:   (id long, payload binary, meta struct<format string,
+              n_bytes long, checksum string>)
+    frames:  (id long, frame_id long, frame_hash long)
+    feature: (id long, feature array<double>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FRAME_BYTES = 100  # fake decoder: one "frame" per 100 payload bytes
+
+MEDIA_META_SCHEMA = (
+    "meta struct<format: string, n_bytes: bigint, checksum: string>"
+)
+FRAMES_SCHEMA = "id bigint, frame_id bigint, frame_hash bigint"
+FEATURE_SCHEMA = "id bigint, feature array<double>"
+
+
+def attach_media(
+    df: DataFrame, id_col: str, payload_col, fmt: str = "bin"
+) -> DataFrame:
+    """Normalize to the media schema: (id, payload, meta).
+
+    ``meta`` is computed JVM-side (length + sha256) — the metadata path
+    never touches Python even when the decode path does.
+    """
+    payload = (
+        F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(fmt).alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def _fake_frame_hashes(payload: bytes) -> list[int]:
+    """Deterministic stand-in for a video/audio frame decode: one
+    "frame" per FRAME_BYTES bytes, hashed by a byte-sum polynomial.
+    Reproducible in SQL, so the plumbing is oracle-checkable end-to-end.
+    """
+    n = max(len(payload) // FRAME_BYTES, 1)
+    out = []
+    for i in range(n):
+        chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+        h = 0
+        for b in chunk:
+            h = (h * 31 + b) % 2147483647
+        out.append(h)
+    return out
+
+
+def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Per-item frame extraction via Arrow-batched mapInPandas.
+
+    Output: (id, frame_id, frame_hash) — one row per decoded frame.
+    Real pipeline shape: the UDF receives Arrow record batches of
+    (id, payload), decodes each payload, and yields the exploded frame
+    rows; partitioning of the input is preserved (no shuffle).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_ids, hashes = [], [], []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real codec decode (PIL/pyav) not available in "
+                        "this container — run with decode_stub=True"
+                    )
+                for fid, h in enumerate(_fake_frame_hashes(bytes(payload))):
+                    ids.append(doc_id)
+                    frame_ids.append(fid)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {"id": ids, "frame_id": frame_ids, "frame_hash": hashes}
+            )
+
+    return media.select("id", "payload").mapInPandas(decode, FRAMES_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Per-item feature vector via mapInPandas (embedding-model shape).
+
+    The stub derives ``dim`` doubles from payload byte statistics; a real
+    pipeline would run the encoder model per Arrow batch here.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real feature extractor not available in this "
+                        "container — run with decode_stub=True"
+                    )
+                raw = bytes(payload)
+                feats.append(
+                    [
+                        float(sum(raw[j :: dim]) % 1000)
+                        for j in range(dim)
+                    ]
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "feature": feats})
+
+    return media.select("id", "payload").mapInPandas(encode, FEATURE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference has no vector operations; these are the
+similarity-search operators a training-data pipeline needs at 100 TB:
+
+* brute-force cosine top-k   — the exact baseline: broadcast the (small)
+                               query set against the corpus, one shuffle
+                               for the per-query top-k window.
+* LSH-bucketed pair search   — the scale path: random-hyperplane
+                               (Rademacher +-1 signs) bucketing; only
+                               vectors sharing a bucket are compared, so
+                               the candidate join is a plain equi-join on
+                               the bucket key instead of a cross join.
+
+Float discipline (so a SQL oracle can reproduce results bit-for-bit):
+all arithmetic is double precision, and every reduction is an *ordered*
+left fold over the array (``F.aggregate`` folds sequentially; the oracle
+mirrors it with an explicit left-associative sum) — identical operation
+order means identical IEEE results, no epsilon needed. The hyperplane
+signs come from a seeded PRNG at import time and are baked into both the
+Spark plan and the oracle SQL as literals.
+
+At cluster scale the query side of the top-k is broadcast (it is small
+by construction) and the corpus never shuffles for the similarity
+computation itself — only the final per-query top-k reduction moves
+(corpus_partitions x k) rows.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+EMBED_DIM = 64
+LSH_BITS = 8
+_rng = random.Random(42)
+# LSH_BITS hyperplanes of EMBED_DIM Rademacher signs each (deterministic)
+LSH_PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(EMBED_DIM)] for _ in range(LSH_BITS)
+]
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a, b) -> Column:
+    """Ordered left-fold dot product in double precision."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> Column:
+    sq = F.transform(_as_double(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, vec_id, rank, sim_x1e6).
+
+    ``queries`` is broadcast (it is the small side by construction), so
+    the corpus scan stays shuffle-free; the only shuffle is the
+    per-query top-k window, which AQE sizes to q-count partitions.
+    Ties break on candidate id (deterministic).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.join(q, F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine("q_vec", "c_vec") * 1e6).cast("long").alias("sim_x1e6"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sim_x1e6")
+    )
+
+
+def lsh_bucket(vec_col) -> Column:
+    """Random-hyperplane bucket id: bit t = sign(<plane_t, v>).
+
+    Rademacher (+-1) planes make the projection an ordered signed sum —
+    exactly reproducible in any engine, no float literals needed beyond
+    the input values themselves.
+    """
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for t, plane in enumerate(LSH_PLANES):
+        signs = F.array(*[F.lit(float(s)) for s in plane])
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << t)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_similar_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1e6: int = 300_000,
+) -> DataFrame:
+    """Approximate near-neighbor pairs via hyperplane-LSH bucketing.
+
+    Output (v1, v2, sim_x1e6), v1 < v2, cosine >= threshold, restricted
+    to pairs in the same bucket. The bucket equi-join replaces the cross
+    join: expected bucket occupancy is n / 2^LSH_BITS, so compared pairs
+    scale ~n^2 / 2^LSH_BITS — tune LSH_BITS to the corpus size (more
+    bits = faster + lower recall). Skewed buckets are handled by AQE
+    skew-join splitting.
+    """
+    withb = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col).alias("bucket")
+    )
+    a = withb.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine("e1", "e2") * 1e6).cast("long").alias("sim_x1e6"),
+        )
+        .where(F.col("sim_x1e6") >= threshold_x1e6)
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis operators for document pipelines.
+
+The reference stores no text; these are the per-document scoring
+operators a training-data pipeline runs before dedup/filtering, all
+expressed as built-in Catalyst expressions (split / filter / aggregate /
+regexp) so they run JVM-side inside whole-stage codegen — no Python in
+the hot path, embarrassingly parallel (no shuffle at all: one projection
+over the scan).
+
+* token counting      — whitespace tokens + a BPE-ish regex token count
+* quality scoring     — length / punctuation / stopword / word-length
+                        signals folded into one integer score
+* language ID         — stopword-hit n-gram heuristic over a fixed
+                        per-language marker list (argmax with a
+                        deterministic precedence order)
+* fingerprinting      — rolling polynomial hash over the token stream
+                        (order-sensitive, unlike a bag-of-words hash)
+
+Integer discipline: every score is scaled+floored to integers so a SQL
+oracle reproduces values exactly (no float-rounding drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_long
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# tiny per-language marker lists for the n-gram/stopword heuristic;
+# precedence order below breaks ties deterministically
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")
+
+FP_MOD = 2147483647  # 2^31 - 1
+FP_MUL = 31
+
+
+def tokens(text_col) -> Column:
+    """Non-empty whitespace tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def ws_token_count(text_col) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_token_count(text_col) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0)).cast("long")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("long")
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals + composite score.
+
+    Columns added (all BIGINT, SQL-reproducible):
+      n_chars, n_tokens, avg_word_len_x100 (floored),
+      stop_ratio_x1000 (floored), punct_x1000 (punctuation chars per
+      1000 chars, floored), quality_x1000 — a clamped composite:
+      stopword presence up-weights, extreme word lengths and punctuation
+      density down-weight.
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    total_wlen = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    awl = F.floor(total_wlen * 100 / F.greatest(n_tokens, F.lit(1)))
+    stop = F.floor(
+        _count_in(toks, STOPWORDS) * 1000 / F.greatest(n_tokens, F.lit(1))
+    )
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    ).cast("long")
+    punct = F.floor(n_punct * 1000 / F.greatest(n_chars, F.lit(1)))
+    # composite: start at 500, reward stopword ratio in [5%, 40%],
+    # penalize words shorter than 2 or longer than 12 chars on average
+    # and punctuation-dense text; clamp to [0, 1000]
+    raw = (
+        F.lit(500)
+        + F.when((stop >= 50) & (stop <= 400), F.lit(300)).otherwise(F.lit(0))
+        + F.when((awl >= 200) & (awl <= 1200), F.lit(200)).otherwise(F.lit(0))
+        - punct
+    )
+    quality = F.least(F.greatest(raw, F.lit(0)), F.lit(1000)).cast("long")
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("n_tokens"),
+        awl.cast("long").alias("avg_word_len_x100"),
+        stop.cast("long").alias("stop_ratio_x1000"),
+        punct.cast("long").alias("punct_x1000"),
+        quality.alias("quality_x1000"),
+    )
+
+
+def lang_id(text_col) -> Column:
+    """Predicted language by marker-stopword hit count, argmax with
+    LANG_ORDER precedence (earlier wins ties); no hits at all -> 'und'.
+    """
+    toks = tokens(text_col)
+    hits = {
+        lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in LANG_ORDER:
+        cond = F.lit(True)
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            # strictly greater than later langs, >= earlier langs
+            if LANG_ORDER.index(other) > LANG_ORDER.index(lang):
+                cond = cond & (hits[lang] >= hits[other])
+            else:
+                cond = cond & (hits[lang] > hits[other])
+        rule = F.when((hits[lang] > 0) & cond, F.lit(lang))
+        best = rule if best is None else best.when(
+            (hits[lang] > 0) & cond, F.lit(lang)
+        )
+    return best.otherwise(F.lit("und"))
+
+
+def fingerprint(text_col) -> Column:
+    """Order-sensitive rolling hash: fold h = (h*31 + md5_60bit(w) % M) % M
+    over the token stream. Two documents with the same words in a
+    different order fingerprint differently (unlike bag-of-words md5).
+    """
+    hashed = F.transform(tokens(text_col), lambda w: md5_long(w) % FP_MOD)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MUL + x) % FP_MOD,
+    )

@@ -1,0 +1,472 @@
+"""Driver-facing registry for the pipeline-extension operators.
+
+Covers the training-data-pipeline operators beyond the reference's
+surface (BASELINE.json north star): deduplication (exact / n-gram
+Jaccard / MinHash-LSH / SimHash), embedding similarity search
+(brute-force top-k / hyperplane-LSH pairs), text analysis (tokens /
+quality / language-ID / fingerprint) and multimodal binary plumbing —
+each as (spark_fn, oracle_sql) over ``documents`` / ``embeddings``.
+
+Oracle parity rules (shared with queries_testdata):
+
+* every hash is md5-derived (bit-identical in any engine);
+* every float reduction is an *ordered* left fold — Spark
+  ``F.aggregate`` folds sequentially, the SQL mirrors it with explicit
+  left-associative sums in double precision, so doubles match
+  bit-for-bit and ``round()`` never straddles an engine boundary;
+* every ratio is floored integer arithmetic (``F.floor`` <-> ``//``) —
+  DuckDB's double->BIGINT cast rounds while Spark's truncates, so casts
+  of fractional values are never compared;
+* all compared columns are BIGINT/VARCHAR, aliased identically on both
+  sides.
+
+The exact all-pairs Jaccard is bounded to ``doc_id < 200`` (it is the
+quadratic baseline — its shingle join is ~561M pair-rows at sf0.1;
+MinHash-LSH over the full corpus is the scale path and stays unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as T
+from .operators.dedup import MINHASH_P as P
+from .sources.testdata import read_table
+
+NGRAM_DOC_LIMIT = 200  # exact quadratic baseline runs on this prefix
+NGRAM_THRESHOLD = 100  # jaccard >= 0.1
+MINHASH_THRESHOLD = 500  # jaccard >= 0.5 (the standard near-dup bar)
+SIM_QUERY_COUNT = 8  # brute-force top-k query vectors: vec_id < 8
+SIM_TOPK = 10
+SIM_LSH_THRESHOLD = 150_000  # cosine >= 0.15 among same-bucket pairs
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# -- dedup: exact -----------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT MIN(doc_id)::BIGINT AS doc_id, COUNT(*)::BIGINT AS dup_count
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+"""
+
+
+# -- dedup: n-gram Jaccard (exact quadratic baseline, bounded) --------------
+
+def q_dedup_ngram(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOC_LIMIT)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=NGRAM_THRESHOLD
+    ).select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("jacc_x1000"),
+    )
+
+
+_SH = """
+sh AS (SELECT DISTINCT doc_id, substring(text, pos, 8) AS s
+       FROM docs, unnest(generate_series(1, greatest(length(text)-7, 1))) t(pos)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+SQL_DEDUP_NGRAM = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+{_SH},
+common AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS common
+           FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+           GROUP BY 1, 2)
+SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+       ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
+FROM common
+JOIN sizes z1 ON z1.doc_id = common.d1
+JOIN sizes z2 ON z2.doc_id = common.d2
+WHERE (common * 1000) // (z1.n + z2.n - common) >= {NGRAM_THRESHOLD}
+"""
+
+
+# -- dedup: MinHash + LSH (the scale path, full corpus) ---------------------
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=8,
+        threshold_x1000=MINHASH_THRESHOLD,
+    ).select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("jacc_x1000"),
+    )
+
+
+def _minhash_sql() -> str:
+    coeffs = D.minhash_coeffs(D.DEFAULT_NUM_HASHES)
+    r = D.DEFAULT_NUM_HASHES // D.DEFAULT_BANDS
+    mins = ",\n       ".join(
+        f"MIN(({a} * hm + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    bands = "\n UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM sig".format(
+            b=band,
+            cols=", ".join(f"m{band * r + j}" for j in range(r)),
+        )
+        for band in range(D.DEFAULT_BANDS)
+    )
+    return f"""
+WITH docs AS (SELECT * FROM documents),
+{_SH},
+base AS (SELECT doc_id,
+                CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT) % {P} AS hm
+         FROM sh),
+sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b USING (band_id, band_key)
+         WHERE a.doc_id < b.doc_id),
+common AS (SELECT c.d1, c.d2, COUNT(*) AS common
+           FROM cand c
+           JOIN sh s1 ON s1.doc_id = c.d1
+           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+           GROUP BY 1, 2)
+SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+       ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
+FROM common
+JOIN sizes z1 ON z1.doc_id = common.d1
+JOIN sizes z2 ON z2.doc_id = common.d2
+WHERE (common * 1000) // (z1.n + z2.n - common) >= {MINHASH_THRESHOLD}
+"""
+
+
+# -- dedup: SimHash ---------------------------------------------------------
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("hamming"),
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ",\n       ".join(
+        f"SUM(cnt * (((h32 >> {j}) & 1) * 2 - 1)) AS v{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    chunks = "\n UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS chunk_id,"
+        f" (simhash >> {8 * t}) & 255 AS chunk_key FROM sig"
+        for t in range(D.SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, w, COUNT(*) AS cnt
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+               WHERE w <> '' GROUP BY 1, 2),
+h AS (SELECT doc_id, cnt,
+             CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 8)) AS BIGINT) AS h32
+      FROM words),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+chunks AS ({chunks})
+SELECT d1, d2, hamming FROM (
+  SELECT DISTINCT a.doc_id::BIGINT AS d1, b.doc_id::BIGINT AS d2,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM chunks a JOIN chunks b USING (chunk_id, chunk_key)
+  WHERE a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+# -- similarity: brute-force cosine top-k -----------------------------------
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, S.EMBED_DIM + 1)
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.brute_force_topk(queries, emb, k=SIM_TOPK).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+SQL_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id < {SIM_QUERY_COUNT}),
+sims AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(round(({_dot_sql('q.embedding', 'c.embedding')})
+                    / (({_norm_sql('q.embedding')}) * ({_norm_sql('c.embedding')}))
+                    * 1e6) AS BIGINT) AS sim_x1e6
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_x1e6 DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, sim_x1e6
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
+# -- similarity: hyperplane-LSH bucketed pairs ------------------------------
+
+def q_sim_lsh(spark, sf_dir):
+    return S.lsh_similar_pairs(
+        _emb(spark, sf_dir), threshold_x1e6=SIM_LSH_THRESHOLD
+    ).select(
+        F.col("v1").cast("long").alias("v1"),
+        F.col("v2").cast("long").alias("v2"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    bits = []
+    for t, plane in enumerate(S.LSH_PLANES):
+        proj = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * {float(s)}"
+            for i, s in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << t} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _sim_lsh_sql() -> str:
+    return f"""
+WITH withb AS (SELECT vec_id, embedding,
+                      {_lsh_bucket_sql('embedding')} AS bucket
+               FROM embeddings)
+SELECT v1, v2, sim_x1e6 FROM (
+  SELECT a.vec_id::BIGINT AS v1, b.vec_id::BIGINT AS v2,
+         CAST(round(({_dot_sql('a.embedding', 'b.embedding')})
+                    / (({_norm_sql('a.embedding')}) * ({_norm_sql('b.embedding')}))
+                    * 1e6) AS BIGINT) AS sim_x1e6
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE sim_x1e6 >= {SIM_LSH_THRESHOLD}
+"""
+
+
+# -- text analysis ----------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.ws_token_count("text").alias("ws_tokens"),
+        T.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_RE}', 0))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return T.quality_signals(docs, "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "q_chars", "n_tokens", "avg_word_len_x100",
+        "stop_ratio_x1000", "punct_x1000", "quality_x1000",
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS q_chars,
+         len({_TOKS})::BIGINT AS n_tokens,
+         list_sum(list_transform({_TOKS}, w -> length(w)::BIGINT)) AS total_wlen,
+         len(list_filter({_TOKS}, w -> w IN ({_STOP_IN})))::BIGINT AS n_stop,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, q_chars, n_tokens,
+         (COALESCE(total_wlen, 0) * 100) // greatest(n_tokens, 1) AS awl,
+         (n_stop * 1000) // greatest(n_tokens, 1) AS stop_r,
+         (n_punct * 1000) // greatest(q_chars, 1) AS punct
+  FROM sigs
+)
+SELECT doc_id, q_chars, n_tokens,
+       awl::BIGINT AS avg_word_len_x100,
+       stop_r::BIGINT AS stop_ratio_x1000,
+       punct::BIGINT AS punct_x1000,
+       least(greatest(500
+         + (CASE WHEN stop_r >= 50 AND stop_r <= 400 THEN 300 ELSE 0 END)
+         + (CASE WHEN awl >= 200 AND awl <= 1200 THEN 200 ELSE 0 END)
+         - punct, 0), 1000)::BIGINT AS quality_x1000
+FROM scored
+"""
+
+
+def q_text_lang(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def _lang_sql() -> str:
+    hit = {
+        lang: f"len(list_filter({_TOKS}, w -> w IN "
+        f"({', '.join(repr(w) for w in words)})))"
+        for lang, words in T.LANG_MARKERS.items()
+    }
+    hits_cols = ",\n       ".join(f"{e} AS h_{lang}" for lang, e in hit.items())
+    cases = []
+    order = T.LANG_ORDER
+    for i, lang in enumerate(order):
+        conds = [f"h_{lang} > 0"]
+        for j, other in enumerate(order):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"h_{lang} {op} h_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH hits AS (SELECT doc_id, {hits_cols} FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+FROM hits
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.fingerprint("text").cast("long").alias("fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKS},
+             w -> CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT)
+                  % {T.FP_MOD})),
+         (a, b) -> (a * {T.FP_MUL} + b) % {T.FP_MOD})::BIGINT AS fp
+FROM documents
+"""
+
+
+# -- multimodal binary plumbing ---------------------------------------------
+
+def _media(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return M.attach_media(
+        docs, "doc_id", F.encode(F.col("text"), "UTF-8"), fmt="txt"
+    )
+
+
+def q_mm_meta(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    return media.select(
+        F.col("id"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+SQL_MM_META = """
+SELECT doc_id::BIGINT AS id, 'txt' AS format,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS checksum
+FROM documents
+"""
+
+
+def q_mm_frames(spark, sf_dir):
+    """mapInPandas frame-decode plumbing (stub decoder); oracle mirrors
+    the deterministic fake on ASCII payloads via ascii()/list_reduce."""
+    return M.extract_frames(_media(spark, sf_dir)).select(
+        F.col("id"), F.col("frame_id"), F.col("frame_hash")
+    )
+
+
+SQL_MM_FRAMES = f"""
+WITH d AS (SELECT doc_id, text,
+                  greatest(length(text) // {M.FRAME_BYTES}, 1) AS n_frames
+           FROM documents)
+SELECT doc_id::BIGINT AS id, i::BIGINT AS frame_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(
+             generate_series(i * {M.FRAME_BYTES} + 1,
+                             least((i + 1) * {M.FRAME_BYTES}, length(text))),
+             p -> ascii(substring(text, p, 1))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 2147483647)::BIGINT AS frame_hash
+FROM d, unnest(generate_series(0, n_frames - 1)) t(i)
+"""
+
+
+def q_mm_features(spark, sf_dir):
+    """mapInPandas feature-extraction plumbing (stub encoder) — the
+    encoder stands in for a model forward pass, so there is no SQL
+    oracle; the driver applies the rows-only check."""
+    return M.extract_features(_media(spark, sf_dir)).select(
+        F.col("id"), F.col("feature")
+    )
+
+
+EXT_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
+    "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
+    "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
+    "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang, _lang_sql()),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "mm_media_meta": (q_mm_meta, SQL_MM_META),
+    "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
+    "mm_feature_stub": (q_mm_features, None),
+}
