@@ -1,0 +1,127 @@
+"""Semantic checks for dedup/similarity/text operators on crafted data
+(the oracle tests prove Spark<->SQL parity; these prove the operators
+find what they claim to find)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators import dedup as D
+from time_series_storage_spark.operators import multimodal as M
+from time_series_storage_spark.operators import similarity as S
+from time_series_storage_spark.operators import text as T
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 5
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit of a long text
+FAR = "completely different content with no overlap whatsoever here " * 5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "  the QUICK brown fox jumps over the lazy dog again and again " * 5),
+        (3, NEAR),  # near dup of 0
+        (4, FAR),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_normalized(spark, docs):
+    # 0 and 1 identical; 2 differs only by case/whitespace -> same group
+    out = {r["doc_id"]: r["dup_count"] for r in
+           D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {0: 3, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["d1"], r["d2"]): r["jacc_x1000"] for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                   threshold_x1000=500).collect()}
+    assert pairs[(0, 1)] == 1000  # identical
+    assert pairs[(0, 3)] >= 500  # one-word edit stays similar
+    assert not any(4 in p for p in pairs)  # unrelated text filtered
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    lsh = {(r["d1"], r["d2"]) for r in
+           D.minhash_lsh_pairs(docs, "doc_id", "text",
+                               threshold_x1000=500).collect()}
+    # LSH verifies candidates with *exact* jaccard, so any returned pair
+    # is truly >= 0.5; the near-dup cluster must be recalled
+    assert {(0, 1), (0, 3), (1, 3)} <= lsh
+    assert not any(4 in p for p in lsh)
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in
+             D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0  # identical text, identical signature
+    assert (0, 3) in pairs  # one-word edit flips few bits
+    assert not any(4 in p for p in pairs)
+
+
+def test_brute_force_topk_exact_neighbors(spark):
+    # 3 clusters on coordinate axes: nearest neighbor = same axis
+    vecs = []
+    for i in range(12):
+        axis = i % 3
+        v = [0.0] * S.EMBED_DIM
+        v[axis] = 1.0
+        v[(axis + 3 + i) % S.EMBED_DIM] = 0.1  # small per-vector noise
+        vecs.append((i, v))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = S.brute_force_topk(emb.where(F.col("vec_id") < 3), emb, k=3).collect()
+    for r in top:
+        assert r["vec_id"] % 3 == r["q_id"] % 3  # same-axis cluster wins
+        assert r["sim_x1e6"] > 900_000
+
+
+def test_lsh_bucket_recalls_identical_vectors(spark):
+    v = [(i, [float(j == i % 4) for j in range(S.EMBED_DIM)]) for i in range(8)]
+    emb = spark.createDataFrame(v, ["vec_id", "embedding"])
+    pairs = {(r["v1"], r["v2"]) for r in
+             S.lsh_similar_pairs(emb, threshold_x1e6=990_000).collect()}
+    # identical vectors always share every hyperplane side -> same bucket
+    assert {(0, 4), (1, 5), (2, 6), (3, 7)} <= pairs
+
+
+def test_text_quality_and_lang(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house"),
+        (1, "zzzzzzzzzzzzzzzzzzzz !!!! #### $$$$ %%%%"),
+        (2, "der hund und die katze das ist gut und schoen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = {r["doc_id"]: r["quality_x1000"] for r in
+         T.quality_signals(df, "text").collect()}
+    # doc0: 69% stopwords (outside the [5%,40%] bonus band) + word-length
+    # bonus = 700; doc1: junk = 500 + 200 - 400 punct = 300
+    assert q[0] == 700 and q[1] == 300 and q[0] > q[1]
+    langs = {r["doc_id"]: r[1] for r in
+             df.select("doc_id", T.lang_id("text")).collect()}
+    assert langs[0] == "en" and langs[2] == "de" and langs[1] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r[1] for r in
+           df.select("doc_id", T.fingerprint("text")).collect()}
+    assert fps[0] == fps[2] and fps[0] != fps[1]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = M.attach_media(
+        spark.createDataFrame([(1, "x" * 250)], ["doc_id", "text"])
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id", "payload",
+    )
+    frames = M.extract_frames(media).collect()
+    assert [r["frame_id"] for r in frames] == [0, 1]  # 250 bytes -> 2 frames
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        M.extract_frames(media, decode_stub=False).collect()

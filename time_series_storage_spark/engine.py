@@ -52,6 +52,7 @@ class TimeSeries:
         store: Optional[EventStore] = None,
         events_path: Optional[str] = None,
         catalog_path: Optional[str] = None,
+        rollup_store=None,
     ):
         self.spark = spark
         if store is None:
@@ -61,6 +62,11 @@ class TimeSeries:
                 else MemoryEventStore(spark)
             )
         self.store = store
+        # optional materialized-rollup layer (plans.RollupStore): reads
+        # prefer a covering materialized rollup over raw-event
+        # aggregation, the reference's read architecture
+        # (postgres/query.clj:30-47)
+        self.rollup_store = rollup_store
         self.catalog_path = catalog_path
         if catalog_path:
             try:
@@ -263,6 +269,7 @@ class TimeSeries:
         fact_id: str,
         dimension_id: str,
         query_data: Optional[Mapping[str, object]] = None,
+        grouping: Optional[list[str]] = None,
     ) -> DataFrame:
         """Materializable rollup at slice grain (reference W4/W5/W6 tables).
 
@@ -275,7 +282,8 @@ class TimeSeries:
         """
         fact = self.catalog.fact(fact_id)
         dimension = self.catalog.dimension(dimension_id)
-        grouping = best_grouping(dimension, query_data)
+        if grouping is None:
+            grouping = best_grouping(dimension, query_data)
         rows = self._scan(fact, dimension, grouping, query_data or {}, None, None)
         # step "hour" over slice buckets would re-truncate; group at the
         # raw slice bucket instead: series + ts(slice) keys
@@ -319,8 +327,14 @@ class TimeSeries:
         fact = self.catalog.fact(fact_id)
         dimension = self.catalog.dimension(dimension_id)
         grouping = best_grouping(dimension, query_data)
-        rows = self._scan(fact, dimension, grouping, query_data or {}, start, finish)
-        collapsed = collapse(rows, grouping, fact, step, offset)
+        collapsed = self._collapsed_from_rollup(
+            fact, dimension, grouping, query_data, start, finish, step, offset
+        )
+        if collapsed is None:
+            rows = self._scan(
+                fact, dimension, grouping, query_data or {}, start, finish
+            )
+            collapsed = collapse(rows, grouping, fact, step, offset)
         if fact.type == "histogram":
             return collapsed
         return fill_range(
@@ -334,6 +348,47 @@ class TimeSeries:
             offset,
             filler=fact.filler,
         )
+
+    def _collapsed_from_rollup(
+        self,
+        fact: Fact,
+        dimension,
+        grouping: list[str],
+        query_data: Optional[Mapping[str, object]],
+        start: dt.datetime,
+        finish: dt.datetime,
+        step: str,
+        offset: int,
+    ) -> Optional[DataFrame]:
+        """Serve the collapse from a materialized rollup when one covers
+        this (fact, grouping) — the reference's whole read path
+        (best-grouping -> rollup scan -> collapse, postgres/query.clj).
+
+        Returns None (fall back to raw events) when no rollup store is
+        attached or this rollup was never materialized.
+        """
+        if self.rollup_store is None:
+            return None
+        rollup = self.rollup_store.read(grouping, fact.id)
+        if rollup is None:
+            return None
+        slice_minutes = dimension.slice or fact.slice
+        lo = slice_datetime(start, slice_minutes)
+        hi = slice_datetime(finish, slice_minutes)
+        # both endpoints inclusive after bucketing (query.clj:16-17);
+        # p_date prunes rollup partitions before the ts comparison
+        rollup = rollup.where(
+            (F.col("p_date") >= F.lit(lo.date()))
+            & (F.col("p_date") <= F.lit(hi.date()))
+            & (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") <= F.lit(hi))
+        )
+        for k, v in (query_data or {}).items():
+            if v is not None and str(k) in grouping:
+                rollup = rollup.where(F.col(str(k)) == str(v))
+        from .operators.collapse import collapse_rollup
+
+        return collapse_rollup(rollup, grouping, fact, step, offset)
 
     def get_timeseries_map(self, *args, **kwargs) -> dict:
         """Reference-shaped result: {series-key-tuple -> {datetime|'all' -> value}}.

@@ -102,6 +102,37 @@ def collapse(
     return grouped.agg(F.count(F.lit(1)).alias("counter"))
 
 
+def collapse_rollup(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    fact: Fact,
+    step: str | None,
+    offset_hours: int = 0,
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Collapse pre-aggregated rollup rows (slice grain) to the step grain.
+
+    The reference's read path always starts from rollup rows and *sums
+    the stored measures* (query.clj:48-73: counters add, (counter,total)
+    pairs merge with +) — unlike :func:`collapse`, which counts raw
+    observations. Input columns: series + ``ts`` (slice bucket) +
+    measures (``counter`` [+ ``total``] or ``bucket_lo`` + ``counter``).
+    """
+    step = step or "none"
+    if step not in STEPS:
+        raise InvalidStepError(step)
+    keys: list[Column] = [F.col(c) for c in series_cols]
+    t = step_trunc_expr(ts_col, step, offset_hours)
+    if t is not None:
+        keys.append(t.alias(TS_COL))
+    if fact.type == "histogram":
+        keys.append(F.col("bucket_lo"))
+    aggs = [F.sum("counter").alias("counter")]
+    if fact.type == "average":
+        aggs.append(F.sum("total").alias("total"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def fill_range(
     collapsed: DataFrame,
     spark,

@@ -67,10 +67,16 @@ def char_shingles(
     """Distinct character k-grams per document: (id, shingle s).
 
     Texts shorter than k contribute their whole text as one shingle.
+    The input is repartitioned on id before the ~length(text)-fold
+    explode: document sources are often few large files, and exploding
+    inside the scan partitioning would serialize the (hash-heavy)
+    downstream work onto one core per file.
     """
     npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     return (
-        df.select(
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
             F.col(id_col),
             F.col(text_col),
             F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
@@ -78,6 +84,34 @@ def char_shingles(
         .select(
             F.col(id_col),
             F.expr(f"substring({text_col}, pos, {k})").alias("s"),
+        )
+        .distinct()
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Distinct 60-bit shingle hashes per document: (id, hs long).
+
+    The working representation for MinHash/Jaccard: md5 runs once per
+    raw shingle, the distinct and every downstream shuffle move
+    fixed-width longs instead of strings, and set semantics are identical
+    up to 2^-60 hash collisions (which an oracle reproduces exactly by
+    hashing the same way).
+    """
+    npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            md5_long(F.expr(f"substring({text_col}, pos, {k})")).alias("hs"),
         )
         .distinct()
     )
@@ -111,20 +145,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _pair_jaccard(
-    shingles: DataFrame, id_col: str, pairs: DataFrame
+    shingles: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact integer Jaccard for candidate pairs (d1 < d2).
 
     Joins the candidate list back to the shingle sets — at scale the
     candidate list is far smaller than the shingle index, so both joins
-    are candidate-driven.
+    are candidate-driven. ``shingles`` is the hashed index from
+    :func:`hashed_shingles` — set intersection on the 60-bit hash
+    shuffles fixed-width keys and collisions are ~2^-60 per pair.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    s1 = shingles.select(F.col(id_col).alias("d1"), "s")
-    s2 = shingles.select(F.col(id_col).alias("d2"), "s")
+    hashed = shingles
+    if sizes is None:
+        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # broadcast the per-doc set sizes: one row per document, always the
+    # small side of its joins
+    sizes = F.broadcast(sizes)
+    s1 = hashed.select(F.col(id_col).alias("d1"), "hs")
+    s2 = hashed.select(F.col(id_col).alias("d2"), "hs")
     common = (
         pairs.join(s1, "d1")
-        .join(s2, ["d2", "s"])
+        .join(s2, ["d2", "hs"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -158,10 +202,12 @@ def ngram_jaccard_pairs(
     row per co-occurring shingle. Fine to ~10^6 docs with pruning;
     beyond that use :func:`minhash_lsh_pairs`.
     """
-    sh = char_shingles(df, id_col, text_col, k)
+    # the shingle index feeds pair generation AND both verification
+    # joins — persist it instead of re-running the explode+distinct
+    sh = hashed_shingles(df, id_col, text_col, k).persist()
     pairs = (
-        sh.select(F.col(id_col).alias("d1"), "s")
-        .join(sh.select(F.col(id_col).alias("d2"), "s"), "s")
+        sh.select(F.col(id_col).alias("d1"), "hs")
+        .join(sh.select(F.col(id_col).alias("d2"), "hs"), "hs")
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -174,7 +220,8 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """(id, m0..m{n-1}) MinHash signature columns.
+    """(id, m0..m{n-1}) MinHash signature columns from a hashed (or
+    string) shingle index.
 
     One hash-aggregate: per shingle the 64 permutation hashes are pure
     arithmetic on a shared 60-bit base hash; Catalyst evaluates them in
@@ -182,12 +229,18 @@ def minhash_signatures(
     minima (partial aggregation — the shuffle carries 64 longs per doc
     per partition).
     """
-    hm = (md5_long("s") % MINHASH_P).alias("hm")
-    base = shingles.select(F.col(id_col), hm)
+    base_hash = (
+        F.col("hs") if "hs" in shingles.columns else md5_long("s")
+    )
+    base = shingles.select(F.col(id_col), (base_hash % MINHASH_P).alias("hm"))
     aggs = [
         F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
+    # shingle-set size rides along in the same aggregation pass — the
+    # Jaccard denominator later needs it, and a separate count would be
+    # one more full pass over the index
+    aggs.append(F.count(F.lit(1)).alias("n"))
     return base.groupBy(id_col).agg(*aggs)
 
 
@@ -246,11 +299,19 @@ def minhash_lsh_pairs(
     The scale path: signature build is one aggregate over the shingle
     index; candidate generation is linear in docs x bands; exact
     verification touches only candidate pairs.
+
+    The shingle index is persisted for the run: it feeds the signature
+    aggregate, the size counts, and both verification joins — at larger
+    scale, write it (and the signatures) to a table once instead.
     """
-    sh = char_shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return _pair_jaccard(sh, id_col, pairs).where(
+    sh = hashed_shingles(df, id_col, text_col, k).persist()
+    # the signature table self-joins in banding — persist the (tiny)
+    # result rather than running the 64-min aggregation twice; same for
+    # the candidate list, which drives both verification joins
+    sig = minhash_signatures(sh, id_col, num_hashes).persist()
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands).persist()
+    sizes = sig.select(F.col(id_col), F.col("n"))
+    return _pair_jaccard(sh, id_col, pairs, sizes=sizes).where(
         F.col("jacc_x1000") >= threshold_x1000
     )
 
@@ -270,7 +331,9 @@ def simhash_signatures(
     sign of sum(freq * (bit_j ? +1 : -1)) over words.
     """
     words = (
-        df.select(
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
         )
         .where(F.col("w") != "")
@@ -306,7 +369,8 @@ def simhash_pairs(
     for distance <= 3, at least one of the 4 chunks is untouched
     (pigeonhole), so the chunk equi-join finds every qualifying pair.
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    # persisted: the chunk-banding join reads the signatures twice
+    sig = simhash_signatures(df, id_col, text_col).persist()
     chunk_keys = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * t).bitwiseAND(F.lit(255))

@@ -102,7 +102,14 @@ def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 {"id": ids, "frame_id": frame_ids, "frame_hash": hashes}
             )
 
-    return media.select("id", "payload").mapInPandas(decode, FRAMES_SCHEMA)
+    # repartition before the Python stage: media sources are often few
+    # large files, and one-partition input would serialize all decode
+    # work onto a single Python worker
+    return (
+        media.select("id", "payload")
+        .repartition(F.col("id"))
+        .mapInPandas(decode, FRAMES_SCHEMA)
+    )
 
 
 def extract_features(
@@ -133,4 +140,8 @@ def extract_features(
                 ids.append(doc_id)
             yield pd.DataFrame({"id": ids, "feature": feats})
 
-    return media.select("id", "payload").mapInPandas(encode, FEATURE_SCHEMA)
+    return (
+        media.select("id", "payload")
+        .repartition(F.col("id"))
+        .mapInPandas(encode, FEATURE_SCHEMA)
+    )

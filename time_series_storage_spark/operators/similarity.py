@@ -136,9 +136,11 @@ def lsh_similar_pairs(
     bits = faster + lower recall). Skewed buckets are handled by AQE
     skew-join splitting.
     """
+    # persisted: the bucket equi-join reads this twice, and the bucket
+    # expression (LSH_BITS ordered folds per row) is worth not re-running
     withb = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col).alias("bucket")
-    )
+    ).persist()
     a = withb.select(
         F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "bucket"
     )

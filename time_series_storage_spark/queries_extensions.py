@@ -81,17 +81,23 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+# mirrors operators.dedup.hashed_shingles: raw k-grams -> 60-bit md5
+# hash -> distinct on (doc, hash); sizes/intersections/signatures all
+# derive from the hashed set, exactly as the Spark side does
 _SH = """
-sh AS (SELECT DISTINCT doc_id, substring(text, pos, 8) AS s
-       FROM docs, unnest(generate_series(1, greatest(length(text)-7, 1))) t(pos)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+shraw AS (SELECT doc_id, substring(text, pos, 8) AS s
+          FROM docs, unnest(generate_series(1, greatest(length(text)-7, 1))) t(pos)),
+shh AS (SELECT DISTINCT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT) AS hs
+        FROM shraw),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id)
 """
 
 SQL_DEDUP_NGRAM = f"""
 WITH docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
 {_SH},
 common AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS common
-           FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+           FROM shh s1 JOIN shh s2 ON s1.hs = s2.hs AND s1.doc_id < s2.doc_id
            GROUP BY 1, 2)
 SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
        ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
@@ -131,9 +137,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH docs AS (SELECT * FROM documents),
 {_SH},
-base AS (SELECT doc_id,
-                CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT) % {P} AS hm
-         FROM sh),
+base AS (SELECT doc_id, hs % {P} AS hm FROM shh),
 sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -141,8 +145,8 @@ cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          WHERE a.doc_id < b.doc_id),
 common AS (SELECT c.d1, c.d2, COUNT(*) AS common
            FROM cand c
-           JOIN sh s1 ON s1.doc_id = c.d1
-           JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+           JOIN shh s1 ON s1.doc_id = c.d1
+           JOIN shh s2 ON s2.doc_id = c.d2 AND s2.hs = s1.hs
            GROUP BY 1, 2)
 SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
        ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
