@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale are asserted on `.explain` output, not assumed.
+
+A correct result from a plan that scans everything is still a failing
+grade at 100 TB — these tests pin the load-bearing plan features:
+partition pruning, parquet predicate pushdown, map-side partial
+aggregation, broadcast grid fill, and column pruning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark import TimeSeries
+
+START = dt.datetime(2024, 1, 1)
+FINISH = dt.datetime(2024, 1, 2)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_engine(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("events")
+    eng = TimeSeries(spark, events_path=str(path / "ev"))
+    eng.define_fact("hits", "counter", 15)
+    eng.define_fact("lat", "average", 15)
+    eng.define_dimension("user", facts=["hits", "lat"])
+    src = spark.range(1000).select(
+        (F.lit(START) + F.make_interval(mins=(F.col("id") * 11) % (7 * 1440))).alias("ts"),
+        (F.col("id") % 9).cast("double").alias("value"),
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("user"),
+    )
+    eng.ingest_df("hits", src.withColumn("one", F.lit(1.0)),
+                  value_col="one", dim_cols={"user": "user"})
+    eng.ingest_df("lat", src, dim_cols={"user": "user"})
+    return eng
+
+
+def test_scan_is_partition_pruned_and_pushed(parquet_engine):
+    plan = _plan(
+        parquet_engine.get_timeseries("hits", "user", {}, START, FINISH, step="hour")
+    )
+    # day-range partition pruning on (fact, p_date)
+    assert "PartitionFilters" in plan
+    assert "fact" in plan.split("PartitionFilters")[1][:300]
+    assert "p_date" in plan.split("PartitionFilters")[1][:300]
+    # raw ts range reaches the parquet reader for row-group skipping
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
+def test_aggregation_is_partial_single_shuffle(parquet_engine):
+    plan = _plan(
+        parquet_engine.get_timeseries("lat", "user", {}, START, FINISH, step="hour")
+    )
+    # map-side combine before the one aggregation exchange
+    assert "partial_count" in plan or "partial_sum" in plan
+    agg_exchanges = [
+        seg for seg in plan.split("Exchange")[1:] if "hashpartitioning" in seg[:200]
+    ]
+    assert len(agg_exchanges) >= 1
+    # grid fill joins via broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(parquet_engine):
+    plan = _plan(
+        parquet_engine.get_timeseries("hits", "user", {}, START, FINISH)
+    )
+    # the events scan must not read `value`-adjacent columns it doesn't
+    # need — ReadSchema carries only ts/value/dims
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in schema_part and "dims" in schema_part
+
+
+def test_extension_scan_prunes_columns(spark):
+    from time_series_storage_spark.operators.text import ws_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.select(ws_token_count("text").alias("n")))
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in schema_part
+    assert "n_chars" not in schema_part and "source" not in schema_part

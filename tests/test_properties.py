@@ -1,0 +1,89 @@
+"""Property-based invariants (SURVEY.md section 5 test plan, item d).
+
+Driven by hypothesis over small random event sets; each property is an
+algebraic fact the engine must preserve at any scale:
+
+* mass conservation — the sum over all collapsed buckets equals the sum
+  over raw events, for every step/offset (no step loses or invents
+  observations);
+* density — after fill_range the series grid is complete;
+* average-pair mergeability — (count, sum) pairs collapsed at a coarse
+  grain equal the merge of fine-grain pairs (partial-aggregate law).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from time_series_storage_spark import TimeSeries
+
+BASE = dt.datetime(2024, 3, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60 * 24 * 21),  # minutes over 3 weeks
+        st.integers(min_value=-50, max_value=50),  # integer values: exact sums
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _engine(spark, events, slice_minutes=15):
+    eng = TimeSeries(spark)
+    eng.define_fact("m", "counter", slice_minutes)
+    eng.define_fact("avg", "average", slice_minutes)
+    eng.define_dimension("k", facts=["m", "avg"])
+    rows = [
+        ("m", BASE + dt.timedelta(minutes=mins), float(v), {"k": key})
+        for mins, v, key in events
+    ] + [
+        ("avg", BASE + dt.timedelta(minutes=mins), float(v), {"k": key})
+        for mins, v, key in events
+    ]
+    eng.store.append_rows(rows)
+    return eng
+
+
+@given(events=events_strategy, step=st.sampled_from(["hour", "day", "week", "month"]),
+       offset=st.sampled_from([0, 3, -5]))
+@_slow
+def test_mass_conservation(spark, events, step, offset):
+    eng = _engine(spark, events)
+    start = BASE - dt.timedelta(days=1)
+    finish = BASE + dt.timedelta(days=22)
+    out = eng.get_timeseries_map("m", "k", {}, start, finish, step=step, offset=offset)
+    assert sum(sum(s.values()) for s in out.values()) == sum(v for _, v, _ in events)
+
+
+@given(events=events_strategy)
+@_slow
+def test_fill_is_dense(spark, events):
+    eng = _engine(spark, events)
+    start, finish = BASE, BASE + dt.timedelta(days=2)
+    out = eng.get_timeseries_map("m", "k", {}, start, finish, step="hour")
+    for series, buckets in out.items():
+        assert len(buckets) == 48  # every hour present, zero-filled
+
+
+@given(events=events_strategy)
+@_slow
+def test_average_pairs_merge(spark, events):
+    eng = _engine(spark, events)
+    start = BASE - dt.timedelta(days=1)
+    finish = BASE + dt.timedelta(days=22)
+    fine = eng.get_timeseries_map("avg", "k", {}, start, finish, step="hour")
+    coarse = eng.get_timeseries_map("avg", "k", {}, start, finish)  # :all
+    for series, buckets in coarse.items():
+        merged_c = sum(p["counter"] for p in fine[series].values())
+        merged_t = sum(p["total"] for p in fine[series].values())
+        assert buckets["all"] == {"counter": merged_c, "total": merged_t}

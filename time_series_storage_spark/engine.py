@@ -428,16 +428,45 @@ class TimeSeries:
         query_data: Optional[Mapping[str, object]],
         start: dt.datetime,
         finish: dt.datetime,
+        merge=None,
     ) -> DataFrame:
         """Merged histogram over the whole range (reference api.clj:38-41).
 
         Declared but unimplemented in every reference backend
         (postgres.clj:126-128 et al.); implemented here for real per the
-        protocol docstring: one histogram per series, counts merged with
-        ``+`` across the time range. Output: series dims + ``bucket_lo`` +
-        ``counter``.
+        protocol docstring: one histogram per series, per-slice bucket
+        counts merged across the time range with ``merge`` (default
+        ``+``). Output: series dims + ``bucket_lo`` + ``counter``.
+
+        ``merge`` is the protocol's ``merge-with`` parameter
+        (api.clj:39-41): a ``(acc: Column, x: Column) -> Column``
+        combiner folded over each bucket's per-slice counts in slice
+        order — expressed as a Catalyst ``aggregate`` over a collected
+        array, so custom merges (max, saturating add, ...) stay
+        JVM-side with no UDF.
         """
-        df = self.get_timeseries(
-            fact_id, dimension_id, query_data, start, finish, step="none"
+        if merge is None:
+            df = self.get_timeseries(
+                fact_id, dimension_id, query_data, start, finish, step="none"
+            )
+            return df
+        fact = self.catalog.fact(fact_id)
+        per_slice = self.get_timeseries(
+            fact_id, dimension_id, query_data, start, finish, step="hour"
         )
-        return df
+        series = [
+            c for c in per_slice.columns
+            if c not in ("ts", "bucket_lo", "counter")
+        ]
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("counter")))
+        )
+        folded = F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, p: merge(acc, p.getField("counter")),
+        )
+        return (
+            per_slice.groupBy(*series, F.col("bucket_lo"))
+            .agg(folded.alias("counter"))
+        )

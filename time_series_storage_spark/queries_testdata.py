@@ -40,12 +40,28 @@ DUCK_FMT = "%Y-%m-%d %H:%M:%S"
 _ENGINES: dict = {}
 
 
-def build_engine(spark: SparkSession, sf_dir: str) -> TimeSeries:
-    """Engine over {sf_dir}/events.parquet (cached per sf_dir)."""
-    key = (id(spark), sf_dir)
+def build_engine(
+    spark: SparkSession, sf_dir: str, rollups: bool = False
+) -> TimeSeries:
+    """Engine over {sf_dir}/events.parquet (cached per sf_dir).
+
+    ``rollups=True`` attaches a RollupStore (under a fresh temp dir) and
+    materializes the evt_count/event_type lattice, so reads are served
+    from the materialized rollup — the reference's physical read path.
+    """
+    key = (id(spark), sf_dir, rollups)
     if key in _ENGINES:
         return _ENGINES[key]
-    eng = TimeSeries(spark)
+    rollup_store = None
+    if rollups:
+        import tempfile
+
+        from .plans import RollupStore
+
+        rollup_store = RollupStore(
+            spark, tempfile.mkdtemp(prefix="tss_rollups_")
+        )
+    eng = TimeSeries(spark, rollup_store=rollup_store)
     eng.define_fact("evt_count", "counter", 10)
     eng.define_fact("evt_value", "average", 15)
     eng.define_fact("evt_hist", "histogram", 15, start=0, end=500, step=50)
@@ -63,6 +79,8 @@ def build_engine(spark: SparkSession, sf_dir: str) -> TimeSeries:
     )
     eng.ingest_df("evt_value", src, dim_cols=dim_map)
     eng.ingest_df("evt_hist", src, dim_cols={"event_type": "event_type"})
+    if rollup_store is not None:
+        rollup_store.materialize(eng, "evt_count", "event_type")
     _ENGINES[key] = eng
     return eng
 
@@ -346,6 +364,17 @@ GROUP BY 1, 2
 """
 
 
+def q_counter_hour_materialized(spark, sf_dir):
+    """plans.RollupStore read path: same query as ts_counter_hour_fill
+    but served from the materialized (path x fact) rollup parquet —
+    results must be indistinguishable (same oracle)."""
+    eng = build_engine(spark, sf_dir, rollups=True)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="hour"
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
 def q_rollup_slice(spark, sf_dir):
     """W1/W4/W5 rollup materialization at raw slice grain (15 min)."""
     eng = build_engine(spark, sf_dir)
@@ -377,4 +406,5 @@ CORE_QUERIES = {
     "ts_histogram_day": (q_hist_day, SQL_HIST_DAY),
     "ts_histogram_merged": (q_hist_merged, SQL_HIST_MERGED),
     "ts_rollup_slice15": (q_rollup_slice, SQL_ROLLUP_SLICE),
+    "ts_counter_hour_materialized": (q_counter_hour_materialized, SQL_COUNTER_HOUR),
 }
