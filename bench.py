@@ -54,10 +54,10 @@ def main() -> None:
     dfs = {name: fn(spark, sf_dir) for name, fn in qs.items()}
     for df in dfs.values():  # warm-up pass (untimed)
         df.write.format("noop").mode("overwrite").save()
-    # best-of-2: the sandbox VM pauses wholesale for tens of seconds at
-    # random; min of two runs measures the query, not the hypervisor
+    # best-of-3: the sandbox VM pauses wholesale for tens of seconds at
+    # random; min of three runs measures the query, not the hypervisor
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, df in dfs.items():
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()

@@ -1,4 +1,4 @@
 from .rollup import best_grouping
-from .collapse import collapse, fill_range
+from .collapse import collapse, collapse_rollup, fill_range
 
-__all__ = ["best_grouping", "collapse", "fill_range"]
+__all__ = ["best_grouping", "collapse", "collapse_rollup", "fill_range"]

@@ -1,3 +1,10 @@
 from .events import EVENT_SCHEMA, EventStore, MemoryEventStore, ParquetEventStore
+from .formats import FormatEventStore
 
-__all__ = ["EVENT_SCHEMA", "EventStore", "MemoryEventStore", "ParquetEventStore"]
+__all__ = [
+    "EVENT_SCHEMA",
+    "EventStore",
+    "FormatEventStore",
+    "MemoryEventStore",
+    "ParquetEventStore",
+]
