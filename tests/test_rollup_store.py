@@ -83,6 +83,24 @@ def test_rollup_scan_is_partition_pruned(engines):
     assert "PartitionFilters" in plan and "p_date" in plan
 
 
+def test_single_pass_equals_per_path(spark, tmp_path, engines):
+    """The GROUPING SETS lattice must write byte-equal rollups to the
+    one-job-per-path fallback."""
+    _, backed = engines
+    store_a = RollupStore(spark, str(tmp_path / "a"))
+    store_b = RollupStore(spark, str(tmp_path / "b"))
+    for fact in ("hits", "lat", "dist"):
+        store_a.materialize(backed, fact, "user", single_pass=True)
+        store_b.materialize(backed, fact, "user", single_pass=False)
+        for grouping in (["company", "user"], ["user"]):
+            a = store_a.read(grouping, fact)
+            b = store_b.read(grouping, fact)
+            cols = sorted(a.columns)
+            ra = sorted(tuple(r[c] for c in cols) for r in a.collect())
+            rb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+            assert ra == rb and len(ra) > 0, (fact, grouping)
+
+
 def test_missing_rollup_falls_back(spark, tmp_path):
     eng = TimeSeries(spark, rollup_store=RollupStore(spark, str(tmp_path / "r2")))
     eng.define_fact("hits", "counter", 10)

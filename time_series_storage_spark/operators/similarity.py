@@ -157,3 +157,32 @@ def lsh_similar_pairs(
         )
         .where(F.col("sim_x1e6") >= threshold_x1e6)
     )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1e6: int = 300_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup collapse: drop every vector that has a
+    lower-id near-duplicate (cosine >= threshold within its LSH bucket).
+
+    Output: (vec_id, is_kept) for all vectors — survivors keep
+    ``is_kept = 1``. One LSH-bucketed pair search + one left anti
+    semantics via join: no iterative connected components, which keeps
+    it a two-shuffle plan at any scale (transitive chains collapse to
+    their least member only when pairs bridge buckets — the standard
+    LSH-dedup tradeoff).
+    """
+    pairs = lsh_similar_pairs(df, id_col, vec_col, threshold_x1e6)
+    dups = pairs.select(F.col("v2").alias(id_col)).distinct()
+    return df.select(F.col(id_col)).join(
+        dups.withColumn("_dup", F.lit(1)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.when(F.col("_dup").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_kept"),
+    )

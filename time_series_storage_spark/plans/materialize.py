@@ -56,35 +56,121 @@ class RollupStore:
     def exists(self, grouping: list[str], fact_id: str) -> bool:
         return os.path.exists(self._dir(grouping, fact_id))
 
-    def materialize(self, engine, fact_id: str, dimension_id: str) -> list[str]:
+    def materialize(
+        self, engine, fact_id: str, dimension_id: str, single_pass: bool = True
+    ) -> list[str]:
         """(Re)derive every grouping-path rollup of a (fact, dimension).
 
-        One aggregation job per path — the reference creates the same
-        set of tables per dimension (schema.clj:230-239) but pays a
-        per-event upsert forever after; here each refresh is one
-        partial-aggregated shuffle over the (partition-pruned) events.
-        Returns the rollup names written.
+        The reference creates the same set of tables per dimension
+        (schema.clj:230-239) but pays a per-event upsert forever after.
+        Here, with ``single_pass`` (default) a dimension with multiple
+        grouping paths is refreshed with ONE ``GROUPING SETS``
+        aggregation — one scan + one shuffle feeds the whole lattice,
+        instead of one job per path. Returns the rollup names written.
         """
         dim = engine.catalog.dimension(dimension_id)
-        written = []
+        groupings = []
         for path in dim.grouped_by:
-            grouping = [*path, dim.id]
-            df = engine.rollup_df(fact_id, dimension_id, grouping=grouping)
-            out = self._dir(grouping, fact_id)
-            tmp = out + "._tmp"
-            (
-                df.withColumn("p_date", F.to_date("ts"))
-                .write.mode("overwrite")
-                .partitionBy("p_date")
-                .parquet(tmp)
-            )
-            # swap after a complete write: readers never see a half
-            # rollup (the parquet commit protocol covers the tmp write,
-            # the rename covers replace-on-refresh)
-            shutil.rmtree(out, ignore_errors=True)
-            os.replace(tmp, out)
-            written.append(rollup_name(grouping, fact_id))
+            g = [*path, dim.id]
+            if g not in groupings:
+                groupings.append(g)
+        if single_pass and len(groupings) > 1:
+            frames = self._lattice_single_pass(engine, fact_id, dim, groupings)
+        else:
+            frames = {
+                tuple(g): engine.rollup_df(fact_id, dimension_id, grouping=g)
+                for g in groupings
+            }
+        written = []
+        for g in groupings:
+            self._write(frames[tuple(g)], g, fact_id)
+            written.append(rollup_name(g, fact_id))
+        for df in frames.values():
+            df.unpersist()
         return written
+
+    def _write(self, df, grouping: list[str], fact_id: str) -> None:
+        out = self._dir(grouping, fact_id)
+        tmp = out + "._tmp"
+        (
+            df.withColumn("p_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(tmp)
+        )
+        # swap after a complete write: readers never see a half rollup
+        # (the parquet commit protocol covers the tmp write, the rename
+        # covers replace-on-refresh)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+
+    def _lattice_single_pass(
+        self, engine, fact_id: str, dim, groupings: list[list[str]]
+    ) -> dict:
+        """All grouping-path rollups of one (fact, dimension) from a
+        single GROUPING SETS aggregation.
+
+        The per-path "all key dims present" rule (reference event-key,
+        update.clj:11-26) falls out for free: a missing dim is a null
+        group key within that set, and dropping null-keyed *output*
+        groups equals dropping null-keyed *input* rows per set (groups
+        aggregate independently).
+        """
+        from ..functions.time import slice_expr
+        from ..operators.collapse import histogram_bucket_expr
+
+        fact = engine.catalog.fact(fact_id)
+        slice_minutes = dim.slice or fact.slice
+        all_dims = []
+        for g in groupings:
+            for c in g:
+                if c not in all_dims:
+                    all_dims.append(c)
+        ev = engine.store.events_df().where(F.col("fact") == fact.id)
+        rows = ev.select(
+            *[F.col("dims").getItem(c).alias(c) for c in all_dims],
+            slice_expr(F.col("ts"), slice_minutes).alias("ts"),
+            F.col("value"),
+        )
+        fixed = ["ts"]  # keys present in every set
+        if fact.type == "histogram":
+            rows = rows.withColumn(
+                "bucket_lo", histogram_bucket_expr("value", fact)
+            )
+            fixed.append("bucket_lo")
+        if fact.type == "counter":
+            aggs = [F.sum("value").alias("counter")]
+        elif fact.type == "average":
+            aggs = [
+                F.count(F.lit(1)).alias("counter"),
+                F.sum("value").alias("total"),
+            ]
+        else:
+            aggs = [F.count(F.lit(1)).alias("counter")]
+        key_order = all_dims + fixed
+        sets = [[*g, *fixed] for g in groupings]
+        agg = (
+            rows.groupingSets(sets, *key_order)
+            .agg(*aggs, F.grouping_id().alias("_gid"))
+            .persist()
+        )
+        n = len(key_order)
+        frames = {}
+        for g, set_cols in zip(groupings, sets):
+            # grouping_id: bit (n-1-i) set iff key_order[i] aggregated away
+            gid = sum(
+                1 << (n - 1 - i)
+                for i, c in enumerate(key_order)
+                if c not in set_cols
+            )
+            df = agg.where(F.col("_gid") == gid).select(
+                *g, *fixed,
+                *[c for c in ("counter", "total") if c in agg.columns],
+            )
+            for c in g:
+                df = df.where(F.col(c).isNotNull())
+            frames[tuple(g)] = df
+        return frames
 
     def materialize_all(self, engine) -> list[str]:
         """The full lattice: every non-group_only dimension x tracked

@@ -285,6 +285,32 @@ SELECT v1, v2, sim_x1e6 FROM (
 """
 
 
+def q_emb_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup collapse (LSH-bucketed): every vector
+    with a lower-id bucket-mate at cosine >= 0.3 is dropped."""
+    return S.embedding_cosine_dedup(
+        _emb(spark, sf_dir), threshold_x1e6=300_000
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), F.col("is_kept"))
+
+
+def _emb_dedup_sql() -> str:
+    return f"""
+WITH withb AS (SELECT vec_id, embedding,
+                      {_lsh_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(round(({_dot_sql('a.embedding', 'b.embedding')})
+             / (({_norm_sql('a.embedding')}) * ({_norm_sql('b.embedding')}))
+             * 1e6) AS BIGINT) >= 300000
+)
+SELECT e.vec_id::BIGINT AS vec_id,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_kept
+FROM embeddings e LEFT JOIN dups d ON d.vec_id = e.vec_id
+"""
+
+
 # -- text analysis ----------------------------------------------------------
 
 def q_text_tokens(spark, sf_dir):
@@ -466,6 +492,7 @@ EXT_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
+    "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang, _lang_sql()),
