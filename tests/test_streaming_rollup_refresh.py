@@ -1,0 +1,91 @@
+"""Incrementally maintained rollups (RollupMergeSink) must converge to
+exactly the batch-materialized rollup, across micro-batches and late
+data, and reads must serve from them transparently."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from time_series_storage_spark import TimeSeries
+from time_series_storage_spark.plans import RollupStore
+from time_series_storage_spark.streaming import stream_events
+from time_series_storage_spark.streaming.ingest import streaming_rollup_refresh
+
+T0 = dt.datetime(2024, 5, 1)
+
+
+def test_streaming_merge_converges_to_batch(spark, tmp_path):
+    # two source files -> two micro-batches (maxFilesPerTrigger=1);
+    # the second batch is entirely "late" (previous day's timestamps)
+    src = str(tmp_path / "src")
+    batch1 = spark.range(120).select(
+        (F.lit(T0) + F.make_interval(mins=(F.col("id") * 11) % 1440)).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("value"),
+        F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("company"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("user"),
+    )
+    late = spark.range(40).select(
+        (F.lit(T0) - F.make_interval(mins=(F.col("id") * 17) % 1440 + 1)).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("value"),
+        F.lit("c0").alias("company"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("user"),
+    )
+    batch1.coalesce(1).write.parquet(src + "/f1")
+    late.coalesce(1).write.parquet(src + "/f2")
+    schema = spark.read.parquet(src + "/f1").schema
+
+    def define(eng):
+        eng.define_fact("hits", "average", 15)
+        eng.define_dimension("company", group_only=True)
+        eng.define_dimension(
+            "user", grouped_by=[["company"], []], facts=["hits"]
+        )
+
+    # streaming side: merge micro-batches into the rollup store
+    store = RollupStore(spark, str(tmp_path / "rollups"))
+    live = TimeSeries(spark, rollup_store=store)
+    define(live)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    ev = stream_events(
+        stream, "hits", dim_cols={"company": "company", "user": "user"}
+    )
+    q = (
+        streaming_rollup_refresh(ev, live, store, "hits", "user")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # batch side: same events ingested and materialized in one shot
+    batch_eng = TimeSeries(spark)
+    define(batch_eng)
+    batch_eng.ingest_df(
+        "hits",
+        batch1.unionByName(late),
+        dim_cols={"company": "company", "user": "user"},
+    )
+
+    start, finish = T0 - dt.timedelta(days=1), T0 + dt.timedelta(days=1)
+    want = batch_eng.get_timeseries_map(
+        "hits", "user", {}, start, finish, step="hour"
+    )
+    # `live` has an EMPTY event store — everything must come from the
+    # stream-maintained rollups
+    # empty filter -> best_grouping picks the ["company"] path:
+    # (company x user) = 6 series
+    got = live.get_timeseries_map("hits", "user", {}, start, finish, step="hour")
+    assert got == want and len(got) == 6
+
+    # hierarchy path maintained too
+    got_h = live.get_timeseries_map(
+        "hits", "user", {"company": "c1"}, start, finish
+    )
+    want_h = batch_eng.get_timeseries_map(
+        "hits", "user", {"company": "c1"}, start, finish
+    )
+    assert got_h == want_h and len(got_h) > 0

@@ -1,5 +1,7 @@
 from .ingest import (  # noqa: F401
+    RollupMergeSink,
     stream_events,
     streaming_append,
     streaming_rollup,
+    streaming_rollup_refresh,
 )
