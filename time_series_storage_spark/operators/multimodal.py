@@ -26,10 +26,19 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 FRAME_BYTES = 100  # fake decoder: one "frame" per 100 payload bytes
+FEATURE_DIM = 8  # stub encoder output dimensionality
+_HASH_MOD = 2147483647
+# 31^j mod M for j < FRAME_BYTES, descending-power dot products below
+_POW31 = np.empty(FRAME_BYTES, dtype=np.int64)
+_POW31[0] = 1
+for _j in range(1, FRAME_BYTES):
+    _POW31[_j] = (_POW31[_j - 1] * 31) % _HASH_MOD
+del _j
 
 MEDIA_META_SCHEMA = (
     "meta struct<format: string, n_bytes: bigint, checksum: string>"
@@ -62,18 +71,21 @@ def attach_media(
 
 def _fake_frame_hashes(payload: bytes) -> list[int]:
     """Deterministic stand-in for a video/audio frame decode: one
-    "frame" per FRAME_BYTES bytes, hashed by a byte-sum polynomial.
+    "frame" per FRAME_BYTES bytes, hashed by a byte-sum polynomial
+    h = sum(b_i * 31^(k-1-i)) mod 2^31-1 — the iterative
+    ``h = h*31 + b`` Horner form, numpy-vectorized as a dot product
+    against precomputed powers (bounded: 255 * 2^31 * 100 < 2^63).
     Reproducible in SQL, so the plumbing is oracle-checkable end-to-end.
     """
-    n = max(len(payload) // FRAME_BYTES, 1)
-    out = []
-    for i in range(n):
-        chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
-        h = 0
-        for b in chunk:
-            h = (h * 31 + b) % 2147483647
-        out.append(h)
-    return out
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    if len(arr) < FRAME_BYTES:
+        k = len(arr)
+        if k == 0:
+            return [0]
+        return [int(arr @ _POW31[k - 1 :: -1] % _HASH_MOD)]
+    n = len(arr) // FRAME_BYTES
+    mat = arr[: n * FRAME_BYTES].reshape(n, FRAME_BYTES)
+    return (mat @ _POW31[::-1] % _HASH_MOD).tolist()
 
 
 def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -113,7 +125,7 @@ def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, decode_stub: bool = True
+    media: DataFrame, dim: int = FEATURE_DIM, decode_stub: bool = True
 ) -> DataFrame:
     """Per-item feature vector via mapInPandas (embedding-model shape).
 
@@ -130,13 +142,16 @@ def extract_features(
                         "real feature extractor not available in this "
                         "container — run with decode_stub=True"
                     )
-                raw = bytes(payload)
-                feats.append(
-                    [
-                        float(sum(raw[j :: dim]) % 1000)
-                        for j in range(dim)
-                    ]
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
                 )
+                # column j of the (ceil(n/dim) x dim) matrix is raw[j::dim];
+                # zero-pad the tail so the strided sums are one reshape+sum
+                pad = (-len(raw)) % dim
+                if pad:
+                    raw = np.concatenate([raw, np.zeros(pad, dtype=np.int64)])
+                sums = raw.reshape(-1, dim).sum(axis=0) % 1000
+                feats.append([float(v) for v in sums])
                 ids.append(doc_id)
             yield pd.DataFrame({"id": ids, "feature": feats})
 

@@ -477,12 +477,34 @@ FROM d, unnest(generate_series(0, n_frames - 1)) t(i)
 
 
 def q_mm_features(spark, sf_dir):
-    """mapInPandas feature-extraction plumbing (stub encoder) — the
-    encoder stands in for a model forward pass, so there is no SQL
-    oracle; the driver applies the rows-only check."""
-    return M.extract_features(_media(spark, sf_dir)).select(
-        F.col("id"), F.col("feature")
+    """mapInPandas feature-extraction plumbing (stub encoder).
+
+    The ``array<double>`` feature column is exploded to one
+    ``(id, j, feat)`` row per component: the stub's values are exact
+    small integers, so the canonical projection is lossless, hashable by
+    the driver, and mirrored by the DuckDB oracle (the stub encoder is a
+    strided byte-sum, expressible with ascii()/generate_series like
+    SQL_MM_FRAMES)."""
+    feats = M.extract_features(_media(spark, sf_dir))
+    return feats.select(
+        F.col("id"), F.posexplode("feature").alias("j", "val")
+    ).select(
+        F.col("id"),
+        F.col("j").cast("long").alias("j"),
+        F.col("val").cast("long").alias("feat"),
     )
+
+
+# component j of the stub feature = sum(payload[j::8]) % 1000; on the
+# ASCII text payloads the oracle reads byte p as ascii(substring(text,p,1))
+SQL_MM_FEATURES = f"""
+SELECT doc_id::BIGINT AS id, j::BIGINT AS j,
+       (COALESCE(list_sum(list_transform(
+          generate_series(j + 1, length(text), {M.FEATURE_DIM}),
+          p -> ascii(substring(text, p, 1))::BIGINT)), 0)
+        % 1000)::BIGINT AS feat
+FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
+"""
 
 
 EXT_QUERIES = {
@@ -499,5 +521,5 @@ EXT_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
-    "mm_feature_stub": (q_mm_features, None),
+    "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
 }
