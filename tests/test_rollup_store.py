@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from time_series_storage_spark import TimeSeries
+from time_series_storage_spark.errors import GroupOnlyDimensionError
 from time_series_storage_spark.plans import RollupStore
 
 START = dt.datetime(2024, 1, 1)
@@ -99,6 +100,88 @@ def test_single_pass_equals_per_path(spark, tmp_path, engines):
             ra = sorted(tuple(r[c] for c in cols) for r in a.collect())
             rb = sorted(tuple(r[c] for c in cols) for r in b.collect())
             assert ra == rb and len(ra) > 0, (fact, grouping)
+
+
+def test_group_only_dimension_rejected_as_query_target(engines):
+    """group_only dimensions have no time-series tables in the reference
+    (postgres/schema.clj:233): querying one is an error, not an answer."""
+    plain, _ = engines
+    with pytest.raises(GroupOnlyDimensionError):
+        plain.get_timeseries("hits", "company", {}, START, FINISH)
+    with pytest.raises(GroupOnlyDimensionError):
+        plain.get_histogram("dist", "company", {}, START, FINISH)
+
+
+def test_drop_schema_purges_rollups(spark, tmp_path):
+    """drop_schema -> re-define -> re-ingest must serve the NEW data:
+    a leftover materialized rollup from before the drop must never
+    shadow the fresh events (reference drop-schema! drops all fact
+    time-series tables, postgres.clj:19-23)."""
+    store = RollupStore(spark, str(tmp_path / "r3"))
+
+    def build(n):
+        eng = TimeSeries(spark, rollup_store=store)
+        eng.define_fact("hits", "counter", 10)
+        eng.define_dimension("user", facts=["hits"])
+        eng.ingest_df(
+            "hits",
+            _events(spark, n).withColumn("one", F.lit(1.0)),
+            value_col="one", dim_cols={"user": "user"},
+        )
+        store.materialize(eng, "hits", "user")
+        return eng
+
+    eng = build(50)
+    out = eng.get_timeseries_map("hits", "user", {}, START, FINISH)
+    assert sum(v["all"] for v in out.values()) == 50
+    eng.drop_schema()
+    assert not store.exists(["user"], "hits")
+    eng2 = build(80)
+    out2 = eng2.get_timeseries_map("hits", "user", {}, START, FINISH)
+    assert sum(v["all"] for v in out2.values()) == 80
+
+
+def test_update_dimension_invalidates_rollup(spark, tmp_path):
+    """Re-attaching a fact to a dimension drops the stale materialized
+    snapshot (reference re-creates the tables at attach time,
+    postgres/schema.clj:244-259); queries fall back to raw events."""
+    store = RollupStore(spark, str(tmp_path / "r4"))
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("hits", "counter", 10)
+    eng.define_dimension("user", facts=["hits"])
+    eng.ingest_df(
+        "hits",
+        _events(spark, 50).withColumn("one", F.lit(1.0)),
+        value_col="one", dim_cols={"user": "user"},
+    )
+    store.materialize(eng, "hits", "user")
+    # late events land after materialization: the rollup snapshot is stale
+    eng.ingest_df(
+        "hits",
+        _events(spark, 30).withColumn("one", F.lit(1.0)),
+        value_col="one", dim_cols={"user": "user"},
+    )
+    stale = eng.get_timeseries_map("hits", "user", {}, START, FINISH)
+    assert sum(v["all"] for v in stale.values()) == 50  # rollup-served
+    eng.update_dimension("user", "hits")
+    assert not store.exists(["user"], "hits")
+    fresh = eng.get_timeseries_map("hits", "user", {}, START, FINISH)
+    assert sum(v["all"] for v in fresh.values()) == 80  # raw-served
+
+
+def test_rollup_partition_layout_is_coalesced(engines, tmp_path):
+    """One parquet file per p_date partition: the materialized read path
+    must not pay per-file overhead proportional to shuffle parallelism."""
+    import glob
+    import os
+
+    _, backed = engines
+    root = backed.rollup_store.path
+    part_dirs = glob.glob(os.path.join(root, "user_hits", "p_date=*"))
+    assert part_dirs, "expected p_date partition dirs"
+    for d in part_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
 
 
 def test_missing_rollup_falls_back(spark, tmp_path):

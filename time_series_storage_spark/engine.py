@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import Catalog, Dimension, Fact
 from .errors import (
+    GroupOnlyDimensionError,
     InvalidStepError,
     NilCategoryError,
     NoTrackingDimensionError,
@@ -88,10 +89,16 @@ class TimeSeries:
 
         The reference enumerates its own rollup tables from metadata and
         drops exactly those (postgres.clj:19-23, tested
-        postgres_test.clj:185-201). Our state is the catalog file and the
-        event store path — external tables are untouched by construction.
+        postgres_test.clj:185-201). Our state is the catalog file, the
+        event store path, and any attached materialized-rollup store
+        (reads prefer a covering rollup, so leaving one behind would
+        silently serve pre-drop data after a re-define); streaming batch
+        markers live under those two paths and go with them. External
+        tables are untouched by construction.
         """
         self.store.clear()
+        if self.rollup_store is not None:
+            self.rollup_store.drop_all()
         self.catalog.clear()
         self._persist_catalog()
 
@@ -118,8 +125,16 @@ class TimeSeries:
         the new (dimension x fact) combination is queryable immediately,
         including retroactively — a strict improvement over the reference,
         which only aggregates events arriving after the attach.
+
+        Any previously materialized rollup for this (dimension x fact) is
+        invalidated (the reference re-creates these tables at attach time,
+        postgres/schema.clj:244-259): a stale snapshot from before a
+        re-attach must not shadow the raw events. Queries fall back to
+        raw until the rollup is materialized again.
         """
         d = self.catalog.update_dimension(dim_id, fact_id)
+        if self.rollup_store is not None:
+            self.rollup_store.invalidate(d, fact_id)
         self._persist_catalog()
         return d
 
@@ -326,6 +341,11 @@ class TimeSeries:
             raise InvalidStepError(step)
         fact = self.catalog.fact(fact_id)
         dimension = self.catalog.dimension(dimension_id)
+        if dimension.group_only:
+            # the reference never creates tables for group_only
+            # dimensions (schema.clj:233), so they are not valid query
+            # targets — only path components of other dimensions
+            raise GroupOnlyDimensionError(dimension.id)
         grouping = best_grouping(dimension, query_data)
         collapsed = self._collapsed_from_rollup(
             fact, dimension, grouping, query_data, start, finish, step, offset

@@ -109,6 +109,23 @@ class NoCoveringPathError(TimeSeriesError):
         )
 
 
+class GroupOnlyDimensionError(TimeSeriesError):
+    """A group_only dimension was used as a query target.
+
+    The reference never creates time-series tables for group_only
+    dimensions (postgres/schema.clj:233 filters them out of table
+    creation; update.clj:91 out of the write fan-out), so querying one
+    fails there; we raise a typed error up front.
+    """
+
+    def __init__(self, dimension_id: str):
+        super().__init__(
+            f"Dimension {dimension_id} is group_only: it has no time-series "
+            f"tables and cannot be queried directly"
+        )
+        self.dimension_id = dimension_id
+
+
 class InvalidStepError(TimeSeriesError):
     """Unsupported collapse step grain."""
 

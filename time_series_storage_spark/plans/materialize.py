@@ -74,8 +74,11 @@ class RollupStore:
             g = [*path, dim.id]
             if g not in groupings:
                 groupings.append(g)
+        agg = None
         if single_pass and len(groupings) > 1:
-            frames = self._lattice_single_pass(engine, fact_id, dim, groupings)
+            frames, agg = self._lattice_single_pass(
+                engine, fact_id, dim, groupings
+            )
         else:
             frames = {
                 tuple(g): engine.rollup_df(fact_id, dimension_id, grouping=g)
@@ -85,16 +88,25 @@ class RollupStore:
         for g in groupings:
             self._write(frames[tuple(g)], g, fact_id)
             written.append(rollup_name(g, fact_id))
-        for df in frames.values():
-            df.unpersist()
+        if agg is not None:
+            agg.unpersist()
         return written
 
     def _write(self, df, grouping: list[str], fact_id: str) -> None:
         out = self._dir(grouping, fact_id)
         tmp = out + "._tmp"
         (
+            # cluster by the partition column before the partitioned
+            # write: without it every shuffle partition emits a sliver
+            # file into every p_date dir, and at read time file-listing +
+            # per-file open overhead dwarfs the (tiny, pre-aggregated)
+            # rollup data — "materialized must not lose to raw at any
+            # scale". One writer task per date, capped so a skewed date
+            # still splits into bounded files at cluster scale.
             df.withColumn("p_date", F.to_date("ts"))
+            .repartition(F.col("p_date"))
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("p_date")
             .parquet(tmp)
         )
@@ -106,9 +118,11 @@ class RollupStore:
 
     def _lattice_single_pass(
         self, engine, fact_id: str, dim, groupings: list[list[str]]
-    ) -> dict:
+    ) -> tuple[dict, DataFrame]:
         """All grouping-path rollups of one (fact, dimension) from a
-        single GROUPING SETS aggregation.
+        single GROUPING SETS aggregation. Returns (frames, agg) where
+        ``agg`` is the persisted lattice the frames slice — the caller
+        unpersists it once the writes are done.
 
         The per-path "all key dims present" rule (reference event-key,
         update.clj:11-26) falls out for free: a missing dim is a null
@@ -170,7 +184,7 @@ class RollupStore:
             for c in g:
                 df = df.where(F.col(c).isNotNull())
             frames[tuple(g)] = df
-        return frames
+        return frames, agg
 
     def materialize_all(self, engine) -> list[str]:
         """The full lattice: every non-group_only dimension x tracked
@@ -190,6 +204,18 @@ class RollupStore:
         if not self.exists(grouping, fact_id):
             return None
         return self.spark.read.parquet(self._dir(grouping, fact_id))
+
+    def drop(self, grouping: list[str], fact_id: str) -> None:
+        """Drop one materialized rollup (readers fall back to raw)."""
+        shutil.rmtree(self._dir(grouping, fact_id), ignore_errors=True)
+
+    def invalidate(self, dim, fact_id: str) -> None:
+        """Drop every grouping-path rollup of one (dimension x fact) —
+        called when the combination is (re)attached, mirroring the
+        reference's table re-creation at attach time
+        (postgres/schema.clj:244-259)."""
+        for path in dim.grouped_by:
+            self.drop([*path, dim.id], fact_id)
 
     def drop_all(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -213,8 +213,13 @@ class RollupMergeSink:
             aggs.append(F.sum("total").alias("total"))
         merged = merged.groupBy(*keys).agg(*aggs)
         (
-            merged.write.mode("overwrite")
+            # cluster by p_date so each maintained date partition stays
+            # one file (bounded at scale by maxRecordsPerFile) — the
+            # read path's file-listing cost must not grow per batch
+            merged.repartition(F.col("p_date"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("p_date")
             .parquet(out_dir)
         )
