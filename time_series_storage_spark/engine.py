@@ -387,6 +387,26 @@ class TimeSeries:
         Returns None (fall back to raw events) when no rollup store is
         attached or this rollup was never materialized.
         """
+        rollup = self._rollup_rows(
+            fact, dimension, grouping, query_data, start, finish
+        )
+        if rollup is None:
+            return None
+        from .operators.collapse import collapse_rollup
+
+        return collapse_rollup(rollup, grouping, fact, step, offset)
+
+    def _rollup_rows(
+        self,
+        fact: Fact,
+        dimension,
+        grouping: list[str],
+        query_data: Optional[Mapping[str, object]],
+        start: dt.datetime,
+        finish: dt.datetime,
+    ) -> Optional[DataFrame]:
+        """Range+filter-pruned slice-grain rows of a materialized rollup,
+        or None when no rollup store is attached / never materialized."""
         if self.rollup_store is None:
             return None
         rollup = self.rollup_store.read(grouping, fact.id)
@@ -406,9 +426,7 @@ class TimeSeries:
         for k, v in (query_data or {}).items():
             if v is not None and str(k) in grouping:
                 rollup = rollup.where(F.col(str(k)) == str(v))
-        from .operators.collapse import collapse_rollup
-
-        return collapse_rollup(rollup, grouping, fact, step, offset)
+        return rollup
 
     def get_timeseries_map(self, *args, **kwargs) -> dict:
         """Reference-shaped result: {series-key-tuple -> {datetime|'all' -> value}}.
@@ -460,10 +478,13 @@ class TimeSeries:
 
         ``merge`` is the protocol's ``merge-with`` parameter
         (api.clj:39-41): a ``(acc: Column, x: Column) -> Column``
-        combiner folded over each bucket's per-slice counts in slice
-        order — expressed as a Catalyst ``aggregate`` over a collected
-        array, so custom merges (max, saturating add, ...) stay
-        JVM-side with no UDF.
+        combiner folded over each bucket's per-*slice* counts in slice
+        order (the storage grain — exactly the rows the reference's
+        merge-with would see) — expressed as a Catalyst ``aggregate``
+        over a collected array, so custom merges (max, saturating
+        add, ...) stay JVM-side with no UDF. Served from a covering
+        materialized rollup when one exists (rollups are stored at
+        slice grain, so the fold sees identical rows either way).
         """
         if merge is None:
             df = self.get_timeseries(
@@ -471,13 +492,28 @@ class TimeSeries:
             )
             return df
         fact = self.catalog.fact(fact_id)
-        per_slice = self.get_timeseries(
-            fact_id, dimension_id, query_data, start, finish, step="hour"
+        dimension = self.catalog.dimension(dimension_id)
+        if dimension.group_only:
+            raise GroupOnlyDimensionError(dimension.id)
+        grouping = best_grouping(dimension, query_data)
+        per_slice = self._rollup_rows(
+            fact, dimension, grouping, query_data, start, finish
         )
-        series = [
-            c for c in per_slice.columns
-            if c not in ("ts", "bucket_lo", "counter")
-        ]
+        if per_slice is not None:
+            per_slice = per_slice.select(
+                *grouping, "ts", "bucket_lo", "counter"
+            )
+        else:
+            from .operators.collapse import histogram_bucket_expr
+
+            rows = self._scan(
+                fact, dimension, grouping, query_data or {}, start, finish
+            )
+            per_slice = rows.groupBy(
+                *[F.col(g) for g in grouping],
+                F.col("ts"),
+                histogram_bucket_expr("value", fact).alias("bucket_lo"),
+            ).agg(F.count(F.lit(1)).alias("counter"))
         pairs = F.array_sort(
             F.collect_list(F.struct(F.col("ts"), F.col("counter")))
         )
@@ -487,6 +523,6 @@ class TimeSeries:
             lambda acc, p: merge(acc, p.getField("counter")),
         )
         return (
-            per_slice.groupBy(*series, F.col("bucket_lo"))
+            per_slice.groupBy(*grouping, F.col("bucket_lo"))
             .agg(folded.alias("counter"))
         )
