@@ -177,7 +177,7 @@ def test_rollup_partition_layout_is_coalesced(engines, tmp_path):
 
     _, backed = engines
     root = backed.rollup_store.path
-    part_dirs = glob.glob(os.path.join(root, "user_hits", "p_date=*"))
+    part_dirs = glob.glob(os.path.join(root, "user_hits", "v*", "p_date=*"))
     assert part_dirs, "expected p_date partition dirs"
     for d in part_dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]

@@ -66,6 +66,50 @@ def test_streaming_rollup_matches_batch(spark, tmp_path, stream_setup):
     assert streamed == batch and len(batch) > 0
 
 
+def test_append_sink_replay_after_crash_before_marker(spark, tmp_path):
+    """The classic duplicate window — publish done, crash before the
+    marker write — must not double-append on replay: the staged files
+    were already moved out, so the replay has nothing left to publish."""
+    import os
+
+    from time_series_storage_spark.streaming.ingest import (
+        IdempotentAppendSink,
+    )
+
+    store = ParquetEventStore(spark, str(tmp_path / "ev2"))
+    batch = stream_events(_raw(spark), "hits", dim_cols={"user": "user"})
+    sink = IdempotentAppendSink(store)
+    sink(batch, 7)
+    assert store.events_df().count() == 200
+    # reconstruct the exact post-crash state: marker missing, staging
+    # present with _SUCCESS but drained of part files
+    os.remove(sink._marker(7))
+    staging = os.path.join(sink.staging_root, "7")
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    sink(batch, 7)
+    assert store.events_df().count() == 200  # replay appended nothing
+
+
+def test_append_sink_replay_after_partial_staging(spark, tmp_path):
+    """A crash mid-staging (no _SUCCESS) restages from scratch."""
+    import os
+
+    from time_series_storage_spark.streaming.ingest import (
+        IdempotentAppendSink,
+    )
+
+    store = ParquetEventStore(spark, str(tmp_path / "ev3"))
+    batch = stream_events(_raw(spark), "hits", dim_cols={"user": "user"})
+    sink = IdempotentAppendSink(store)
+    staging = os.path.join(sink.staging_root, "3")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-garbage.parquet"), "w") as fh:
+        fh.write("half-written junk")
+    sink(batch, 3)
+    assert store.events_df().count() == 200
+
+
 def test_streaming_append_idempotent_and_late(spark, tmp_path, stream_setup):
     src, stream = stream_setup
     store = ParquetEventStore(spark, str(tmp_path / "events"))

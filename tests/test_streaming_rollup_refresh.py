@@ -16,6 +16,52 @@ from time_series_storage_spark.streaming.ingest import streaming_rollup_refresh
 T0 = dt.datetime(2024, 5, 1)
 
 
+def test_rollup_merge_sink_partial_batch_replay(spark, tmp_path):
+    """Crash after one grouping's merge committed but before the rest:
+    the replayed batch must skip the committed grouping (its _current
+    pointer records the batch id) and merge only the remaining ones —
+    no double-counting anywhere."""
+    from time_series_storage_spark.streaming.ingest import RollupMergeSink
+
+    def build(store):
+        eng = TimeSeries(spark, rollup_store=store)
+        eng.define_fact("hits", "counter", 15)
+        eng.define_dimension("company", group_only=True)
+        eng.define_dimension(
+            "user", grouped_by=[["company"], []], facts=["hits"]
+        )
+        return eng
+
+    ev = stream_events(
+        spark.range(90).select(
+            (F.lit(T0) + F.make_interval(mins=(F.col("id") * 11) % 300)).alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("company"),
+            F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("user"),
+        ),
+        "hits",
+        dim_cols={"company": "company", "user": "user"},
+    )
+
+    # crashed run: only the first grouping gets merged for batch 0
+    store_a = RollupStore(spark, str(tmp_path / "ra"))
+    sink_a = RollupMergeSink(build(store_a), store_a, "hits", "user")
+    g1 = sink_a.groupings[0]
+    sink_a._merge_one(sink_a._batch_rollup(ev, g1), g1, 0)
+    # replay of the whole batch (what foreachBatch does after restart)
+    sink_a(ev, 0)
+
+    # clean run for comparison
+    store_b = RollupStore(spark, str(tmp_path / "rb"))
+    sink_b = RollupMergeSink(build(store_b), store_b, "hits", "user")
+    sink_b(ev, 0)
+
+    for g in sink_a.groupings:
+        a = sorted(map(tuple, store_a.read(g, "hits").drop("p_date").collect()))
+        b = sorted(map(tuple, store_b.read(g, "hits").drop("p_date").collect()))
+        assert a == b and len(a) > 0, g
+
+
 def test_streaming_merge_converges_to_batch(spark, tmp_path):
     # two source files -> two micro-batches (maxFilesPerTrigger=1);
     # the second batch is entirely "late" (previous day's timestamps)

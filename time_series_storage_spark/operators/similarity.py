@@ -159,6 +159,115 @@ def lsh_similar_pairs(
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+) -> DataFrame:
+    """Deterministic sampled codebook: the ``n_cells`` lowest-id corpus
+    vectors. Sampling the corpus is a standard (if crude) IVF codebook
+    build; determinism keeps every downstream assignment reproducible
+    in any engine — a k-means refinement would slot in here without
+    changing the query path. Output: (cell_id, c_vec)."""
+    return (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_vec"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties -> lowest
+    cell id). The centroid table is broadcast (it is tiny by
+    construction), so assignment is a map-side join + per-vector argmax
+    — the only shuffle is the argmax window over n_cells rows per
+    vector. Output: (cell_id, vec_id, embedding)."""
+    sims = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(F.broadcast(centroids)).select(
+        "cell_id",
+        "vec_id",
+        "embedding",
+        F.round(cosine("embedding", "c_vec") * 1e6).cast("long").alias("sim_x1e6"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_x1e6").desc(), F.col("cell_id")
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cell_id", "vec_id", "embedding")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe the ``nprobe`` nearest
+    cells per query and rank only those cells' vectors.
+
+    Output matches :func:`brute_force_topk` — (q_id, vec_id, rank,
+    sim_x1e6) — but each query scans ~``nprobe / n_cells`` of the
+    corpus instead of all of it: the scale path when the query set is
+    too large to broadcast-scan the corpus per query. Both the centroid
+    table and the probe list are broadcast; the corpus is partitioned by
+    its (precomputable, persistable) cell assignment, so a query touches
+    only matching cells' partitions. Deterministic end-to-end, so the
+    approximation itself is oracle-checkable, and recall against
+    brute-force is a measurable, testable quantity.
+    """
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    qsims = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(centroids)).select(
+        "q_id",
+        "q_vec",
+        "cell_id",
+        F.round(cosine("q_vec", "c_vec") * 1e6).cast("long").alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    cands = assigned.join(F.broadcast(probes), "cell_id").where(
+        F.col("q_id") != F.col("vec_id")
+    )
+    sims = cands.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine("q_vec", "embedding") * 1e6).cast("long").alias("sim_x1e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sim_x1e6")
+    )
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -26,8 +26,10 @@ average itself), collapsing a rollup to any coarser step grain is exact
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -39,12 +41,25 @@ def rollup_name(grouping: list[str], fact_id: str) -> str:
 
 
 class RollupStore:
-    """Parquet-backed materialized rollups, one directory per rollup.
+    """Parquet-backed materialized rollups, one directory per rollup,
+    versioned with an atomic current-version pointer.
 
-    Layout: ``<root>/<rollup_name>/p_date=YYYY-MM-DD/*.parquet`` —
-    partitioned by the slice bucket's date so time-range queries prune
-    partitions exactly like the raw event store does.
-    """
+    Layout::
+
+        <root>/<rollup_name>/_current            {"version": "v...", ["batch": N]}
+        <root>/<rollup_name>/v00000007/p_date=YYYY-MM-DD/*.parquet
+
+    Readers resolve ``_current`` and scan that version's parquet tree
+    (partitioned by the slice bucket's date, so time-range queries prune
+    partitions exactly like the raw event store does). Writers build the
+    next version directory in full and then flip ``_current`` with one
+    ``os.replace`` — the miniature of a Delta/Iceberg snapshot commit:
+    a crash at any point leaves readers on the old complete version, and
+    because the pointer flip can carry a streaming batch id, "data
+    visible" and "batch committed" are one atomic event (the foundation
+    of RollupMergeSink's exactly-once merge)."""
+
+    CURRENT = "_current"
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -53,8 +68,47 @@ class RollupStore:
     def _dir(self, grouping: list[str], fact_id: str) -> str:
         return os.path.join(self.path, rollup_name(grouping, fact_id))
 
+    def current_meta(self, root: str) -> Optional[dict]:
+        """The committed {"version", ["batch"]} pointer, or None."""
+        try:
+            with open(os.path.join(root, self.CURRENT)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+            return None
+
+    def current_version_dir(
+        self, grouping: list[str], fact_id: str
+    ) -> Optional[str]:
+        root = self._dir(grouping, fact_id)
+        meta = self.current_meta(root)
+        if meta is None:
+            return None
+        d = os.path.join(root, meta["version"])
+        return d if os.path.exists(d) else None
+
+    def next_version(self, meta: Optional[dict]) -> str:
+        n = 0 if meta is None else int(meta["version"][1:]) + 1
+        return f"v{n:08d}"
+
+    def publish(
+        self, root: str, version: str, batch: Optional[int] = None
+    ) -> None:
+        """Atomically flip ``_current`` to ``version`` (optionally
+        recording the streaming batch id that produced it), then GC all
+        other version directories."""
+        meta = {"version": version}
+        if batch is not None:
+            meta["batch"] = int(batch)
+        tmp = os.path.join(root, self.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(root, self.CURRENT))
+        for name in os.listdir(root):
+            if name.startswith("v") and name != version:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
     def exists(self, grouping: list[str], fact_id: str) -> bool:
-        return os.path.exists(self._dir(grouping, fact_id))
+        return self.current_version_dir(grouping, fact_id) is not None
 
     def materialize(
         self, engine, fact_id: str, dimension_id: str, single_pass: bool = True
@@ -93,8 +147,11 @@ class RollupStore:
         return written
 
     def _write(self, df, grouping: list[str], fact_id: str) -> None:
-        out = self._dir(grouping, fact_id)
-        tmp = out + "._tmp"
+        root = self._dir(grouping, fact_id)
+        os.makedirs(root, exist_ok=True)
+        version = self.next_version(self.current_meta(root))
+        staging = os.path.join(root, version)
+        shutil.rmtree(staging, ignore_errors=True)
         (
             # cluster by the partition column before the partitioned
             # write: without it every shuffle partition emits a sliver
@@ -108,13 +165,10 @@ class RollupStore:
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("p_date")
-            .parquet(tmp)
+            .parquet(staging)
         )
-        # swap after a complete write: readers never see a half rollup
-        # (the parquet commit protocol covers the tmp write, the rename
-        # covers replace-on-refresh)
-        shutil.rmtree(out, ignore_errors=True)
-        os.replace(tmp, out)
+        # flip after a complete write: readers never see a half rollup
+        self.publish(root, version)
 
     def _lattice_single_pass(
         self, engine, fact_id: str, dim, groupings: list[list[str]]
@@ -199,11 +253,12 @@ class RollupStore:
         return written
 
     def read(self, grouping: list[str], fact_id: str) -> DataFrame | None:
-        """Rollup scan, or None when this rollup was never materialized
-        (callers fall back to raw events)."""
-        if not self.exists(grouping, fact_id):
+        """Rollup scan of the current committed version, or None when
+        this rollup was never materialized (callers fall back to raw)."""
+        d = self.current_version_dir(grouping, fact_id)
+        if d is None:
             return None
-        return self.spark.read.parquet(self._dir(grouping, fact_id))
+        return self.spark.read.parquet(d)
 
     def drop(self, grouping: list[str], fact_id: str) -> None:
         """Drop one materialized rollup (readers fall back to raw)."""

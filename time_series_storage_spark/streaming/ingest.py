@@ -30,6 +30,7 @@ the append path is shuffle-free (partitioned parquet writes only).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Mapping, Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -103,14 +104,25 @@ def streaming_rollup(
 
 
 class IdempotentAppendSink:
-    """foreachBatch sink: append micro-batches to a ParquetEventStore,
-    skipping batch ids already committed (marker files written *after*
-    the append — a replayed half-written batch re-appends, a committed
-    one is skipped; markers live under ``<path>/_batches``)."""
+    """foreachBatch sink: exactly-once append of micro-batches to a
+    ParquetEventStore via stage-then-publish.
+
+    Each batch is written once to ``<path>/_staging/<batch_id>`` (a
+    normal partitioned parquet job; ``_SUCCESS`` marks it complete),
+    then *published* by moving every part file into its mirrored
+    partition directory of the store — ``os.replace`` per file, so a
+    replay after a crash mid-publish just moves the files that remain
+    in staging (already-moved files are gone from staging and never
+    moved twice). The marker written after publish is an optimization;
+    correctness comes from the moves being idempotent. Underscore
+    directories are invisible to parquet readers, so staged batches
+    never leak into ``events_df``.
+    """
 
     def __init__(self, store: ParquetEventStore):
         self.store = store
         self.marker_dir = os.path.join(store.path, "_batches")
+        self.staging_root = os.path.join(store.path, "_staging")
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.marker_dir, str(batch_id))
@@ -118,10 +130,37 @@ class IdempotentAppendSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
             return
-        self.store.append_df(batch_df.select(*EVENT_SCHEMA.fieldNames()))
+        staging = os.path.join(self.staging_root, str(batch_id))
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # never started (or died mid-write): (re)stage from scratch
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                batch_df.select(*EVENT_SCHEMA.fieldNames())
+                .withColumn("p_date", F.to_date("ts"))
+                .write.mode("overwrite")
+                .partitionBy(*ParquetEventStore.PARTITION_COLS)
+                .parquet(staging)
+            )
+        # publish: move staged part files into the live partition tree
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            parts = [f for f in files if f.endswith(".parquet")]
+            if not parts:
+                continue
+            dst_dir = (
+                self.store.path
+                if rel == "."
+                else os.path.join(self.store.path, rel)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in parts:
+                os.replace(
+                    os.path.join(dirpath, f), os.path.join(dst_dir, f)
+                )
         os.makedirs(self.marker_dir, exist_ok=True)
         with open(self._marker(batch_id), "w") as fh:
             fh.write("committed")
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def streaming_append(events: DataFrame, store: ParquetEventStore):
@@ -140,12 +179,16 @@ class RollupMergeSink:
     The streaming analogue of the reference's per-event rollup upserts
     (update.clj:41-93) with *unbounded lateness*: each micro-batch is
     aggregated to slice grain, the affected bucket-date partitions of
-    the rollup are read back, merged (measures are partial aggregates,
-    so merge = re-aggregate the union), and rewritten with dynamic
-    partition overwrite — only touched dates are rewritten, however old
-    the event. Exactly-once via the same marker-file protocol as
-    IdempotentAppendSink. On Delta/Iceberg this becomes MERGE INTO; the
-    parquet variant keeps the engine dependency-free.
+    the current rollup version are read back, merged (measures are
+    partial aggregates, so merge = re-aggregate the union), and written
+    as the *next* version — merged dates from Spark, untouched dates
+    hard-linked from the current version — then committed by the
+    RollupStore's atomic ``_current`` flip carrying the batch id.
+    Exactly-once per (batch x grouping): a replayed batch skips every
+    grouping whose committed pointer already records it, and a crash
+    mid-version-build leaves the previous version visible and complete.
+    On Delta/Iceberg this becomes MERGE INTO; the parquet variant keeps
+    the engine dependency-free.
     """
 
     def __init__(self, engine, store, fact_id: str, dimension_id: str):
@@ -190,18 +233,22 @@ class RollupMergeSink:
             *keys, histogram_bucket_expr("value", fact).alias("bucket_lo")
         ).agg(F.count(F.lit(1)).alias("counter"))
 
-    def _merge_one(self, delta: DataFrame, grouping: list[str]) -> None:
+    def _merge_one(
+        self, delta: DataFrame, grouping: list[str], batch_id: int
+    ) -> None:
+        root = self.store._dir(grouping, self.fact.id)
+        meta = self.store.current_meta(root)
+        if meta is not None and meta.get("batch") == int(batch_id):
+            return  # this grouping already committed this batch (replay)
         delta = delta.withColumn("p_date", F.to_date("ts")).persist()
         dates = [r["p_date"] for r in delta.select("p_date").distinct().collect()]
         if not dates:
             delta.unpersist()
-            return
-        out_dir = os.path.join(
-            self.store.path, "_".join([*grouping, self.fact.id])
-        )
+            return  # nothing to merge: replaying this no-op is safe
+        cur_dir = self.store.current_version_dir(grouping, self.fact.id)
         existing = None
-        if os.path.exists(out_dir):
-            existing = self.store.spark.read.parquet(out_dir).where(
+        if cur_dir is not None:
+            existing = self.store.spark.read.parquet(cur_dir).where(
                 F.col("p_date").isin(dates)
             )
         merged = delta if existing is None else existing.unionByName(delta)
@@ -212,26 +259,50 @@ class RollupMergeSink:
         if self.fact.type == "average":
             aggs.append(F.sum("total").alias("total"))
         merged = merged.groupBy(*keys).agg(*aggs)
+        os.makedirs(root, exist_ok=True)
+        version = self.store.next_version(meta)
+        staging = os.path.join(root, version)
+        shutil.rmtree(staging, ignore_errors=True)
         (
             # cluster by p_date so each maintained date partition stays
             # one file (bounded at scale by maxRecordsPerFile) — the
             # read path's file-listing cost must not grow per batch
             merged.repartition(F.col("p_date"))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("p_date")
-            .parquet(out_dir)
+            .parquet(staging)
         )
+        # untouched date partitions carry over as hard links (same-fs,
+        # O(file count)); merged dates were rewritten above
+        if cur_dir is not None:
+            touched = {f"p_date={d.isoformat()}" for d in dates}
+            for name in os.listdir(cur_dir):
+                src = os.path.join(cur_dir, name)
+                if (
+                    not name.startswith("p_date=")
+                    or name in touched
+                    or not os.path.isdir(src)
+                ):
+                    continue
+                dst = os.path.join(staging, name)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if not f.startswith(("_", ".")):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+        # one atomic flip commits the merged data AND the batch id
+        self.store.publish(root, version, batch=int(batch_id))
         delta.unpersist()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(self.marker_dir, str(batch_id))
         if os.path.exists(marker):
-            return
+            return  # fast path; per-grouping commit is the correctness
         batch_df.persist()
         for grouping in self.groupings:
-            self._merge_one(self._batch_rollup(batch_df, grouping), grouping)
+            self._merge_one(
+                self._batch_rollup(batch_df, grouping), grouping, batch_id
+            )
         batch_df.unpersist()
         os.makedirs(self.marker_dir, exist_ok=True)
         with open(marker, "w") as fh:
