@@ -79,6 +79,40 @@ def test_brute_force_topk_exact_neighbors(spark):
         assert r["sim_x1e6"] > 900_000
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with a sampled codebook must recall same-cluster neighbors:
+    on well-separated clusters (each with a sampled centroid) the probe
+    set contains the true neighbors' cell, so recall@k vs brute force
+    is 1.0. Also pins the output contract (same shape as brute force)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    # 4 well-separated axis clusters; ids 0..15 cover every cluster, so
+    # the 16-vector sampled codebook contains centroids for each
+    for i in range(80):
+        axis = i % 4
+        v = [rng.uniform(-0.05, 0.05) for _ in range(S.EMBED_DIM)]
+        v[axis] = 1.0
+        vecs.append((i, v))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 4)
+    exact = S.brute_force_topk(queries, emb, k=5).collect()
+    approx = S.ivf_topk(queries, emb, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(exact_sets) == set(approx_sets) == {0, 1, 2, 3}
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9  # clustered data: IVF must not miss
+    for r in approx:  # neighbors stay in the query's cluster
+        assert r["vec_id"] % 4 == r["q_id"] % 4
+
+
 def test_lsh_bucket_recalls_identical_vectors(spark):
     v = [(i, [float(j == i % 4) for j in range(S.EMBED_DIM)]) for i in range(8)]
     emb = spark.createDataFrame(v, ["vec_id", "embedding"])

@@ -247,6 +247,64 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 """
 
 
+# -- similarity: IVF approximate top-k (the ANN scale path) -----------------
+
+def q_sim_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.ivf_topk(queries, emb, k=SIM_TOPK).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(round(({_dot_sql(a, b)})"
+        f" / (({_norm_sql(a)}) * ({_norm_sql(b)})) * 1e6) AS BIGINT)"
+    )
+
+
+def _sim_topk_ivf_sql() -> str:
+    return f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_vec
+               FROM embeddings ORDER BY vec_id LIMIT {S.IVF_CELLS}),
+asim AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.c_vec')} AS sim_x1e6
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id, embedding FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim_x1e6 DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {SIM_QUERY_COUNT}),
+qsim AS (SELECT q.q_id, q.q_vec, c.cell_id,
+                {_cos_sql('q.q_vec', 'c.c_vec')} AS c_sim
+         FROM q CROSS JOIN cents c),
+probes AS (SELECT q_id, q_vec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY c_sim DESC, cell_id) AS rn
+    FROM qsim) WHERE rn <= {S.IVF_NPROBE}),
+cand AS (SELECT p.q_id, a.vec_id,
+                {_cos_sql('p.q_vec', 'a.embedding')} AS sim_x1e6
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE a.vec_id <> p.q_id),
+ranked AS (SELECT q_id, vec_id, sim_x1e6,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY sim_x1e6 DESC, vec_id) AS rank
+           FROM cand)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, sim_x1e6
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
 # -- similarity: hyperplane-LSH bucketed pairs ------------------------------
 
 def q_sim_lsh(spark, sf_dir):
@@ -513,6 +571,7 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
+    "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
     "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
