@@ -80,7 +80,12 @@ def build_engine(
     eng.ingest_df("evt_value", src, dim_cols=dim_map)
     eng.ingest_df("evt_hist", src, dim_cols={"event_type": "event_type"})
     if rollup_store is not None:
+        # all three fact types materialized: puts collapse_rollup's
+        # counter, (counter,total) and histogram-bucket re-aggregation
+        # paths under the driver's hash gate
         rollup_store.materialize(eng, "evt_count", "event_type")
+        rollup_store.materialize(eng, "evt_value", "event_type")
+        rollup_store.materialize(eng, "evt_hist", "event_type")
     _ENGINES[key] = eng
     return eng
 
@@ -375,6 +380,31 @@ def q_counter_hour_materialized(spark, sf_dir):
     return df.select("event_type", _ts_str(), _long("counter", "counter"))
 
 
+def q_avg_hour_materialized(spark, sf_dir):
+    """collapse_rollup average path: identical query to ts_avg_hour_fill
+    served from the materialized (counter,total) rollup — same oracle."""
+    eng = build_engine(spark, sf_dir, rollups=True)
+    df = eng.get_timeseries(
+        "evt_value", "event_type", {}, START, FINISH, step="hour"
+    )
+    return df.select(
+        "event_type", _ts_str(), _long("counter", "counter"),
+        _x100("total", "total_x100"),
+    )
+
+
+def q_hist_day_materialized(spark, sf_dir):
+    """collapse_rollup histogram path: identical query to
+    ts_histogram_day served from the materialized per-bucket rollup."""
+    eng = build_engine(spark, sf_dir, rollups=True)
+    df = eng.get_timeseries(
+        "evt_hist", "event_type", {}, START, FINISH, step="day"
+    )
+    return df.select(
+        "event_type", _ts_str(), F.col("bucket_lo"), _long("counter", "counter")
+    )
+
+
 def q_rollup_slice(spark, sf_dir):
     """W1/W4/W5 rollup materialization at raw slice grain (15 min)."""
     eng = build_engine(spark, sf_dir)
@@ -407,4 +437,6 @@ CORE_QUERIES = {
     "ts_histogram_merged": (q_hist_merged, SQL_HIST_MERGED),
     "ts_rollup_slice15": (q_rollup_slice, SQL_ROLLUP_SLICE),
     "ts_counter_hour_materialized": (q_counter_hour_materialized, SQL_COUNTER_HOUR),
+    "ts_avg_hour_materialized": (q_avg_hour_materialized, SQL_AVG_HOUR),
+    "ts_histogram_day_materialized": (q_hist_day_materialized, SQL_HIST_DAY),
 }
