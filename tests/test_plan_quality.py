@@ -80,6 +80,34 @@ def test_column_pruning_reaches_scan(parquet_engine):
     assert "ts" in schema_part and "dims" in schema_part
 
 
+def test_minhash_shingle_sets_have_no_exchange(spark):
+    """The per-document shingle-set build (shingle, hash, dedup) is one
+    codegen'd projection — any Exchange before the signature aggregate
+    is a regression to the exploded-index design."""
+    from time_series_storage_spark.operators.dedup import (
+        hashed_shingle_sets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(hashed_shingle_sets(docs, "doc_id", "text"))
+    # exactly the one round-robin/hash repartition for parallelism, no
+    # aggregation exchange
+    segs = [s for s in plan.split("Exchange")[1:] if "hashpartitioning" in s[:200]]
+    assert len(segs) <= 1
+    assert "HashAggregate" not in plan
+
+
+def test_ivf_probe_joins_are_broadcast(spark):
+    """IVF top-k must broadcast the centroid and probe tables — the
+    corpus side never shuffles for the similarity computation."""
+    from time_series_storage_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_topk(emb.where(F.col("vec_id") < 4), emb, k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_extension_scan_prunes_columns(spark):
     from time_series_storage_spark.operators.text import ws_token_count
 
