@@ -122,6 +122,63 @@ def test_lsh_bucket_recalls_identical_vectors(spark):
     assert {(0, 4), (1, 5), (2, 6), (3, 7)} <= pairs
 
 
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["d1", "d2"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    got = {r["node"]: r["cluster"] for r in
+           D.connected_components(pairs, nodes, "id").collect()}
+    # chain 0-1-2 collapses to 0 (transitively, not just direct pairs);
+    # 5-6 to 5; untouched nodes label themselves
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    from time_series_storage_spark.operators.split import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id").collect()
+    again = hash_split(df, "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert (r["bucket"] < 98) == (r["split"] == "train")
+    assert counts["train"] > 1800 and counts["val"] > 0 and counts["test"] > 0
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from time_series_storage_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(100, "u1", t(10)), (101, "u1", t(30)), (102, "u2", t(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(10)), (3, "u1", t(25)),
+         (4, "u2", t(50))],
+        ["click_id", "user_id", "ts"],
+    )
+    out = {r["event_id"]: (r["asof_click_id"], r["asof_ts"]) for r in
+           asof_join(left, right, on=["user_id"],
+                     right_payload=["click_id"],
+                     right_order="click_id").collect()}
+    assert out[100] == (2, t(10))  # ts tie matches (<=), max id wins
+    assert out[101] == (3, t(25))  # latest preceding, not just any
+    assert out[102] == (None, None)  # u2's only click is in the future
+
+    # tolerance bounds the lookback
+    tol = {r["event_id"]: r["asof_click_id"] for r in
+           asof_join(left, right, on=["user_id"],
+                     right_payload=["click_id"], right_order="click_id",
+                     tolerance_seconds=60).collect()}
+    assert tol[100] == 2 and tol[101] is None  # 5 min lag > 60s
+
+
 def test_text_quality_and_lang(spark):
     rows = [
         (0, "the cat is on the mat and the dog is in the house"),

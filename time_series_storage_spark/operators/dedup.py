@@ -386,6 +386,62 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    near-dup pair graph by iterative min-label propagation.
+    Output: (node, cluster) — every node labeled with the smallest id
+    reachable through pairs; singletons label themselves.
+
+    This is the canonical *iterative* distributed algorithm the
+    DataFrame API can't express in one query: a driver loop where each
+    round is one (edges join labels) + min-aggregate, stopping early at
+    fixpoint. Rounds needed = graph diameter (near-dup clusters are
+    shallow — typically 2-4). Each round shuffles only (node, label)
+    long pairs; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1 (on a multi-node cluster use
+    a reliable ``checkpoint`` dir instead; the known-faster variant for
+    web-scale graphs is large-star/small-star, which this API slot
+    accommodates without signature changes).
+
+    Exact and deterministic, so an oracle reproduces it with a
+    recursive transitive-closure CTE.
+    """
+    e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    lab = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").alias("label"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(lab, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new = (
+            lab.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.select(F.col("node"), F.col("label").alias("cluster"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
+from .operators import split as SP
 from .operators import text as T
+from .operators.asof import asof_join
 from .operators.dedup import MINHASH_P as P
 from .sources.testdata import read_table
 
@@ -154,6 +156,113 @@ FROM common
 JOIN sizes z1 ON z1.doc_id = common.d1
 JOIN sizes z2 ON z2.doc_id = common.d2
 WHERE (common * 1000) // (z1.n + z2.n - common) >= {MINHASH_THRESHOLD}
+"""
+
+
+# -- dedup: connected-component cluster assignment --------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster ids: minhash-LSH pair graph -> iterative
+    min-label connected components (every doc labeled, singletons
+    self-labeled). The driver loop is the genuinely iterative part; the
+    oracle reproduces it with a recursive transitive-closure CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    cc = D.connected_components(
+        pairs.select("d1", "d2"), docs.select("doc_id"), "doc_id"
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node::BIGINT AS doc_id, MIN(label)::BIGINT AS cluster
+FROM reach GROUP BY node
+"""
+
+
+# -- deterministic train/val/test split -------------------------------------
+
+def q_split_assign(spark, sf_dir):
+    return SP.hash_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket"),
+        F.col("split"),
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         (CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)), 1, 15))
+               AS BIGINT) % 100) AS bucket
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, bucket::BIGINT AS bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# -- as-of (point-in-time) join ---------------------------------------------
+
+def q_asof_purchase_click(spark, sf_dir):
+    """For every purchase event, the user's latest click at-or-before
+    it (backward as-of join, union+window — no join operator), plus the
+    lag in seconds; -1 when the user never clicked before."""
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_payload=["event_id"], right_order="event_id",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1))
+        .cast("long").alias("click_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"), F.lit(-1)
+        ).cast("long").alias("lag_s"),
+    )
+
+
+SQL_ASOF_PURCHASE_CLICK = """
+SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+       COALESCE(r.event_id, -1)::BIGINT AS click_id,
+       COALESCE(date_diff('second', r.ts, l.ts), -1)::BIGINT AS lag_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = l.user_id AND c.ts <= l.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) r ON TRUE
 """
 
 
@@ -569,7 +678,10 @@ EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
