@@ -1,5 +1,5 @@
-"""JSON/CSV event stores must be observably identical to the parquet
-store (same queries, same results, same partition layout)."""
+"""JSON/CSV/ORC event stores must be observably identical to the
+parquet store (same queries, same results, same partition layout)."""
 
 from __future__ import annotations
 
@@ -31,7 +31,7 @@ def _engine(spark, store=None):
     return eng
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["json", "csv", "orc"])
 def test_format_store_round_trip(spark, tmp_path, fmt):
     expected = _engine(spark).get_timeseries_map(
         "m", "grp", {}, START, FINISH, step="hour"

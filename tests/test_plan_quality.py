@@ -88,6 +88,10 @@ def test_minhash_shingle_sets_have_no_exchange(spark):
         hashed_shingle_sets,
     )
 
+    # other tests may have left the minhash set table cached, which
+    # rewrites this plan to an InMemoryTableScan (whose printed
+    # materialization duplicates the Exchange) — measure the fresh plan
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(hashed_shingle_sets(docs, "doc_id", "text"))
     # exactly the one round-robin/hash repartition for parallelism, no

@@ -1,12 +1,13 @@
-"""Alternate event-store file formats (JSON lines / CSV).
+"""Alternate event-store file formats (JSON lines / CSV / ORC).
 
 The reference's "connectors" are its three storage backends (Postgres /
 SQL Server / in-memory JDBC protocols, project.clj:8-9); ours are file
 formats over the same partitioned layout as ``ParquetEventStore`` —
 ``<path>/fact=<id>/p_date=<day>/``, so partition pruning on
 (fact, day-range) works identically in every format. Parquet remains
-the performance default (columnar + row-group stats); JSON/CSV exist
-for interop at the edges of a pipeline (log shippers, exports).
+the performance default (columnar + row-group stats); ORC is the
+columnar alternative (native map support, stripe-level stats); JSON/CSV
+exist for interop at the edges of a pipeline (log shippers, exports).
 
 CSV cannot carry a map column, so ``dims`` is serialized with
 ``to_json`` on write and parsed back with ``from_json`` on read — both
@@ -32,7 +33,7 @@ class FormatEventStore(EventStore):
     PARTITION_COLS = ("fact", "p_date")
 
     def __init__(self, spark: SparkSession, path: str, fmt: str = "json"):
-        if fmt not in ("json", "csv"):
+        if fmt not in ("json", "csv", "orc"):
             raise ValueError(f"unsupported event store format: {fmt}")
         self.spark = spark
         self.path = path
@@ -83,7 +84,11 @@ class FormatEventStore(EventStore):
                     T.StructField("dims", _DIMS_TYPE),
                 ]
             )
-            df = self.spark.read.schema(flat).json(self.path)
+            df = (
+                self.spark.read.schema(flat).orc(self.path)
+                if self.fmt == "orc"
+                else self.spark.read.schema(flat).json(self.path)
+            )
         # partition columns come back via the directory layout
         return df.select("ts", "value", "dims", "fact", "p_date")
 
