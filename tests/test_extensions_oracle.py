@@ -1,7 +1,7 @@
-"""Driver-style oracle check for the extension registry: run each
-Spark query and its DuckDB oracle at sf0.001 and compare exact rows
-(columns sorted by name, rows sorted — the driver's order-insensitive
-value-hash contract)."""
+"""Driver-style oracle check for the FULL query registry (core engine
+queries + extensions): run each Spark query and its DuckDB oracle at
+sf0.001 and compare exact rows (columns sorted by name, rows sorted —
+the driver's order-insensitive value-hash contract)."""
 
 from __future__ import annotations
 
@@ -41,8 +41,9 @@ def _duck_rows(con, sql):
 
 def _registry():
     from time_series_storage_spark.queries_extensions import EXT_QUERIES
+    from time_series_storage_spark.queries_testdata import CORE_QUERIES
 
-    return EXT_QUERIES
+    return {**CORE_QUERIES, **EXT_QUERIES}
 
 
 @pytest.mark.parametrize("name", sorted(_registry()))

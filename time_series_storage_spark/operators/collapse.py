@@ -133,6 +133,52 @@ def collapse_rollup(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def histogram_quantiles(
+    hist: DataFrame,
+    series_cols: Sequence[str],
+    qs: Sequence[int] = (50, 95, 99),
+) -> DataFrame:
+    """Quantile estimates from histogram bucket counts.
+
+    Input: ``get_histogram``-shaped rows (series..., bucket_lo,
+    counter). Output: one row per series with ``p{q}`` = the lower edge
+    of the first bucket whose cumulative count reaches q% of the total
+    (the standard histogram-quantile estimator, reported at bucket
+    resolution). Integer-exact everywhere (``cum*100 >= tot*q`` — no
+    float thresholds), so any engine reproduces it bit-for-bit.
+
+    Plan: one window pass for the per-series cumulative/total counts +
+    one aggregation — histograms are tiny relative to the events that
+    produced them, so this is driver-negligible at any scale.
+    """
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*series_cols)
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*series_cols)
+    cum = F.sum("counter").over(wcum)
+    tot = F.sum("counter").over(wtot)
+    enriched = hist.select(
+        *series_cols,
+        F.col("bucket_lo"),
+        (cum * 100).alias("_cum100"),
+        tot.alias("_tot"),
+    )
+    return enriched.groupBy(*series_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum100") >= F.col("_tot") * q, F.col("bucket_lo")
+                )
+            ).cast("long").alias(f"p{q}")
+            for q in qs
+        ]
+    )
+
+
 def fill_range(
     collapsed: DataFrame,
     spark,

@@ -266,6 +266,55 @@ LEFT JOIN LATERAL (
 """
 
 
+# -- sessionization ---------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessions (30 min) per user over the events table, one
+    window pass + per-session aggregates."""
+    from .operators.sessions import session_stats
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    st = session_stats(ev, ["user_id"], gap_minutes=30, order_col="event_id")
+    return st.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        F.col("duration_s"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id::BIGINT AS user_id, session_seq::BIGINT AS session_seq,
+       COUNT(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       date_diff('second', min(ts), max(ts))::BIGINT AS duration_s
+FROM s2 GROUP BY 1, 2
+"""
+
+
 # -- dedup: SimHash ---------------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -682,6 +731,7 @@ EXT_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
+    "sessionize_user_30m": (q_sessionize, SQL_SESSIONIZE),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),

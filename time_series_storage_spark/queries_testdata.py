@@ -368,6 +368,32 @@ FROM events WHERE {_range_sql(15)}
 GROUP BY 1, 2
 """
 
+SQL_HIST_QUANTILES = f"""
+WITH h AS ({SQL_HIST_MERGED}),
+e AS (SELECT event_type, bucket_lo,
+             SUM(counter) OVER (PARTITION BY event_type ORDER BY bucket_lo
+                                ROWS UNBOUNDED PRECEDING) * 100 AS cum100,
+             SUM(counter) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+SELECT event_type,
+       MIN(CASE WHEN cum100 >= tot * 50 THEN bucket_lo END)::BIGINT AS p50,
+       MIN(CASE WHEN cum100 >= tot * 95 THEN bucket_lo END)::BIGINT AS p95,
+       MIN(CASE WHEN cum100 >= tot * 99 THEN bucket_lo END)::BIGINT AS p99
+FROM e GROUP BY event_type
+"""
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Histogram-quantile estimator over the merged per-series
+    histogram (p50/p95/p99 at bucket resolution, integer-exact)."""
+    from .operators.collapse import histogram_quantiles
+
+    eng = build_engine(spark, sf_dir)
+    h = eng.get_histogram("evt_hist", "event_type", {}, START, FINISH)
+    return histogram_quantiles(h, ["event_type"]).select(
+        "event_type", "p50", "p95", "p99"
+    )
+
 
 def q_counter_hour_materialized(spark, sf_dir):
     """plans.RollupStore read path: same query as ts_counter_hour_fill
@@ -435,6 +461,7 @@ CORE_QUERIES = {
     "ts_avg_none": (q_avg_none, SQL_AVG_NONE),
     "ts_histogram_day": (q_hist_day, SQL_HIST_DAY),
     "ts_histogram_merged": (q_hist_merged, SQL_HIST_MERGED),
+    "ts_histogram_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "ts_rollup_slice15": (q_rollup_slice, SQL_ROLLUP_SLICE),
     "ts_counter_hour_materialized": (q_counter_hour_materialized, SQL_COUNTER_HOUR),
     "ts_avg_hour_materialized": (q_avg_hour_materialized, SQL_AVG_HOUR),
