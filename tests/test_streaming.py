@@ -66,6 +66,40 @@ def test_streaming_rollup_matches_batch(spark, tmp_path, stream_setup):
     assert streamed == batch and len(batch) > 0
 
 
+def test_compaction_preserves_content_and_coalesces_files(spark, tmp_path):
+    """Many small appends (the streaming pattern) -> compact -> same
+    rows, one file per (fact, p_date) partition, untouched partitions
+    left alone, and a second compact is a no-op."""
+    import glob
+    import os
+
+    store = ParquetEventStore(spark, str(tmp_path / "evc"))
+    for chunk in range(4):  # 4 appends -> >=4 files per partition
+        store.append_df(
+            stream_events(
+                _raw(spark, 50).withColumn(
+                    "ts", F.col("ts") + F.make_interval(mins=F.lit(chunk))
+                ),
+                "hits", dim_cols={"user": "user"},
+            )
+        )
+    before = sorted(
+        tuple(r) for r in store.events_df().select("ts", "value").collect()
+    )
+    frag_dir = glob.glob(str(tmp_path / "evc" / "fact=hits" / "p_date=*"))[0]
+    n_before = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    assert n_before >= 4
+    assert store.compact() >= 1
+    after = sorted(
+        tuple(r) for r in store.events_df().select("ts", "value").collect()
+    )
+    assert after == before
+    for pdir in glob.glob(str(tmp_path / "evc" / "fact=*" / "p_date=*")):
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (pdir, files)
+    assert store.compact() == 0  # idempotent: nothing fragmented now
+
+
 def test_append_sink_replay_after_crash_before_marker(spark, tmp_path):
     """The classic duplicate window — publish done, crash before the
     marker write — must not double-append on replay: the staged files

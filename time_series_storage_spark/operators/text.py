@@ -149,3 +149,58 @@ def fingerprint(text_col) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FP_MUL + x) % FP_MOD,
     )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by inverse-frequency
+    weight. Output: (id, rank, term, score_x1000).
+
+    TF-IDF-shaped but deliberately *log-free*: ``score = floor(tf *
+    1000 * N / df)`` (term frequency x inverse document frequency).
+    ``ln`` is the one place TF-IDF touches transcendental floats, and
+    libm implementations legally differ in the last ulp — integer
+    rational weighting keeps every score bit-exact in any engine while
+    preserving the ranking behavior (monotone in tf and 1/df).
+
+    Plan shape at scale: one explode + (doc, term) count [one shuffle,
+    map-side partial agg], a term document-frequency aggregate over it
+    [second shuffle, vocabulary-sized], a term-keyed join to attach df
+    (vocabulary is Zipf-small relative to the corpus; Spark broadcasts
+    it when it fits, AQE handles the skewed head terms), and the
+    per-doc top-k window. Ties: higher score, then lexicographic term.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.col(text_col)
+    ).repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        # integral `div`, not floor(double /): the numerator reaches
+        # tf*1000*N where double-division rounding could cross the
+        # floor boundary; div is exact like SQL's //
+        F.expr(f"(tf * 1000L * {n_docs} ) div df")
+        .cast("long")
+        .alias("score_x1000"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_x1000").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "rank", "term", "score_x1000")
+    )

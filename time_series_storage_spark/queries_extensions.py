@@ -641,6 +641,40 @@ FROM documents
 """
 
 
+def q_text_top_terms(spark, sf_dir):
+    return T.top_terms(_docs(spark, sf_dir), "doc_id", "text", k=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank"),
+        F.col("term"),
+        F.col("score_x1000"),
+    )
+
+
+SQL_TEXT_TOP_TERMS = """
+WITH t2 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, (tf.tf * 1000 * n.n) // dfreq.df AS score_x1000
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score_x1000,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_x1000 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term,
+       score_x1000::BIGINT AS score_x1000
+FROM ranked WHERE rank <= 5
+"""
+
+
 # -- multimodal binary plumbing ---------------------------------------------
 
 def _media(spark, sf_dir):
@@ -740,6 +774,7 @@ EXT_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang, _lang_sql()),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),

@@ -135,5 +135,73 @@ class ParquetEventStore(EventStore):
         )
         return self.spark.read.schema(full).parquet(self.path)
 
+    def compact(self, max_files: int = 1) -> int:
+        """Rewrite fragmented (fact, p_date) partitions to one file each.
+
+        Streaming appends accumulate one file set per micro-batch, and
+        scan cost grows with file *count*, not data size — periodic
+        compaction is the standard maintenance for an append-only
+        layout. One Spark job rewrites every fragmented partition (read
+        restricted to exactly those partitions, clustered so each gets
+        a single writer); the swap is per-partition rename pairs.
+        Content-preserving and idempotent: a crash leaves each
+        partition wholly old or wholly new (identical rows either way)
+        — rerunning finishes the job. Returns partitions rewritten.
+        """
+        frag: list[tuple[str, str, str]] = []
+        if not os.path.exists(self.path):
+            return 0
+        for fd in sorted(os.listdir(self.path)):
+            if not fd.startswith("fact="):
+                continue
+            for pd_ in sorted(os.listdir(os.path.join(self.path, fd))):
+                if not pd_.startswith("p_date="):
+                    continue
+                live = os.path.join(self.path, fd, pd_)
+                n = sum(
+                    1 for f in os.listdir(live) if f.endswith(".parquet")
+                )
+                if n > max_files:
+                    frag.append(
+                        (fd.split("=", 1)[1], pd_.split("=", 1)[1], live)
+                    )
+        if not frag:
+            return 0
+        staging = os.path.join(self.path, "_compact")
+        shutil.rmtree(staging, ignore_errors=True)
+        keys = [f"{f}/{d}" for f, d, _ in frag]
+        # rectangle of plain partition-column predicates first (these
+        # prune the scan); the exact (fact, date) pair filter narrows
+        # any rectangle over-read after pruning
+        facts = sorted({f for f, _, _ in frag})
+        dates = sorted({dt.date.fromisoformat(d) for _, d, _ in frag})
+        df = self.events_df().where(
+            F.col("fact").isin(facts)
+            & F.col("p_date").isin(dates)
+            & F.concat(
+                F.col("fact"), F.lit("/"), F.col("p_date").cast("string")
+            ).isin(keys)
+        )
+        (
+            df.repartition(F.col("fact"), F.col("p_date"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 10_000_000)
+            .partitionBy(*self.PARTITION_COLS)
+            .parquet(staging)
+        )
+        for fact_val, date_val, live in frag:
+            new_dir = os.path.join(
+                staging, f"fact={fact_val}", f"p_date={date_val}"
+            )
+            if not os.path.exists(new_dir):
+                continue  # partition read as empty (shouldn't happen)
+            trash = live + "._old"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.replace(live, trash)
+            os.replace(new_dir, live)
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        return len(frag)
+
     def clear(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
