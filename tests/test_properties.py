@@ -87,3 +87,76 @@ def test_average_pairs_merge(spark, events):
         merged_c = sum(p["counter"] for p in fine[series].values())
         merged_t = sum(p["total"] for p in fine[series].values())
         assert buckets["all"] == {"counter": merged_c, "total": merged_t}
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (minute, key)
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b"])),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right rows: (minute, key)
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b"])),
+        min_size=0, max_size=25,
+    ),
+)
+
+
+@given(asof_strategy)
+@_slow
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join == per-row brute force: the right row with the same
+    key, ts <= left ts, max (ts, id)."""
+    from time_series_storage_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=m)) for i, (m, k) in enumerate(lrows)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=m)) for i, (m, k) in enumerate(rrows)],
+        ["rid", "k", "ts"],
+    ) if rrows else spark.createDataFrame([], "rid long, k string, ts timestamp")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on=["k"], right_payload=["rid"], right_order="rid"
+        ).collect()
+    }
+    for i, (m, k) in enumerate(lrows):
+        lt = BASE + dt.timedelta(minutes=m)
+        cands = [
+            (BASE + dt.timedelta(minutes=rm), rid)
+            for rid, (rm, rk) in enumerate(rrows)
+            if rk == k and BASE + dt.timedelta(minutes=rm) <= lt
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, got[i], want)
+
+
+@given(st.lists(st.tuples(st.integers(0, 6000), st.sampled_from(["a", "b"])),
+                min_size=1, max_size=30))
+@_slow
+def test_sessionize_matches_bruteforce(spark, rows):
+    """sessionize == linear scan: new session iff gap > threshold."""
+    from time_series_storage_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=m)) for i, (m, k) in enumerate(rows)],
+        ["eid", "k", "ts"],
+    )
+    got = {
+        (r["k"], r["eid"]): r["session_seq"]
+        for r in sessionize(df, ["k"], gap_minutes=30, order_col="eid").collect()
+    }
+    for key in {k for _, k in rows}:
+        seq = sorted(
+            (BASE + dt.timedelta(minutes=m), i)
+            for i, (m, k) in enumerate(rows) if k == key
+        )
+        sess, prev = 0, None
+        for ts, i in seq:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sess += 1
+            assert got[(key, i)] == sess, (key, i)
+            prev = ts
