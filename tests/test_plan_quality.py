@@ -112,6 +112,28 @@ def test_ivf_probe_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_asof_and_sessionize_single_shuffle_no_join(spark):
+    """The as-of join must compile to union + one window exchange on
+    the key — no join operator at all; sessionize likewise is one
+    window pass."""
+    import datetime as dtm
+
+    from time_series_storage_spark.operators.asof import asof_join
+    from time_series_storage_spark.operators.sessions import sessionize
+
+    t0 = dtm.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "k", t0)], ["lid", "k", "ts"])
+    right = spark.createDataFrame([(2, "k", t0)], ["rid", "k", "ts"])
+    plan = _plan(
+        asof_join(left, right, on=["k"], right_payload=["rid"])
+    )
+    assert "Join" not in plan  # no BroadcastHashJoin/SortMergeJoin/...
+    assert plan.count("Window") >= 1
+
+    plan2 = _plan(sessionize(left, ["k"]))
+    assert "Join" not in plan2 and "Window" in plan2
+
+
 def test_extension_scan_prunes_columns(spark):
     from time_series_storage_spark.operators.text import ws_token_count
 

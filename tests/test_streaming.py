@@ -100,6 +100,26 @@ def test_compaction_preserves_content_and_coalesces_files(spark, tmp_path):
     assert store.compact() == 0  # idempotent: nothing fragmented now
 
 
+def test_expire_drops_old_partitions(spark, tmp_path):
+    """Retention removes whole date partitions without touching data
+    newer than the cutoff."""
+    store = ParquetEventStore(spark, str(tmp_path / "evr"))
+    src = _raw(spark).withColumn(
+        "ts", F.col("ts") + F.make_interval(days=F.monotonically_increasing_id() % 3)
+    )
+    store.append_df(stream_events(src, "hits", dim_cols={"user": "user"}))
+    days = sorted(
+        r["p_date"] for r in store.events_df().select("p_date").distinct().collect()
+    )
+    assert len(days) >= 2
+    cutoff = days[-1]  # keep only the newest day
+    n_new = store.events_df().where(F.col("p_date") >= F.lit(cutoff)).count()
+    dropped = store.expire(cutoff)
+    assert dropped == len(days) - 1
+    assert store.events_df().count() == n_new
+    assert store.expire(cutoff) == 0
+
+
 def test_append_sink_replay_after_crash_before_marker(spark, tmp_path):
     """The classic duplicate window — publish done, crash before the
     marker write — must not double-append on replay: the staged files

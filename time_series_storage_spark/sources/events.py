@@ -135,6 +135,29 @@ class ParquetEventStore(EventStore):
         )
         return self.spark.read.schema(full).parquet(self.path)
 
+    def expire(self, before: dt.date, fact: Optional[str] = None) -> int:
+        """Retention: drop every (fact, p_date) partition strictly older
+        than ``before`` (optionally one fact only). Whole-directory
+        removal, no data rewrite or scan — the operational payoff of
+        date partitioning at scale. Returns partitions dropped."""
+        removed = 0
+        if not os.path.exists(self.path):
+            return 0
+        for fd in sorted(os.listdir(self.path)):
+            if not fd.startswith("fact="):
+                continue
+            if fact is not None and fd != f"fact={fact}":
+                continue
+            fdir = os.path.join(self.path, fd)
+            for pd_ in sorted(os.listdir(fdir)):
+                if not pd_.startswith("p_date="):
+                    continue
+                d = dt.date.fromisoformat(pd_.split("=", 1)[1])
+                if d < before:
+                    shutil.rmtree(os.path.join(fdir, pd_), ignore_errors=True)
+                    removed += 1
+        return removed
+
     def compact(self, max_files: int = 1) -> int:
         """Rewrite fragmented (fact, p_date) partitions to one file each.
 
