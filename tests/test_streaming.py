@@ -66,6 +66,39 @@ def test_streaming_rollup_matches_batch(spark, tmp_path, stream_setup):
     assert streamed == batch and len(batch) > 0
 
 
+def test_streaming_sessions_match_batch(spark, tmp_path, stream_setup):
+    """session_window streaming sessions converge (availableNow,
+    complete mode) to the batch sessionize aggregates — state merges
+    sessions across micro-batches."""
+    from time_series_storage_spark.operators.sessions import session_stats
+    from time_series_storage_spark.streaming import streaming_sessions
+
+    src, stream = stream_setup
+    batch_src = spark.read.parquet(src).select(
+        F.col("user").alias("user_id"), "ts"
+    )
+    want = sorted(
+        (r["user_id"], r["start_ts"], r["end_ts"], r["n_events"], r["duration_s"])
+        for r in session_stats(batch_src, ["user_id"], gap_minutes=30).collect()
+    )
+    ev = stream.select(F.col("user").alias("user_id"), "ts")
+    q = (
+        streaming_sessions(ev, ["user_id"], gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["start_ts"], r["end_ts"], r["n_events"], r["duration_s"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_compaction_preserves_content_and_coalesces_files(spark, tmp_path):
     """Many small appends (the streaming pattern) -> compact -> same
     rows, one file per (fact, p_date) partition, untouched partitions

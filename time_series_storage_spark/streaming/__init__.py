@@ -4,4 +4,5 @@ from .ingest import (  # noqa: F401
     streaming_append,
     streaming_rollup,
     streaming_rollup_refresh,
+    streaming_sessions,
 )

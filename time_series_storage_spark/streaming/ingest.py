@@ -103,6 +103,50 @@ def streaming_rollup(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of the
+    batch ``operators.sessions.session_stats``.
+
+    Spark-first: ``F.session_window`` is the built-in session state
+    machine (merging windows in the state store, evicted past the
+    watermark) — no custom ``applyInPandasWithState`` needed for plain
+    gap sessions. Output per closed/updated session: keys + session
+    window start/end + n_events + start_ts/end_ts + duration_s.
+
+    Boundary semantics: session_window splits at gaps >= the gap
+    duration (window ends are exclusive), while the batch operator
+    splits at gaps strictly > the gap — events spaced *exactly* the gap
+    apart differ; everything else agrees.
+    """
+    ev = events.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        ev.groupBy(*[F.col(k) for k in key_cols], win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+            "start_ts",
+            "end_ts",
+            (
+                F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts")
+            ).cast("long").alias("duration_s"),
+        )
+    )
+
+
 class IdempotentAppendSink:
     """foreachBatch sink: exactly-once append of micro-batches to a
     ParquetEventStore via stage-then-publish.
