@@ -179,6 +179,31 @@ def test_asof_join_semantics(spark):
     assert tol[100] == 2 and tol[101] is None  # 5 min lag > 60s
 
 
+def test_funnel_greedy_chain(spark):
+    import datetime as dt
+
+    from time_series_storage_spark.operators.sessions import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # u1 completes out of order then in order: purchase(5) before
+        # view(10) must NOT count; chain = view(10)->click(20)->purchase(30)
+        ("u1", "purchase", t(5)), ("u1", "view", t(10)),
+        ("u1", "click", t(20)), ("u1", "purchase", t(30)),
+        # u2 stalls after click (its purchase precedes the click)
+        ("u2", "view", t(0)), ("u2", "purchase", t(1)), ("u2", "click", t(2)),
+        # u3 never views
+        ("u3", "click", t(0)), ("u3", "purchase", t(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["user_id"]: (r["steps_completed"], r["t0"], r["t1"], r["t2"])
+           for r in funnel(df, ["user_id"],
+                           ["view", "click", "purchase"]).collect()}
+    assert got["u1"] == (3, t(10), t(20), t(30))
+    assert got["u2"] == (2, t(0), t(2), None)
+    assert got["u3"] == (0, None, None, None)
+
+
 def test_text_quality_and_lang(spark):
     rows = [
         (0, "the cat is on the mat and the dog is in the house"),

@@ -76,3 +76,54 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).cast("long").alias("duration_s"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: list[str],
+    steps: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Greedy funnel matching: per key, the earliest chain of ``steps``
+    in order (step i+1 must occur at-or-after the matched step i).
+
+    Output: one row per key with ``steps_completed`` (0..len(steps))
+    and ``t0..t{n-1}`` (matched timestamps, NULL past the last
+    completed step — NULLs are monotone by construction: a later step
+    can only match after an earlier one did).
+
+    Spark-first shape: n chained window aggregates over the SAME key
+    partitioning — Catalyst reuses one exchange for all of them, so the
+    whole funnel is a single shuffle however many steps it has, then a
+    final per-key collapse. Greedy-earliest is the standard funnel
+    semantics (deterministic, and provably maximal for 'does the chain
+    exist': if any chain exists, the greedy one does).
+    """
+    w = Window.partitionBy(*key_cols)
+    cur = df.select(
+        *[F.col(k) for k in key_cols], F.col(type_col), F.col(ts_col)
+    )
+    prev_t = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_t))
+        cur = cur.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = f"t{i}"
+    tcols = [f"t{i}" for i in range(len(steps))]
+    completed = None
+    for t in tcols:
+        c = F.when(F.col(t).isNotNull(), 1).otherwise(0)
+        completed = c if completed is None else completed + c
+    return (
+        cur.groupBy(*key_cols)
+        .agg(*[F.min(t).alias(t) for t in tcols])
+        .select(
+            *key_cols,
+            completed.cast("long").alias("steps_completed"),
+            *tcols,
+        )
+    )

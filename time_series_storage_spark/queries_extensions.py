@@ -315,6 +315,52 @@ FROM s2 GROUP BY 1, 2
 """
 
 
+# -- funnel analysis --------------------------------------------------------
+
+def q_funnel(spark, sf_dir):
+    """Greedy view->click->purchase funnel per user: one shuffle,
+    chained window aggregates."""
+    from .operators.sessions import funnel
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = funnel(ev, ["user_id"], ["view", "click", "purchase"])
+    fmt = lambda c: F.coalesce(
+        F.date_format(c, "yyyy-MM-dd HH:mm:ss"), F.lit("")
+    ).alias(c)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("steps_completed"),
+        fmt("t0"), fmt("t1"), fmt("t2"),
+    )
+
+
+SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+),
+s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1 FROM s0
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2 FROM s1
+)
+SELECT user_id::BIGINT AS user_id,
+       ((t0 IS NOT NULL)::INT + (t1 IS NOT NULL)::INT
+        + (t2 IS NOT NULL)::INT)::BIGINT AS steps_completed,
+       COALESCE(strftime(t0, '%Y-%m-%d %H:%M:%S'), '') AS t0,
+       COALESCE(strftime(t1, '%Y-%m-%d %H:%M:%S'), '') AS t1,
+       COALESCE(strftime(t2, '%Y-%m-%d %H:%M:%S'), '') AS t2
+FROM (SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+      FROM s2 GROUP BY user_id)
+"""
+
+
 # -- dedup: SimHash ---------------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -766,6 +812,7 @@ EXT_QUERIES = {
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "sessionize_user_30m": (q_sessionize, SQL_SESSIONIZE),
+    "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
