@@ -1,0 +1,100 @@
+"""Custom stateful streaming: exact-dedup state and the
+applyInPandasWithState funnel must converge to their batch twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+TS = dt.datetime(2024, 6, 1, 8, 0)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from time_series_storage_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs")
+    b1 = spark.createDataFrame(
+        [(0, "alpha text", TS), (1, "beta text", TS),
+         (2, "  ALPHA   text ", TS)],  # normalized dup of 0
+        ["doc_id", "text", "ts"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta text", TS + dt.timedelta(minutes=1)),  # dup of 1
+         (4, "gamma text", TS + dt.timedelta(minutes=1))],
+        ["doc_id", "text", "ts"],
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src + "/f1").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    # one survivor per normalized fingerprint, across batches
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 4]
+
+
+def test_streaming_funnel_converges_to_batch(spark, tmp_path):
+    from time_series_storage_spark.operators.sessions import funnel
+    from time_series_storage_spark.streaming import streaming_funnel
+
+    t = lambda m: TS + dt.timedelta(minutes=m)
+    early = [  # batch 1 (earlier events)
+        ("u1", "purchase", t(0)),  # out of order: must not match
+        ("u1", "view", t(5)),
+        ("u2", "view", t(1)), ("u2", "click", t(2)),
+        ("u3", "click", t(3)),
+    ]
+    late = [  # batch 2 (later events) — u1 completes across batches
+        ("u1", "click", t(10)), ("u1", "purchase", t(20)),
+        ("u2", "view", t(30)),  # no purchase: stays at 2
+    ]
+    cols = ["user_id", "event_type", "ts"]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(early, cols).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(late, cols).coalesce(1).write.parquet(src + "/f2")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src + "/f1").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_funnel(stream, "user_id", ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest update per key = final progress
+    final = {}
+    for r in spark.sql("SELECT * FROM sfunnel").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["steps_completed"] > cur["steps_completed"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in funnel(
+            spark.createDataFrame(early + late, cols),
+            ["user_id"], ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for k, b in batch.items():
+        s = final[k]
+        assert s["steps_completed"] == b["steps_completed"], k
+        for i, tcol in enumerate(["t0", "t1", "t2"]):
+            want = (
+                int(b[tcol].timestamp()) if b[tcol] is not None else -1
+            )
+            assert s[tcol] == want, (k, tcol)

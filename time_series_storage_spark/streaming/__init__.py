@@ -6,3 +6,7 @@ from .ingest import (  # noqa: F401
     streaming_rollup_refresh,
     streaming_sessions,
 )
+from .stateful import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_funnel,
+)
