@@ -62,3 +62,39 @@ def hash_split(
     return df.select(
         "*", bucket.cast("long").alias("bucket"), expr.alias("split")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep at most
+    ``n_per_stratum`` rows per stratum, chosen by hashed-id order.
+
+    The standard corpus-balancing step (cap each language / source /
+    domain) with the properties sampling at 100 TB needs: no RNG state,
+    stable across reruns and partitionings (the "random" order IS the
+    id hash), and one shuffle (the per-stratum rank window). Growing
+    the cap later only *adds* rows — every previously kept id stays
+    kept, because ranks never reshuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        split_bucket_raw(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )
+
+
+def split_bucket_raw(id_col, salt: str = "v1") -> Column:
+    """Full-range stable hash (no mod): the per-id sort key that makes
+    hash-ordered sampling deterministic."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_long(F.concat(F.lit(f"{salt}:"), c.cast("string")))

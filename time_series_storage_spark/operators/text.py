@@ -204,3 +204,28 @@ def top_terms(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), "rank", "term", "score_x1000")
     )
+
+
+def repetition_ratio_x1000(text_col) -> Column:
+    """Most-frequent-token share of all tokens, x1000 floored — the
+    Gopher-style repetition filter signal (a page that is one token
+    over and over scores 1000; diverse prose scores low). Pure
+    Catalyst: token histogram via aggregate over a map, no shuffle."""
+    toks = tokens(text_col)
+    counts = F.aggregate(
+        toks,
+        F.create_map().cast("map<string,bigint>"),
+        lambda acc, w: F.map_zip_with(
+            acc,
+            F.create_map(w, F.lit(1).cast("bigint")),
+            lambda _k, a, b: F.coalesce(a, F.lit(0).cast("bigint"))
+            + F.coalesce(b, F.lit(0).cast("bigint")),
+        ),
+    )
+    top = F.array_max(F.map_values(counts))
+    n = F.size(toks).cast("long")
+    scaled = top * 1000
+    # exact integer floor-division: (a - a%b)/b is exactly divisible,
+    # so the double division cannot round across the floor boundary
+    exact = (scaled - F.pmod(scaled, n)) / n
+    return F.when(n > 0, exact).otherwise(F.lit(0)).cast("long")

@@ -721,6 +721,52 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language corpus cap: at most 50 docs per lang
+    by hashed-id order."""
+    from .operators.split import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], "doc_id", 50).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)),
+                                                1, 15)) AS BIGINT),
+                    doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, lang FROM r WHERE rnk <= 50
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.repetition_ratio_x1000("text").alias("rep_x1000"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKS.replace('text', 'text')}) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+mx AS (SELECT doc_id, MAX(tf) AS m, SUM(tf) AS n FROM tf GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE((mx.m * 1000) // mx.n, 0)::BIGINT AS rep_x1000
+FROM documents d LEFT JOIN mx ON mx.doc_id = d.doc_id
+"""
+
+
 # -- multimodal binary plumbing ---------------------------------------------
 
 def _media(spark, sf_dir):
@@ -822,6 +868,8 @@ EXT_QUERIES = {
     "text_lang_id": (q_text_lang, _lang_sql()),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
