@@ -134,6 +134,72 @@ def test_connected_components_clusters(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_star_matches_iterative(spark):
+    """Large-star/small-star must produce the identical labeling as
+    min-label propagation on an adversarial mix: random edges, a
+    41-node path (high diameter — the case star alternation is built
+    for), self-loops, duplicate/reversed edges, and singletons."""
+    import random
+
+    rng = random.Random(11)
+    n = 250
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges += [(i, i + 1) for i in range(180, 220)]  # long path
+    edges += [(7, 7), (3, 9), (9, 3)]  # self-loop + reversed dup
+    pairs = spark.createDataFrame(edges, ["d1", "d2"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    want = sorted(
+        map(tuple, D.connected_components(pairs, nodes, "id").collect())
+    )
+    got = sorted(
+        map(tuple, D.connected_components_star(pairs, nodes, "id").collect())
+    )
+    assert got == want
+    # every label is the component minimum: relabeling is idempotent
+    labels = {node: c for node, c in got}
+    for d1, d2 in edges:
+        assert labels[d1] == labels[d2]
+
+
+def test_connected_components_star_no_edges(spark):
+    pairs = spark.createDataFrame([], "d1: long, d2: long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    got = {r["node"]: r["cluster"] for r in
+           D.connected_components_star(pairs, nodes, "id").collect()}
+    assert got == {i: i for i in range(5)}
+
+
+def test_ivf_kmeans_codebook_deterministic_and_recalls(spark):
+    """The Lloyd-refined codebook is exact fixed-point arithmetic:
+    rebuilding it gives bit-identical centroids, and serving the
+    clustered-data query through it keeps recall (the refined centroids
+    move to the cluster means, so separation only improves)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for i in range(80):
+        axis = i % 4
+        v = [rng.uniform(-0.05, 0.05) for _ in range(S.EMBED_DIM)]
+        v[axis] = 1.0
+        vecs.append((i, v))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    c1 = sorted(map(tuple, S.ivf_kmeans_centroids(emb, n_iter=2).collect()))
+    c2 = sorted(map(tuple, S.ivf_kmeans_centroids(emb, n_iter=2).collect()))
+    assert c1 == c2  # exact fixed-point: no float-order wobble
+    queries = emb.where(F.col("vec_id") < 4)
+    exact = S.brute_force_topk(queries, emb, k=5).collect()
+    approx = S.ivf_topk(queries, emb, k=5, kmeans_iters=2).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9
+
+
 def test_hash_split_deterministic_and_weighted(spark):
     from time_series_storage_spark.operators.split import hash_split
 

@@ -442,6 +442,99 @@ def connected_components(
     return lab.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the web-graph-scale successor to
+    :func:`connected_components`: rounds grow like O(log n) instead of
+    the graph diameter, and each round's shuffle is the current edge
+    set (which only contracts — every emission re-points a node at a
+    smaller label). Same output contract: (node, cluster = smallest id
+    in the component), so the two are drop-in interchangeable and share
+    one oracle.
+
+    Large-star (per node u over its full neighborhood): link every
+    strictly-larger neighbor to min(N(u) ∪ {u}).  Small-star (per node
+    u over its smaller neighbors): link them — and u — to their min.
+    Both preserve connectivity; the fixpoint is one star per component
+    rooted at the component min.  Convergence is detected by an
+    order-insensitive edge-set signature (count + xxhash64 XOR — XOR
+    is commutative and cannot overflow), one tiny aggregate per round.  ``localCheckpoint`` truncates
+    lineage per round (use a reliable ``checkpoint`` dir on a real
+    cluster).
+    """
+    e = pairs.select(
+        F.col("d1").cast("long").alias("a"), F.col("d2").cast("long").alias("b")
+    )
+    edges = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: closed-neighborhood min via both edge directions
+        bidir = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = (
+            bidir.groupBy("a")
+            .agg(F.min("b").alias("nb"))
+            .select("a", F.least("nb", F.col("a")).alias("m"))
+        )
+        large = (
+            bidir.join(lmin, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("a"), F.col("b"))  # m <= a < b
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star on the (min, larger)-oriented result: every smaller
+        # neighbor of u — and u itself — links to their common min
+        smin = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(smin, "b")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))  # (v -> m)
+            .union(smin.select(F.col("m").alias("a"), F.col("b")))  # (u -> m)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    roots = edges.groupBy("b").agg(F.min("a").alias("root"))
+    return (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .join(roots.withColumnRenamed("b", "node"), "node", "left")
+        .select(
+            "node", F.coalesce("root", F.col("node")).alias("cluster")
+        )
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32

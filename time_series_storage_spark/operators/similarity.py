@@ -210,6 +210,63 @@ def ivf_assign(
     )
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Lloyd-refined IVF codebook in exact fixed-point arithmetic.
+
+    Starts from the deterministic sampled codebook
+    (:func:`ivf_centroids`) and runs ``n_iter`` Lloyd steps: assign
+    every vector to its max-cosine centroid (ties -> lowest cell), then
+    recompute each cell's centroid as the component-wise mean.  The
+    mean is fixed-point: components quantize to 1e-6 (long), sum as
+    longs (exact and commutative — no float-accumulation-order
+    sensitivity across engines or partitionings), and the division is
+    floored — so the refined codebook, and every query served from it,
+    stays bit-reproducible and oracle-checkable.  Empty cells drop out
+    of the codebook.
+
+    Per iteration: one broadcast join + argmax window (assignment), one
+    posexplode + (cell, dim) partial-aggregated mean — the tall-skinny
+    all-long shape that scales linearly.  The finished codebook
+    (``n_cells`` rows) is collected and re-created as a literal frame:
+    like any ANN coarse quantizer it is a driver-side artifact by
+    design, and inlining it keeps downstream probe/assign plans from
+    re-running the whole refinement once per use.
+    Output: (cell_id, c_vec array<double>).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells).select(
+        "cell_id", _as_double("c_vec").alias("c_vec")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(base, cents, "vec_id", "embedding")
+        comp = assigned.select(
+            "cell_id", F.posexplode(_as_double("embedding")).alias("j", "x")
+        ).select(
+            "cell_id", "j", F.round(F.col("x") * 1e6).cast("long").alias("q")
+        )
+        means = comp.groupBy("cell_id", "j").agg(
+            F.floor(F.sum("q") / F.count("*")).alias("m")
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))),
+                lambda s: s["m"] / F.lit(1e6),
+            ).alias("c_vec")
+        )
+    rows = [(r["cell_id"], list(r["c_vec"])) for r in cents.collect()]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id: long, c_vec: array<double>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -218,6 +275,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: probe the ``nprobe`` nearest
     cells per query and rank only those cells' vectors.
@@ -231,8 +289,17 @@ def ivf_topk(
     only matching cells' partitions. Deterministic end-to-end, so the
     approximation itself is oracle-checkable, and recall against
     brute-force is a measurable, testable quantity.
+
+    ``kmeans_iters > 0`` swaps the sampled codebook for the
+    fixed-point Lloyd-refined one (:func:`ivf_kmeans_centroids`) —
+    same query path, better-balanced cells.
     """
-    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    if kmeans_iters > 0:
+        centroids = ivf_kmeans_centroids(
+            corpus, id_col, vec_col, n_cells, kmeans_iters
+        )
+    else:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     qsims = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")

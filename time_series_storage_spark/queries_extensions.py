@@ -179,6 +179,24 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster assignment computed by the large-star/small-star
+    alternation — the O(log n)-round web-graph-scale variant. Output
+    contract (and oracle) identical to ``dedup_clusters``: the two
+    algorithms are checked against the same recursive-CTE truth."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    cc = D.connected_components_star(
+        pairs.select("d1", "d2"), docs.select("doc_id"), "doc_id"
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def _dedup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
@@ -471,10 +489,59 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _sim_topk_ivf_sql() -> str:
+def q_sim_topk_ivf_kmeans(spark, sf_dir):
+    """IVF top-k served from the fixed-point Lloyd-refined codebook
+    (2 iterations): exact long-sum means keep the refinement — and the
+    whole query — deterministic, so even the k-means step is under the
+    hash gate."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.ivf_topk(queries, emb, k=SIM_TOPK, kmeans_iters=2).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _kmeans_cents_ctes(n_iter: int = 2) -> str:
+    """CTE chain mirroring operators.similarity.ivf_kmeans_centroids:
+    cents0 = sampled codebook; each Lloyd step = argmax-cosine
+    assignment + exact fixed-point component means (quantize to 1e-6
+    longs, integer sum, floored division) -> cents{n_iter}."""
+    blocks = [
+        f"""cents0 AS (SELECT vec_id AS cell_id, embedding AS c_vec
+           FROM embeddings ORDER BY vec_id LIMIT {S.IVF_CELLS})"""
+    ]
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""
+asim{i} AS (SELECT e.vec_id, e.embedding, c.cell_id,
+            {_cos_sql('e.embedding', 'c.c_vec')} AS s
+            FROM embeddings e CROSS JOIN cents{i - 1} c),
+a{i} AS (SELECT cell_id, vec_id, embedding FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, cell_id) AS rn
+           FROM asim{i}) WHERE rn = 1),
+comp{i} AS (SELECT cell_id, g.j - 1 AS j,
+            CAST(FLOOR(SUM(CAST(ROUND(CAST(embedding[g.j] AS DOUBLE) * 1e6)
+                               AS BIGINT))::DOUBLE / COUNT(*)) AS BIGINT) AS m
+            FROM a{i}, unnest(generate_series(1, {S.EMBED_DIM})) g(j)
+            GROUP BY cell_id, g.j),
+cents{i} AS (SELECT cell_id, list(m / 1e6 ORDER BY j) AS c_vec
+             FROM comp{i} GROUP BY cell_id)""")
+    return ",\n".join(blocks)
+
+
+def _sim_topk_ivf_kmeans_sql(n_iter: int = 2) -> str:
     return f"""
-WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_vec
-               FROM embeddings ORDER BY vec_id LIMIT {S.IVF_CELLS}),
+WITH {_kmeans_cents_ctes(n_iter)},
+cents AS (SELECT * FROM cents{n_iter}),
+{_IVF_TAIL}
+"""
+
+
+# shared IVF probe/rank pipeline over a `cents(cell_id, c_vec)` CTE
+_IVF_TAIL = f"""
 asim AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          {_cos_sql('e.embedding', 'c.c_vec')} AS sim_x1e6
@@ -506,6 +573,14 @@ ranked AS (SELECT q_id, vec_id, sim_x1e6,
 SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, sim_x1e6
 FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
+def _sim_topk_ivf_sql() -> str:
+    return f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_vec
+               FROM embeddings ORDER BY vec_id LIMIT {S.IVF_CELLS}),
+{_IVF_TAIL}
 """
 
 
@@ -854,6 +929,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
+    "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
@@ -861,6 +937,7 @@ EXT_QUERIES = {
     "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
+    "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, _sim_topk_ivf_kmeans_sql()),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
     "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
