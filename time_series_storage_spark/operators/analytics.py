@@ -1,0 +1,148 @@
+"""Series analytics over (dims..., ts, value) frames: rolling-window
+aggregates and linear-interpolation gap fill.
+
+The reference's read path ends at collapse-and-fill-range
+(query.clj:99-117) — a dense, zero-filled series. These operators are
+the next analytic layer a consumer applies to that series (moving
+averages for smoothing/alerting, interpolation where zero-fill is the
+wrong semantic for gauge-like measures), expressed as pure Catalyst
+window/join plans so they compose with any engine output.
+
+Float discipline (same contract as the rest of the repo): values are
+quantized to fixed-point longs *before* any reduction, so every sum is
+exact integer arithmetic — commutative, partition-order-insensitive and
+bit-reproducible in any engine — and every division is an explicitly
+floored double division of magnitudes far below 2^53.
+
+Scale shape:
+
+* ``rolling_agg`` is one window pass — Spark's range frame keeps a
+  sliding accumulator per partition; no self-join, no grid
+  densification, shuffle = one exchange on the series dims.
+* ``interpolate_fill`` broadcasts the (tiny by construction) time grid
+  against the distinct series keys, then runs two window passes
+  (forward carry / backward carry) over the densified frame — again a
+  single exchange on the dims; the dense frame is |series| x |grid|
+  rows, the same size fill-range already materializes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def quantize(value_col, scale: int = 1000):
+    """Fixed-point quantization: round(value * scale) as long."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.round(c.cast("double") * scale).cast("long")
+
+
+def rolling_agg(
+    series: DataFrame,
+    dims: Sequence[str],
+    window_seconds: int,
+    ts_col: str = "ts",
+    q_col: str = "q",
+) -> DataFrame:
+    """Trailing-window aggregate per series: for every bucket, the sum /
+    count / floored mean of the quantized value over
+    ``[ts - window_seconds + 1s, ts]``.
+
+    One range-frame window over epoch seconds — the frame endpoints are
+    data-driven, so sparse series need no densification and each bucket
+    pays only its own frame. Adds ``roll_sum`` (exact long), ``roll_cnt``
+    and ``roll_avg_q`` (floor(sum/cnt), long) to the input columns.
+    """
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    return (
+        series.withColumn("roll_sum", F.sum(q_col).over(w))
+        .withColumn("roll_cnt", F.count(q_col).over(w))
+        .withColumn(
+            "roll_avg_q",
+            F.floor(F.col("roll_sum") / F.col("roll_cnt")).cast("long"),
+        )
+    )
+
+
+def interpolate_fill(
+    sparse: DataFrame,
+    dims: Sequence[str],
+    start: dt.datetime,
+    finish: dt.datetime,
+    step_seconds: int,
+    ts_col: str = "ts",
+    q_col: str = "q",
+) -> DataFrame:
+    """Linear-interpolation gap fill: densify each series onto the
+    ``[start, finish)`` grid (stride ``step_seconds``) and fill missing
+    buckets on the straight line between their nearest observations.
+
+    Zero-fill (reference fill-range, query.clj:99-108) answers "how many
+    events happened" — correct for counters, wrong for gauge-like
+    measures where absence means "not sampled". This is the gauge
+    counterpart: interior gaps interpolate, edges carry the nearest
+    observation flat (a documented choice: extrapolating a trend past
+    the data fabricates slope).
+
+    All arithmetic is integer: with bucket indexes ``i`` and quantized
+    values ``q``, an interior gap fills to
+    ``prev_q + floor((next_q - prev_q) * (i - prev_i) / (next_i -
+    prev_i))``. The products stay far below 2^53, so the floored double
+    division is exact and engine-portable.  Output: dims + ``ts`` +
+    ``value_q`` (long) + ``observed`` flag.
+    """
+    spark = sparse.sparkSession
+    n_buckets = int(
+        (finish - start).total_seconds() // step_seconds
+    )
+    grid = spark.range(n_buckets).select(
+        (F.lit(start).cast("timestamp")
+         + F.col("id").cast("int") * F.expr(f"INTERVAL {step_seconds} SECOND")
+         ).alias(ts_col),
+        F.col("id").alias("i"),
+    )
+    keys = sparse.select(*dims).distinct()
+    dense = keys.join(F.broadcast(grid)).join(
+        sparse.select(*dims, ts_col, q_col), [*dims, ts_col], "left"
+    )
+    w_back = (
+        Window.partitionBy(*dims)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*dims)
+        .orderBy("i")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_i = F.when(F.col(q_col).isNotNull(), F.col("i"))
+    filled = (
+        dense.withColumn("pq", F.last(q_col, ignorenulls=True).over(w_back))
+        .withColumn("pi", F.last(obs_i, ignorenulls=True).over(w_back))
+        .withColumn("nq", F.first(q_col, ignorenulls=True).over(w_fwd))
+        .withColumn("ni", F.first(obs_i, ignorenulls=True).over(w_fwd))
+    )
+    interior = F.col("pq") + F.floor(
+        (F.col("nq") - F.col("pq"))
+        * (F.col("i") - F.col("pi"))
+        / (F.col("ni") - F.col("pi"))
+    )
+    value_q = (
+        F.when(F.col(q_col).isNotNull(), F.col(q_col))
+        .when(F.col("pq").isNull(), F.col("nq"))  # before first obs
+        .when(F.col("nq").isNull(), F.col("pq"))  # after last obs
+        .otherwise(interior)
+    )
+    return filled.select(
+        *dims,
+        F.col(ts_col),
+        value_q.cast("long").alias("value_q"),
+        F.col(q_col).isNotNull().alias("observed"),
+    )
