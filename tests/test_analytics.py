@@ -1,0 +1,174 @@
+"""operators/analytics.py under the gate: hypothesis property tests
+against brute-force Python models (the same strategy test_properties.py
+uses for the engine), edge-semantics pins (edge carry, floor-lerp,
+observed flags), and physical-plan pins (one window exchange for
+rolling_agg, broadcast grid for interpolate_fill).
+
+The driver-level oracle rows are ts_rolling_3h / ts_interp_fill in
+queries_testdata.py; these tests pin the semantics on adversarial
+inputs the sf tables don't produce (negative values, duplicate
+timestamps, single-observation series).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators.analytics import (
+    interpolate_fill,
+    rolling_agg,
+)
+
+BASE = dt.datetime(2024, 3, 1)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (seconds offset, quantized value, key) — duplicate timestamps allowed
+# on purpose: the RANGE frame must include every row at the same epoch
+rolling_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),
+        st.integers(min_value=-50, max_value=50),
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=rolling_events, window_s=st.sampled_from([1, 60, 900]))
+@_slow
+def test_rolling_matches_bruteforce(spark, events, window_s):
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), q) for s, q, k in events
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "q"])
+    got = {
+        (r["k"], r["ts"], r["q"], r["roll_sum"], r["roll_cnt"], r["roll_avg_q"])
+        for r in rolling_agg(df, ["k"], window_s).collect()
+    }
+    want = set()
+    for k, t, q in rows:
+        frame = [
+            q2 for k2, t2, q2 in rows
+            if k2 == k and t - dt.timedelta(seconds=window_s - 1) <= t2 <= t
+        ]
+        s, c = sum(frame), len(frame)
+        want.add((k, t, q, s, c, math.floor(s / c)))
+    assert got == want
+
+
+# per-key observations: bucket index -> value (distinct buckets)
+interp_obs = st.dictionaries(
+    st.integers(min_value=0, max_value=29),
+    st.integers(min_value=-1000, max_value=1000),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _interp_model(obs: dict[int, int], n: int) -> dict[int, tuple[int, bool]]:
+    idx = sorted(obs)
+    out = {}
+    for i in range(n):
+        if i in obs:
+            out[i] = (obs[i], True)
+            continue
+        prevs = [j for j in idx if j < i]
+        nexts = [j for j in idx if j > i]
+        if not prevs:
+            v = obs[nexts[0]]
+        elif not nexts:
+            v = obs[prevs[-1]]
+        else:
+            p, nx = prevs[-1], nexts[0]
+            v = obs[p] + math.floor((obs[nx] - obs[p]) * (i - p) / (nx - p))
+        out[i] = (v, False)
+    return out
+
+
+@given(obs_a=interp_obs, obs_b=interp_obs)
+@_slow
+def test_interpolate_matches_bruteforce(spark, obs_a, obs_b):
+    n, step = 30, 60
+    rows = [
+        (k, BASE + dt.timedelta(seconds=i * step), q)
+        for k, obs in (("a", obs_a), ("b", obs_b))
+        for i, q in obs.items()
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "q"])
+    out = interpolate_fill(
+        df, ["k"], BASE, BASE + dt.timedelta(seconds=n * step), step
+    )
+    got = {
+        (r["k"], r["ts"], r["value_q"], r["observed"])
+        for r in out.collect()
+    }
+    want = set()
+    for k, obs in (("a", obs_a), ("b", obs_b)):
+        for i, (v, seen) in _interp_model(obs, n).items():
+            want.add((k, BASE + dt.timedelta(seconds=i * step), v, seen))
+    assert got == want
+
+
+def test_interpolate_single_observation_carries_flat(spark):
+    df = spark.createDataFrame(
+        [("a", BASE + dt.timedelta(seconds=300), 7)], ["k", "ts", "q"]
+    )
+    out = interpolate_fill(
+        df, ["k"], BASE, BASE + dt.timedelta(seconds=600), 60
+    ).collect()
+    assert len(out) == 10
+    assert all(r["value_q"] == 7 for r in out)
+    assert sum(r["observed"] for r in out) == 1
+
+
+def test_interpolate_floor_lerp_negative_slope(spark):
+    # 10 -> 3 over 3 buckets: lerp deltas -7/3, -14/3 floor to
+    # 10-3=7 and 10-5=5 (floor toward -inf, not truncation)
+    df = spark.createDataFrame(
+        [("a", BASE, 10), ("a", BASE + dt.timedelta(seconds=180), 3)],
+        ["k", "ts", "q"],
+    )
+    out = {
+        r["ts"]: r["value_q"]
+        for r in interpolate_fill(
+            df, ["k"], BASE, BASE + dt.timedelta(seconds=240), 60
+        ).collect()
+    }
+    assert out[BASE + dt.timedelta(seconds=60)] == 7
+    assert out[BASE + dt.timedelta(seconds=120)] == 5
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rolling_plan_one_window_exchange_no_join(spark):
+    df = spark.createDataFrame([("a", BASE, 1)], ["k", "ts", "q"])
+    plan = _plan(rolling_agg(df, ["k"], 3600))
+    assert "Window" in plan
+    assert "Join" not in plan
+    segs = [
+        s for s in plan.split("Exchange")[1:] if "hashpartitioning" in s[:200]
+    ]
+    assert len(segs) == 1  # the one exchange on the series dims
+
+
+def test_interpolate_plan_grid_is_broadcast(spark):
+    df = spark.createDataFrame([("a", BASE, 1)], ["k", "ts", "q"])
+    plan = _plan(
+        interpolate_fill(df, ["k"], BASE, BASE + dt.timedelta(hours=1), 60)
+    )
+    # grid densification must never shuffle the grid side
+    assert "BroadcastNestedLoopJoin" in plan
+    # both carry directions run in window passes, not self-joins
+    assert "Window" in plan

@@ -1,4 +1,13 @@
 from .rollup import best_grouping
 from .collapse import collapse, collapse_rollup, fill_range
+from .analytics import interpolate_fill, quantize, rolling_agg
 
-__all__ = ["best_grouping", "collapse", "collapse_rollup", "fill_range"]
+__all__ = [
+    "best_grouping",
+    "collapse",
+    "collapse_rollup",
+    "fill_range",
+    "interpolate_fill",
+    "quantize",
+    "rolling_agg",
+]

@@ -20,10 +20,13 @@ Scale shape:
   sliding accumulator per partition; no self-join, no grid
   densification, shuffle = one exchange on the series dims.
 * ``interpolate_fill`` broadcasts the (tiny by construction) time grid
-  against the distinct series keys, then runs two window passes
-  (forward carry / backward carry) over the densified frame — again a
-  single exchange on the dims; the dense frame is |series| x |grid|
-  rows, the same size fill-range already materializes.
+  against the distinct series keys, left-joins the sparse observations
+  onto the dense frame (one exchange on ``dims + ts``; the sparse side
+  is the smaller one and broadcast-eligible), then runs both carry
+  directions in a single window pass (one exchange + one sort on the
+  dims — forward and backward frames share partitioning and ordering).
+  The dense frame is |series| x |grid| rows, the same size fill-range
+  already materializes. Plan pinned by tests/test_analytics.py.
 """
 
 from __future__ import annotations
@@ -61,13 +64,15 @@ def rolling_agg(
         .orderBy(F.unix_timestamp(F.col(ts_col)))
         .rangeBetween(-(window_seconds - 1), 0)
     )
-    return (
-        series.withColumn("roll_sum", F.sum(q_col).over(w))
-        .withColumn("roll_cnt", F.count(q_col).over(w))
-        .withColumn(
-            "roll_avg_q",
-            F.floor(F.col("roll_sum") / F.col("roll_cnt")).cast("long"),
-        )
+    # both aggregates in one projection -> a single Window operator
+    # (one sort); chained withColumn would plan two Window + two Sort
+    return series.select(
+        "*",
+        F.sum(q_col).over(w).alias("roll_sum"),
+        F.count(q_col).over(w).alias("roll_cnt"),
+    ).withColumn(
+        "roll_avg_q",
+        F.floor(F.col("roll_sum") / F.col("roll_cnt")).cast("long"),
     )
 
 

@@ -449,6 +449,128 @@ GROUP BY 1, 2
 """
 
 
+# -- series analytics over the engine read path ------------------------------
+# (operators/analytics.py — the layer a consumer applies on top of
+# collapse-and-fill-range, reference query.clj:99-117)
+
+ROLL_WINDOW_S = 3 * 3600  # trailing 3 hours
+
+
+def q_rolling_3h(spark, sf_dir):
+    """rolling_agg over the dense hourly counter series: trailing-3h
+    sum / count / floored mean per event_type — one range-frame window
+    pass on top of the full A10 pipeline."""
+    from .operators.analytics import rolling_agg
+
+    eng = build_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="hour"
+    )
+    series = df.select(
+        "event_type", F.col("ts"), F.col("counter").cast("long").alias("q")
+    )
+    out = rolling_agg(series, ["event_type"], ROLL_WINDOW_S)
+    return out.select(
+        "event_type", _ts_str(), _long("q", "q"),
+        _long("roll_sum", "roll_sum"), _long("roll_cnt", "roll_cnt"),
+        _long("roll_avg_q", "roll_avg_q"),
+    )
+
+
+# the dense CTE is SQL_COUNTER_HOUR's agg/grid/series verbatim; the
+# window mirrors rolling_agg's RANGE frame over epoch seconds (the
+# series is hourly so 10799s PRECEDING = 2 prior buckets + current)
+SQL_ROLLING_3H = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS c
+  FROM events WHERE {_range_sql(10)}
+  GROUP BY 1, 2
+), grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '{START_S}',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+), series AS (SELECT DISTINCT event_type FROM agg),
+dense AS (
+  SELECT s.event_type, g.h, COALESCE(a.c, 0)::BIGINT AS q
+  FROM series s CROSS JOIN grid g
+  LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = g.h
+)
+SELECT event_type, strftime(h, '{DUCK_FMT}') AS ts, q,
+       (SUM(q) OVER w)::BIGINT AS roll_sum,
+       (COUNT(q) OVER w)::BIGINT AS roll_cnt,
+       ((SUM(q) OVER w) // (COUNT(q) OVER w))::BIGINT AS roll_avg_q
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(epoch(h) AS BIGINT)
+             RANGE BETWEEN {ROLL_WINDOW_S - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+INTERP_N_HOURS = 720  # [START, FINISH) on the hourly grid
+
+
+def q_interp_fill(spark, sf_dir):
+    """interpolate_fill over a deliberately sparsified hourly gauge
+    series (sum of value x100 per hour, keeping hours with
+    hour_index % 5 < 2): interior 3-hour gaps fill on the straight
+    line, edges carry flat, observed rows pass through."""
+    from .operators.analytics import interpolate_fill
+
+    src = read_events(spark, sf_dir)
+    hourly = src.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("q")
+    )
+    sparse = hourly.where(
+        F.pmod(F.floor(F.unix_timestamp("ts") / 3600).cast("long"), F.lit(5)) < 2
+    )
+    out = interpolate_fill(sparse, ["event_type"], START, FINISH, 3600)
+    return out.select(
+        "event_type", _ts_str(), _long("value_q", "value_q"),
+        F.col("observed").cast("long").alias("observed"),
+    )
+
+
+SQL_INTERP_FILL = f"""
+WITH hr AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS q
+  FROM events GROUP BY 1, 2
+),
+sparse AS (SELECT * FROM hr
+           WHERE (CAST(epoch(h) AS BIGINT) // 3600) % 5 < 2),
+grid AS (SELECT unnest(generate_series(0, {INTERP_N_HOURS - 1})) AS i),
+keys AS (SELECT DISTINCT event_type FROM sparse),
+dense AS (
+  SELECT k.event_type, g.i,
+         TIMESTAMP '{START_S}' + to_hours(g.i) AS h, s.q
+  FROM keys k CROSS JOIN grid g
+  LEFT JOIN sparse s ON s.event_type = k.event_type
+                    AND s.h = TIMESTAMP '{START_S}' + to_hours(g.i)
+),
+filled AS (
+  SELECT event_type, i, h, q,
+    last_value(q IGNORE NULLS) OVER wb AS pq,
+    last_value(CASE WHEN q IS NOT NULL THEN i END IGNORE NULLS) OVER wb AS pi,
+    first_value(q IGNORE NULLS) OVER wf AS nq,
+    first_value(CASE WHEN q IS NOT NULL THEN i END IGNORE NULLS) OVER wf AS ni
+  FROM dense
+  WINDOW wb AS (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(h, '{DUCK_FMT}') AS ts,
+  (CASE WHEN q IS NOT NULL THEN q
+        WHEN pq IS NULL THEN nq
+        WHEN nq IS NULL THEN pq
+        ELSE pq + CAST(floor((nq - pq) * (i - pi) / (ni - pi)) AS BIGINT)
+   END)::BIGINT AS value_q,
+  (q IS NOT NULL)::BIGINT AS observed
+FROM filled
+"""
+
+
 CORE_QUERIES = {
     "ts_counter_none": (q_counter_none, SQL_COUNTER_NONE),
     "ts_counter_hour_fill": (q_counter_hour, SQL_COUNTER_HOUR),
@@ -466,4 +588,6 @@ CORE_QUERIES = {
     "ts_counter_hour_materialized": (q_counter_hour_materialized, SQL_COUNTER_HOUR),
     "ts_avg_hour_materialized": (q_avg_hour_materialized, SQL_AVG_HOUR),
     "ts_histogram_day_materialized": (q_hist_day_materialized, SQL_HIST_DAY),
+    "ts_rolling_3h": (q_rolling_3h, SQL_ROLLING_3H),
+    "ts_interp_fill": (q_interp_fill, SQL_INTERP_FILL),
 }
