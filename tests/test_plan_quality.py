@@ -134,6 +134,23 @@ def test_asof_and_sessionize_single_shuffle_no_join(spark):
     assert "Join" not in plan2 and "Window" in plan2
 
 
+def test_repetition_plan_is_linear_no_map_fold(spark):
+    """repetition_scores must be the explode -> two partial-aggregated
+    groupBys shape — any higher-order per-row fold (aggregate /
+    map_zip_with over a growing map) is the interpreted O(tokens x
+    distinct-tokens) CPU bomb this operator was rewritten to kill."""
+    from time_series_storage_spark.operators.text import repetition_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_scores(docs, "doc_id", "text"))
+    assert "map_zip_with" not in plan and "aggregate(" not in plan
+    # both aggregations combine map-side before their exchange
+    assert "partial_count" in plan
+    assert "partial_max" in plan or "partial_sum" in plan
+    # no join back against the input: explode_outer keeps empty docs
+    assert "Join" not in plan
+
+
 def test_extension_scan_prunes_columns(spark):
     from time_series_storage_spark.operators.text import ws_token_count
 

@@ -206,26 +206,41 @@ def top_terms(
     )
 
 
-def repetition_ratio_x1000(text_col) -> Column:
-    """Most-frequent-token share of all tokens, x1000 floored — the
-    Gopher-style repetition filter signal (a page that is one token
-    over and over scores 1000; diverse prose scores low). Pure
-    Catalyst: token histogram via aggregate over a map, no shuffle."""
-    toks = tokens(text_col)
-    counts = F.aggregate(
-        toks,
-        F.create_map().cast("map<string,bigint>"),
-        lambda acc, w: F.map_zip_with(
-            acc,
-            F.create_map(w, F.lit(1).cast("bigint")),
-            lambda _k, a, b: F.coalesce(a, F.lit(0).cast("bigint"))
-            + F.coalesce(b, F.lit(0).cast("bigint")),
-        ),
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Most-frequent-token share of all tokens per document, x1000
+    floored — the Gopher-style repetition filter signal (a page that is
+    one token over and over scores 1000; diverse prose scores low).
+
+    Output: (id_col, rep_x1000), one row per input row.
+
+    Shape: explode -> groupBy(id, term).count -> groupBy(id) — both
+    aggregations partial (map-side combine) and linear in token count,
+    so a 100k-token web page costs 100k tall-skinny rows, not a per-row
+    fold. (The previous per-row ``F.aggregate`` + ``map_zip_with``
+    formulation was interpreted per element and O(tokens x distinct
+    tokens) per document — a CPU bomb on long documents.)
+    ``explode_outer`` keeps empty documents as a NULL-term row, so they
+    survive to the output with score 0 and no re-join against the
+    input is needed — one shuffle chain end-to-end.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode_outer(tokens(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    top = F.array_max(F.map_values(counts))
-    n = F.size(toks).cast("long")
-    scaled = top * 1000
-    # exact integer floor-division: (a - a%b)/b is exactly divisible,
-    # so the double division cannot round across the floor boundary
-    exact = (scaled - F.pmod(scaled, n)) / n
-    return F.when(n > 0, exact).otherwise(F.lit(0)).cast("long")
+    real = F.when(F.col("term").isNotNull(), F.col("tf"))
+    per_doc = tf.groupBy(id_col).agg(
+        F.max(real).alias("_m"), F.sum(real).alias("_n")
+    )
+    # `div` is exact integral floor-division (like SQL's //) — no
+    # double-division rounding across the floor boundary
+    return per_doc.select(
+        F.col(id_col),
+        F.coalesce(F.expr("(_m * 1000L) div _n"), F.lit(0))
+        .cast("long")
+        .alias("rep_x1000"),
+    )

@@ -822,10 +822,10 @@ SELECT doc_id::BIGINT AS doc_id, lang FROM r WHERE rnk <= 50
 
 
 def q_text_repetition(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        T.repetition_ratio_x1000("text").alias("rep_x1000"),
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
+    return T.repetition_scores(docs, "doc_id", "text")
 
 
 SQL_TEXT_REPETITION = f"""
