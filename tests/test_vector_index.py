@@ -1,0 +1,100 @@
+"""Persisted IVF index: build/read parity with the per-query recompute
+path, staleness-gated refresh, snapshot isolation of the commit, and
+the dynamic-partition-pruned query plan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators.similarity import ivf_topk
+from time_series_storage_spark.operators.vector_index import (
+    IvfIndexStore,
+    files_fingerprint,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return IvfIndexStore(spark, str(tmp_path / "ivf"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_topk_from_store_equals_recompute(spark, store):
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(emb, kmeans_iters=2, fingerprint="fp")
+    assert _rows(store.topk(q, k=5)) == _rows(
+        ivf_topk(q, emb, k=5, kmeans_iters=2)
+    )
+
+
+def test_topk_sampled_codebook_parity(spark, store):
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(emb, kmeans_iters=0, fingerprint="fp")
+    assert _rows(store.topk(q, k=5)) == _rows(ivf_topk(q, emb, k=5))
+
+
+def test_refresh_only_on_fingerprint_or_param_change(spark, store):
+    emb = spark.read.parquet(EMB)
+    store.build(emb, fingerprint="fp1")
+    assert store._meta()["version"] == "v00000000"
+    # same fingerprint + params: no rebuild
+    assert store.refresh_if_stale(emb, fingerprint="fp1") is False
+    assert store._meta()["version"] == "v00000000"
+    # changed corpus fingerprint: rebuild
+    assert store.refresh_if_stale(emb, fingerprint="fp2") is True
+    assert store._meta()["version"] == "v00000001"
+    # changed build params: rebuild
+    assert store.refresh_if_stale(emb, fingerprint="fp2", kmeans_iters=1)
+    assert store._meta()["params"]["kmeans_iters"] == 1
+
+
+def test_reader_isolated_from_unpublished_build(spark, store):
+    """A version directory without a published pointer flip (a build
+    that crashed mid-write) must be invisible to readers."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(emb, fingerprint="fp")
+    before = _rows(store.topk(q, k=5))
+    # simulate a crashed next-version build: directory exists, no flip
+    os.makedirs(os.path.join(store.path, "v00000001", "centroids"))
+    assert store._meta()["version"] == "v00000000"
+    assert _rows(store.topk(q, k=5)) == before
+
+
+def test_query_plan_prunes_assignment_partitions(spark, store):
+    """The probe join must dynamically prune the cell_id-partitioned
+    assignment scan — only probed cells are read, the on-disk form of
+    IVF's sublinear-scan promise — and stay broadcast (the corpus side
+    never shuffles for the similarity computation)."""
+    emb = spark.read.parquet(EMB)
+    store.build(emb, fingerprint="fp")
+    plan = (
+        store.topk(emb.where(F.col("vec_id") < 4), k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_files_fingerprint_tracks_content_changes(tmp_path):
+    f = tmp_path / "data.parquet"
+    f.write_bytes(b"aaa")
+    fp1 = files_fingerprint(str(tmp_path))
+    assert fp1 == files_fingerprint(str(tmp_path))
+    f.write_bytes(b"aaaa")
+    assert files_fingerprint(str(tmp_path)) != fp1
+    # underscore/hidden files (e.g. _SUCCESS) don't affect it
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    fp2 = files_fingerprint(str(tmp_path))
+    assert fp2 == files_fingerprint(str(tmp_path))

@@ -301,6 +301,27 @@ def ivf_topk(
     else:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_probe_topk(
+        queries, centroids, assigned, id_col, vec_col, k, nprobe
+    )
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """The IVF query path against an already-built index: probe the
+    ``nprobe`` max-cosine cells per query, rank only those cells'
+    vectors. ``centroids`` is (cell_id, c_vec); ``assigned`` is
+    (cell_id, vec_id, embedding) — typically read from a persisted
+    :class:`~..operators.vector_index.IvfIndexStore` version, in which
+    case the broadcast probe join dynamically prunes the
+    cell_id-partitioned assignment scan to the probed cells only."""
     qsims = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).join(F.broadcast(centroids)).select(

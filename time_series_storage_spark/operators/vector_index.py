@@ -1,0 +1,196 @@
+"""Persisted IVF vector index — the ANN coarse quantizer as a stored,
+refreshed artifact instead of a per-query recomputation.
+
+An IVF index has two parts: the codebook (``n_cells`` centroids) and
+the corpus cell assignment (every vector labeled with its max-cosine
+cell). Both are pure functions of the corpus, and both are *expensive*
+functions — the assignment alone is a full corpus scan, and a
+Lloyd-refined codebook multiplies that by the iteration count. Serving
+queries by recomputing them is the one shape that cannot survive scale:
+at 100 TB the assignment pass dwarfs every probe. The index must be
+built once, stored, and only *read* at query time — exactly a
+materialized rollup's lifecycle, so this store reuses the engine's
+``VersionedStore`` snapshot-commit protocol (plans/materialize.py):
+
+    <path>/_current                      {"version", "fingerprint", "params"}
+    <path>/v00000003/centroids/*.parquet (cell_id, c_vec)  — tiny
+    <path>/v00000003/assignment/cell_id=N/*.parquet        — corpus-sized
+
+The assignment tree is partitioned by ``cell_id``: the query path joins
+it against a broadcast probe list on ``cell_id``, so Spark's dynamic
+partition pruning restricts the scan to the probed cells' partitions —
+each query physically reads ~``nprobe / n_cells`` of the index, the
+on-disk realization of IVF's "only probe a few cells" promise.
+
+Staleness: the committed pointer records a caller-supplied corpus
+``fingerprint`` (e.g. a digest of the source files' names/sizes/mtimes,
+:func:`files_fingerprint`) plus the build parameters;
+``refresh_if_stale`` rebuilds only when either changed, and readers of
+a live index are never disturbed — the rebuild publishes with the same
+atomic ``_current`` flip as every other derived artifact here.
+
+The reference has no vector operations; this is infrastructure for the
+similarity operators (operators/similarity.py), with build math
+identical to the per-query path (fixed-point Lloyd refinement), so a
+query served from the store is bit-for-bit the recomputed answer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.materialize import VersionedStore
+from .similarity import (
+    IVF_CELLS,
+    IVF_NPROBE,
+    ivf_assign,
+    ivf_centroids,
+    ivf_kmeans_centroids,
+    ivf_probe_topk,
+)
+
+
+def files_fingerprint(path: str) -> str:
+    """Cheap corpus fingerprint for file-backed corpora: a digest of
+    every data file's (relative name, size, mtime). Any append,
+    rewrite, or compaction changes it; no data is read."""
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for dirpath, _dirs, files in sorted(os.walk(path)):
+            rel = os.path.relpath(dirpath, path)
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                h.update(f"{rel}/{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:32]
+
+
+class IvfIndexStore(VersionedStore):
+    """One versioned IVF index (codebook + assignment) at ``path``."""
+
+    def _meta(self) -> Optional[dict]:
+        return self.current_meta(self.path)
+
+    def _version_dir(self) -> Optional[str]:
+        meta = self._meta()
+        if meta is None:
+            return None
+        d = os.path.join(self.path, meta["version"])
+        return d if os.path.exists(d) else None
+
+    def exists(self) -> bool:
+        return self._version_dir() is not None
+
+    # -- build ------------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = IVF_CELLS,
+        kmeans_iters: int = 0,
+        fingerprint: Optional[str] = None,
+    ) -> str:
+        """Build and atomically publish the next index version.
+
+        One assignment pass over the corpus (broadcast centroids +
+        per-vector argmax), written partitioned by ``cell_id``; the
+        codebook itself is ``n_cells`` rows. Returns the version id.
+        """
+        if kmeans_iters > 0:
+            centroids = ivf_kmeans_centroids(
+                corpus, id_col, vec_col, n_cells, kmeans_iters
+            )
+        else:
+            centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        os.makedirs(self.path, exist_ok=True)
+        version = self.next_version(self._meta())
+        staging = os.path.join(self.path, version)
+        shutil.rmtree(staging, ignore_errors=True)
+        centroids.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        (
+            # one writer per cell keeps each partition's file count at
+            # O(size / maxRecordsPerFile), so the per-query pruned read
+            # opens a bounded file set however large the corpus grows
+            assigned.repartition(F.col("cell_id"))
+            .write.option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("cell_id")
+            .parquet(os.path.join(staging, "assignment"))
+        )
+        self.publish(
+            self.path,
+            version,
+            extra={
+                "fingerprint": fingerprint,
+                "params": {"n_cells": n_cells, "kmeans_iters": kmeans_iters},
+            },
+        )
+        return version
+
+    def refresh_if_stale(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = IVF_CELLS,
+        kmeans_iters: int = 0,
+        fingerprint: Optional[str] = None,
+    ) -> bool:
+        """Build only when no committed version matches the requested
+        (fingerprint, params). Returns True when a build happened."""
+        meta = self._meta()
+        fresh = (
+            meta is not None
+            and self._version_dir() is not None
+            and meta.get("fingerprint") == fingerprint
+            and meta.get("params")
+            == {"n_cells": n_cells, "kmeans_iters": kmeans_iters}
+        )
+        if fresh:
+            return False
+        self.build(corpus, id_col, vec_col, n_cells, kmeans_iters, fingerprint)
+        return True
+
+    # -- read / query ------------------------------------------------------
+
+    def _read(self, part: str) -> DataFrame:
+        d = self._version_dir()
+        if d is None:
+            raise FileNotFoundError(f"no committed IVF index at {self.path}")
+        return self.spark.read.parquet(os.path.join(d, part))
+
+    def centroids(self) -> DataFrame:
+        return self._read("centroids")
+
+    def assignment(self) -> DataFrame:
+        return self._read("assignment")
+
+    def topk(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+    ) -> DataFrame:
+        """IVF top-k served from the committed index: broadcast-probe
+        the stored codebook, scan only the probed cells' assignment
+        partitions (dynamic partition pruning on ``cell_id``)."""
+        return ivf_probe_topk(
+            queries, self.centroids(), self.assignment(),
+            id_col, vec_col, k, nprobe,
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -40,24 +40,24 @@ def rollup_name(grouping: list[str], fact_id: str) -> str:
     return "_".join([*grouping, fact_id])
 
 
-class RollupStore:
-    """Parquet-backed materialized rollups, one directory per rollup,
-    versioned with an atomic current-version pointer.
+class VersionedStore:
+    """The snapshot-commit protocol shared by every derived-state store
+    in the engine (materialized rollups, the IVF vector index):
+    versioned directories under a root plus an atomic current-version
+    pointer.
 
     Layout::
 
-        <root>/<rollup_name>/_current            {"version": "v...", ["batch": N]}
-        <root>/<rollup_name>/v00000007/p_date=YYYY-MM-DD/*.parquet
+        <root>/_current        {"version": "v...", ...extra fields}
+        <root>/v00000007/...   one complete artifact per version
 
-    Readers resolve ``_current`` and scan that version's parquet tree
-    (partitioned by the slice bucket's date, so time-range queries prune
-    partitions exactly like the raw event store does). Writers build the
-    next version directory in full and then flip ``_current`` with one
-    ``os.replace`` — the miniature of a Delta/Iceberg snapshot commit:
-    a crash at any point leaves readers on the old complete version, and
-    because the pointer flip can carry a streaming batch id, "data
-    visible" and "batch committed" are one atomic event (the foundation
-    of RollupMergeSink's exactly-once merge)."""
+    Readers resolve ``_current`` and scan that version. Writers build
+    the next version directory in full and then flip ``_current`` with
+    one ``os.replace`` — the miniature of a Delta/Iceberg snapshot
+    commit: a crash at any point leaves readers on the old complete
+    version, and because the pointer flip carries arbitrary metadata
+    (a streaming batch id, a corpus fingerprint), "data visible" and
+    "provenance committed" are one atomic event."""
 
     CURRENT = "_current"
 
@@ -65,16 +65,50 @@ class RollupStore:
         self.spark = spark
         self.path = path
 
-    def _dir(self, grouping: list[str], fact_id: str) -> str:
-        return os.path.join(self.path, rollup_name(grouping, fact_id))
-
     def current_meta(self, root: str) -> Optional[dict]:
-        """The committed {"version", ["batch"]} pointer, or None."""
+        """The committed pointer ({"version", ...}), or None."""
         try:
             with open(os.path.join(root, self.CURRENT)) as fh:
                 return json.load(fh)
         except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
             return None
+
+    def next_version(self, meta: Optional[dict]) -> str:
+        n = 0 if meta is None else int(meta["version"][1:]) + 1
+        return f"v{n:08d}"
+
+    def publish(
+        self,
+        root: str,
+        version: str,
+        batch: Optional[int] = None,
+        extra: Optional[dict] = None,
+    ) -> None:
+        """Atomically flip ``_current`` to ``version`` (optionally
+        recording the streaming batch id and any extra provenance
+        fields), then GC all other version directories."""
+        meta = dict(extra or {})
+        meta["version"] = version
+        if batch is not None:
+            meta["batch"] = int(batch)
+        tmp = os.path.join(root, self.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(root, self.CURRENT))
+        for name in os.listdir(root):
+            if name.startswith("v") and name != version:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+class RollupStore(VersionedStore):
+    """Parquet-backed materialized rollups, one versioned directory per
+    rollup (``VersionedStore`` commit protocol, one root per rollup
+    name). Each version is the rollup's parquet tree partitioned by the
+    slice bucket's date, so time-range queries prune partitions exactly
+    like the raw event store does."""
+
+    def _dir(self, grouping: list[str], fact_id: str) -> str:
+        return os.path.join(self.path, rollup_name(grouping, fact_id))
 
     def current_version_dir(
         self, grouping: list[str], fact_id: str
@@ -85,27 +119,6 @@ class RollupStore:
             return None
         d = os.path.join(root, meta["version"])
         return d if os.path.exists(d) else None
-
-    def next_version(self, meta: Optional[dict]) -> str:
-        n = 0 if meta is None else int(meta["version"][1:]) + 1
-        return f"v{n:08d}"
-
-    def publish(
-        self, root: str, version: str, batch: Optional[int] = None
-    ) -> None:
-        """Atomically flip ``_current`` to ``version`` (optionally
-        recording the streaming batch id that produced it), then GC all
-        other version directories."""
-        meta = {"version": version}
-        if batch is not None:
-            meta["batch"] = int(batch)
-        tmp = os.path.join(root, self.CURRENT + "._tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(root, self.CURRENT))
-        for name in os.listdir(root):
-            if name.startswith("v") and name != version:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def exists(self, grouping: list[str], fact_id: str) -> bool:
         return self.current_version_dir(grouping, fact_id) is not None

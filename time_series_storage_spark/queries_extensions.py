@@ -54,6 +54,39 @@ def _emb(spark, sf_dir):
     return read_table(spark, sf_dir, "embeddings")
 
 
+def _ivf_index(spark, sf_dir, kmeans_iters: int):
+    """The persisted IVF index for ``sf_dir``'s embeddings table —
+    built (or refreshed) on first use, *read* by every query after.
+
+    The store lives under the system temp dir keyed by (corpus path,
+    params); staleness is the corpus files' fingerprint, so a changed
+    or regenerated table rebuilds and an unchanged one never does.
+    This is the artifact lifecycle the operator is designed around:
+    recomputing codebook + full-corpus assignment inside every query
+    is the one per-query cost that cannot survive corpus scale.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.vector_index import IvfIndexStore, files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{S.IVF_CELLS}:{kmeans_iters}".encode()
+    ).hexdigest()[:16]
+    store = IvfIndexStore(
+        spark, os.path.join(tempfile.gettempdir(), "tss_ivf_index", key)
+    )
+    store.refresh_if_stale(
+        _emb(spark, sf_dir),
+        n_cells=S.IVF_CELLS,
+        kmeans_iters=kmeans_iters,
+        fingerprint=files_fingerprint(src),
+    )
+    return store
+
+
 # -- dedup: exact -----------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -474,7 +507,8 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 def q_sim_topk_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
-    return S.ivf_topk(queries, emb, k=SIM_TOPK).select(
+    index = _ivf_index(spark, sf_dir, kmeans_iters=0)
+    return index.topk(queries, k=SIM_TOPK).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("rank"),
@@ -493,10 +527,12 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir):
     """IVF top-k served from the fixed-point Lloyd-refined codebook
     (2 iterations): exact long-sum means keep the refinement — and the
     whole query — deterministic, so even the k-means step is under the
-    hash gate."""
+    hash gate. The refinement + corpus assignment run once into the
+    persisted index; the query itself only probes."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
-    return S.ivf_topk(queries, emb, k=SIM_TOPK, kmeans_iters=2).select(
+    index = _ivf_index(spark, sf_dir, kmeans_iters=2)
+    return index.topk(queries, k=SIM_TOPK).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("rank"),
