@@ -31,6 +31,7 @@ Two stores:
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import shutil
 from typing import Iterable, Mapping, Optional
@@ -158,6 +159,17 @@ class ParquetEventStore(EventStore):
                     removed += 1
         return removed
 
+    # compaction scratch: underscore-prefixed, so invisible to parquet
+    # readers AND outside the partitioned namespace — a crash can never
+    # strand data under a directory that parses as a bogus partition
+    COMPACT_STAGING = "_compact"
+    COMPACT_TRASH = "_compact_trash"
+    COMPACT_JOURNAL = "_swap.json"
+
+    # test seam: set to a callable(stage, rel) to inject a crash at a
+    # chosen point of the swap ("pre_swap" / "mid_swap" / "post_swap")
+    _compact_fault = None
+
     def compact(self, max_files: int = 1) -> int:
         """Rewrite fragmented (fact, p_date) partitions to one file each.
 
@@ -166,14 +178,32 @@ class ParquetEventStore(EventStore):
         compaction is the standard maintenance for an append-only
         layout. One Spark job rewrites every fragmented partition (read
         restricted to exactly those partitions, clustered so each gets
-        a single writer); the swap is per-partition rename pairs.
-        Content-preserving and idempotent: a crash leaves each
-        partition wholly old or wholly new (identical rows either way)
-        — rerunning finishes the job. Returns partitions rewritten.
+        a single writer).
+
+        Crash safety: the swap is journaled. Before any rename, a swap
+        plan (partition list + the exact parquet file set each rewrite
+        covered) lands in the staging dir; each partition then swaps via
+        ``os.replace(live, trash)`` + ``os.replace(new, live)`` with the
+        trash *outside* the partitioned tree. A crash at any point is
+        repaired by :meth:`_compact_recover` (run automatically at the
+        next compact): a partition caught between the two renames is
+        completed from staging (or restored from trash), so no partition
+        is ever lost and no half-state survives.
+
+        Concurrent appends: files appended after the fragmentation scan
+        are NOT lost — they ride along into the trash and are salvaged
+        back into the live partition (their names are not in the
+        journaled snapshot). The one unprotected race is an append
+        landing in the instant between the two renames of its exact
+        partition, which recreates the live dir and makes the second
+        rename fail — compact() then raises and the next run restores
+        from trash; prefer not to run compaction concurrently with
+        appends to the same partitions. Returns partitions rewritten.
         """
-        frag: list[tuple[str, str, str]] = []
         if not os.path.exists(self.path):
             return 0
+        self._compact_recover()
+        frag: list[tuple[str, str, str, list[str]]] = []
         for fd in sorted(os.listdir(self.path)):
             if not fd.startswith("fact="):
                 continue
@@ -181,23 +211,25 @@ class ParquetEventStore(EventStore):
                 if not pd_.startswith("p_date="):
                     continue
                 live = os.path.join(self.path, fd, pd_)
-                n = sum(
-                    1 for f in os.listdir(live) if f.endswith(".parquet")
+                files = sorted(
+                    f for f in os.listdir(live) if f.endswith(".parquet")
                 )
-                if n > max_files:
+                if len(files) > max_files:
                     frag.append(
-                        (fd.split("=", 1)[1], pd_.split("=", 1)[1], live)
+                        (fd.split("=", 1)[1], pd_.split("=", 1)[1], live, files)
                     )
         if not frag:
             return 0
-        staging = os.path.join(self.path, "_compact")
+        staging = os.path.join(self.path, self.COMPACT_STAGING)
+        trash_root = os.path.join(self.path, self.COMPACT_TRASH)
         shutil.rmtree(staging, ignore_errors=True)
-        keys = [f"{f}/{d}" for f, d, _ in frag]
+        shutil.rmtree(trash_root, ignore_errors=True)
+        keys = [f"{f}/{d}" for f, d, _, _ in frag]
         # rectangle of plain partition-column predicates first (these
         # prune the scan); the exact (fact, date) pair filter narrows
         # any rectangle over-read after pruning
-        facts = sorted({f for f, _, _ in frag})
-        dates = sorted({dt.date.fromisoformat(d) for _, d, _ in frag})
+        facts = sorted({f for f, _, _, _ in frag})
+        dates = sorted({dt.date.fromisoformat(d) for _, d, _, _ in frag})
         df = self.events_df().where(
             F.col("fact").isin(facts)
             & F.col("p_date").isin(dates)
@@ -212,19 +244,75 @@ class ParquetEventStore(EventStore):
             .partitionBy(*self.PARTITION_COLS)
             .parquet(staging)
         )
-        for fact_val, date_val, live in frag:
-            new_dir = os.path.join(
-                staging, f"fact={fact_val}", f"p_date={date_val}"
-            )
+        # journal BEFORE the first rename: recovery replays from it
+        plan = [
+            {"rel": f"fact={f}/p_date={d}", "files": files}
+            for f, d, _, files in frag
+        ]
+        with open(os.path.join(staging, self.COMPACT_JOURNAL), "w") as fh:
+            json.dump(plan, fh)
+        for f, d, live, files in frag:
+            rel = f"fact={f}/p_date={d}"
+            new_dir = os.path.join(staging, rel)
             if not os.path.exists(new_dir):
                 continue  # partition read as empty (shouldn't happen)
-            trash = live + "._old"
-            shutil.rmtree(trash, ignore_errors=True)
+            trash = os.path.join(trash_root, rel)
+            os.makedirs(os.path.dirname(trash), exist_ok=True)
+            self._fault("pre_swap", rel)
             os.replace(live, trash)
+            self._fault("mid_swap", rel)
             os.replace(new_dir, live)
-            shutil.rmtree(trash, ignore_errors=True)
+            self._fault("post_swap", rel)
+            self._salvage_appends(trash, live, files)
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash_root, ignore_errors=True)
         return len(frag)
+
+    def _fault(self, stage: str, rel: str) -> None:
+        if self._compact_fault is not None:
+            self._compact_fault(stage, rel)
+
+    @staticmethod
+    def _salvage_appends(trash: str, live: str, snapshot: list[str]) -> None:
+        """Move any parquet file that appeared in the partition after
+        the fragmentation scan (name not in the journaled snapshot)
+        from trash back into the live dir. Spark part-file names are
+        job-unique, so there is no collision with compacted output."""
+        if not os.path.isdir(trash):
+            return
+        for fname in os.listdir(trash):
+            if fname.endswith(".parquet") and fname not in snapshot:
+                os.replace(
+                    os.path.join(trash, fname), os.path.join(live, fname)
+                )
+
+    def _compact_recover(self) -> None:
+        """Repair a compaction that crashed mid-swap (idempotent; runs
+        at the start of every compact). For each journaled partition:
+        complete the swap from staging if the live dir is missing,
+        restore from trash as a last resort, and salvage any
+        concurrently-appended files still in trash. Scratch dirs are
+        then dropped; without a journal (crash before any rename) the
+        staged output is simply discarded."""
+        staging = os.path.join(self.path, self.COMPACT_STAGING)
+        trash_root = os.path.join(self.path, self.COMPACT_TRASH)
+        jpath = os.path.join(staging, self.COMPACT_JOURNAL)
+        if os.path.exists(jpath):
+            with open(jpath) as fh:
+                plan = json.load(fh)
+            for entry in plan:
+                rel, files = entry["rel"], entry["files"]
+                live = os.path.join(self.path, rel)
+                new_dir = os.path.join(staging, rel)
+                trash = os.path.join(trash_root, rel)
+                if not os.path.exists(live):
+                    if os.path.exists(new_dir):
+                        os.replace(new_dir, live)  # finish the swap
+                    elif os.path.exists(trash):
+                        os.replace(trash, live)  # roll back
+                self._salvage_appends(trash, live, files)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash_root, ignore_errors=True)
 
     def clear(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
