@@ -62,6 +62,49 @@ def test_rollup_merge_sink_partial_batch_replay(spark, tmp_path):
         assert a == b and len(a) > 0, g
 
 
+def test_replay_skipped_after_interleaved_materialize(spark, tmp_path):
+    """The double-count window the high-watermark closes: a grouping
+    commits its merge of batch 0, a full materialize() republishes the
+    rollup (no batch id of its own), then the batch replays. The
+    replay must still be skipped — the watermark survives the
+    materialize — leaving the rollup identical to the fresh
+    materialization."""
+    from time_series_storage_spark.streaming.ingest import RollupMergeSink
+
+    src = spark.range(90).select(
+        (F.lit(T0) + F.make_interval(mins=(F.col("id") * 11) % 300)).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("company"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("user"),
+    )
+    store = RollupStore(spark, str(tmp_path / "r"))
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("hits", "counter", 15)
+    eng.define_dimension("company", group_only=True)
+    eng.define_dimension("user", grouped_by=[["company"], []], facts=["hits"])
+    # raw store is authoritative: the same events land there too
+    eng.ingest_df("hits", src, dim_cols={"company": "company", "user": "user"})
+
+    ev = stream_events(src, "hits", dim_cols={"company": "company", "user": "user"})
+    sink = RollupMergeSink(eng, store, "hits", "user")
+    g1 = sink.groupings[0]
+    # partial commit: g1 merges batch 0, then the process "crashes"
+    sink._merge_one(sink._batch_rollup(ev, g1), g1, 0)
+    assert store.current_meta(store._dir(g1, "hits"))["merged_batch"] == 0
+
+    # interleaved full materialization republishes every grouping
+    store.materialize(eng, "hits", "user")
+    meta = store.current_meta(store._dir(g1, "hits"))
+    assert meta.get("batch") is None  # materialize has no batch id...
+    assert meta["merged_batch"] == 0  # ...but the watermark survived
+    want = sorted(map(tuple, store.read(g1, "hits").collect()))
+
+    # replay of batch 0 (restart recovery) must be a no-op for g1
+    sink._merge_one(sink._batch_rollup(ev, g1), g1, 0)
+    got = sorted(map(tuple, store.read(g1, "hits").collect()))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_merge_converges_to_batch(spark, tmp_path):
     # two source files -> two micro-batches (maxFilesPerTrigger=1);
     # the second batch is entirely "late" (previous day's timestamps)

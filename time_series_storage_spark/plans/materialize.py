@@ -162,7 +162,8 @@ class RollupStore(VersionedStore):
     def _write(self, df, grouping: list[str], fact_id: str) -> None:
         root = self._dir(grouping, fact_id)
         os.makedirs(root, exist_ok=True)
-        version = self.next_version(self.current_meta(root))
+        prev = self.current_meta(root)
+        version = self.next_version(prev)
         staging = os.path.join(root, version)
         shutil.rmtree(staging, ignore_errors=True)
         (
@@ -180,8 +181,17 @@ class RollupStore(VersionedStore):
             .partitionBy("p_date")
             .parquet(staging)
         )
-        # flip after a complete write: readers never see a half rollup
-        self.publish(root, version)
+        # flip after a complete write: readers never see a half rollup.
+        # The merged-batch high-watermark (written by RollupMergeSink)
+        # survives a full re-materialization: the fresh derivation from
+        # raw events already CONTAINS every merged batch's data, so a
+        # later replay of one of those batches must still be skipped —
+        # dropping the watermark here is exactly the double-count
+        # window the streaming replay guard exists to close.
+        extra = {}
+        if prev is not None and prev.get("merged_batch") is not None:
+            extra["merged_batch"] = int(prev["merged_batch"])
+        self.publish(root, version, extra=extra or None)
 
     def _lattice_single_pass(
         self, engine, fact_id: str, dim, groupings: list[list[str]]

@@ -282,8 +282,16 @@ class RollupMergeSink:
     ) -> None:
         root = self.store._dir(grouping, self.fact.id)
         meta = self.store.current_meta(root)
-        if meta is not None and meta.get("batch") == int(batch_id):
-            return  # this grouping already committed this batch (replay)
+        # replay guard: the committed pointer carries a merged-batch
+        # HIGH-WATERMARK, not just the last batch id — a materialize()
+        # (which publishes a new version with no batch) interleaved
+        # between a partial commit and the replay must not reopen
+        # already-merged batches. Batch ids are monotonic per stream
+        # (Structured Streaming checkpoint); resetting the checkpoint
+        # requires dropping or re-materializing the rollups.
+        hwm = self._merged_hwm(meta)
+        if hwm is not None and int(batch_id) <= hwm:
+            return  # this grouping already merged this batch (replay)
         delta = delta.withColumn("p_date", F.to_date("ts")).persist()
         dates = [r["p_date"] for r in delta.select("p_date").distinct().collect()]
         if not dates:
@@ -334,9 +342,27 @@ class RollupMergeSink:
                 for f in os.listdir(src):
                     if not f.startswith(("_", ".")):
                         os.link(os.path.join(src, f), os.path.join(dst, f))
-        # one atomic flip commits the merged data AND the batch id
-        self.store.publish(root, version, batch=int(batch_id))
+        # one atomic flip commits the merged data AND the watermark
+        self.store.publish(
+            root,
+            version,
+            batch=int(batch_id),
+            extra={"merged_batch": int(batch_id)},
+        )
         delta.unpersist()
+
+    @staticmethod
+    def _merged_hwm(meta) -> Optional[int]:
+        """Highest batch id already merged into this rollup, or None.
+        Falls back to the legacy last-batch field for pointers written
+        before the watermark existed."""
+        if meta is None:
+            return None
+        if meta.get("merged_batch") is not None:
+            return int(meta["merged_batch"])
+        if meta.get("batch") is not None:
+            return int(meta["batch"])
+        return None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(self.marker_dir, str(batch_id))
