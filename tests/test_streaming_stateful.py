@@ -44,6 +44,48 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 4]
 
 
+def test_streaming_funnel_hot_key_large_batch(spark, tmp_path):
+    """One key delivering a large micro-batch (the skew case the
+    vectorized state fn exists for): result must equal the batch
+    funnel, with the steps buried deep in the event stream."""
+    from time_series_storage_spark.operators.sessions import funnel
+    from time_series_storage_spark.streaming import streaming_funnel
+
+    n = 20_000
+    src = str(tmp_path / "hot")
+    ev = spark.range(n).select(
+        F.lit("hot").alias("user_id"),
+        # noise everywhere; the real steps appear at fixed offsets
+        F.when(F.col("id") == 5_000, F.lit("view"))
+        .when(F.col("id") == 12_000, F.lit("click"))
+        .when(F.col("id") == 19_000, F.lit("purchase"))
+        .otherwise(F.lit("noise"))
+        .alias("event_type"),
+        (F.lit(TS) + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    ev.coalesce(1).write.parquet(src + "/f1")
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/*")
+    q = (
+        streaming_funnel(stream, "user_id", ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("hotfunnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM hotfunnel ORDER BY steps_completed DESC"
+    ).collect()
+    assert rows, "no state update emitted"
+    got = rows[0]
+    want = funnel(ev, ["user_id"], ["view", "click", "purchase"]).collect()[0]
+    assert got["steps_completed"] == want["steps_completed"] == 3
+    for i, tcol in enumerate(["t0", "t1", "t2"]):
+        assert got[tcol] == int(want[tcol].timestamp()), tcol
+
+
 def test_streaming_funnel_converges_to_batch(spark, tmp_path):
     from time_series_storage_spark.operators.sessions import funnel
     from time_series_storage_spark.streaming import streaming_funnel

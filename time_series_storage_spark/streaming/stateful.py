@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -78,15 +79,31 @@ def streaming_funnel(
         )
         before = len(matched)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values([ts_col, type_col]).reset_index(drop=True)
-        for _, r in rows.iterrows():
-            if len(matched) >= n_steps:
+        # vectorized greedy scan — the whole batch as two numpy arrays,
+        # one nonzero per *step* (<= n_steps passes), never per row: a
+        # hot key delivering a large batch costs O(rows x steps) numpy
+        # ops, not per-row pandas overhead
+        order = rows.sort_values([ts_col, type_col], kind="mergesort").index
+        epochs = (
+            rows[ts_col].to_numpy()[order]
+            .astype("datetime64[s]")
+            .astype("int64")
+        )
+        types = rows[type_col].to_numpy()[order]
+        pos = 0
+        while len(matched) < n_steps:
+            if matched:
+                # epochs is sorted: rows older than the last matched
+                # step form a prefix, skip it in one bisection
+                pos = max(
+                    pos,
+                    int(np.searchsorted(epochs, matched[-1], side="left")),
+                )
+            hits = np.nonzero(types[pos:] == steps[len(matched)])[0]
+            if hits.size == 0:
                 break
-            want = steps[len(matched)]
-            epoch = int(r[ts_col].timestamp())
-            floor = matched[-1] if matched else None
-            if r[type_col] == want and (floor is None or epoch >= floor):
-                matched.append(epoch)
+            pos += int(hits[0]) + 1
+            matched.append(int(epochs[pos - 1]))
         if len(matched) != before or not state.exists:
             state.update((matched,))
             out = {key_col: [key[0]], "steps_completed": [len(matched)]}
