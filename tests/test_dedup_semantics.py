@@ -244,6 +244,18 @@ def test_asof_join_semantics(spark):
                      tolerance_seconds=60).collect()}
     assert tol[100] == 2 and tol[101] is None  # 5 min lag > 60s
 
+    # a non-castable order column must raise, not silently cast to
+    # NULL and make the equal-ts tie-break non-deterministic
+    right_str = right.withColumn(
+        "click_tag", F.concat(F.lit("c"), F.col("click_id"))
+    )
+    with pytest.raises(TypeError, match="order-preserving"):
+        asof_join(left, right_str, on=["user_id"],
+                  right_payload=["click_tag"])
+    # timestamp order columns are fine (epoch cast is order-preserving)
+    asof_join(left, right, on=["user_id"],
+              right_payload=["click_id"], right_order="ts").collect()
+
 
 def test_funnel_greedy_chain(spark):
     import datetime as dt

@@ -27,7 +27,24 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+# order-column types whose cast to long is value-preserving and
+# order-preserving; anything else (strings, arrays, ...) would cast to
+# NULL and silently turn the equal-ts tie-break non-deterministic
+_ORDERABLE_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.BooleanType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.DateType,
+)
 
 
 def asof_join(
@@ -53,6 +70,14 @@ def asof_join(
     if not right_payload:
         raise ValueError("right_payload must name at least one column")
     right_order = right_order or right_payload[0]
+    order_type = right.schema[right_order].dataType
+    if not isinstance(order_type, _ORDERABLE_TYPES):
+        raise TypeError(
+            f"asof_join right_order column {right_order!r} has type "
+            f"{order_type.simpleString()}, whose cast to long is not "
+            "order-preserving — the equal-ts tie-break would become "
+            "non-deterministic. Use a numeric/timestamp/date column."
+        )
 
     lcols = left.columns
     l_tagged = left.select(
