@@ -62,6 +62,70 @@ def test_rollup_merge_sink_partial_batch_replay(spark, tmp_path):
         assert a == b and len(a) > 0, g
 
 
+def test_merge_backend_seam_contract(spark, tmp_path):
+    """The sink must drive ANY RollupMergeBackend through the
+    per-(batch x grouping) idempotent-commit contract: consult the
+    watermark before merging, merge exactly the groupings at or above
+    it once, and never re-merge a batch a replay already committed —
+    proving a MERGE INTO (Delta/Iceberg) backend drops in without
+    touching the sink."""
+    from time_series_storage_spark.plans import RollupStore
+    from time_series_storage_spark.streaming.ingest import (
+        RollupMergeBackend,
+        RollupMergeSink,
+    )
+
+    class RecordingBackend(RollupMergeBackend):
+        def __init__(self):
+            self.merged = []  # (grouping tuple, batch_id) in call order
+            self.hwm = {}  # grouping tuple -> last committed batch
+
+        def last_merged_batch(self, grouping, fact_id):
+            return self.hwm.get(tuple(grouping))
+
+        def merge(self, delta, grouping, fact, batch_id):
+            assert fact.id == "hits" and delta.columns  # real delta df
+            self.merged.append((tuple(grouping), batch_id))
+            self.hwm[tuple(grouping)] = batch_id  # atomic commit+record
+
+    store = RollupStore(spark, str(tmp_path / "seam"))
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("hits", "counter", 15)
+    eng.define_dimension("company", group_only=True)
+    eng.define_dimension("user", grouped_by=[["company"], []], facts=["hits"])
+    ev = stream_events(
+        spark.range(30).select(
+            (F.lit(T0) + F.make_interval(mins=F.col("id"))).alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.lit("c0").alias("company"),
+            F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias("user"),
+        ),
+        "hits",
+        dim_cols={"company": "company", "user": "user"},
+    )
+    backend = RecordingBackend()
+    sink = RollupMergeSink(eng, store, "hits", "user", backend=backend)
+    g1, g2 = sink.groupings
+
+    # batch 0: partial failure — g1 commits, then the process dies
+    sink._merge_one(sink._batch_rollup(ev, g1), g1, 0)
+    assert backend.merged == [(tuple(g1), 0)]
+    # replay of batch 0 merges ONLY the uncommitted grouping
+    sink(ev, 0)
+    assert backend.merged == [(tuple(g1), 0), (tuple(g2), 0)]
+    # batch 1 merges both; a replay of 0 or 1 after that is a no-op
+    sink(ev, 1)
+    import os
+
+    os.remove(os.path.join(sink.marker_dir, "0"))
+    os.remove(os.path.join(sink.marker_dir, "1"))
+    sink(ev, 0)
+    sink(ev, 1)
+    assert backend.merged == [
+        (tuple(g1), 0), (tuple(g2), 0), (tuple(g1), 1), (tuple(g2), 1),
+    ]
+
+
 def test_replay_skipped_after_interleaved_materialize(spark, tmp_path):
     """The double-count window the high-watermark closes: a grouping
     commits its merge of batch 0, a full materialize() republishes the

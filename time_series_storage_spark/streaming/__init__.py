@@ -1,4 +1,6 @@
 from .ingest import (  # noqa: F401
+    ParquetVersionMergeBackend,
+    RollupMergeBackend,
     RollupMergeSink,
     stream_events,
     streaming_append,

@@ -217,29 +217,161 @@ def streaming_append(events: DataFrame, store: ParquetEventStore):
     return events.writeStream.foreachBatch(IdempotentAppendSink(store))
 
 
+class RollupMergeBackend:
+    """The MERGE seam: how one micro-batch's rollup delta is applied to
+    durable storage.
+
+    Contract (what RollupMergeSink relies on, per (batch x grouping)):
+
+    * ``merge`` is ATOMIC — readers see the rollup wholly before or
+      wholly after the merge, never a partial state; a crash mid-merge
+      leaves the previous state visible and complete.
+    * a committed merge durably records ``batch_id`` such that
+      ``last_merged_batch`` returns it (or a later batch) afterwards —
+      commit-of-data and commit-of-provenance are one event.
+    * ``last_merged_batch`` is a merged-batch HIGH-WATERMARK: every
+      batch at or below it is fully contained in the rollup. Batch ids
+      are monotonic per stream (Structured Streaming checkpoint).
+
+    The sink guarantees exactly-once on top of this: it skips any
+    (batch, grouping) at or below the watermark, so replays after a
+    crash re-merge only the groupings that had not committed.
+
+    Implementations: :class:`ParquetVersionMergeBackend` (default —
+    versioned parquet via RollupStore, dependency-free). On a
+    Delta/Iceberg lakehouse this becomes ``MERGE INTO`` keyed by
+    (grouping dims, ts[, bucket_lo]) with the batch id carried in the
+    commit's application metadata — the two methods below map 1:1 onto
+    that commit protocol.
+    """
+
+    def last_merged_batch(
+        self, grouping: list[str], fact_id: str
+    ) -> Optional[int]:
+        raise NotImplementedError
+
+    def merge(
+        self, delta: DataFrame, grouping: list[str], fact: Fact, batch_id: int
+    ) -> None:
+        raise NotImplementedError
+
+
+class ParquetVersionMergeBackend(RollupMergeBackend):
+    """Default backend: versioned parquet through a RollupStore.
+
+    The affected bucket-date partitions of the current rollup version
+    are read back, merged (measures are partial aggregates, so merge =
+    re-aggregate the union), and written as the *next* version — merged
+    dates from Spark, untouched dates hard-linked from the current
+    version — then committed by the store's atomic ``_current`` flip
+    carrying the merged-batch watermark. A crash mid-version-build
+    leaves the previous version visible and complete; publication and
+    watermark advance are one ``os.replace``.
+    """
+
+    def __init__(self, store):
+        self.store = store
+
+    def last_merged_batch(
+        self, grouping: list[str], fact_id: str
+    ) -> Optional[int]:
+        meta = self.store.current_meta(self.store._dir(grouping, fact_id))
+        if meta is None:
+            return None
+        if meta.get("merged_batch") is not None:
+            return int(meta["merged_batch"])
+        if meta.get("batch") is not None:  # legacy last-batch pointers
+            return int(meta["batch"])
+        return None
+
+    def merge(
+        self, delta: DataFrame, grouping: list[str], fact: Fact, batch_id: int
+    ) -> None:
+        root = self.store._dir(grouping, fact.id)
+        meta = self.store.current_meta(root)
+        delta = delta.withColumn("p_date", F.to_date("ts")).persist()
+        dates = [r["p_date"] for r in delta.select("p_date").distinct().collect()]
+        if not dates:
+            delta.unpersist()
+            return  # nothing to merge: replaying this no-op is safe
+        cur_dir = self.store.current_version_dir(grouping, fact.id)
+        existing = None
+        if cur_dir is not None:
+            existing = self.store.spark.read.parquet(cur_dir).where(
+                F.col("p_date").isin(dates)
+            )
+        merged = delta if existing is None else existing.unionByName(delta)
+        keys = [*grouping, "ts", "p_date"]
+        if fact.type == "histogram":
+            keys.append("bucket_lo")
+        aggs = [F.sum("counter").alias("counter")]
+        if fact.type == "average":
+            aggs.append(F.sum("total").alias("total"))
+        merged = merged.groupBy(*keys).agg(*aggs)
+        os.makedirs(root, exist_ok=True)
+        version = self.store.next_version(meta)
+        staging = os.path.join(root, version)
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            # cluster by p_date so each maintained date partition stays
+            # one file (bounded at scale by maxRecordsPerFile) — the
+            # read path's file-listing cost must not grow per batch
+            merged.repartition(F.col("p_date"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("p_date")
+            .parquet(staging)
+        )
+        # untouched date partitions carry over as hard links (same-fs,
+        # O(file count)); merged dates were rewritten above
+        if cur_dir is not None:
+            touched = {f"p_date={d.isoformat()}" for d in dates}
+            for name in os.listdir(cur_dir):
+                src = os.path.join(cur_dir, name)
+                if (
+                    not name.startswith("p_date=")
+                    or name in touched
+                    or not os.path.isdir(src)
+                ):
+                    continue
+                dst = os.path.join(staging, name)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if not f.startswith(("_", ".")):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+        # one atomic flip commits the merged data AND the watermark
+        self.store.publish(
+            root, version, batch=int(batch_id),
+            extra={"merged_batch": int(batch_id)},
+        )
+        delta.unpersist()
+
+
 class RollupMergeSink:
     """foreachBatch sink: incrementally maintain one materialized rollup.
 
     The streaming analogue of the reference's per-event rollup upserts
     (update.clj:41-93) with *unbounded lateness*: each micro-batch is
-    aggregated to slice grain, the affected bucket-date partitions of
-    the current rollup version are read back, merged (measures are
-    partial aggregates, so merge = re-aggregate the union), and written
-    as the *next* version — merged dates from Spark, untouched dates
-    hard-linked from the current version — then committed by the
-    RollupStore's atomic ``_current`` flip carrying the batch id.
-    Exactly-once per (batch x grouping): a replayed batch skips every
-    grouping whose committed pointer already records it, and a crash
-    mid-version-build leaves the previous version visible and complete.
-    On Delta/Iceberg this becomes MERGE INTO; the parquet variant keeps
-    the engine dependency-free.
+    aggregated to slice grain per grouping path, and each delta is
+    applied through the :class:`RollupMergeBackend` seam (default:
+    versioned parquet, see :class:`ParquetVersionMergeBackend`).
+    Exactly-once per (batch x grouping) rides on the backend contract:
+    skip any batch at or below the backend's merged-batch watermark,
+    merge the rest — a replayed batch re-merges only the groupings
+    that had not committed.
     """
 
-    def __init__(self, engine, store, fact_id: str, dimension_id: str):
-        from ..operators.rollup import best_grouping
-
+    def __init__(
+        self,
+        engine,
+        store,
+        fact_id: str,
+        dimension_id: str,
+        backend: Optional[RollupMergeBackend] = None,
+    ):
         self.engine = engine
         self.store = store
+        self.backend = backend or ParquetVersionMergeBackend(store)
         self.fact = engine.catalog.fact(fact_id)
         self.dim = engine.catalog.dimension(dimension_id)
         self.groupings = []
@@ -280,89 +412,17 @@ class RollupMergeSink:
     def _merge_one(
         self, delta: DataFrame, grouping: list[str], batch_id: int
     ) -> None:
-        root = self.store._dir(grouping, self.fact.id)
-        meta = self.store.current_meta(root)
-        # replay guard: the committed pointer carries a merged-batch
-        # HIGH-WATERMARK, not just the last batch id — a materialize()
-        # (which publishes a new version with no batch) interleaved
-        # between a partial commit and the replay must not reopen
-        # already-merged batches. Batch ids are monotonic per stream
-        # (Structured Streaming checkpoint); resetting the checkpoint
-        # requires dropping or re-materializing the rollups.
-        hwm = self._merged_hwm(meta)
+        # replay guard: skip any batch at or below the backend's
+        # merged-batch HIGH-WATERMARK — not just the last batch id — so
+        # a materialize() (which republishes with no batch of its own)
+        # interleaved between a partial commit and the replay cannot
+        # reopen already-merged batches. Resetting the stream's
+        # checkpoint (restarting batch ids) requires dropping or
+        # re-materializing the rollups.
+        hwm = self.backend.last_merged_batch(grouping, self.fact.id)
         if hwm is not None and int(batch_id) <= hwm:
             return  # this grouping already merged this batch (replay)
-        delta = delta.withColumn("p_date", F.to_date("ts")).persist()
-        dates = [r["p_date"] for r in delta.select("p_date").distinct().collect()]
-        if not dates:
-            delta.unpersist()
-            return  # nothing to merge: replaying this no-op is safe
-        cur_dir = self.store.current_version_dir(grouping, self.fact.id)
-        existing = None
-        if cur_dir is not None:
-            existing = self.store.spark.read.parquet(cur_dir).where(
-                F.col("p_date").isin(dates)
-            )
-        merged = delta if existing is None else existing.unionByName(delta)
-        keys = [*grouping, "ts", "p_date"]
-        if self.fact.type == "histogram":
-            keys.append("bucket_lo")
-        aggs = [F.sum("counter").alias("counter")]
-        if self.fact.type == "average":
-            aggs.append(F.sum("total").alias("total"))
-        merged = merged.groupBy(*keys).agg(*aggs)
-        os.makedirs(root, exist_ok=True)
-        version = self.store.next_version(meta)
-        staging = os.path.join(root, version)
-        shutil.rmtree(staging, ignore_errors=True)
-        (
-            # cluster by p_date so each maintained date partition stays
-            # one file (bounded at scale by maxRecordsPerFile) — the
-            # read path's file-listing cost must not grow per batch
-            merged.repartition(F.col("p_date"))
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", 5_000_000)
-            .partitionBy("p_date")
-            .parquet(staging)
-        )
-        # untouched date partitions carry over as hard links (same-fs,
-        # O(file count)); merged dates were rewritten above
-        if cur_dir is not None:
-            touched = {f"p_date={d.isoformat()}" for d in dates}
-            for name in os.listdir(cur_dir):
-                src = os.path.join(cur_dir, name)
-                if (
-                    not name.startswith("p_date=")
-                    or name in touched
-                    or not os.path.isdir(src)
-                ):
-                    continue
-                dst = os.path.join(staging, name)
-                os.makedirs(dst, exist_ok=True)
-                for f in os.listdir(src):
-                    if not f.startswith(("_", ".")):
-                        os.link(os.path.join(src, f), os.path.join(dst, f))
-        # one atomic flip commits the merged data AND the watermark
-        self.store.publish(
-            root,
-            version,
-            batch=int(batch_id),
-            extra={"merged_batch": int(batch_id)},
-        )
-        delta.unpersist()
-
-    @staticmethod
-    def _merged_hwm(meta) -> Optional[int]:
-        """Highest batch id already merged into this rollup, or None.
-        Falls back to the legacy last-batch field for pointers written
-        before the watermark existed."""
-        if meta is None:
-            return None
-        if meta.get("merged_batch") is not None:
-            return int(meta["merged_batch"])
-        if meta.get("batch") is not None:
-            return int(meta["batch"])
-        return None
+        self.backend.merge(delta, grouping, self.fact, int(batch_id))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(self.marker_dir, str(batch_id))
