@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries and prints ONE JSON line.
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "control": sec, "sf": 0.1}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -10,6 +10,12 @@ Each query is forced with the noop sink (full execution, no driver
 collect). One untimed warm-up pass runs first — first executions pay
 one-time JVM/codegen/broadcast warm-up costs that are not a property of
 the query plan; the timed pass measures steady-state latency.
+
+``control`` is a PINNED probe (fixed scan-aggregate over the events
+table, defined here and never changed across rounds): it normalizes
+cross-round comparisons against machine drift. If round N's queries
+inflate but control inflates identically, the machine moved, not the
+plans; control is excluded from the total.
 """
 
 from __future__ import annotations
@@ -44,13 +50,29 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
+        # keep stdout machine-parseable: the one JSON line, no
+        # progress-bar control characters
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    def bench_control(spark_, sf_dir_):
+        # PINNED — do not change across rounds (it is the cross-round
+        # drift normalizer): hour x type counts over the events table,
+        # one scan + one partial-aggregated shuffle
+        from pyspark.sql import functions as F
+
+        ev = spark_.read.parquet(os.path.join(sf_dir_, "events.parquet"))
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+
+    qs = dict(entrymod.queries())
+    qs["__control__"] = bench_control
     # one query at a time, fully isolated: build, untimed warm-up
     # (pays codegen + populates the query's own persisted frames),
     # best-of-3 timed, then drop every cached block before the next
@@ -77,6 +99,7 @@ def main() -> None:
             runs.append(timed())
         times[name] = min(runs)
         spark.catalog.clearCache()
+    control = times.pop("__control__")
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -85,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "control": control,
                 "sf": sf,
             }
         )
