@@ -283,14 +283,25 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (d1 < d2) from signature columns.
 
     rows-per-band r = num_hashes // bands; two docs are candidates iff
     some band's r signature values all match. The band key is a string
     concat so the join is a plain shuffled equi-join on
-    (band_id, band_key) — no custom partitioner needed, and skew is
-    bounded by bucket collision rates.
+    (band_id, band_key) — no custom partitioner needed.
+
+    ``max_bucket_size`` is the web-scale skew guard: a bucket of n docs
+    contributes n^2 pairs, and a boilerplate-dominated corpus (error
+    pages, templates) concentrates millions of docs in a handful of
+    buckets. AQE's byte-based skew split cannot see this — the hot
+    bucket's rows are identical (id, band_key) pairs that compress to
+    almost nothing — so the standard LSH mitigation applies: drop
+    buckets above the cap entirely (their members are boilerplate
+    near-dups of each other that exact-dedup or a dedicated boilerplate
+    pass handles at linear cost; genuine near-dup families are orders
+    of magnitude smaller). Default None preserves exact semantics.
     """
     r = num_hashes // bands
     band_keys = F.array(
@@ -304,6 +315,19 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
     )
+    if max_bucket_size is not None:
+        # one partial-aggregated count over the exploded index, then a
+        # windowless semi-join-free filter: re-join the small over-cap
+        # bucket list as a broadcast anti join
+        over = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        exploded = exploded.join(
+            F.broadcast(over), ["band_id", "band_key"], "left_anti"
+        )
     a = exploded.select(
         F.col(id_col).alias("d1"), "band_id", "band_key"
     )
@@ -326,9 +350,12 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold_x1000: int = 500,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs, LSH candidates verified with exact
     Jaccard. Output (d1, d2, jacc_x1000), d1 < d2, jacc >= threshold.
+    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs`
+    (the boilerplate-bucket skew guard; None = exact semantics).
 
     The scale path, built on the per-document shingle-set arrays of
     :func:`hashed_shingle_sets` so the only shuffles in the whole
@@ -360,7 +387,7 @@ def minhash_lsh_pairs(
         id_col,
         num_hashes,
     ).persist()
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket_size)
     a = sets.select(
         F.col(id_col).alias("d1"), F.col("hs_set").alias("s1"),
         F.col("n").alias("n1"),
