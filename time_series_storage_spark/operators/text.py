@@ -4,8 +4,10 @@ The reference stores no text; these are the per-document scoring
 operators a training-data pipeline runs before dedup/filtering, all
 expressed as built-in Catalyst expressions (split / filter / aggregate /
 regexp) so they run JVM-side inside whole-stage codegen — no Python in
-the hot path, embarrassingly parallel (no shuffle at all: one projection
-over the scan).
+the hot path. The per-row scorers are shuffle-free projections over the
+scan; the frequency-based scorers (top-terms, repetition) go through
+explode + partial-aggregated groupBys — linear in token count, never a
+per-row fold over a growing structure.
 
 * token counting      — whitespace tokens + a BPE-ish regex token count
 * quality scoring     — length / punctuation / stopword / word-length
