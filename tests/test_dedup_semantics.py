@@ -214,6 +214,36 @@ def test_hash_split_deterministic_and_weighted(spark):
     assert counts["train"] > 1800 and counts["val"] > 0 and counts["test"] > 0
 
 
+def test_ngram_contamination_semantics(spark):
+    """Benchmark members self-contaminate at exactly 1000; documents
+    sharing no k-gram with the benchmark score 0; partial overlap lands
+    strictly between and the flag follows the threshold."""
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaabbbbccccdddd"),  # benchmark member
+            (1, "aaaabbbbccccdddd"),  # exact copy -> 1000
+            (2, "zzzzyyyyxxxxwwww"),  # disjoint -> 0
+            (3, "aaaabbbbcczzyyxx"),  # shares a prefix of shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.ngram_contamination(
+            docs, docs.where(F.col("doc_id") == 0), k=8, threshold_x1000=500
+        ).collect()
+    }
+    assert len(out) == 4  # every input doc gets a row
+    assert out[0]["contam_x1000"] == 1000 and out[0]["is_contaminated"] == 1
+    assert out[1]["contam_x1000"] == 1000 and out[1]["is_contaminated"] == 1
+    assert out[2]["contam_x1000"] == 0 and out[2]["is_contaminated"] == 0
+    assert 0 < out[3]["contam_x1000"] < 1000
+    # 16-char text -> 9 shingles; doc 3 shares the first 3 (prefix
+    # "aaaabbbbcc" spans shingles at pos 1..3)
+    assert out[3]["n_shingles"] == 9 and out[3]["n_hit"] == 3
+    assert out[3]["is_contaminated"] == 0  # 333 < 500
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 

@@ -151,6 +151,20 @@ def test_repetition_plan_is_linear_no_map_fold(spark):
     assert "Join" not in plan
 
 
+def test_contamination_probe_is_broadcast_single_exchange(spark):
+    """Decontamination must broadcast the benchmark shingle set and
+    probe it map-side: no sort-merge join, and the only hash exchange
+    below the final aggregate is the per-doc groupBy."""
+    from time_series_storage_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") >= 490)
+    plan = _plan(ngram_contamination(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
 def test_extension_scan_prunes_columns(spark):
     from time_series_storage_spark.operators.text import ws_token_count
 

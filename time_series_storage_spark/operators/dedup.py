@@ -151,6 +151,58 @@ def hashed_shingle_sets(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that overlap
+    an evaluation set before training on them. Per document: distinct
+    k-gram shingle count, how many of those shingles appear anywhere in
+    the benchmark, the x1000-floored contamination ratio, and the
+    >= threshold flag.
+
+    Output: (id, n_shingles, n_hit, contam_x1000, is_contaminated),
+    one row per input document.
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny next
+    to the corpus (eval sets are fixed-size while the corpus grows), so
+    it is BROADCAST and probed map-side against the corpus's
+    zero-shuffle per-document shingle projection — the only exchange in
+    the whole plan is the final partial-aggregated ``groupBy(id)``.
+    Linear in corpus size, constant in benchmark count per shingle.
+    """
+    corpus = hashed_shingle_sets(docs, id_col, text_col, k).select(
+        F.col(id_col), F.explode("hs_set").alias("hs")
+    )
+    bench = (
+        hashed_shingle_sets(benchmark, id_col, text_col, k)
+        .select(F.explode("hs_set").alias("hs"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = corpus.join(F.broadcast(bench), "hs", "left")
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+    )
+    # floor, not cast: DuckDB's double->BIGINT cast rounds while
+    # Spark's truncates — floor is identical in both engines
+    contam = F.floor(
+        (F.col("n_hit") * 1000) / F.col("n_shingles")
+    ).cast("long")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        contam.alias("contam_x1000"),
+        (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
+    )
+
+
 def normalized_fingerprint(text_col) -> Column:
     """Whitespace-collapsed, lowercased md5 — the exact-dup key."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -143,6 +143,46 @@ WHERE (common * 1000) // (z1.n + z2.n - common) >= {NGRAM_THRESHOLD}
 """
 
 
+# -- decontamination: benchmark n-gram overlap ------------------------------
+
+DECON_BENCH_MIN = 490  # docs with id >= this act as the "benchmark" set
+DECON_THRESHOLD = 500  # contaminated at >= 50% shingle overlap
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every document scored by the fraction
+    of its 8-gram shingles that appear in the benchmark set (the last
+    10 docs standing in for an eval set). Benchmark members score 1000
+    by construction — the self-contamination sanity check."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") >= DECON_BENCH_MIN)
+    return D.ngram_contamination(
+        docs, bench, "doc_id", "text", k=8, threshold_x1000=DECON_THRESHOLD
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles"),
+        F.col("n_hit"),
+        F.col("contam_x1000"),
+        F.col("is_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH docs AS (SELECT * FROM documents),
+{_SH},
+bench AS (SELECT DISTINCT hs FROM shh WHERE doc_id >= {DECON_BENCH_MIN}),
+probed AS (SELECT s.doc_id, CASE WHEN b.hs IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM shh s LEFT JOIN bench b USING (hs)),
+per_doc AS (SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h
+            FROM probed GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_shingles, h::BIGINT AS n_hit,
+       ((h * 1000) // n)::BIGINT AS contam_x1000,
+       (CASE WHEN (h * 1000) // n >= {DECON_THRESHOLD} THEN 1 ELSE 0
+        END)::BIGINT AS is_contaminated
+FROM per_doc
+"""
+
+
 # -- dedup: MinHash + LSH (the scale path, full corpus) ---------------------
 
 def q_dedup_minhash(spark, sf_dir):
@@ -963,6 +1003,7 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
