@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from time_series_storage_spark.operators.analytics import (
     interpolate_fill,
+    rate,
     rolling_agg,
 )
 
@@ -148,6 +149,58 @@ def test_interpolate_floor_lerp_negative_slope(spark):
     assert out[BASE + dt.timedelta(seconds=120)] == 5
 
 
+@given(events=rolling_events)
+@_slow
+def test_rate_matches_bruteforce(spark, events):
+    # dedupe (key, ts): rate over duplicate timestamps divides by zero
+    # elapsed time — the model and operator must agree on unique epochs
+    uniq = {}
+    for s, q, k in events:
+        uniq[(k, s)] = q
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), q)
+        for (k, s), q in uniq.items()
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "q"])
+    got = {
+        (r["k"], r["ts"], r["q"], r["delta_q"], r["delta_s"], r["rate_q"])
+        for r in rate(df, ["k"]).collect()
+    }
+    want = set()
+    by_key: dict[str, list] = {}
+    for k, t, q in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((t, q))
+    for k, seq in by_key.items():
+        for i, (t, q) in enumerate(seq):
+            if i == 0:
+                want.add((k, t, q, None, None, None))
+            else:
+                pt, pq = seq[i - 1]
+                ds = int((t - pt).total_seconds())
+                dq = q - pq
+                want.add((k, t, q, dq, ds, math.floor(dq * 1000 / ds)))
+    assert got == want
+
+
+def test_rate_first_row_and_negative_slope(spark):
+    rows = [
+        ("a", BASE, 100),
+        ("a", BASE + dt.timedelta(seconds=900), 55),  # -45 over 900s
+        ("a", BASE + dt.timedelta(seconds=2700), 55),  # flat over 1800s
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "q"])
+    out = {r["ts"]: r for r in rate(df, ["k"]).collect()}
+    first = out[BASE]
+    assert (first["delta_q"], first["delta_s"], first["rate_q"]) == (
+        None, None, None,
+    )
+    neg = out[BASE + dt.timedelta(seconds=900)]
+    # floor(-45 * 1000 / 900) = -50 exactly
+    assert (neg["delta_q"], neg["delta_s"], neg["rate_q"]) == (-45, 900, -50)
+    flat = out[BASE + dt.timedelta(seconds=2700)]
+    assert (flat["delta_q"], flat["delta_s"], flat["rate_q"]) == (0, 1800, 0)
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -161,6 +214,17 @@ def test_rolling_plan_one_window_exchange_no_join(spark):
         s for s in plan.split("Exchange")[1:] if "hashpartitioning" in s[:200]
     ]
     assert len(segs) == 1  # the one exchange on the series dims
+
+
+def test_rate_plan_one_window_exchange_no_join(spark):
+    df = spark.createDataFrame([("a", BASE, 1)], ["k", "ts", "q"])
+    plan = _plan(rate(df, ["k"]))
+    assert "Window" in plan
+    assert "Join" not in plan
+    segs = [
+        s for s in plan.split("Exchange")[1:] if "hashpartitioning" in s[:200]
+    ]
+    assert len(segs) == 1  # both lags share the one exchange + sort
 
 
 def test_interpolate_plan_grid_is_broadcast(spark):

@@ -76,6 +76,42 @@ def rolling_agg(
     )
 
 
+def rate(
+    series: DataFrame,
+    dims: Sequence[str],
+    ts_col: str = "ts",
+    q_col: str = "q",
+    per_seconds: int = 1000,
+) -> DataFrame:
+    """Discrete derivative per series: each observation's change versus
+    the previous one and the integer rate of change per ``per_seconds``
+    of elapsed time — the counter-rate / gauge-slope operator (PromQL's
+    ``delta``/``rate`` shape) over an irregularly spaced series.
+
+    Adds ``delta_q`` (exact long), ``delta_s`` (elapsed seconds, long)
+    and ``rate_q`` = floor(delta_q * per_seconds / delta_s) to the
+    input columns; the first observation of each series has NULLs (no
+    predecessor — a documented choice: a synthetic zero would fabricate
+    a spike). One lag-window pass, same single-exchange shape as
+    :func:`rolling_agg`: no self-join, no densification, sparse series
+    pay only their own rows.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(*dims).orderBy(epoch)
+    delta_q = F.col(q_col) - F.lag(q_col).over(w)
+    delta_s = epoch - F.lag(epoch).over(w)
+    # both lags in one projection -> a single Window operator (one sort)
+    return series.select(
+        "*",
+        delta_q.cast("long").alias("delta_q"),
+        delta_s.cast("long").alias("delta_s"),
+    ).withColumn(
+        "rate_q",
+        F.floor(F.col("delta_q") * per_seconds / F.col("delta_s"))
+        .cast("long"),
+    )
+
+
 def interpolate_fill(
     sparse: DataFrame,
     dims: Sequence[str],

@@ -571,6 +571,54 @@ FROM filled
 """
 
 
+def q_rate(spark, sf_dir):
+    """rate() over the same sparsified hourly gauge series as
+    ts_interp_fill: alternating 1-hour and 3-hour gaps exercise the
+    elapsed-time division, not just a constant stride."""
+    from .operators.analytics import rate
+
+    src = read_events(spark, sf_dir)
+    hourly = src.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("q")
+    )
+    sparse = hourly.where(
+        F.pmod(F.floor(F.unix_timestamp("ts") / 3600).cast("long"), F.lit(5)) < 2
+    )
+    # each series' first observation has NULL deltas (no predecessor);
+    # the driver compare sorts raw tuples, so keep the gate NULL-free
+    out = rate(sparse, ["event_type"]).where(F.col("delta_q").isNotNull())
+    return out.select(
+        "event_type", _ts_str(), _long("q", "q"),
+        _long("delta_q", "delta_q"), _long("delta_s", "delta_s"),
+        _long("rate_q", "rate_q"),
+    )
+
+
+SQL_RATE = f"""
+WITH hr AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS q
+  FROM events GROUP BY 1, 2
+),
+sparse AS (SELECT * FROM hr
+           WHERE (CAST(epoch(h) AS BIGINT) // 3600) % 5 < 2),
+lagged AS (
+  SELECT event_type, h, q,
+         (q - LAG(q) OVER w) AS dq,
+         (CAST(epoch(h) AS BIGINT)
+          - LAG(CAST(epoch(h) AS BIGINT)) OVER w) AS ds
+  FROM sparse
+  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(epoch(h) AS BIGINT))
+)
+SELECT event_type, strftime(h, '{DUCK_FMT}') AS ts, q::BIGINT AS q,
+       dq::BIGINT AS delta_q, ds::BIGINT AS delta_s,
+       CAST(floor(dq * 1000 / ds) AS BIGINT) AS rate_q
+FROM lagged WHERE dq IS NOT NULL
+"""
+
+
 CORE_QUERIES = {
     "ts_counter_none": (q_counter_none, SQL_COUNTER_NONE),
     "ts_counter_hour_fill": (q_counter_hour, SQL_COUNTER_HOUR),
@@ -590,4 +638,5 @@ CORE_QUERIES = {
     "ts_histogram_day_materialized": (q_hist_day_materialized, SQL_HIST_DAY),
     "ts_rolling_3h": (q_rolling_3h, SQL_ROLLING_3H),
     "ts_interp_fill": (q_interp_fill, SQL_INTERP_FILL),
+    "ts_rate_sparse": (q_rate, SQL_RATE),
 }
