@@ -214,6 +214,34 @@ def test_hash_split_deterministic_and_weighted(spark):
     assert counts["train"] > 1800 and counts["val"] > 0 and counts["test"] > 0
 
 
+def test_weighted_mix_quota_semantics(spark):
+    """Per-key quotas honored (short groups keep everything), unlisted
+    keys get the default, and raising a quota only ADDS rows — the
+    stability property that makes re-mixing a growing corpus safe."""
+    from time_series_storage_spark.operators.split import weighted_mix
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    out = weighted_mix(
+        docs, "src", "doc_id", {"s0": 10, "s1": 150}, default_quota=3
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[r["src"]] = counts.get(r["src"], 0) + 1
+        assert r["mix_rank"] <= {"s0": 10, "s1": 150}.get(r["src"], 3)
+    # 100 rows per source: quota caps s0, short-group keeps all of s1,
+    # default caps s2
+    assert counts == {"s0": 10, "s1": 100, "s2": 3}
+    kept_small = {r["doc_id"] for r in out if r["src"] == "s0"}
+    grown = weighted_mix(
+        docs, "src", "doc_id", {"s0": 30, "s1": 150}, default_quota=3
+    ).collect()
+    kept_big = {r["doc_id"] for r in grown if r["src"] == "s0"}
+    assert kept_small < kept_big  # strict superset: growth only adds
+
+
 def test_ngram_contamination_semantics(spark):
     """Benchmark members self-contaminate at exactly 1000; documents
     sharing no k-gram with the benchmark score 0; partial overlap lands

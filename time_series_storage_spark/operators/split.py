@@ -98,3 +98,51 @@ def split_bucket_raw(id_col, salt: str = "v1") -> Column:
     hash-ordered sampling deterministic."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return md5_long(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+
+
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic data-mixture selection: keep at most ``quotas[k]``
+    rows per ``key_col`` value (``default_quota`` for unlisted keys) —
+    the per-source mixture-weight step of a training-data pipeline
+    (up-weight curated sources, cap crawl dumps, drop the rest).
+
+    Same determinism contract as :func:`stratified_sample` (the
+    "random" order is the id hash, so reruns, engines and
+    partitionings pick identical rows, and raising a quota only adds
+    rows), generalized from one global cap to a per-key quota map.
+    The quota map is by construction small (one entry per source) and
+    enters the plan as a literal CASE over the key, not a join — the
+    whole selection stays one rank window on ``key_col``.
+
+    Output: the selected input rows + ``mix_rank`` (1-based rank within
+    the key's hash order).
+    """
+    from pyspark.sql import Window
+
+    quota = None
+    for k, n in sorted(quotas.items()):
+        cond = F.col(key_col) == F.lit(k)
+        quota = (
+            F.when(cond, F.lit(int(n)))
+            if quota is None
+            else quota.when(cond, F.lit(int(n)))
+        )
+    quota = (
+        F.lit(int(default_quota))
+        if quota is None
+        else quota.otherwise(F.lit(int(default_quota)))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        split_bucket_raw(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("mix_rank") <= quota)
+    )

@@ -897,6 +897,43 @@ SELECT doc_id::BIGINT AS doc_id, lang FROM r WHERE rnk <= 50
 """
 
 
+MIX_QUOTAS = {"src0": 40, "src1": 20, "src2": 10}
+MIX_DEFAULT = 5
+
+
+def q_sample_weighted_mix(spark, sf_dir):
+    """Deterministic source-mixture selection: per-source quotas (the
+    training-mix weights) with a default cap for unlisted sources,
+    picked by hashed-id order."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return SP.weighted_mix(
+        docs, "source", "doc_id", MIX_QUOTAS, default_quota=MIX_DEFAULT
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("mix_rank"),
+    )
+
+
+def _mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {n}" for k, n in sorted(MIX_QUOTAS.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)),
+                                                1, 15)) AS BIGINT),
+                    doc_id) AS mix_rank
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, source, mix_rank::BIGINT AS mix_rank
+FROM r WHERE mix_rank <= (CASE {cases} ELSE {MIX_DEFAULT} END)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -1024,6 +1061,7 @@ EXT_QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
