@@ -158,7 +158,7 @@ def test_contamination_probe_is_broadcast_single_exchange(spark):
     from time_series_storage_spark.operators.dedup import ngram_contamination
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    bench = docs.where(F.col("doc_id") >= 490)
+    bench = docs.where(F.col("doc_id") < 10)
     plan = _plan(ngram_contamination(docs, bench))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

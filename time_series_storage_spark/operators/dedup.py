@@ -170,17 +170,18 @@ def ngram_contamination(
 
     Scale shape: the benchmark's distinct shingle-hash set is tiny next
     to the corpus (eval sets are fixed-size while the corpus grows), so
-    it is BROADCAST and probed map-side against the corpus's
-    zero-shuffle per-document shingle projection — the only exchange in
-    the whole plan is the final partial-aggregated ``groupBy(id)``.
-    Linear in corpus size, constant in benchmark count per shingle.
+    it is BROADCAST and probed map-side against the corpus's exploded
+    shingle projection (:func:`hashed_shingles` — codegen'd md5 over
+    exploded positions; the per-row array-building transform is
+    interpreted per element and ~2x slower at corpus scale). Linear in
+    corpus size, constant in benchmark count per shingle; the only
+    exchanges are the (id, hs) distinct and the final ``groupBy(id)``,
+    both partial-aggregated.
     """
-    corpus = hashed_shingle_sets(docs, id_col, text_col, k).select(
-        F.col(id_col), F.explode("hs_set").alias("hs")
-    )
+    corpus = hashed_shingles(docs, id_col, text_col, k)
     bench = (
-        hashed_shingle_sets(benchmark, id_col, text_col, k)
-        .select(F.explode("hs_set").alias("hs"))
+        hashed_shingles(benchmark, id_col, text_col, k)
+        .select("hs")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

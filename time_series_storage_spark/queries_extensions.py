@@ -145,17 +145,20 @@ WHERE (common * 1000) // (z1.n + z2.n - common) >= {NGRAM_THRESHOLD}
 
 # -- decontamination: benchmark n-gram overlap ------------------------------
 
-DECON_BENCH_MIN = 490  # docs with id >= this act as the "benchmark" set
+# the first 10 docs stand in for the eval set: a FIXED-size benchmark
+# at every scale factor — the whole point of the broadcast design is
+# that the benchmark stays constant while the corpus grows
+DECON_BENCH_MAX = 10
 DECON_THRESHOLD = 500  # contaminated at >= 50% shingle overlap
 
 
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every document scored by the fraction
-    of its 8-gram shingles that appear in the benchmark set (the last
+    of its 8-gram shingles that appear in the benchmark set (the first
     10 docs standing in for an eval set). Benchmark members score 1000
     by construction — the self-contamination sanity check."""
     docs = _docs(spark, sf_dir)
-    bench = docs.where(F.col("doc_id") >= DECON_BENCH_MIN)
+    bench = docs.where(F.col("doc_id") < DECON_BENCH_MAX)
     return D.ngram_contamination(
         docs, bench, "doc_id", "text", k=8, threshold_x1000=DECON_THRESHOLD
     ).select(
@@ -170,7 +173,7 @@ def q_decontaminate(spark, sf_dir):
 SQL_DECONTAMINATE = f"""
 WITH docs AS (SELECT * FROM documents),
 {_SH},
-bench AS (SELECT DISTINCT hs FROM shh WHERE doc_id >= {DECON_BENCH_MIN}),
+bench AS (SELECT DISTINCT hs FROM shh WHERE doc_id < {DECON_BENCH_MAX}),
 probed AS (SELECT s.doc_id, CASE WHEN b.hs IS NOT NULL THEN 1 ELSE 0 END AS hit
            FROM shh s LEFT JOIN bench b USING (hs)),
 per_doc AS (SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h
