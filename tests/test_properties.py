@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from time_series_storage_spark import TimeSeries
 
@@ -160,3 +161,47 @@ def test_sessionize_matches_bruteforce(spark, rows):
                 sess += 1
             assert got[(key, i)] == sess, (key, i)
             prev = ts
+
+
+# -- benchmark decontamination vs a brute-force shingle model ---------------
+
+contam_texts = st.lists(
+    st.text(alphabet="abcdxy ", min_size=1, max_size=30),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=contam_texts, k=st.sampled_from([2, 4]))
+@_slow
+def test_contamination_matches_bruteforce(spark, texts, k):
+    from time_series_storage_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    bench_ids = {0}  # first doc is the benchmark
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination(
+            docs, docs.where(F.col("doc_id") == 0), k=k, threshold_x1000=500
+        ).collect()
+    }
+    def shingles(t):
+        # mirror the operator's short-text rule: at least one shingle
+        # (the substring from position 1, truncated at text end)
+        n = max(len(t) - (k - 1), 1)
+        return {t[i:i + k] for i in range(n)}
+    bench_set = set().union(*(shingles(texts[i]) for i in bench_ids))
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        sh = shingles(t)
+        hits = len(sh & bench_set)
+        row = got[i]
+        assert row["n_shingles"] == len(sh), (i, t)
+        assert row["n_hit"] == hits, (i, t)
+        assert row["contam_x1000"] == (hits * 1000) // len(sh)
+        assert row["is_contaminated"] == int(
+            (hits * 1000) // len(sh) >= 500
+        )
+    assert got[0]["contam_x1000"] == 1000  # self-contamination
