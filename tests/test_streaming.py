@@ -233,3 +233,47 @@ def test_streaming_append_idempotent_and_late(spark, tmp_path, stream_setup):
         "hits", "user", {}, dt.datetime(2022, 3, 1), dt.datetime(2022, 3, 2)
     )
     assert got == {(("user", "u9"),): {"all": {"counter": 1, "total": 9.0}}}
+
+
+def test_text_scorers_compose_with_streams(spark, tmp_path):
+    """The text scoring operators are stateless Catalyst projections,
+    so the SAME operator code runs unchanged on a readStream — the
+    batch/stream unification a scoring pipeline relies on (score docs
+    as they arrive, no reimplementation)."""
+    from time_series_storage_spark.operators import text as T
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(100).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = sorted(
+        (r["doc_id"], r["quality_x1000"], r["lang_pred"], r["fp"])
+        for r in T.quality_signals(batch, "text").select(
+            "doc_id",
+            "quality_x1000",
+            T.lang_id("text").alias("lang_pred"),
+            T.fingerprint("text").alias("fp"),
+        ).collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        T.quality_signals(stream, "text")
+        .select(
+            "doc_id",
+            "quality_x1000",
+            T.lang_id("text").alias("lang_pred"),
+            T.fingerprint("text").alias("fp"),
+        )
+        .writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_text"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["quality_x1000"], r["lang_pred"], r["fp"])
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    )
+    assert got == want and len(got) == 100

@@ -759,8 +759,10 @@ def q_text_quality(spark, sf_dir):
 
 _STOP_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
-SQL_TEXT_QUALITY = f"""
-WITH sigs AS (
+# shared CTE chain mirroring operators.text.quality_signals — used by
+# the raw-signals query and the per-language quality filter
+_QUALITY_CTES = f"""
+sigs AS (
   SELECT doc_id,
          length(text)::BIGINT AS q_chars,
          len({_TOKS})::BIGINT AS n_tokens,
@@ -775,16 +777,63 @@ scored AS (
          (n_stop * 1000) // greatest(n_tokens, 1) AS stop_r,
          (n_punct * 1000) // greatest(q_chars, 1) AS punct
   FROM sigs
+),
+quality AS (
+  SELECT doc_id, q_chars, n_tokens,
+         awl::BIGINT AS avg_word_len_x100,
+         stop_r::BIGINT AS stop_ratio_x1000,
+         punct::BIGINT AS punct_x1000,
+         least(greatest(500
+           + (CASE WHEN stop_r >= 50 AND stop_r <= 400 THEN 300 ELSE 0 END)
+           + (CASE WHEN awl >= 200 AND awl <= 1200 THEN 200 ELSE 0 END)
+           - punct, 0), 1000)::BIGINT AS quality_x1000
+  FROM scored
+)"""
+
+SQL_TEXT_QUALITY = f"""
+WITH {_QUALITY_CTES}
+SELECT doc_id, q_chars, n_tokens, avg_word_len_x100,
+       stop_ratio_x1000, punct_x1000, quality_x1000
+FROM quality
+"""
+
+
+FILTER_TOP_PER_LANG = 20
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """The quality-filter pipeline step composed from existing
+    operators: score every document, keep the top-N per language
+    (quality desc, id tiebreak) — one scoring projection + one rank
+    window, the shape that filters a 100 TB corpus in a single pass."""
+    from pyspark.sql import Window
+
+    sigs = T.quality_signals(_docs(spark, sf_dir), "text")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_x1000").desc(), F.col("doc_id")
+    )
+    return (
+        sigs.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("q_rank") <= FILTER_TOP_PER_LANG)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            F.col("quality_x1000"),
+            F.col("q_rank"),
+        )
+    )
+
+
+SQL_TEXT_QUALITY_FILTER = f"""
+WITH {_QUALITY_CTES},
+r AS (
+  SELECT d.doc_id, d.lang, q.quality_x1000,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality_x1000 DESC, d.doc_id) AS q_rank
+  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
 )
-SELECT doc_id, q_chars, n_tokens,
-       awl::BIGINT AS avg_word_len_x100,
-       stop_r::BIGINT AS stop_ratio_x1000,
-       punct::BIGINT AS punct_x1000,
-       least(greatest(500
-         + (CASE WHEN stop_r >= 50 AND stop_r <= 400 THEN 300 ELSE 0 END)
-         + (CASE WHEN awl >= 200 AND awl <= 1200 THEN 200 ELSE 0 END)
-         - punct, 0), 1000)::BIGINT AS quality_x1000
-FROM scored
+SELECT doc_id::BIGINT AS doc_id, lang, quality_x1000, q_rank::BIGINT AS q_rank
+FROM r WHERE q_rank <= {FILTER_TOP_PER_LANG}
 """
 
 
@@ -1059,6 +1108,7 @@ EXT_QUERIES = {
     "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
     "text_lang_id": (q_text_lang, _lang_sql()),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
