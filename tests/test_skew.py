@@ -90,6 +90,60 @@ def test_lsh_bucket_join_splits_skewed_bucket(spark, skew_conf):
     assert "skew=true" in plan, plan[:2000]
 
 
+def test_sampler_two_phase_topk_is_exact_and_partition_local(spark):
+    """The samplers' two-phase top-k: a stratum holding ~95% of the
+    corpus, spread over many source partitions, must select EXACTLY
+    the same rows as a naive single global rank window — and the plan
+    must show the partition-local phase (spark_partition_id in the
+    first window's keys) so no single task sorts the hot stratum."""
+    from pyspark.sql import Window
+
+    from time_series_storage_spark.operators.split import (
+        split_bucket_raw,
+        stratified_sample,
+        weighted_mix,
+    )
+
+    docs = (
+        spark.range(20_000)
+        .repartition(16)  # hot key spread across source partitions
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 == 0, F.lit("rare"))
+            .otherwise(F.lit("hot"))
+            .alias("src"),
+        )
+    )
+    got = stratified_sample(docs, ["src"], "doc_id", 25)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("Window") >= 2  # local prune + exact global rank
+    # naive reference: one global rank window
+    w = Window.partitionBy("src").orderBy(
+        split_bucket_raw("doc_id"), F.col("doc_id")
+    )
+    want = (
+        docs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 25)
+        .drop("_r")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # weighted_mix: same equivalence including exact ranks
+    mix = weighted_mix(docs, "src", "doc_id", {"hot": 40}, default_quota=7)
+    naive = (
+        docs.withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .where(
+            F.col("mix_rank")
+            <= F.when(F.col("src") == "hot", F.lit(40)).otherwise(F.lit(7))
+        )
+    )
+    assert sorted(map(tuple, mix.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
 def test_minhash_band_cap_bounds_pathological_bucket(spark):
     """A boilerplate-dominated corpus (400 near-identical docs sharing
     every band) makes the band bucket quadratic; the bucket-size cap

@@ -77,20 +77,15 @@ def stratified_sample(
     The standard corpus-balancing step (cap each language / source /
     domain) with the properties sampling at 100 TB needs: no RNG state,
     stable across reruns and partitionings (the "random" order IS the
-    id hash), and one shuffle (the per-stratum rank window). Growing
-    the cap later only *adds* rows — every previously kept id stays
-    kept, because ranks never reshuffle.
+    id hash), and no hot-key bottleneck — selection runs as an exact
+    two-phase top-k (:func:`_topk_per_key`), so a stratum holding half
+    the corpus never funnels into one task. Growing the cap later only
+    *adds* rows — every previously kept id stays kept, because ranks
+    never reshuffle.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*strata_cols).orderBy(
-        split_bucket_raw(id_col, salt), F.col(id_col)
-    )
-    return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .where(F.col("_rank") <= n_per_stratum)
-        .drop("_rank")
-    )
+    return _topk_per_key(
+        df, list(strata_cols), id_col, F.lit(int(n_per_stratum)), salt
+    ).drop("_rank")
 
 
 def split_bucket_raw(id_col, salt: str = "v1") -> Column:
@@ -98,6 +93,55 @@ def split_bucket_raw(id_col, salt: str = "v1") -> Column:
     hash-ordered sampling deterministic."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return md5_long(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+
+
+def _topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: Column,
+    salt: str,
+) -> DataFrame:
+    """EXACT hot-key-safe top-``cap`` per key by hashed-id order,
+    ranked in ``_rank``. ``cap`` is a per-row column (constant for
+    :func:`stratified_sample`, a per-key CASE for
+    :func:`weighted_mix`).
+
+    A single rank window per key sorts each key's entire row set in one
+    task — a key holding half a 100 TB corpus is a straggler by
+    construction. Standard exact two-phase top-k instead:
+
+    1. rank within (key, source-partition) — the hot key's rows are
+       spread across its source partitions, so every sort is bounded by
+       partition size — and keep each group's local top-``cap``. The
+       global top-``cap`` of a key is contained in the union of its
+       per-partition top-``cap``s (any row it excludes is beaten
+       ``cap`` times within one partition alone).
+    2. exact rank window over the surviving ~``cap x partitions`` rows
+       per key — now small by construction.
+
+    Output is deterministic and identical to the naive single window
+    (phase 2 recomputes exact global ranks; ``spark_partition_id`` only
+    influences which *non-selected* rows were pruned early).
+    """
+    from pyspark.sql import Window
+
+    order = [split_bucket_raw(id_col, salt), F.col(id_col)]
+    w_local = Window.partitionBy(
+        *key_cols, F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        df.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= cap)
+        .drop("_lrank")
+    )
+    w_global = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        survivors.withColumn(
+            "_rank", F.row_number().over(w_global).cast("long")
+        )
+        .where(F.col("_rank") <= cap)
+    )
 
 
 def weighted_mix(
@@ -118,14 +162,14 @@ def weighted_mix(
     partitionings pick identical rows, and raising a quota only adds
     rows), generalized from one global cap to a per-key quota map.
     The quota map is by construction small (one entry per source) and
-    enters the plan as a literal CASE over the key, not a join — the
-    whole selection stays one rank window on ``key_col``.
+    enters the plan as a literal CASE over the key, not a join; the
+    selection itself is the exact two-phase top-k
+    (:func:`_topk_per_key`), so an up-weighted crawl dump holding most
+    of the corpus never sorts in a single task.
 
     Output: the selected input rows + ``mix_rank`` (1-based rank within
     the key's hash order).
     """
-    from pyspark.sql import Window
-
     quota = None
     for k, n in sorted(quotas.items()):
         cond = F.col(key_col) == F.lit(k)
@@ -139,10 +183,6 @@ def weighted_mix(
         if quota is None
         else quota.otherwise(F.lit(int(default_quota)))
     )
-    w = Window.partitionBy(key_col).orderBy(
-        split_bucket_raw(id_col, salt), F.col(id_col)
-    )
-    return (
-        df.withColumn("mix_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("mix_rank") <= quota)
-    )
+    return _topk_per_key(
+        df, [key_col], id_col, quota, salt
+    ).withColumnRenamed("_rank", "mix_rank")
