@@ -315,6 +315,52 @@ def test_asof_join_semantics(spark):
               right_payload=["click_id"], right_order="ts").collect()
 
 
+def test_interval_join_semantics(spark):
+    """Containment edges: half-open by default ([start, end)),
+    closed with inclusive_end; multi-interval overlap emits one row
+    per containing interval; empty intervals and out-of-range points
+    emit nothing; intervals spanning many bins still match exactly
+    once per point."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.interval import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    points = spark.createDataFrame(
+        [(1, "k", t(0)), (2, "k", t(30)), (3, "k", t(60)),
+         (4, "k", t(90)), (5, "other", t(30))],
+        ["pid", "key", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, "k", t(0), t(60)),    # [10:00, 11:00)
+         (11, "k", t(25), t(35)),   # overlaps 10 around 10:30
+         (12, "k", t(90), t(90)),   # empty
+         (13, "k", t(-600), t(600))],  # spans many hourly bins
+        ["iid", "key", "start_ts", "end_ts"],
+    )
+    out = interval_join(
+        points, intervals, on=["key"], payload=["iid"], bucket_seconds=3600
+    )
+    got = sorted((r["pid"], r["iv_iid"]) for r in out.collect())
+    # pid1: in 10 (start edge) + 13; pid2: 10, 11, 13; pid3: NOT 10
+    # (end-exclusive) but in 13; pid4: not in empty 12, in 13;
+    # pid5: different key -> only via no interval (none for "other")
+    assert got == [(1, 10), (1, 13), (2, 10), (2, 11), (2, 13),
+                   (3, 13), (4, 13)]
+    closed = interval_join(
+        points, intervals, on=["key"], payload=["iid"],
+        bucket_seconds=3600, inclusive_end=True,
+    )
+    got_c = sorted((r["pid"], r["iv_iid"]) for r in closed.collect())
+    # end now inclusive: pid3 in 10; the empty interval contains its
+    # own instant but no point sits at it except pid4 at t(90) == [90,90]
+    assert got_c == [(1, 10), (1, 13), (2, 10), (2, 11), (2, 13),
+                     (3, 10), (3, 13), (4, 12), (4, 13)]
+    # plan: a hash equi-join on (key, bin), never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_funnel_greedy_chain(spark):
     import datetime as dt
 

@@ -1,0 +1,97 @@
+"""Interval (range) join — point-in-interval matching at scale.
+
+The second classic time-series join Spark lacks a first-class operator
+for (the first is the as-of join, operators/asof.py): attach to every
+point event the interval rows that CONTAIN it — purchases to the
+browsing session they happened in, measurements to the maintenance
+window covering them, trades to the halt period in force. The
+reference engine has no joins at all (SURVEY.md section 2.3); a
+feature pipeline needs this constantly.
+
+Naive Spark is the trap: an equality + two range predicates cannot
+sort-merge, so Catalyst plans a (broadcast) nested-loop join —
+quadratic per key. The scale shape here is the standard BUCKETED range
+join (the same binning Databricks' range-join hints and KDB's window
+joins use): quantize time into ``bucket_seconds`` bins, explode each
+interval onto the bins it spans, tag each point with its single bin,
+equi-join on (keys..., bin), then apply the exact containment
+predicate. Each (point, interval) pair meets in exactly ONE bin (the
+point's), so no dedup pass is needed; the join is a plain shuffled (or
+broadcast) hash equi-join, linear in points + interval-bin expansion.
+
+Pick ``bucket_seconds`` near the typical interval duration: expansion
+is ~duration/bucket_seconds + 1 rows per interval, and a bin's
+candidate set is the intervals overlapping it — both bounded. Skewed
+bins (many intervals over one hot hour) are ordinary equi-join skew,
+handled by AQE like any other (tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    payload: Optional[list[str]] = None,
+    bucket_seconds: int = 3600,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Inner point-in-interval join.
+
+    Every ``points`` row is matched with every same-key ``intervals``
+    row whose ``[start_col, end_col)`` contains ``point_ts``
+    (``inclusive_end=True`` closes the right edge — e.g. sessions whose
+    end IS the last event's timestamp). A point inside k intervals
+    emits k rows; a point in none emits nothing (inner semantics —
+    wrap with a left join against the input for "unattributed" rows).
+
+    Output: all point columns + ``iv_start``/``iv_end`` + one
+    ``iv_<c>`` per payload column (default payload: every interval
+    column that is not a key or bound).
+    """
+    if payload is None:
+        skip = {*on, start_col, end_col}
+        payload = [c for c in intervals.columns if c not in skip]
+    g = int(bucket_seconds)
+    s_ep = F.unix_timestamp(F.col(start_col))
+    e_ep = F.unix_timestamp(F.col(end_col))
+    last_ep = e_ep if inclusive_end else e_ep - 1
+    iv = (
+        intervals.where(
+            s_ep <= e_ep if inclusive_end else s_ep < e_ep
+        )  # empty intervals contain nothing
+        .select(
+            *[F.col(k) for k in on],
+            F.col(start_col).alias("iv_start"),
+            F.col(end_col).alias("iv_end"),
+            *[F.col(c).alias(f"iv_{c}") for c in payload],
+            F.explode(
+                F.sequence(
+                    F.floor(s_ep / g).cast("long"),
+                    F.floor(last_ep / g).cast("long"),
+                )
+            ).alias("_bin"),
+        )
+    )
+    p_ep = F.unix_timestamp(F.col(point_ts))
+    pt = points.select(
+        "*", F.floor(p_ep / g).cast("long").alias("_bin")
+    )
+    contained = p_ep >= F.unix_timestamp(F.col("iv_start"))
+    right = F.unix_timestamp(F.col("iv_end"))
+    contained = contained & (
+        (p_ep <= right) if inclusive_end else (p_ep < right)
+    )
+    return (
+        pt.join(iv, [*on, "_bin"])
+        .where(contained)
+        .drop("_bin")
+    )

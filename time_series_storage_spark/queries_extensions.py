@@ -409,6 +409,78 @@ FROM s2 GROUP BY 1, 2
 """
 
 
+# -- interval (range) join --------------------------------------------------
+
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join: attribute every purchase to the
+    30-minute-gap VIEW-session of the same user it falls inside
+    (closed interval — a purchase at the session's last view counts).
+    Bucketed equi-join on (user, hour bin), exact containment filter."""
+    from .operators.interval import interval_join
+    from .operators.sessions import session_stats
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = session_stats(
+        views, ["user_id"], gap_minutes=30, order_col="event_id"
+    ).select("user_id", "session_seq", "start_ts", "end_ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        purchases,
+        sessions,
+        on=["user_id"],
+        payload=["session_seq"],
+        inclusive_end=True,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("iv_session_seq").cast("long").alias("session_seq"),
+        F.date_format("iv_start", "yyyy-MM-dd HH:mm:ss").alias("iv_start"),
+        F.date_format("iv_end", "yyyy-MM-dd HH:mm:ss").alias("iv_end"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type = 'view'
+),
+v2 AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM v
+),
+sess AS (
+  SELECT user_id, session_seq, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM v2 GROUP BY 1, 2
+)
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       s.session_seq::BIGINT AS session_seq,
+       strftime(s.start_ts, '%Y-%m-%d %H:%M:%S') AS iv_start,
+       strftime(s.end_ts, '%Y-%m-%d %H:%M:%S') AS iv_end
+FROM events p
+JOIN sess s ON s.user_id = p.user_id
+           AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 # -- funnel analysis --------------------------------------------------------
 
 def q_funnel(spark, sf_dir):
@@ -1100,6 +1172,7 @@ EXT_QUERIES = {
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "sessionize_user_30m": (q_sessionize, SQL_SESSIONIZE),
+    "interval_join_purchase_session": (q_interval_join, SQL_INTERVAL_JOIN),
     "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
