@@ -413,19 +413,17 @@ FROM s2 GROUP BY 1, 2
 
 def q_interval_join(spark, sf_dir):
     """Point-in-interval join: attribute every purchase to the
-    30-minute-gap VIEW-session of the same user it falls inside
-    (closed interval — a purchase at the session's last view counts).
+    30-minute-gap session of the same user containing it (closed
+    interval — a purchase at the session's boundary event counts).
     Bucketed equi-join on (user, hour bin), exact containment filter."""
     from .operators.interval import interval_join
     from .operators.sessions import session_stats
     from .sources.testdata import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts"
-    )
     sessions = session_stats(
-        views, ["user_id"], gap_minutes=30, order_col="event_id"
+        ev.select("event_id", "user_id", "ts"),
+        ["user_id"], gap_minutes=30, order_col="event_id",
     ).select("user_id", "session_seq", "start_ts", "end_ts")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -457,7 +455,7 @@ WITH v AS (
                                            ORDER BY ts, event_id),
                              ts) > 1800
               THEN 1 ELSE 0 END AS is_new
-  FROM events WHERE event_type = 'view'
+  FROM events
 ),
 v2 AS (
   SELECT user_id, ts,
