@@ -205,3 +205,50 @@ def test_contamination_matches_bruteforce(spark, texts, k):
             (hits * 1000) // len(sh) >= 500
         )
     assert got[0]["contam_x1000"] == 1000  # self-contamination
+
+
+# -- interval join vs brute-force containment model -------------------------
+
+iv_points = st.lists(
+    st.tuples(st.integers(0, 5000), st.sampled_from(["a", "b"])),
+    min_size=1, max_size=25,
+)
+iv_ranges = st.lists(
+    st.tuples(st.integers(0, 5000), st.integers(0, 5000),
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=15,
+)
+
+
+@given(pts=iv_points, rngs=iv_ranges,
+       bucket=st.sampled_from([60, 600, 3600]),
+       inclusive=st.booleans())
+@_slow
+def test_interval_join_matches_bruteforce(spark, pts, rngs, bucket, inclusive):
+    from time_series_storage_spark.operators.interval import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    points = spark.createDataFrame(
+        [(i, k, t(s)) for i, (s, k) in enumerate(pts)],
+        ["pid", "key", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(i, k, t(min(s, e)), t(max(s, e))) for i, (s, e, k) in enumerate(rngs)],
+        ["iid", "key", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in interval_join(
+            points, intervals, on=["key"], payload=["iid"],
+            bucket_seconds=bucket, inclusive_end=inclusive,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s, k) in enumerate(pts)
+        for j, (a, b, k2) in enumerate(rngs)
+        if k == k2 and min(a, b) <= s
+        and (s <= max(a, b) if inclusive else s < max(a, b))
+    )
+    assert got == want
