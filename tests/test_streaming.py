@@ -277,3 +277,52 @@ def test_text_scorers_compose_with_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM scored_stream").collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream point-in-interval join (state-store form) must
+    produce exactly the batch interval_join's matches on complete
+    data."""
+    from time_series_storage_spark.operators.interval import interval_join
+    from time_series_storage_spark.streaming.joins import (
+        streaming_interval_join,
+    )
+
+    t = lambda m: TS + dt.timedelta(minutes=m)
+    pts_rows = [(1, "k", t(5)), (2, "k", t(45)), (3, "k", t(61)),
+                (4, "j", t(10)), (5, "k", t(200))]
+    iv_rows = [(10, "k", t(0), t(60)), (11, "k", t(40), t(50)),
+               (12, "j", t(0), t(30))]
+    psrc, isrc = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    pts = spark.createDataFrame(pts_rows, ["pid", "key", "ts"])
+    ivs = spark.createDataFrame(
+        iv_rows, ["iid", "key", "start_ts", "end_ts"]
+    )
+    pts.coalesce(1).write.parquet(psrc)
+    ivs.coalesce(1).write.parquet(isrc)
+    want = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in interval_join(
+            pts, ivs, on=["key"], payload=["iid"]
+        ).collect()
+    )
+    p_stream = spark.readStream.schema(pts.schema).parquet(psrc)
+    i_stream = spark.readStream.schema(ivs.schema).parquet(isrc)
+    q = (
+        streaming_interval_join(
+            p_stream, i_stream, on=["key"], payload=["iid"],
+            watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in spark.sql("SELECT * FROM sivj").collect()
+    )
+    assert got == want and len(got) > 0
