@@ -179,12 +179,69 @@ def ngram_contamination(
     both partial-aggregated.
     """
     corpus = hashed_shingles(docs, id_col, text_col, k)
-    bench = (
-        hashed_shingles(benchmark, id_col, text_col, k)
-        .select("hs")
+    bench = hashed_shingles(benchmark, id_col, text_col, k)
+    return _contamination_probe(corpus, bench, id_col, threshold_x1000)
+
+
+def token_ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct hashed TOKEN n-grams per document: (id, hs).
+
+    The token-level twin of :func:`hashed_shingles` (char k-grams) —
+    the unit eval-set decontamination conventionally uses (n
+    consecutive whitespace tokens, space-joined, hashed). Same shape:
+    explode gram positions, build each gram with codegen'd
+    ``slice``/``concat_ws`` (the token array rides through the explode;
+    it is ~tokens x avg-token bytes, far smaller than the raw text the
+    char path carries), hash with the shared portable 60-bit md5,
+    distinct on (id, hash).
+    """
+    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(toks, lambda w: w != "")
+    npos = F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(1))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), n))
+            ).alias("hs"),
+        )
         .distinct()
-        .withColumn("_hit", F.lit(1))
     )
+
+
+def token_ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """:func:`ngram_contamination` with token n-grams as the overlap
+    unit — the conventional eval-decontamination granularity (an
+    n-token verbatim overlap is strong evidence of leakage; char
+    k-grams over-fire on shared vocabulary). Same output contract and
+    broadcast-probe scale shape."""
+    corpus = token_ngram_shingles(docs, id_col, text_col, n)
+    bench = token_ngram_shingles(benchmark, id_col, text_col, n)
+    return _contamination_probe(corpus, bench, id_col, threshold_x1000)
+
+
+def _contamination_probe(
+    corpus: DataFrame, bench: DataFrame, id_col: str, threshold_x1000: int
+) -> DataFrame:
+    """Shared tail: broadcast the benchmark's distinct unit-hash set,
+    probe the corpus units map-side, aggregate per document."""
+    bench = bench.select("hs").distinct().withColumn("_hit", F.lit(1))
     probed = corpus.join(F.broadcast(bench), "hs", "left")
     per_doc = probed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),

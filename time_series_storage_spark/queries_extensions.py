@@ -39,6 +39,9 @@ from .operators.dedup import MINHASH_P as P
 from .sources.testdata import read_table
 
 NGRAM_DOC_LIMIT = 200  # exact quadratic baseline runs on this prefix
+
+# DuckDB mirror of operators.text.tokens (non-empty whitespace tokens)
+_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
 NGRAM_THRESHOLD = 100  # jaccard >= 0.1
 MINHASH_THRESHOLD = 500  # jaccard >= 0.5 (the standard near-dup bar)
 SIM_QUERY_COUNT = 8  # brute-force top-k query vectors: vec_id < 8
@@ -176,6 +179,50 @@ WITH docs AS (SELECT * FROM documents),
 bench AS (SELECT DISTINCT hs FROM shh WHERE doc_id < {DECON_BENCH_MAX}),
 probed AS (SELECT s.doc_id, CASE WHEN b.hs IS NOT NULL THEN 1 ELSE 0 END AS hit
            FROM shh s LEFT JOIN bench b USING (hs)),
+per_doc AS (SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h
+            FROM probed GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_shingles, h::BIGINT AS n_hit,
+       ((h * 1000) // n)::BIGINT AS contam_x1000,
+       (CASE WHEN (h * 1000) // n >= {DECON_THRESHOLD} THEN 1 ELSE 0
+        END)::BIGINT AS is_contaminated
+FROM per_doc
+"""
+
+
+DECON_TOKEN_N = 5  # token n-gram width (test docs are ~50 tokens)
+
+
+def q_decontaminate_token(spark, sf_dir):
+    """Token-level decontamination: same benchmark slice, overlap unit
+    = 5 consecutive whitespace tokens (the conventional eval-leakage
+    granularity; char shingles over-fire on shared vocabulary)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < DECON_BENCH_MAX)
+    return D.token_ngram_contamination(
+        docs, bench, "doc_id", "text",
+        n=DECON_TOKEN_N, threshold_x1000=DECON_THRESHOLD,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles"),
+        F.col("n_hit"),
+        F.col("contam_x1000"),
+        F.col("is_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE_TOKEN = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+units AS (
+  SELECT DISTINCT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(
+           array_to_string(list_slice(toks, pos, pos + {DECON_TOKEN_N - 1}),
+                           ' ')), 1, 15)) AS BIGINT) AS hs
+  FROM tk, unnest(generate_series(1, greatest(len(toks) - {DECON_TOKEN_N - 1},
+                                              1))) t(pos)
+),
+bench AS (SELECT DISTINCT hs FROM units WHERE doc_id < {DECON_BENCH_MAX}),
+probed AS (SELECT u.doc_id, CASE WHEN b.hs IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM units u LEFT JOIN bench b USING (hs)),
 per_doc AS (SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h
             FROM probed GROUP BY doc_id)
 SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_shingles, h::BIGINT AS n_hit,
@@ -815,9 +862,6 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM documents
 """
 
-_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
-
-
 def q_text_quality(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return T.quality_signals(docs, "text").select(
@@ -1163,6 +1207,7 @@ EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_token_ngram": (q_decontaminate_token, SQL_DECONTAMINATE_TOKEN),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
