@@ -307,10 +307,10 @@ def test_asof_join_semantics(spark):
     right_str = right.withColumn(
         "click_tag", F.concat(F.lit("c"), F.col("click_id"))
     )
-    with pytest.raises(TypeError, match="order-preserving"):
+    with pytest.raises(TypeError, match="orderable"):
         asof_join(left, right_str, on=["user_id"],
                   right_payload=["click_tag"])
-    # timestamp order columns are fine (epoch cast is order-preserving)
+    # timestamp order columns are fine (ordered natively, no cast)
     asof_join(left, right, on=["user_id"],
               right_payload=["click_id"], right_order="ts").collect()
 

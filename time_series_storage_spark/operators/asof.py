@@ -29,9 +29,12 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
-# order-column types whose cast to long is value-preserving and
-# order-preserving; anything else (strings, arrays, ...) would cast to
-# NULL and silently turn the equal-ts tie-break non-deterministic
+# order-column types with a total order Spark can sort natively — the
+# tie-break column rides through the union AT ITS OWN TYPE (no cast:
+# a long cast would truncate 1.2 and 1.9 to the same key and quietly
+# turn the equal-ts tie-break non-deterministic for fractional types);
+# anything else (strings vs numerics across sides, arrays, ...) is
+# rejected so the contract stays explicit
 _ORDERABLE_TYPES = (
     T.ByteType,
     T.ShortType,
@@ -74,8 +77,8 @@ def asof_join(
     if not isinstance(order_type, _ORDERABLE_TYPES):
         raise TypeError(
             f"asof_join right_order column {right_order!r} has type "
-            f"{order_type.simpleString()}, whose cast to long is not "
-            "order-preserving — the equal-ts tie-break would become "
+            f"{order_type.simpleString()}, which is not an orderable "
+            "scalar — the equal-ts tie-break would become "
             "non-deterministic. Use a numeric/timestamp/date column."
         )
 
@@ -84,7 +87,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_ord"),
+        F.lit(None).cast(order_type).alias("_ord"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"_rp_{c}")
             for c in right_payload
@@ -97,7 +100,7 @@ def asof_join(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        F.col(right_order).cast("long").alias("_ord"),
+        F.col(right_order).alias("_ord"),
         *[F.col(c).alias(f"_rp_{c}") for c in right_payload],
         F.col(right_ts).cast("timestamp").alias("_rts"),
     ).select(*l_tagged.columns)
@@ -120,9 +123,13 @@ def asof_join(
     ).where(F.col("_side") == 1)
     ok: Column = F.col("_m_ts").isNotNull()
     if tolerance_seconds is not None:
+        # microsecond-exact: unix_timestamp would truncate both sides to
+        # whole seconds, sliding the tolerance boundary by up to 1s for
+        # sub-second timestamps
         ok = ok & (
-            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col("_m_ts"))
-            <= F.lit(int(tolerance_seconds))
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col("_m_ts"))
+            <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
     return matched.select(
         *lcols,

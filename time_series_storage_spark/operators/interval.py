@@ -60,14 +60,31 @@ def interval_join(
     if payload is None:
         skip = {*on, start_col, end_col}
         payload = [c for c in intervals.columns if c not in skip]
-    g = int(bucket_seconds)
-    s_ep = F.unix_timestamp(F.col(start_col))
-    e_ep = F.unix_timestamp(F.col(end_col))
-    last_ep = e_ep if inclusive_end else e_ep - 1
+    # Bin arithmetic runs on unix_micros — Spark timestamps ARE
+    # microsecond-precision integers, so floor-division by the bucket
+    # width in micros is exact at any resolution (unix_timestamp would
+    # truncate to whole seconds: a point at T+0.7s against an interval
+    # ending T+0.2s compared equal, and a sub-second interval [T, T+0.5)
+    # spanned "no" bins). Containment/emptiness compare the RAW
+    # timestamp columns; the bins only decide where a pair meets.
+    g_us = int(bucket_seconds) * 1_000_000
+    # the timestamp cast accepts TIMESTAMP_NTZ too; it is applied
+    # identically (and monotonically) to both sides, so a pair's bins
+    # stay consistent whatever the session zone maps local times to
+    _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    s_us = _us(start_col)
+    e_us = _us(end_col)
+    # last instant an in-interval point can occupy: the end itself when
+    # inclusive, one microsecond before it when exclusive — so the bin
+    # sequence covers every point's bin even for fractional ends
+    last_us = e_us if inclusive_end else e_us - 1
+    not_empty = (
+        F.col(start_col) <= F.col(end_col)
+        if inclusive_end
+        else F.col(start_col) < F.col(end_col)
+    )
     iv = (
-        intervals.where(
-            s_ep <= e_ep if inclusive_end else s_ep < e_ep
-        )  # empty intervals contain nothing
+        intervals.where(not_empty)  # empty intervals contain nothing
         .select(
             *[F.col(k) for k in on],
             F.col(start_col).alias("iv_start"),
@@ -75,20 +92,20 @@ def interval_join(
             *[F.col(c).alias(f"iv_{c}") for c in payload],
             F.explode(
                 F.sequence(
-                    F.floor(s_ep / g).cast("long"),
-                    F.floor(last_ep / g).cast("long"),
+                    F.floor(s_us / g_us).cast("long"),
+                    F.floor(last_us / g_us).cast("long"),
                 )
             ).alias("_bin"),
         )
     )
-    p_ep = F.unix_timestamp(F.col(point_ts))
     pt = points.select(
-        "*", F.floor(p_ep / g).cast("long").alias("_bin")
+        "*", F.floor(_us(point_ts) / g_us).cast("long").alias("_bin")
     )
-    contained = p_ep >= F.unix_timestamp(F.col("iv_start"))
-    right = F.unix_timestamp(F.col("iv_end"))
+    contained = F.col(point_ts) >= F.col("iv_start")
     contained = contained & (
-        (p_ep <= right) if inclusive_end else (p_ep < right)
+        (F.col(point_ts) <= F.col("iv_end"))
+        if inclusive_end
+        else (F.col(point_ts) < F.col("iv_end"))
     )
     return (
         pt.join(iv, [*on, "_bin"])
