@@ -201,6 +201,30 @@ def test_rate_first_row_and_negative_slope(spark):
     assert (flat["delta_q"], flat["delta_s"], flat["rate_q"]) == (0, 1800, 0)
 
 
+def test_rate_duplicate_ts_deterministic_and_null_rate(spark):
+    """Duplicate-timestamp contract: equal (dims, ts) rows lag in q
+    order (deterministic on every run), delta_s = 0 is emitted, and
+    rate_q is explicitly NULL — never an engine-dependent division by
+    zero."""
+    rows = [
+        ("a", BASE, 10),
+        ("a", BASE + dt.timedelta(seconds=60), 30),
+        ("a", BASE + dt.timedelta(seconds=60), 20),  # duplicate ts
+        ("a", BASE + dt.timedelta(seconds=120), 40),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "q"]).repartition(4)
+    got = sorted(
+        (r["q"], r["delta_q"], r["delta_s"], r["rate_q"])
+        for r in rate(df, ["k"]).collect()
+    )
+    assert got == [
+        (10, None, None, None),     # series head
+        (20, 10, 60, 166),          # tiebreak: q=20 lags q=10
+        (30, 10, 0, None),          # duplicate ts: 0 elapsed, NULL rate
+        (40, 10, 60, 166),          # next bucket lags the LARGER dup
+    ]
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -326,3 +326,52 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sivj").collect()
     )
     assert got == want and len(got) > 0
+
+    # bounded-state form: declaring a true interval-duration upper
+    # bound (longest interval here is 60 min) adds the point-side
+    # eviction clause WITHOUT changing any match
+    q2 = (
+        streaming_interval_join(
+            p_stream, i_stream, on=["key"], payload=["iid"],
+            watermark="10 minutes", max_interval_seconds=3600,
+        )
+        .writeStream.format("memory")
+        .queryName("sivj_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj_b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_b = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in spark.sql("SELECT * FROM sivj_bounded").collect()
+    )
+    assert got_b == want
+
+    # an UNDER-declared bound (10 min) must drop matches deep inside
+    # the long interval — the documented tradeoff, pinned so the
+    # semantics of a wrong bound are explicit, not silent surprise
+    q3 = (
+        streaming_interval_join(
+            p_stream, i_stream, on=["key"], payload=["iid"],
+            watermark="10 minutes", max_interval_seconds=600,
+        )
+        .writeStream.format("memory")
+        .queryName("sivj_narrow")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj_n"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    got_n = sorted(
+        (r["pid"], r["iv_iid"])
+        for r in spark.sql("SELECT * FROM sivj_narrow").collect()
+    )
+    assert set(got_n) < set(want)  # strictly fewer: early matches gone
+    # interval 11 [t+40, t+50) fits the 10-min bound, so its match
+    # survives; interval 10's matches (t+5, t+45) fall before its
+    # eviction cutoff (end - 10 min = t+50) and are gone
+    assert (2, 11) in got_n
+    assert (1, 10) not in got_n and (2, 10) not in got_n

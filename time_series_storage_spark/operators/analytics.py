@@ -95,9 +95,18 @@ def rate(
     a spike). One lag-window pass, same single-exchange shape as
     :func:`rolling_agg`: no self-join, no densification, sparse series
     pay only their own rows.
+
+    Duplicate-timestamp contract: observations sharing (dims, ts) are
+    ordered by ``q_col`` as a deterministic tiebreak (the lag is the
+    same rows on every run and in any engine), and their ``rate_q`` is
+    explicitly NULL — a rate over zero elapsed time is undefined, and
+    leaving it to the engine's division-by-zero behavior would make
+    Spark (NULL) and a strict-ANSI engine (error) diverge. ``delta_q``
+    and ``delta_s`` are still emitted (0 elapsed, tiebreak-ordered
+    value change) so duplicates remain visible to the caller.
     """
     epoch = F.unix_timestamp(F.col(ts_col))
-    w = Window.partitionBy(*dims).orderBy(epoch)
+    w = Window.partitionBy(*dims).orderBy(epoch, F.col(q_col))
     delta_q = F.col(q_col) - F.lag(q_col).over(w)
     delta_s = epoch - F.lag(epoch).over(w)
     # both lags in one projection -> a single Window operator (one sort)
@@ -107,8 +116,10 @@ def rate(
         delta_s.cast("long").alias("delta_s"),
     ).withColumn(
         "rate_q",
-        F.floor(F.col("delta_q") * per_seconds / F.col("delta_s"))
-        .cast("long"),
+        F.when(
+            F.col("delta_s") > 0,
+            F.floor(F.col("delta_q") * per_seconds / F.col("delta_s")),
+        ).cast("long"),
     )
 
 

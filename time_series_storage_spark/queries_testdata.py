@@ -610,11 +610,14 @@ lagged AS (
          (CAST(epoch(h) AS BIGINT)
           - LAG(CAST(epoch(h) AS BIGINT)) OVER w) AS ds
   FROM sparse
-  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(epoch(h) AS BIGINT))
+  -- the q tiebreak + ds=0 NULL mirror rate()'s duplicate-timestamp
+  -- contract (deterministic lag order; rate undefined at 0 elapsed)
+  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(epoch(h) AS BIGINT), q)
 )
 SELECT event_type, strftime(h, '{DUCK_FMT}') AS ts, q::BIGINT AS q,
        dq::BIGINT AS delta_q, ds::BIGINT AS delta_s,
-       CAST(floor(dq * 1000 / ds) AS BIGINT) AS rate_q
+       (CASE WHEN ds > 0 THEN CAST(floor(dq * 1000 / ds) AS BIGINT)
+        END)::BIGINT AS rate_q
 FROM lagged WHERE dq IS NOT NULL
 """
 
