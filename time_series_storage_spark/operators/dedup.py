@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .parallel import cpu_partitions
+
 # Mersenne prime 2^31-1; the classic universal-hash modulus
 MINHASH_P = 2147483647
 DEFAULT_NUM_HASHES = 64
@@ -75,7 +77,7 @@ def char_shingles(
     npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(cpu_partitions(df), F.col(id_col))
         .select(
             F.col(id_col),
             F.col(text_col),
@@ -94,16 +96,23 @@ def hashed_shingles(
 ) -> DataFrame:
     """Distinct 60-bit shingle hashes per document: (id, hs long).
 
-    The working representation for MinHash/Jaccard: md5 runs once per
-    raw shingle, the distinct and every downstream shuffle move
-    fixed-width longs instead of strings, and set semantics are identical
-    up to 2^-60 hash collisions (which an oracle reproduces exactly by
-    hashing the same way).
+    The working representation for MinHash/Jaccard: downstream shuffles
+    move fixed-width longs instead of strings, and set semantics are
+    identical up to 2^-60 hash collisions (which an oracle reproduces
+    exactly by hashing the same way).
+
+    Cost shape: one PINNED repartition on id (:func:`.parallel.
+    cpu_partitions` — AQE's byte-based coalescing would otherwise run
+    the whole md5 explode on one core, the actual bottleneck measured
+    at sf0.1: 3.6 s serialized vs 0.4 s pinned), then a codegen'd
+    explode + md5 projection, then a distinct that adds NO exchange:
+    hash-partitioning on id already clusters (id, hs), so the
+    deduplicating aggregate runs partition-local.
     """
     npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(cpu_partitions(df), F.col(id_col))
         .select(
             F.col(id_col),
             F.col(text_col),
@@ -140,12 +149,12 @@ def hashed_shingle_sets(
             F.substring(F.md5(c.substr(p, F.lit(k))), 1, 15), 16, 10
         ).cast("long"),
     )
-    # repartition before the hash-heavy projection: document sources are
-    # often few large files, and one partition per file would serialize
-    # the md5 work onto one core per file
+    # pinned repartition before the hash-heavy projection: document
+    # sources are often few large files (one core per file), and AQE
+    # would coalesce a by-column repartition back to one task by bytes
     return (
         df.select(F.col(id_col), c)
-        .repartition(F.col(id_col))
+        .repartition(cpu_partitions(df), F.col(id_col))
         .select(F.col(id_col), F.array_distinct(hashes).alias("hs_set"))
         .withColumn("n", F.size("hs_set"))
     )
@@ -172,11 +181,11 @@ def ngram_contamination(
     to the corpus (eval sets are fixed-size while the corpus grows), so
     it is BROADCAST and probed map-side against the corpus's exploded
     shingle projection (:func:`hashed_shingles` — codegen'd md5 over
-    exploded positions; the per-row array-building transform is
-    interpreted per element and ~2x slower at corpus scale). Linear in
+    exploded positions at PINNED parallelism; AQE's byte-based
+    coalescing would otherwise serialize the hash stage). Linear in
     corpus size, constant in benchmark count per shingle; the only
-    exchanges are the (id, hs) distinct and the final ``groupBy(id)``,
-    both partial-aggregated.
+    exchanges are the corpus repartition and the final ``groupBy(id)``,
+    the latter partial-aggregated.
     """
     corpus = hashed_shingles(docs, id_col, text_col, k)
     bench = hashed_shingles(benchmark, id_col, text_col, k)
@@ -190,19 +199,18 @@ def token_ngram_shingles(
 
     The token-level twin of :func:`hashed_shingles` (char k-grams) —
     the unit eval-set decontamination conventionally uses (n
-    consecutive whitespace tokens, space-joined, hashed). Same shape:
-    explode gram positions, build each gram with codegen'd
-    ``slice``/``concat_ws`` (the token array rides through the explode;
-    it is ~tokens x avg-token bytes, far smaller than the raw text the
-    char path carries), hash with the shared portable 60-bit md5,
-    distinct on (id, hash).
+    consecutive whitespace tokens, space-joined, hashed). Same shape
+    and same pinned-parallelism discipline: explode gram positions,
+    build each gram with codegen'd ``slice``/``concat_ws``, hash with
+    the shared portable 60-bit md5, distinct on (id, hash) — exchange-
+    free, the id partitioning already clusters it.
     """
     toks = F.split(F.col(text_col), " ")
     toks = F.filter(toks, lambda w: w != "")
     npos = F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(1))
     return (
         df.select(F.col(id_col), toks.alias("_toks"))
-        .repartition(F.col(id_col))
+        .repartition(cpu_partitions(df), F.col(id_col))
         .select(
             F.col(id_col),
             "_toks",
@@ -688,7 +696,7 @@ def simhash_signatures(
     """
     words = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(cpu_partitions(df), F.col(id_col))
         .select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
         )

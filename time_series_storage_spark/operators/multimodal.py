@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .parallel import cpu_partitions
+
 FRAME_BYTES = 100  # fake decoder: one "frame" per 100 payload bytes
 FEATURE_DIM = 8  # stub encoder output dimensionality
 _HASH_MOD = 2147483647
@@ -114,12 +116,12 @@ def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 {"id": ids, "frame_id": frame_ids, "frame_hash": hashes}
             )
 
-    # repartition before the Python stage: media sources are often few
-    # large files, and one-partition input would serialize all decode
-    # work onto a single Python worker
+    # pinned repartition before the Python stage: media sources are
+    # often few large files (all decode work on one Python worker), and
+    # AQE would coalesce a by-column repartition back down by bytes
     return (
         media.select("id", "payload")
-        .repartition(F.col("id"))
+        .repartition(cpu_partitions(media), F.col("id"))
         .mapInPandas(decode, FRAMES_SCHEMA)
     )
 
@@ -157,6 +159,6 @@ def extract_features(
 
     return (
         media.select("id", "payload")
-        .repartition(F.col("id"))
+        .repartition(cpu_partitions(media), F.col("id"))
         .mapInPandas(encode, FEATURE_SCHEMA)
     )

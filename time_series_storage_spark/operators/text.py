@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import md5_long
+from .parallel import cpu_partitions
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -180,7 +181,7 @@ def top_terms(
 
     toks = df.select(
         F.col(id_col), F.col(text_col)
-    ).repartition(F.col(id_col)).select(
+    ).repartition(cpu_partitions(df), F.col(id_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
