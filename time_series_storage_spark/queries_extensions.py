@@ -246,7 +246,11 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The MinHash-LSH pair pipeline as a CTE chain (expects a ``docs``
+    relation in scope; ends with ``pairs(d1, d2, jacc_x1000)``) —
+    shared by the standalone query and the end-to-end pipeline, so both
+    gates exercise the identical SQL."""
     coeffs = D.minhash_coeffs(D.DEFAULT_NUM_HASHES)
     r = D.DEFAULT_NUM_HASHES // D.DEFAULT_BANDS
     mins = ",\n       ".join(
@@ -259,9 +263,7 @@ def _minhash_sql() -> str:
         )
         for band in range(D.DEFAULT_BANDS)
     )
-    return f"""
-WITH docs AS (SELECT * FROM documents),
-{_SH},
+    return f"""{_SH},
 base AS (SELECT doc_id, hs % {P} AS hm FROM shh),
 sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
 bands AS ({bands}),
@@ -272,13 +274,22 @@ common AS (SELECT c.d1, c.d2, COUNT(*) AS common
            FROM cand c
            JOIN shh s1 ON s1.doc_id = c.d1
            JOIN shh s2 ON s2.doc_id = c.d2 AND s2.hs = s1.hs
-           GROUP BY 1, 2)
-SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
-       ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
-FROM common
-JOIN sizes z1 ON z1.doc_id = common.d1
-JOIN sizes z2 ON z2.doc_id = common.d2
-WHERE (common * 1000) // (z1.n + z2.n - common) >= {MINHASH_THRESHOLD}
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+         ((common * 1000) // (z1.n + z2.n - common))::BIGINT AS jacc_x1000
+  FROM common
+  JOIN sizes z1 ON z1.doc_id = common.d1
+  JOIN sizes z2 ON z2.doc_id = common.d2
+  WHERE (common * 1000) // (z1.n + z2.n - common) >= {MINHASH_THRESHOLD}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH docs AS (SELECT * FROM documents),
+{_minhash_pairs_ctes()}
+SELECT d1, d2, jacc_x1000 FROM pairs
 """
 
 
@@ -1203,6 +1214,127 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 """
 
 
+# -- end-to-end pipeline composition ----------------------------------------
+
+PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The actual day-one use-case of a training-data engine: the full
+    curation chain as ONE lazy DataFrame DAG —
+
+      quality filter (score >= {PIPE_QUALITY_MIN})
+      -> exact dedup (keep min doc_id per normalized fingerprint)
+      -> MinHash near-dup removal (drop any doc with a smaller
+         near-duplicate: every LSH pair (d1 < d2, jacc >= 0.5)
+         eliminates its d2 — the one-pass survivorship rule; full
+         transitive-closure clustering is the iterative
+         ``dedup_clusters`` query, kept separate because its driver
+         loop is inherently not a single DAG)
+      -> benchmark decontamination (token 5-grams vs the doc_id < 10
+         eval slice of the ORIGINAL corpus, drop contaminated)
+      -> weighted source mixture (per-source quotas by hashed-id rank)
+
+    Each stage consumes the previous stage's DataFrame; nothing is
+    collected or checkpointed in between, so Catalyst sees (and
+    optimizes) the whole chain as one plan —
+    tests/test_pipeline_e2e.py pins that zero Spark jobs run during
+    construction. The two stage boundaries every later stage re-reads
+    (the quality+exact-dedup survivor set, and the near-dup survivor
+    set) carry a LAZY ``persist()``: Spark does not share common
+    subtrees across a DAG's self-references, so without it the
+    quality-scoring projection re-runs once per downstream scan
+    (measured ~2.5x the query at sf0.1). A lazy persist is a hint, not
+    an action — construction stays job-free — and MEMORY_AND_DISK is
+    the standard disk-backed stage cache at any scale. Output: the
+    selected rows (doc_id, source, lang, quality_x1000, mix_rank).
+    """
+    docs = _docs(spark, sf_dir)
+    scored = T.quality_signals(docs, "text")
+    good = scored.where(
+        F.col("quality_x1000") >= PIPE_QUALITY_MIN
+    ).select("doc_id", "text", "source", "lang", "quality_x1000")
+    survivors = D.exact_dedup(good, "doc_id", "text").select("doc_id")
+    g2 = good.join(survivors, "doc_id").persist()
+    pairs = D.minhash_lsh_pairs(
+        g2, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    dups = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    g3 = g2.join(dups, "doc_id", "left_anti").persist()
+    bench = docs.where(F.col("doc_id") < DECON_BENCH_MAX)
+    contam = D.token_ngram_contamination(
+        g3, bench, "doc_id", "text",
+        n=DECON_TOKEN_N, threshold_x1000=DECON_THRESHOLD,
+    )
+    bad = contam.where(F.col("is_contaminated") == 1).select("doc_id")
+    g4 = g3.join(bad, "doc_id", "left_anti").drop("text")
+    mixed = SP.weighted_mix(
+        g4, "source", "doc_id", MIX_QUOTAS, default_quota=MIX_DEFAULT
+    )
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("lang"),
+        F.col("quality_x1000"),
+        F.col("mix_rank"),
+    )
+
+
+def _pipeline_e2e_sql() -> str:
+    mix_cases = " ".join(
+        f"WHEN source = '{k}' THEN {n}" for k, n in sorted(MIX_QUOTAS.items())
+    )
+    hash_order = (
+        "CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    tok_units = (
+        "SELECT DISTINCT doc_id, "
+        "CAST(CONCAT('0x', SUBSTRING(md5(array_to_string("
+        f"list_slice(toks, pos, pos + {DECON_TOKEN_N - 1}), ' ')), 1, 15)) "
+        "AS BIGINT) AS hs "
+        "FROM (SELECT doc_id, {toks_src} AS toks FROM {src}) tk, "
+        f"unnest(generate_series(1, greatest(len(toks) - {DECON_TOKEN_N - 1},"
+        " 1))) t(pos)"
+    )
+    return f"""
+WITH {_QUALITY_CTES},
+good AS (
+  SELECT d.doc_id, d.text, d.source, d.lang, q.quality_x1000
+  FROM documents d JOIN quality q USING (doc_id)
+  WHERE q.quality_x1000 >= {PIPE_QUALITY_MIN}
+),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM good
+       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+docs AS (SELECT g.* FROM good g JOIN ex USING (doc_id)),
+{_minhash_pairs_ctes()},
+nd AS (SELECT * FROM docs
+       WHERE doc_id NOT IN (SELECT d2 FROM pairs)),
+units AS ({tok_units.format(toks_src=_TOKS, src='nd')}),
+bench_u AS ({tok_units.format(
+    toks_src=_TOKS, src=f'(SELECT * FROM documents WHERE doc_id < {DECON_BENCH_MAX}) b'
+)}),
+probed AS (SELECT u.doc_id, COUNT(*) AS n,
+                  SUM(CASE WHEN b.hs IS NOT NULL THEN 1 ELSE 0 END) AS h
+           FROM units u
+           LEFT JOIN (SELECT DISTINCT hs FROM bench_u) b USING (hs)
+           GROUP BY u.doc_id),
+contaminated AS (SELECT doc_id FROM probed
+                 WHERE (h * 1000) // n >= {DECON_THRESHOLD}),
+clean AS (SELECT * FROM nd
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+r AS (
+  SELECT doc_id, source, lang, quality_x1000,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {hash_order}, doc_id) AS mix_rank
+  FROM clean
+)
+SELECT doc_id::BIGINT AS doc_id, source, lang,
+       quality_x1000::BIGINT AS quality_x1000, mix_rank::BIGINT AS mix_rank
+FROM r WHERE mix_rank <= (CASE {mix_cases} ELSE {MIX_DEFAULT} END)
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -1231,6 +1363,7 @@ EXT_QUERIES = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
+    "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
