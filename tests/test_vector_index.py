@@ -98,3 +98,76 @@ def test_files_fingerprint_tracks_content_changes(tmp_path):
     (tmp_path / "_SUCCESS").write_bytes(b"")
     fp2 = files_fingerprint(str(tmp_path))
     assert fp2 == files_fingerprint(str(tmp_path))
+
+
+# -- build crash atomicity (fault injection at every stage boundary) --------
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_at(target_stage):
+    def hook(stage):
+        if stage == target_stage:
+            raise _Boom(stage)
+    return hook
+
+
+@pytest.mark.parametrize(
+    "stage", ["after_centroids", "after_assignment", "after_rename"]
+)
+def test_build_crash_never_trusts_partial_state(spark, store, stage):
+    """Kill the build at each boundary: between the two Spark writes,
+    after both writes but before the staging rename, and after the
+    rename but before the pointer flip. In every case the store must
+    report no committed index, refresh_if_stale must rebuild, and the
+    rebuilt index must serve queries identical to a clean build."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    clean = IvfIndexStore(spark, store.path + "_clean")
+    clean.build(emb, fingerprint="fp")
+    want = _rows(clean.topk(q, k=5))
+
+    store._build_fault = _crash_at(stage)
+    with pytest.raises(_Boom):
+        store.build(emb, fingerprint="fp")
+    store._build_fault = None
+
+    # nothing committed: no current pointer, not "exists"
+    assert store._meta() is None
+    assert store.exists() is False
+    with pytest.raises(FileNotFoundError):
+        store.centroids()
+
+    # refresh must treat the wreck as absent and rebuild fully
+    assert store.refresh_if_stale(emb, fingerprint="fp") is True
+    assert store.exists()
+    assert _rows(store.topk(q, k=5)) == want
+    # no staging orphan survives the successful rebuild
+    leftovers = [
+        n for n in os.listdir(store.path) if n.startswith(".staging-")
+    ]
+    assert leftovers == []
+
+
+def test_crashed_build_invisible_to_live_readers(spark, store):
+    """A crash while REBUILDING on top of a committed version must
+    leave readers on the old version untouched (the snapshot-commit
+    promise), including when the wreck is a renamed-but-unpublished
+    next version."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(emb, fingerprint="fp1")
+    before = _rows(store.topk(q, k=5))
+
+    for stage in ["after_centroids", "after_assignment", "after_rename"]:
+        store._build_fault = _crash_at(stage)
+        with pytest.raises(_Boom):
+            store.build(emb, fingerprint="fp2")
+        store._build_fault = None
+        assert store._meta()["fingerprint"] == "fp1"
+        assert _rows(store.topk(q, k=5)) == before
+
+    # and a later successful refresh picks up cleanly
+    assert store.refresh_if_stale(emb, fingerprint="fp2") is True
+    assert _rows(store.topk(q, k=5)) == before  # same corpus, same answer

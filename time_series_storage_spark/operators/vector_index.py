@@ -77,6 +77,15 @@ def files_fingerprint(path: str) -> str:
 class IvfIndexStore(VersionedStore):
     """One versioned IVF index (codebook + assignment) at ``path``."""
 
+    # test hook: callable(stage) invoked at build checkpoints
+    # ("after_centroids", "after_assignment", "after_rename") so crash
+    # recovery is provable at every boundary (tests/test_vector_index.py)
+    _build_fault = None
+
+    def _fault(self, stage: str) -> None:
+        if self._build_fault is not None:
+            self._build_fault(stage)
+
     def _meta(self) -> Optional[dict]:
         return self.current_meta(self.path)
 
@@ -106,6 +115,19 @@ class IvfIndexStore(VersionedStore):
         One assignment pass over the corpus (broadcast centroids +
         per-vector argmax), written partitioned by ``cell_id``; the
         codebook itself is ``n_cells`` rows. Returns the version id.
+
+        Crash atomicity: the two Spark writes (centroids, assignment)
+        are two separate jobs, so they land in a dot-prefixed staging
+        directory that nothing treats as a version — readers resolve
+        ``_current`` (which never points at it), ``refresh_if_stale``'s
+        existence check looks for the final name, and ``publish``'s GC
+        only sweeps ``v*`` names. Only after BOTH writes complete is
+        the staging directory renamed to its final version name (one
+        ``os.replace``), and only then does the ``_current`` flip run.
+        A crash between the writes leaves an ignorable ``.staging-*``
+        orphan (swept by the next build); a crash between rename and
+        publish leaves a complete-but-unreferenced version the next
+        build overwrites. No partial state can ever be trusted.
         """
         if kmeans_iters > 0:
             centroids = ivf_kmeans_centroids(
@@ -115,10 +137,18 @@ class IvfIndexStore(VersionedStore):
             centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         os.makedirs(self.path, exist_ok=True)
+        # sweep staging orphans from any previously crashed build
+        for name in os.listdir(self.path):
+            if name.startswith(".staging-"):
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
         version = self.next_version(self._meta())
-        staging = os.path.join(self.path, version)
-        shutil.rmtree(staging, ignore_errors=True)
+        final = os.path.join(self.path, version)
+        staging = os.path.join(self.path, f".staging-{version}")
+        shutil.rmtree(final, ignore_errors=True)
         centroids.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        self._fault("after_centroids")
         (
             # one writer per cell keeps each partition's file count at
             # O(size / maxRecordsPerFile), so the per-query pruned read
@@ -128,6 +158,9 @@ class IvfIndexStore(VersionedStore):
             .partitionBy("cell_id")
             .parquet(os.path.join(staging, "assignment"))
         )
+        self._fault("after_assignment")
+        os.replace(staging, final)
+        self._fault("after_rename")
         self.publish(
             self.path,
             version,
