@@ -279,6 +279,50 @@ def test_text_scorers_compose_with_streams(spark, tmp_path):
     assert got == want and len(got) == 100
 
 
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Streaming benchmark decontamination (stream-static broadcast
+    probe, stateless per-row set algebra) must produce exactly the
+    batch ngram_contamination output for every arriving document."""
+    from time_series_storage_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    from time_series_storage_spark.streaming.scoring import (
+        streaming_ngram_contamination,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(120).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    bench = batch.where(batch["doc_id"] < 10)
+    cols = ["doc_id", "n_shingles", "n_hit", "contam_x1000",
+            "is_contaminated"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in ngram_contamination(batch, bench, threshold_x1000=500)
+        .collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_ngram_contamination(stream, bench, threshold_x1000=500)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    )
+    assert got == want and len(got) == 120
+    # self-contamination sanity: benchmark members score 1000
+    full = {r[0]: r for r in got}
+    assert all(full[i][3] == 1000 for i in range(10) if i in full)
+
+
 def test_streaming_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream point-in-interval join (state-store form) must
     produce exactly the batch interval_join's matches on complete

@@ -126,6 +126,24 @@ def hashed_shingles(
     )
 
 
+def shingle_hash_set(text_col, k: int = 8) -> Column:
+    """Per-row expression: the document's DISTINCT 60-bit char-k-gram
+    hash set as ``array<long>`` — the whole shingling+hashing+dedup in
+    one projection, usable anywhere a Column is (including a streaming
+    projection, where per-row set algebra is the stateless form of the
+    contamination probe)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    npos = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda p: F.conv(
+                F.substring(F.md5(c.substr(p, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+
+
 def hashed_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:
@@ -141,21 +159,16 @@ def hashed_shingle_sets(
     algebra (``array_intersect`` for Jaccard, ``array_min`` of a
     permutation for MinHash) also stays shuffle-free.
     """
-    c = F.col(text_col)
-    npos = F.greatest(F.length(c) - (k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), npos),
-        lambda p: F.conv(
-            F.substring(F.md5(c.substr(p, F.lit(k))), 1, 15), 16, 10
-        ).cast("long"),
-    )
     # pinned repartition before the hash-heavy projection: document
     # sources are often few large files (one core per file), and AQE
     # would coalesce a by-column repartition back to one task by bytes
     return (
-        df.select(F.col(id_col), c)
+        df.select(F.col(id_col), F.col(text_col))
         .repartition(cpu_partitions(df), F.col(id_col))
-        .select(F.col(id_col), F.array_distinct(hashes).alias("hs_set"))
+        .select(
+            F.col(id_col),
+            shingle_hash_set(text_col, k).alias("hs_set"),
+        )
         .withColumn("n", F.size("hs_set"))
     )
 
