@@ -6,13 +6,17 @@ feature-extract work runs in Arrow-batched ``mapInPandas`` — one Python
 worker per partition, zero driver involvement, schema declared up front
 so Catalyst can prune everything the consumer doesn't read.
 
-The container has no image/audio codecs, so the decode step itself is
-STUBBED: ``decode_stub=True`` (default) substitutes a deterministic fake
-decoder (byte-derived, reproducible, oracle-checkable); passing
-``decode_stub=False`` raises ``NotImplementedError`` at the exact point
-a real codec (PIL / torchaudio / pyav) would be called. Everything
-around the stub — schemas, batch iteration, partitioning, explode of
-per-frame rows — is real and tested.
+Decode paths: ``decode_stub=True`` (default) substitutes a
+deterministic fake decoder (byte-derived, reproducible,
+oracle-checkable). ``decode_stub=False`` runs a REAL decode for PNG
+payloads via the pure-stdlib codec (``png_codec`` — zlib inflate +
+CRC-checked chunks + all five scanline unfilters; no PIL needed), and
+raises ``NotImplementedError`` at the exact point other codecs
+(torchaudio / pyav) would be called. Frame hashes / features in real
+mode are computed over the DECODED PIXELS, so corrupt payloads fail
+loudly instead of hashing garbage. Everything around the decode —
+schemas, batch iteration, partitioning, explode of per-frame rows — is
+identical in both modes and tested.
 
 Schema conventions:
 
@@ -31,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .parallel import cpu_partitions
+from .png_codec import decode_png, is_png
 
 FRAME_BYTES = 100  # fake decoder: one "frame" per 100 payload bytes
 FEATURE_DIM = 8  # stub encoder output dimensionality
@@ -45,6 +50,19 @@ del _j
 MEDIA_META_SCHEMA = (
     "meta struct<format: string, n_bytes: bigint, checksum: string>"
 )
+
+
+def _decoded_bytes(payload: bytes) -> bytes:
+    """The real-decode seam: PNG payloads decode to raw pixel bytes via
+    the stdlib codec; any other format is where PIL/torchaudio/pyav
+    would plug in."""
+    if is_png(payload):
+        return decode_png(payload).tobytes()
+    raise NotImplementedError(
+        "real decode implemented in-container for PNG only "
+        "(operators/png_codec.py); other codecs (PIL/torchaudio/pyav) "
+        "plug in here — or run with decode_stub=True"
+    )
 FRAMES_SCHEMA = "id bigint, frame_id bigint, frame_hash bigint"
 FEATURE_SCHEMA = "id bigint, feature array<double>"
 
@@ -103,12 +121,10 @@ def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         for pdf in batches:
             ids, frame_ids, hashes = [], [], []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real codec decode (PIL/pyav) not available in "
-                        "this container — run with decode_stub=True"
-                    )
-                for fid, h in enumerate(_fake_frame_hashes(bytes(payload))):
+                    raw = _decoded_bytes(raw)  # real pixels (PNG) or raise
+                for fid, h in enumerate(_fake_frame_hashes(raw)):
                     ids.append(doc_id)
                     frame_ids.append(fid)
                     hashes.append(h)
@@ -139,12 +155,10 @@ def extract_features(
         for pdf in batches:
             ids, feats = [], []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                src = bytes(payload)
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real feature extractor not available in this "
-                        "container — run with decode_stub=True"
-                    )
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    src = _decoded_bytes(src)  # feature over real pixels
+                raw = np.frombuffer(src, dtype=np.uint8).astype(
                     np.int64
                 )
                 # column j of the (ceil(n/dim) x dim) matrix is raw[j::dim];

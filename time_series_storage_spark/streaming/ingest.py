@@ -242,7 +242,15 @@ class RollupMergeBackend:
     Delta/Iceberg lakehouse this becomes ``MERGE INTO`` keyed by
     (grouping dims, ts[, bucket_lo]) with the batch id carried in the
     commit's application metadata — the two methods below map 1:1 onto
-    that commit protocol.
+    that commit protocol (Delta: ``txn`` application-transaction ids /
+    ``commitInfo`` userMetadata; Iceberg: snapshot summary properties).
+
+    Environment note: a Delta implementation was planned for this
+    container but ``delta-spark`` is not installed and package
+    installation is unavailable, so the seam stays closed by the
+    default backend plus the mock-backend contract test
+    (tests/test_streaming_rollup_refresh.py) that pins exactly the
+    calls and atomicity a ``MERGE INTO`` backend must honor.
     """
 
     def last_merged_batch(
