@@ -359,6 +359,58 @@ def test_asof_tolerance_subsecond(spark, data, tol):
         assert got[i] == want, (i, got[i], want)
 
 
+@given(data=asof_ms_strategy,
+       direction=st.sampled_from(["forward", "nearest"]),
+       tol=st.sampled_from([None, 2]))
+@_slow
+def test_asof_directions_match_bruteforce(spark, data, direction, tol):
+    """forward = earliest right at-or-after; nearest = closer of the
+    two (ties backward); both tolerance-bounded, ms resolution."""
+    from time_series_storage_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda ms: base + dt.timedelta(milliseconds=ms)
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, t(ms)) for i, (ms, k) in enumerate(lrows)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i, k, t(ms)) for i, (ms, k) in enumerate(rrows)],
+        ["rid", "k", "ts"],
+    ) if rrows else spark.createDataFrame([], "rid long, k string, ts timestamp")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on=["k"], right_payload=["rid"],
+            right_order="rid", tolerance_seconds=tol, direction=direction,
+        ).collect()
+    }
+
+    def model(ms, k):
+        back = [(rm, rid) for rid, (rm, rk) in enumerate(rrows)
+                if rk == k and rm <= ms]
+        fwd = [(-rm, rid) for rid, (rm, rk) in enumerate(rrows)
+               if rk == k and rm >= ms]
+        b = max(back) if back else None          # latest ts, then max rid
+        f = max(fwd) if fwd else None            # smallest ts, then max rid
+        b_d = ms - b[0] if b else None
+        f_d = -f[0] - ms if f else None
+        if tol is not None:
+            if b is not None and b_d > tol * 1000:
+                b = None
+            if f is not None and f_d > tol * 1000:
+                f = None
+        if direction == "forward":
+            return f[1] if f else None
+        if b and f:
+            return b[1] if b_d <= f_d else f[1]
+        return b[1] if b else (f[1] if f else None)
+
+    for i, (ms, k) in enumerate(lrows):
+        assert got[i] == model(ms, k), (i, direction, tol, got[i])
+
+
 def test_asof_fractional_order_tiebreak(spark):
     """Equal-ts right rows with DOUBLE order values 1.2 vs 1.9: the
     largest must win at full resolution (a long cast would truncate

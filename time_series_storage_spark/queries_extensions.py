@@ -418,6 +418,102 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: every click attached to the user's NEXT purchase
+    (earliest at-or-after) — conversion attribution, the mirror of the
+    backward query. Same union+window shape, time order reversed."""
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"],
+        right_payload=["event_id"], right_order="event_id",
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1))
+        .cast("long").alias("purchase_id"),
+        F.coalesce(
+            F.unix_timestamp("asof_ts") - F.unix_timestamp("ts"), F.lit(-1)
+        ).cast("long").alias("lead_s"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+       COALESCE(r.event_id, -1)::BIGINT AS purchase_id,
+       COALESCE(date_diff('second', l.ts, r.ts), -1)::BIGINT AS lead_s
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT p.event_id, p.ts
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+    AND p.ts >= l.ts
+  ORDER BY p.ts ASC, p.event_id DESC
+  LIMIT 1
+) r ON TRUE
+"""
+
+
+ASOF_NEAREST_TOL_S = 7200  # nearest match must be within 2 hours
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of with tolerance: every purchase attached to the
+    user's closest click within 2h either direction (ties backward) —
+    the "closest reading to this label" shape. One exchange, two
+    window passes (ascending + descending), chooser picks per row."""
+    from .sources.testdata import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_payload=["event_id"], right_order="event_id",
+        direction="nearest", tolerance_seconds=ASOF_NEAREST_TOL_S,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1))
+        .cast("long").alias("click_id"),
+        F.coalesce(
+            F.abs(F.unix_timestamp("asof_ts") - F.unix_timestamp("ts")),
+            F.lit(-1),
+        ).cast("long").alias("dist_s"),
+    )
+
+
+SQL_ASOF_NEAREST = f"""
+SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+       COALESCE(r.event_id, -1)::BIGINT AS click_id,
+       COALESCE(abs(date_diff('second', r.ts, l.ts)), -1)::BIGINT AS dist_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = l.user_id
+    AND abs(date_diff('second', c.ts, l.ts)) <= {ASOF_NEAREST_TOL_S}
+  ORDER BY abs(date_diff('second', c.ts, l.ts)) ASC,
+           (c.ts <= l.ts) DESC, c.event_id DESC
+  LIMIT 1
+) r ON TRUE
+"""
+
+
 # -- sessionization ---------------------------------------------------------
 
 def q_sessionize(spark, sf_dir):
@@ -1346,6 +1442,8 @@ EXT_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
+    "asof_click_next_purchase": (q_asof_forward, SQL_ASOF_FORWARD),
+    "asof_nearest_click": (q_asof_nearest, SQL_ASOF_NEAREST),
     "sessionize_user_30m": (q_sessionize, SQL_SESSIONIZE),
     "interval_join_purchase_session": (q_interval_join, SQL_INTERVAL_JOIN),
     "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
