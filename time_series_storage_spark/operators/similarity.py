@@ -383,3 +383,39 @@ def embedding_cosine_dedup(
         .cast("long")
         .alias("is_kept"),
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step of a vector pipeline (4x smaller than float32,
+    8x smaller than float64, dot products stay integer SIMD).
+
+    Per vector: scale ``s = max(|v_i|)``, code ``q_i = floor(v_i / s *
+    127 + 0.5)`` (round-half-up in exact double arithmetic — float32
+    inputs convert to float64 losslessly, and /,*,floor are IEEE-exact
+    in any engine, so codes are bit-identical cross-engine with no
+    float hashing involved). The all-zero vector quantizes to all-zero
+    codes with scale 0.
+
+    Output: (id, qvec array<long> with values in [-127, 127],
+    scale_x1e9 long — the scale floored at nanoscale for exact
+    comparison; dequantization uses q_i * s / 127).
+
+    Shape: one zero-shuffle codegen projection — at 100 TB this is a
+    pure map stage that rewrites the embedding column in place.
+    """
+    v = _as_double(vec_col)
+    s = F.array_max(F.transform(v, F.abs))
+    q = F.transform(
+        v,
+        lambda x: F.when(s > 0, F.floor(x / s * 127 + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.floor(s * 1_000_000_000).cast("long").alias("scale_x1e9"),
+    )

@@ -247,3 +247,58 @@ def repetition_scores(
         .cast("long")
         .alias("rep_x1000"),
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fraction (x1000, floored) of token n-gram positions covered by
+    grams that occur MORE THAN ONCE in the same document — the Gopher
+    "duplicated n-grams" quality signal, complementary to
+    :func:`repetition_scores` (top-token share): a page that interleaves
+    two alternating sentences scores low on top-token share but ~1000
+    here.
+
+    Output: (id_col, n_grams, n_dup_positions, dup_x1000).
+
+    Shape: explode gram positions at pinned parallelism, hash each gram
+    to a 60-bit long (narrow shuffle), count per (id, gram), then one
+    per-doc aggregate where positions of grams with count >= 2 are
+    summed — both aggregations map-side partial, linear in tokens.
+    Documents shorter than n tokens contribute their whole token list
+    as one gram (count 1, never "duplicated") — the short-text rule the
+    shingle operators share.
+    """
+    toks = tokens(text_col)
+    npos = F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(1))
+    grams = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .repartition(cpu_partitions(df), F.col(id_col))
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), n))
+            ).alias("g"),
+        )
+    )
+    cnt = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+        ).alias("n_dup"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup_positions"),
+        F.expr("(n_dup * 1000L) div n_grams").cast("long").alias("dup_x1000"),
+    )

@@ -1310,6 +1310,116 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 """
 
 
+DUP_NGRAM_N = 3
+
+
+def q_text_dup_ngrams(spark, sf_dir):
+    """Duplicated-token-n-gram fraction per document (Gopher signal):
+    share of 3-gram positions covered by grams occurring >= 2 times in
+    the doc."""
+    return T.dup_ngram_fraction(
+        _docs(spark, sf_dir), "doc_id", "text", n=DUP_NGRAM_N
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams"),
+        F.col("n_dup_positions"),
+        F.col("dup_x1000"),
+    )
+
+
+SQL_TEXT_DUP_NGRAMS = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(
+           array_to_string(list_slice(toks, pos, pos + {DUP_NGRAM_N - 1}),
+                           ' ')), 1, 15)) AS BIGINT) AS g
+  FROM tk, unnest(generate_series(1, greatest(len(toks) - {DUP_NGRAM_N - 1},
+                                              1))) t(pos)
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_grams,
+         COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS n_dup
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n_grams::BIGINT AS n_grams,
+       n_dup::BIGINT AS n_dup_positions,
+       ((n_dup * 1000) // n_grams)::BIGINT AS dup_x1000
+FROM per_doc
+"""
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization, posexploded to rows for
+    the exact-hash gate (codes and nanoscale-floored scale are
+    integers; no float column is compared)."""
+    q = S.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("qvec").alias("j", "q"),
+        "scale_x1e9",
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.col("q"),
+        "scale_x1e9",
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS s
+  FROM embeddings
+)
+SELECT vec_id::BIGINT AS vec_id, (j - 1)::BIGINT AS j,
+       (CASE WHEN s > 0
+             THEN floor(CAST(embedding[j] AS DOUBLE) / s * 127 + 0.5)
+             ELSE 0 END)::BIGINT AS q,
+       floor(s * 1000000000)::BIGINT AS scale_x1e9
+FROM base, unnest(generate_series(1, len(embedding))) t(j)
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap matrix: for every unordered
+    source pair, how many MinHash near-dup pairs straddle it — the
+    corpus-curation question ("how much of crawl B is already in dump
+    A?") answered from the pair graph plus two broadcast-able joins."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("_s1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("_s2"))
+    return (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .groupBy(
+            F.least("_s1", "_s2").alias("src_a"),
+            F.greatest("_s1", "_s2").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("src_a", "src_b", F.col("n_pairs").cast("long"))
+    )
+
+
+def _source_overlap_sql() -> str:
+    return f"""
+WITH docs AS (SELECT * FROM documents),
+{_minhash_pairs_ctes()}
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       COUNT(*)::BIGINT AS n_pairs
+FROM pairs
+JOIN documents a ON a.doc_id = pairs.d1
+JOIN documents b ON b.doc_id = pairs.d2
+GROUP BY 1, 2
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -1459,6 +1569,9 @@ EXT_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_dup_ngrams": (q_text_dup_ngrams, SQL_TEXT_DUP_NGRAMS),
+    "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
