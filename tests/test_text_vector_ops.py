@@ -95,3 +95,25 @@ def test_quantize_int8_dequant_error_bounded(spark):
         ).alias("bad")
     ).where("bad").count()
     assert bad == 0
+
+
+def test_int8_topk_recall_vs_float(spark):
+    """Quantized ranking must closely track float cosine ranking: for
+    each query, >= 8 of the int8 top-10 appear in the float top-10 (the
+    usual compressed-domain recall bar before exact reranking)."""
+    from time_series_storage_spark.operators.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {}
+    for r in brute_force_topk(q, emb, k=10).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in int8_topk(q, emb, k=10).collect():
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(exact) == set(approx)
+    for qid in exact:
+        assert len(exact[qid] & approx[qid]) >= 8, qid

@@ -419,3 +419,48 @@ def quantize_int8(
         q.alias("qvec"),
         F.floor(s * 1_000_000_000).cast("long").alias("scale_x1e9"),
     )
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by INTEGER dot product over int8-quantized codes —
+    :func:`brute_force_topk`'s shape (broadcast queries, shuffle-free
+    corpus scan, one per-query window) running on :func:`quantize_int8`
+    output instead of floats. Output: (q_id, vec_id, rank, qdot).
+
+    This is the compressed-domain scoring a quantized vector store
+    serves: the dot of two code vectors is exact 64-bit integer
+    arithmetic (|q| <= 127, so 64 dims bound the sum at ~10^6 — far
+    from overflow), bit-identical in any engine with no float in the
+    compare path. Ranking approximates cosine ranking to quantization
+    error; the float path stays available for exact reranking.
+    """
+    qq = F.broadcast(
+        quantize_int8(queries, id_col, vec_col).select(
+            F.col(id_col).alias("q_id"), F.col("qvec").alias("q_codes")
+        )
+    )
+    cc = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("qvec").alias("c_codes")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_codes", "c_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = cc.join(qq, F.col("q_id") != F.col("vec_id")).select(
+        "q_id", "vec_id", qdot.alias("qdot")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "qdot")
+    )

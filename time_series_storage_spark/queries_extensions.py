@@ -1383,6 +1383,52 @@ FROM base, unnest(generate_series(1, len(embedding))) t(j)
 """
 
 
+def q_sim_topk_int8(spark, sf_dir):
+    """Compressed-domain ANN: top-10 neighbors for the standard query
+    slice ranked by integer dot product over int8 codes — the serving
+    path of a quantized vector store, no float in the compare."""
+    emb = _emb(spark, sf_dir)
+    return S.int8_topk(
+        emb.where(F.col("vec_id") < SIM_QUERY_COUNT), emb, k=SIM_TOPK
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("qdot"),
+    )
+
+
+SQL_SIM_TOPK_INT8 = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN s > 0
+                     THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+                     ELSE 0 END::BIGINT) AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings)
+),
+scored AS (
+  SELECT qs.vec_id AS q_id, cs.vec_id AS vec_id,
+         list_sum(list_transform(generate_series(1, len(qs.q)),
+                                 i -> qs.q[i] * cs.q[i])) AS qdot
+  FROM codes qs JOIN codes cs ON cs.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {SIM_QUERY_COUNT}
+),
+ranked AS (
+  SELECT q_id, vec_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY qdot DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, qdot::BIGINT AS qdot
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source near-duplicate overlap matrix: for every unordered
     source pair, how many MinHash near-dup pairs straddle it — the
@@ -1571,6 +1617,7 @@ EXT_QUERIES = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_dup_ngrams": (q_text_dup_ngrams, SQL_TEXT_DUP_NGRAMS),
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
