@@ -173,3 +173,49 @@ def test_extension_scan_prunes_columns(spark):
     schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in schema_part
     assert "n_chars" not in schema_part and "source" not in schema_part
+
+
+def test_int8_topk_is_broadcast_no_smj(spark):
+    """Quantized top-k keeps brute_force_topk's scale shape: queries
+    broadcast, corpus scan shuffle-free, no sort-merge join; the only
+    exchange feeds the per-query rank window."""
+    from time_series_storage_spark.operators.similarity import int8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(int8_topk(emb.where(F.col("vec_id") < 4), emb, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    segs = [
+        s for s in plan.split("Exchange")[1:] if "hashpartitioning" in s[:200]
+    ]
+    assert len(segs) == 1  # the window's q_id partitioning
+
+
+def test_dup_ngram_plan_partial_aggregated(spark):
+    """Both aggregations of the duplicated-n-gram signal must partial-
+    aggregate map-side (linear in tokens, shuffles carry combiners)."""
+    from time_series_storage_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dup_ngram_fraction(docs))
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "REPARTITION_BY_NUM" in plan  # AQE-coalesce-exempt hash stage
+
+
+def test_grouped_percentiles_single_sort(spark):
+    """Rank-selection percentiles: row_number and the group count share
+    ONE window sort (same partitioning + ordering), then aggregate —
+    no second exchange, no driver-side collection."""
+    from time_series_storage_spark.operators.analytics import (
+        grouped_percentiles,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", F.length("text").alias("n"))
+    plan = _plan(
+        grouped_percentiles(docs, ["source"], "n", order_col="doc_id")
+    )
+    assert plan.count("Sort ") <= 2  # window sort (+ optional agg sort)
+    assert "Join" not in plan

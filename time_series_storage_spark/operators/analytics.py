@@ -198,3 +198,52 @@ def interpolate_fill(
         value_q.cast("long").alias("value_q"),
         F.col(q_col).isNotNull().alias("observed"),
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    percents: Sequence[int] = (50, 90, 99),
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group percentiles by RANK SELECTION: the value at row
+    ceil(p/100 * n) of the group's sorted order — the discrete
+    ("nearest-rank") percentile definition every engine reproduces
+    bit-for-bit on integer data. Interpolating percentile functions
+    (Spark ``percentile``, DuckDB ``quantile_cont``) average in
+    doubles and are NOT used: the interpolation arithmetic is where
+    cross-engine drift lives.
+
+    Output: one row per group — (*keys, n_rows, p<P> for each P).
+
+    Shape: one window pass per group (row_number + count over the same
+    sort — a single exchange + sort), then a pivot-free conditional
+    aggregation; group size never funnels through the driver. Ties in
+    ``val_col`` are broken by ``order_col`` (default: the first key —
+    pass an id column for full determinism when values repeat; the
+    SELECTED VALUE is deterministic either way, the tiebreak only fixes
+    which row carries it).
+    """
+    from pyspark.sql import Window
+
+    order_col = order_col or keys[0]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(val_col), F.col(order_col)
+    )
+    wc = Window.partitionBy(*keys)
+    ranked = df.select(
+        *[F.col(k) for k in keys],
+        F.col(val_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n_rows")]
+    for p in percents:
+        target = F.ceil(F.col("_n") * p / 100)
+        aggs.append(
+            F.max(F.when(F.col("_rn") == target, F.col(val_col)))
+            .cast("long")
+            .alias(f"p{p}")
+        )
+    return ranked.groupBy(*keys).agg(*aggs)

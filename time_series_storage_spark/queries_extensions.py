@@ -1466,6 +1466,50 @@ GROUP BY 1, 2
 """
 
 
+CORPUS_STATS_PS = (50, 90, 99)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus shape: doc count + exact nearest-rank token
+    percentiles — the first report run before choosing mixture weights
+    and filter thresholds. Rank selection, not interpolation, so every
+    engine reproduces the integers exactly."""
+    from .operators.analytics import grouped_percentiles
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.ws_token_count("text").alias("n_tokens")
+    )
+    return grouped_percentiles(
+        docs, ["source"], "n_tokens",
+        percents=CORPUS_STATS_PS, order_col="doc_id",
+    ).select(
+        "source",
+        F.col("n_rows"),
+        *[F.col(f"p{p}") for p in CORPUS_STATS_PS],
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH tk AS (
+  SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM tk
+)
+SELECT source, MAX(n)::BIGINT AS n_rows,
+       {", ".join(
+           f"MAX(CASE WHEN rn = CAST(ceil(n * {p} / 100.0) AS BIGINT) "
+           f"THEN n_tokens END)::BIGINT AS p{p}"
+           for p in CORPUS_STATS_PS
+       )}
+FROM ranked GROUP BY source
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -1619,6 +1663,7 @@ EXT_QUERIES = {
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
+    "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
