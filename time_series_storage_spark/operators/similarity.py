@@ -403,18 +403,28 @@ def quantize_int8(
     scale_x1e9 long — the scale floored at nanoscale for exact
     comparison; dequantization uses q_i * s / 127).
 
-    Shape: one zero-shuffle codegen projection — at 100 TB this is a
-    pure map stage that rewrites the embedding column in place.
+    Shape: two chained zero-shuffle projections — at 100 TB this is a
+    pure map stage that rewrites the embedding column in place. The
+    scale is materialized as its own column BEFORE the code transform:
+    an expression referenced inside a ``transform`` lambda is evaluated
+    per ELEMENT, so an inline ``array_max`` scale would cost O(dim^2)
+    per vector (measured ~4x the whole query at dim 64); as a bound
+    attribute it is computed once per row.
     """
     v = _as_double(vec_col)
-    s = F.array_max(F.transform(v, F.abs))
+    base = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_max(F.transform(v, F.abs)).alias("_s"),
+    )
+    s = F.col("_s")
     q = F.transform(
-        v,
+        F.col("_v"),
         lambda x: F.when(s > 0, F.floor(x / s * 127 + F.lit(0.5)))
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    return emb.select(
+    return base.select(
         F.col(id_col),
         q.alias("qvec"),
         F.floor(s * 1_000_000_000).cast("long").alias("scale_x1e9"),

@@ -1353,8 +1353,16 @@ FROM per_doc
 def q_emb_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization, posexploded to rows for
     the exact-hash gate (codes and nanoscale-floored scale are
-    integers; no float column is compared)."""
-    q = S.quantize_int8(_emb(spark, sf_dir))
+    integers; no float column is compared). The explode runs at pinned
+    parallelism — the source is one parquet file, and the dim-fold row
+    expansion is exactly the compute-dense narrow-rows shape AQE's
+    byte-based sizing serializes."""
+    from .operators.parallel import cpu_partitions
+
+    emb = _emb(spark, sf_dir)
+    q = S.quantize_int8(emb).repartition(
+        cpu_partitions(emb), F.col("vec_id")
+    )
     return q.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.posexplode("qvec").alias("j", "q"),
