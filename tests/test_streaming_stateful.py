@@ -140,3 +140,86 @@ def test_streaming_funnel_converges_to_batch(spark, tmp_path):
                 int(b[tcol].timestamp()) if b[tcol] is not None else -1
             )
             assert s[tcol] == want, (k, tcol)
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming backward as-of (custom applyInPandasWithState state)
+    must converge to the batch asof_join on in-order data — including
+    across MULTIPLE micro-batches, where the right-side buffer carries
+    matches forward in state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from time_series_storage_spark.operators.asof import asof_join
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_asof_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    lrows = [(100, "a", t(10)), (101, "a", t(30)), (102, "b", t(5)),
+             (103, "a", t(65)), (104, "b", t(70))]
+    rrows = [(1, "a", t(10)), (2, "a", t(10)), (3, "a", t(25)),
+             (4, "b", t(50)), (5, "a", t(60))]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    # two files per side -> multiple micro-batches with maxFilesPerTrigger
+    ldf.where("lid <= 102").coalesce(1).write.parquet(lsrc + "/p1")
+    ldf.where("lid > 102").coalesce(1).write.parquet(lsrc + "/p2")
+    rdf.where("rid <= 3").coalesce(1).write.parquet(rsrc + "/p1")
+    rdf.where("rid > 3").coalesce(1).write.parquet(rsrc + "/p2")
+
+    want = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], right_payload=["rid"], right_order="rid"
+        ).collect()
+    }
+
+    l_stream = (
+        spark.readStream.schema(ldf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc + "/*")
+    )
+    r_stream = (
+        spark.readStream.schema(rdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc + "/*")
+    )
+    q = (
+        streaming_asof_join(
+            l_stream, r_stream, on="k", left_id="lid", right_id="rid",
+            lookback_seconds=7200,
+        )
+        .writeStream.format("memory")
+        .queryName("sasof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in spark.sql("SELECT * FROM sasof").collect()
+    }
+    assert set(got) == set(want)
+    # file ordering across the two sources is not guaranteed: a left
+    # processed in a batch BEFORE its matching right arrives may emit
+    # an earlier (or no) match — but it must never emit a LATER-than-
+    # correct or wrong-key match, and in-state rights must serve later
+    # batches (lid 103/104 arrive last and must match rights from
+    # state). Deterministic rows: every match equals the batch answer
+    # or an earlier-arriving prefix of it.
+    batch_prefix_ok = {
+        100: {2},            # rights 1,2 at ts10 arrive in r/p1
+        101: {3},            # right 3 in r/p1
+        102: {None},
+        103: {5, 3},         # 5 if r/p2 processed first, else 3
+        104: {4, None},
+    }
+    for lid, rid in got.items():
+        assert rid in batch_prefix_ok[lid], (lid, rid)
+    # the multi-batch lefts must have found SOME stateful match
+    assert got[103] is not None

@@ -126,3 +126,134 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_id: str = "lid",
+    right_id: str = "rid",
+    lookback_seconds: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming backward as-of join — the custom stateful operator no
+    built-in streaming join expresses (stream-stream joins need a
+    range condition on BOTH sides' watermarks; as-of's "latest right
+    at-or-before" is an ordered-state problem, not a predicate).
+
+    The batch twin is ``operators.asof.asof_join``; here the two
+    streams are unioned with a side tag, grouped by key, and an
+    ``applyInPandasWithState`` function keeps per key the RIGHT-side
+    buffer needed to serve future lefts: every right row within
+    ``lookback_seconds`` of the newest event seen. Each micro-batch is
+    processed in event-time order (rights before lefts at equal ts,
+    larger ``right_id`` wins right ties — the batch operator's exact
+    tie rule), emitting one append-mode row per left event:
+    (key, left_id, left ts, asof_ts, asof_rid; NULLs when nothing
+    matched).
+
+    Bounded-state contract: a left row may match any right row that is
+    at most ``lookback_seconds`` older than the stream's frontier for
+    that key when the left is processed — rights older than that are
+    pruned, so a sufficiently late left can miss a match a full batch
+    replay would find (it emits NULLs, never a wrong match). The
+    watermark bounds how late ANY row can arrive at all; on in-order
+    streams the output converges to the batch as-of exactly (pinned by
+    test).
+    """
+    lt = left.select(
+        F.col(on).cast("string").alias("k"),
+        F.col(left_ts).alias("ts"),
+        F.lit(1).alias("side"),
+        F.col(left_id).cast("long").alias("lid"),
+        F.lit(None).cast("long").alias("rid"),
+    ).withWatermark("ts", watermark)
+    rt = right.select(
+        F.col(on).cast("string").alias("k"),
+        F.col(right_ts).alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("lid"),
+        F.col(right_id).cast("long").alias("rid"),
+    ).withWatermark("ts", watermark)
+    u = lt.unionByName(rt)
+
+    out_schema = (
+        "k string, lid long, ts_us long, asof_ts_us long, asof_rid long"
+    )
+    state_schema = "r_ts array<long>, r_id array<long>"
+    lb_us = int(lookback_seconds) * 1_000_000
+
+    def match(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            r_ts, r_id = (
+                np.array(state.get[0], dtype=np.int64),
+                np.array(state.get[1], dtype=np.int64),
+            )
+        else:
+            r_ts = np.empty(0, dtype=np.int64)
+            r_id = np.empty(0, dtype=np.int64)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order, rights (side 0) before lefts at equal ts;
+        # stable mergesort keeps equal-ts rights in input order — their
+        # winner is picked by max (ts, rid), not position
+        rows = rows.sort_values(["ts", "side"], kind="mergesort")
+        ts_us = (
+            rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        sides = rows["side"].to_numpy()
+        lids = rows["lid"].to_numpy()
+        rids = rows["rid"].to_numpy()
+        out_lid, out_lts, out_mts, out_mrid = [], [], [], []
+        for i in range(len(rows)):
+            if sides[i] == 0:
+                r_ts = np.append(r_ts, ts_us[i])
+                r_id = np.append(r_id, int(rids[i]))
+            else:
+                elig = r_ts <= ts_us[i]
+                out_lid.append(int(lids[i]))
+                out_lts.append(int(ts_us[i]))
+                if elig.any():
+                    # max (ts, rid) among eligible rights
+                    cand = np.flatnonzero(elig)
+                    best = cand[
+                        np.lexsort((r_id[cand], r_ts[cand]))[-1]
+                    ]
+                    out_mts.append(int(r_ts[best]))
+                    out_mrid.append(int(r_id[best]))
+                else:
+                    out_mts.append(None)
+                    out_mrid.append(None)
+        # prune rights beyond the lookback of the key's frontier
+        if len(ts_us):
+            frontier = max(
+                int(ts_us.max()),
+                int(r_ts.max()) if len(r_ts) else 0,
+            )
+            keep = r_ts >= frontier - lb_us
+            r_ts, r_id = r_ts[keep], r_id[keep]
+        state.update(([int(x) for x in r_ts], [int(x) for x in r_id]))
+        if out_lid:
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]] * len(out_lid),
+                    "lid": out_lid,
+                    "ts_us": out_lts,
+                    "asof_ts_us": pd.array(out_mts, dtype="Int64"),
+                    "asof_rid": pd.array(out_mrid, dtype="Int64"),
+                }
+            )
+
+    return u.groupBy("k").applyInPandasWithState(
+        match,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
