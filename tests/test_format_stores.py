@@ -51,3 +51,70 @@ def test_format_store_round_trip(spark, tmp_path, fmt):
     eng2.new_fact("m", 5.0, {"grp": "g0"}, START + dt.timedelta(hours=1))
     n = store.events_df().count()
     assert n == 301
+
+
+def test_curated_dataset_store_roundtrip_and_isolation(spark, tmp_path):
+    """The pipeline's terminal sink: versioned partitioned parquet with
+    an atomic pointer — readers see old data until the new version's
+    flip, the committed count matches the written rows, and partition
+    pruning works on the published tree."""
+    from pyspark.sql import functions as F
+
+    from time_series_storage_spark.sources.curated import (
+        CuratedDatasetStore,
+    )
+
+    store = CuratedDatasetStore(spark, str(tmp_path / "curated"))
+    assert not store.exists()
+    df1 = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    v1 = store.write(df1, partition_by=["source"],
+                     provenance={"pipeline": "e2e", "quality_min": 500})
+    assert store.exists() and v1 == "v00000000"
+    assert store._meta()["count"] == 100
+    assert store._meta()["pipeline"] == "e2e"
+    assert store.read().count() == 100
+    # partition pruning on the published tree
+    plan = (
+        store.read().where(F.col("source") == "1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(source" in plan
+
+    # second write publishes atomically; reader re-resolves to v1 data
+    df2 = df1.where("doc_id < 10")
+    store.write(df2, partition_by=["source"])
+    assert store._meta()["count"] == 10
+    assert store.read().count() == 10
+    # no staging orphans after success
+    import os
+
+    assert not [
+        n for n in os.listdir(store.path) if n.startswith(".staging-")
+    ]
+
+
+def test_curated_dataset_store_crash_leaves_reader_on_old(spark, tmp_path):
+    """A writer dying mid-stage (staging dir present, no flip) leaves
+    the committed version untouched and the wreck ignorable."""
+    import os
+
+    from time_series_storage_spark.sources.curated import (
+        CuratedDatasetStore,
+    )
+
+    store = CuratedDatasetStore(spark, str(tmp_path / "c2"))
+    store.write(spark.range(5).toDF("doc_id"))
+    # simulate a crashed next write: staged files, no rename/flip
+    os.makedirs(os.path.join(store.path, ".staging-v00000001", "x"))
+    assert store._meta()["version"] == "v00000000"
+    assert store.read().count() == 5
+    # the next successful write sweeps the wreck and publishes v1
+    store.write(spark.range(7).toDF("doc_id"))
+    assert store._meta()["version"] == "v00000001"
+    assert store.read().count() == 7
+    assert not [
+        n for n in os.listdir(store.path) if n.startswith(".staging-")
+    ]
