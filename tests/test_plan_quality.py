@@ -219,3 +219,43 @@ def test_grouped_percentiles_single_sort(spark):
     )
     assert plan.count("Sort ") <= 2  # window sort (+ optional agg sort)
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """The repeated-join answer at 100 TB: two tables bucketed on the
+    join key join with ZERO shuffles — the sort-merge join's children
+    are the scans themselves. Asserted on the physical plan; the
+    unbucketed control join MUST show exchanges, so the assertion is
+    known to be sensitive."""
+    from time_series_storage_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    users = spark.range(1000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 7).alias("segment"),
+    )
+    events = spark.range(5000).select(
+        (F.col("id") % 1000).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # control: the same join unbucketed shuffles both sides
+        control = _plan(users.join(events, "user_id"))
+        assert "Exchange" in control
+
+        write_bucketed(users, "t_users_b", "user_id", 8, sort_by="user_id")
+        write_bucketed(events, "t_events_b", "user_id", 8,
+                       sort_by="user_id")
+        plan = _plan(bucketed_join(spark, "t_users_b", "t_events_b",
+                                   "user_id"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_users_b")
+        spark.sql("DROP TABLE IF EXISTS t_events_b")
