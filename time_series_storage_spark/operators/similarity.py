@@ -474,3 +474,53 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "qdot")
     )
+
+
+def int8_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    prefilter_k: int = 50,
+) -> DataFrame:
+    """Two-stage ANN serving: compressed-domain prefilter
+    (:func:`int8_topk`, integer dots over the whole corpus) keeps
+    ``prefilter_k`` candidates per query, then ONLY those candidates
+    are rescored with exact float cosine and re-ranked to the final
+    ``k`` — the standard quantize-then-rerank pattern (the float read
+    touches prefilter_k vectors per query instead of the corpus).
+
+    Output: (q_id, vec_id, rank, sim_x1e6) — same contract as
+    :func:`brute_force_topk`, so the caller can swap exact for staged
+    retrieval without touching downstream code.
+    """
+    cand = int8_topk(queries, corpus, id_col, vec_col, k=prefilter_k)
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    rescored = (
+        cand.select("q_id", "vec_id")
+        .join(cv, "vec_id")
+        .join(qv, "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine("q_vec", "c_vec") * 1e6)
+            .cast("long")
+            .alias("sim_x1e6"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sim_x1e6")
+    )

@@ -1437,6 +1437,73 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 """
 
 
+RERANK_PREFILTER = 50
+
+
+def q_sim_topk_rerank(spark, sf_dir):
+    """Two-stage retrieval: int8 compressed-domain prefilter keeps 50
+    candidates per query over the whole corpus, exact float cosine
+    rescores ONLY those — the standard quantize-then-rerank serving
+    pattern, same output contract as the exact brute-force query."""
+    emb = _emb(spark, sf_dir)
+    return S.int8_rerank_topk(
+        emb.where(F.col("vec_id") < SIM_QUERY_COUNT), emb,
+        k=SIM_TOPK, prefilter_k=RERANK_PREFILTER,
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _sim_topk_rerank_sql() -> str:
+    return f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN s > 0
+                     THEN floor(CAST(x AS DOUBLE) / s * 127 + 0.5)
+                     ELSE 0 END::BIGINT) AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings)
+),
+scored AS (
+  SELECT qs.vec_id AS q_id, cs.vec_id AS vec_id,
+         list_sum(list_transform(generate_series(1, len(qs.q)),
+                                 i -> qs.q[i] * cs.q[i])) AS qdot
+  FROM codes qs JOIN codes cs ON cs.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {SIM_QUERY_COUNT}
+),
+pref AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY qdot DESC, vec_id) AS prank
+    FROM scored
+  ) WHERE prank <= {RERANK_PREFILTER}
+),
+rescored AS (
+  SELECT p.q_id, p.vec_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS sim_x1e6
+  FROM pref p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings c ON c.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_x1e6 DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, sim_x1e6::BIGINT AS sim_x1e6
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source near-duplicate overlap matrix: for every unordered
     source pair, how many MinHash near-dup pairs straddle it — the
@@ -1670,6 +1737,7 @@ EXT_QUERIES = {
     "text_dup_ngrams": (q_text_dup_ngrams, SQL_TEXT_DUP_NGRAMS),
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
+    "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
