@@ -103,3 +103,27 @@ def test_pipeline_stage_contracts_survive_chaining(spark):
         .collect()
     }
     assert set(ids) <= passing
+
+
+def test_pipeline_output_lands_in_curated_store(spark, tmp_path):
+    """The chain's last mile: pipeline output written through the
+    versioned curated sink — committed count matches the query, reads
+    come back partition-pruned by source, provenance rides the
+    pointer."""
+    from time_series_storage_spark.sources.curated import (
+        CuratedDatasetStore,
+    )
+
+    out = q_pipeline_e2e(spark, SF_DIR)
+    want = out.count()
+    store = CuratedDatasetStore(spark, str(tmp_path / "curated"))
+    store.write(
+        out, partition_by=["source"],
+        provenance={"pipeline": "e2e", "quality_min": PIPE_QUALITY_MIN},
+    )
+    meta = store._meta()
+    assert meta["count"] == want and meta["quality_min"] == PIPE_QUALITY_MIN
+    assert store.read().count() == want
+    got_srcs = {r["source"] for r in store.read().select("source").distinct().collect()}
+    want_srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got_srcs == want_srcs
