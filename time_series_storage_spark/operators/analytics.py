@@ -200,6 +200,74 @@ def interpolate_fill(
     )
 
 
+def anomaly_zscore(
+    series: DataFrame,
+    dims: Sequence[str],
+    ts_col: str = "ts",
+    q_col: str = "q",
+    lookback: int = 20,
+    min_points: int = 5,
+    z_threshold: int = 3,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags per series, in EXACT
+    integer arithmetic — the alerting layer over a collapse/fill-range
+    output (reference read path ends at query.clj:99-117; anomaly
+    marking is the first thing a monitoring consumer does next).
+
+    Each observation is compared against the ``lookback`` observations
+    BEFORE it (the current row is excluded from its own baseline — a
+    spike must not dilute the statistics that judge it). With the
+    quantized value ``x`` and the frame's count/sum/sum-of-squares
+    ``(n, s, ss)``, the flag is the squared z-score test
+
+        ``(n*x - s)^2 * (n - 1)  >  z^2 * n * (n*ss - s^2)``
+
+    which is ``((x - mean) / sample_stddev)^2 > z^2`` cleared of
+    divisions and square roots: every operand is a BIGINT product of
+    quantized longs, so Spark and any SQL engine agree bit-for-bit —
+    ``stddev_samp`` itself is NOT portable (Welford vs naive summation
+    differ in float rounding). Magnitudes: with |x| <= 2^20 (x1000
+    quantization of values up to ~1e3) and lookback <= 64, every
+    product stays below 2^53.
+
+    Rows with fewer than ``min_points`` predecessors are emitted with
+    ``is_anomaly`` NULL (insufficient baseline), never false-flagged.
+    Output: input columns + ``base_n``, ``base_sum`` and
+    ``is_anomaly`` (long 0/1, NULL when under-baselined).
+
+    Scale shape: ONE window pass — a single exchange on ``dims`` and a
+    single sort; the row frame keeps a sliding accumulator, so cost is
+    O(rows) per partition regardless of lookback. Ties on ``ts`` are
+    ordered by ``order_col`` (default ``q_col``) so the frame is
+    deterministic in every engine.
+    """
+    order_col = order_col or q_col
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(q_col).cast("long")
+    n = F.count(q_col).over(w).cast("long")
+    s = F.sum(x).over(w).cast("long")
+    ss = F.sum(x * x).over(w).cast("long")
+    # one .select -> all three frame aggregates share one Window operator
+    framed = series.select(
+        "*", n.alias("base_n"), s.alias("base_sum"), ss.alias("_base_ss")
+    )
+    nn, sm, sq = F.col("base_n"), F.col("base_sum"), F.col("_base_ss")
+    dev = nn * x - sm
+    flag = F.when(
+        nn >= min_points,
+        (
+            dev * dev * (nn - 1)
+            > F.lit(z_threshold * z_threshold) * nn * (nn * sq - sm * sm)
+        ).cast("long"),
+    )
+    return framed.withColumn("is_anomaly", flag).drop("_base_ss")
+
+
 def grouped_percentiles(
     df: DataFrame,
     keys: Sequence[str],

@@ -249,6 +249,68 @@ def repetition_scores(
     )
 
 
+# Default PII patterns. Dialect-portable subset only: no backreferences,
+# no lookaround, no \p classes — the same pattern string must compile in
+# Java regex (Spark) and RE2 (DuckDB/Go scanners) with identical
+# semantics, so a redaction audit can be mirrored in any engine.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    ("long_id", r"\d{6,}", "<ID>"),
+)
+
+
+def redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII scrubbing: replace every match of each (name, regex,
+    replacement) rule and count what was removed — the
+    redact-before-training pass of a data-curation pipeline.
+
+    Rules apply IN ORDER, each against the previous rule's output (an
+    email must be swallowed whole by the email rule, not have its
+    digits re-matched by the id rule), and each count is taken on the
+    text the rule actually saw — so the counts sum to the number of
+    replacements performed, auditable per rule.
+
+    Output: every input column EXCEPT ``text_col`` (replaced by
+    ``clean``), plus n_<name> per rule and ``n_redactions`` total —
+    passthrough columns survive so the scrub composes mid-pipeline.
+
+    Scale shape: a pure per-row projection — zero shuffles, zero state,
+    whole-stage-codegen'd JVM regex; linear in corpus bytes and
+    embarrassingly parallel, the cheapest possible 100 TB shape. The
+    same projection applies unchanged to a readStream (stateless), like
+    streaming/scoring.py's quality filter.
+
+    ``id_col`` is unused beyond a schema check (kept for signature
+    symmetry with the other per-document operators).
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"redact: missing id column {id_col!r}")
+    out = df.withColumn("_t0", F.col(text_col))
+    names = []
+    for i, (name, pat, repl) in enumerate(patterns):
+        prev, nxt = f"_t{i}", f"_t{i + 1}"
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(prev), F.lit(pat)).cast("long"),
+        ).withColumn(nxt, F.regexp_replace(F.col(prev), pat, repl))
+        names.append(name)
+    total = sum((F.col(f"n_{n}") for n in names[1:]), F.col(f"n_{names[0]}"))
+    passthrough = [c for c in df.columns if c != text_col]
+    return out.select(
+        *passthrough,
+        F.col(f"_t{len(patterns)}").alias("clean"),
+        *[F.col(f"n_{n}") for n in names],
+        total.cast("long").alias("n_redactions"),
+    )
+
+
 def dup_ngram_fraction(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1585,6 +1585,183 @@ FROM ranked GROUP BY source
 """
 
 
+# -- anomaly detection over the event stream --------------------------------
+
+ANOMALY_LOOKBACK = 20
+ANOMALY_MIN_POINTS = 5
+ANOMALY_Z = 2
+
+
+def q_ts_anomaly(spark, sf_dir):
+    """Trailing-window z-score anomalies per event_type series — the
+    alerting pass over raw measurements, all in exact integer
+    arithmetic (operators/analytics.py:anomaly_zscore: the squared
+    z-test cleared of divisions/sqrt, so the flag is bit-identical in
+    any engine; stddev_samp itself is not portable). One window pass,
+    one exchange on event_type."""
+    from .operators.analytics import anomaly_zscore, quantize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", quantize("value").alias("q")
+    )
+    flagged = anomaly_zscore(
+        ev, ["event_type"], q_col="q", order_col="event_id",
+        lookback=ANOMALY_LOOKBACK, min_points=ANOMALY_MIN_POINTS,
+        z_threshold=ANOMALY_Z,
+    )
+    return flagged.where(F.col("is_anomaly") == 1).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("q").cast("long").alias("value_x1000"),
+        F.col("base_n").cast("long").alias("base_n"),
+        F.col("base_sum").cast("long").alias("base_sum"),
+    )
+
+
+SQL_TS_ANOMALY = f"""
+WITH q AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+),
+f AS (
+  SELECT event_id, event_type, x,
+         COUNT(x) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id::BIGINT AS event_id, event_type,
+       x::BIGINT AS value_x1000, n::BIGINT AS base_n, s::BIGINT AS base_sum
+FROM f
+WHERE n >= {ANOMALY_MIN_POINTS}
+  AND (n * x - s) * (n * x - s) * (n - 1)
+      > {ANOMALY_Z * ANOMALY_Z} * n * (n * ss - s * s)
+"""
+
+
+# -- sequence packing into token-budget training bins ------------------------
+
+PACK_BUDGET = 256
+PACK_SHARDS = 4
+
+
+def q_text_pack_bins(spark, sf_dir):
+    """Pack documents into {PACK_BUDGET}-token training bins per
+    (source, doc_id%{PACK_SHARDS} shard) via the contiguous cumulative
+    cut (operators/pack.py) — the corpus-to-dataloader layout step.
+    One window exchange; shards bound the largest sorted partition so a
+    source holding half the corpus still parallelizes."""
+    from .operators.pack import pack_bins
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.ws_token_count("text").alias("n_tokens")
+    )
+    return pack_bins(
+        docs, PACK_BUDGET, ("source",), n_shards=PACK_SHARDS
+    ).select(
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bin_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+SQL_TEXT_PACK_BINS = f"""
+WITH tk AS (
+  SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+         len({_TOKS})::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT source, shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM tk
+)
+SELECT source, shard::BIGINT AS shard,
+       (start_off // {PACK_BUDGET})::BIGINT AS bin_id,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS bin_tokens
+FROM off GROUP BY source, shard, start_off // {PACK_BUDGET}
+"""
+
+
+# -- PII / pattern redaction audit -------------------------------------------
+
+def q_events_pii_scrub(spark, sf_dir):
+    """Redaction audit over the events' props payload: scrub every
+    digit run to <NUM> (operators/text.py:redact — the general
+    rule-ordered PII scrubber; the default email/ip/phone/id rule set
+    is exercised in tests where such strings exist) and report, per
+    event type, how much was removed and what the payloads collapse
+    to. The scrub itself is a zero-shuffle codegen projection; only
+    the audit aggregates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    r = T.redact(
+        ev, "event_id", "props", patterns=(("num", r"\d+", "<NUM>"),)
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("n_num").cast("long").alias("n_redactions"),
+        F.countDistinct("clean").cast("long").alias("n_distinct_clean"),
+        F.max("clean").alias("max_clean"),
+    )
+
+
+SQL_EVENTS_PII_SCRUB = r"""
+WITH r AS (
+  SELECT event_type,
+         len(regexp_extract_all(props, '\d+'))::BIGINT AS n_num,
+         regexp_replace(props, '\d+', '<NUM>', 'g') AS clean
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       SUM(n_num)::BIGINT AS n_redactions,
+       COUNT(DISTINCT clean)::BIGINT AS n_distinct_clean,
+       MAX(clean) AS max_clean
+FROM r GROUP BY event_type
+"""
+
+
+# -- semi-structured (JSON) property extraction ------------------------------
+
+def q_events_json_kv(spark, sf_dir):
+    """Typed extraction from the semi-structured props column with
+    ``from_json`` (real JVM JSON parsing, not regex) and a decile
+    rollup of the extracted value — the schema-on-read pattern for
+    event payloads. Projection + one aggregate exchange."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy(
+        "event_type", F.floor(F.col("k") / 10).cast("long").alias("k_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+SQL_EVENTS_JSON_KV = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, (k // 10)::BIGINT AS k_decile,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(k)::BIGINT AS k_min, MAX(k)::BIGINT AS k_max
+FROM p GROUP BY event_type, k // 10
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -1743,6 +1920,10 @@ EXT_QUERIES = {
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
+    "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
+    "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
+    "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
+    "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
