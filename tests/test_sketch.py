@@ -1,0 +1,88 @@
+"""operators/sketch.py (KMV distinct-count) under the gate: accuracy
+bound, small-group exactness, partitioning invariance (the mergeability
+property that makes the sketch a sketch), and parameter validation.
+
+The driver-level oracle row is sketch_distinct_tokens in
+queries_extensions.py (bit-exact vs DuckDB); these tests pin the
+statistical and algebraic properties no equality check shows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators.sketch import (
+    KMV_M,
+    kmv_estimate,
+    kmv_minima,
+)
+
+
+def _elems(spark, n_distinct, key="g", copies=3, parts=4):
+    # each element appears `copies` times so the distinct stage matters
+    df = spark.range(n_distinct * copies).select(
+        F.lit(key).alias("k"),
+        F.concat(F.lit("elem-"), (F.col("id") % n_distinct)).alias("e"),
+    )
+    return df.repartition(parts)
+
+
+def test_kmv_exact_below_k(spark):
+    out = kmv_estimate(_elems(spark, 40), ["k"], "e", k=64).collect()[0]
+    assert out.n_mins == 40
+    assert out.est_distinct == 40  # exact, not estimated
+
+
+def test_kmv_estimate_within_bound(spark):
+    # KMV relative error ~1/sqrt(k-2); allow 5 sigma
+    n, k = 5000, 64
+    out = kmv_estimate(_elems(spark, n), ["k"], "e", k=k).collect()[0]
+    assert out.n_mins == k
+    sigma = n / math.sqrt(k - 2)
+    assert abs(out.est_distinct - n) < 5 * sigma
+    assert 0 < out.kth_min < KMV_M
+
+
+def test_kmv_partitioning_invariance(spark):
+    # the estimate is a pure function of the data: any physical
+    # layout gives the identical sketch (this IS mergeability — the
+    # two-phase selection merges per-partition sketches)
+    a = kmv_estimate(_elems(spark, 1000, parts=1), ["k"], "e").collect()[0]
+    b = kmv_estimate(_elems(spark, 1000, parts=13), ["k"], "e").collect()[0]
+    assert (a.kth_min, a.est_distinct) == (b.kth_min, b.est_distinct)
+
+
+def test_kmv_minima_are_global_minima(spark):
+    k = 16
+    df = _elems(spark, 500)
+    mins = sorted(
+        r.h for r in kmv_minima(df, ["k"], "e", k=k).collect()
+    )
+    from time_series_storage_spark.operators.sketch import kmv_hash
+
+    all_h = sorted(
+        r.h
+        for r in df.select(kmv_hash("e").alias("h")).distinct().collect()
+    )
+    assert mins == all_h[:k]
+
+
+def test_kmv_multi_group_independent(spark):
+    big = _elems(spark, 2000, key="big")
+    small = _elems(spark, 10, key="small")
+    out = {
+        r.k: r
+        for r in kmv_estimate(big.union(small), ["k"], "e").collect()
+    }
+    assert out["small"].est_distinct == 10
+    assert out["big"].n_mins == 64 and out["big"].est_distinct > 1000
+
+
+def test_kmv_k_validated(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_minima(_elems(spark, 10), ["k"], "e", k=2)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_minima(_elems(spark, 10), ["k"], "e", k=256)

@@ -1762,6 +1762,95 @@ FROM p GROUP BY event_type, k // 10
 """
 
 
+# -- KMV distinct-count sketch ----------------------------------------------
+
+KMV_K = 64
+
+
+def q_sketch_distinct_tokens(spark, sf_dir):
+    """Per-source distinct char-8-gram cardinality by KMV sketch
+    (operators/sketch.py) next to the exact count — the deterministic
+    answer to "how much unique content does each source hold" that
+    engine-native HLL can't give (opaque, engine-varying,
+    un-oracle-able). The sketch path ships k={KMV_K} longs per
+    (source, partition); the exact branch (full distinct shuffle) is
+    the validation gauge this query exists to exhibit — at real scale
+    you run only the sketch. Shingles, not word tokens, as elements:
+    the synthetic vocabulary is ~30 words, which would put every group
+    on the exact small-count path and never exercise the estimator."""
+    from .operators.parallel import cpu_partitions
+    from .operators.sketch import kmv_estimate
+
+    docs = _docs(spark, sf_dir)
+    npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
+    elems = (
+        docs.select("doc_id", "source", "text")
+        .repartition(cpu_partitions(docs), F.col("doc_id"))
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+            "text",
+        )
+        .select(
+            "source",
+            F.expr("substring(text, pos, 8)").alias("tok"),
+        )
+    )
+    est = kmv_estimate(elems, ["source"], "tok", k=KMV_K)
+    exact = elems.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "source").select(
+        "source",
+        "n_mins",
+        "kth_min",
+        "est_distinct",
+        "n_exact",
+        F.expr("(abs(est_distinct - n_exact) * 1000L) div n_exact")
+        .cast("long")
+        .alias("err_x1000"),
+    )
+
+
+SQL_SKETCH_DISTINCT = f"""
+WITH toks AS (
+  SELECT source, substring(text, pos, 8) AS w
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+),
+hs AS (
+  SELECT DISTINCT source,
+         CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 12)) AS BIGINT) AS h
+  FROM toks
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (
+  SELECT source, COUNT(*) AS n_mins, MAX(h) AS kth_min
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+),
+ex AS (
+  SELECT source, COUNT(DISTINCT w)::BIGINT AS n_exact
+  FROM toks GROUP BY source
+),
+est AS (
+  SELECT source, n_mins, kth_min,
+         CASE WHEN n_mins < {KMV_K} THEN n_mins
+              ELSE {KMV_K - 1} * ({1 << 48} // kth_min)
+                   + ({KMV_K - 1} * ({1 << 48} % kth_min)) // kth_min
+         END AS est_distinct
+  FROM sk
+)
+SELECT e.source, n_mins::BIGINT AS n_mins, kth_min::BIGINT AS kth_min,
+       est_distinct::BIGINT AS est_distinct, n_exact,
+       (abs(est_distinct - n_exact) * 1000) // n_exact AS err_x1000
+FROM est e JOIN ex USING (source)
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -1924,6 +2013,7 @@ EXT_QUERIES = {
     "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
+    "sketch_distinct_tokens": (q_sketch_distinct_tokens, SQL_SKETCH_DISTINCT),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
