@@ -419,3 +419,46 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     # eviction cutoff (end - 10 min = t+50) and are gone
     assert (2, 11) in got_n
     assert (1, 10) not in got_n and (2, 10) not in got_n
+
+
+def test_redact_composes_with_streams(spark, tmp_path):
+    """PII redaction (text.redact) is a stateless rule-ordered
+    projection, so the identical operator code scrubs a readStream in
+    append mode with no state or watermark — redact-on-arrival, the
+    deployment shape a privacy pipeline needs (data must be scrubbed
+    BEFORE it lands anywhere persistent)."""
+    from time_series_storage_spark.operators.text import redact
+
+    rows = [
+        (1, "mail a@b.co and c@d.org"),
+        (2, "ip 10.0.0.1 ticket 1234567"),
+        (3, "nothing sensitive"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "pii_docs")
+    batch.coalesce(1).write.parquet(src)
+    stored = spark.read.parquet(src)
+    want = sorted(
+        (r["doc_id"], r["clean"], r["n_redactions"])
+        for r in redact(stored, "doc_id", "text").collect()
+    )
+    stream = spark.readStream.schema(stored.schema).parquet(src)
+    q = (
+        redact(stream, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("redacted_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_redact"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["clean"], r["n_redactions"])
+        for r in spark.sql("SELECT * FROM redacted_stream").collect()
+    )
+    assert got == want
+    by_id = dict((d, c) for d, c, _ in got)
+    assert by_id[1] == "mail <EMAIL> and <EMAIL>"
+    assert by_id[2] == "ip <IP> ticket <ID>"
+    assert by_id[3] == "nothing sensitive"
