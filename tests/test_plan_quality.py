@@ -259,3 +259,64 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_users_b")
         spark.sql("DROP TABLE IF EXISTS t_events_b")
+
+
+def test_redact_is_pure_projection(spark):
+    """The PII scrub is a zero-shuffle codegen projection — no
+    exchange, no Python, one codegen span over scan+project."""
+    from time_series_storage_spark.operators.text import redact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(redact(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) Project" in plan  # whole-stage codegen span
+
+
+def test_pack_single_exchange_reused_by_binning(spark):
+    """Sequence packing: the window's (group, shard) exchange is the
+    ONLY shuffle — the per-bin aggregate reuses the window partitioning
+    (its keys are a superset), so Catalyst plans no second exchange."""
+    from time_series_storage_spark.operators.pack import pack_bins
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", F.length("text").alias("n_tokens"))
+    plan = _plan(pack_bins(docs, 256, ("source",), n_shards=4))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan  # bin aggregate still map-side combines
+
+
+def test_anomaly_single_window_pass(spark):
+    """anomaly_zscore: all three frame aggregates (count/sum/sumsq)
+    share ONE Window operator — one exchange, one sort, no join."""
+    from time_series_storage_spark.operators.analytics import (
+        anomaly_zscore,
+        quantize,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "ts", quantize("value").alias("q"))
+    plan = _plan(
+        anomaly_zscore(ev, ["event_type"], q_col="q", order_col="event_id")
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_kmv_no_python_no_global_sort(spark):
+    """KMV sketch: the two-phase k-min never globally sorts the corpus
+    — both rank passes are window sorts (partition-local after their
+    exchange); no Python, no cartesian."""
+    from time_series_storage_spark.operators.sketch import kmv_estimate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("source", F.explode(F.split("text", " ")).alias("tok"))
+    plan = _plan(kmv_estimate(docs, ["source"], "tok"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # global sorts show as Sort [..], global true — windows sort locally
+    assert "global=true" not in plan.replace("global true", "global=true")
