@@ -223,3 +223,65 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         assert rid in batch_prefix_ok[lid], (lid, rid)
     # the multi-batch lefts must have found SOME stateful match
     assert got[103] is not None
+
+
+def test_streaming_kmv_converges_to_batch(spark, tmp_path):
+    """After any prefix of micro-batches the streaming KMV state is
+    the batch sketch of the union — pinned here at the end of three
+    single-file micro-batches against operators.sketch.kmv_estimate
+    on the same rows. The sketch's merge algebra (union minima, keep
+    k smallest) is what makes this exact, not approximate."""
+    from time_series_storage_spark.operators.sketch import kmv_estimate
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_kmv_distinct,
+    )
+
+    K = 16
+    src = str(tmp_path / "el")
+    parts = []
+    for i in range(3):
+        rows = [
+            ("g1", f"tok-{(i * 97 + j) % 400}") for j in range(300)
+        ] + [("g2", f"tok-{j % 5}") for j in range(20)]
+        parts.append(rows)
+        spark.createDataFrame(rows, "k string, e string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{src}/f0").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_kmv_distinct(stream, "k", "e", k=K)
+        .writeStream.format("memory")
+        .queryName("skmv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per key: n_mins never decreases and kth_min
+    # never increases as batches absorb — pick (max n, min kth)
+    final = {}
+    for r in spark.sql("SELECT * FROM skmv").collect():
+        cur = final.get(r["k"])
+        if cur is None or (r["n_mins"], -r["kth_min"]) > (
+            cur["n_mins"], -cur["kth_min"]
+        ):
+            final[r["k"]] = r
+    all_rows = [x for p in parts for x in p]
+    batch = {
+        r.k: r
+        for r in kmv_estimate(
+            spark.createDataFrame(all_rows, "k string, e string"),
+            ["k"], "e", k=K,
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"g1", "g2"}
+    for key in batch:
+        s, b = final[key], batch[key]
+        assert (s["n_mins"], s["kth_min"], s["est_distinct"]) == (
+            b.n_mins, b.kth_min, b.est_distinct
+        ), key
+    # g2 has 5 distinct tokens -> exact path
+    assert final["g2"]["est_distinct"] == 5

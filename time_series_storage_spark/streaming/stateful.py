@@ -257,3 +257,85 @@ def streaming_asof_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_STATE_SCHEMA = "minima array<long>"
+
+
+def streaming_kmv_distinct(
+    elements: DataFrame,
+    key_col: str,
+    elem_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV distinct-count: the k-minimum-values sketch
+    (operators/sketch.py) maintained incrementally per key — "how many
+    distinct X so far" over an unbounded stream with O(k) state, the
+    question exact streaming distinct cannot answer without unbounded
+    state.
+
+    KMV is the sketch built for this deployment: its merge is "union
+    the minima, keep the k smallest", so per-batch incorporation is
+    exactly the batch operator's phase-1/phase-2 selection replayed
+    against the stored minima. After any prefix of micro-batches the
+    state — and therefore the emitted estimate — is bit-identical to
+    running batch :func:`~..operators.sketch.kmv_estimate` over the
+    union of those batches' rows (tests/test_streaming_stateful.py
+    pins this, including across single-file micro-batches).
+
+    Emits one row per (key, micro-batch that changed or refreshed the
+    key): key, n_mins, kth_min, est_distinct — same estimator, same
+    exact integer arithmetic (Python ints here, BIGINT there).
+
+    State is ``k`` longs per key, forever — no watermark needed; the
+    sketch never grows. The hash projection runs JVM-side before the
+    Arrow exchange; the per-key python work is O(batch distinct + k).
+    """
+    from ..operators.sketch import KMV_M, kmv_hash
+
+    if not 2 < k <= 255:
+        raise ValueError(f"k must be in (2, 255], got {k}")
+    out_schema = (
+        f"{key_col} string, n_mins long, kth_min long, est_distinct long"
+    )
+
+    def absorb(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        minima = list(state.get[0]) if state.exists else []
+        s = set(minima)
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        m = sorted(s)[:k]
+        state.update((m,))
+        n = len(m)
+        h_k = int(m[-1]) if m else 0
+        if n < k:
+            est = n
+        else:
+            est = (k - 1) * (KMV_M // h_k) + ((k - 1) * (KMV_M % h_k)) // h_k
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_mins": [n],
+                "kth_min": [h_k],
+                "est_distinct": [est],
+            }
+        )
+
+    return (
+        elements.select(
+            F.col(key_col).cast("string").alias(key_col),
+            kmv_hash(elem_col).alias("h"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            absorb,
+            outputStructType=out_schema,
+            stateStructType=KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
