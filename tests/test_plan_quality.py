@@ -320,3 +320,21 @@ def test_kmv_no_python_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     # global sorts show as Sort [..], global true — windows sort locally
     assert "global=true" not in plan.replace("global true", "global=true")
+
+
+def test_relational_rollup_broadcasts_dims_pushes_anti_filter(spark):
+    """sales rollup: customer+nation joins are BroadcastHashJoin and
+    the aggregate partial-combines before its exchange; the anti-join
+    query pushes the priority filter into the orders scan."""
+    from time_series_storage_spark.queries_extensions import (
+        q_customers_without_orders,
+        q_sales_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(q_sales_rollup(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in plan
+    anti = _plan(q_customers_without_orders(spark, sf))
+    assert "LeftAnti" in anti
+    assert "EqualTo(o_orderpriority,1-URGENT)" in anti.replace("'", "")

@@ -1851,6 +1851,109 @@ FROM est e JOIN ex USING (source)
 """
 
 
+# -- relational rollups over the TPC-H-ish tables ----------------------------
+
+def q_sales_rollup(spark, sf_dir):
+    """Multi-way relational rollup: revenue per (nation, month) through
+    lineitem |><| orders |><| customer |><| nation — the join-strategy
+    showcase. Dimension sides are DECLARED broadcast (customer/nation:
+    small by nature — at 100 TB customer may graduate to a shuffle
+    join, which is a one-line change Catalyst would also make on its
+    own via AQE); the lineitem-orders join is the one real exchange,
+    keyed on orderkey; revenue quantized to exact BIGINT cents per
+    line BEFORE the sum. Plan pinned in tests/test_plan_quality.py:
+    two BroadcastHashJoins, partial aggregation before the final
+    exchange."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    na = read_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    enriched = (
+        li.select("l_orderkey", cents.alias("cents"))
+        .join(
+            od.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return enriched.groupBy(
+        "n_name",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_SALES_ROLLUP = """
+SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*)::BIGINT AS n_lines,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         ::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, strftime(o_orderdate, '%Y-%m')
+"""
+
+
+ANTI_PRIORITY = "1-URGENT"
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (the relational operator family's negative
+    membership test) per nation: customers with no {ANTI_PRIORITY}
+    order. The filter is pushed INTO the anti side's scan (plan-pinned)
+    — the anti probe set shrinks at the source, not after a full
+    shuffle; nation is broadcast."""
+    cu = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    na = read_table(spark, sf_dir, "nation")
+    silent = cu.join(
+        od.where(F.col("o_orderpriority") == ANTI_PRIORITY).select(
+            "o_custkey"
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        silent.join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_silent"),
+            F.min("c_custkey").cast("long").alias("first_custkey"),
+        )
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT n_name, COUNT(*)::BIGINT AS n_silent,
+       MIN(c_custkey)::BIGINT AS first_custkey
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '{ANTI_PRIORITY}')
+GROUP BY n_name
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -2014,6 +2117,11 @@ EXT_QUERIES = {
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
     "sketch_distinct_tokens": (q_sketch_distinct_tokens, SQL_SKETCH_DISTINCT),
+    "sales_rollup_nation_month": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "customers_without_urgent_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
