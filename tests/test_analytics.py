@@ -260,3 +260,141 @@ def test_interpolate_plan_grid_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # both carry directions run in window passes, not self-joins
     assert "Window" in plan
+
+
+# -- m4_downsample / ewma_trunc / gap_detect ---------------------------------
+
+m4_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+        st.integers(min_value=-50, max_value=50),  # quantized value
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_series(spark, events):
+    rows = [
+        (i, k, BASE + dt.timedelta(seconds=off), q)
+        for i, (off, q, k) in enumerate(events)
+    ]
+    return rows, spark.createDataFrame(rows, ["id", "k", "ts", "q"])
+
+
+@given(events=m4_events, bucket_s=st.sampled_from([60, 900]))
+@_slow
+def test_m4_matches_bruteforce(spark, events, bucket_s):
+    from time_series_storage_spark.operators.analytics import m4_downsample
+
+    rows, df = _mk_series(spark, events)
+    got = {
+        (r["k"], r["bucket_ts"]): (
+            r["n_obs"], r["min_q"], r["max_q"], r["first_q"], r["last_q"]
+        )
+        for r in m4_downsample(df, ["k"], bucket_s).collect()
+    }
+    buckets = {}
+    for i, k, ts, q in rows:
+        ep = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        b = dt.datetime.fromtimestamp(ep // bucket_s * bucket_s)
+        buckets.setdefault((k, b), []).append((ep * 2_147_483_648 + i, q))
+    want = {}
+    for key, obs in buckets.items():
+        vals = [q for _, q in obs]
+        want[key] = (
+            len(obs),
+            min(vals),
+            max(vals),
+            min(obs)[1],
+            max(obs)[1],
+        )
+    assert got == want
+
+
+@given(events=m4_events, n_lags=st.sampled_from([1, 3, 8]))
+@_slow
+def test_ewma_matches_bruteforce(spark, events, n_lags):
+    from time_series_storage_spark.operators.analytics import ewma_trunc
+
+    rows, df = _mk_series(spark, events)
+    got = {
+        r["id"]: r["ewma_q"]
+        for r in ewma_trunc(
+            df, ["k"], q_col="q", n_lags=n_lags, order_col="id"
+        ).collect()
+    }
+    by_key = {}
+    for i, k, ts, q in rows:
+        by_key.setdefault(k, []).append((ts, i, q))
+    want = {}
+    for seq in by_key.values():
+        seq.sort()
+        for pos, (_, i, _) in enumerate(seq):
+            num = den = 0
+            for j in range(min(n_lags, pos + 1)):
+                w = 1 << (n_lags - 1 - j)
+                num += seq[pos - j][2] * w
+                den += w
+            want[i] = math.floor(num / den)
+    assert got == want
+
+
+@given(events=m4_events, threshold=st.sampled_from([1, 600]))
+@_slow
+def test_gap_detect_matches_bruteforce(spark, events, threshold):
+    from time_series_storage_spark.operators.analytics import gap_detect
+
+    rows, df = _mk_series(spark, events)
+    got = sorted(
+        (r["k"], r["gap_start"], r["gap_end"], r["gap_s"])
+        for r in gap_detect(df, ["k"], threshold, order_col="id").collect()
+    )
+    by_key = {}
+    for i, k, ts, q in rows:
+        ep = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        by_key.setdefault(k, []).append((ep, i, ts))
+    want = []
+    for k, seq in by_key.items():
+        seq.sort()
+        for (pep, _, pts), (ep, _, ts) in zip(seq, seq[1:]):
+            if ep - pep > threshold:
+                want.append((k, pts, ts, ep - pep))
+    assert got == sorted(want)
+
+
+def test_m4_plan_single_partial_aggregate_no_window(spark):
+    """m4_downsample: ONE hash-aggregate pair (partial map-side combine
+    before the exchange), no window, no sort, no join — the shuffle
+    carries the downsampled volume only."""
+    from time_series_storage_spark.operators.analytics import m4_downsample
+
+    df = spark.createDataFrame([(1, "a", BASE, 1)], ["id", "k", "ts", "q"])
+    plan = _plan(m4_downsample(df, ["k"], 3600, id_col="id"))
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan  # map-side combine present
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ewma_plan_one_window_exchange(spark):
+    """ewma_trunc: all K lags share ONE Window operator — one exchange,
+    one sort, no join, no densification."""
+    from time_series_storage_spark.operators.analytics import ewma_trunc
+
+    df = spark.createDataFrame([(1, "a", BASE, 1)], ["id", "k", "ts", "q"])
+    plan = _plan(ewma_trunc(df, ["k"], order_col="id"))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_gap_detect_plan_one_window_exchange(spark):
+    from time_series_storage_spark.operators.analytics import gap_detect
+
+    df = spark.createDataFrame([(1, "a", BASE, 1)], ["id", "k", "ts", "q"])
+    plan = _plan(gap_detect(df, ["k"], 60, order_col="id"))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

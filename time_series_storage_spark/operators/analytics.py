@@ -315,3 +315,143 @@ def grouped_percentiles(
             .alias(f"p{p}")
         )
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+def m4_downsample(
+    series: DataFrame,
+    dims: Sequence[str],
+    bucket_seconds: int,
+    ts_col: str = "ts",
+    q_col: str = "q",
+    id_col: str = "id",
+) -> DataFrame:
+    """M4 downsampling: per series and time bucket, the four values a
+    pixel-perfect line rendering needs — min, max, first and last — in
+    ONE hash aggregate (the M4 aggregation of Jugel et al., VLDB'14;
+    the reference stops at collapse's single aggregate per bucket,
+    query.clj:86-97, which distorts extremes — M4 is the read-path
+    operator a dashboard actually wants at raw-data zoom levels).
+
+    first/last use ``min_by``/``max_by`` on a composite BIGINT ordering
+    key ``epoch * 2^31 + id`` — a scalar (not a struct: struct-ordered
+    arg-min exists in Spark but not in every engine) that totally
+    orders observations even when timestamps collide, so the selected
+    row is deterministic everywhere. Bounds: epoch < 2^32 (until 2106)
+    and ``0 <= id < 2^31`` keep the key inside ``long``.
+
+    Scale shape: a single partial-aggregated groupBy — map-side each
+    task reduces its input to at most one row per (series, bucket)
+    before the exchange, so the shuffle carries the downsampled volume
+    (rows / bucket_width), not the raw volume. No window, no sort.
+    Output: dims + ``bucket_ts`` + ``n_obs, min_q, max_q, first_q,
+    last_q`` (all long).
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = F.timestamp_seconds(
+        F.floor(epoch / bucket_seconds) * bucket_seconds
+    )
+    ordk = epoch * F.lit(2_147_483_648) + F.col(id_col)
+    x = F.col(q_col)
+    return (
+        series.select(
+            *dims, bucket.alias("bucket_ts"), x.alias("_q"), ordk.alias("_o")
+        )
+        .groupBy(*dims, "bucket_ts")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.min("_q").cast("long").alias("min_q"),
+            F.max("_q").cast("long").alias("max_q"),
+            F.min_by("_q", F.col("_o")).cast("long").alias("first_q"),
+            F.max_by("_q", F.col("_o")).cast("long").alias("last_q"),
+        )
+    )
+
+
+def ewma_trunc(
+    series: DataFrame,
+    dims: Sequence[str],
+    ts_col: str = "ts",
+    q_col: str = "q",
+    n_lags: int = 8,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per series with
+    half-per-step decay: each observation's smoothed value is the
+    weighted mean of itself and its ``n_lags - 1`` predecessors, the
+    j-th-newest weighted ``2^(n_lags-1-j)`` — EXACT integer arithmetic
+    (weights are powers of two, the only division is one final floor),
+    so the result is bit-identical in any engine, unlike a recursive
+    float EWMA whose rounding error depends on series length and
+    summation order.
+
+    Truncation is the scale decision: a true infinite-horizon EWMA is
+    inherently sequential (each value depends on the full prefix — on
+    a cluster that means one pass per series with no intra-series
+    parallelism), while the K-term window is a frame aggregate: one
+    window pass, one exchange on ``dims``, O(K) per row. With weights
+    halving per step the dropped tail carries < 2^-K of the mass, so
+    K=8 already bounds the truncation error at 0.4% of the exact EWMA.
+
+    Early rows (fewer than K predecessors) renormalize over the
+    weights actually present — the standard "adjusted" EWMA start, not
+    a zero-padded bias. Magnitudes: |q| * 2^K must stay under 2^62;
+    with x1000 quantization (|q| <= 2^20) any K <= 40 is safe.
+
+    Output: input columns + ``ewma_q`` (long, floored weighted mean).
+    Ties on ``ts`` order by ``order_col`` (default ``q_col``) so every
+    engine sees the same lag sequence.
+    """
+    order_col = order_col or q_col
+    w = Window.partitionBy(*dims).orderBy(F.col(ts_col), F.col(order_col))
+    x = F.col(q_col).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(n_lags):
+        weight = 1 << (n_lags - 1 - j)
+        lagged = x if j == 0 else F.lag(x, j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0)
+    # one .select -> all lag expressions share one Window operator
+    return series.select(
+        "*", F.floor(num / den).cast("long").alias("ewma_q")
+    )
+
+
+def gap_detect(
+    series: DataFrame,
+    dims: Sequence[str],
+    threshold_seconds: int,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Silence detection per series: every pair of consecutive
+    observations further apart than ``threshold_seconds`` becomes one
+    gap row — the monitoring question ("when did this series stop
+    reporting?") that zero-filled collapse output (query.clj:99-108)
+    answers only implicitly as runs of filler values, at grid
+    resolution and grid cost. This reads the raw series: one lag
+    window + a filter, emits only the gaps.
+
+    Scale shape: one exchange on ``dims``, one sort, O(rows) — no
+    densification, so a year-long silence costs one output row, not
+    31M grid rows. Output: dims + ``gap_start``, ``gap_end``
+    (timestamps), ``gap_s`` (long elapsed seconds).
+
+    Ties on ``ts`` order by ``order_col`` (default: the timestamp
+    itself — duplicates yield a zero gap and can never pass the
+    threshold, so the tiebreak cannot change the result, only the
+    internal row order).
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    order_cols = [epoch]
+    if order_col:
+        order_cols.append(F.col(order_col))
+    w = Window.partitionBy(*dims).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    out = series.select(
+        *dims,
+        prev_ts.alias("gap_start"),
+        F.col(ts_col).alias("gap_end"),
+        (epoch - F.unix_timestamp(prev_ts)).cast("long").alias("gap_s"),
+    )
+    return out.where(F.col("gap_s") > threshold_seconds)

@@ -2075,6 +2075,138 @@ FROM r WHERE mix_rank <= (CASE {mix_cases} ELSE {MIX_DEFAULT} END)
 """
 
 
+# -- M4 downsample / truncated EWMA / gap detection over raw events ----------
+
+M4_BUCKET_S = 21_600  # 6-hour rendering buckets
+EWMA_LAGS = 8  # truncated-EWMA horizon: dropped tail < 2^-8 of the mass
+GAP_THRESHOLD_S = 7_200  # 2h of silence flags a gap (p90 spacing ~50min)
+
+
+def q_ts_m4(spark, sf_dir):
+    """M4 downsampling of the raw event series: per (event_type, 6h
+    bucket), the min/max/first/last of the x1000-quantized value
+    (operators/analytics.py:m4_downsample) — one partial-aggregated
+    hash aggregate, the shuffle carries only the downsampled volume."""
+    from .operators.analytics import m4_downsample, quantize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", quantize("value").alias("q")
+    )
+    out = m4_downsample(
+        ev, ["event_type"], M4_BUCKET_S, q_col="q", id_col="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").cast("long").alias("bucket_ep"),
+        "n_obs", "min_q", "max_q", "first_q", "last_q",
+    )
+
+
+SQL_TS_M4 = f"""
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+)
+SELECT event_type,
+       ((ep // {M4_BUCKET_S}) * {M4_BUCKET_S})::BIGINT AS bucket_ep,
+       COUNT(*)::BIGINT AS n_obs,
+       MIN(x)::BIGINT AS min_q, MAX(x)::BIGINT AS max_q,
+       arg_min(x, ep * 2147483648 + event_id)::BIGINT AS first_q,
+       arg_max(x, ep * 2147483648 + event_id)::BIGINT AS last_q
+FROM q GROUP BY event_type, ep // {M4_BUCKET_S}
+"""
+
+
+def q_ts_ewma(spark, sf_dir):
+    """Truncated-EWMA smoothing of each event_type series
+    (operators/analytics.py:ewma_trunc): K={EWMA_LAGS} power-of-two
+    weights, exact integer numerator/denominator, one lag-window pass.
+    Ties on ts break by event_id so both engines see the same lags."""
+    from .operators.analytics import ewma_trunc, quantize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", quantize("value").alias("q")
+    )
+    out = ewma_trunc(
+        ev, ["event_type"], q_col="q", n_lags=EWMA_LAGS,
+        order_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("q").cast("long").alias("value_x1000"),
+        "ewma_q",
+    )
+
+
+def _ewma_sql(n_lags: int = EWMA_LAGS) -> str:
+    num, den = [], []
+    for j in range(n_lags):
+        weight = 1 << (n_lags - 1 - j)
+        lagged = "x" if j == 0 else f"lag(x, {j}) OVER w"
+        num.append(f"COALESCE(({lagged}) * {weight}, 0)")
+        den.append(f"CASE WHEN ({lagged}) IS NOT NULL THEN {weight} ELSE 0 END")
+    return f"""
+WITH q AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+),
+f AS (
+  SELECT event_id, event_type, x,
+         {' + '.join(num)} AS num,
+         {' + '.join(den)} AS den
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id::BIGINT AS event_id, event_type,
+       x::BIGINT AS value_x1000,
+       CAST(floor(num * 1.0 / den) AS BIGINT) AS ewma_q
+FROM f
+"""
+
+
+def q_ts_gaps(spark, sf_dir):
+    """Reporting-silence detection per event_type
+    (operators/analytics.py:gap_detect): consecutive observations more
+    than {GAP_THRESHOLD_S}s apart become one gap row — raw-series lag
+    window, no densification, output is only the gaps."""
+    from .operators.analytics import gap_detect
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    out = gap_detect(
+        ev, ["event_type"], GAP_THRESHOLD_S, order_col="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("gap_start").cast("long").alias("gap_start_ep"),
+        F.unix_timestamp("gap_end").cast("long").alias("gap_end_ep"),
+        "gap_s",
+    )
+
+
+SQL_TS_GAPS = f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_id
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         lag(ep) OVER (PARTITION BY event_type
+                       ORDER BY ep, event_id) AS prev_ep,
+         ep
+  FROM q
+)
+SELECT event_type, prev_ep::BIGINT AS gap_start_ep, ep::BIGINT AS gap_end_ep,
+       (ep - prev_ep)::BIGINT AS gap_s
+FROM g WHERE ep - prev_ep > {GAP_THRESHOLD_S}
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -2113,6 +2245,9 @@ EXT_QUERIES = {
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
+    "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
+    "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
+    "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
     "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
