@@ -338,3 +338,35 @@ def test_relational_rollup_broadcasts_dims_pushes_anti_filter(spark):
     anti = _plan(q_customers_without_orders(spark, sf))
     assert "LeftAnti" in anti
     assert "EqualTo(o_orderpriority,1-URGENT)" in anti.replace("'", "")
+
+
+def test_pricing_summary_pushes_filter_partial_aggregates(spark):
+    """pricing summary: the shipdate ceiling reaches the parquet scan
+    as a pushed filter, the aggregate partial-combines before its one
+    exchange, and there is no join or window anywhere."""
+    from time_series_storage_spark.queries_extensions import (
+        q_pricing_summary,
+    )
+
+    plan = _plan(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_top_open_orders_is_topk_not_global_sort(spark):
+    """Q3-shaped top-k: the limit compiles to TakeOrderedAndProject
+    (per-task local k, no global sort), the segment-filtered customer
+    side broadcasts, and both date filters reach their scans."""
+    from time_series_storage_spark.queries_extensions import (
+        q_top_open_orders,
+    )
+
+    plan = _plan(q_top_open_orders(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    norm = plan.replace("'", "")
+    assert "EqualTo(c_mktsegment,BUILDING)" in norm
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan

@@ -1954,6 +1954,157 @@ GROUP BY n_name
 """
 
 
+PRICING_CUTOFF = "2001-09-01"  # shipdate ceiling for the pricing summary
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus),
+    line counts and the sum/floored-mean of quantity, base price,
+    discounted price and charge — the canonical scan-heavy single-pass
+    OLAP aggregate. Everything quantized to exact BIGINT before the
+    sum (qty x100, money in cents; charge keeps the full
+    price*(1-disc)*(1+tax) product in one double expression both
+    engines evaluate identically before the single round). Plan: scan
+    with the shipdate filter PUSHED DOWN, one partial-aggregated
+    exchange over the 6-row group space — at 100 TB this is the
+    pure-throughput query: no join, no window, shuffle carries six
+    rows per task."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    base = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF))
+        .select(
+            "l_returnflag", "l_linestatus",
+            qty.alias("qty"), base.alias("base"),
+            disc.alias("disc"), charge.alias("charge"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("sum_qty_x100"),
+            F.sum("base").cast("long").alias("sum_base_cents"),
+            F.sum("disc").cast("long").alias("sum_disc_cents"),
+            F.sum("charge").cast("long").alias("sum_charge_cents"),
+        )
+        .withColumn(
+            "avg_qty_x100",
+            F.floor(F.col("sum_qty_x100") / F.col("n_lines")).cast("long"),
+        )
+        .withColumn(
+            "avg_base_cents",
+            F.floor(F.col("sum_base_cents") / F.col("n_lines")).cast("long"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS base,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS disc,
+         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+              AS BIGINT) AS charge
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(qty)::BIGINT AS sum_qty_x100,
+       SUM(base)::BIGINT AS sum_base_cents,
+       SUM(disc)::BIGINT AS sum_disc_cents,
+       SUM(charge)::BIGINT AS sum_charge_cents,
+       CAST(floor(SUM(qty) * 1.0 / COUNT(*)) AS BIGINT) AS avg_qty_x100,
+       CAST(floor(SUM(base) * 1.0 / COUNT(*)) AS BIGINT) AS avg_base_cents
+FROM q GROUP BY l_returnflag, l_linestatus
+"""
+
+
+TOPN_SEGMENT = "BUILDING"
+TOPN_CUTOFF = "1998-07-01"
+TOPN_K = 10
+
+
+def q_top_open_orders(spark, sf_dir):
+    """TPC-H Q3-shaped top-k: the {TOPN_K} highest-revenue orders
+    placed before {TOPN_CUTOFF} by {TOPN_SEGMENT}-segment customers
+    whose lines shipped after it. The segment-filtered customer side
+    is DECLARED broadcast (it shrinks at the scan); the only real
+    exchange is lineitem |><| orders on orderkey; revenue in exact
+    cents. The global top-k is a TakeOrderedAndProject — each task
+    keeps its local k, the driver merges k*tasks rows, never a global
+    sort. Revenue ties break by orderkey so the cut is deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cut = F.lit(TOPN_CUTOFF)
+    joined = (
+        li.where(F.col("l_shipdate") > cut)
+        .select("l_orderkey", cents.alias("cents"))
+        .join(
+            od.where(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cu.where(F.col("c_mktsegment") == TOPN_SEGMENT).select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    grouped = joined.groupBy(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    return (
+        grouped.orderBy(
+            F.col("revenue_cents").desc(), F.col("o_orderkey")
+        )
+        .limit(TOPN_K)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_TOP_OPEN_ORDERS = f"""
+SELECT o_orderkey::BIGINT AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         ::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{TOPN_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{TOPN_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{TOPN_CUTOFF} 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT {TOPN_K}
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -2253,6 +2404,8 @@ EXT_QUERIES = {
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
     "sketch_distinct_tokens": (q_sketch_distinct_tokens, SQL_SKETCH_DISTINCT),
     "sales_rollup_nation_month": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_open_orders": (q_top_open_orders, SQL_TOP_OPEN_ORDERS),
     "customers_without_urgent_orders": (
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
