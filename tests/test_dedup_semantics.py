@@ -423,3 +423,53 @@ def test_multimodal_decode_stub_raises(spark):
     assert [r["frame_id"] for r in frames] == [0, 1]  # 250 bytes -> 2 frames
     with pytest.raises(Exception, match="NotImplementedError|real codec"):
         M.extract_frames(media, decode_stub=False).collect()
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom probe vs exact probe on the same corpus/benchmark: the
+    bloom can only OVER-count (false positives), never under-count —
+    per-document n_hit_bloom >= n_hit_exact, every exact-flagged doc
+    is bloom-flagged, and benchmark members still self-flag at 1000."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "pack my box with five dozen liquor jugs right now"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely unrelated document about spark physical plans"),
+            (4, "pack my box with five dozen liquor jugs right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.where(F.col("doc_id") < 2)
+    exact = {
+        r["doc_id"]: r
+        for r in D.ngram_contamination(docs, bench, "doc_id", "text").collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in D.bloom_contamination(docs, bench, "doc_id", "text").collect()
+    }
+    assert set(exact) == set(bloom) == {0, 1, 2, 3, 4}
+    for i in exact:
+        assert bloom[i]["n_shingles"] == exact[i]["n_shingles"]
+        assert bloom[i]["n_hit"] >= exact[i]["n_hit"]
+        if exact[i]["is_contaminated"]:
+            assert bloom[i]["is_contaminated"] == 1
+    for i in (0, 1, 2):  # benchmark members + verbatim copy
+        assert bloom[i]["contam_x1000"] == 1000
+
+
+def test_bloom_build_is_bounded_and_sign_safe(spark):
+    """The bitmap never exceeds m_bits/63 + 1 words and no word has
+    the sign bit set (the 63-bit-word contract that keeps shifts
+    portable across engines)."""
+    bench = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated shared text") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    shingles = D.hashed_shingles(bench, "doc_id", "text")
+    words = D.bloom_build(shingles).collect()
+    assert len(words) <= D.BLOOM_M_BITS // D.BLOOM_WORD_BITS + 1
+    for r in words:
+        assert r["bits"] > 0  # sign bit clear, at least one bit set
+        assert 0 <= r["wi"] <= D.BLOOM_M_BITS // D.BLOOM_WORD_BITS

@@ -370,3 +370,18 @@ def test_top_open_orders_is_topk_not_global_sort(spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in norm
     assert "GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+
+def test_bloom_probe_is_broadcast_bit_test(spark):
+    """Bloom decontamination: both bitmap joins are BroadcastHashJoin
+    (nothing benchmark-sized is ever shuffle-keyed), the per-doc
+    aggregate partial-combines, and no Python runs anywhere."""
+    from time_series_storage_spark.queries_extensions import (
+        q_decontaminate_bloom,
+    )
+
+    plan = _plan(q_decontaminate_bloom(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

@@ -776,3 +776,133 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -- bloom-filter decontamination -------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # filter width: 2^20 bits in 63-bit words (~130 KiB)
+BLOOM_WORD_BITS = 63  # 63, not 64: a set sign bit would make the word
+# negative, and engines disagree on BIGINT left-shift into the sign
+# (DuckDB raises Overflow on 1<<63) — one dead bit per word buys a
+# construction every engine evaluates identically
+
+
+def bloom_build(
+    bench_shingles: DataFrame, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """Pack a benchmark's shingle-hash set into a Bloom-filter bitmap:
+    (wi, bits) — word index and its 63-bit OR of set bits (see
+    ``BLOOM_WORD_BITS``), at most ``m_bits / 63 + 1`` rows regardless
+    of benchmark size.
+
+    Two positions per shingle, both carved from the one 60-bit md5
+    (``hs % m`` and ``(hs // m) % m`` — independent slices of the same
+    uniform hash, the standard double-hashing construction), so the
+    filter is DETERMINISTIC: any engine hashing the same way builds
+    the identical bitmap, which is what makes an approximate structure
+    oracle-checkable bit-for-bit.
+
+    Scale shape: explode 2 positions per shingle, one partial-combined
+    ``groupBy(wi).agg(bit_or)`` — the exchange carries at most 16K
+    words per map task. The result is the broadcastable probe-side
+    artifact: 128 KiB CONSTANT as the benchmark grows (a raw distinct
+    hash set grows linearly and eventually stops fitting a broadcast;
+    the bloom trades that for a documented false-positive rate).
+    """
+    hs = F.col("hs")
+    positions = F.array(
+        hs % m_bits, F.floor(hs / m_bits).cast("long") % m_bits
+    )
+    return (
+        bench_shingles.select(F.explode(positions).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("wi"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    m_bits: int = BLOOM_M_BITS,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: like
+    :func:`ngram_contamination` but the probe side is the fixed-size
+    bitmap of :func:`bloom_build` instead of the exact shingle set —
+    the constant-memory form for when the eval suite union grows past
+    comfortable broadcast size (the bitmap stays 128 KiB forever).
+
+    A shingle "hits" when BOTH its bloom bits are set; false positives
+    (~(q/m)^2 per shingle for q set bits — at 2^20 bits and a 50K-
+    shingle benchmark, ~0.8%) can only OVER-flag, never under-flag:
+    every true overlap is caught (no false negatives, the property
+    decontamination actually needs), and the flag threshold absorbs
+    sub-percent over-count. Output contract matches
+    :func:`ngram_contamination` (n_hit means bloom-hits).
+
+    Scale shape: corpus side identical to the exact probe (pinned
+    explode + md5, linear); the bitmap joins are TWO broadcast hash
+    joins on word index (one per bloom position) followed by a codegen
+    bit test — no shuffle is keyed on anything benchmark-sized.
+    """
+    corpus = hashed_shingles(docs, id_col, text_col, k)
+    bench = hashed_shingles(benchmark, id_col, text_col, k)
+    words = bloom_build(bench, m_bits)
+    hs = F.col("hs")
+    probed = (
+        corpus.select(
+            F.col(id_col),
+            (hs % m_bits).alias("_p1"),
+            (F.floor(hs / m_bits).cast("long") % m_bits).alias("_p2"),
+        )
+        .withColumn(
+            "_w1", F.floor(F.col("_p1") / BLOOM_WORD_BITS).cast("long")
+        )
+        .withColumn(
+            "_w2", F.floor(F.col("_p2") / BLOOM_WORD_BITS).cast("long")
+        )
+        .join(
+            F.broadcast(words.select(F.col("wi"), F.col("bits").alias("_b1"))),
+            F.col("_w1") == F.col("wi"),
+            "left",
+        )
+        .drop("wi")
+        .join(
+            F.broadcast(words.select(F.col("wi"), F.col("bits").alias("_b2"))),
+            F.col("_w2") == F.col("wi"),
+            "left",
+        )
+        .drop("wi")
+    )
+    bit1 = F.expr(f"shiftright(_b1, CAST(_p1 % {BLOOM_WORD_BITS} AS INT)) & 1")
+    bit2 = F.expr(f"shiftright(_b2, CAST(_p2 % {BLOOM_WORD_BITS} AS INT)) & 1")
+    hit = (
+        F.col("_b1").isNotNull()
+        & F.col("_b2").isNotNull()
+        & (bit1 == 1)
+        & (bit2 == 1)
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(hit.cast("long")).alias("n_hit"),
+    )
+    contam = F.floor(
+        (F.col("n_hit") * 1000) / F.col("n_shingles")
+    ).cast("long")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        contam.alias("contam_x1000"),
+        (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
+    )

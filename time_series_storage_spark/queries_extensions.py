@@ -233,6 +233,68 @@ FROM per_doc
 """
 
 
+# -- decontamination: Bloom-filter probe ------------------------------------
+
+BLOOM_M = 1 << 20  # keep in sync with operators.dedup.BLOOM_M_BITS
+BLOOM_WB = 63  # operators.dedup.BLOOM_WORD_BITS
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/dedup.py:
+    bloom_contamination): the same benchmark overlap question as
+    decontaminate_ngram, but probed through a 2^20-bit double-hashed
+    bitmap that stays ~130 KiB no matter how large the eval-suite
+    union grows. The bloom is DETERMINISTIC (both positions carved
+    from the shared 60-bit md5), so DuckDB builds the identical bitmap
+    and the hash gate covers the approximate structure bit-for-bit;
+    false positives only over-flag (no false negatives — pinned
+    against the exact probe in tests/test_dedup_semantics.py)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < DECON_BENCH_MAX)
+    return D.bloom_contamination(
+        docs, bench, "doc_id", "text", k=8,
+        m_bits=BLOOM_M, threshold_x1000=DECON_THRESHOLD,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles"),
+        F.col("n_hit"),
+        F.col("contam_x1000"),
+        F.col("is_contaminated"),
+    )
+
+
+SQL_DECONTAMINATE_BLOOM = f"""
+WITH docs AS (SELECT * FROM documents),
+{_SH},
+bh AS (SELECT DISTINCT hs FROM shh WHERE doc_id < {DECON_BENCH_MAX}),
+bpos AS (SELECT hs % {BLOOM_M} AS pos FROM bh
+         UNION ALL SELECT (hs // {BLOOM_M}) % {BLOOM_M} FROM bh),
+words AS (SELECT pos // {BLOOM_WB} AS wi,
+                 bit_or(1::BIGINT << CAST(pos % {BLOOM_WB} AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+pr AS (SELECT doc_id, hs % {BLOOM_M} AS p1,
+              (hs // {BLOOM_M}) % {BLOOM_M} AS p2
+       FROM shh),
+probed AS (
+  SELECT pr.doc_id,
+         CASE WHEN w1.bits IS NOT NULL AND w2.bits IS NOT NULL
+               AND ((w1.bits >> CAST(p1 % {BLOOM_WB} AS INT)) & 1) = 1
+               AND ((w2.bits >> CAST(p2 % {BLOOM_WB} AS INT)) & 1) = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM pr
+  LEFT JOIN words w1 ON w1.wi = p1 // {BLOOM_WB}
+  LEFT JOIN words w2 ON w2.wi = p2 // {BLOOM_WB}
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h
+            FROM probed GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_shingles, h::BIGINT AS n_hit,
+       ((h * 1000) // n)::BIGINT AS contam_x1000,
+       (CASE WHEN (h * 1000) // n >= {DECON_THRESHOLD} THEN 1 ELSE 0
+        END)::BIGINT AS is_contaminated
+FROM per_doc
+"""
+
+
 # -- dedup: MinHash + LSH (the scale path, full corpus) ---------------------
 
 def q_dedup_minhash(spark, sf_dir):
@@ -2363,6 +2425,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_token_ngram": (q_decontaminate_token, SQL_DECONTAMINATE_TOKEN),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
