@@ -285,3 +285,112 @@ def test_streaming_kmv_converges_to_batch(spark, tmp_path):
         ), key
     # g2 has 5 distinct tokens -> exact path
     assert final["g2"]["est_distinct"] == 5
+
+
+def test_streaming_heavy_hitters_exact_under_capacity(spark, tmp_path):
+    """With distinct elements <= capacity per key, SpaceSaving is
+    exact: after three micro-batches every tracked count equals the
+    batch groupBy count of the union and max_err is 0."""
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "el")
+    parts = []
+    for i in range(3):
+        rows = [("g1", f"t{j % 6}") for j in range(40 + i * 10)] + [
+            ("g2", f"u{j % 3}") for j in range(15)
+        ]
+        parts.append(rows)
+        spark.createDataFrame(rows, "k string, e string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{src}/f0").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_heavy_hitters(stream, "k", "e", capacity=8)
+        .writeStream.format("memory")
+        .queryName("shh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per (key, item): the highest est_count wins
+    final = {}
+    for r in spark.sql("SELECT * FROM shh").collect():
+        cur = final.get((r["k"], r["item"]))
+        if cur is None or r["est_count"] > cur["est_count"]:
+            final[(r["k"], r["item"])] = r
+    all_rows = [x for p in parts for x in p]
+    truth = {}
+    for k, e in all_rows:
+        truth[(k, e)] = truth.get((k, e), 0) + 1
+    assert set(final) == set(truth)
+    for key, r in final.items():
+        assert r["est_count"] == truth[key], key
+        assert r["max_err"] == 0, key
+
+
+def test_streaming_heavy_hitters_bounds_over_capacity(spark, tmp_path):
+    """With more distinct elements than counters, the SpaceSaving
+    bounds hold: est - err <= true <= est for every tracked item, and
+    every item with true count > total/capacity is tracked."""
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    CAP = 4
+    src = str(tmp_path / "el2")
+    parts = []
+    for i in range(3):
+        # two genuinely heavy items + a rotating tail of rare ones
+        rows = (
+            [("g", "heavy-a")] * 30
+            + [("g", "heavy-b")] * 20
+            + [("g", f"rare-{i}-{j}") for j in range(10)]
+        )
+        parts.append(rows)
+        spark.createDataFrame(rows, "k string, e string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{src}/f0").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_heavy_hitters(stream, "k", "e", capacity=CAP)
+        .writeStream.format("memory")
+        .queryName("shh2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM shh2").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["item"])
+        if cur is None or r["est_count"] > cur["est_count"]:
+            final[r["item"]] = r
+    all_rows = [x for p in parts for x in p]
+    truth = {}
+    for _, e in all_rows:
+        truth[e] = truth.get(e, 0) + 1
+    total = len(all_rows)
+    # the two heavies must be tracked with exact-or-over counts
+    for item in ("heavy-a", "heavy-b"):
+        r = final[item]
+        assert r["est_count"] >= truth[item]
+        assert r["est_count"] - r["max_err"] <= truth[item]
+    # every tracked item obeys the sandwich bound
+    for item, r in final.items():
+        true = truth.get(item, 0)
+        assert r["est_count"] >= true
+        assert r["est_count"] - r["max_err"] <= true
+    # anything above total/capacity must be present
+    for item, c in truth.items():
+        if c > total // CAP:
+            assert item in final, item

@@ -339,3 +339,109 @@ def streaming_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, errs array<long>"
+)
+
+
+def streaming_heavy_hitters(
+    elements: DataFrame,
+    key_col: str,
+    elem_col: str,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters: the SpaceSaving summary (Metwally et
+    al., ICDT'05) with weighted updates, maintained per key over an
+    unbounded element stream in O(capacity) state — "which items are
+    frequent so far", the companion question to KMV's "how many
+    distinct".
+
+    Guarantees (the classic SpaceSaving bounds, pinned in tests): for
+    every tracked item ``est_count - max_err <= true <= est_count``,
+    and any item whose true count exceeds ``total_seen / capacity`` is
+    tracked. When a key's distinct-element count never exceeds
+    ``capacity`` the summary is EXACT (``max_err`` stays 0 and
+    ``est_count`` equals the batch groupBy count — the convergence
+    pin).
+
+    Determinism contract: each micro-batch is pre-counted (weighted
+    update, one SpaceSaving step per distinct element) and absorbed in
+    (batch count desc, item asc) order; eviction always removes the
+    (count, item)-minimal counter. Same batches => same summary,
+    replayable across restarts.
+
+    Scale shape: the projection to (key, element) runs JVM-side; the
+    Arrow-batched python work is O(batch distinct + capacity) per key
+    per batch, state is ~capacity strings + 2*capacity longs per key,
+    forever — no watermark needed, the summary never grows. Emits the
+    full tracked summary for each key touched by the batch (update
+    mode): key, item, est_count, max_err.
+    """
+    if capacity < 2:
+        raise ValueError(f"capacity must be >= 2, got {capacity}")
+    out_schema = (
+        f"{key_col} string, item string, est_count long, max_err long"
+    )
+
+    def absorb(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                it: [int(c), int(e)]
+                for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for it, c in pdf[elem_col].value_counts().items():
+                batch[it] = batch.get(it, 0) + int(c)
+        for item, c in sorted(batch.items(), key=lambda kv: (-kv[1], kv[0])):
+            if item in summary:
+                summary[item][0] += c
+            elif len(summary) < capacity:
+                summary[item] = [c, 0]
+            else:
+                evict = min(
+                    summary.items(), key=lambda kv: (kv[1][0], kv[0])
+                )[0]
+                floor_c = summary[evict][0]
+                del summary[evict]
+                summary[item] = [floor_c + c, floor_c]
+        ordered = sorted(
+            summary.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        state.update((
+            [it for it, _ in ordered],
+            [ce[0] for _, ce in ordered],
+            [ce[1] for _, ce in ordered],
+        ))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ordered),
+                "item": [it for it, _ in ordered],
+                "est_count": [ce[0] for _, ce in ordered],
+                "max_err": [ce[1] for _, ce in ordered],
+            }
+        )
+
+    return (
+        elements.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(elem_col).cast("string").alias(elem_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            absorb,
+            outputStructType=out_schema,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
