@@ -385,3 +385,16 @@ def test_bloom_probe_is_broadcast_bit_test(spark):
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_codebook_and_lut_broadcast(spark):
+    """PQ/ADC: the codebook join (encode) and the LUT join (score) are
+    both broadcast — nothing codebook- or query-sized is shuffle-keyed
+    — the (q, vec) sum partial-aggregates, and no Python runs."""
+    from time_series_storage_spark.queries_extensions import q_sim_topk_pq
+
+    plan = _plan(q_sim_topk_pq(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -524,3 +524,192 @@ def int8_rerank_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "sim_x1e6")
     )
+
+
+# -- product quantization (PQ) with asymmetric-distance scoring --------------
+
+PQ_M = 4  # subspaces: 64 dims -> 4 x 16
+PQ_CODES = 16  # codewords per subspace -> 4 bits/subspace, 2 bytes/vector
+PQ_SCALE = 1000  # component fixed point (x1000 longs)
+
+
+def _pq_subq(vec_col, s, d_sub: int) -> Column:
+    """Quantized subvector s of a double array: array<long>, x1000."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sliced = F.slice(v, s * d_sub + 1, d_sub) if isinstance(s, int) else (
+        F.expr(f"slice({vec_col}, {s} * {d_sub} + 1, {d_sub})")
+    )
+    return F.transform(
+        sliced, lambda x: F.round(x * PQ_SCALE).cast("long")
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Deterministic PQ codebook: (s, code, cw array<long> x1000) —
+    for each of the ``m`` subspaces, the ``n_codes`` codewords are the
+    subvectors of the n_codes LOWEST-ID corpus vectors (code = id
+    rank), the same crude-but-reproducible sampling as
+    :func:`ivf_centroids`; a per-subspace k-means refinement would
+    slot in here without changing the encode/score path. Tiny by
+    construction (m * n_codes rows), always the broadcast side.
+    """
+    d_sub = dim // m
+    w = Window.orderBy(F.col(id_col))
+    base = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("code"),
+            _as_double(vec_col).alias("_v"),
+        )
+    )
+    per_sub = [
+        base.select(
+            F.lit(s).cast("long").alias("s"),
+            "code",
+            _pq_subq("_v", s, d_sub).alias("cw"),
+        )
+        for s in range(m)
+    ]
+    out = per_sub[0]
+    for p in per_sub[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codeword:
+    (vec_id, s, code) — the tall form ADC scoring joins on; packing to
+    ``m`` nibbles is a trivial projection on top when storing.
+
+    Nearest = min integer squared L2 distance over the quantized
+    subvectors, ties to the lowest code via the scalar composite
+    ``d2 * n_codes + code`` (same single-BIGINT tiebreak discipline as
+    the M4 first/last) inside ``min_by`` — so encoding is ONE
+    partial-aggregated groupBy over a broadcast-joined explode:
+    corpus x m subvectors x n_codes codewords, no window, no shuffle
+    keyed on anything codebook-sized.
+
+    Magnitudes: components x1000 (|q| <= ~10^4 for unit-ish
+    embeddings), so d2 <= d_sub * (2*10^4)^2 ~ 6.4*10^9 and the
+    composite stays far under 2^63.
+    """
+    d_sub = dim // m
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("_v")
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("_v"),
+        )
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("s"),
+            _pq_subq("_v", "s", d_sub).alias("subq"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("subq", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id", "s", "code", (d2 * n_codes + F.col("code")).alias("_k")
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.col("_k")).cast("long").alias("code"))
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors live ONLY as
+    ``m``-code words; each query scores them through its lookup table
+    of exact integer partial dots (query subvector x codeword, both
+    x1000 -> x1e6 longs) — the classic ADC serving path (Jegou et al.,
+    TPAMI'11) where the full-precision corpus is never touched at
+    query time.
+
+    Output: (q_id, vec_id, rank, adc_x1e6) — rank by approximate dot,
+    ties to the lowest candidate id, self-matches excluded; same
+    contract shape as the rest of the top-k family so callers can swap
+    exact / int8 / IVF / PQ retrieval freely.
+
+    Scale shape: the LUT is queries x m x n_codes rows (tiny: fixed
+    query set, fixed codebook) and is BROADCAST; the corpus side is
+    its (vec_id, s, code) encoding — m rows per vector regardless of
+    dim — so scoring is one broadcast join + a partial-aggregated
+    (q_id, vec_id) sum, and the only real shuffle is that sum plus the
+    per-query top-k window. Integer end-to-end: no float enters the
+    compare path.
+    """
+    d_sub = dim // m
+    codebook = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    codes = pq_encode(corpus, codebook, id_col, vec_col, m, n_codes, dim)
+    qsub = (
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(vec_col).alias("_v")
+        )
+        .select(
+            "q_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("_v"),
+        )
+        .select(
+            "q_id",
+            F.col("s").cast("long").alias("s"),
+            _pq_subq("_v", "s", d_sub).alias("qsubq"),
+        )
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsubq", "cw", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "q_id", "s", "code", pdot.alias("pdot")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            ["s", "code"],
+        )
+        .where(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").cast("long").alias("adc_x1e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "adc_x1e6")
+    )

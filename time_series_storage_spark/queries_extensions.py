@@ -949,6 +949,78 @@ WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_vec
 """
 
 
+# -- similarity: product quantization ADC top-k -----------------------------
+
+def q_sim_topk_pq(spark, sf_dir):
+    """PQ asymmetric-distance top-k (operators/similarity.py:pq_topk):
+    the corpus is served from 4x16-codebook codes only; each query
+    ranks by exact-integer LUT sums — codebook+LUT broadcast, one
+    partial-aggregated (q, vec) sum, one per-query top-k window."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.pq_topk(qs, emb, "vec_id", "embedding", k=SIM_TOPK).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("adc_x1e6"),
+    )
+
+
+def _pq_sql() -> str:
+    m, n_codes, d_sub = S.PQ_M, S.PQ_CODES, S.EMBED_DIM // S.PQ_M
+    sc = S.PQ_SCALE
+
+    def qc(arr, idx):
+        return f"CAST(round(CAST({arr}[{idx}] AS DOUBLE) * {sc}) AS BIGINT)"
+
+    subspaces = ", ".join(f"({s})" for s in range(m))
+    d2 = " + ".join(
+        f"({qc('e.embedding', f's.s * {d_sub} + {j}')}"
+        f" - {qc('b.embedding', f's.s * {d_sub} + {j}')})"
+        f" * ({qc('e.embedding', f's.s * {d_sub} + {j}')}"
+        f" - {qc('b.embedding', f's.s * {d_sub} + {j}')})"
+        for j in range(1, d_sub + 1)
+    )
+    pdot = " + ".join(
+        f"{qc('q.embedding', f's.s * {d_sub} + {j}')}"
+        f" * {qc('b.embedding', f's.s * {d_sub} + {j}')}"
+        for j in range(1, d_sub + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+),
+subsp(s) AS (VALUES {subspaces}),
+enc0 AS (
+  SELECT e.vec_id, s.s, b.code, {d2} AS d2
+  FROM embeddings e, subsp s, base b
+),
+enc AS (
+  SELECT vec_id, s, arg_min(code, d2 * {n_codes} + code) AS code
+  FROM enc0 GROUP BY vec_id, s
+),
+lut AS (
+  SELECT q.vec_id AS q_id, s.s, b.code, {pdot} AS pdot
+  FROM embeddings q, subsp s, base b
+  WHERE q.vec_id < {SIM_QUERY_COUNT}
+),
+scored AS (
+  SELECT l.q_id, c.vec_id, SUM(l.pdot) AS adc
+  FROM enc c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE l.q_id <> c.vec_id
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, adc::BIGINT AS adc_x1e6
+FROM (SELECT q_id, vec_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {SIM_TOPK}
+"""
+
+
 # -- similarity: hyperplane-LSH bucketed pairs ------------------------------
 
 def q_sim_lsh(spark, sf_dir):
@@ -2453,6 +2525,7 @@ EXT_QUERIES = {
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
+    "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
