@@ -398,3 +398,16 @@ def test_pq_topk_codebook_and_lut_broadcast(spark):
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_cube_is_one_expand_one_exchange(spark):
+    """CUBE over (source, lang): Spark compiles all four grouping
+    levels into ONE Expand + one partial-aggregated exchange — never
+    four scans unioned."""
+    from time_series_storage_spark.queries_extensions import q_corpus_cube
+
+    plan = _plan(q_corpus_cube(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan

@@ -1719,6 +1719,50 @@ FROM ranked GROUP BY source
 """
 
 
+# -- corpus CUBE report (grouping sets over source x lang) -------------------
+
+def q_corpus_cube(spark, sf_dir):
+    """One-pass CUBE over (source, lang): per-combination doc counts,
+    token and char sums at all four grouping levels — the corpus
+    composition report a curation run opens with. Spark compiles the
+    cube to ONE Expand + a single partial-aggregated exchange (the
+    same GROUPING SETS machinery the engine's rollup lattice
+    materializer uses, plans/materialize.py:200); grouping_id
+    disambiguates levels, absent dims render as '<all>' so the output
+    is join-able and engine-comparable."""
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang",
+        T.ws_token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "gid", "n_docs", "sum_tokens", "sum_chars",
+        )
+    )
+
+
+SQL_CORPUS_CUBE = f"""
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       (GROUPING(source) * 2 + GROUPING(lang))::BIGINT AS gid,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(len({_TOKS}))::BIGINT AS sum_tokens,
+       SUM(length(text))::BIGINT AS sum_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
 # -- anomaly detection over the event stream --------------------------------
 
 ANOMALY_LOOKBACK = 20
@@ -2528,6 +2572,7 @@ EXT_QUERIES = {
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
+    "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
