@@ -2283,6 +2283,55 @@ LIMIT {TOPN_K}
 """
 
 
+def q_lang_coverage_division(spark, sf_dir):
+    """Relational division + set difference in one report: for every
+    language, how many sources carry it, whether it is carried by ALL
+    sources (the division "langs ÷ sources" answered by counting
+    distinct sources against the global source count — no correlated
+    subquery, one aggregate each side), and how many docs exist in its
+    BEST-covered source minus its WORST (the spread a mixture planner
+    looks at). The global source count is a 1-row broadcast-able
+    scalar joined as a literal-free cross join; everything else is two
+    partial-aggregated exchanges on (lang, source) then lang."""
+    docs = _docs(spark, sf_dir).select("lang", "source")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ns = docs.agg(F.countDistinct("source").alias("_ns"))  # 1-row side
+    agged = per.groupBy("lang").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.max("n_docs").cast("long").alias("best_source_docs"),
+        F.min("n_docs").cast("long").alias("worst_source_docs"),
+        (F.max("n_docs") - F.min("n_docs")).cast("long").alias("spread"),
+    )
+    return agged.crossJoin(F.broadcast(ns)).select(
+        "lang",
+        "n_sources",
+        (F.col("n_sources") == F.col("_ns")).cast("long")
+        .alias("in_all_sources"),
+        "best_source_docs",
+        "worst_source_docs",
+        "spread",
+    )
+
+
+SQL_LANG_COVERAGE = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+total AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+SELECT lang,
+       COUNT(DISTINCT source)::BIGINT AS n_sources,
+       (COUNT(DISTINCT source) = (SELECT ns FROM total))::INT::BIGINT
+         AS in_all_sources,
+       MAX(n_docs)::BIGINT AS best_source_docs,
+       MIN(n_docs)::BIGINT AS worst_source_docs,
+       (MAX(n_docs) - MIN(n_docs))::BIGINT AS spread
+FROM per GROUP BY lang
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -2573,6 +2622,7 @@ EXT_QUERIES = {
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
+    "lang_coverage_division": (q_lang_coverage_division, SQL_LANG_COVERAGE),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
