@@ -462,3 +462,58 @@ def test_redact_composes_with_streams(spark, tmp_path):
     assert by_id[1] == "mail <EMAIL> and <EMAIL>"
     assert by_id[2] == "ip <IP> ticket <ID>"
     assert by_id[3] == "nothing sensitive"
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """Streamed M4 (watermarked windowed min/max/min_by/max_by) must
+    equal the batch m4_downsample of the union once every row has
+    arrived — across multiple micro-batches and with the duplicate-
+    timestamp tiebreak exercised (two rows share one second)."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import m4_downsample
+    from time_series_storage_spark.streaming.ingest import streaming_m4
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    rid = 0
+    for i in range(120):
+        k = "a" if i % 3 else "b"
+        ts = base + dt.timedelta(seconds=(i * 37) % 7200)
+        rows.append((rid, k, ts, (i * 13) % 100 - 50))
+        rid += 1
+    rows.append((rid, "a", rows[0][2], 999))  # duplicate-second tie
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp, q long")
+    for i in range(3):  # three single-file micro-batches
+        df.where(F.col("id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    batch = {
+        (r["k"], r["bucket_ts"]): (
+            r["n_obs"], r["min_q"], r["max_q"], r["first_q"], r["last_q"]
+        )
+        for r in m4_downsample(
+            spark.read.parquet(f"{src}/*"), ["k"], 900, id_col="id"
+        ).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = streaming_m4(stream, ["k"], 900, q_col="q", id_col="id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sm4")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["k"], r["bucket_ts"]): (
+            r["n_obs"], r["min_q"], r["max_q"], r["first_q"], r["last_q"]
+        )
+        for r in spark.sql("SELECT * FROM sm4").collect()
+    }
+    assert streamed == batch and len(batch) > 0

@@ -457,3 +457,50 @@ def streaming_rollup_refresh(
     return events.writeStream.foreachBatch(
         RollupMergeSink(engine, store, fact_id, dimension_id)
     )
+
+
+def streaming_m4(
+    events: DataFrame,
+    dims: list[str],
+    bucket_seconds: int,
+    ts_col: str = "ts",
+    q_col: str = "q",
+    id_col: str = "id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming M4 downsampling — the watermarked twin of
+    ``operators.analytics.m4_downsample``: per (series, tumbling
+    bucket) min/max/first/last of the quantized value, maintained
+    incrementally in the state store.
+
+    Spark-first: min/max/min_by/max_by are all ALGEBRAIC aggregates,
+    so the built-in windowed aggregation holds exactly one partial
+    aggregate per open (series, bucket) — no custom state. first/last
+    ride the same composite ``epoch * 2^31 + id`` ordering key as the
+    batch operator, which is what makes the streamed result CONVERGE
+    to the batch output once the watermark passes a bucket (pinned in
+    tests/test_streaming.py): the selection is a pure min/max over the
+    same key set, independent of arrival order or micro-batching.
+
+    State is bounded by the watermark; late rows beyond it drop (the
+    standard bounded-state tradeoff, same as the rollup stream).
+    Output: dims + bucket_ts + n_obs/min_q/max_q/first_q/last_q.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    ordk = (epoch * F.lit(2_147_483_648) + F.col(id_col)).alias("_o")
+    ev = events.withWatermark(ts_col, watermark).select(
+        *dims, F.col(ts_col), F.col(q_col).alias("_q"), ordk
+    )
+    win = F.window(F.col(ts_col), f"{bucket_seconds} seconds")
+    return (
+        ev.groupBy(win, *[F.col(d) for d in dims])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.min("_q").cast("long").alias("min_q"),
+            F.max("_q").cast("long").alias("max_q"),
+            F.min_by("_q", F.col("_o")).cast("long").alias("first_q"),
+            F.max_by("_q", F.col("_o")).cast("long").alias("last_q"),
+        )
+        .select(F.col("window.start").alias("bucket_ts"), "*")
+        .drop("window")
+    )
