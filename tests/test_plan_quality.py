@@ -411,3 +411,34 @@ def test_corpus_cube_is_one_expand_one_exchange(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_semi_join_pushes_probe_filter(spark):
+    """brands_shipping_recent: the join is LeftSemi (no fan-out, no
+    post-join distinct) and the shipdate filter reaches the probe
+    side's parquet scan."""
+    from time_series_storage_spark.queries_extensions import (
+        q_brands_shipping_recent,
+    )
+
+    plan = _plan(q_brands_shipping_recent(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "partial_count" in plan
+
+
+def test_pivot_is_one_scan_all_partial_aggregated(spark):
+    """corpus_pivot_lang with explicit values: ONE scan (no
+    distinct-discovery pass, no per-value scans) and Catalyst's
+    two-stage pivot plan — a partial-aggregated (source, lang) count
+    then a partial pivotfirst — so every exchange carries
+    aggregate-sized rows, never raw documents."""
+    from time_series_storage_spark.queries_extensions import (
+        q_corpus_pivot_lang,
+    )
+
+    plan = _plan(q_corpus_pivot_lang(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan and "partial_pivotfirst" in plan
+    assert "Join" not in plan

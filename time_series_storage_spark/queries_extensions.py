@@ -2332,6 +2332,116 @@ FROM per GROUP BY lang
 """
 
 
+SEMI_CUTOFF = "2001-01-01"
+
+
+def q_brands_shipping_recent(spark, sf_dir):
+    """LEFT SEMI join (positive membership, no fan-out): per brand,
+    how many parts shipped at least one line after {SEMI_CUTOFF}. The
+    semi join keeps the part row cardinality (a plain inner join would
+    multiply by matching lines and need a distinct); the shipdate
+    filter is pushed into the probe side's scan. One exchange pair on
+    partkey, then a partial-aggregated brand rollup."""
+    pa = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    recent = li.where(F.col("l_shipdate") > F.lit(SEMI_CUTOFF)).select(
+        "l_partkey"
+    )
+    return (
+        pa.join(
+            recent, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("min_price_cents"),
+        )
+    )
+
+
+SQL_BRANDS_SHIPPING_RECENT = f"""
+SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+       MIN(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+         AS min_price_cents
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey
+                AND l_shipdate > TIMESTAMP '{SEMI_CUTOFF} 00:00:00')
+GROUP BY p_brand
+"""
+
+
+NTILE_BINS = 8
+
+
+def q_text_length_ntile(spark, sf_dir):
+    """Equal-frequency length binning per source: NTILE({NTILE_BINS})
+    over (n_chars, doc_id) — the curriculum/batching prestep that
+    assigns every document a length-quantile bucket without computing
+    explicit quantile cut points. Deterministic: the ordering carries
+    doc_id as tiebreak, so both engines assign identical bins. One
+    window pass, one exchange on source."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars"), F.col("doc_id")
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_chars",
+        F.ntile(NTILE_BINS).over(w).cast("long").alias("len_bin"),
+    )
+
+
+SQL_TEXT_LENGTH_NTILE = f"""
+SELECT doc_id::BIGINT AS doc_id, source,
+       length(text)::BIGINT AS n_chars,
+       NTILE({NTILE_BINS}) OVER (PARTITION BY source
+                                 ORDER BY length(text), doc_id)::BIGINT
+         AS len_bin
+FROM documents
+"""
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_corpus_pivot_lang(spark, sf_dir):
+    """PIVOT: per source, one column of doc counts per language (the
+    fixed {PIVOT_LANGS} vocabulary — explicit values keep the output
+    schema static and skip the eager distinct-discovery scan). The
+    plan is one scan + Catalyst's two-stage pivot — partial (source,
+    lang) counts, then a partial pivotfirst — so every exchange
+    carries aggregate-sized rows (plan-pinned). Missing combinations
+    are 0, not NULL."""
+    docs = _docs(spark, sf_dir).select("source", "lang")
+    piv = (
+        docs.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "source",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in PIVOT_LANGS
+        ],
+    )
+
+
+SQL_CORPUS_PIVOT = f"""
+SELECT source,
+       {", ".join(f"SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)::BIGINT AS n_{lg}" for lg in PIVOT_LANGS)}
+FROM documents GROUP BY source
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -2623,6 +2733,12 @@ EXT_QUERIES = {
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
     "lang_coverage_division": (q_lang_coverage_division, SQL_LANG_COVERAGE),
+    "brands_shipping_recent": (
+        q_brands_shipping_recent,
+        SQL_BRANDS_SHIPPING_RECENT,
+    ),
+    "text_length_ntile": (q_text_length_ntile, SQL_TEXT_LENGTH_NTILE),
+    "corpus_pivot_lang": (q_corpus_pivot_lang, SQL_CORPUS_PIVOT),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
