@@ -394,3 +394,58 @@ def test_streaming_heavy_hitters_bounds_over_capacity(spark, tmp_path):
     for item, c in truth.items():
         if c > total // CAP:
             assert item in final, item
+
+
+def test_streaming_gap_detect_converges_to_batch(spark, tmp_path):
+    """Time-ordered micro-batches: the streamed gaps equal the batch
+    gap_detect output exactly, including a gap that straddles a
+    micro-batch boundary (the two-long state crossing batches)."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import gap_detect
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_gap_detect,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    offs = [0, 50, 120, 2000, 2050, 9000, 9020, 15000]  # gaps at 3 spots
+    rows = [
+        (i, "a", base + dt.timedelta(seconds=off))
+        for i, off in enumerate(offs)
+    ] + [
+        (100 + i, "b", base + dt.timedelta(seconds=off * 3))
+        for i, off in enumerate(offs)
+    ]
+    rows.sort(key=lambda r: r[2])
+    src = str(tmp_path / "gv")
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp")
+    n = len(rows)
+    # three time-ordered files: boundary falls inside a silence
+    for bi, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                   (2 * n // 3, n)]):
+        spark.createDataFrame(
+            rows[lo:hi], "id long, k string, ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = sorted(
+        (r["k"], int(r["gap_start"].timestamp()),
+         int(r["gap_end"].timestamp()), r["gap_s"])
+        for r in gap_detect(df, ["k"], 600, order_col="id").collect()
+    )
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_gap_detect(stream, "k", 600)
+        .writeStream.format("memory")
+        .queryName("sgap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r["k"], r["gap_start_ep"], r["gap_end_ep"], r["gap_s"])
+        for r in spark.sql("SELECT * FROM sgap").collect()
+    )
+    assert streamed == batch and len(batch) >= 4

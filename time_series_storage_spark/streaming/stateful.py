@@ -445,3 +445,85 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GAP_STATE_SCHEMA = "last_ep long, last_id long"
+
+
+def streaming_gap_detect(
+    series: DataFrame,
+    key_col: str,
+    threshold_seconds: int,
+    ts_col: str = "ts",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming reporting-silence detection — the stateful twin of
+    ``operators.analytics.gap_detect``: per key, every consecutive
+    pair of observations further apart than ``threshold_seconds``
+    emits one gap row, across micro-batch boundaries.
+
+    State is exactly TWO longs per key (the last observation's epoch
+    and id tiebreak) — the minimum any cross-batch lag needs; no
+    watermark required, the state never grows. Within a batch rows
+    sort by (epoch, id) — the same composite order as the batch
+    operator — so on in-order streams the emitted gaps converge to
+    the batch output exactly (pinned in tests). An out-of-order
+    arrival BEHIND the stored cursor cannot retroactively split an
+    already-emitted gap; it is counted against the cursor like any
+    late point (documented divergence, same tradeoff as every
+    bounded-state streaming operator here).
+
+    Output: key, gap_start_ep, gap_end_ep, gap_s (epoch seconds —
+    integer, engine-portable).
+    """
+    out_schema = (
+        f"{key_col} string, gap_start_ep long, gap_end_ep long, gap_s long"
+    )
+
+    def scan(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        import numpy as np
+
+        last_ep, last_id = state.get if state.exists else (None, None)
+        frames = [p for p in pdfs if len(p)]
+        gaps_start, gaps_end = [], []
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            order = np.lexsort((pdf["_id"].values, pdf["_ep"].values))
+            eps = pdf["_ep"].values[order]
+            ids = pdf["_id"].values[order]
+            prev = np.concatenate(
+                ([last_ep if last_ep is not None else eps[0]], eps[:-1])
+            )
+            mask = (eps - prev) > threshold_seconds
+            gaps_start = prev[mask].tolist()
+            gaps_end = eps[mask].tolist()
+            state.update((int(eps[-1]), int(ids[-1])))
+        if gaps_start:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(gaps_start),
+                    "gap_start_ep": gaps_start,
+                    "gap_end_ep": gaps_end,
+                    "gap_s": [e - s for s, e in zip(gaps_start, gaps_end)],
+                }
+            )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            scan,
+            outputStructType=out_schema,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
