@@ -2442,6 +2442,92 @@ FROM documents GROUP BY source
 """
 
 
+def q_dq_violations(spark, sf_dir):
+    """Data-quality gate over the relational tables: one row per
+    CHECK with its violation count — orphan foreign keys (orders
+    without a customer, lineitems without an order: LEFT ANTI probes),
+    domain violations (non-positive price/quantity, discount outside
+    [0,1]), and null keys. The checks on one table share one scan via
+    conditional aggregation; the FK probes are anti joins keyed on the
+    parent. A curation run fails fast on any nonzero row — this is
+    the validation pass that runs before anything else trusts the
+    batch."""
+    od = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cu = read_table(spark, sf_dir, "customer")
+    orphan_orders = (
+        od.join(
+            cu.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("orders_orphan_custkey").alias("check"), "violations")
+    )
+    orphan_lines = (
+        li.join(
+            od.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("check"), "violations")
+    )
+    li_domain = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("long"))
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("bad_disc"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long"))
+        .cast("long")
+        .alias("bad_price"),
+        F.sum(F.col("l_orderkey").isNull().cast("long"))
+        .cast("long")
+        .alias("null_key"),
+    )
+    # stack unpivots the 1-row aggregate -> 4 check rows from ONE scan
+    domain_rows = li_domain.select(
+        F.expr(
+            "stack(4,"
+            " 'lineitem_nonpositive_quantity', bad_qty,"
+            " 'lineitem_discount_out_of_range', bad_disc,"
+            " 'lineitem_nonpositive_price', bad_price,"
+            " 'lineitem_null_orderkey', null_key"
+            ") AS (check, violations)"
+        )
+    )
+    return orphan_orders.unionByName(orphan_lines).unionByName(domain_rows)
+
+
+SQL_DQ_VIOLATIONS = """
+SELECT 'orders_orphan_custkey' AS check, COUNT(*)::BIGINT AS violations
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', COUNT(*)::BIGINT
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       SUM((l_quantity <= 0)::INT)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       SUM((l_discount < 0 OR l_discount > 1)::INT)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       SUM((l_extendedprice <= 0)::INT)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_null_orderkey',
+       SUM((l_orderkey IS NULL)::INT)::BIGINT FROM lineitem
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -2739,6 +2825,7 @@ EXT_QUERIES = {
     ),
     "text_length_ntile": (q_text_length_ntile, SQL_TEXT_LENGTH_NTILE),
     "corpus_pivot_lang": (q_corpus_pivot_lang, SQL_CORPUS_PIVOT),
+    "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
