@@ -86,3 +86,55 @@ def test_kmv_k_validated(spark):
         kmv_minima(_elems(spark, 10), ["k"], "e", k=2)
     with pytest.raises(ValueError, match="k must be"):
         kmv_minima(_elems(spark, 10), ["k"], "e", k=256)
+
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark):
+    """The histogram-sketch quantile is within one bucket width of the
+    exact nearest-rank percentile, clamps outliers into the edge
+    buckets instead of failing, and counts rows exactly."""
+    import random
+
+    from time_series_storage_spark.operators.analytics import (
+        grouped_percentiles,
+    )
+    from time_series_storage_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    rng = random.Random(5)
+    rows = [("g1", rng.randint(0, 200)) for _ in range(500)] + [
+        ("g2", rng.randint(50, 120)) for _ in range(300)
+    ] + [("g2", 10_000)]  # outlier: must clamp, not break
+    df = spark.createDataFrame(rows, "k string, v long")
+    lo, hi, nb = 0, 256, 64
+    width = (hi - lo) // nb
+    sk = {
+        r["k"]: r
+        for r in histogram_quantiles(
+            df, ["k"], "v", lo, hi, nb, percents=(50, 90)
+        ).collect()
+    }
+    ex = {
+        r["k"]: r
+        for r in grouped_percentiles(
+            df, ["k"], "v", percents=(50, 90)
+        ).collect()
+    }
+    truth_n = {"g1": 500, "g2": 301}
+    for k in ("g1", "g2"):
+        assert sk[k]["n_rows"] == truth_n[k]
+        for p in (50, 90):
+            exact = min(ex[k][f"p{p}"], hi - 1)  # sketch domain clamps
+            assert abs(sk[k][f"q{p}"] - exact) <= width, (k, p)
+
+
+def test_histogram_quantiles_rejects_uneven_domain(spark):
+    import pytest
+
+    from time_series_storage_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, ["k"], "v", 0, 250, 64)

@@ -124,3 +124,86 @@ def kmv_estimate(
         .otherwise(est)
         .cast("long"),
     )
+
+
+# -- equi-width histogram quantile sketch ------------------------------------
+
+def histogram_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+    percents: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Approximate per-group quantiles from an EQUI-WIDTH histogram —
+    the mergeable, bounded-state alternative to exact rank selection
+    (`analytics.grouped_percentiles` sorts each group; this never
+    sorts anything).
+
+    The sketch is ``n_buckets`` counts per group over the fixed domain
+    ``[lo, hi)`` (values clamp to the edge buckets, so outliers land
+    in a bucket instead of poisoning the state). The p-th quantile
+    estimate is classic within-bucket linear interpolation, in EXACT
+    integer arithmetic: with target rank ``t = ceil(p * n / 100)``,
+    the first bucket whose cumulative count reaches ``t`` contributes
+
+        est = bucket_lo + floor((t - cum_prev) * width / bucket_n)
+
+    — deterministic in any engine (no float division; width and
+    counts are longs). Error is bounded by one bucket width, the
+    standard histogram-sketch contract; unlike t-digest/KLL there is
+    no randomized compaction, which is what keeps it oracle-gateable.
+
+    Scale shape: ONE partial-aggregated groupBy builds every group's
+    histogram (the map-side combine reduces each task to <= n_buckets
+    rows per group — the sketch property); the quantile extraction
+    runs over (groups x buckets) rows, already tiny, with one
+    cumulative window. Merging two histograms is adding counts —
+    trivially incremental for streaming or partitioned builds.
+
+    Output: one row per group: keys + n_rows + q<P> for each P.
+    """
+    width = (hi - lo) // n_buckets
+    if width <= 0 or (hi - lo) % n_buckets != 0:
+        raise ValueError(
+            f"domain [{lo}, {hi}) must split evenly into {n_buckets} buckets"
+        )
+    v = F.col(val_col).cast("long")
+    clamped = F.greatest(
+        F.lit(lo), F.least(v, F.lit(hi - 1))
+    )
+    bucket = F.floor((clamped - lo) / width).cast("long")
+    hist = (
+        df.select(*keys, bucket.alias("_b"))
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "_b",
+        "_n",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    )
+    aggs = [F.max("_tot").cast("long").alias("n_rows")]
+    for p in percents:
+        t = F.ceil(F.col("_tot") * p / 100)
+        # the first bucket reaching rank t; interpolate inside it
+        est = (
+            F.lit(lo)
+            + F.col("_b") * width
+            + F.floor((t - (F.col("_cum") - F.col("_n"))) * width / F.col("_n"))
+        )
+        hit = (F.col("_cum") >= t) & ((F.col("_cum") - F.col("_n")) < t)
+        aggs.append(
+            F.max(F.when(hit, est)).cast("long").alias(f"q{p}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

@@ -2442,6 +2442,56 @@ FROM documents GROUP BY source
 """
 
 
+HQ_LO, HQ_HI, HQ_BUCKETS = 0, 256, 64  # char-length domain, width 4
+HQ_WIDTH = (HQ_HI - HQ_LO) // HQ_BUCKETS
+
+
+def q_text_len_hist_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles of document length per source
+    (operators/sketch.py:histogram_quantiles): 64 equi-width buckets
+    over [0, 256) chars, within-bucket integer interpolation — the
+    mergeable bounded-state quantile form (vs the exact sort-based
+    grouped_percentiles). One partial-aggregated histogram build; the
+    extraction window runs over groups x 64 rows only."""
+    from .operators.sketch import histogram_quantiles
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.length("text").cast("long").alias("n_chars")
+    )
+    return histogram_quantiles(
+        docs, ["source"], "n_chars", HQ_LO, HQ_HI, HQ_BUCKETS,
+        percents=(50, 90, 99),
+    )
+
+
+SQL_TEXT_LEN_HIST_QUANTILES = f"""
+WITH b AS (
+  SELECT source,
+         (GREATEST({HQ_LO}, LEAST(length(text)::BIGINT, {HQ_HI - 1}))
+          - {HQ_LO}) // {HQ_WIDTH} AS _b
+  FROM documents
+),
+hist AS (SELECT source, _b, COUNT(*) AS n FROM b GROUP BY source, _b),
+cum AS (
+  SELECT source, _b, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY _b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         SUM(n) OVER (PARTITION BY source) AS tot
+  FROM hist
+)
+SELECT source, MAX(tot)::BIGINT AS n_rows,
+{",".join(f'''
+       MAX(CASE WHEN c >= CEIL(tot * {p} / 100)
+                 AND c - n < CEIL(tot * {p} / 100)
+                THEN {HQ_LO} + _b * {HQ_WIDTH}
+                     + CAST(floor((CEIL(tot * {p} / 100) - (c - n))
+                                  * {HQ_WIDTH} * 1.0 / n) AS BIGINT)
+           END)::BIGINT AS q{p}''' for p in (50, 90, 99))}
+FROM cum GROUP BY source
+"""
+
+
 def q_dq_violations(spark, sf_dir):
     """Data-quality gate over the relational tables: one row per
     CHECK with its violation count — orphan foreign keys (orders
@@ -2826,6 +2876,10 @@ EXT_QUERIES = {
     "text_length_ntile": (q_text_length_ntile, SQL_TEXT_LENGTH_NTILE),
     "corpus_pivot_lang": (q_corpus_pivot_lang, SQL_CORPUS_PIVOT),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
+    "text_len_hist_quantiles": (
+        q_text_len_hist_quantiles,
+        SQL_TEXT_LEN_HIST_QUANTILES,
+    ),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
