@@ -442,3 +442,18 @@ def test_pivot_is_one_scan_all_partial_aggregated(spark):
     assert plan.count("Exchange") == 2
     assert "partial_count" in plan and "partial_pivotfirst" in plan
     assert "Join" not in plan
+
+
+def test_interval_overlap_is_bin_equijoin_no_nested_loop(spark):
+    """Interval-overlap join: the pair generation is a hash equi-join
+    on bins (never BroadcastNestedLoopJoin/CartesianProduct) and the
+    first-shared-bin rule removes the dedup aggregate — no distinct
+    exchange after the join."""
+    from time_series_storage_spark.queries_extensions import (
+        q_interval_overlap,
+    )
+
+    plan = _plan(q_interval_overlap(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # shuffled or broadcast hash equi-join

@@ -429,3 +429,53 @@ def test_asof_fractional_order_tiebreak(spark):
     ).collect()
     assert row["asof_tag"] == "hi"
     assert row["asof_prio"] == 1.9
+
+
+# -- interval overlap join vs brute-force overlap model ----------------------
+
+@given(lrngs=iv_ranges, rrngs=iv_ranges,
+       bucket=st.sampled_from([60, 600, 3600]),
+       inclusive=st.booleans())
+@_slow
+def test_interval_overlap_join_matches_bruteforce(
+    spark, lrngs, rrngs, bucket, inclusive
+):
+    """Every overlapping same-key pair emitted EXACTLY ONCE (the
+    first-shared-bin rule replaces the dedup pass), empty intervals
+    match nothing, and the exact overlap predicate decides — not the
+    binning."""
+    from time_series_storage_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    mk = lambda rows: spark.createDataFrame(
+        [
+            (i, k, t(min(s, e)), t(max(s, e)))
+            for i, (s, e, k) in enumerate(rows)
+        ],
+        ["iid", "key", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        (r["l_iid"], r["r_iid"])
+        for r in interval_overlap_join(
+            mk(lrngs), mk(rrngs), on=["key"],
+            left_payload=["iid"], right_payload=["iid"],
+            bucket_seconds=bucket, inclusive_end=inclusive,
+        ).collect()
+    )
+    def norm(rows):
+        return [
+            (i, k, min(s, e), max(s, e))
+            for i, (s, e, k) in enumerate(rows)
+        ]
+    lt = (lambda a, b: a <= b) if inclusive else (lambda a, b: a < b)
+    want = sorted(
+        (i, j)
+        for i, k1, s1, e1 in norm(lrngs)
+        for j, k2, s2, e2 in norm(rrngs)
+        if k1 == k2 and lt(s1, e2) and lt(s2, e1)
+        and (inclusive or (s1 < e1 and s2 < e2))
+    )
+    assert got == want

@@ -112,3 +112,92 @@ def interval_join(
         .where(contained)
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    left_payload: Optional[list[str]] = None,
+    right_payload: Optional[list[str]] = None,
+    bucket_seconds: int = 3600,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Interval x interval OVERLAP join — the second range-join shape
+    (the first, point-in-interval, is :func:`interval_join`): every
+    same-key pair of intervals that intersect emits one row. Campaign
+    windows x user sessions, maintenance windows x incident spans,
+    halt periods x trading sessions.
+
+    Overlap is the standard predicate ``l_start < r_end AND r_start <
+    l_end`` (``<=`` when ``inclusive_end`` closes the right edges).
+    Empty intervals match nothing.
+
+    Scale shape: both sides explode onto the time bins they span and
+    equi-join on (keys..., bin) — but an overlapping pair shares MANY
+    bins, so a naive bin join needs a distinct. This join instead
+    emits a pair only in its FIRST shared bin, which is provably
+    ``bin(max(l_start, r_start))`` = ``greatest`` of the two start
+    bins (bin assignment is monotone, and that instant lies inside
+    both intervals whenever they overlap) — a codegen filter after the
+    equi-join, NO dedup exchange. Linear in bin expansion, ordinary
+    AQE-handled skew on hot bins, never a nested loop.
+
+    Output: keys + ``l_start/l_end/r_start/r_end`` +
+    ``ov_start/ov_end`` (the intersection) + ``l_<c>``/``r_<c>``
+    payload columns (default: every non-key, non-bound column).
+    """
+    if left_payload is None:
+        skip = {*on, start_col, end_col}
+        left_payload = [c for c in left.columns if c not in skip]
+    if right_payload is None:
+        skip = {*on, start_col, end_col}
+        right_payload = [c for c in right.columns if c not in skip]
+    g_us = int(bucket_seconds) * 1_000_000
+    _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+
+    def prep(df, prefix, payload):
+        s_us, e_us = _us(start_col), _us(end_col)
+        last_us = e_us if inclusive_end else e_us - 1
+        not_empty = (
+            F.col(start_col) <= F.col(end_col)
+            if inclusive_end
+            else F.col(start_col) < F.col(end_col)
+        )
+        return df.where(not_empty).select(
+            *[F.col(k) for k in on],
+            F.col(start_col).alias(f"{prefix}_start"),
+            F.col(end_col).alias(f"{prefix}_end"),
+            F.floor(s_us / g_us).cast("long").alias(f"_{prefix}_bin0"),
+            *[F.col(c).alias(f"{prefix}_{c}") for c in payload],
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / g_us).cast("long"),
+                    F.floor(last_us / g_us).cast("long"),
+                )
+            ).alias("_bin"),
+        )
+
+    lv = prep(left, "l", left_payload)
+    rv = prep(right, "r", right_payload)
+    lt = (lambda a, b: a <= b) if inclusive_end else (lambda a, b: a < b)
+    overlap = lt(F.col("l_start"), F.col("r_end")) & lt(
+        F.col("r_start"), F.col("l_end")
+    )
+    first_shared = F.col("_bin") == F.greatest(
+        F.col("_l_bin0"), F.col("_r_bin0")
+    )
+    return (
+        lv.join(rv, [*on, "_bin"])
+        .where(overlap & first_shared)
+        .select(
+            *on,
+            "l_start", "l_end", "r_start", "r_end",
+            F.greatest("l_start", "r_start").alias("ov_start"),
+            F.least("l_end", "r_end").alias("ov_end"),
+            *[f"l_{c}" for c in left_payload],
+            *[f"r_{c}" for c in right_payload],
+        )
+    )

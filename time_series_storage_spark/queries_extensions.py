@@ -695,6 +695,99 @@ WHERE p.event_type = 'purchase'
 """
 
 
+INCIDENT_GAP_MIN = 60  # error-burst merge gap: one hour of quiet ends it
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join
+    (operators/interval.py:interval_overlap_join): every (user
+    session, system-wide error-burst incident window) pair that
+    intersects in time — "which sessions were exposed to an incident",
+    the impact-attribution query. Bucketed bin equi-join with the
+    first-shared-bin emission rule: no dedup pass, never a nested
+    loop, and with NO join key beyond the bin (incidents are global)
+    the bins themselves carry the parallelism. Sessions and incidents
+    are closed intervals (bounds are event timestamps), so
+    inclusive_end. The incident sessionization is single-series BY
+    DEFINITION (one global error stream) — its window runs in one
+    task over error volume only; the overlap join's parallelism comes
+    from the bins."""
+    from .operators.interval import interval_overlap_join
+    from .operators.sessions import session_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    sessions = session_stats(
+        ev.select("event_id", "user_id", "ts"),
+        ["user_id"], gap_minutes=30, order_col="event_id",
+    ).select("user_id", "session_seq", "start_ts", "end_ts")
+    incidents = session_stats(
+        ev.where(F.col("event_type") == "error").select(
+            "event_id", F.lit(0).alias("g"), "ts"
+        ),
+        ["g"], gap_minutes=INCIDENT_GAP_MIN, order_col="event_id",
+    ).select("session_seq", "start_ts", "end_ts")
+    out = interval_overlap_join(
+        sessions,
+        incidents,
+        on=[],
+        left_payload=["user_id", "session_seq"],
+        right_payload=["session_seq"],
+        inclusive_end=True,
+    )
+    ov_s = (
+        F.unix_timestamp("ov_end") - F.unix_timestamp("ov_start")
+    ).cast("long")
+    return out.select(
+        F.col("l_user_id").cast("long").alias("user_id"),
+        F.col("l_session_seq").cast("long").alias("session_seq"),
+        F.col("r_session_seq").cast("long").alias("incident_seq"),
+        F.date_format("ov_start", "yyyy-MM-dd HH:mm:ss").alias("ov_start"),
+        F.date_format("ov_end", "yyyy-MM-dd HH:mm:ss").alias("ov_end"),
+        ov_s.alias("ov_s"),
+    )
+
+
+def _sess_cte(filter_sql: str, keys: list[str], gap_s: int) -> str:
+    sel = "".join(f"{k}, " for k in keys)
+    part = ", ".join(keys) if keys else "1"  # constant = one partition
+    return f"""
+  SELECT {sel}session_seq, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM (
+    SELECT {sel}ts,
+           SUM(is_new) OVER (PARTITION BY {part} ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM (
+      SELECT {sel}event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY {part}
+                                     ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                                 lag(ts) OVER (PARTITION BY {part}
+                                               ORDER BY ts, event_id),
+                                 ts) > {gap_s}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events {filter_sql}
+    )
+  ) GROUP BY {sel}session_seq
+"""
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH us AS ({_sess_cte("", ["user_id"], 1800)}),
+inc AS ({_sess_cte("WHERE event_type = 'error'", [], INCIDENT_GAP_MIN * 60)})
+SELECT u.user_id::BIGINT AS user_id,
+       u.session_seq::BIGINT AS session_seq,
+       i.session_seq::BIGINT AS incident_seq,
+       strftime(GREATEST(u.start_ts, i.start_ts),
+                '%Y-%m-%d %H:%M:%S') AS ov_start,
+       strftime(LEAST(u.end_ts, i.end_ts), '%Y-%m-%d %H:%M:%S') AS ov_end,
+       (CAST(floor(epoch(LEAST(u.end_ts, i.end_ts))) AS BIGINT)
+        - CAST(floor(epoch(GREATEST(u.start_ts, i.start_ts))) AS BIGINT))
+         ::BIGINT AS ov_s
+FROM us u JOIN inc i
+  ON u.start_ts <= i.end_ts AND i.start_ts <= u.end_ts
+"""
+
+
 # -- funnel analysis --------------------------------------------------------
 
 def q_funnel(spark, sf_dir):
@@ -2847,6 +2940,7 @@ EXT_QUERIES = {
     "asof_nearest_click": (q_asof_nearest, SQL_ASOF_NEAREST),
     "sessionize_user_30m": (q_sessionize, SQL_SESSIONIZE),
     "interval_join_purchase_session": (q_interval_join, SQL_INTERVAL_JOIN),
+    "interval_overlap_incidents": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
