@@ -117,3 +117,49 @@ def test_int8_topk_recall_vs_float(spark):
     assert set(exact) == set(approx)
     for qid in exact:
         assert len(exact[qid] & approx[qid]) >= 8, qid
+
+
+def test_build_vocab_and_encode_match_python_model(spark):
+    """Vocabulary rank = (count desc, term asc); encode preserves token
+    order with OOV -> 0; the two-phase top-k equals the naive global
+    rank."""
+    from time_series_storage_spark.operators.text import (
+        build_vocab,
+        vocab_encode,
+    )
+
+    rows = [
+        (0, "b b b a a c"),
+        (1, "a b d d"),
+        (2, "e a  b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = {
+        r["term"]: r["term_id"]
+        for r in build_vocab(docs, "text", size=3).collect()
+    }
+    # counts: a=4 b=5 c=1 d=2 e=1 -> top3 = b(1), a(2), d(3)
+    assert vocab == {"b": 1, "a": 2, "d": 3}
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["ids"])
+        for r in vocab_encode(
+            docs, build_vocab(docs, "text", size=3)
+        ).collect()
+    }
+    assert enc[0] == (6, "1 1 1 2 2 0")  # c -> OOV 0
+    assert enc[1] == (4, "2 1 3 3")
+    assert enc[2] == (3, "0 2 1")  # e -> OOV; double space filtered
+
+
+def test_vocab_encode_plan_broadcast_join_no_global_corpus_sort(spark):
+    from time_series_storage_spark.queries_extensions import q_vocab_encode
+
+    plan = (
+        q_vocab_encode(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan

@@ -364,3 +364,91 @@ def dup_ngram_fraction(
         F.col("n_dup").cast("long").alias("n_dup_positions"),
         F.expr("(n_dup * 1000L) div n_grams").cast("long").alias("dup_x1000"),
     )
+
+
+# -- vocabulary build + id-sequence encoding ---------------------------------
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 256,
+) -> DataFrame:
+    """Frequency vocabulary: the ``size`` most frequent whitespace
+    tokens, ranked by (global count desc, term asc) — term_id 1..size,
+    with 0 reserved for OOV by convention. Output: (term, term_id,
+    n_occurrences).
+
+    The tokenizer-artifact step of a training pipeline, built with the
+    same EXACT two-phase top-k discipline as split.py's samplers: rank
+    within source partition first and keep each partition's local
+    top-``size`` (the global top-``size`` is contained in that union —
+    any excluded term is beaten ``size`` times in one partition), then
+    exact-rank the ~size x partitions survivors. The term-count
+    aggregate partial-combines, so neither phase ever funnels the full
+    vocabulary through one task; the deterministic tiebreak makes the
+    artifact reproducible anywhere.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("term")]
+    w_local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        counts.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= size)
+        .drop("_lrank")
+    )
+    w_global = Window.orderBy(*order)  # ~size x partitions rows only
+    return (
+        survivors.withColumn(
+            "term_id", F.row_number().over(w_global).cast("long")
+        )
+        .where(F.col("term_id") <= size)
+        .select("term", "term_id", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+    )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document as its token-id sequence under a built
+    vocabulary (OOV -> 0): (id, n_tokens, ids) where ``ids`` is the
+    space-joined id string in token order — the corpus-to-tensor
+    boundary, emitted as a string so any engine can compare it
+    byte-for-byte.
+
+    Scale shape: posexplode token positions, ONE broadcast left join
+    against the (bounded-size) vocabulary, then a partial-aggregated
+    per-doc collect re-ordered by position inside the projection —
+    order is carried by the data (pos in the collected structs), not
+    by any assumption about aggregation order, so the result is
+    deterministic under any partitioning. Documents with zero tokens
+    are omitted (inner explode; the caller's corpus stats already
+    count empties).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("term", "term_id")), "term", "left"
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("term_id"), F.lit(0)).cast("long").alias("_vid"),
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "_vid"))),
+        lambda s: s["_vid"].cast("string"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", seq).alias("ids"),
+    )

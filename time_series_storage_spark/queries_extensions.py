@@ -1455,6 +1455,47 @@ FROM documents d LEFT JOIN mx ON mx.doc_id = d.doc_id
 """
 
 
+# -- vocabulary build + id-sequence encoding --------------------------------
+
+VOCAB_SIZE = 256
+
+
+def q_vocab_encode(spark, sf_dir):
+    """Tokenizer-artifact pipeline stage: build the top-{VOCAB_SIZE}
+    frequency vocabulary (exact two-phase top-k — no global sort of
+    the term space) and encode every document as its space-joined
+    token-id string, OOV as 0 (operators/text.py:build_vocab /
+    vocab_encode). One broadcast join against the bounded vocab; order
+    is carried by collected (pos, id) structs, not aggregation
+    order."""
+    docs = _docs(spark, sf_dir)
+    vocab = T.build_vocab(docs, "text", size=VOCAB_SIZE)
+    return T.vocab_encode(docs, vocab, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "ids",
+    )
+
+
+SQL_VOCAB_ENCODE = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM tk),
+counts AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS term_id
+  FROM counts QUALIFY term_id <= {VOCAB_SIZE}
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       string_agg(COALESCE(v.term_id, 0)::VARCHAR, ' ' ORDER BY t.pos)
+         AS ids
+FROM t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+
 # -- multimodal binary plumbing ---------------------------------------------
 
 def _media(spark, sf_dir):
@@ -2970,6 +3011,7 @@ EXT_QUERIES = {
     "text_length_ntile": (q_text_length_ntile, SQL_TEXT_LENGTH_NTILE),
     "corpus_pivot_lang": (q_corpus_pivot_lang, SQL_CORPUS_PIVOT),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
+    "vocab_encode_top256": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "text_len_hist_quantiles": (
         q_text_len_hist_quantiles,
         SQL_TEXT_LEN_HIST_QUANTILES,
