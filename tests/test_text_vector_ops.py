@@ -163,3 +163,35 @@ def test_vocab_encode_plan_broadcast_join_no_global_corpus_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_chunk_windows_edges(spark):
+    """Tail chunks are kept short (never dropped), short docs yield one
+    chunk, overlap is window - stride, and the plan has no exchange."""
+    from time_series_storage_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (1, "a b"),  # shorter than one window
+            (2, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_windows(docs, window=4, stride=3).collect()
+    }
+    # doc 0: starts 1,4,7,10 -> chunks of 4,4,4,1
+    assert out[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(0, 1)] == (4, "t3 t4 t5 t6")  # 1-token overlap
+    assert out[(0, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(0, 3)] == (1, "t9")
+    assert out[(1, 0)] == (2, "a b")
+    assert out[(2, 0)] == (1, "solo")
+    assert len(out) == 6
+    plan = (
+        chunk_windows(docs, window=4, stride=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan

@@ -452,3 +452,61 @@ def vocab_encode(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.concat_ws(" ", seq).alias("ids"),
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking — split every document into
+    token windows of ``window`` tokens advancing by ``stride`` (the
+    pretraining prep that turns long documents into fixed-budget
+    training sequences with ``window - stride`` tokens of overlap for
+    context continuity).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ... up to the last
+    position that starts a NON-EMPTY window; the final chunk is short
+    rather than dropped (losing the document tail would bias the
+    corpus toward document heads). Documents shorter than one window
+    yield exactly one chunk. Output: (id, chunk_id 0.., n_tokens,
+    chunk) with ``chunk`` the space-rejoined token slice.
+
+    Scale shape: one codegen'd projection — tokenize, explode the
+    precomputed start sequence, slice — with NO shuffle at all; chunk
+    rows inherit the scan's partitioning. Expansion is
+    ~n_tokens/stride rows per document, the operator's whole output.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1: {window}/{stride}")
+    n = F.size(F.col("_toks"))
+    # last start: the largest 1 + k*stride <= n (n=0 -> single empty
+    # chunk start at 1 so empty docs still appear)
+    n_starts = F.greatest(
+        F.floor((n - 1) / stride).cast("int") + 1, F.lit(1)
+    )
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_starts - 1),
+                    lambda k: k * stride + 1,
+                )
+            ).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.slice("_toks", F.col("_start"), window))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("_start"), window)
+            ).alias("chunk"),
+        )
+    )

@@ -1496,6 +1496,44 @@ GROUP BY t.doc_id
 """
 
 
+# -- sliding-window document chunking ---------------------------------------
+
+CHUNK_W, CHUNK_S = 32, 24  # 32-token windows, 8 tokens of overlap
+
+
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/text.py:chunk_windows):
+    every document split into {CHUNK_W}-token windows advancing by
+    {CHUNK_S} (tail kept short, not dropped) — one zero-shuffle
+    codegen projection; chunk rows inherit the scan partitioning."""
+    return T.chunk_windows(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=CHUNK_W, stride=CHUNK_S,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        "chunk",
+    )
+
+
+SQL_TEXT_CHUNKS = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+             0, GREATEST((len(toks) - 1) // {CHUNK_S}, 0))) AS k
+  FROM tk
+)
+SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS chunk_id,
+       len(list_slice(toks, k * {CHUNK_S} + 1,
+                      k * {CHUNK_S} + {CHUNK_W}))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, k * {CHUNK_S} + 1,
+                                  k * {CHUNK_S} + {CHUNK_W}), ' ') AS chunk
+FROM starts
+"""
+
+
 # -- multimodal binary plumbing ---------------------------------------------
 
 def _media(spark, sf_dir):
@@ -3012,6 +3050,7 @@ EXT_QUERIES = {
     "corpus_pivot_lang": (q_corpus_pivot_lang, SQL_CORPUS_PIVOT),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "vocab_encode_top256": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
     "text_len_hist_quantiles": (
         q_text_len_hist_quantiles,
         SQL_TEXT_LEN_HIST_QUANTILES,
