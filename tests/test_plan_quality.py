@@ -457,3 +457,18 @@ def test_interval_overlap_is_bin_equijoin_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # shuffled or broadcast hash equi-join
+
+
+def test_chunk_pack_composition_single_window_exchange(spark):
+    """The chunk -> pack composition stays one lazy DAG: chunking adds
+    no exchange (carry_cols pass through without a join back), so the
+    whole pipeline is the pack window's exchange plus the
+    partial-aggregated bin rollup."""
+    from time_series_storage_spark.queries_extensions import (
+        q_pipeline_chunk_pack,
+    )
+
+    plan = _plan(q_pipeline_chunk_pack(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "partial_count" in plan

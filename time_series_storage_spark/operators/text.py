@@ -460,6 +460,7 @@ def chunk_windows(
     text_col: str = "text",
     window: int = 32,
     stride: int = 24,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window document chunking — split every document into
     token windows of ``window`` tokens advancing by ``stride`` (the
@@ -487,10 +488,12 @@ def chunk_windows(
     n_starts = F.greatest(
         F.floor((n - 1) / stride).cast("int") + 1, F.lit(1)
     )
+    carry = [F.col(c) for c in carry_cols]
     return (
-        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        docs.select(F.col(id_col), *carry, tokens(text_col).alias("_toks"))
         .select(
             F.col(id_col),
+            *carry,
             "_toks",
             F.posexplode(
                 F.transform(
@@ -501,6 +504,7 @@ def chunk_windows(
         )
         .select(
             F.col(id_col),
+            *carry,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size(F.slice("_toks", F.col("_start"), window))
             .cast("long")

@@ -1534,6 +1534,75 @@ FROM starts
 """
 
 
+CHUNK_PACK_BUDGET = 256
+CHUNK_PACK_SHARDS = 2
+CHUNK_CID_BASE = 1024  # composite chunk id: doc_id * base + chunk_id
+
+
+def q_pipeline_chunk_pack(spark, sf_dir):
+    """Corpus -> training-sequence layout in ONE lazy DAG: sliding-
+    window chunking (zero-shuffle, source carried through — no join
+    back) composed with token-budget bin packing per (source, shard).
+    Chunks order by the composite id ``doc_id * {CHUNK_CID_BASE} +
+    chunk_id`` (valid while docs stay under ~{CHUNK_CID_BASE} chunks
+    ~= 24k tokens at this stride — far above this corpus; the packer
+    only needs a total order, so a violation reorders, never loses).
+    The pack window reuses the chunk rows as-is: the whole composition
+    is chunk projection -> one window exchange -> partial-aggregated
+    bin rollup."""
+    chunks = T.chunk_windows(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=CHUNK_W, stride=CHUNK_S, carry_cols=("source",),
+    )
+    from .operators.pack import pack_bins
+
+    cid = (
+        F.col("doc_id") * CHUNK_CID_BASE + F.col("chunk_id")
+    ).alias("cid")
+    return pack_bins(
+        chunks.select("source", cid, "n_tokens"),
+        CHUNK_PACK_BUDGET,
+        ("source",),
+        id_col="cid",
+        n_shards=CHUNK_PACK_SHARDS,
+    ).select(
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n_docs").cast("long").alias("n_chunks"),
+        F.col("bin_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+SQL_PIPELINE_CHUNK_PACK = f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(
+             0, GREATEST((len(toks) - 1) // {CHUNK_S}, 0))) AS k
+  FROM tk
+),
+chunks AS (
+  SELECT doc_id * {CHUNK_CID_BASE} + k AS cid, source,
+         len(list_slice(toks, k * {CHUNK_S} + 1,
+                        k * {CHUNK_S} + {CHUNK_W}))::BIGINT AS n_tokens
+  FROM starts
+),
+off AS (
+  SELECT source, cid % {CHUNK_PACK_SHARDS} AS shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source, cid % {CHUNK_PACK_SHARDS} ORDER BY cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM chunks
+)
+SELECT source, shard::BIGINT AS shard,
+       (start_off // {CHUNK_PACK_BUDGET})::BIGINT AS bin_id,
+       COUNT(*)::BIGINT AS n_chunks, SUM(n_tokens)::BIGINT AS bin_tokens
+FROM off GROUP BY source, shard, start_off // {CHUNK_PACK_BUDGET}
+"""
+
+
 # -- multimodal binary plumbing ---------------------------------------------
 
 def _media(spark, sf_dir):
@@ -3051,6 +3120,7 @@ EXT_QUERIES = {
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "vocab_encode_top256": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "pipeline_chunk_pack": (q_pipeline_chunk_pack, SQL_PIPELINE_CHUNK_PACK),
     "text_len_hist_quantiles": (
         q_text_len_hist_quantiles,
         SQL_TEXT_LEN_HIST_QUANTILES,
