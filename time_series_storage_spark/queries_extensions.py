@@ -2004,6 +2004,50 @@ GROUP BY CUBE (source, lang)
 """
 
 
+# -- cohort retention matrix -------------------------------------------------
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by the ISO week of
+    their FIRST event; for every (cohort week, weeks-since offset),
+    how many of the cohort's users were active — the classic
+    product-analytics matrix. Two partial-aggregated exchanges: the
+    per-user first-event aggregate, then the (cohort, offset)
+    distinct-user rollup; the events-to-first join is co-keyed on
+    user_id so Catalyst reuses the first aggregate's partitioning.
+    Week arithmetic is pure integer epoch-day division (Monday-epoch
+    offset 3), identical in any engine — no date_trunc('week')
+    locale/engine drift."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    # Monday-aligned week index: 1970-01-01 was a Thursday -> +3
+    week = lambda c: F.floor(
+        (F.floor(F.unix_timestamp(c) / 86_400) + 3) / 7
+    ).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        week(F.col("first_ts")).alias("cohort_week"),
+        (week(F.col("ts")) - week(F.col("first_ts"))).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH w AS (
+  SELECT user_id, ts,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 3) // 7 AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id)
+SELECT f.cohort_week::BIGINT AS cohort_week,
+       (w.wk - f.cohort_week)::BIGINT AS week_offset,
+       COUNT(DISTINCT w.user_id)::BIGINT AS active_users
+FROM w JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, w.wk - f.cohort_week
+"""
+
+
 # -- anomaly detection over the event stream --------------------------------
 
 ANOMALY_LOOKBACK = 20
@@ -3128,6 +3172,7 @@ EXT_QUERIES = {
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
