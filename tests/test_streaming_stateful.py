@@ -449,3 +449,58 @@ def test_streaming_gap_detect_converges_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sgap").collect()
     )
     assert streamed == batch and len(batch) >= 4
+
+
+def test_streaming_ewma_converges_to_batch(spark, tmp_path):
+    """Time-ordered micro-batches on second-granularity data: the
+    streamed truncated EWMA equals batch ewma_trunc bit-for-bit,
+    including rows whose lag window straddles batch boundaries and
+    the renormalized warm-up of each key's first rows."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import ewma_trunc
+    from time_series_storage_spark.streaming.stateful import streaming_ewma
+
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    rid = 0
+    for i in range(60):
+        k = "a" if i % 4 else "b"
+        rows.append(
+            (rid, k, base + dt.timedelta(seconds=i * 11), (i * 7) % 90 - 40)
+        )
+        rid += 1
+    src = str(tmp_path / "ew")
+    df = spark.createDataFrame(
+        rows, "id long, k string, ts timestamp, q long"
+    )
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(
+            rows[lo:hi], "id long, k string, ts timestamp, q long"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        r["id"]: r["ewma_q"]
+        for r in ewma_trunc(
+            df, ["k"], q_col="q", n_lags=8, order_col="id"
+        ).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_ewma(stream, "k", n_lags=8)
+        .writeStream.format("memory")
+        .queryName("sewma")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["id"]: r["ewma_q"] for r in spark.sql("SELECT * FROM sewma").collect()
+    }
+    assert streamed == batch and len(batch) == 60

@@ -527,3 +527,93 @@ def streaming_gap_detect(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_STATE_SCHEMA = "qs array<long>"
+
+
+def streaming_ewma(
+    series: DataFrame,
+    key_col: str,
+    n_lags: int = 8,
+    ts_col: str = "ts",
+    q_col: str = "q",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming truncated EWMA — the stateful twin of
+    ``operators.analytics.ewma_trunc``: each observation's smoothed
+    value from power-of-two weights over itself and its ``n_lags - 1``
+    predecessors, across micro-batch boundaries.
+
+    State is the last ``n_lags - 1`` quantized values per key (a ring
+    of longs — the K-lag window's entire memory; this bounded state is
+    exactly why the batch operator truncates the EWMA horizon).
+    Within a batch rows sort by (epoch, id); note the epoch is
+    WHOLE-SECOND (the watermark-friendly long the state keys on), so
+    two observations inside the same second order by id here while
+    the batch operator's raw-timestamp sort sees their sub-second
+    order — on second-granularity (or id-ordered) streams every
+    emitted ``ewma_q`` equals the batch output bit-for-bit (pinned in
+    tests); the arithmetic is the same exact integer num/den with
+    renormalized warm-up.
+
+    Emits one row per observation: key, id, q, ewma_q.
+    """
+    if not 1 <= n_lags <= 40:
+        raise ValueError(f"n_lags must be in [1, 40], got {n_lags}")
+    out_schema = f"{key_col} string, {id_col} long, q long, ewma_q long"
+
+    def smooth(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        import math
+
+        hist = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
+        out_ids, out_q, out_e = [], [], []
+        for rid, q in zip(pdf[id_col], pdf["_q"]):
+            q = int(q)
+            window = ([q] + hist[::-1])[:n_lags]  # newest first
+            num = den = 0
+            for j, x in enumerate(window):
+                w = 1 << (n_lags - 1 - j)
+                num += x * w
+                den += w
+            out_ids.append(int(rid))
+            out_q.append(q)
+            out_e.append(math.floor(num / den))
+            hist.append(q)
+            if len(hist) > n_lags - 1:
+                hist = hist[-(n_lags - 1):] if n_lags > 1 else []
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_ids),
+                id_col: out_ids,
+                "q": out_q,
+                "ewma_q": out_e,
+            }
+        )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(q_col).cast("long").alias("_q"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            smooth,
+            outputStructType=out_schema,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
