@@ -504,3 +504,62 @@ def test_streaming_ewma_converges_to_batch(spark, tmp_path):
         r["id"]: r["ewma_q"] for r in spark.sql("SELECT * FROM sewma").collect()
     }
     assert streamed == batch and len(batch) == 60
+
+
+def test_streaming_anomaly_converges_to_batch(spark, tmp_path):
+    """Second-granularity in-order micro-batches: streamed z-score
+    flags (incl. NULL under-baseline rows and baselines straddling
+    batch boundaries) equal batch anomaly_zscore exactly. The data
+    plants one obvious spike per key."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import anomaly_zscore
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_anomaly_zscore,
+    )
+
+    base = dt.datetime(2024, 8, 1)
+    rows, rid = [], 0
+    for i in range(60):
+        k = "a" if i % 2 else "b"
+        q = 100 + (i % 7)  # quiet baseline
+        if i in (40, 41):
+            q = 4000  # planted spikes
+        rows.append((rid, k, base + dt.timedelta(seconds=i * 13), q))
+        rid += 1
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp, q long")
+    src = str(tmp_path / "an")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(
+            rows[lo:hi], "id long, k string, ts timestamp, q long"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        r["id"]: (r["base_n"], r["base_sum"], r["is_anomaly"])
+        for r in anomaly_zscore(
+            df, ["k"], q_col="q", lookback=10, min_points=4,
+            order_col="id",
+        ).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_anomaly_zscore(stream, "k", lookback=10, min_points=4)
+        .writeStream.format("memory")
+        .queryName("sanom")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["id"]: (r["base_n"], r["base_sum"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM sanom").collect()
+    }
+    assert streamed == batch and len(batch) == 60
+    flagged = [i for i, v in streamed.items() if v[2] == 1]
+    assert 80 in flagged or 40 in flagged or 41 in flagged  # spike caught

@@ -617,3 +617,103 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOM_STATE_SCHEMA = "qs array<long>"
+
+
+def streaming_anomaly_zscore(
+    series: DataFrame,
+    key_col: str,
+    lookback: int = 20,
+    min_points: int = 5,
+    z_threshold: int = 3,
+    ts_col: str = "ts",
+    q_col: str = "q",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming trailing-window z-score anomaly flags — the stateful
+    twin of ``operators.analytics.anomaly_zscore``, with the identical
+    EXACT integer test ``(n*x - s)^2 * (n-1) > z^2 * n * (n*ss - s^2)``
+    (the squared z cleared of division/sqrt) evaluated against the
+    ``lookback`` observations BEFORE each row, across micro-batch
+    boundaries.
+
+    State is the last ``lookback`` quantized values per key (the
+    baseline window's entire memory). Batches process in (whole-second
+    epoch, id) order, so on second-granularity in-order streams flags
+    converge to the batch operator bit-for-bit (pinned in tests);
+    rows with fewer than ``min_points`` predecessors emit a NULL flag,
+    never a false positive — the same under-baseline contract.
+
+    Emits one row per observation: key, id, q, base_n, base_sum,
+    is_anomaly (0/1, NULL when under-baselined).
+    """
+    if not 2 <= lookback <= 64:
+        raise ValueError(f"lookback must be in [2, 64], got {lookback}")
+    out_schema = (
+        f"{key_col} string, {id_col} long, q long,"
+        " base_n long, base_sum long, is_anomaly long"
+    )
+    z2 = z_threshold * z_threshold
+
+    def scan(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        hist = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
+        ids, qs, ns, ss_, flags = [], [], [], [], []
+        for rid, q in zip(pdf[id_col], pdf["_q"]):
+            x = int(q)
+            base = hist[-lookback:]
+            n, s = len(base), sum(base)
+            ss = sum(v * v for v in base)
+            if n >= min_points:
+                dev = n * x - s
+                flag = int(dev * dev * (n - 1) > z2 * n * (n * ss - s * s))
+            else:
+                flag = None
+            ids.append(int(rid))
+            qs.append(x)
+            ns.append(n)
+            # SQL SUM over an empty frame is NULL, not 0 — match the
+            # batch operator's (and any engine's) contract exactly
+            ss_.append(s if n else None)
+            flags.append(flag)
+            hist.append(x)
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ids),
+                id_col: ids,
+                "q": qs,
+                "base_n": ns,
+                "base_sum": pd.array(ss_, dtype="Int64"),
+                "is_anomaly": pd.array(flags, dtype="Int64"),
+            }
+        )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(q_col).cast("long").alias("_q"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            scan,
+            outputStructType=out_schema,
+            stateStructType=ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
