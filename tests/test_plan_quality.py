@@ -472,3 +472,18 @@ def test_chunk_pack_composition_single_window_exchange(spark):
     assert "Join" not in plan
     assert plan.count("Window") == 1
     assert "partial_count" in plan
+
+
+def test_q5_one_big_exchange_four_broadcasts(spark):
+    """Local-supplier-volume (Q5 shape): the only shuffled join is
+    lineitem-orders; customer/supplier/nation/region all broadcast and
+    the order-date window is pushed into the orders scan."""
+    from time_series_storage_spark.queries_extensions import (
+        q_local_supplier_volume,
+    )
+
+    plan = _plan(q_local_supplier_volume(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "partial_count" in plan

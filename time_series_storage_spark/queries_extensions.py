@@ -2863,6 +2863,196 @@ SELECT 'lineitem_null_orderkey',
 """
 
 
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1999-01-01"
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped five-table join: revenue per nation from orders
+    where the customer and the line's supplier share that nation,
+    restricted to the {Q5_REGION} region and an order-date window.
+    Join strategy under the 100 TB assumption: lineitem |><| orders is
+    the one big exchange (orderkey); customer, supplier, nation and
+    region are dimensions and DECLARED broadcast; the local-supplier
+    condition (c_nationkey = s_nationkey) is a post-join codegen
+    filter. Revenue in exact BIGINT cents, partial-aggregated."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    re_ = read_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(
+            od.where(
+                (F.col("o_orderdate") >= F.lit(Q5_FROM))
+                & (F.col("o_orderdate") < F.lit(Q5_TO))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                re_.where(F.col("r_name") == Q5_REGION).select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         ::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_sim_recall_audit(spark, sf_dir):
+    """Retrieval-quality evaluation operator: per query vector, the
+    overlap@k between the compressed-domain int8 ranking and the exact
+    float ranking — the recall audit a vector store runs before
+    trusting quantized serving. Composes two existing top-k operators
+    and joins their (q_id, vec_id) sets; both sides and the overlap
+    count are deterministic, so even this meta-query hash-gates."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    exact = S.brute_force_topk(qs, emb, k=SIM_TOPK).select(
+        "q_id", "vec_id"
+    )
+    quant = S.int8_topk(qs, emb, k=SIM_TOPK).select("q_id", "vec_id")
+    hits = exact.join(quant, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    base = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return base.join(hits, "q_id", "left").select(
+        F.col("q_id").cast("long").alias("q_id"),
+        "k",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.floor(
+            F.coalesce("n_overlap", F.lit(0)) * 1000 / F.col("k")
+        ).cast("long").alias("recall_x1000"),
+    )
+
+
+def _sim_recall_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.embedding')}
+               DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {SIM_QUERY_COUNT}
+  ) WHERE rank <= {SIM_TOPK}
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / s)
+                                  AS BIGINT)) AS q
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings)
+),
+qu AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qs.vec_id AS q_id, cs.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY list_sum(list_transform(
+                 generate_series(1, len(qs.q)),
+                 i -> qs.q[i] * cs.q[i])) DESC, cs.vec_id) AS rank
+    FROM codes qs JOIN codes cs ON cs.vec_id <> qs.vec_id
+    WHERE qs.vec_id < {SIM_QUERY_COUNT}
+  ) WHERE rank <= {SIM_TOPK}
+)
+SELECT ex.q_id::BIGINT AS q_id, COUNT(*)::BIGINT AS k,
+       COUNT(qu.vec_id)::BIGINT AS n_overlap,
+       ((COUNT(qu.vec_id) * 1000) // COUNT(*))::BIGINT AS recall_x1000
+FROM ex LEFT JOIN qu USING (q_id, vec_id)
+GROUP BY ex.q_id
+"""
+
+
+SEASONAL_SCALE = 1000
+
+
+def q_ts_hourly_profile(spark, sf_dir):
+    """Seasonal baseline: per (event_type, hour-of-day), observation
+    count and the floored mean x1000 of the value — the 24-slot
+    profile a seasonal-aware alert compares against (the engine's
+    collapse buckets by timestamp; this buckets by time-of-day
+    PHASE). One partial-aggregated exchange over 5x24 groups; hour
+    extraction is integer epoch arithmetic, no timezone functions."""
+    ev = read_table(spark, sf_dir, "events")
+    from .operators.analytics import quantize
+
+    hour = (
+        F.floor(F.unix_timestamp("ts") / 3600) % 24
+    ).cast("long")
+    return (
+        ev.select("event_type", hour.alias("hour_of_day"),
+                  quantize("value").alias("q"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.floor(F.sum("q") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_x1000"),
+        )
+    )
+
+
+SQL_TS_HOURLY_PROFILE = """
+WITH q AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour_of_day,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+)
+SELECT event_type, hour_of_day::BIGINT AS hour_of_day,
+       COUNT(*)::BIGINT AS n_obs,
+       CAST(floor(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS mean_x1000
+FROM q GROUP BY event_type, hour_of_day
+"""
+
+
 # -- end-to-end pipeline composition ----------------------------------------
 
 PIPE_QUALITY_MIN = 500  # quality_x1000 floor for the filter stage
@@ -3182,6 +3372,12 @@ EXT_QUERIES = {
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
     "sketch_distinct_tokens": (q_sketch_distinct_tokens, SQL_SKETCH_DISTINCT),
     "sales_rollup_nation_month": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "local_supplier_volume": (
+        q_local_supplier_volume,
+        SQL_LOCAL_SUPPLIER_VOLUME,
+    ),
+    "sim_recall_audit": (q_sim_recall_audit, _sim_recall_sql()),
+    "ts_hourly_profile": (q_ts_hourly_profile, SQL_TS_HOURLY_PROFILE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_open_orders": (q_top_open_orders, SQL_TOP_OPEN_ORDERS),
     "customers_without_urgent_orders": (
