@@ -563,3 +563,50 @@ def test_streaming_anomaly_converges_to_batch(spark, tmp_path):
     assert streamed == batch and len(batch) == 60
     flagged = [i for i, v in streamed.items() if v[2] == 1]
     assert 80 in flagged or 40 in flagged or 41 in flagged  # spike caught
+
+
+def test_streaming_pack_converges_to_batch(spark, tmp_path):
+    """Id-ordered micro-batches: streamed bin assignments equal batch
+    pack_assignments (n_shards=1) exactly — the one-long state carries
+    the cumulative offset across batches, including a bin that
+    straddles a batch boundary."""
+    from time_series_storage_spark.operators.pack import pack_assignments
+    from time_series_storage_spark.streaming.stateful import streaming_pack
+
+    rows = [
+        (i, "srcA" if i % 2 else "srcB", 7 + (i * 3) % 11)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    src = str(tmp_path / "pk")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, source string, n_tokens long"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        r["doc_id"]: (r["start_off"], r["bin_id"])
+        for r in pack_assignments(
+            df, 64, ("source",), n_shards=1
+        ).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_pack(stream, 64)
+        .writeStream.format("memory")
+        .queryName("spack")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["start_off"], r["bin_id"])
+        for r in spark.sql("SELECT * FROM spack").collect()
+    }
+    assert streamed == batch and len(batch) == 40

@@ -717,3 +717,82 @@ def streaming_anomaly_zscore(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_STATE_SCHEMA = "next_off long"
+
+
+def streaming_pack(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Streaming sequence packing — the online twin of
+    ``operators.pack.pack_assignments``: documents arriving on a
+    stream are appended to their group's running token layout and
+    assigned ``bin_id = floor(start_off / budget)`` as they arrive
+    (online dataset assembly: the dataloader can consume bin b as
+    soon as the stream has moved past it).
+
+    State is ONE long per group — the next cumulative offset; the
+    contiguous-cumulative form is what makes streaming packing
+    possible at all (first-fit would need every open bin's residual
+    in state). Within a batch rows sort by id — the batch operator's
+    order — so on id-ordered streams every assignment equals the
+    batch layout exactly (pinned in tests); out-of-order arrivals
+    append at the current offset (a documented divergence: an online
+    packer cannot hold a gap open).
+
+    Emits one row per document: group, id, n_tokens, start_off,
+    bin_id.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out_schema = (
+        f"{group_col} string, {id_col} long, {tokens_col} long,"
+        " start_off long, bin_id long"
+    )
+
+    def lay_out(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        off = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        starts = []
+        for t in pdf[tokens_col]:
+            starts.append(off)
+            off += int(t)
+        state.update((int(off),))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(starts),
+                id_col: pdf[id_col].astype("int64").values,
+                tokens_col: pdf[tokens_col].astype("int64").values,
+                "start_off": starts,
+                "bin_id": [s // budget for s in starts],
+            }
+        )
+
+    return (
+        docs.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+        )
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            lay_out,
+            outputStructType=out_schema,
+            stateStructType=PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
