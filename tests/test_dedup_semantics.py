@@ -541,3 +541,27 @@ def test_pq_encode_deterministic_and_bounded(spark):
     assert len(a) == 40 * S.PQ_M
     for _, s, code in a:
         assert 0 <= s < S.PQ_M and 0 <= code < S.PQ_CODES
+
+
+def test_fuzzy_pairs_blocked_levenshtein(spark):
+    """fuzzy_pairs: within-block pairs under the distance cap emit once
+    (id1 < id2) with the exact edit distance; cross-block near pairs
+    are the documented blocking tradeoff (not emitted)."""
+    rows = [
+        (1, "red bolt"),
+        (2, "ted bolt"),   # lev 1 from red bolt, same noun block
+        (3, "red widget"), # different noun -> different block
+        (4, "rad bolt"),   # lev 1 from red, 2 from ted
+        (5, "totally different gear"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id1"], r["id2"]): r["lev"]
+        for r in D.fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 2}
+    plan = (
+        D.fuzzy_pairs(df, "id", "name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan  # equi-join on the block key

@@ -906,3 +906,68 @@ def bloom_contamination(
         contam.alias("contam_x1000"),
         (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
     )
+
+
+# -- blocked fuzzy (edit-distance) matching ---------------------------------
+
+def default_fuzzy_block(name_col: str):
+    """Default blocking key for :func:`fuzzy_pairs`: the last
+    whitespace token — for entity-ish strings ("red bolt", "blue
+    widget") the head noun, which a <= small-edit-distance pair rarely
+    disagrees on (an edit confined to the modifier leaves it intact).
+    Callers with large blocks refine the key (add an initial, a
+    length bucket) and/or union several blocking passes for recall.
+    """
+    c = F.col(name_col)
+    return F.element_at(F.split(c, " "), -1)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+    block_expr=None,
+) -> DataFrame:
+    """Fuzzy self-match: every pair of rows whose names are within
+    ``max_distance`` Levenshtein edits — the entity-resolution
+    primitive (catalog dedup, vendor-name reconciliation) the n-gram/
+    MinHash family does not cover (set similarity is blind to
+    single-character typos in short strings).
+
+    Scale shape: BLOCKED evaluation — rows equi-join on a cheap
+    blocking key (default :func:`default_fuzzy_block`) and the
+    quadratic edit-distance verify runs only within blocks, the
+    standard record-linkage design; the pair space is sum_b |b|^2, not
+    n^2, and the join is an ordinary hash equi-join any engine
+    parallelizes by block. Like every blocked matcher this trades
+    recall at the block boundary (a typo in the blocking key itself
+    hides the pair) for the n^2 escape; callers needing higher recall
+    union several blocking passes. Ties/order: pairs emit once with
+    ``id1 < id2``.
+
+    Output: (id1, id2, name1, name2, lev).
+    """
+    block = (
+        default_fuzzy_block(name_col) if block_expr is None else block_expr
+    )
+    side = df.select(
+        F.col(id_col), F.col(name_col), block.alias("_blk")
+    )
+    a = side.select(
+        F.col(id_col).alias("id1"),
+        F.col(name_col).alias("name1"),
+        "_blk",
+    )
+    b = side.select(
+        F.col(id_col).alias("id2"),
+        F.col(name_col).alias("name2"),
+        "_blk",
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("lev", F.levenshtein("name1", "name2").cast("long"))
+        .where(F.col("lev") <= max_distance)
+        .select("id1", "id2", "name1", "name2", "lev")
+    )

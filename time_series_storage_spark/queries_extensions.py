@@ -295,6 +295,70 @@ FROM per_doc
 """
 
 
+# -- fuzzy (edit-distance) entity matching ----------------------------------
+
+FUZZY_MAX_LEV = 3
+
+
+def q_fuzzy_part_names(spark, sf_dir):
+    """Blocked fuzzy match over the DISTINCT part-name vocabulary
+    (operators/dedup.py:fuzzy_pairs): name pairs within
+    {FUZZY_MAX_LEV} Levenshtein edits, candidate generation by head-noun
+    blocking — the record-linkage primitive
+    set-similarity dedup is blind to (single-character typos in short
+    strings). Matching runs on the deduplicated vocabulary (name +
+    min id + count), NOT raw rows: raw-row self-match output grows
+    with the square of how often names repeat, while the vocabulary
+    is ~fixed as the corpus grows — exact duplicates are the exact-
+    dedup operator's job. The quadratic verify runs only inside
+    blocks; the join is an ordinary hash equi-join on the block
+    key."""
+    pa = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = pa.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pairs = D.fuzzy_pairs(
+        names, "rep_id", "p_name", max_distance=FUZZY_MAX_LEV
+    )
+    counts = names.select(
+        F.col("rep_id").alias("id1"), F.col("n_rows").alias("n_rows1")
+    )
+    counts2 = names.select(
+        F.col("rep_id").alias("id2"), F.col("n_rows").alias("n_rows2")
+    )
+    return (
+        pairs.join(F.broadcast(counts), "id1")
+        .join(F.broadcast(counts2), "id2")
+        .select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            "name1", "name2", "lev",
+            F.col("n_rows1").cast("long").alias("n_rows1"),
+            F.col("n_rows2").cast("long").alias("n_rows2"),
+        )
+    )
+
+
+SQL_FUZZY_PART_NAMES = f"""
+WITH names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS id, COUNT(*) AS n_rows
+  FROM part GROUP BY p_name
+),
+side AS (
+  SELECT id, name, n_rows,
+         string_split(name, ' ')[-1] AS blk
+  FROM names
+)
+SELECT a.id::BIGINT AS id1, b.id::BIGINT AS id2,
+       a.name AS name1, b.name AS name2,
+       levenshtein(a.name, b.name)::BIGINT AS lev,
+       a.n_rows::BIGINT AS n_rows1, b.n_rows::BIGINT AS n_rows2
+FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_LEV}
+"""
+
+
 # -- dedup: MinHash + LSH (the scale path, full corpus) ---------------------
 
 def q_dedup_minhash(spark, sf_dir):
@@ -3316,6 +3380,7 @@ EXT_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "asof_click_next_purchase": (q_asof_forward, SQL_ASOF_FORWARD),
