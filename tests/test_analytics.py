@@ -337,7 +337,7 @@ def test_ewma_matches_bruteforce(spark, events, n_lags):
                 w = 1 << (n_lags - 1 - j)
                 num += seq[pos - j][2] * w
                 den += w
-            want[i] = math.floor(num / den)
+            want[i] = num // den
     assert got == want
 
 

@@ -401,6 +401,11 @@ def ewma_trunc(
     Ties on ``ts`` order by ``order_col`` (default ``q_col``) so every
     engine sees the same lag sequence.
     """
+    if not 1 <= n_lags <= 40:
+        # 0 lags would floor-divide 0/0 into silent NULLs; past 40 the
+        # weight products leave the documented 2^62 safety margin —
+        # same guard as the streaming twin
+        raise ValueError(f"n_lags must be in [1, 40], got {n_lags}")
     order_col = order_col or q_col
     w = Window.partitionBy(*dims).orderBy(F.col(ts_col), F.col(order_col))
     x = F.col(q_col).cast("long")
@@ -411,9 +416,19 @@ def ewma_trunc(
         lagged = x if j == 0 else F.lag(x, j).over(w)
         num = num + F.coalesce(lagged * weight, F.lit(0))
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0)
+    # exact integer floor division: subtracting pmod makes _num an
+    # exact multiple, so the long `div` IS the floor — floor(num/den)
+    # in doubles would round num above 2^53 and diverge from the
+    # streaming twin's exact Python `//`. (`/` on longs is also double
+    # division in Spark, hence the SQL `div` on materialized columns.)
     # one .select -> all lag expressions share one Window operator
-    return series.select(
-        "*", F.floor(num / den).cast("long").alias("ewma_q")
+    return (
+        series.select("*", num.alias("_num"), den.alias("_den"))
+        .withColumn(
+            "ewma_q",
+            F.expr("(_num - pmod(_num, _den)) div _den").cast("long"),
+        )
+        .drop("_num", "_den")
     )
 
 

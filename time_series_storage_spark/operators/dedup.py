@@ -809,9 +809,15 @@ def bloom_build(
     hash set grows linearly and eventually stops fitting a broadcast;
     the bloom trades that for a documented false-positive rate).
     """
+    shift = m_bits.bit_length() - 1
+    if m_bits != 1 << shift:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     hs = F.col("hs")
+    # position 2 via shiftright, NOT floor(hs / m): the hash is 60-bit
+    # and double division rounds above 2^53 — a shift is exact and
+    # matches the oracle's BIGINT division bit-for-bit
     positions = F.array(
-        hs % m_bits, F.floor(hs / m_bits).cast("long") % m_bits
+        hs % m_bits, F.shiftright(hs, shift) % m_bits
     )
     return (
         bench_shingles.select(F.explode(positions).alias("pos"))
@@ -855,6 +861,9 @@ def bloom_contamination(
     joins on word index (one per bloom position) followed by a codegen
     bit test — no shuffle is keyed on anything benchmark-sized.
     """
+    shift = m_bits.bit_length() - 1
+    if m_bits != 1 << shift:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     corpus = hashed_shingles(docs, id_col, text_col, k)
     bench = hashed_shingles(benchmark, id_col, text_col, k)
     words = bloom_build(bench, m_bits)
@@ -863,7 +872,7 @@ def bloom_contamination(
         corpus.select(
             F.col(id_col),
             (hs % m_bits).alias("_p1"),
-            (F.floor(hs / m_bits).cast("long") % m_bits).alias("_p2"),
+            (F.shiftright(hs, shift) % m_bits).alias("_p2"),
         )
         .withColumn(
             "_w1", F.floor(F.col("_p1") / BLOOM_WORD_BITS).cast("long")

@@ -235,8 +235,8 @@ FROM per_doc
 
 # -- decontamination: Bloom-filter probe ------------------------------------
 
-BLOOM_M = 1 << 20  # keep in sync with operators.dedup.BLOOM_M_BITS
-BLOOM_WB = 63  # operators.dedup.BLOOM_WORD_BITS
+BLOOM_M = D.BLOOM_M_BITS  # single source of truth: operators.dedup
+BLOOM_WB = D.BLOOM_WORD_BITS
 
 
 def q_decontaminate_bloom(spark, sf_dir):
@@ -3326,7 +3326,7 @@ f AS (
 )
 SELECT event_id::BIGINT AS event_id, event_type,
        x::BIGINT AS value_x1000,
-       CAST(floor(num * 1.0 / den) AS BIGINT) AS ewma_q
+       ((num - ((num % den + den) % den)) // den)::BIGINT AS ewma_q
 FROM f
 """
 

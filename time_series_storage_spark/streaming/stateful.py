@@ -568,8 +568,6 @@ def streaming_ewma(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ):
-        import math
-
         hist = list(state.get[0]) if state.exists else []
         frames = [p for p in pdfs if len(p)]
         if not frames:
@@ -587,7 +585,10 @@ def streaming_ewma(
                 den += w
             out_ids.append(int(rid))
             out_q.append(q)
-            out_e.append(math.floor(num / den))
+            # int // int: EXACT floor at any magnitude — math.floor of
+            # a float quotient rounds past 2^53 and could diverge from
+            # the batch operator's exact long arithmetic
+            out_e.append(num // den)
             hist.append(q)
             if len(hist) > n_lags - 1:
                 hist = hist[-(n_lags - 1):] if n_lags > 1 else []
