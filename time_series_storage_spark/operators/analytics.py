@@ -43,6 +43,22 @@ def quantize(value_col, scale: int = 1000):
     return F.round(c.cast("double") * scale).cast("long")
 
 
+def floor_div(a, b):
+    """EXACT BIGINT floor division for arbitrary-sign ``a`` (``b`` >
+    0): ``div`` after subtracting the non-negative pmod remainder.
+    ``F.floor(a / b)`` is NOT exact — ``/`` on longs is double
+    division, which rounds operands above 2^53; these helpers keep
+    rank/ratio arithmetic bit-identical to an oracle's integer
+    division at any count."""
+    return F.call_function("div", a - F.pmod(a, b), b)
+
+
+def ceil_div(a, b):
+    """EXACT BIGINT ceiling division for NON-NEGATIVE ``a``, ``b`` > 0:
+    ``(a + b - 1) div b``."""
+    return F.call_function("div", a + b - F.lit(1), b)
+
+
 def rolling_agg(
     series: DataFrame,
     dims: Sequence[str],
@@ -308,7 +324,7 @@ def grouped_percentiles(
     )
     aggs = [F.max("_n").cast("long").alias("n_rows")]
     for p in percents:
-        target = F.ceil(F.col("_n") * p / 100)
+        target = ceil_div(F.col("_n") * p, F.lit(100))
         aggs.append(
             F.max(F.when(F.col("_rn") == target, F.col(val_col)))
             .cast("long")
@@ -416,19 +432,12 @@ def ewma_trunc(
         lagged = x if j == 0 else F.lag(x, j).over(w)
         num = num + F.coalesce(lagged * weight, F.lit(0))
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0)
-    # exact integer floor division: subtracting pmod makes _num an
-    # exact multiple, so the long `div` IS the floor — floor(num/den)
-    # in doubles would round num above 2^53 and diverge from the
-    # streaming twin's exact Python `//`. (`/` on longs is also double
-    # division in Spark, hence the SQL `div` on materialized columns.)
+    # exact integer floor division (see floor_div): floor(num/den) in
+    # doubles would round num above 2^53 and diverge from the
+    # streaming twin's exact Python `//`
     # one .select -> all lag expressions share one Window operator
-    return (
-        series.select("*", num.alias("_num"), den.alias("_den"))
-        .withColumn(
-            "ewma_q",
-            F.expr("(_num - pmod(_num, _den)) div _den").cast("long"),
-        )
-        .drop("_num", "_den")
+    return series.select(
+        "*", floor_div(num, den).cast("long").alias("ewma_q")
     )
 
 

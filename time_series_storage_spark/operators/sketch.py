@@ -193,14 +193,21 @@ def histogram_quantiles(
         F.sum("_n").over(w_cum).alias("_cum"),
         F.sum("_n").over(w_all).alias("_tot"),
     )
+    from .analytics import ceil_div, floor_div
+
     aggs = [F.max("_tot").cast("long").alias("n_rows")]
     for p in percents:
-        t = F.ceil(F.col("_tot") * p / 100)
+        # rank/interpolation in EXACT BIGINT arithmetic (ceil_div /
+        # floor_div) — double-quotient ceil/floor rounds once group
+        # counts pass 2^53, and the sketch's pitch is engine-exactness
+        t = ceil_div(F.col("_tot") * p, F.lit(100))
         # the first bucket reaching rank t; interpolate inside it
         est = (
             F.lit(lo)
             + F.col("_b") * width
-            + F.floor((t - (F.col("_cum") - F.col("_n"))) * width / F.col("_n"))
+            + floor_div(
+                (t - (F.col("_cum") - F.col("_n"))) * width, F.col("_n")
+            )
         )
         hit = (F.col("_cum") >= t) & ((F.col("_cum") - F.col("_n")) < t)
         aggs.append(

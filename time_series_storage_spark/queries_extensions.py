@@ -2016,7 +2016,7 @@ ranked AS (
 )
 SELECT source, MAX(n)::BIGINT AS n_rows,
        {", ".join(
-           f"MAX(CASE WHEN rn = CAST(ceil(n * {p} / 100.0) AS BIGINT) "
+           f"MAX(CASE WHEN rn = (n * {p} + 99) // 100 "
            f"THEN n_tokens END)::BIGINT AS p{p}"
            for p in CORPUS_STATS_PS
        )}
@@ -2831,11 +2831,11 @@ cum AS (
 )
 SELECT source, MAX(tot)::BIGINT AS n_rows,
 {",".join(f'''
-       MAX(CASE WHEN c >= CEIL(tot * {p} / 100)
-                 AND c - n < CEIL(tot * {p} / 100)
+       MAX(CASE WHEN c >= (tot * {p} + 99) // 100
+                 AND c - n < (tot * {p} + 99) // 100
                 THEN {HQ_LO} + _b * {HQ_WIDTH}
-                     + CAST(floor((CEIL(tot * {p} / 100) - (c - n))
-                                  * {HQ_WIDTH} * 1.0 / n) AS BIGINT)
+                     + (((tot * {p} + 99) // 100 - (c - n))
+                        * {HQ_WIDTH}) // n
            END)::BIGINT AS q{p}''' for p in (50, 90, 99))}
 FROM cum GROUP BY source
 """
