@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators import analytics as AN
 from .operators import dedup as D
 from .operators import multimodal as M
 from .operators import similarity as S
@@ -2525,11 +2526,13 @@ def q_pricing_summary(spark, sf_dir):
         )
         .withColumn(
             "avg_qty_x100",
-            F.floor(F.col("sum_qty_x100") / F.col("n_lines")).cast("long"),
+            AN.floor_div(F.col("sum_qty_x100"), F.col("n_lines"))
+            .cast("long"),
         )
         .withColumn(
             "avg_base_cents",
-            F.floor(F.col("sum_base_cents") / F.col("n_lines")).cast("long"),
+            AN.floor_div(F.col("sum_base_cents"), F.col("n_lines"))
+            .cast("long"),
         )
     )
 
@@ -2552,8 +2555,8 @@ SELECT l_returnflag, l_linestatus,
        SUM(base)::BIGINT AS sum_base_cents,
        SUM(disc)::BIGINT AS sum_disc_cents,
        SUM(charge)::BIGINT AS sum_charge_cents,
-       CAST(floor(SUM(qty) * 1.0 / COUNT(*)) AS BIGINT) AS avg_qty_x100,
-       CAST(floor(SUM(base) * 1.0 / COUNT(*)) AS BIGINT) AS avg_base_cents
+       (SUM(qty) // COUNT(*))::BIGINT AS avg_qty_x100,
+       (SUM(base) // COUNT(*))::BIGINT AS avg_base_cents
 FROM q GROUP BY l_returnflag, l_linestatus
 """
 
@@ -3096,7 +3099,7 @@ def q_ts_hourly_profile(spark, sf_dir):
         .groupBy("event_type", "hour_of_day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
-            F.floor(F.sum("q") / F.count(F.lit(1)))
+            AN.floor_div(F.sum("q"), F.count(F.lit(1)))
             .cast("long")
             .alias("mean_x1000"),
         )
@@ -3112,7 +3115,8 @@ WITH q AS (
 )
 SELECT event_type, hour_of_day::BIGINT AS hour_of_day,
        COUNT(*)::BIGINT AS n_obs,
-       CAST(floor(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS mean_x1000
+       ((SUM(x) - ((SUM(x) % COUNT(*) + COUNT(*)) % COUNT(*)))
+        // COUNT(*))::BIGINT AS mean_x1000
 FROM q GROUP BY event_type, hour_of_day
 """
 
