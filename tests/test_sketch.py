@@ -138,3 +138,56 @@ def test_histogram_quantiles_rejects_uneven_domain(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError):
         histogram_quantiles(df, ["k"], "v", 0, 250, 64)
+
+
+def test_kmv_rolling_merge_equals_union_sketch(spark):
+    """The rolling merge (flatten -> distinct -> sort -> k-slice over
+    daily sketches) must yield EXACTLY the sketch of the window's
+    element union — KMV's merge algebra, checked per window against
+    kmv_estimate on the union; also exact counts below k."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_rolling_estimate,
+    )
+
+    base = dt.datetime(2024, 9, 1)
+    rows = []
+    for day in range(10):
+        for j in range(40):
+            # overlapping daily memberships; distinct/day = 40, distinct
+            # per 3-day window > k=16 -> estimator region exercised
+            rows.append(
+                ("g", base + dt.timedelta(days=day, seconds=j),
+                 f"u{(day * 17 + j) % 90}")
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e string")
+    K, WB = 16, 3
+    rolled = {
+        r["bucket_idx"]: (r["n_mins"], r["kth_min"], r["est_distinct"])
+        for r in kmv_rolling_estimate(
+            df, ["k"], "e", "ts", 86_400, WB, K
+        ).collect()
+    }
+    day0 = min(rolled)
+    for b in rolled:
+        lo = (b - WB + 1) * 86_400
+        hi = (b + 1) * 86_400
+        window_rows = [
+            (k2, e)
+            for k2, ts, e in rows
+            if lo <= ts.replace(tzinfo=dt.timezone.utc).timestamp() < hi
+        ]
+        want = kmv_estimate(
+            spark.createDataFrame(window_rows, "k string, e string"),
+            ["k"], "e", K,
+        ).collect()[0]
+        assert rolled[b] == (
+            want["n_mins"], want["kth_min"], want["est_distinct"]
+        ), b
+    # sanity: with 90 possible users and 3 full days, later windows sit
+    # in the estimator region and stay within the ~1/sqrt(k-2) band
+    last = rolled[max(rolled)]
+    assert last[0] == K
+    assert 40 <= last[2] <= 220

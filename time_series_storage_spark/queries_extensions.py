@@ -2379,6 +2379,76 @@ FROM est e JOIN ex USING (source)
 """
 
 
+ROLLING_KMV_K = 64
+ROLLING_KMV_DAYS = 7
+
+
+def q_rolling_weekly_users(spark, sf_dir):
+    """Rolling weekly-active-users per event type from DAILY KMV
+    sketches merged in-plan (operators/sketch.py:kmv_rolling_estimate)
+    — a rolling COUNT(DISTINCT) would re-scan every 7-day window,
+    while the sketch builds each day's k-minima once and merges
+    windows with a codegen array expression over a range frame;
+    exact below k={ROLLING_KMV_K} distinct, integer KMV estimator
+    above."""
+    from .operators.sketch import kmv_rolling_estimate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    return kmv_rolling_estimate(
+        ev, ["event_type"], "uid", "ts",
+        bucket_seconds=86_400, window_buckets=ROLLING_KMV_DAYS,
+        k=ROLLING_KMV_K,
+    )
+
+
+def _rolling_kmv_sql() -> str:
+    from .operators.sketch import KMV_M
+
+    k, wb = ROLLING_KMV_K, ROLLING_KMV_DAYS
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket_idx,
+         CAST(CONCAT('0x', SUBSTRING(md5(user_id::VARCHAR), 1, 12))
+              AS BIGINT) AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, bucket_idx, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_idx
+                            ORDER BY hv) AS rn
+  FROM h
+),
+per_bucket AS (
+  SELECT event_type, bucket_idx, list(hv ORDER BY hv) AS mins
+  FROM ranked WHERE rn <= {k}
+  GROUP BY event_type, bucket_idx
+),
+rolled AS (
+  SELECT event_type, bucket_idx,
+         flatten(list(mins) OVER (
+             PARTITION BY event_type ORDER BY bucket_idx
+             RANGE BETWEEN {wb - 1} PRECEDING AND CURRENT ROW)) AS allm
+  FROM per_bucket
+),
+m AS (
+  SELECT event_type, bucket_idx,
+         list_sort(list_distinct(allm))[1:{k}] AS mg
+  FROM rolled
+)
+SELECT event_type, bucket_idx::BIGINT AS bucket_idx,
+       len(mg)::BIGINT AS n_mins,
+       mg[len(mg)]::BIGINT AS kth_min,
+       (CASE WHEN len(mg) < {k} THEN len(mg)
+             ELSE {k - 1} * ({KMV_M} // mg[len(mg)])
+                  + ({k - 1} * ({KMV_M} % mg[len(mg)])) // mg[len(mg)]
+        END)::BIGINT AS est_distinct
+FROM m
+"""
+
+
 # -- relational rollups over the TPC-H-ish tables ----------------------------
 
 def q_sales_rollup(spark, sf_dir):
@@ -3440,6 +3510,7 @@ EXT_QUERIES = {
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
     "events_json_kv": (q_events_json_kv, SQL_EVENTS_JSON_KV),
     "sketch_distinct_tokens": (q_sketch_distinct_tokens, SQL_SKETCH_DISTINCT),
+    "rolling_weekly_users": (q_rolling_weekly_users, _rolling_kmv_sql()),
     "sales_rollup_nation_month": (q_sales_rollup, SQL_SALES_ROLLUP),
     "local_supplier_volume": (
         q_local_supplier_volume,
