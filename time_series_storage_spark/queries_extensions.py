@@ -2069,6 +2069,75 @@ GROUP BY CUBE (source, lang)
 """
 
 
+DEBOUNCE_S = 600  # repeated (user, type) events within 10 min collapse
+
+
+def q_events_debounce(spark, sf_dir):
+    """Debounce: collapse each BURST of same-(user, event_type) events
+    (consecutive gaps <= {DEBOUNCE_S}s) to its head event — the
+    time-local dedup content dedup cannot express (the same click is
+    legitimate an hour later). Burst delimitation is the sessionize
+    trick: a lag window marks gap > threshold starts, a cumulative sum
+    numbers bursts, the head row (start marker = 1) survives and
+    carries how many it swallowed. One exchange on (user, type);
+    the burst-size attach is a second frame over the same sort, so
+    Catalyst plans one Exchange + Sort feeding both Windows."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    from pyspark.sql import Window
+
+    ep = F.unix_timestamp("ts")
+    order = [ep, F.col("event_id")]
+    w = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    gap = ep - F.lag(ep).over(w)
+    is_head = F.when(gap.isNull() | (gap > DEBOUNCE_S), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.select("*", is_head.alias("_h")).select(
+        "*", F.sum("_h").over(wc).alias("_burst")
+    )
+    wb = Window.partitionBy("user_id", "event_type", "_burst")
+    return (
+        marked.select(
+            "*", F.count(F.lit(1)).over(wb).alias("n_collapsed")
+        )
+        .where(F.col("_h") == 1)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("n_collapsed").cast("long").alias("n_collapsed"),
+        )
+    )
+
+
+SQL_EVENTS_DEBOUNCE = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                   > {DEBOUNCE_S}
+              THEN 1 ELSE 0 END AS h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+),
+b AS (
+  SELECT *, SUM(h) OVER (PARTITION BY user_id, event_type
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                         ROWS UNBOUNDED PRECEDING) AS burst
+  FROM g
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       COUNT(*) OVER (PARTITION BY user_id, event_type, burst)::BIGINT
+         AS n_collapsed
+FROM b QUALIFY h = 1
+"""
+
+
 # -- cohort retention matrix -------------------------------------------------
 
 def q_retention_cohorts(spark, sf_dir):
@@ -3501,6 +3570,7 @@ EXT_QUERIES = {
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
+    "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
