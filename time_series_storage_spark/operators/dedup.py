@@ -787,6 +787,19 @@ BLOOM_WORD_BITS = 63  # 63, not 64: a set sign bit would make the word
 # construction every engine evaluates identically
 
 
+def _bloom_positions(hs: Column, m_bits: int) -> tuple[Column, Column]:
+    """The two bloom bit positions of a 60-bit hash — the ONE place
+    the double-hash construction lives (build and probe must agree
+    bit-for-bit). Position 2 via shiftright, NOT floor(hs / m): double
+    division rounds 60-bit hashes above 2^53 and would diverge from
+    an oracle's exact BIGINT division. m_bits must be a power of two.
+    """
+    shift = m_bits.bit_length() - 1
+    if m_bits != 1 << shift:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return hs % m_bits, F.shiftright(hs, shift) % m_bits
+
+
 def bloom_build(
     bench_shingles: DataFrame, m_bits: int = BLOOM_M_BITS
 ) -> DataFrame:
@@ -809,18 +822,9 @@ def bloom_build(
     hash set grows linearly and eventually stops fitting a broadcast;
     the bloom trades that for a documented false-positive rate).
     """
-    shift = m_bits.bit_length() - 1
-    if m_bits != 1 << shift:
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
-    hs = F.col("hs")
-    # position 2 via shiftright, NOT floor(hs / m): the hash is 60-bit
-    # and double division rounds above 2^53 — a shift is exact and
-    # matches the oracle's BIGINT division bit-for-bit
-    positions = F.array(
-        hs % m_bits, F.shiftright(hs, shift) % m_bits
-    )
+    p1, p2 = _bloom_positions(F.col("hs"), m_bits)
     return (
-        bench_shingles.select(F.explode(positions).alias("pos"))
+        bench_shingles.select(F.explode(F.array(p1, p2)).alias("pos"))
         .select(
             F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("wi"),
             F.expr(
@@ -861,18 +865,15 @@ def bloom_contamination(
     joins on word index (one per bloom position) followed by a codegen
     bit test — no shuffle is keyed on anything benchmark-sized.
     """
-    shift = m_bits.bit_length() - 1
-    if m_bits != 1 << shift:
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     corpus = hashed_shingles(docs, id_col, text_col, k)
     bench = hashed_shingles(benchmark, id_col, text_col, k)
     words = bloom_build(bench, m_bits)
-    hs = F.col("hs")
+    p1, p2 = _bloom_positions(F.col("hs"), m_bits)
     probed = (
         corpus.select(
             F.col(id_col),
-            (hs % m_bits).alias("_p1"),
-            (F.shiftright(hs, shift) % m_bits).alias("_p2"),
+            p1.alias("_p1"),
+            p2.alias("_p2"),
         )
         .withColumn(
             "_w1", F.floor(F.col("_p1") / BLOOM_WORD_BITS).cast("long")
