@@ -517,3 +517,46 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sm4").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
+    """Streaming Bloom decontamination (per-row SQL-lambda bit tests
+    against the one-row broadcast bitmap) must equal the batch
+    bloom_contamination output for every arriving document."""
+    from time_series_storage_spark.operators.dedup import (
+        bloom_contamination,
+    )
+    from time_series_storage_spark.streaming.scoring import (
+        streaming_bloom_contamination,
+    )
+
+    src = str(tmp_path / "bdocs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(120).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    bench = batch.where(batch["doc_id"] < 10)
+    cols = ["doc_id", "n_shingles", "n_hit", "contam_x1000",
+            "is_contaminated"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in bloom_contamination(batch, bench, threshold_x1000=500)
+        .collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_bloom_contamination(stream, bench, threshold_x1000=500)
+        .writeStream.format("memory")
+        .queryName("bdecon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_bdecon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM bdecon_stream").collect()
+    )
+    assert got == want and len(got) == 120
+    full = {r[0]: r for r in got}
+    assert all(full[i][3] == 1000 for i in range(10) if i in full)

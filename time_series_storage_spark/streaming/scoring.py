@@ -71,3 +71,74 @@ def streaming_ngram_contamination(
         contam.alias("contam_x1000"),
         (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
     )
+
+
+def streaming_bloom_contamination(
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    m_bits: int | None = None,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.bloom_contamination`` —
+    the same output contract, with the static side shrunk from the
+    benchmark's full shingle set to the ~130 KiB Bloom bitmap (one
+    map row: word index -> 63-bit word), so the broadcast stays
+    CONSTANT however large the eval-suite union grows. Bit tests run
+    inside a per-row SQL lambda over the document's shingle-hash set
+    — still no shuffle, no state, no watermark; append mode.
+
+    Row-for-row identical to the batch bloom operator (convergence
+    pinned in tests/test_streaming.py): both sides derive their
+    positions from :func:`~..operators.dedup._bloom_positions`'s
+    construction (hash mod m, hash shiftright log2(m) mod m) in exact
+    integer arithmetic.
+    """
+    from ..operators.dedup import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        bloom_build,
+    )
+
+    m = BLOOM_M_BITS if m_bits is None else m_bits
+    shift = m.bit_length() - 1
+    if m != 1 << shift:
+        raise ValueError(f"m_bits must be a power of two, got {m}")
+    wb = BLOOM_WORD_BITS
+    bench_sh = benchmark.select(
+        F.explode(shingle_hash_set(text_col, k)).alias("hs")
+    ).distinct()
+    wmap = bloom_build(bench_sh, m).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("wi", "bits"))
+        ).alias("_bloom")
+    )
+    probed = stream_docs.crossJoin(F.broadcast(wmap)).select(
+        F.col(id_col),
+        shingle_hash_set(text_col, k).alias("_hs_set"),
+        F.col("_bloom"),
+    )
+    bit = (
+        "coalesce(shiftright(element_at(_bloom, ({p}) div {wb}),"
+        " CAST(({p}) % {wb} AS INT)) & 1, 0) = 1"
+    )
+    p1 = f"h % {m}"
+    p2 = f"shiftright(h, {shift}) % {m}"
+    hits = F.expr(
+        "size(filter(_hs_set, h -> "
+        + bit.format(p=p1, wb=wb)
+        + " AND "
+        + bit.format(p=p2, wb=wb)
+        + "))"
+    ).cast("long")
+    n = F.size("_hs_set").cast("long")
+    contam = F.floor((hits * 1000) / n).cast("long")
+    return probed.select(
+        F.col(id_col),
+        n.alias("n_shingles"),
+        hits.alias("n_hit"),
+        contam.alias("contam_x1000"),
+        (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
+    )
