@@ -360,6 +360,123 @@ WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_LEV}
 """
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end: fuzzy name pairs
+    (:func:`q_fuzzy_part_names`'s vocabulary matching) fed into
+    large-star/small-star connected components, each name labeled
+    with its cluster's canonical (minimum) representative id — the
+    composition that turns pairwise typo matches into merge groups.
+    Output: one row per distinct name: rep_id, name, canonical_id,
+    n_rows (how many raw rows the name stands for)."""
+    pa = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = pa.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pairs = D.fuzzy_pairs(
+        names, "rep_id", "p_name", max_distance=FUZZY_MAX_LEV
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    clusters = D.connected_components_star(
+        pairs, names.select("rep_id"), "rep_id"
+    )
+    return (
+        names.join(
+            clusters.withColumnRenamed("node", "rep_id"), "rep_id"
+        )
+        .select(
+            F.col("rep_id").cast("long").alias("rep_id"),
+            F.col("p_name").alias("name"),
+            F.col("cluster").cast("long").alias("canonical_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _entity_resolution_sql() -> str:
+    return f"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS id, COUNT(*) AS n_rows
+  FROM part GROUP BY p_name
+),
+side AS (
+  SELECT id, name,
+         string_split(name, ' ')[-1] AS blk
+  FROM names
+),
+pairs AS (
+  SELECT a.id AS d1, b.id AS d2
+  FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_LEV}
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT id, id FROM names
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT n.id::BIGINT AS rep_id, n.name,
+       c.cluster::BIGINT AS canonical_id, n.n_rows::BIGINT AS n_rows
+FROM names n
+JOIN (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node) c
+  ON c.node = n.id
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    stream: per (prev_type, event_type) pair, occurrences and the
+    x1000 probability of the transition given prev_type — the
+    behavioral-feature matrix sequence models train on. One lag
+    window on (user), then a partial-aggregated pair rollup; the
+    conditional probability divides two exact counts with the shared
+    floor_div."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), F.col("event_id")
+    )
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).where(F.col("prev_type").isNotNull())
+    counts = trans.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wtot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        AN.floor_div(
+            F.col("n") * 1000, F.sum("n").over(wtot)
+        ).cast("long").alias("p_x1000"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS prev_type,
+         event_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n::BIGINT AS n,
+       ((n * 1000) // SUM(n) OVER (PARTITION BY prev_type))::BIGINT
+         AS p_x1000
+FROM c
+"""
+
+
 # -- dedup: MinHash + LSH (the scale path, full corpus) ---------------------
 
 def q_dedup_minhash(spark, sf_dir):
@@ -3524,6 +3641,8 @@ EXT_QUERIES = {
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
+    "entity_resolution_parts": (q_entity_resolution, _entity_resolution_sql()),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "asof_click_next_purchase": (q_asof_forward, SQL_ASOF_FORWARD),
