@@ -2,10 +2,17 @@
 
 Covers the training-data-pipeline operators beyond the reference's
 surface (BASELINE.json north star): deduplication (exact / n-gram
-Jaccard / MinHash-LSH / SimHash), embedding similarity search
-(brute-force top-k / hyperplane-LSH pairs), text analysis (tokens /
-quality / language-ID / fingerprint) and multimodal binary plumbing —
-each as (spark_fn, oracle_sql) over ``documents`` / ``embeddings``.
+Jaccard / MinHash-LSH / SimHash / fuzzy-Levenshtein + connected-
+component entity resolution), benchmark decontamination (char / token
+/ Bloom-bitmap), embedding similarity search (brute-force, IVF,
+int8, PQ/ADC, LSH, rerank, recall audit), text analysis (tokens /
+quality / language-ID / fingerprint / vocabulary / chunking /
+packing), sketches (KMV incl. rolling merge, histogram quantiles),
+relational OLAP (Q1/Q3/Q5 shapes, semi/anti joins, cube, pivot,
+division, retention cohorts, DQ gate), event analytics (sessions,
+funnels, as-of / interval / overlap joins, debounce, transitions,
+M4 / EWMA / gaps / anomaly / seasonal profile) and multimodal binary
+plumbing — each as (spark_fn, oracle_sql) over the driver tables.
 
 Oracle parity rules (shared with queries_testdata):
 
