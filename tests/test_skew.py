@@ -198,3 +198,58 @@ def test_minhash_band_cap_bounds_pathological_bucket(spark):
     ).count()
     assert fam == 15 * 14 // 2
     sig.unpersist()
+
+
+def test_salted_agg_equals_direct_agg(spark):
+    """salted_agg must be bit-identical to the direct groupBy on a
+    hot-key distribution (one key holding ~90% of rows), for every
+    supported aggregate, and its plan must contain the two-stage
+    (keys+salt, then keys) aggregate pair."""
+    from pyspark.sql import functions as F
+
+    from time_series_storage_spark.operators.parallel import salted_agg
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        (F.col("id") * 13 % 1000 - 500).alias("v"),
+    )
+    aggs = {
+        "n": ("v", "count"),
+        "total": ("v", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_agg(df, ["k"], aggs, salt_buckets=8).collect()
+    }
+    direct = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+            F.min("v").cast("long").alias("lo"),
+            F.max("v").cast("long").alias("hi"),
+        )
+        .collect()
+    }
+    assert salted == direct and len(direct) == 8
+    plan = (
+        salted_agg(df, ["k"], aggs, salt_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2  # salted stage + final stage
+    assert "_salt" in plan
+
+
+def test_salted_agg_rejects_unknown_aggregate(spark):
+    import pytest
+
+    from time_series_storage_spark.operators.parallel import salted_agg
+
+    df = spark.range(3).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"a": ("v", "avg")})

@@ -37,3 +37,67 @@ def cpu_partitions(df: DataFrame) -> int:
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
         shuffle = 0
     return max(cores, shuffle)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys,
+    aggs: dict,
+    salt_buckets: int = 16,
+    salt_col: str = "_salt",
+):
+    """Two-stage SALTED aggregation for pathological key skew — the
+    standard manual fix when one key holds so much of the data that
+    even AQE's skew handling (which splits *joins*, not aggregates)
+    leaves a straggler reducer.
+
+    ``aggs`` maps output column -> ("sum" | "count" | "min" | "max"),
+    the algebraic aggregates whose two-stage composition is exact:
+    stage 1 groups by (keys..., salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers — and stage 2 re-aggregates the per-salt
+    partials (counts re-combine by SUM). The result is bit-identical
+    to the direct groupBy (pinned in tests); only the shuffle topology
+    changes.
+
+    When to reach for this instead of trusting partial aggregation:
+    map-side combine already bounds what each TASK emits per key, but
+    every partial row for a key still lands on ONE reducer — fine for
+    sums (tiny partials), a straggler when the per-key reduce itself
+    is heavy (wide collect-style state) or when thousands of map tasks
+    each emit a partial for the same hot key. Salting caps the fan-in
+    per reducer at the cost of one extra (cheap, salt-bucket-sized)
+    exchange.
+
+    The salt derives from a hash of all aggregated columns' values via
+    ``xxhash64`` (deterministic, no RNG), so re-runs shuffle
+    identically.
+    """
+    from pyspark.sql import functions as F
+
+    if not aggs:
+        raise ValueError("aggs must not be empty")
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for name, (src, how) in aggs.items():
+        if how not in fns:
+            raise ValueError(
+                f"unsupported aggregate {how!r}; one of {sorted(fns)}"
+            )
+    src_cols = [src for (src, _how) in aggs.values()]
+    salt = F.pmod(F.xxhash64(*src_cols), F.lit(salt_buckets))
+    stage1 = (
+        df.withColumn(salt_col, salt)
+        .groupBy(*keys, salt_col)
+        .agg(
+            *[
+                fns[how](src).alias(f"_s_{name}")
+                for name, (src, how) in aggs.items()
+            ]
+        )
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            recombine[how](f"_s_{name}").cast("long").alias(name)
+            for name, (src, how) in aggs.items()
+        ]
+    )
