@@ -479,3 +479,69 @@ def test_interval_overlap_join_matches_bruteforce(
         and (inclusive or (s1 < e1 and s2 < e2))
     )
     assert got == want
+
+
+# -- debounce vs brute-force burst model -------------------------------------
+
+deb_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3000),  # seconds offset
+        st.sampled_from(["a", "b"]),               # user
+        st.sampled_from(["x", "y"]),               # type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=deb_events, threshold=st.sampled_from([1, 600]))
+@_slow
+def test_debounce_matches_bruteforce(spark, events, threshold):
+    """Burst-collapse debounce (lag + cumulative-sum, the driver
+    query's core) against the sequential Python model — duplicate
+    timestamps and exact-threshold gaps (kept: gap must EXCEED the
+    threshold to start a burst) are the edges the generator hits."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, base + dt.timedelta(seconds=off))
+        for i, (off, u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "u", "t", "ts"])
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("u", "t").orderBy(ep, F.col("event_id"))
+    gap = ep - F.lag(ep).over(w)
+    is_head = F.when(gap.isNull() | (gap > threshold), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = df.select("*", is_head.alias("_h")).select(
+        "*", F.sum("_h").over(wc).alias("_burst")
+    )
+    wb = Window.partitionBy("u", "t", "_burst")
+    got = sorted(
+        (r["event_id"], r["n_collapsed"])
+        for r in marked.select(
+            "*", F.count(F.lit(1)).over(wb).alias("n_collapsed")
+        )
+        .where(F.col("_h") == 1)
+        .collect()
+    )
+    by_key = {}
+    for i, u, t, ts in rows:
+        ep_i = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        by_key.setdefault((u, t), []).append((ep_i, i))
+    want = []
+    for seq in by_key.values():
+        seq.sort()
+        head, size, prev = None, 0, None
+        for ep_i, i in seq:
+            if prev is None or ep_i - prev > threshold:
+                if head is not None:
+                    want.append((head, size))
+                head, size = i, 1
+            else:
+                size += 1
+            prev = ep_i
+        want.append((head, size))
+    assert got == sorted(want)
