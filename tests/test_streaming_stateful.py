@@ -610,3 +610,64 @@ def test_streaming_pack_converges_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM spack").collect()
     }
     assert streamed == batch and len(batch) == 40
+
+
+def test_streaming_transitions_converge_to_batch(spark, tmp_path):
+    """The streamed (prev, curr) edge multiset over time-ordered
+    micro-batches equals the batch lag pass — including edges whose
+    endpoints straddle a batch boundary (the one-string state)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_transition_events,
+    )
+
+    base = dt.datetime(2024, 10, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, f"u{i % 5}", types[(i * 7) % 4], base + dt.timedelta(seconds=i * 9))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, event_type string, ts timestamp"
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.unix_timestamp("ts"), F.col("event_id")
+    )
+    batch = sorted(
+        (r["k"], r["p"], r["event_type"])
+        for r in df.select(
+            "k", "event_type", F.lag("event_type").over(w).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        .collect()
+    )
+    src = str(tmp_path / "tr")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(
+            rows[lo:hi],
+            "event_id long, k string, event_type string, ts timestamp",
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_transition_events(stream, "k")
+        .writeStream.format("memory")
+        .queryName("strans")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r["k"], r["prev_type"], r["curr_type"])
+        for r in spark.sql("SELECT * FROM strans").collect()
+    )
+    assert streamed == batch and len(batch) == 55

@@ -797,3 +797,80 @@ def streaming_pack(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def streaming_transition_events(
+    events: DataFrame,
+    key_col: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-order transition extraction — the stateful twin
+    of the batch Markov-matrix query's lag pass: per key, every
+    arriving event emits one (prev_type, curr_type) edge against the
+    key's previous event, across micro-batch boundaries. Downstream
+    consumers aggregate the edge stream into the transition matrix
+    (counts are a plain windowed/total aggregate — kept OUT of this
+    operator so the edges stay append-mode composable).
+
+    State is ONE string per key (the last event type — all a lag
+    needs). Batches sort by (whole-second epoch, id), the batch
+    query's composite order, so on second-granularity in-order
+    streams the aggregated edges equal the batch lag output exactly
+    (pinned in tests). Each key's first event emits nothing (no
+    predecessor), matching the batch WHERE prev IS NOT NULL.
+    """
+    out_schema = (
+        f"{key_col} string, {id_col} long, prev_type string,"
+        " curr_type string"
+    )
+
+    def emit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        last = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
+        ids, prevs, currs = [], [], []
+        for rid, t in zip(pdf[id_col], pdf["_t"]):
+            if last is not None:
+                ids.append(int(rid))
+                prevs.append(last)
+                currs.append(str(t))
+            last = str(t)
+        state.update((last,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(ids),
+                    id_col: ids,
+                    "prev_type": prevs,
+                    "curr_type": currs,
+                }
+            )
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(type_col).cast("string").alias("_t"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            emit,
+            outputStructType=out_schema,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
