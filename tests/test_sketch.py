@@ -170,7 +170,6 @@ def test_kmv_rolling_merge_equals_union_sketch(spark):
             df, ["k"], "e", "ts", 86_400, WB, K
         ).collect()
     }
-    day0 = min(rolled)
     for b in rolled:
         lo = (b - WB + 1) * 86_400
         hi = (b + 1) * 86_400

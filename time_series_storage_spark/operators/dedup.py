@@ -800,6 +800,16 @@ def _bloom_positions(hs: Column, m_bits: int) -> tuple[Column, Column]:
     return hs % m_bits, F.shiftright(hs, shift) % m_bits
 
 
+def bloom_position_sql(var: str, m_bits: int = BLOOM_M_BITS) -> tuple[str, str]:
+    """SQL-text twin of :func:`_bloom_positions` for probes that run
+    inside ``F.expr`` lambdas (the streaming scorer) — generated here
+    so the construction cannot drift from the bitmap builder."""
+    shift = m_bits.bit_length() - 1
+    if m_bits != 1 << shift:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return f"{var} % {m_bits}", f"shiftright({var}, {shift}) % {m_bits}"
+
+
 def bloom_build(
     bench_shingles: DataFrame, m_bits: int = BLOOM_M_BITS
 ) -> DataFrame:

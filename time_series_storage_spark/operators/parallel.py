@@ -51,8 +51,9 @@ def salted_agg(
     even AQE's skew handling (which splits *joins*, not aggregates)
     leaves a straggler reducer.
 
-    ``aggs`` maps output column -> ("sum" | "count" | "min" | "max"),
-    the algebraic aggregates whose two-stage composition is exact:
+    ``aggs`` maps output column -> (source column, "sum" | "count" |
+    "min" | "max") — the algebraic aggregates whose two-stage
+    composition is exact:
     stage 1 groups by (keys..., salt) — the hot key's rows spread over
     ``salt_buckets`` reducers — and stage 2 re-aggregates the per-salt
     partials (counts re-combine by SUM). The result is bit-identical
@@ -68,9 +69,14 @@ def salted_agg(
     per reducer at the cost of one extra (cheap, salt-bucket-sized)
     exchange.
 
-    The salt derives from a hash of all aggregated columns' values via
-    ``xxhash64`` (deterministic, no RNG), so re-runs shuffle
-    identically.
+    The salt is the source PARTITION id modulo ``salt_buckets`` — a
+    row-position salt, NOT a value hash: a hot key whose aggregated
+    values are constant ("status = ok" a billion times) would hash to
+    ONE salt bucket and keep the straggler. Partition-derived salting
+    spreads a hot key exactly as widely as its rows are spread across
+    input partitions, costs no hashing, and cannot collapse; the
+    RESULT is deterministic regardless (stage 2 re-combines whatever
+    stage 1 produced).
     """
     from pyspark.sql import functions as F
 
@@ -83,8 +89,7 @@ def salted_agg(
             raise ValueError(
                 f"unsupported aggregate {how!r}; one of {sorted(fns)}"
             )
-    src_cols = [src for (src, _how) in aggs.values()]
-    salt = F.pmod(F.xxhash64(*src_cols), F.lit(salt_buckets))
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
     stage1 = (
         df.withColumn(salt_col, salt)
         .groupBy(*keys, salt_col)

@@ -56,10 +56,16 @@ def streaming_ngram_contamination(
         )
         .agg(F.array_sort(F.collect_set("hs")).alias("_bench_set"))
     )
-    probed = stream_docs.crossJoin(F.broadcast(bench_set)).select(
-        F.col(id_col),
-        shingle_hash_set(text_col, k).alias("_hs_set"),
-        F.col("_bench_set"),
+    probed = (
+        stream_docs.crossJoin(F.broadcast(bench_set))
+        .select(
+            F.col(id_col),
+            shingle_hash_set(text_col, k).alias("_hs_set"),
+            F.col("_bench_set"),
+        )
+        # match the batch operator: NULL-text documents are dropped
+        # (their exploded shingle set is empty), not emitted as NULLs
+        .where(F.col("_hs_set").isNotNull())
     )
     n = F.size("_hs_set").cast("long")
     h = F.size(F.array_intersect("_hs_set", "_bench_set")).cast("long")
@@ -100,13 +106,14 @@ def streaming_bloom_contamination(
         BLOOM_M_BITS,
         BLOOM_WORD_BITS,
         bloom_build,
+        bloom_position_sql,
     )
 
     m = BLOOM_M_BITS if m_bits is None else m_bits
-    shift = m.bit_length() - 1
-    if m != 1 << shift:
-        raise ValueError(f"m_bits must be a power of two, got {m}")
     wb = BLOOM_WORD_BITS
+    # positions generated beside the bitmap builder so probe and build
+    # can never drift (also validates the power-of-two width)
+    p1, p2 = bloom_position_sql("h", m)
     bench_sh = benchmark.select(
         F.explode(shingle_hash_set(text_col, k)).alias("hs")
     ).distinct()
@@ -115,17 +122,22 @@ def streaming_bloom_contamination(
             F.collect_list(F.struct("wi", "bits"))
         ).alias("_bloom")
     )
-    probed = stream_docs.crossJoin(F.broadcast(wmap)).select(
-        F.col(id_col),
-        shingle_hash_set(text_col, k).alias("_hs_set"),
-        F.col("_bloom"),
+    probed = (
+        stream_docs.crossJoin(F.broadcast(wmap))
+        .select(
+            F.col(id_col),
+            shingle_hash_set(text_col, k).alias("_hs_set"),
+            F.col("_bloom"),
+        )
+        # NULL text -> NULL shingle set; the batch operator's explode
+        # drops such documents, so the stream does too (emitting NULL
+        # counts would diverge row-for-row and poison 0/1 consumers)
+        .where(F.col("_hs_set").isNotNull())
     )
     bit = (
         "coalesce(shiftright(element_at(_bloom, ({p}) div {wb}),"
         " CAST(({p}) % {wb} AS INT)) & 1, 0) = 1"
     )
-    p1 = f"h % {m}"
-    p2 = f"shiftright(h, {shift}) % {m}"
     hits = F.expr(
         "size(filter(_hs_set, h -> "
         + bit.format(p=p1, wb=wb)

@@ -842,11 +842,15 @@ def streaming_transition_events(
         pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
         ids, prevs, currs = [], [], []
         for rid, t in zip(pdf[id_col], pdf["_t"]):
+            # NULL event types stay NULL (str(None) would fabricate a
+            # 'None' category); an edge FROM a null predecessor is not
+            # emitted — the batch query's WHERE prev IS NOT NULL
+            cur = None if pd.isna(t) else str(t)
             if last is not None:
                 ids.append(int(rid))
                 prevs.append(last)
-                currs.append(str(t))
-            last = str(t)
+                currs.append(cur)
+            last = cur
         state.update((last,))
         if ids:
             yield pd.DataFrame(
