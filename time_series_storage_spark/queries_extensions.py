@@ -2262,6 +2262,64 @@ FROM b QUALIFY h = 1
 """
 
 
+SEASONAL_MULT = 3  # flag events exceeding 3x their slot's profile mean
+
+
+def q_ts_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-aware anomaly flags: each event compared against ITS
+    time-of-day slot's profile mean (q_ts_hourly_profile) — the
+    phase-aware twin of the trailing-window z-score (a nightly batch
+    spike is normal at 02:00 and anomalous at 14:00; a trailing
+    window can't tell them apart). The 5x24-row profile is an
+    aggregate of the same table, joined back BROADCAST; the flag is
+    the pure integer test x > {SEASONAL_MULT} * slot mean (both x1000
+    longs — no float enters the compare). One scan + one broadcast
+    join, no window."""
+    ev = read_table(spark, sf_dir, "events")
+    from .operators.analytics import quantize
+
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long")
+    profile = q_ts_hourly_profile(spark, sf_dir)
+    flagged = (
+        ev.select(
+            "event_id", "event_type",
+            hour.alias("hour_of_day"),
+            quantize("value").alias("x"),
+        )
+        .join(F.broadcast(profile), ["event_type", "hour_of_day"])
+        .where(F.col("x") > SEASONAL_MULT * F.col("mean_x1000"))
+    )
+    return flagged.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "hour_of_day",
+        F.col("x").alias("value_x1000"),
+        F.col("mean_x1000").alias("slot_mean_x1000"),
+    )
+
+
+SQL_TS_SEASONAL_ANOMALY = f"""
+WITH q AS (
+  SELECT event_id, event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour_of_day,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+),
+profile AS (
+  SELECT event_type, hour_of_day,
+         ((SUM(x) - ((SUM(x) % COUNT(*) + COUNT(*)) % COUNT(*)))
+          // COUNT(*)) AS mean_x1000
+  FROM q GROUP BY event_type, hour_of_day
+)
+SELECT q.event_id::BIGINT AS event_id, q.event_type,
+       q.hour_of_day::BIGINT AS hour_of_day,
+       q.x::BIGINT AS value_x1000,
+       p.mean_x1000::BIGINT AS slot_mean_x1000
+FROM q JOIN profile p USING (event_type, hour_of_day)
+WHERE q.x > {SEASONAL_MULT} * p.mean_x1000
+"""
+
+
 # -- cohort retention matrix -------------------------------------------------
 
 def q_retention_cohorts(spark, sf_dir):
@@ -3699,6 +3757,7 @@ EXT_QUERIES = {
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
+    "ts_seasonal_anomaly": (q_ts_seasonal_anomaly, SQL_TS_SEASONAL_ANOMALY),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
