@@ -487,3 +487,36 @@ def test_q5_one_big_exchange_four_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "partial_count" in plan
+
+
+def test_round5_analytics_plans(spark):
+    """Plan pins for the round-5 analytics queries: retention joins
+    co-keyed on user_id with both aggregates partial-combined;
+    transitions is one window + a partial-aggregated rollup; the
+    seasonal-anomaly profile joins back BROADCAST; rolling KMV never
+    cartesians or drops to Python."""
+    from time_series_storage_spark.queries_extensions import (
+        q_event_transitions,
+        q_retention_cohorts,
+        q_rolling_weekly_users,
+        q_ts_seasonal_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ret = _plan(q_retention_cohorts(spark, sf))
+    assert "partial_count" in ret or "partial_min" in ret
+    assert "CartesianProduct" not in ret
+
+    tr = _plan(q_event_transitions(spark, sf))
+    assert tr.count("Window") >= 1
+    assert "partial_count" in tr
+    assert "Join" not in tr  # lag + rollup + prob window, no join
+
+    sa = _plan(q_ts_seasonal_anomaly(spark, sf))
+    assert "BroadcastHashJoin" in sa
+    assert "SortMergeJoin" not in sa
+
+    rk = _plan(q_rolling_weekly_users(spark, sf))
+    assert "CartesianProduct" not in rk
+    assert "BatchEvalPython" not in rk
+    assert rk.count("Window") >= 2  # two-phase k-min + rolling merge
