@@ -398,3 +398,32 @@ def test_gap_detect_plan_one_window_exchange(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_trend_slope_matches_numpy_fit(spark):
+    """trend_slope's exact integer (num, den) must equal the closed-
+    form OLS slope over the bucket means — checked against a float
+    fit on crafted data with a known slope, plus the single-bucket
+    den=0 contract."""
+    rows = []
+    # series 'up': bucket means exactly 100, 200, ..., 1000 (slope 100)
+    for t in range(10):
+        rows += [("up", dt.datetime(2024, 1, 1, t), 100 * (t + 1))] * 3
+    # series 'flat': constant 500 (slope 0)
+    for t in range(6):
+        rows.append(("flat", dt.datetime(2024, 1, 1, t), 500))
+    # series 'solo': a single bucket -> den 0, slope undefined
+    rows.append(("solo", dt.datetime(2024, 1, 1, 0), 123))
+    df = spark.createDataFrame(rows, ["k", "ts", "q"])
+    from time_series_storage_spark.operators.analytics import trend_slope
+
+    out = {
+        r["k"]: (r["n_buckets"], r["slope_num"], r["slope_den"])
+        for r in trend_slope(df, ["k"], 3600).collect()
+    }
+    n, num, den = out["up"]
+    assert n == 10 and den > 0
+    assert num / den == 100.0  # exact: means are exact multiples
+    n, num, den = out["flat"]
+    assert n == 6 and num == 0 and den > 0
+    assert out["solo"] == (1, 0, 0)

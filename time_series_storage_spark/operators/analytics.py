@@ -479,3 +479,71 @@ def gap_detect(
         (epoch - F.unix_timestamp(prev_ts)).cast("long").alias("gap_s"),
     )
     return out.where(F.col("gap_s") > threshold_seconds)
+
+
+def trend_slope(
+    series: DataFrame,
+    dims: Sequence[str],
+    bucket_seconds: int = 3600,
+    ts_col: str = "ts",
+    q_col: str = "q",
+) -> DataFrame:
+    """Per-series OLS trend over BUCKET MEANS, in exact integer
+    arithmetic: "is this metric drifting, and how fast" — the
+    regression companion to rate() (instantaneous) and ewma
+    (smoothing).
+
+    Scale design: the regression never runs over raw observations —
+    each series first collapses to per-bucket floored means (one
+    partial-aggregated exchange; the raw volume disappears here), and
+    the slope is fitted over (bucket index t, mean y) pairs, so the
+    fit size is bounded by the OBSERVATION WINDOW (e.g. <= 720 hourly
+    buckets per month) no matter how many raw rows a series has. That
+    bound is also what keeps the closed-form sums exact: with t <=
+    ~10^3 and |y| <= ~10^6 (x1000 quantization), every term of
+
+        slope = (n * S_ty - S_t * S_y) / (n * S_t2 - S_t^2)
+
+    stays far inside BIGINT. The slope is emitted as the EXACT
+    (numerator, denominator) pair — per-bucket y-units x1000 per
+    bucket — because no fixed decimal scaling of num/den survives all
+    magnitudes exactly; callers divide (den is 0 for single-bucket
+    series: emitted NULL-safe as-is, slope undefined). Bucket indexes
+    are group-relative (min-bucket window over the same exchange the
+    mean aggregate uses), so absolute epochs never inflate t.
+
+    Output: dims + n_buckets + slope_num + slope_den (all long).
+    """
+    bidx = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+    ).cast("long")
+    per = (
+        series.select(*dims, bidx.alias("_b"), F.col(q_col).alias("_q"))
+        .groupBy(*dims, "_b")
+        .agg(
+            floor_div(F.sum("_q"), F.count(F.lit(1))).alias("_y"),
+        )
+    )
+    wmin = Window.partitionBy(*dims)
+    rel = per.select(
+        *dims,
+        (F.col("_b") - F.min("_b").over(wmin)).alias("_t"),
+        "_y",
+    )
+    agg = rel.groupBy(*dims).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_t").cast("long").alias("_st"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_y")).cast("long").alias("_sty"),
+        F.sum(F.col("_t") * F.col("_t")).cast("long").alias("_st2"),
+    )
+    return agg.select(
+        *dims,
+        "n_buckets",
+        (F.col("n_buckets") * F.col("_sty") - F.col("_st") * F.col("_sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n_buckets") * F.col("_st2") - F.col("_st") * F.col("_st"))
+        .cast("long")
+        .alias("slope_den"),
+    )

@@ -2262,6 +2262,50 @@ FROM b QUALIFY h = 1
 """
 
 
+def q_ts_trend(spark, sf_dir):
+    """Per-event-type OLS trend over hourly bucket means
+    (operators/analytics.py:trend_slope): the exact-integer
+    (numerator, denominator) slope pair — fit size bounded by the
+    observation window (<= ~720 hourly buckets), never by raw
+    volume."""
+    from .operators.analytics import quantize, trend_slope
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", quantize("value").alias("q")
+    )
+    return trend_slope(ev, ["event_type"], 3600, q_col="q")
+
+
+SQL_TS_TREND = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS _b,
+         CAST(round(value * 1000) AS BIGINT) AS q
+  FROM events
+),
+per AS (
+  SELECT event_type, _b,
+         ((SUM(q) - ((SUM(q) % COUNT(*) + COUNT(*)) % COUNT(*)))
+          // COUNT(*)) AS y
+  FROM b GROUP BY event_type, _b
+),
+rel AS (
+  SELECT event_type,
+         _b - MIN(_b) OVER (PARTITION BY event_type) AS t, y
+  FROM per
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+         SUM(t * y) AS sty, SUM(t * t) AS st2
+  FROM rel GROUP BY event_type
+)
+SELECT event_type, n::BIGINT AS n_buckets,
+       (n * sty - st * sy)::BIGINT AS slope_num,
+       (n * st2 - st * st)::BIGINT AS slope_den
+FROM agg
+"""
+
+
 SEASONAL_MULT = 3  # flag events exceeding 3x their slot's profile mean
 
 
@@ -3758,6 +3802,7 @@ EXT_QUERIES = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
     "ts_seasonal_anomaly": (q_ts_seasonal_anomaly, SQL_TS_SEASONAL_ANOMALY),
+    "ts_trend_slope": (q_ts_trend, SQL_TS_TREND),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
