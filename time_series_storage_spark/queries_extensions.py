@@ -2306,6 +2306,75 @@ FROM agg
 """
 
 
+CORR_A, CORR_B = "click", "purchase"
+
+
+def q_series_correlation(spark, sf_dir):
+    """Cross-series co-movement: the exact integer Pearson components
+    between the daily {CORR_A} and {CORR_B} volumes — "do these two
+    metrics move together" without a single float until the caller's
+    final r = num / sqrt(sxx * syy). Per day the two series align by
+    CONDITIONAL AGGREGATION (one pass, no self-join: days missing a
+    type contribute 0 — the natural count semantics); the closed-form
+    sums are one more tiny aggregate over <= window-length rows.
+    Output: one row — n_days, corr_num, sxx, syy (r^2 =
+    num^2/(sxx*syy); engines computing sqrt differ in the last ulp,
+    exact components do not)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_timestamp("ts") / 86_400)
+    ).cast("long")
+    per_day = (
+        ev.where(F.col("event_type").isin(CORR_A, CORR_B))
+        .groupBy(day.alias("d"))
+        .agg(
+            F.sum((F.col("event_type") == CORR_A).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == CORR_B).cast("long")).alias("y"),
+        )
+    )
+    agg = per_day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_sy2"),
+    )
+    return agg.select(
+        "n_days",
+        (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("corr_num"),
+        (F.col("n_days") * F.col("_sx2") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("sxx"),
+        (F.col("n_days") * F.col("_sy2") - F.col("_sy") * F.col("_sy"))
+        .cast("long")
+        .alias("syy"),
+    )
+
+
+SQL_SERIES_CORRELATION = f"""
+WITH per_day AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         SUM((event_type = '{CORR_A}')::INT) AS x,
+         SUM((event_type = '{CORR_B}')::INT) AS y
+  FROM events WHERE event_type IN ('{CORR_A}', '{CORR_B}')
+  GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM per_day
+)
+SELECT n::BIGINT AS n_days,
+       (n * sxy - sx * sy)::BIGINT AS corr_num,
+       (n * sx2 - sx * sx)::BIGINT AS sxx,
+       (n * sy2 - sy * sy)::BIGINT AS syy
+FROM agg
+"""
+
+
 SEASONAL_MULT = 3  # flag events exceeding 3x their slot's profile mean
 
 
@@ -3803,6 +3872,7 @@ EXT_QUERIES = {
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
     "ts_seasonal_anomaly": (q_ts_seasonal_anomaly, SQL_TS_SEASONAL_ANOMALY),
     "ts_trend_slope": (q_ts_trend, SQL_TS_TREND),
+    "series_correlation": (q_series_correlation, SQL_SERIES_CORRELATION),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
