@@ -671,3 +671,49 @@ def test_streaming_transitions_converge_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM strans").collect()
     )
     assert streamed == batch and len(batch) == 55
+
+
+def test_streaming_gap_detect_late_arrival_cannot_fabricate_gap(spark, tmp_path):
+    """A late event arriving BEHIND the cursor must not regress it:
+    with an observation at t=10000 already absorbed, a late t=100
+    followed by t=10300 must emit NO gap (true gap 300s < threshold) —
+    the cursor-regression bug a naive last-row update has."""
+    import datetime as dt
+
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_gap_detect,
+    )
+
+    base = dt.datetime(2024, 11, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    batches = [
+        [(0, "g", t(0)), (1, "g", t(10_000))],
+        [(2, "g", t(100))],          # late: behind the cursor
+        [(3, "g", t(10_300))],       # 300s after the real last event
+    ]
+    src = str(tmp_path / "lg")
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "id long, k string, ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{src}/f0").schema
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = (
+        streaming_gap_detect(stream, "k", 600)
+        .writeStream.format("memory")
+        .queryName("lategap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    gaps = sorted(
+        (r["gap_start_ep"], r["gap_end_ep"])
+        for r in spark.sql("SELECT * FROM lategap").collect()
+    )
+    ep0 = int(t(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    # exactly ONE gap: the genuine 0 -> 10000 silence; nothing from the
+    # late arrival or the 300s follow-up
+    assert gaps == [(ep0, ep0 + 10_000)]

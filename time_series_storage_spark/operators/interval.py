@@ -155,6 +155,16 @@ def interval_overlap_join(
     if right_payload is None:
         skip = {*on, start_col, end_col}
         right_payload = [c for c in right.columns if c not in skip]
+    # payload columns named 'start'/'end' would alias onto the
+    # l_/r_start/end bound outputs and make the overlap predicate
+    # ambiguous — reject rather than silently bind the wrong column
+    for side, payload in (("left", left_payload), ("right", right_payload)):
+        clash = {"start", "end"} & set(payload)
+        if clash:
+            raise ValueError(
+                f"{side} payload column(s) {sorted(clash)} collide with "
+                "the l_/r_start/end output aliases; rename or exclude them"
+            )
     g_us = int(bucket_seconds) * 1_000_000
     _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
 

@@ -100,9 +100,12 @@ def salted_agg(
             ]
         )
     )
+    # no blanket cast: min/max/sum must keep the source column's type
+    # (a long cast would floor-truncate double aggregates and break the
+    # bit-identical contract); count is natively long already
     return stage1.groupBy(*keys).agg(
         *[
-            recombine[how](f"_s_{name}").cast("long").alias(name)
+            recombine[how](f"_s_{name}").alias(name)
             for name, (src, how) in aggs.items()
         ]
     )

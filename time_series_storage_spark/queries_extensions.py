@@ -2245,12 +2245,11 @@ WITH g AS (
                    > {DEBOUNCE_S}
               THEN 1 ELSE 0 END AS h
   FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type
-               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ),
 b AS (
   SELECT *, SUM(h) OVER (PARTITION BY user_id, event_type
-                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                         ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS burst
   FROM g
 )

@@ -56,16 +56,13 @@ def streaming_ngram_contamination(
         )
         .agg(F.array_sort(F.collect_set("hs")).alias("_bench_set"))
     )
-    probed = (
-        stream_docs.crossJoin(F.broadcast(bench_set))
-        .select(
-            F.col(id_col),
-            shingle_hash_set(text_col, k).alias("_hs_set"),
-            F.col("_bench_set"),
-        )
-        # match the batch operator: NULL-text documents are dropped
-        # (their exploded shingle set is empty), not emitted as NULLs
-        .where(F.col("_hs_set").isNotNull())
+    # NULL text needs no special case: shingle_hash_set yields the
+    # 1-element [null] set (substr of NULL), exactly what the batch
+    # explode produces, so both paths emit (id, 1, 0, 0, 0) for it
+    probed = stream_docs.crossJoin(F.broadcast(bench_set)).select(
+        F.col(id_col),
+        shingle_hash_set(text_col, k).alias("_hs_set"),
+        F.col("_bench_set"),
     )
     n = F.size("_hs_set").cast("long")
     h = F.size(F.array_intersect("_hs_set", "_bench_set")).cast("long")
@@ -122,17 +119,12 @@ def streaming_bloom_contamination(
             F.collect_list(F.struct("wi", "bits"))
         ).alias("_bloom")
     )
-    probed = (
-        stream_docs.crossJoin(F.broadcast(wmap))
-        .select(
-            F.col(id_col),
-            shingle_hash_set(text_col, k).alias("_hs_set"),
-            F.col("_bloom"),
-        )
-        # NULL text -> NULL shingle set; the batch operator's explode
-        # drops such documents, so the stream does too (emitting NULL
-        # counts would diverge row-for-row and poison 0/1 consumers)
-        .where(F.col("_hs_set").isNotNull())
+    # NULL text needs no special case (see the exact-set scorer): the
+    # [null] shingle set behaves identically in batch and stream
+    probed = stream_docs.crossJoin(F.broadcast(wmap)).select(
+        F.col(id_col),
+        shingle_hash_set(text_col, k).alias("_hs_set"),
+        F.col("_bloom"),
     )
     bit = (
         "coalesce(shiftright(element_at(_bloom, ({p}) div {wb}),"

@@ -436,6 +436,11 @@ def streaming_heavy_hitters(
             F.col(key_col).cast("string").alias(key_col),
             F.col(elem_col).cast("string").alias(elem_col),
         )
+        # NULL is not a countable item: dropped explicitly (pandas
+        # value_counts would silently skip it anyway — this makes the
+        # policy visible and keeps the under-capacity exactness claim
+        # honest vs a batch groupBy, which WOULD count a null group)
+        .where(F.col(elem_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             absorb,
@@ -492,6 +497,15 @@ def streaming_gap_detect(
         gaps_start, gaps_end = [], []
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
+            pdf = pdf.dropna(subset=["_ep"])  # null ts cannot order
+            if last_ep is not None:
+                # a point BEHIND the cursor cannot retroactively change
+                # anything already emitted; keeping it would REGRESS the
+                # cursor and fabricate a false gap against the next
+                # arrival over time that provably had an observation
+                pdf = pdf[pdf["_ep"].values >= last_ep]
+            if not len(pdf):
+                return
             order = np.lexsort((pdf["_id"].values, pdf["_ep"].values))
             eps = pdf["_ep"].values[order]
             ids = pdf["_id"].values[order]
@@ -609,6 +623,11 @@ def streaming_ewma(
             F.col(id_col).cast("long").alias(id_col),
             F.col(q_col).cast("long").alias("_q"),
         )
+        # a NULL measure or timestamp cannot smooth or order; dropping
+        # it HERE (JVM-side) keeps one bad row from becoming a poison
+        # pill (int(NaN) in the state fn fails the task AND every
+        # checkpoint restart)
+        .where(F.col("_q").isNotNull() & F.col("_ep").isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             smooth,
@@ -709,6 +728,7 @@ def streaming_anomaly_zscore(
             F.col(id_col).cast("long").alias(id_col),
             F.col(q_col).cast("long").alias("_q"),
         )
+        .where(F.col("_q").isNotNull() & F.col("_ep").isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             scan,
@@ -788,6 +808,7 @@ def streaming_pack(
             F.col(id_col).cast("long").alias(id_col),
             F.col(tokens_col).cast("long").alias(tokens_col),
         )
+        .where(F.col(tokens_col).isNotNull())
         .groupBy(group_col)
         .applyInPandasWithState(
             lay_out,
@@ -869,6 +890,7 @@ def streaming_transition_events(
             F.col(id_col).cast("long").alias(id_col),
             F.col(type_col).cast("string").alias("_t"),
         )
+        .where(F.col("_ep").isNotNull())  # null ts cannot order
         .groupBy(key_col)
         .applyInPandasWithState(
             emit,
