@@ -717,3 +717,90 @@ def test_streaming_gap_detect_late_arrival_cannot_fabricate_gap(spark, tmp_path)
     # exactly ONE gap: the genuine 0 -> 10000 silence; nothing from the
     # late arrival or the 300s follow-up
     assert gaps == [(ep0, ep0 + 10_000)]
+
+
+def test_streaming_rolling_kmv_converges_to_batch(spark, tmp_path):
+    """Order-independent convergence: streamed rolling KMV estimates
+    (latest emission per key x bucket) equal batch
+    kmv_rolling_estimate over the union — across micro-batches and
+    with one LATE but within-horizon row delivered out of order (the
+    sketch merge algebra makes arrival order irrelevant)."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.sketch import (
+        kmv_rolling_estimate,
+    )
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_rolling_kmv,
+    )
+
+    K, WB = 16, 3
+    base = dt.datetime(2024, 12, 1)
+    rows = []
+    for day in range(6):
+        for j in range(30):
+            rows.append(
+                ("g", base + dt.timedelta(days=day, seconds=j),
+                 f"u{(day * 13 + j) % 70}")
+            )
+    schema = "k string, ts timestamp, e string"
+    df = spark.createDataFrame(rows, schema)
+    batch = {
+        (r["k"], r["bucket_idx"]): (
+            r["n_mins"], r["kth_min"], r["est_distinct"]
+        )
+        for r in kmv_rolling_estimate(
+            df, ["k"], "e", "ts", 86_400, WB, K
+        ).collect()
+    }
+    # batch 1: days 0-2 EXCEPT one held-back row; batch 2: days 3-4
+    # plus the held-back (late, within-horizon) day-4 row; batch 3: day 5
+    held = ("g", base + dt.timedelta(days=4, seconds=29), "u-late")
+    rows_with_late = rows + [held]
+    batch = {
+        (r["k"], r["bucket_idx"]): (
+            r["n_mins"], r["kth_min"], r["est_distinct"]
+        )
+        for r in kmv_rolling_estimate(
+            spark.createDataFrame(rows_with_late, schema),
+            ["k"], "e", "ts", 86_400, WB, K,
+        ).collect()
+    }
+    b1 = [r for r in rows if r[1] < base + dt.timedelta(days=3)]
+    b2 = [r for r in rows
+          if base + dt.timedelta(days=3) <= r[1] < base + dt.timedelta(days=5)]
+    b3 = [r for r in rows if r[1] >= base + dt.timedelta(days=5)] + [held]
+    src = str(tmp_path / "rk")
+    for bi, part in enumerate([b1, b2, b3]):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            f"{src}/f{bi}"
+        )
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_rolling_kmv(stream, "k", "e", "ts", 86_400, WB, K)
+        .writeStream.format("memory")
+        .queryName("srkmv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per (key, bucket): max n_mins then min kth wins
+    # (absorbing more data only grows the sketch toward the union)
+    final = {}
+    for r in spark.sql("SELECT * FROM srkmv").collect():
+        kb = (r["k"], r["bucket_idx"])
+        cur = final.get(kb)
+        if cur is None or (r["n_mins"], -r["kth_min"]) > (
+            cur["n_mins"], -cur["kth_min"]
+        ):
+            final[kb] = r
+    assert set(final) == set(batch)
+    for kb, want in batch.items():
+        got = final[kb]
+        assert (
+            got["n_mins"], got["kth_min"], got["est_distinct"]
+        ) == want, kb

@@ -900,3 +900,143 @@ def streaming_transition_events(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ROLLING_KMV_STATE_SCHEMA = "bidxs array<long>, mins array<array<long>>"
+
+
+def streaming_rolling_kmv(
+    elements: DataFrame,
+    key_col: str,
+    elem_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    window_buckets: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming rolling distinct estimate — the stateful twin of
+    ``operators.sketch.kmv_rolling_estimate``: per key, daily KMV
+    sketches maintained incrementally and merged into trailing-window
+    estimates as data arrives (rolling weekly-active-users on a
+    stream).
+
+    Because KMV merge is pure set algebra (union the minima, keep the
+    k smallest), the absorbed state is ORDER-INDEPENDENT: any arrival
+    order of the same rows yields the same sketches, so the latest
+    emission per (key, bucket) converges to the batch operator
+    wherever the window's data has fully arrived — a stronger
+    convergence than the order-dependent twins (pinned in tests,
+    including a late within-horizon arrival).
+
+    State is bounded by construction: ``2 * (window_buckets - 1) + 1``
+    buckets' k-minima per key — the last ``window_buckets`` ends are
+    still emittable (late within-horizon data can refresh them) and
+    the oldest of those needs ``window_buckets - 1`` lookback buckets
+    below itself; anything older is pruned (a bucket arriving later
+    than the horizon is absorbed but its window estimates from
+    surviving buckets only — the bounded-state tradeoff, documented
+    not hidden). Each batch emits the refreshed rolling estimate for
+    every emittable bucket of each touched key: key, bucket_idx,
+    n_mins, kth_min, est_distinct.
+    """
+    from ..operators.sketch import KMV_M, kmv_hash
+
+    if not 2 < k <= 255:
+        raise ValueError(f"k must be in (2, 255], got {k}")
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    out_schema = (
+        f"{key_col} string, bucket_idx long, n_mins long,"
+        " kth_min long, est_distinct long"
+    )
+
+    def absorb(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        if state.exists:
+            bidxs, mins = state.get
+            sketches = {
+                int(b): set(int(x) for x in m)
+                for b, m in zip(bidxs, mins)
+            }
+        else:
+            sketches = {}
+        touched = False
+        for pdf in pdfs:
+            for b, h in zip(pdf["_b"], pdf["h"]):
+                sketches.setdefault(int(b), set()).add(int(h))
+                touched = True
+        if not touched and not sketches:
+            return
+        # retention keeps 2*(wb-1)+1 buckets: the EMISSION horizon is
+        # the last wb ends (older ends were final when they left it),
+        # and the oldest emittable end still needs wb-1 buckets of
+        # lookback below itself
+        top = max(sketches)
+        keep_from = top - 2 * (window_buckets - 1)
+        emit_from = top - (window_buckets - 1)
+        sketches = {
+            b: set(sorted(s)[:k])
+            for b, s in sketches.items()
+            if b >= keep_from
+        }
+        state.update((
+            [b for b in sorted(sketches)],
+            [sorted(sketches[b]) for b in sorted(sketches)],
+        ))
+        rows = {"b": [], "n": [], "kth": [], "est": []}
+        for b in sorted(sketches):
+            if b < emit_from:
+                continue  # final estimate already emitted
+            merged = sorted(
+                set().union(
+                    *(
+                        sketches[bb]
+                        for bb in sketches
+                        if b - window_buckets < bb <= b
+                    )
+                )
+            )[:k]
+            n = len(merged)
+            kth = merged[-1] if merged else 0
+            if n < k:
+                est = n
+            else:
+                est = (k - 1) * (KMV_M // kth) + (
+                    (k - 1) * (KMV_M % kth)
+                ) // kth
+            rows["b"].append(b)
+            rows["n"].append(n)
+            rows["kth"].append(kth)
+            rows["est"].append(est)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(rows["b"]),
+                "bucket_idx": rows["b"],
+                "n_mins": rows["n"],
+                "kth_min": rows["kth"],
+                "est_distinct": rows["est"],
+            }
+        )
+
+    bidx = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+    ).cast("long")
+    return (
+        elements.select(
+            F.col(key_col).cast("string").alias(key_col),
+            bidx.alias("_b"),
+            kmv_hash(elem_col).alias("h"),
+        )
+        .where(F.col("_b").isNotNull() & F.col("h").isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            absorb,
+            outputStructType=out_schema,
+            stateStructType=ROLLING_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
