@@ -17,6 +17,73 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The driver's correctness gate caps at the FIRST 50 registry entries
+# (insertion order), so registration order decides which queries get the
+# hard external hash-gate each round.  _GATE_PRIORITY rotates coverage:
+# put the newest queries plus everything the previous round's driver gate
+# did NOT cover (keys absent from CORRECTNESS_r{N-1}.json) at the front;
+# long-stable rows rotate to the back and stay covered by pytest
+# (tests/test_extensions_oracle.py runs the full registry at sf0.001)
+# and tools/check_oracle.py sweeps.  Round 6: the 45 rows the r5 gate
+# missed, newest additions first.
+_GATE_PRIORITY = [
+    # --- new in round 6 ---
+    "pipeline_tokenize_pack",
+    # --- registered in r5 but never driver-gated (after the 50-row cap) ---
+    "pipeline_e2e",
+    "sketch_distinct_tokens",
+    "rolling_weekly_users",
+    "sim_topk_pq",
+    "sales_rollup_nation_month",
+    "ts_ewma_smooth",
+    "emb_quantize_int8",
+    "sim_topk_int8",
+    "sim_topk_rerank",
+    "sim_recall_audit",
+    "dedup_source_overlap",
+    "vocab_encode_top256",
+    "text_chunk_windows",
+    "pipeline_chunk_pack",
+    "text_pack_bins",
+    "text_len_hist_quantiles",
+    "text_repetition",
+    "text_dup_ngrams",
+    "events_pii_scrub",
+    "events_json_kv",
+    "events_debounce",
+    "retention_cohorts",
+    "ts_anomaly_zscore",
+    "ts_seasonal_anomaly",
+    "ts_trend_slope",
+    "series_correlation",
+    "ts_m4_downsample",
+    "ts_gap_detect",
+    "ts_hourly_profile",
+    "sample_stratified_lang",
+    "sample_weighted_mix",
+    "corpus_stats_by_source",
+    "corpus_cube",
+    "corpus_pivot_lang",
+    "lang_coverage_division",
+    "brands_shipping_recent",
+    "text_length_ntile",
+    "dq_violations",
+    "pricing_summary",
+    "top_open_orders",
+    "customers_without_urgent_orders",
+    "local_supplier_volume",
+    "mm_media_meta",
+    "mm_frame_sample",
+    "mm_feature_stub",
+    # --- r5-gated representatives: keep a few core rows in-window so the
+    # engine pipeline itself stays externally gated every round ---
+    "ts_counter_hour_fill",
+    "ts_histogram_merged",
+    "asof_purchase_click",
+    "dedup_minhash_lsh",
+]
+
+
 def _registry() -> dict:
     from time_series_storage_spark.queries_testdata import CORE_QUERIES
 
@@ -27,7 +94,9 @@ def _registry() -> dict:
         reg.update(EXT_QUERIES)
     except ImportError:
         pass
-    return reg
+    ordered = {n: reg[n] for n in _GATE_PRIORITY if n in reg}
+    ordered.update((n, v) for n, v in reg.items() if n not in ordered)
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:

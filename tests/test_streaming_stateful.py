@@ -804,3 +804,60 @@ def test_streaming_rolling_kmv_converges_to_batch(spark, tmp_path):
         assert (
             got["n_mins"], got["kth_min"], got["est_distinct"]
         ) == want, kb
+
+
+def test_streaming_null_id_rows_are_dropped_not_poison(spark, tmp_path):
+    """A row with a NULL id (or NULL ts) must be dropped JVM-side, not
+    surface as NaN in the pandas state function — int(NaN) would fail
+    the micro-batch AND every checkpoint restart (a poison pill). The
+    stream must complete and emit exactly the batch output over the
+    non-null rows (ADVICE r5: streaming_gap_detect and friends
+    filtered null value/ts but not null id)."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import gap_detect
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_gap_detect,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    good = [
+        (i, "a", base + dt.timedelta(seconds=off))
+        for i, off in enumerate([0, 30, 5000, 5040, 12000])
+    ]
+    dirty = good + [
+        (None, "a", base + dt.timedelta(seconds=60)),  # null id
+        (99, "a", None),  # null ts
+        (None, "a", None),
+    ]
+    schema = "id long, k string, ts timestamp"
+    src = str(tmp_path / "nv")
+    spark.createDataFrame(dirty, schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    batch = sorted(
+        (r["k"], int(r["gap_start"].timestamp()),
+         int(r["gap_end"].timestamp()), r["gap_s"])
+        for r in gap_detect(
+            spark.createDataFrame(good, schema), ["k"], 600, order_col="id"
+        ).collect()
+    )
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src + "/*")
+    q = (
+        streaming_gap_detect(stream, "k", 600)
+        .writeStream.format("memory")
+        .queryName("snull")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    streamed = sorted(
+        (r["k"], r["gap_start_ep"], r["gap_end_ep"], r["gap_s"])
+        for r in spark.sql("SELECT * FROM snull").collect()
+    )
+    assert streamed == batch and len(batch) == 2

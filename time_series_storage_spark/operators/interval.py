@@ -32,6 +32,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .analytics import floor_div
+
 
 def interval_join(
     points: DataFrame,
@@ -92,14 +94,15 @@ def interval_join(
             *[F.col(c).alias(f"iv_{c}") for c in payload],
             F.explode(
                 F.sequence(
-                    F.floor(s_us / g_us).cast("long"),
-                    F.floor(last_us / g_us).cast("long"),
+                    floor_div(s_us, F.lit(g_us)).cast("long"),
+                    floor_div(last_us, F.lit(g_us)).cast("long"),
                 )
             ).alias("_bin"),
         )
     )
     pt = points.select(
-        "*", F.floor(_us(point_ts) / g_us).cast("long").alias("_bin")
+        "*",
+        floor_div(_us(point_ts), F.lit(g_us)).cast("long").alias("_bin"),
     )
     contained = F.col(point_ts) >= F.col("iv_start")
     contained = contained & (
@@ -176,16 +179,20 @@ def interval_overlap_join(
             if inclusive_end
             else F.col(start_col) < F.col(end_col)
         )
+        # EXACT integer floor division on the micros (floor_div), not
+        # F.floor(a / b): `/` on longs is double division, and epoch
+        # microseconds sit ~2x under the 2^53 rounding cliff at small
+        # bucket_seconds — no safety margin to spend
         return df.where(not_empty).select(
             *[F.col(k) for k in on],
             F.col(start_col).alias(f"{prefix}_start"),
             F.col(end_col).alias(f"{prefix}_end"),
-            F.floor(s_us / g_us).cast("long").alias(f"_{prefix}_bin0"),
+            floor_div(s_us, F.lit(g_us)).cast("long").alias(f"_{prefix}_bin0"),
             *[F.col(c).alias(f"{prefix}_{c}") for c in payload],
             F.explode(
                 F.sequence(
-                    F.floor(s_us / g_us).cast("long"),
-                    F.floor(last_us / g_us).cast("long"),
+                    floor_div(s_us, F.lit(g_us)).cast("long"),
+                    floor_div(last_us, F.lit(g_us)).cast("long"),
                 )
             ).alias("_bin"),
         )

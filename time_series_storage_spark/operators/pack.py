@@ -42,29 +42,49 @@ def pack_assignments(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_shards: int = 1,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Per-document bin assignment.
 
-    Output: ``group_cols`` + ``shard`` + ``id_col`` + ``tokens_col`` +
-    ``start_off`` (cumulative exclusive token offset within the shard,
-    long) + ``bin_id`` (long, 0-based within (group, shard)).
+    ``order_cols`` (default ``(id_col,)``) is the in-shard layout
+    order; pass a composite — e.g. ``("doc_id", "chunk_id")`` for
+    chunked corpora — when no single column is unique. Order ties make
+    ``start_off``/``bin_id`` engine-nondeterministic, so the composite
+    must be a total order per (group, shard). Sharding always hashes
+    ``id_col`` alone, so multi-row units (a doc's chunks) stay in one
+    shard and bins never interleave units.
+
+    Output: ``group_cols`` + ``shard`` + ``order_cols`` +
+    ``tokens_col`` + ``start_off`` (cumulative exclusive token offset
+    within the shard, long) + ``bin_id`` (long, 0-based within
+    (group, shard)).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if order_cols is None:
+        order_cols = (id_col,)
     shard = (F.col(id_col) % n_shards).cast("long")
     w = (
         Window.partitionBy(*group_cols, "shard")
-        .orderBy(F.col(id_col))
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    carried = dict.fromkeys((id_col, *order_cols))  # ordered, de-duped
+    # integer floor division, not floor(a / b): `/` on longs is double
+    # division (rounds past 2^53) — start_off at 100 TB-corpus scale is
+    # a token count that can approach that
+    bin_id = F.call_function(
+        "div", F.col("start_off") - F.pmod(F.col("start_off"), F.lit(budget)),
+        F.lit(budget),
+    )
     return (
-        docs.select(*group_cols, id_col, tokens_col)
+        docs.select(*group_cols, *carried, tokens_col)
         .withColumn("shard", shard)
         .withColumn("start_off", start)
-        .withColumn("bin_id", F.floor(F.col("start_off") / budget))
+        .withColumn("bin_id", bin_id)
     )
 
 
@@ -75,6 +95,7 @@ def pack_bins(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_shards: int = 1,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Per-bin summary: how full each training bin is.
 
@@ -86,7 +107,7 @@ def pack_bins(
     WITHOUT a second full exchange.
     """
     a = pack_assignments(
-        docs, budget, group_cols, id_col, tokens_col, n_shards
+        docs, budget, group_cols, id_col, tokens_col, n_shards, order_cols
     )
     return a.groupBy(*group_cols, "shard", "bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1725,17 +1725,17 @@ FROM starts
 
 CHUNK_PACK_BUDGET = 256
 CHUNK_PACK_SHARDS = 2
-CHUNK_CID_BASE = 1024  # composite chunk id: doc_id * base + chunk_id
 
 
 def q_pipeline_chunk_pack(spark, sf_dir):
     """Corpus -> training-sequence layout in ONE lazy DAG: sliding-
     window chunking (zero-shuffle, source carried through — no join
     back) composed with token-budget bin packing per (source, shard).
-    Chunks order by the composite id ``doc_id * {CHUNK_CID_BASE} +
-    chunk_id`` (valid while docs stay under ~{CHUNK_CID_BASE} chunks
-    ~= 24k tokens at this stride — far above this corpus; the packer
-    only needs a total order, so a violation reorders, never loses).
+    Shards hash ``doc_id`` (a doc's chunks never split across shards)
+    and the in-shard layout orders by the composite ``(doc_id,
+    chunk_id)`` — a total order by construction at ANY chunk count, so
+    ``start_off``/``bin_id`` are tie-free and engine-deterministic (a
+    scalar ``doc_id * K + chunk_id`` id would collide past K chunks).
     The pack window reuses the chunk rows as-is: the whole composition
     is chunk projection -> one window exchange -> partial-aggregated
     bin rollup."""
@@ -1745,15 +1745,13 @@ def q_pipeline_chunk_pack(spark, sf_dir):
     )
     from .operators.pack import pack_bins
 
-    cid = (
-        F.col("doc_id") * CHUNK_CID_BASE + F.col("chunk_id")
-    ).alias("cid")
     return pack_bins(
-        chunks.select("source", cid, "n_tokens"),
+        chunks.select("source", "doc_id", "chunk_id", "n_tokens"),
         CHUNK_PACK_BUDGET,
         ("source",),
-        id_col="cid",
+        id_col="doc_id",
         n_shards=CHUNK_PACK_SHARDS,
+        order_cols=("doc_id", "chunk_id"),
     ).select(
         "source",
         F.col("shard").cast("long").alias("shard"),
@@ -1772,15 +1770,16 @@ starts AS (
   FROM tk
 ),
 chunks AS (
-  SELECT doc_id * {CHUNK_CID_BASE} + k AS cid, source,
+  SELECT doc_id, k, source,
          len(list_slice(toks, k * {CHUNK_S} + 1,
                         k * {CHUNK_S} + {CHUNK_W}))::BIGINT AS n_tokens
   FROM starts
 ),
 off AS (
-  SELECT source, cid % {CHUNK_PACK_SHARDS} AS shard, n_tokens,
+  SELECT source, doc_id % {CHUNK_PACK_SHARDS} AS shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-             PARTITION BY source, cid % {CHUNK_PACK_SHARDS} ORDER BY cid
+             PARTITION BY source, doc_id % {CHUNK_PACK_SHARDS}
+             ORDER BY doc_id, k
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS start_off
   FROM chunks
@@ -2245,11 +2244,17 @@ WITH g AS (
                    > {DEBOUNCE_S}
               THEN 1 ELSE 0 END AS h
   FROM events
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+  -- order by the SECOND-truncated epoch, not raw ts: the Spark side
+  -- orders by unix_timestamp(ts) (whole seconds) + event_id, and events
+  -- carry microsecond timestamps — two same-(user,type) events inside
+  -- one second must tie-break on event_id in BOTH engines or burst
+  -- heads diverge
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
 ),
 b AS (
   SELECT *, SUM(h) OVER (PARTITION BY user_id, event_type
-                         ORDER BY ts, event_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
                          ROWS UNBOUNDED PRECEDING) AS burst
   FROM g
 )

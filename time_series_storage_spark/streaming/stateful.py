@@ -532,6 +532,9 @@ def streaming_gap_detect(
             F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
             F.col(id_col).cast("long").alias("_id"),
         )
+        # null ts cannot order; null id cannot tie-break — either one
+        # becomes NaN in pandas and int() on it poisons the micro-batch
+        .where(F.col("_ep").isNotNull() & F.col("_id").isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             scan,
@@ -623,11 +626,15 @@ def streaming_ewma(
             F.col(id_col).cast("long").alias(id_col),
             F.col(q_col).cast("long").alias("_q"),
         )
-        # a NULL measure or timestamp cannot smooth or order; dropping
-        # it HERE (JVM-side) keeps one bad row from becoming a poison
-        # pill (int(NaN) in the state fn fails the task AND every
-        # checkpoint restart)
-        .where(F.col("_q").isNotNull() & F.col("_ep").isNotNull())
+        # a NULL measure, timestamp, or id cannot smooth, order, or
+        # tie-break; dropping it HERE (JVM-side) keeps one bad row from
+        # becoming a poison pill (int(NaN) in the state fn fails the
+        # task AND every checkpoint restart)
+        .where(
+            F.col("_q").isNotNull()
+            & F.col("_ep").isNotNull()
+            & F.col(id_col).isNotNull()
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             smooth,
@@ -728,7 +735,13 @@ def streaming_anomaly_zscore(
             F.col(id_col).cast("long").alias(id_col),
             F.col(q_col).cast("long").alias("_q"),
         )
-        .where(F.col("_q").isNotNull() & F.col("_ep").isNotNull())
+        # null id is the same poison pill as null measure/ts: it would
+        # surface as NaN in pandas and fail int()/astype('int64')
+        .where(
+            F.col("_q").isNotNull()
+            & F.col("_ep").isNotNull()
+            & F.col(id_col).isNotNull()
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             scan,
@@ -808,7 +821,7 @@ def streaming_pack(
             F.col(id_col).cast("long").alias(id_col),
             F.col(tokens_col).cast("long").alias(tokens_col),
         )
-        .where(F.col(tokens_col).isNotNull())
+        .where(F.col(tokens_col).isNotNull() & F.col(id_col).isNotNull())
         .groupBy(group_col)
         .applyInPandasWithState(
             lay_out,
@@ -890,7 +903,8 @@ def streaming_transition_events(
             F.col(id_col).cast("long").alias(id_col),
             F.col(type_col).cast("string").alias("_t"),
         )
-        .where(F.col("_ep").isNotNull())  # null ts cannot order
+        # null ts cannot order; null id cannot tie-break (NaN poison)
+        .where(F.col("_ep").isNotNull() & F.col(id_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             emit,
