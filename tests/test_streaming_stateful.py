@@ -861,3 +861,76 @@ def test_streaming_null_id_rows_are_dropped_not_poison(spark, tmp_path):
         for r in spark.sql("SELECT * FROM snull").collect()
     )
     assert streamed == batch and len(batch) == 2
+
+
+def test_streaming_asof_hot_key_large_batch(spark, tmp_path):
+    """One key delivering a large micro-batch — the skew case the
+    vectorized state function exists for (the per-row loop paid O(n)
+    np.append per right plus a linear scan per left: quadratic on a
+    hot key). Must equal the batch asof_join exactly, including
+    equal-ts left/right ties (right at the same instant IS eligible;
+    max rid wins among equal-ts rights)."""
+    from time_series_storage_spark.operators.asof import asof_join
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_asof_join,
+    )
+
+    n = 20_000
+    base = F.lit(TS)
+    # rights at even seconds (rid = i); every 500th second gets a
+    # SECOND right (rid = i + n) to exercise the max-rid tie rule
+    r1 = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.lit("hot").alias("k"),
+        (base + F.make_interval(secs=F.col("id") * 2)).alias("ts"),
+    )
+    r2 = spark.range(0, n, 500).select(
+        (F.col("id") + n).alias("rid"),
+        F.lit("hot").alias("k"),
+        (base + F.make_interval(secs=F.col("id") * 2)).alias("ts"),
+    )
+    rdf = r1.unionByName(r2)
+    # lefts: even i lands ON a right's ts (tie), odd i between rights
+    ldf = spark.range(n).select(
+        (F.col("id") + 1_000_000).alias("lid"),
+        F.lit("hot").alias("k"),
+        (base + F.make_interval(
+            secs=F.col("id") * 2 + F.col("id") % 2
+        )).alias("ts"),
+    )
+    lsrc, rsrc = str(tmp_path / "hl"), str(tmp_path / "hr")
+    ldf.coalesce(1).write.parquet(lsrc + "/f1")
+    rdf.coalesce(1).write.parquet(rsrc + "/f1")
+    want = {
+        r["lid"]: (r["asof_rid"], r["asof_ts"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], right_payload=["rid"], right_order="rid",
+            direction="backward",
+        ).collect()
+    }
+    q = (
+        streaming_asof_join(
+            spark.readStream.schema(ldf.schema).parquet(lsrc + "/*"),
+            spark.readStream.schema(rdf.schema).parquet(rsrc + "/*"),
+            on="k", left_id="lid", right_id="rid",
+            lookback_seconds=2 * n * 2,
+        )
+        .writeStream.format("memory")
+        .queryName("hotasof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_ts_us"])
+        for r in spark.sql("SELECT * FROM hotasof").collect()
+    }
+    assert len(got) == n and set(got) == set(want)
+    for lid, (w_rid, w_ts) in want.items():
+        g_rid, g_ts_us = got[lid]
+        assert g_rid == w_rid, (lid, g_rid, w_rid)
+        w_us = int(w_ts.timestamp() * 1_000_000) if w_ts else None
+        assert g_ts_us == w_us, (lid, g_ts_us, w_us)

@@ -164,20 +164,31 @@ def streaming_asof_join(
     streams the output converges to the batch as-of exactly (pinned by
     test).
     """
-    lt = left.select(
-        F.col(on).cast("string").alias("k"),
-        F.col(left_ts).alias("ts"),
-        F.lit(1).alias("side"),
-        F.col(left_id).cast("long").alias("lid"),
-        F.lit(None).cast("long").alias("rid"),
-    ).withWatermark("ts", watermark)
-    rt = right.select(
-        F.col(on).cast("string").alias("k"),
-        F.col(right_ts).alias("ts"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("lid"),
-        F.col(right_id).cast("long").alias("rid"),
-    ).withWatermark("ts", watermark)
+    # null ts cannot order and a null id cannot tag its row — drop
+    # JVM-side (NaN/NaT in the pandas state fn is a poison pill that
+    # fails the micro-batch and every checkpoint restart)
+    lt = (
+        left.where(F.col(left_ts).isNotNull() & F.col(left_id).isNotNull())
+        .select(
+            F.col(on).cast("string").alias("k"),
+            F.col(left_ts).alias("ts"),
+            F.lit(1).alias("side"),
+            F.col(left_id).cast("long").alias("lid"),
+            F.lit(None).cast("long").alias("rid"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    rt = (
+        right.where(F.col(right_ts).isNotNull() & F.col(right_id).isNotNull())
+        .select(
+            F.col(on).cast("string").alias("k"),
+            F.col(right_ts).alias("ts"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("lid"),
+            F.col(right_id).cast("long").alias("rid"),
+        )
+        .withWatermark("ts", watermark)
+    )
     u = lt.unionByName(rt)
 
     out_schema = (
@@ -199,54 +210,63 @@ def streaming_asof_join(
         else:
             r_ts = np.empty(0, dtype=np.int64)
             r_id = np.empty(0, dtype=np.int64)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        # event-time order, rights (side 0) before lefts at equal ts;
-        # stable mergesort keeps equal-ts rights in input order — their
-        # winner is picked by max (ts, rid), not position
-        rows = rows.sort_values(["ts", "side"], kind="mergesort")
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True)
+        # Fully vectorized — NO per-row Python (a hot key's micro-batch
+        # used to pay O(n) np.append copies per right plus an O(state)
+        # linear scan per left: quadratic). The sequential semantics —
+        # process in (ts, rights-before-lefts) order, each left matches
+        # max (ts, rid) among rights seen so far within lookback —
+        # reduce to a pure predicate: a right (state or batch) is
+        # eligible for a left exactly when r_ts <= l_ts, because any
+        # batch right with r_ts <= l_ts sorts before that left anyway.
+        # So: sort ALL rights once by (ts, rid); for each left, the
+        # rights with r_ts <= l_ts are a PREFIX of that sort and the
+        # max-(ts, rid) winner is the prefix's LAST element — one
+        # searchsorted per batch serves every left.
         ts_us = (
             rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         )
-        sides = rows["side"].to_numpy()
-        lids = rows["lid"].to_numpy()
-        rids = rows["rid"].to_numpy()
-        out_lid, out_lts, out_mts, out_mrid = [], [], [], []
-        for i in range(len(rows)):
-            if sides[i] == 0:
-                r_ts = np.append(r_ts, ts_us[i])
-                r_id = np.append(r_id, int(rids[i]))
-            else:
-                elig = r_ts <= ts_us[i]
-                out_lid.append(int(lids[i]))
-                out_lts.append(int(ts_us[i]))
-                if elig.any():
-                    # max (ts, rid) among eligible rights
-                    cand = np.flatnonzero(elig)
-                    best = cand[
-                        np.lexsort((r_id[cand], r_ts[cand]))[-1]
-                    ]
-                    out_mts.append(int(r_ts[best]))
-                    out_mrid.append(int(r_id[best]))
-                else:
-                    out_mts.append(None)
-                    out_mrid.append(None)
+        is_r = rows["side"].to_numpy() == 0
+        all_r_ts = np.concatenate([r_ts, ts_us[is_r]])
+        all_r_id = np.concatenate(
+            [r_id, rows["rid"].to_numpy()[is_r].astype(np.int64)]
+        )
+        order = np.lexsort((all_r_id, all_r_ts))
+        sr_ts, sr_id = all_r_ts[order], all_r_id[order]
+        # lefts in event-time order (stable: equal-ts lefts keep input
+        # order), matching the sequential emission order
+        l_mask = ~is_r
+        l_order = np.argsort(ts_us[l_mask], kind="stable")
+        l_ts = ts_us[l_mask][l_order]
+        l_id = rows["lid"].to_numpy()[l_mask].astype(np.int64)[l_order]
         # prune rights beyond the lookback of the key's frontier
-        if len(ts_us):
-            frontier = max(
-                int(ts_us.max()),
-                int(r_ts.max()) if len(r_ts) else 0,
-            )
-            keep = r_ts >= frontier - lb_us
-            r_ts, r_id = r_ts[keep], r_id[keep]
-        state.update(([int(x) for x in r_ts], [int(x) for x in r_id]))
-        if out_lid:
+        frontier = max(
+            int(ts_us.max()),
+            int(sr_ts[-1]) if len(sr_ts) else 0,
+        )
+        keep = sr_ts >= frontier - lb_us
+        state.update((sr_ts[keep].tolist(), sr_id[keep].tolist()))
+        if len(l_ts):
+            if len(sr_ts):
+                pos = np.searchsorted(sr_ts, l_ts, side="right") - 1
+                hit = pos >= 0
+                m_ts = pd.array(sr_ts[pos], dtype="Int64")
+                m_id = pd.array(sr_id[pos], dtype="Int64")
+                m_ts[~hit] = pd.NA
+                m_id[~hit] = pd.NA
+            else:
+                m_ts = pd.array([pd.NA] * len(l_ts), dtype="Int64")
+                m_id = pd.array([pd.NA] * len(l_ts), dtype="Int64")
             yield pd.DataFrame(
                 {
-                    "k": [key[0]] * len(out_lid),
-                    "lid": out_lid,
-                    "ts_us": out_lts,
-                    "asof_ts_us": pd.array(out_mts, dtype="Int64"),
-                    "asof_rid": pd.array(out_mrid, dtype="Int64"),
+                    "k": [key[0]] * len(l_ts),
+                    "lid": l_id,
+                    "ts_us": l_ts,
+                    "asof_ts_us": m_ts,
+                    "asof_rid": m_id,
                 }
             )
 
