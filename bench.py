@@ -73,6 +73,18 @@ def main() -> None:
 
     qs = dict(entrymod.queries())
     qs["__control__"] = bench_control
+    # queries that run DRIVER-SIDE loops (iterative connected
+    # components, k-means, chained multi-job pipelines) execute many
+    # Spark jobs per timed run, so a single hypervisor pause lands in
+    # every sample's critical path instead of one job's — best-of-3
+    # can't rescue them (r5 branded dedup_clusters_star 1.4x slower on
+    # pure VM noise; re-measured best-of-7 it was FASTER than r4 after
+    # control normalization). These take five base samples.
+    multi_job = {
+        "dedup_clusters", "dedup_clusters_star", "entity_resolution_parts",
+        "sim_topk_ivf_kmeans", "dedup_source_overlap", "pipeline_e2e",
+        "__control__",  # the normalizer itself must be noise-robust
+    }
     # one query at a time, fully isolated: build, untimed warm-up
     # (pays codegen + populates the query's own persisted frames),
     # best-of-3 timed, then drop every cached block before the next
@@ -91,11 +103,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return round(time.time() - t0, 3)
 
-        runs = [timed() for _ in range(3)]
+        runs = [timed() for _ in range(5 if name in multi_job else 3)]
         # the sandbox VM pauses wholesale for tens of seconds at random;
-        # when even the best of three looks stalled, take extra samples
+        # when even the best so far looks stalled, take extra samples
         # so one hypervisor pause can't brand a 2s query as slow
-        while min(runs) > 5.0 and len(runs) < 6:
+        while min(runs) > 5.0 and len(runs) < 8:
             runs.append(timed())
         times[name] = min(runs)
         spark.catalog.clearCache()
