@@ -127,3 +127,80 @@ def test_pipeline_output_lands_in_curated_store(spark, tmp_path):
     got_srcs = {r["source"] for r in store.read().select("source").distinct().collect()}
     want_srcs = {r["source"] for r in out.select("source").distinct().collect()}
     assert got_srcs == want_srcs
+
+
+def test_tokenize_pack_build_runs_zero_jobs(spark):
+    """pipeline_tokenize_pack (curation -> vocab -> encode -> chunk ->
+    pack) must also construct as one lazy DAG: no stage materializes
+    during composition (the survivor-set persist is a lazy hint)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_pipeline_tokenize_pack,
+    )
+    from time_series_storage_spark.sources.testdata import read_table
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("tp_baseline", "bare source read probe")
+    try:
+        read_table(spark, SF_DIR, "documents")
+    finally:
+        sc.setJobGroup(None, None)
+    baseline = len(tracker.getJobIdsForGroup("tp_baseline"))
+
+    sc.setJobGroup("tp_build", "tokenize-pack construction probe")
+    try:
+        df = q_pipeline_tokenize_pack(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = list(tracker.getJobIdsForGroup("tp_build"))
+    # the composition opens the documents source TWICE (the survivor
+    # pipeline's read, and the text re-attach join) — each open costs
+    # one parquet-footer metadata job; anything beyond that means a
+    # stage materialized mid-chain
+    assert len(jobs) <= 2 * baseline, (
+        f"construction ran {len(jobs)} jobs vs {baseline} per bare "
+        f"source read — some stage materialized mid-chain: {jobs}"
+    )
+    assert df.columns == [
+        "source", "shard", "bin_id", "n_chunks", "bin_tokens",
+        "bin_ids_sum",
+    ]
+
+
+def test_tokenize_pack_plan_and_invariants(spark):
+    """One plan end-to-end: the vocab probe is a BroadcastHashJoin (the
+    vocabulary is bounded by construction), the pack window partitions
+    by (source, shard) — never a global Window over the chunk stream —
+    and interior bins carry >= budget tokens."""
+    from time_series_storage_spark.queries_extensions import (
+        CHUNK_PACK_BUDGET,
+        q_pipeline_tokenize_pack,
+    )
+
+    df = q_pipeline_tokenize_pack(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan     # vocab + survivor probes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    rows = df.collect()
+    assert rows, "no bins produced"
+    # per (source, shard): every bin except the last holds >= budget
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r["source"], r["shard"]), []).append(r)
+    from time_series_storage_spark.queries_extensions import CHUNK_W
+
+    for (_, _), bins in by_group.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # cumulative-cut bound: an interior bin's first chunk can start
+        # up to (chunk width - 1) tokens past the boundary, so it holds
+        # at least budget - (CHUNK_W - 1) tokens
+        for b in bins[:-1]:
+            assert b["bin_tokens"] >= CHUNK_PACK_BUDGET - (CHUNK_W - 1), b
+        # token ids are bounded by the vocab size, so a bin's id-sum
+        # can't exceed bin_tokens * VOCAB_SIZE
+        from time_series_storage_spark.queries_extensions import VOCAB_SIZE
+
+        for b in bins:
+            assert 0 <= b["bin_ids_sum"] <= b["bin_tokens"] * VOCAB_SIZE, b

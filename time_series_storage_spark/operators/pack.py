@@ -43,6 +43,7 @@ def pack_assignments(
     tokens_col: str = "n_tokens",
     n_shards: int = 1,
     order_cols: tuple[str, ...] | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document bin assignment.
 
@@ -54,10 +55,13 @@ def pack_assignments(
     ``id_col`` alone, so multi-row units (a doc's chunks) stay in one
     shard and bins never interleave units.
 
+    ``extra_cols`` are payload columns carried through untouched (for
+    callers that aggregate more than token counts per bin).
+
     Output: ``group_cols`` + ``shard`` + ``order_cols`` +
-    ``tokens_col`` + ``start_off`` (cumulative exclusive token offset
-    within the shard, long) + ``bin_id`` (long, 0-based within
-    (group, shard)).
+    ``tokens_col`` + ``extra_cols`` + ``start_off`` (cumulative
+    exclusive token offset within the shard, long) + ``bin_id``
+    (long, 0-based within (group, shard)).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -81,7 +85,7 @@ def pack_assignments(
         F.lit(budget),
     )
     return (
-        docs.select(*group_cols, *carried, tokens_col)
+        docs.select(*group_cols, *carried, tokens_col, *extra_cols)
         .withColumn("shard", shard)
         .withColumn("start_off", start)
         .withColumn("bin_id", bin_id)

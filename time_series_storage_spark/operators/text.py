@@ -417,6 +417,7 @@ def vocab_encode(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every document as its token-id sequence under a built
     vocabulary (OOV -> 0): (id, n_tokens, ids) where ``ids`` is the
@@ -433,14 +434,17 @@ def vocab_encode(
     are omitted (inner explode; the caller's corpus stats already
     count empties).
     """
+    carry = [F.col(c) for c in carry_cols]
     toks = docs.select(
         F.col(id_col),
+        *carry,
         F.posexplode(tokens(text_col)).alias("pos", "term"),
     )
     joined = toks.join(
         F.broadcast(vocab.select("term", "term_id")), "term", "left"
     ).select(
         F.col(id_col),
+        *carry,
         "pos",
         F.coalesce(F.col("term_id"), F.lit(0)).cast("long").alias("_vid"),
     )
@@ -448,7 +452,10 @@ def vocab_encode(
         F.array_sort(F.collect_list(F.struct("pos", "_vid"))),
         lambda s: s["_vid"].cast("string"),
     )
-    return joined.groupBy(id_col).agg(
+    # carry_cols ride in the group key (functionally dependent on the
+    # id, so the grouping is unchanged — just a wider key, no extra
+    # exchange) so downstream stages need no join back for them
+    return joined.groupBy(id_col, *carry_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.concat_ws(" ", seq).alias("ids"),
     )

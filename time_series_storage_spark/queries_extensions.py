@@ -3680,6 +3680,123 @@ FROM r WHERE mix_rank <= (CASE {mix_cases} ELSE {MIX_DEFAULT} END)
 """
 
 
+def q_pipeline_tokenize_pack(spark, sf_dir):
+    """Curated corpus -> packed training sequences, completing
+    ``pipeline_e2e``'s story to the tensor boundary as ONE lazy DAG:
+
+      pipeline_e2e survivor set (quality -> exact dedup -> MinHash
+          removal -> decontamination -> weighted mix)
+      -> build_vocab over the SURVIVORS (the tokenizer artifact is fit
+         on curated data, not the raw corpus)
+      -> vocab_encode each survivor to its token-id sequence (source
+         rides the group key — no join back)
+      -> chunk_windows over the id sequence ({CHUNK_W}-id windows,
+         stride {CHUNK_S})
+      -> token-budget bin packing per (source, shard), ordered by the
+         tie-free composite (doc_id, chunk_id)
+
+    Construction runs zero Spark jobs (pinned); the one re-read
+    boundary — the survivor set with text, consumed by both the vocab
+    count and the encode — carries a lazy persist, same discipline as
+    pipeline_e2e's stage boundaries. Per-bin ``bin_ids_sum`` (the sum
+    of token IDS packed into the bin) makes the vocab assignment
+    itself visible to the hash gate, not just the chunk token counts.
+    """
+    from .operators.pack import pack_assignments
+
+    surv = q_pipeline_e2e(spark, sf_dir).select("doc_id", "source")
+    sd = surv.join(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    ).persist()
+    vocab = T.build_vocab(sd, "text", size=VOCAB_SIZE)
+    enc = T.vocab_encode(
+        sd, vocab, "doc_id", "text", carry_cols=("source",)
+    )
+    chunks = T.chunk_windows(
+        enc, "doc_id", "ids", window=CHUNK_W, stride=CHUNK_S,
+        carry_cols=("source",),
+    )
+    ids_sum = F.aggregate(
+        F.split(F.col("chunk"), " "),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    a = pack_assignments(
+        chunks.select(
+            "source", "doc_id", "chunk_id", "n_tokens",
+            ids_sum.alias("ids_sum"),
+        ),
+        CHUNK_PACK_BUDGET,
+        ("source",),
+        id_col="doc_id",
+        n_shards=CHUNK_PACK_SHARDS,
+        order_cols=("doc_id", "chunk_id"),
+        extra_cols=("ids_sum",),
+    )
+    return a.groupBy("source", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.sum("ids_sum").cast("long").alias("bin_ids_sum"),
+    ).select(
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "n_chunks", "bin_tokens", "bin_ids_sum",
+    )
+
+
+def _pipeline_tokenize_pack_sql() -> str:
+    return f"""
+WITH surv AS ({_pipeline_e2e_sql()}),
+sd AS (SELECT s.doc_id, s.source, d.text
+       FROM surv s JOIN documents d USING (doc_id)),
+tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM sd),
+t AS (SELECT doc_id, source, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM tk),
+counts AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+vocab AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS term_id
+  FROM counts QUALIFY term_id <= {VOCAB_SIZE}
+),
+enc AS (
+  SELECT t.doc_id, t.source,
+         list(COALESCE(v.term_id, 0) ORDER BY t.pos) AS id_toks
+  FROM t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id, t.source
+),
+starts AS (
+  SELECT doc_id, source, id_toks,
+         unnest(generate_series(
+             0, GREATEST((len(id_toks) - 1) // {CHUNK_S}, 0))) AS k
+  FROM enc
+),
+chunks AS (
+  SELECT doc_id, k, source,
+         len(list_slice(id_toks, k * {CHUNK_S} + 1,
+                        k * {CHUNK_S} + {CHUNK_W}))::BIGINT AS n_tokens,
+         list_aggregate(list_slice(id_toks, k * {CHUNK_S} + 1,
+                                   k * {CHUNK_S} + {CHUNK_W}),
+                        'sum')::BIGINT AS ids_sum
+  FROM starts
+),
+off AS (
+  SELECT source, doc_id % {CHUNK_PACK_SHARDS} AS shard, n_tokens, ids_sum,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source, doc_id % {CHUNK_PACK_SHARDS}
+             ORDER BY doc_id, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM chunks
+)
+SELECT source, shard::BIGINT AS shard,
+       (start_off // {CHUNK_PACK_BUDGET})::BIGINT AS bin_id,
+       COUNT(*)::BIGINT AS n_chunks, SUM(n_tokens)::BIGINT AS bin_tokens,
+       SUM(ids_sum)::BIGINT AS bin_ids_sum
+FROM off GROUP BY source, shard, start_off // {CHUNK_PACK_BUDGET}
+"""
+
+
 # -- M4 downsample / truncated EWMA / gap detection over raw events ----------
 
 M4_BUCKET_S = 21_600  # 6-hour rendering buckets
@@ -3871,6 +3988,9 @@ EXT_QUERIES = {
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
+    "pipeline_tokenize_pack": (
+        q_pipeline_tokenize_pack, _pipeline_tokenize_pack_sql(),
+    ),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
