@@ -560,3 +560,72 @@ def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 120
     full = {r[0]: r for r in got}
     assert all(full[i][3] == 1000 for i in range(10) if i in full)
+
+
+def test_streaming_curation_pipeline_composes(spark, tmp_path):
+    """The STATELESS curation stages compose on one readStream as a
+    single plan — quality scoring -> quality floor -> token-n-gram
+    decontamination probe (stream-static broadcast) -> survivor emit —
+    and converge row-for-row to the same stages composed in batch
+    (the pipeline_e2e chain minus its stateful dedup stages, which
+    have their own stateful twins). No shuffle, no state, no
+    watermark: the whole composition is projections over one
+    broadcast probe, so append mode just works."""
+    from time_series_storage_spark.operators import text as T
+    from time_series_storage_spark.operators.dedup import (
+        token_ngram_contamination,
+    )
+    from time_series_storage_spark.queries_extensions import (
+        DECON_TOKEN_N,
+        PIPE_QUALITY_MIN,
+    )
+    from time_series_storage_spark.streaming.scoring import (
+        streaming_token_ngram_contamination,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(150).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    bench = batch.where(batch["doc_id"] < 10)
+
+    def compose(df, decon):
+        scored = T.quality_signals(df, "text").where(
+            F.col("quality_x1000") >= PIPE_QUALITY_MIN
+        )
+        probed = decon(scored)
+        return probed.where(F.col("is_contaminated") == 0).select(
+            "doc_id", "quality_x1000", "n_shingles", "n_hit"
+        )
+
+    want = sorted(
+        tuple(r) for r in compose(
+            batch,
+            lambda d: token_ngram_contamination(
+                d, bench, n=DECON_TOKEN_N, threshold_x1000=500
+            ).join(d.select("doc_id", "quality_x1000"), "doc_id"),
+        ).collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        compose(
+            stream,
+            lambda d: streaming_token_ngram_contamination(
+                d, bench, n=DECON_TOKEN_N, threshold_x1000=500,
+                carry_cols=("quality_x1000",),
+            ),
+        )
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM curation_stream").collect()
+    )
+    assert got == want and len(got) > 0

@@ -239,6 +239,24 @@ def token_ngram_shingles(
     )
 
 
+def token_ngram_hash_set(text_col, n: int = 5) -> Column:
+    """Per-row expression: the document's DISTINCT hashed token
+    n-gram set as ``array<long>`` — the stateless (single-projection)
+    twin of :func:`token_ngram_shingles`, bit-identical hashes (same
+    space-joined slice through the shared portable 60-bit md5). This
+    is what lets the token-level decontamination probe run on a
+    stream with no shuffle, no state, and no watermark."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(c, " "), lambda w: w != "")
+    npos = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda p: md5_long(F.concat_ws(" ", F.slice(toks, p, n))),
+        )
+    )
+
+
 def token_ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

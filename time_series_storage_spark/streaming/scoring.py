@@ -76,6 +76,48 @@ def streaming_ngram_contamination(
     )
 
 
+def streaming_token_ngram_contamination(
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold_x1000: int = 500,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.token_ngram_contamination``
+    — token n-grams as the overlap unit (the conventional eval-leakage
+    granularity), same output contract, one row per arriving document,
+    append mode. ``carry_cols`` pass through untouched so the probe
+    composes mid-pipeline (quality scores ride along to the emit
+    stage) without a stream-stream join."""
+    from ..operators.dedup import token_ngram_hash_set
+
+    bench_set = (
+        benchmark.select(
+            F.explode(token_ngram_hash_set(text_col, n)).alias("hs")
+        )
+        .agg(F.array_sort(F.collect_set("hs")).alias("_bench_set"))
+    )
+    probed = stream_docs.crossJoin(F.broadcast(bench_set)).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        token_ngram_hash_set(text_col, n).alias("_hs_set"),
+        F.col("_bench_set"),
+    )
+    cnt = F.size("_hs_set").cast("long")
+    h = F.size(F.array_intersect("_hs_set", "_bench_set")).cast("long")
+    contam = F.floor((h * 1000) / cnt).cast("long")
+    return probed.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        cnt.alias("n_shingles"),
+        h.alias("n_hit"),
+        contam.alias("contam_x1000"),
+        (contam >= threshold_x1000).cast("long").alias("is_contaminated"),
+    )
+
+
 def streaming_bloom_contamination(
     stream_docs: DataFrame,
     benchmark: DataFrame,
