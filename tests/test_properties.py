@@ -433,7 +433,19 @@ def test_asof_fractional_order_tiebreak(spark):
 
 # -- interval overlap join vs brute-force overlap model ----------------------
 
-@given(lrngs=iv_ranges, rrngs=iv_ranges,
+# millisecond offsets (~1h span): interval bounds land BETWEEN whole
+# seconds, so the first-shared-bin rule and the containment predicate
+# are exercised at sub-second resolution — the binning runs on
+# unix_micros and must not truncate (same generator discipline as the
+# ms-resolution interval_join / asof tests above)
+iv_ranges_ms = st.lists(
+    st.tuples(st.integers(0, 3_600_000), st.integers(0, 3_600_000),
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=15,
+)
+
+
+@given(lrngs=iv_ranges_ms, rrngs=iv_ranges_ms,
        bucket=st.sampled_from([60, 600, 3600]),
        inclusive=st.booleans())
 @_slow
@@ -443,13 +455,14 @@ def test_interval_overlap_join_matches_bruteforce(
     """Every overlapping same-key pair emitted EXACTLY ONCE (the
     first-shared-bin rule replaces the dedup pass), empty intervals
     match nothing, and the exact overlap predicate decides — not the
-    binning."""
+    binning — including fractional-second bounds against whole-second
+    buckets."""
     from time_series_storage_spark.operators.interval import (
         interval_overlap_join,
     )
 
     base = dt.datetime(2024, 1, 1)
-    t = lambda s: base + dt.timedelta(seconds=s)
+    t = lambda ms: base + dt.timedelta(milliseconds=ms)
     mk = lambda rows: spark.createDataFrame(
         [
             (i, k, t(min(s, e)), t(max(s, e)))

@@ -242,3 +242,81 @@ def test_streaming_merge_converges_to_batch(spark, tmp_path):
         "hits", "user", {"company": "c1"}, start, finish
     )
     assert got_h == want_h and len(got_h) > 0
+
+
+def test_duckdb_merge_backend_contract_and_convergence(spark, tmp_path):
+    """The SECOND real backend (DuckDB ACID upsert + same-transaction
+    watermark) behind the unchanged sink: partial-batch crash replay
+    merges only the uncommitted grouping, replays below the watermark
+    are no-ops even with sink markers wiped (the backend's own
+    transactional watermark must hold alone), and the maintained
+    rollup's content equals the batch aggregate exactly."""
+    import os
+
+    from time_series_storage_spark.streaming.duckdb_backend import (
+        DuckDBMergeBackend,
+    )
+    from time_series_storage_spark.streaming.ingest import RollupMergeSink
+
+    store = RollupStore(spark, str(tmp_path / "dstore"))
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("hits", "counter", 15)
+    eng.define_dimension("company", group_only=True)
+    eng.define_dimension("user", grouped_by=[["company"], []], facts=["hits"])
+
+    def events(lo, hi):
+        return stream_events(
+            spark.range(lo, hi).select(
+                (F.lit(T0) + F.make_interval(mins=F.col("id"))).alias("ts"),
+                F.lit(1.0).alias("value"),
+                F.lit("c0").alias("company"),
+                F.concat(
+                    F.lit("u"), (F.col("id") % 3).cast("string")
+                ).alias("user"),
+            ),
+            "hits",
+            dim_cols={"company": "company", "user": "user"},
+        )
+
+    backend = DuckDBMergeBackend(str(tmp_path / "rollups.duckdb"))
+    sink = RollupMergeSink(eng, store, "hits", "user", backend=backend)
+    g1, g2 = sink.groupings
+
+    b0, b1 = events(0, 30), events(30, 60)
+    # batch 0 partial crash: only g1 committed
+    sink._merge_one(sink._batch_rollup(b0, g1), g1, 0)
+    assert backend.last_merged_batch(g1, "hits") == 0
+    assert backend.last_merged_batch(g2, "hits") is None
+    # full replay completes g2 without double-merging g1
+    sink(b0, 0)
+    sink(b1, 1)
+    # replays with the sink's own markers wiped: the backend watermark
+    # alone must make them no-ops
+    for m in ("0", "1"):
+        os.remove(os.path.join(sink.marker_dir, m))
+    sink(b0, 0)
+    sink(b1, 1)
+    assert backend.last_merged_batch(g1, "hits") == 1
+    assert backend.last_merged_batch(g2, "hits") == 1
+
+    # content: the maintained rollup equals the one-shot batch rollup
+    both = b0.unionByName(b1)
+    for g in (g1, g2):
+        want = {
+            tuple(r[c] for c in (*g, "ts")): r["counter"]
+            for r in sink._batch_rollup(both, g).collect()
+        }
+        got_pdf = backend.read_rollup(g, "hits")
+        got = {
+            tuple(row[c] for c in (*g, "ts")): row["counter"]
+            for _, row in got_pdf.iterrows()
+        }
+        # normalize pandas Timestamp -> datetime for key equality
+        got = {
+            tuple(
+                k.to_pydatetime() if hasattr(k, "to_pydatetime") else k
+                for k in key
+            ): v
+            for key, v in got.items()
+        }
+        assert got == want and len(want) > 0, g
