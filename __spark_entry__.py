@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_PRIORITY = [
     # --- new in round 6 ---
     "pipeline_tokenize_pack",
+    "large_orders",
+    "cheapest_supplier",
+    "tfidf_top_terms",
+    "salted_hourly_totals",
     # --- registered in r5 but never driver-gated (after the 50-row cap) ---
     "pipeline_e2e",
     "sketch_distinct_tokens",

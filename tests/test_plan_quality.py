@@ -520,3 +520,63 @@ def test_round5_analytics_plans(spark):
     assert "CartesianProduct" not in rk
     assert "BatchEvalPython" not in rk
     assert rk.count("Window") >= 2  # two-phase k-min + rolling merge
+
+
+def test_large_orders_having_aggregates_before_joins(spark):
+    """Q18-shape: lineitem reaches its HAVING filter through one
+    partial-aggregated exchange (never joins unaggregated), the tiny
+    survivor set broadcasts into the orders attach, and the top-k is
+    TakeOrderedAndProject — no global sort."""
+    from time_series_storage_spark.queries_extensions import q_large_orders
+
+    plan = _plan(q_large_orders(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan        # map-side combine on quantity
+    assert "BroadcastHashJoin" in plan  # survivors broadcast
+
+
+def test_cheapest_supplier_is_two_aggregates_no_window(spark):
+    """Q2-shaped argmin: two partial-aggregated hash aggregates (per
+    (part, supplier), then per part via min_by) — no Window over the
+    fact table, no join back to re-find the winner; the supplier-name
+    attach broadcasts; top-k is TakeOrderedAndProject."""
+    from time_series_storage_spark.queries_extensions import (
+        q_cheapest_supplier,
+    )
+
+    plan = _plan(q_cheapest_supplier(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_window_is_per_doc_not_global(spark):
+    """The per-doc top-k window must partition by doc_id (a global
+    window over the scored stream would serialize at scale), and both
+    tf and df aggregates partial-combine."""
+    from time_series_storage_spark.queries_extensions import (
+        q_tfidf_top_terms,
+    )
+
+    plan = _plan(q_tfidf_top_terms(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window \[.*?windowspecdefinition\(([^,]*),", plan):
+        assert "doc_id" in m.group(1), m.group(0)[:120]
+    assert "Window" in plan
+
+
+def test_salted_agg_is_two_exchanges_both_partial(spark):
+    """The salted query's physical shape: exactly two exchanges — by
+    (keys, salt) then by keys — and BOTH aggregates partial-combine,
+    so the hot key's fan-in per reducer is capped at salt_buckets."""
+    from time_series_storage_spark.queries_extensions import (
+        q_salted_hourly_totals,
+    )
+
+    plan = _plan(q_salted_hourly_totals(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan
+    assert "partial_sum" in plan and "partial_count" in plan

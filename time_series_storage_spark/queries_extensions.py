@@ -3929,6 +3929,274 @@ FROM g WHERE ep - prev_ep > {GAP_THRESHOLD_S}
 """
 
 
+# -- round-6 relational + text-feature additions ------------------------------
+
+Q18_QTY_MIN = 180  # large-order threshold: single order's total quantity
+Q18_TOP = 25
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped "large volume customer" query: orders whose
+    TOTAL lineitem quantity exceeds {Q18_QTY_MIN}, joined back to
+    customer, top-{Q18_TOP} by (total price desc, orderkey). Scale
+    shape: the HAVING subquery is one partial-aggregated exchange on
+    orderkey (lineitem never joins unaggregated); the survivor set is
+    tiny, so the orders/customer attach joins broadcast the survivors;
+    the final top-k plans TakeOrderedAndProject, never a global
+    sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_MIN)
+    )
+    out = (
+        od.join(F.broadcast(big), od["o_orderkey"] == big["l_orderkey"])
+        .join(
+            cu.select("c_custkey", "c_name"),
+            od["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_name"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+            F.col("total_qty"),
+        )
+    )
+    return out.orderBy(
+        F.col("total_cents").desc(), F.col("o_orderkey")
+    ).limit(Q18_TOP)
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity)::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {Q18_QTY_MIN}
+)
+SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o_orderkey LIMIT {Q18_TOP}
+"""
+
+
+def q_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped argmin join (this corpus ships no partsupp, so
+    the supply cost is derived): for every part, the supplier with the
+    LOWEST exact average effective line price over its shipments —
+    avg = floor_div(sum of cents, n_lines), ties to the smaller
+    suppkey. Scale shape: one partial-aggregated exchange on
+    (partkey, suppkey), then the per-part argmin is min_by over a
+    second partial-aggregated exchange on partkey — no window over the
+    fact table, no join back; the supplier-name attach broadcasts the
+    dimension. Returns the {CHEAP_TOP} costliest parts' cheapest
+    offers so the output is bounded and ordered (TakeOrderedAndProject).
+    """
+    from .operators.analytics import floor_div
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_ps = (
+        li.select("l_partkey", "l_suppkey", cents.alias("cents"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            floor_div(F.col("sum_cents"), F.col("n_lines")).alias(
+                "avg_cents"
+            ),
+        )
+    )
+    # argmin by (avg_cents, suppkey): min_by needs ONE orderable key in
+    # any engine — the composite avg_cents * 2^31 + suppkey is exact
+    # while avg_cents < 2^32 cents (~$43M a line-price average cannot
+    # reach) and suppkey < 2^31
+    comp = F.col("avg_cents") * F.lit(2_147_483_648) + F.col("l_suppkey")
+    best = per_ps.groupBy("l_partkey").agg(
+        F.min("avg_cents").alias("min_avg_cents"),
+        F.min_by(F.col("l_suppkey"), comp).alias("best_suppkey"),
+    )
+    out = best.join(
+        F.broadcast(su.select("s_suppkey", "s_name")),
+        best["best_suppkey"] == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        F.col("best_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("min_avg_cents").alias("avg_cents"),
+    )
+    return out.orderBy(
+        F.col("avg_cents").desc(), F.col("p_partkey")
+    ).limit(CHEAP_TOP)
+
+
+CHEAP_TOP = 100
+
+SQL_CHEAPEST_SUPPLIER = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS sum_cents,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+avgd AS (
+  SELECT l_partkey, l_suppkey,
+         (sum_cents - ((sum_cents % n_lines) + n_lines) % n_lines)
+           // n_lines AS avg_cents
+  FROM per_ps
+),
+best AS (
+  SELECT l_partkey, MIN(avg_cents) AS min_avg_cents,
+         arg_min(l_suppkey, avg_cents * 2147483648 + l_suppkey)
+           AS best_suppkey
+  FROM avgd GROUP BY l_partkey
+)
+SELECT b.l_partkey::BIGINT AS p_partkey,
+       b.best_suppkey::BIGINT AS s_suppkey,
+       s.s_name,
+       b.min_avg_cents::BIGINT AS avg_cents
+FROM best b JOIN supplier s ON s.s_suppkey = b.best_suppkey
+ORDER BY avg_cents DESC, p_partkey LIMIT {CHEAP_TOP}
+"""
+
+
+TFIDF_TOP = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{TFIDF_TOP} terms by EXACT integer tf-idf
+    surrogate: score = tf * 1_000_000 // df (term frequency up, corpus
+    document frequency down — the standard relevance feature without
+    floating logs, so the hash gate pins it bit-for-bit). Scale shape:
+    tf is one partial-aggregated exchange on (doc, term); df is an
+    aggregate over the DISTINCT (doc, term) pairs tf already produced
+    (no second corpus scan); the join back is a shuffle hash join on
+    term; the per-doc top-k window partitions by doc_id — never
+    global."""
+    from pyspark.sql import Window
+
+    from .operators.analytics import floor_div
+    from .operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df",
+        floor_div(F.col("tf") * 1_000_000, F.col("df")).alias(
+            "score_x1m"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1m").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rank", "term", "tf", "df", "score_x1m",
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (tf.tf * 1000000) // df.df AS score_x1m
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_x1m DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term, tf, df,
+       score_x1m::BIGINT AS score_x1m
+FROM ranked WHERE rank <= {TFIDF_TOP}
+"""
+
+
+def q_salted_hourly_totals(spark, sf_dir):
+    """The salted two-stage aggregation (operators/parallel.py:
+    salted_agg) as a GATED query, not just a pytest pin: hourly event
+    totals per type where one type could be a pathological hot key —
+    stage 1 spreads each key over partition-derived salt buckets,
+    stage 2 recombines the algebraic partials; the result is
+    bit-identical to the direct GROUP BY (which is exactly what the
+    DuckDB oracle runs). Values quantized to exact cents so sum order
+    cannot matter."""
+    from .operators.parallel import salted_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = salted_agg(
+        ev,
+        ["event_type", "hour"],
+        {
+            "n_events": ("cents", "count"),
+            "sum_cents": ("cents", "sum"),
+            "max_cents": ("cents", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+SQL_SALTED_HOURLY_TOTALS = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       MAX(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -3990,6 +4258,12 @@ EXT_QUERIES = {
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
     "pipeline_tokenize_pack": (
         q_pipeline_tokenize_pack, _pipeline_tokenize_pack_sql(),
+    ),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "salted_hourly_totals": (
+        q_salted_hourly_totals, SQL_SALTED_HOURLY_TOTALS,
     ),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
