@@ -33,6 +33,7 @@ _GATE_PRIORITY = [
     "cheapest_supplier",
     "tfidf_top_terms",
     "salted_hourly_totals",
+    "contamination_report",
     # --- registered in r5 but never driver-gated (after the 50-row cap) ---
     "pipeline_e2e",
     "sketch_distinct_tokens",

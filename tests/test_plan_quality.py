@@ -580,3 +580,19 @@ def test_salted_agg_is_two_exchanges_both_partial(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "_salt" in plan
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_contamination_report_probe_broadcasts_all_suites(spark):
+    """The multi-suite probe must stay ONE broadcast join over the
+    corpus units — adding suites adds broadcast bytes, never a second
+    corpus-side pass or shuffle join on the unit stream."""
+    from time_series_storage_spark.queries_extensions import (
+        q_contamination_report,
+    )
+
+    plan = _plan(q_contamination_report(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # per-doc rollup map-side combines
+    # exactly one scan feeds the corpus-unit explode per plan subtree
+    # reuse; the suite sets derive from the SAME persisted units
+    assert plan.count("InMemoryTableScan") >= 3

@@ -4197,6 +4197,106 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+SUITE_MOD = 50  # deterministic eval-suite membership: doc_id % MOD == k
+
+
+def q_contamination_report(spark, sf_dir):
+    """Multi-suite decontamination REPORT — the production shape of the
+    decontaminate_* family: a corpus is screened against SEVERAL eval
+    suites at once (MMLU-like, GSM-like, code-like — here three
+    deterministic doc_id-slices), one pass, per-document hit counts per
+    suite plus the worst suite. Scale shape: the corpus's distinct
+    token-5-gram units are built ONCE (one pinned-parallelism explode),
+    every suite's unit set rides ONE broadcast (eval suites are
+    fixed-size by nature), the probe is a single broadcast left join
+    with a suite tag, and the per-doc rollup is one partial-aggregated
+    exchange — adding a suite adds broadcast bytes, never a pass."""
+    from .operators.dedup import token_ngram_shingles
+
+    docs = _docs(spark, sf_dir)
+    # shingle ONCE: suite membership is a doc_id predicate, so every
+    # suite's unit set is a filter over the corpus units — no re-scan,
+    # no re-hash; the units frame is re-read 4x (corpus probe + three
+    # suite builds), so it carries the standard lazy stage persist
+    units = token_ngram_shingles(
+        docs, "doc_id", "text", n=DECON_TOKEN_N
+    ).persist()
+    suites = {
+        "eval_a": 0, "eval_b": 1, "eval_c": 2,
+    }
+    suite_units = None
+    for name, k in sorted(suites.items()):
+        su = (
+            units.where(F.col("doc_id") % SUITE_MOD == k)
+            .select(F.lit(name).alias("suite"), "hs")
+            .distinct()
+        )
+        suite_units = su if suite_units is None else suite_units.unionByName(su)
+    probed = units.join(F.broadcast(suite_units), "hs", "left")
+    hit = lambda s: F.sum(
+        F.when(F.col("suite") == s, 1).otherwise(0)
+    ).cast("long")
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count_distinct("hs").cast("long").alias("n_grams"),
+        *[hit(s).alias(f"hits_{s}") for s in sorted(suites)],
+    )
+    worst = F.greatest(*[F.col(f"hits_{s}") for s in sorted(suites)])
+    worst_name = F.coalesce(
+        *[
+            F.when(F.col(f"hits_{s}") == worst, F.lit(s))
+            for s in sorted(suites)  # ties -> alphabetical, both engines
+        ]
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        *[f"hits_{s}" for s in sorted(suites)],
+        F.when(worst > 0, worst_name).otherwise(F.lit("clean")).alias(
+            "worst_suite"
+        ),
+    )
+
+
+SQL_CONTAMINATION_REPORT = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+units AS (
+  SELECT DISTINCT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(array_to_string(
+             list_slice(toks, pos, pos + {DECON_TOKEN_N - 1}), ' ')),
+             1, 15)) AS BIGINT) AS hs
+  FROM tk, unnest(generate_series(
+      1, greatest(len(toks) - {DECON_TOKEN_N - 1}, 1))) t(pos)
+),
+suite_units AS (
+  SELECT DISTINCT 'eval_a' AS suite, hs FROM units
+  WHERE doc_id % {SUITE_MOD} = 0
+  UNION
+  SELECT DISTINCT 'eval_b', hs FROM units WHERE doc_id % {SUITE_MOD} = 1
+  UNION
+  SELECT DISTINCT 'eval_c', hs FROM units WHERE doc_id % {SUITE_MOD} = 2
+),
+probed AS (
+  SELECT u.doc_id, u.hs, s.suite
+  FROM units u LEFT JOIN suite_units s USING (hs)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(DISTINCT hs)::BIGINT AS n_grams,
+         SUM(CASE WHEN suite = 'eval_a' THEN 1 ELSE 0 END)::BIGINT AS hits_eval_a,
+         SUM(CASE WHEN suite = 'eval_b' THEN 1 ELSE 0 END)::BIGINT AS hits_eval_b,
+         SUM(CASE WHEN suite = 'eval_c' THEN 1 ELSE 0 END)::BIGINT AS hits_eval_c
+  FROM probed GROUP BY doc_id
+)
+SELECT doc_id, n_grams, hits_eval_a, hits_eval_b, hits_eval_c,
+       CASE WHEN greatest(hits_eval_a, hits_eval_b, hits_eval_c) = 0
+            THEN 'clean'
+            WHEN hits_eval_a >= hits_eval_b AND hits_eval_a >= hits_eval_c
+            THEN 'eval_a'
+            WHEN hits_eval_b >= hits_eval_c THEN 'eval_b'
+            ELSE 'eval_c' END AS worst_suite
+FROM per_doc
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -4264,6 +4364,9 @@ EXT_QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
         q_salted_hourly_totals, SQL_SALTED_HOURLY_TOTALS,
+    ),
+    "contamination_report": (
+        q_contamination_report, SQL_CONTAMINATION_REPORT,
     ),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
