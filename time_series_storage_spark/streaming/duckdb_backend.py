@@ -140,7 +140,10 @@ class DuckDBMergeBackend(RollupMergeBackend):
                 con.execute("ROLLBACK")
                 raise
             finally:
-                con.unregister("_delta_pdf")
+                try:
+                    con.unregister("_delta_pdf")
+                except Exception:
+                    pass  # never mask the merge's own outcome
 
     def read_rollup(self, grouping: list[str], fact_id: str):
         """Read back the maintained rollup as a pandas DataFrame (the
