@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "tfidf_top_terms",
     "salted_hourly_totals",
     "contamination_report",
+    "quality_percentile",
     # --- registered in r5 but never driver-gated (after the 50-row cap) ---
     "pipeline_e2e",
     "sketch_distinct_tokens",

@@ -4297,6 +4297,85 @@ FROM per_doc
 """
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Per-source quality percentile normalization — the curation step
+    before mixing heterogeneous sources (a web-crawl '0.6' and a
+    curated-book '0.6' are different animals; mix on within-source
+    percentile instead). EXACT percent_rank without any per-source
+    sort: quality_x1000 lives in a BOUNDED domain (0..1000), so the
+    rank of a document is derivable from the per-(source, value)
+    histogram — one partial-aggregated exchange over at most
+    1001 x sources rows, a per-source running sum over that tiny
+    frame, and a broadcast join back. pct_x1m = (#strictly-lower docs
+    in source) * 1e6 // (n_source - 1), ties sharing one value —
+    percent_rank semantics, integer-exact in any engine. At 100 TB a
+    window-per-source sort would serialize each source through one
+    task; the histogram form never sorts the corpus at all."""
+    from pyspark.sql import Window
+
+    from .operators.analytics import floor_div
+
+    scored = T.quality_signals(_docs(spark, sf_dir), "text").select(
+        "doc_id", "source", "quality_x1000"
+    )
+    hist = scored.groupBy("source", "quality_x1000").agg(
+        F.count(F.lit(1)).cast("long").alias("n_q")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("quality_x1000")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranks = hist.select(
+        "source",
+        "quality_x1000",
+        F.coalesce(F.sum("n_q").over(w), F.lit(0)).alias("n_lower"),
+        F.sum("n_q").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_src"),
+    )
+    pct = F.when(F.col("n_src") > 1, floor_div(
+        F.col("n_lower") * 1_000_000, F.col("n_src") - 1
+    )).otherwise(F.lit(0))
+    return scored.join(
+        F.broadcast(ranks), ["source", "quality_x1000"]
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "quality_x1000",
+        pct.cast("long").alias("pct_x1m"),
+    )
+
+
+SQL_QUALITY_PERCENTILE = f"""
+WITH {_QUALITY_CTES},
+qs AS (
+  SELECT d.doc_id, d.source, q.quality_x1000
+  FROM documents d JOIN quality q USING (doc_id)
+),
+hist AS (
+  SELECT source, quality_x1000, COUNT(*)::BIGINT AS n_q
+  FROM qs GROUP BY source, quality_x1000
+),
+ranks AS (
+  SELECT source, quality_x1000,
+         COALESCE(SUM(n_q) OVER (PARTITION BY source
+                                 ORDER BY quality_x1000
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n_lower,
+         SUM(n_q) OVER (PARTITION BY source) AS n_src
+  FROM hist
+)
+SELECT s.doc_id::BIGINT AS doc_id, s.source, s.quality_x1000,
+       (CASE WHEN r.n_src > 1
+             THEN (r.n_lower * 1000000) // (r.n_src - 1)
+             ELSE 0 END)::BIGINT AS pct_x1m
+FROM qs s JOIN ranks r USING (source, quality_x1000)
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -4368,6 +4447,7 @@ EXT_QUERIES = {
     "contamination_report": (
         q_contamination_report, SQL_CONTAMINATION_REPORT,
     ),
+    "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
