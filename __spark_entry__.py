@@ -79,11 +79,12 @@ _GATE_PRIORITY = [
     "customers_without_urgent_orders",
     "local_supplier_volume",
     "mm_media_meta",
+    # mm_frame_sample / mm_feature_stub land past the 50-row gate cap
+    # with round 6's seven new queries ahead of them — the TWO
+    # r5-unchecked rows deferred to the r7 window (chosen deliberately:
+    # both are thin multimodal projections, the lowest-risk rows in the
+    # registry, and stay pytest- and check_oracle-gated meanwhile)
     "mm_frame_sample",
-    # mm_feature_stub is no. 51 with round 6's six new queries ahead of
-    # it — the ONE r5-unchecked row deferred to the r7 window (chosen
-    # deliberately: it is a stub projection, the lowest-risk row in the
-    # registry, and stays pytest- and check_oracle-gated meanwhile)
     "mm_feature_stub",
     # --- r5-gated representatives: keep a few core rows in-window so the
     # engine pipeline itself stays externally gated every round ---
