@@ -629,3 +629,60 @@ def test_streaming_curation_pipeline_composes(spark, tmp_path):
         for r in spark.sql("SELECT * FROM curation_stream").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_contamination_report_matches_batch(spark, tmp_path):
+    """The multi-suite streaming report (one broadcast row holding
+    every suite's gram set, per-row intersections) must match the
+    batch contamination_report row-for-row on the same corpus and
+    the same doc_id-slice suites."""
+    from time_series_storage_spark.queries_extensions import (
+        DECON_TOKEN_N,
+        SUITE_MOD,
+        q_contamination_report,
+    )
+    from time_series_storage_spark.streaming.scoring import (
+        streaming_contamination_report,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(200).coalesce(1).write.parquet(src)
+    batch = spark.read.parquet(src)
+    cols = ["doc_id", "n_grams", "hits_eval_a", "hits_eval_b",
+            "hits_eval_c", "worst_suite"]
+    # the batch query reads the FULL sf dir — rebuild its frame over
+    # the same limited corpus by pointing it at a dir holding only it
+    import os
+    import shutil
+
+    sf_like = str(tmp_path / "sf")
+    os.makedirs(sf_like)
+    shutil.copytree(src, os.path.join(sf_like, "documents.parquet"))
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in q_contamination_report(spark, sf_like).collect()
+    )
+    suites = {
+        f"eval_{t}": batch.where(batch["doc_id"] % SUITE_MOD == k)
+        for t, k in (("a", 0), ("b", 1), ("c", 2))
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_contamination_report(
+            stream, suites, n=DECON_TOKEN_N
+        )
+        .writeStream.format("memory")
+        .queryName("screport")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM screport").collect()
+    )
+    assert got == want and len(got) == 200

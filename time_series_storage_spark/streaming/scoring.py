@@ -118,6 +118,61 @@ def streaming_token_ngram_contamination(
     )
 
 
+def streaming_contamination_report(
+    stream_docs: DataFrame,
+    suites: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Streaming twin of the multi-suite ``contamination_report``
+    query: screen arriving documents against SEVERAL fixed eval suites
+    at once. ``suites`` maps suite name -> STATIC benchmark DataFrame;
+    each suite's distinct token-n-gram hash set becomes one array
+    column of a single broadcast row (eval suites are fixed-size, so
+    the broadcast stays constant as the stream grows), and every
+    arriving document pays one per-row set intersection per suite —
+    no shuffle, no state, no watermark, append mode. Output contract
+    matches the batch query: (id, n_grams, hits_<suite>...,
+    worst_suite), ties alphabetical, 'clean' when nothing hits."""
+    from ..operators.dedup import token_ngram_hash_set
+
+    names = sorted(suites)
+    if not names:
+        raise ValueError("suites must not be empty")
+    sets = None
+    for name in names:
+        one = (
+            suites[name]
+            .select(F.explode(token_ngram_hash_set(text_col, n)).alias("hs"))
+            .agg(F.array_sort(F.collect_set("hs")).alias(f"_set_{name}"))
+        )
+        sets = one if sets is None else sets.crossJoin(one)
+    probed = stream_docs.crossJoin(F.broadcast(sets)).select(
+        F.col(id_col),
+        token_ngram_hash_set(text_col, n).alias("_hs"),
+        *[F.col(f"_set_{s}") for s in names],
+    )
+    hits = {
+        s: F.size(F.array_intersect("_hs", f"_set_{s}")).cast("long")
+        for s in names
+    }
+    worst = F.greatest(*hits.values()) if len(hits) > 1 else next(
+        iter(hits.values())
+    )
+    worst_name = F.coalesce(
+        *[F.when(hits[s] == worst, F.lit(s)) for s in names]
+    )
+    return probed.select(
+        F.col(id_col),
+        F.size("_hs").cast("long").alias("n_grams"),
+        *[hits[s].alias(f"hits_{s}") for s in names],
+        F.when(worst > 0, worst_name).otherwise(F.lit("clean")).alias(
+            "worst_suite"
+        ),
+    )
+
+
 def streaming_bloom_contamination(
     stream_docs: DataFrame,
     benchmark: DataFrame,
