@@ -4376,6 +4376,127 @@ FROM qs s JOIN ranks r USING (source, quality_x1000)
 """
 
 
+AUTOCORR_LAG_H = 24  # daily-seasonality check: lag in hours
+
+
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-{AUTOCORR_LAG_H}h autocorrelation per event type — "is this
+    series daily-seasonal" as EXACT integer Pearson components between
+    the hourly count series and itself shifted one day (same (num,
+    sxx, syy) contract as series_correlation; r = num/sqrt(sxx*syy) is
+    the caller's one float). Scale shape: one partial-aggregated
+    exchange to hourly counts, ONE lag window per type over the
+    bucket-level series (<= hours-in-range rows per type, never raw
+    volume), one tiny closed-form aggregate. Missing buckets drop the
+    pair rather than fabricating zeros — the standard pairwise-
+    complete convention, identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = ev.groupBy(
+        F.col("event_type"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "h", "x", F.lag("x", AUTOCORR_LAG_H).over(w).alias("y"),
+        F.lag("h", AUTOCORR_LAG_H).over(w).alias("_hl"),
+    ).where(
+        # a row-lag only pairs true t-24h buckets when the series is
+        # dense there; enforce the TIME condition explicitly so sparse
+        # stretches drop the pair in both engines
+        F.col("_hl") == F.col("h") - AUTOCORR_LAG_H
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_sy2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        (F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long").alias("corr_num"),
+        (F.col("n_pairs") * F.col("_sx2") - F.col("_sx") * F.col("_sx"))
+        .cast("long").alias("sxx"),
+        (F.col("n_pairs") * F.col("_sy2") - F.col("_sy") * F.col("_sy"))
+        .cast("long").alias("syy"),
+    )
+
+
+SQL_TS_AUTOCORR = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         COUNT(*)::BIGINT AS x
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+),
+lagged AS (
+  SELECT event_type, h, x,
+         lag(x, {AUTOCORR_LAG_H}) OVER w AS y,
+         lag(h, {AUTOCORR_LAG_H}) OVER w AS hl
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS corr_num,
+       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS sxx,
+       (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))::BIGINT AS syy
+FROM lagged WHERE hl = h - {AUTOCORR_LAG_H}
+GROUP BY event_type
+"""
+
+
+PROMO_FROM, PROMO_TO = "1995-09-01", "1995-10-01"
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped promotion-effect query: the share of one
+    month's revenue from PROMO-typed parts, as the EXACT (promo_cents,
+    total_cents) integer pair (the caller's percentage is one float).
+    Scale shape: the date filter prunes lineitem at the scan, the part
+    dimension broadcasts, the LIKE test is a post-join codegen
+    predicate, and the single aggregate partial-combines — one
+    exchange carrying one row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(PROMO_FROM))
+            & (F.col("l_shipdate") < F.lit(PROMO_TO))
+        )
+        .select("l_partkey", cents.alias("cents"))
+        .join(
+            F.broadcast(pt.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), F.col("cents"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.coalesce(F.sum(promo), F.lit(0)).cast("long").alias("promo_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+SELECT COUNT(*)::BIGINT AS n_lines,
+       COALESCE(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) END), 0)::BIGINT AS promo_cents,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT))::BIGINT AS total_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= DATE '{PROMO_FROM}'
+  AND l.l_shipdate < DATE '{PROMO_TO}'
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -4448,6 +4569,10 @@ EXT_QUERIES = {
         q_contamination_report, SQL_CONTAMINATION_REPORT,
     ),
     "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
+    "ts_autocorr_24h": (q_ts_autocorr, SQL_TS_AUTOCORR),
+    "promo_revenue_share": (
+        q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE,
+    ),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
