@@ -596,3 +596,43 @@ def test_contamination_report_probe_broadcasts_all_suites(spark):
     # exactly one scan feeds the corpus-unit explode per plan subtree
     # reuse; the suite sets derive from the SAME persisted units
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_quality_percentile_never_sorts_the_corpus(spark):
+    """percent_rank from the bounded value histogram: the corpus-wide
+    frames only hash-aggregate (partial-combined); the one sort in the
+    plan runs over the <= 1001 x sources histogram rows, and the rank
+    attach joins back via broadcast."""
+    from time_series_storage_spark.queries_extensions import (
+        q_quality_percentile,
+    )
+
+    plan = _plan(q_quality_percentile(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_ts_autocorr_window_is_bucket_level_per_type(spark):
+    """The lag window must run over the hourly-bucket series (one
+    partition per event type, <= hours-in-range rows), never the raw
+    event stream: the aggregate to buckets partial-combines BEFORE the
+    window's exchange."""
+    from time_series_storage_spark.queries_extensions import q_ts_autocorr
+
+    plan = _plan(q_ts_autocorr(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+        assert "event_type" in m.group(1), m.group(0)[:120]
+
+
+def test_promo_share_pushes_dates_and_broadcasts_part(spark):
+    from time_series_storage_spark.queries_extensions import (
+        q_promo_revenue_share,
+    )
+
+    plan = _plan(q_promo_revenue_share(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
+    assert "partial_count" in plan
