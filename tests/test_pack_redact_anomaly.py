@@ -182,3 +182,38 @@ def test_anomaly_lookback_bounds_frame(spark):
     # the early 1000s fell out of the 10-row frame long ago
     assert last.base_n == 10 and last.base_sum == 105
     assert last.is_anomaly == 0
+
+
+def test_pack_composite_order_no_ties_past_1024_chunks(spark):
+    """The r5 ADVICE scenario: a document with MORE than 1024 chunks.
+    The old composite scalar id (doc_id * 1024 + chunk_id) collided
+    there, making start_off/bin_id tie-nondeterministic; the composite
+    (doc_id, chunk_id) order must yield strictly increasing offsets
+    and a bit-deterministic layout at any chunk count."""
+    from pyspark.sql import functions as F
+
+    from time_series_storage_spark.operators.pack import pack_assignments
+
+    n_chunks = 2100  # > 2 x 1024: the old scalar id would collide
+    chunks = spark.range(n_chunks).select(
+        F.lit("s").alias("source"),
+        F.lit(7).alias("doc_id"),
+        F.col("id").alias("chunk_id"),
+        F.lit(3).alias("n_tokens"),
+    )
+    a = pack_assignments(
+        chunks, 100, ("source",), id_col="doc_id",
+        n_shards=4, order_cols=("doc_id", "chunk_id"),
+    ).orderBy("chunk_id").collect()
+    assert len(a) == n_chunks
+    # one doc -> one shard (sharding hashes doc_id, not chunk position)
+    assert len({r["shard"] for r in a}) == 1
+    # offsets strictly increase along chunk order: no ties, no races
+    offs = [r["start_off"] for r in a]
+    assert offs == [i * 3 for i in range(n_chunks)]
+    # re-run is bit-identical (deterministic layout)
+    b = pack_assignments(
+        chunks, 100, ("source",), id_col="doc_id",
+        n_shards=4, order_cols=("doc_id", "chunk_id"),
+    ).orderBy("chunk_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
