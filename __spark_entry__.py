@@ -37,6 +37,7 @@ _GATE_PRIORITY = [
     "quality_percentile",
     "ts_autocorr_24h",
     "promo_revenue_share",
+    "similar_users_topk",
     # --- registered in r5 but never driver-gated (after the 50-row cap) ---
     "pipeline_e2e",
     "sketch_distinct_tokens",
@@ -56,7 +57,6 @@ _GATE_PRIORITY = [
     "text_len_hist_quantiles",
     "text_repetition",
     "text_dup_ngrams",
-    "events_pii_scrub",
     "events_debounce",
     "retention_cohorts",
     "ts_anomaly_zscore",
@@ -79,12 +79,14 @@ _GATE_PRIORITY = [
     "top_open_orders",
     "customers_without_urgent_orders",
     "local_supplier_volume",
-    # the four rows below land past the 50-row gate cap with round 6's
-    # nine new queries ahead of them — the r5-unchecked rows deferred
-    # to the r7 window, chosen deliberately: all four are thin
-    # projections (JSON kv extraction, multimodal metadata/frame/
-    # feature stubs), the lowest-risk rows in the registry, and they
-    # stay pytest- and check_oracle-gated meanwhile
+    # the five rows below land past the 50-row gate cap with round 6's
+    # ten new queries ahead of them — the r5-unchecked rows deferred
+    # to the r7 window, chosen deliberately: all five are thin
+    # projections (PII scrub and JSON kv extraction are plan-pinned
+    # pure projections; the multimodal metadata/frame/feature stubs),
+    # the lowest-risk rows in the registry, and they stay pytest- and
+    # check_oracle-gated meanwhile
+    "events_pii_scrub",
     "events_json_kv",
     "mm_media_meta",
     "mm_frame_sample",

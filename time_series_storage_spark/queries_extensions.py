@@ -4315,9 +4315,13 @@ def q_quality_percentile(spark, sf_dir):
 
     from .operators.analytics import floor_div
 
+    # scored is consumed twice (histogram build + rank attach) — the
+    # lazy stage persist keeps the regex-heavy quality projection from
+    # running once per consumer (measured 5.2x vs 2.9x growth on the
+    # 10x heavy-tail probe)
     scored = T.quality_signals(_docs(spark, sf_dir), "text").select(
         "doc_id", "source", "quality_x1000"
-    )
+    ).persist()
     hist = scored.groupBy("source", "quality_x1000").agg(
         F.count(F.lit(1)).cast("long").alias("n_q")
     )
@@ -4497,6 +4501,84 @@ WHERE l.l_shipdate >= DATE '{PROMO_FROM}'
 """
 
 
+SIMSERIES_TARGET_USER = 1
+SIMSERIES_TOP = 20
+
+
+def q_similar_users_topk(spark, sf_dir):
+    """Time-series similarity search (the EDBT'19 streaming-similarity
+    problem, batch form): the {SIMSERIES_TOP} users whose DAILY
+    activity series is closest to user {SIMSERIES_TARGET_USER}'s in
+    exact squared euclidean distance. The algebraic trick that keeps
+    it one pass: with T2 = sum of the target's squared daily counts,
+    d2(u) = sum over u's days of ((x - t)^2 - t^2) + T2 — days where
+    only the TARGET was active are folded into the T2 constant, so no
+    per-user day-grid densification, no self-join of the user
+    dimension. Scale shape: one partial-aggregated exchange to (user,
+    day) counts, the target's series rides ONE broadcast (a series is
+    bounded by the date range, not the corpus), one more partial agg
+    per user, TakeOrderedAndProject for the top-k."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86_400).cast("long")
+    per_day = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), day.alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    target = per_day.where(
+        F.col("user_id") == SIMSERIES_TARGET_USER
+    ).select("d", F.col("x").alias("t"))
+    t2 = target.agg(
+        F.coalesce(F.sum(F.col("t") * F.col("t")), F.lit(0))
+        .cast("long")
+        .alias("t2")
+    )
+    joined = (
+        per_day.where(F.col("user_id") != SIMSERIES_TARGET_USER)
+        .join(F.broadcast(target), "d", "left")
+        .select(
+            "user_id",
+            (
+                (F.col("x") - F.coalesce(F.col("t"), F.lit(0)))
+                * (F.col("x") - F.coalesce(F.col("t"), F.lit(0)))
+                - F.coalesce(F.col("t") * F.col("t"), F.lit(0))
+            ).alias("part"),
+        )
+    )
+    d2 = joined.groupBy("user_id").agg(
+        F.sum("part").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).crossJoin(F.broadcast(t2)).select(
+        "user_id",
+        "n_days",
+        (F.col("_s") + F.col("t2")).cast("long").alias("dist2"),
+    )
+    return d2.orderBy(F.col("dist2"), F.col("user_id")).limit(
+        SIMSERIES_TOP
+    )
+
+
+SQL_SIMILAR_USERS_TOPK = f"""
+WITH per_day AS (
+  SELECT user_id::BIGINT AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         COUNT(*)::BIGINT AS x
+  FROM events GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+),
+target AS (
+  SELECT d, x AS t FROM per_day WHERE user_id = {SIMSERIES_TARGET_USER}
+),
+t2 AS (SELECT COALESCE(SUM(t * t), 0)::BIGINT AS t2 FROM target)
+SELECT p.user_id, COUNT(*)::BIGINT AS n_days,
+       (SUM((p.x - COALESCE(g.t, 0)) * (p.x - COALESCE(g.t, 0))
+            - COALESCE(g.t * g.t, 0)) + ANY_VALUE(t2.t2))::BIGINT AS dist2
+FROM per_day p
+LEFT JOIN target g USING (d)
+CROSS JOIN t2
+WHERE p.user_id <> {SIMSERIES_TARGET_USER}
+GROUP BY p.user_id
+ORDER BY dist2, user_id LIMIT {SIMSERIES_TOP}
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -4573,6 +4655,7 @@ EXT_QUERIES = {
     "promo_revenue_share": (
         q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE,
     ),
+    "similar_users_topk": (q_similar_users_topk, SQL_SIMILAR_USERS_TOPK),
     "events_debounce": (q_events_debounce, SQL_EVENTS_DEBOUNCE),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ts_anomaly_zscore": (q_ts_anomaly, SQL_TS_ANOMALY),
