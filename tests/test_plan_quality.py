@@ -636,3 +636,20 @@ def test_promo_share_pushes_dates_and_broadcasts_part(spark):
     assert "BroadcastHashJoin" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
     assert "partial_count" in plan
+
+
+def test_similar_users_is_two_aggs_broadcast_target_topk(spark):
+    """Series-similarity search: the target series and the T2 constant
+    ride broadcasts, both aggregates partial-combine, and the top-k is
+    TakeOrderedAndProject — no global sort, no day-grid densification,
+    no user self-join (a join of per_day with itself on day would
+    explode)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_similar_users_topk,
+    )
+
+    plan = _plan(q_similar_users_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
