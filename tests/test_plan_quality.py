@@ -653,3 +653,53 @@ def test_similar_users_is_two_aggs_broadcast_target_topk(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_order_priority_returns_semi_join_pruned_probe(spark):
+    """Q4 shape: the existence test is a LEFT SEMI join (never
+    duplicates orders rows, no distinct after), the returnflag filter
+    is pushed into the probe side's parquet scan, and the 5-row
+    priority aggregate partial-combines."""
+    from time_series_storage_spark.queries_extensions import (
+        q_order_priority_returns,
+    )
+
+    plan = _plan(q_order_priority_returns(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+    assert "partial_count" in plan
+
+
+def test_supplier_return_blame_one_fact_agg_two_broadcasts(spark):
+    """Q21 shape, agg-rewrite form: both existence tests ride ONE
+    partial-aggregated pass over lineitem (no second/third fact
+    shuffle for EXISTS / NOT EXISTS), supplier and nation broadcast,
+    and every shuffle join keys on the orderkey the stats aggregate
+    already partitioned on."""
+    from time_series_storage_spark.queries_extensions import (
+        q_supplier_return_blame,
+    )
+
+    plan = _plan(q_supplier_return_blame(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+    # the blamed-line probe scan is pruned at the source
+    assert "EqualTo(l_returnflag,R)" in plan
+    # one distinct-expand aggregate pass computes both existence tests
+    assert "Expand" in plan
+    assert "partial_count" in plan
+
+
+def test_ts_cusum_windows_share_one_bucket_level_sort(spark):
+    """The CUSUM running windows run over the hourly-bucket series
+    (every window partitions on event_type; the raw stream collapses
+    in a partial-aggregated exchange first), and the chained cumsum /
+    running-min / peak windows reuse one sort — no per-window
+    re-exchange of the series."""
+    from time_series_storage_spark.queries_extensions import q_ts_cusum
+
+    plan = _plan(q_ts_cusum(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+        assert "event_type" in m.group(1), m.group(0)[:120]

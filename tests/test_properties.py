@@ -558,3 +558,46 @@ def test_debounce_matches_bruteforce(spark, events, threshold):
             prev = ep_i
         want.append((head, size))
     assert got == sorted(want)
+
+
+# -- CUSUM closed form == sequential recursion ------------------------------
+
+cusum_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # bucket index
+        st.integers(min_value=0, max_value=40),   # bucket value
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: (t[2], t[0]),  # order col tie-free per series
+)
+
+
+@given(series=cusum_series, k=st.integers(min_value=-5, max_value=20))
+@_slow
+def test_cusum_matches_sequential_recursion(spark, series, k):
+    """The running-window closed form C_i - min(0, min_{j<=i} C_j)
+    must equal the textbook reset-at-zero recursion
+    S_i = max(0, S_{i-1} + (x_i - k)) for every series, including
+    negative targets and all-below-target stretches (S pinned at 0)."""
+    from time_series_storage_spark.operators.analytics import cusum
+
+    df = spark.createDataFrame(
+        [(g, b, x, k) for b, x, g in series],
+        "g string, b long, x long, k long",
+    )
+    got = {
+        (r["g"], r["b"]): r["cusum"]
+        for r in cusum(df, ["g"], "b", "x", "k").collect()
+    }
+    by_g = {}
+    for b, x, g in series:
+        by_g.setdefault(g, []).append((b, x))
+    want = {}
+    for g, seq in by_g.items():
+        s = 0
+        for b, x in sorted(seq):
+            s = max(0, s + (x - k))
+            want[(g, b)] = s
+    assert got == want

@@ -547,3 +547,55 @@ def trend_slope(
         .cast("long")
         .alias("slope_den"),
     )
+
+
+def cusum(
+    series: DataFrame,
+    dims: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target_col: str,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided upper CUSUM statistic per series, in EXACT integer
+    arithmetic — the classic changepoint / level-shift detector over a
+    collapse output (the drift companion to the pointwise
+    ``anomaly_zscore``: a z-score flags one wild bucket, CUSUM flags a
+    small persistent shift that no single bucket would trip).
+
+    The textbook recursion ``S_i = max(0, S_{i-1} + (x_i - k))``
+    (``k`` = the per-series target/allowance, a column so callers can
+    fit it with one aggregate) looks inherently sequential, but has the
+    closed running-window form
+
+        ``C_i = sum_{j<=i} (x_j - k)``
+        ``S_i = C_i - min(0, min_{j<=i} C_j)``
+
+    (induction on i: subtracting the running minimum of the cumulative
+    deviation — floored at the virtual ``C_0 = 0`` — is exactly the
+    reset-at-zero recursion). Both pieces are plain running-frame
+    window aggregates, so the whole operator is ONE exchange on
+    ``dims`` + one sort; the two chained Window operators share the
+    (partitioning, ordering), so Catalyst plans a single sort and the
+    frame accumulators are O(rows). All arithmetic on longs — Spark
+    and any SQL engine agree bit-for-bit.
+
+    ``order_col`` must be tie-free within ``dims`` (bucket indexes
+    are); ``value_col`` / ``target_col`` must be integral.
+    Output: input columns + ``out_col`` (long, >= 0).
+    """
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    y = F.col(value_col).cast("long") - F.col(target_col).cast("long")
+    cum = series.select("*", F.sum(y).over(w).alias("_cusum_c"))
+    run_min = F.min("_cusum_c").over(w)
+    return cum.select(
+        "*",
+        (
+            F.col("_cusum_c")
+            - F.least(F.lit(0).cast("long"), run_min)
+        ).alias(out_col),
+    ).drop("_cusum_c")

@@ -4579,6 +4579,206 @@ ORDER BY dist2, user_id LIMIT {SIMSERIES_TOP}
 """
 
 
+RETURNS_Q_FROM, RETURNS_Q_TO = "1995-07-01", "1995-10-01"
+
+
+def q_order_priority_returns(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: one quarter's orders, counted
+    per priority class, keeping only orders with at least one RETURNED
+    line (the testdata schema carries no commit/receipt dates, so
+    ``l_returnflag = 'R'`` plays Q4's lateness-exists role). Scale
+    shape: the quarter filter prunes the orders scan; the existence
+    test is a LEFT SEMI join whose probe side is filtered AT ITS SCAN
+    (only R-flagged lines, one column) — the semi join never
+    duplicates orders rows however many lines match, so no distinct
+    is needed after; the final aggregate partial-combines over the
+    5-row priority space."""
+    od = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    quarter = od.where(
+        (F.col("o_orderdate") >= F.lit(RETURNS_Q_FROM))
+        & (F.col("o_orderdate") < F.lit(RETURNS_Q_TO))
+    )
+    hit = quarter.join(
+        li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+SQL_ORDER_PRIORITY_RETURNS = f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= '{RETURNS_Q_FROM}' AND o_orderdate < '{RETURNS_Q_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_supplier_return_blame(spark, sf_dir):
+    """TPC-H Q21-shaped sole-blame query: per supplier, how many of
+    their R-flagged lines sit in a finished multi-supplier order where
+    NO OTHER supplier's line was returned (returnflag again standing
+    in for the missing receipt/commit lateness columns).
+
+    The textbook form is a correlated EXISTS + NOT EXISTS pair — two
+    extra shuffles of the full fact table. Here both tests fold into
+    ONE partial-aggregated pass: per order,
+
+        ``n_supp  = countDistinct(suppkey)``          (EXISTS other)
+        ``n_ret   = countDistinct(suppkey if R)``     (NOT EXISTS other R)
+
+    and a blamed line is an R line in an order with ``n_supp > 1`` and
+    ``n_ret = 1`` (the only returning supplier must then be the line's
+    own). The DuckDB oracle runs the TEXTBOOK double-EXISTS form, so
+    the hash gate is a machine-checked proof of the rewrite. Scale
+    shape: the R filter prunes the probe scan; orders (status-F keys
+    only) and the order stats join on the same orderkey the stats
+    aggregate shuffled on — one partitioning reused across the
+    stages; supplier and nation broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret"),
+    )
+    blamed = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            od.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            ord_stats.where(
+                (F.col("_n_supp") > 1) & (F.col("_n_ret") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    return (
+        blamed.join(
+            F.broadcast(su.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+SQL_SUPPLIER_RETURN_BLAME = """
+SELECT n_name, s_name, COUNT(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY n_name, s_name
+"""
+
+
+CUSUM_ALARM_MULT = 4  # alarm when S > 4k (k = the fitted hourly mean)
+
+
+def q_ts_cusum(spark, sf_dir):
+    """Per-type CUSUM changepoint scan over the hourly count series —
+    ``operators.analytics.cusum`` (the closed running-window form of
+    ``S_i = max(0, S_{i-1} + x_i - k)``) with the target ``k`` fitted
+    as each series' own floored mean rate, then collapsed to a
+    per-type changepoint summary: the peak statistic, WHERE it peaked
+    (min-hour tiebreak, deterministic in both engines), and how many
+    buckets breached the ``{CUSUM_ALARM_MULT}k`` alarm line. Missing
+    hours are skipped, not zero-filled (the observed-buckets
+    convention shared with ts_autocorr_24h). Scale shape: raw volume
+    collapses to hourly buckets in one partial-aggregated exchange;
+    the mean fit is a tiny broadcast back onto the bucket series; the
+    CUSUM windows and the final summary all run inside ONE
+    per-event-type partition of bucket-level rows (bounded by
+    hours-in-range, never raw volume)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    means = hourly.groupBy("event_type").agg(
+        AN.floor_div(F.sum("x"), F.count(F.lit(1))).alias("k")
+    )
+    s = AN.cusum(
+        hourly.join(F.broadcast(means), "event_type"),
+        ["event_type"], "h", "x", "k",
+    )
+    peak = s.select(
+        "*",
+        F.max("cusum").over(Window.partitionBy("event_type")).alias("_mx"),
+    )
+    return peak.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("k").cast("long").alias("k"),
+        F.max("cusum").cast("long").alias("max_cusum"),
+        F.min(
+            F.when(F.col("cusum") == F.col("_mx"), F.col("h"))
+        ).cast("long").alias("peak_h"),
+        F.sum(
+            (F.col("cusum") > F.col("k") * CUSUM_ALARM_MULT).cast("long")
+        ).cast("long").alias("n_alarms"),
+    )
+
+
+SQL_TS_CUSUM = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         COUNT(*)::BIGINT AS x
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+),
+m AS (SELECT event_type, (SUM(x) // COUNT(*))::BIGINT AS k
+      FROM hourly GROUP BY event_type),
+c AS (
+  SELECT h.event_type, h.h, h.x, m.k,
+         SUM(h.x - m.k) OVER (PARTITION BY h.event_type ORDER BY h.h
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hourly h JOIN m USING (event_type)
+),
+s AS (
+  SELECT *, cum - LEAST(0, MIN(cum) OVER (PARTITION BY event_type
+                                          ORDER BY h
+                                          ROWS UNBOUNDED PRECEDING))
+            AS cusum
+  FROM c
+),
+sm AS (SELECT *, MAX(cusum) OVER (PARTITION BY event_type) AS mx FROM s)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_buckets,
+       MIN(k)::BIGINT AS k,
+       MAX(cusum)::BIGINT AS max_cusum,
+       MIN(CASE WHEN cusum = mx THEN h END)::BIGINT AS peak_h,
+       SUM(CASE WHEN cusum > k * {CUSUM_ALARM_MULT} THEN 1 ELSE 0 END)::BIGINT
+         AS n_alarms
+FROM sm GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram, SQL_DEDUP_NGRAM),
@@ -4686,4 +4886,14 @@ EXT_QUERIES = {
     "mm_media_meta": (q_mm_meta, SQL_MM_META),
     "mm_frame_sample": (q_mm_frames, SQL_MM_FRAMES),
     "mm_feature_stub": (q_mm_features, SQL_MM_FEATURES),
+    # round-6 late additions — NOT in _GATE_PRIORITY yet, so they land
+    # past the driver's 50-row window this round (check_oracle- and
+    # pytest-gated meanwhile) and rotate to the front of the r7 window
+    "order_priority_returns": (
+        q_order_priority_returns, SQL_ORDER_PRIORITY_RETURNS,
+    ),
+    "supplier_return_blame": (
+        q_supplier_return_blame, SQL_SUPPLIER_RETURN_BLAME,
+    ),
+    "ts_cusum_changepoint": (q_ts_cusum, SQL_TS_CUSUM),
 }
