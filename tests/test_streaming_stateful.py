@@ -934,3 +934,102 @@ def test_streaming_asof_hot_key_large_batch(spark, tmp_path):
         assert g_rid == w_rid, (lid, g_rid, w_rid)
         w_us = int(w_ts.timestamp() * 1_000_000) if w_ts else None
         assert g_ts_us == w_us, (lid, g_ts_us, w_us)
+
+
+def test_streaming_cusum_converges_to_batch(spark, tmp_path):
+    """Time-ordered micro-batches: the streamed CUSUM statistic equals
+    the batch operator bit-for-bit, including runs where the carry
+    crosses batch boundaries mid-drift and keys pinned at zero by
+    long below-target stretches."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import cusum
+    from time_series_storage_spark.streaming.stateful import streaming_cusum
+
+    base = dt.datetime(2024, 7, 1)
+    target = 10
+    rows = []
+    for i in range(90):
+        k = "a" if i % 3 else "b"
+        # values that drift above and below the target so the carry
+        # both accumulates and resets across the three batches
+        rows.append((i, k, base + dt.timedelta(seconds=i * 7), (i * 13) % 29))
+    df = spark.createDataFrame(rows, "id long, k string, ts timestamp, q long")
+    src = str(tmp_path / "cu")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(
+            rows[lo:hi], "id long, k string, ts timestamp, q long"
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        r["id"]: r["cusum"]
+        for r in cusum(
+            df.withColumn("t", F.lit(target)), ["k"], "id", "q", "t"
+        ).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_cusum(stream, "k", target)
+        .writeStream.format("memory")
+        .queryName("scusum")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["id"]: r["cusum"]
+        for r in spark.sql("SELECT * FROM scusum").collect()
+    }
+    assert streamed == batch and len(batch) == 90
+
+
+def test_streaming_cusum_hot_key_large_batch(spark, tmp_path):
+    """One key delivering a 40k-row micro-batch: the vectorized
+    cumsum/minimum-accumulate state fn must match the batch operator
+    exactly (no per-row Python loop to time out on the skew case)."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.analytics import cusum
+    from time_series_storage_spark.streaming.stateful import streaming_cusum
+
+    base = dt.datetime(2024, 7, 1)
+    n = 40_000
+    target = 50
+    src = str(tmp_path / "hotcu")
+    ev = spark.range(n).select(
+        F.col("id"),
+        F.lit("hot").alias("k"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        ((F.col("id") * 31) % 101).cast("long").alias("q"),
+    )
+    ev.coalesce(1).write.parquet(src + "/f0")
+    batch = {
+        r["id"]: r["cusum"]
+        for r in cusum(
+            ev.withColumn("t", F.lit(target)), ["k"], "id", "q", "t"
+        ).collect()
+    }
+    stream = spark.readStream.schema(
+        spark.read.parquet(src + "/f0").schema
+    ).parquet(src + "/*")
+    q = (
+        streaming_cusum(stream, "k", target)
+        .writeStream.format("memory")
+        .queryName("hotcusum")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["id"]: r["cusum"]
+        for r in spark.sql("SELECT * FROM hotcusum").collect()
+    }
+    assert streamed == batch and len(streamed) == n

@@ -18,6 +18,7 @@ from .scoring import (  # noqa: F401
 )
 from .stateful import (  # noqa: F401
     streaming_asof_join,
+    streaming_cusum,
     streaming_exact_dedup,
     streaming_funnel,
 )

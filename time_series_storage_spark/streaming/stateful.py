@@ -1074,3 +1074,97 @@ def streaming_rolling_kmv(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_STATE_SCHEMA = "s long"
+
+
+def streaming_cusum(
+    series: DataFrame,
+    key_col: str,
+    target: int,
+    ts_col: str = "ts",
+    q_col: str = "q",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming one-sided CUSUM — the stateful twin of
+    ``operators.analytics.cusum``: per key, the reset-at-zero drift
+    statistic ``S_i = max(0, S_{i-1} + (q_i - target))`` carried
+    across micro-batch boundaries.
+
+    The batch operator fits each series' target from the whole data;
+    a stream cannot see its future, so ``target`` is the caller's
+    fitted allowance (the standard deployment: fit k offline on
+    history, monitor the live stream against it). State is ONE long
+    per key — the current statistic — the smallest state of any
+    operator in this module.
+
+    The per-batch work is fully vectorized: with y = q - target and
+    the carry s0, prefix sums C = cumsum(y) give
+
+        ``S_i = C_i - min(running_min(C)_i, -s0)``
+
+    (the closed form of the recursion started at ``S_0 = s0 >= 0``:
+    the floor ``-s0`` plays the virtual C_0 so the carry participates
+    in the running minimum; the ``0`` floor is subsumed because
+    ``-s0 <= 0``). No Python loop over rows — one cumsum + one
+    minimum-accumulate per key per batch, the same discipline as the
+    vectorized funnel / as-of state functions.
+
+    Rows order by (whole-second epoch, id) within a batch — the
+    same tie contract as ``streaming_ewma``; on in-order streams the
+    emitted statistic equals the batch operator bit-for-bit (pinned).
+    Emits one row per observation: key, id, q, cusum.
+    """
+    out_schema = f"{key_col} string, {id_col} long, q long, cusum long"
+    k = int(target)
+
+    def advance(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        s0 = int(state.get[0]) if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
+        q = pdf["_q"].to_numpy(dtype="int64")
+        c = np.cumsum(q - k)
+        floor = np.minimum(np.minimum.accumulate(c), -s0)
+        s = c - floor
+        state.update((int(s[-1]),))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(s),
+                id_col: pdf[id_col].to_numpy(dtype="int64"),
+                "q": q,
+                "cusum": s,
+            }
+        )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(q_col).cast("long").alias("_q"),
+        )
+        # NULL measure/epoch/id cannot advance, order, or tie-break;
+        # drop JVM-side so one bad row is not a poison pill for the
+        # task and every checkpoint restart after it
+        .where(
+            F.col("_q").isNotNull()
+            & F.col("_ep").isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            advance,
+            outputStructType=out_schema,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
