@@ -703,3 +703,23 @@ def test_ts_cusum_windows_share_one_bucket_level_sort(spark):
 
     for m in _re.finditer(r"windowspecdefinition\(([^,]*),", plan):
         assert "event_type" in m.group(1), m.group(0)[:120]
+
+
+def test_brand_quantity_revenue_pushes_factored_disjuncts(spark):
+    """Q19 shape: no single predicate applies to every OR band, yet
+    both scans must still shrink — the per-side disjunctions (quantity
+    envelope on lineitem; brand/size bands plus the factored common
+    ``p_size >= 1`` on part) are pushed into the parquet scans, part
+    broadcasts, and the residual OR evaluates post-join."""
+    from time_series_storage_spark.queries_extensions import (
+        q_brand_quantity_revenue,
+    )
+
+    plan = _plan(q_brand_quantity_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # quantity disjunction reached the lineitem scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    # brand disjunction and the factored size conjunct reached part
+    # (prefix match: explain truncates long pushed-filter lists)
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "GreaterThanOrEqual(p_size,1)" in plan

@@ -4696,6 +4696,67 @@ GROUP BY n_name, s_name
 """
 
 
+def q_brand_quantity_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: total discounted
+    revenue from three (brand, size-range, quantity-range) bands OR-ed
+    together — the canonical "does the optimizer see through an
+    OR-of-ANDs" query. Scale shape: Catalyst factors the disjunction's
+    per-side conjuncts out of the OR, so the part scan receives a
+    pushed ``p_size >= 1`` + brand IN-list-ish filter and the lineitem
+    scan a pushed quantity envelope (1..35) — the scans shrink BEFORE
+    the join even though no single predicate applies to every band;
+    part broadcasts; the residual OR evaluates post-join inside
+    whole-stage codegen; the one aggregate carries a single row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 35)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(band)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+SQL_BRAND_QUANTITY_REVENUE = """
+SELECT COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       )::BIGINT AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 CUSUM_ALARM_MULT = 4  # alarm when S > 4k (k = the fitted hourly mean)
 
 
@@ -4896,4 +4957,7 @@ EXT_QUERIES = {
         q_supplier_return_blame, SQL_SUPPLIER_RETURN_BLAME,
     ),
     "ts_cusum_changepoint": (q_ts_cusum, SQL_TS_CUSUM),
+    "brand_quantity_revenue": (
+        q_brand_quantity_revenue, SQL_BRAND_QUANTITY_REVENUE,
+    ),
 }
