@@ -723,3 +723,17 @@ def test_brand_quantity_revenue_pushes_factored_disjuncts(spark):
     # (prefix match: explain truncates long pushed-filter lists)
     assert "Or(Or(And(EqualTo(p_brand" in plan
     assert "GreaterThanOrEqual(p_size,1)" in plan
+
+
+def test_ts_rolling_corr_one_window_over_bucket_series(spark):
+    """All six frame aggregates of the rolling Pearson share ONE
+    Window operator, and it runs over the hourly-bucket series (the
+    raw stream partial-aggregates away first) — the deliberate global
+    window is bounded by hours-in-range, never raw volume."""
+    from time_series_storage_spark.queries_extensions import (
+        q_ts_rolling_corr,
+    )
+
+    plan = _plan(q_ts_rolling_corr(spark, "/root/testdata/sf0.001"))
+    assert "partial_sum" in plan  # buckets partial-combine pre-window
+    assert plan.count("Window") == 1  # one shared frame pass

@@ -4696,6 +4696,86 @@ GROUP BY n_name, s_name
 """
 
 
+ROLLCORR_W = 24  # trailing window, in observed hourly buckets
+
+
+def q_ts_rolling_corr(spark, sf_dir):
+    """Rolling co-movement: per hour, the EXACT integer Pearson
+    components between the {CORR_A} and {CORR_B} hourly count series
+    over the trailing {ROLLCORR_W} observed buckets — the windowed
+    companion to ``series_correlation`` (one global number) for
+    "when did these metrics decouple". Alignment is the same
+    single-pass conditional aggregation (no self-join); only full
+    windows emit (n_w = {ROLLCORR_W}), so warm-up rows never
+    under-baseline the statistic. The rolling window is GLOBAL
+    (no partition key) by design and provably tiny: it runs over the
+    bucket-level series, bounded by hours-in-range (720/month; a
+    decade is ~88k rows), never raw volume — the same justification
+    as the vocab and PQ-codebook windows. All frame aggregates share
+    ONE window operator; r = num/sqrt(sxx*syy) is the caller's float.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = (
+        ev.where(F.col("event_type").isin(CORR_A, CORR_B))
+        .groupBy(hour.alias("h"))
+        .agg(
+            F.sum((F.col("event_type") == CORR_A).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == CORR_B).cast("long")).alias("y"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-(ROLLCORR_W - 1), 0)
+    framed = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("x").over(w).alias("_sx"),
+        F.sum("y").over(w).alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("_sx2"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("_sy2"),
+    )
+    return framed.where(F.col("n_w") == ROLLCORR_W).select(
+        "h",
+        (F.col("n_w") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long").alias("corr_num"),
+        (F.col("n_w") * F.col("_sx2") - F.col("_sx") * F.col("_sx"))
+        .cast("long").alias("sxx"),
+        (F.col("n_w") * F.col("_sy2") - F.col("_sy") * F.col("_sy"))
+        .cast("long").alias("syy"),
+    )
+
+
+SQL_TS_ROLLING_CORR = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         SUM(CASE WHEN event_type = '{CORR_A}' THEN 1 ELSE 0 END)::BIGINT
+           AS x,
+         SUM(CASE WHEN event_type = '{CORR_B}' THEN 1 ELSE 0 END)::BIGINT
+           AS y
+  FROM events
+  WHERE event_type IN ('{CORR_A}', '{CORR_B}')
+  GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 3600
+),
+framed AS (
+  SELECT h,
+         COUNT(*) OVER win AS n_w,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x * y) OVER win AS sxy,
+         SUM(x * x) OVER win AS sx2, SUM(y * y) OVER win AS sy2
+  FROM hourly
+  WINDOW win AS (ORDER BY h ROWS BETWEEN {ROLLCORR_W - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT h,
+       (n_w * sxy - sx * sy)::BIGINT AS corr_num,
+       (n_w * sx2 - sx * sx)::BIGINT AS sxx,
+       (n_w * sy2 - sy * sy)::BIGINT AS syy
+FROM framed WHERE n_w = {ROLLCORR_W}
+"""
+
+
 def q_brand_quantity_revenue(spark, sf_dir):
     """TPC-H Q19-shaped disjunctive-predicate revenue: total discounted
     revenue from three (brand, size-range, quantity-range) bands OR-ed
@@ -4960,4 +5040,5 @@ EXT_QUERIES = {
     "brand_quantity_revenue": (
         q_brand_quantity_revenue, SQL_BRAND_QUANTITY_REVENUE,
     ),
+    "ts_rolling_corr": (q_ts_rolling_corr, SQL_TS_ROLLING_CORR),
 }
