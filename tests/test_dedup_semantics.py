@@ -565,3 +565,89 @@ def test_fuzzy_pairs_blocked_levenshtein(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan  # equi-join on the block key
+
+
+def test_fingerprint_store_incremental_dedup(spark, tmp_path):
+    """Daily-ingest contract: each absorb dedups the increment against
+    everything ever absorbed (min-id winner within the increment),
+    commits only O(increment) new bytes (history rides as hard links),
+    and the returned survivors read from the COMMITTED files — stable
+    after later absorbs. Equivalence: the union of all absorbs'
+    survivors equals exact_dedup over the concatenated corpus."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import (
+        FingerprintStore,
+        exact_dedup,
+    )
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    day1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, " ALPHA   text ")],
+        ["doc_id", "text"],
+    )
+    day2 = spark.createDataFrame(
+        [(10, "beta text"),        # dup of absorbed 2
+         (11, "gamma text"),       # fresh
+         (12, "gamma  TEXT"),      # increment-internal dup of 11
+         (13, "delta text")],      # fresh
+        ["doc_id", "text"],
+    )
+    s1 = store.absorb(day1, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    s2 = store.absorb(day2, "doc_id", "text")
+    got2 = {r["doc_id"]: r["dup_count"] for r in s2.collect()}
+    assert got2 == {11: 2, 13: 1}
+    # s1 still readable after the later commit GC'd its version dir
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    # union-of-survivors == batch exact_dedup over the whole corpus
+    batch = {
+        r["doc_id"]
+        for r in exact_dedup(day1.unionByName(day2), "doc_id", "text").collect()
+    }
+    assert {1, 2, 11, 13} == batch
+    # empty increment is a no-op commit with an empty survivor set
+    s3 = store.absorb(day1, "doc_id", "text")
+    assert s3.count() == 0
+    # snapshots retained until vacuum; vacuum keeps the current one
+    vdirs = [n for n in os.listdir(tmp_path / "fps") if n.startswith("v")]
+    assert len(vdirs) == 3
+    removed = store.vacuum(keep=1)
+    assert len(removed) == 2
+    vdirs = [n for n in os.listdir(tmp_path / "fps") if n.startswith("v")]
+    assert vdirs == ["v00000002"]
+    assert store.seen().count() == 4  # alpha beta gamma delta
+
+
+def test_fingerprint_store_crash_leaves_old_version_readable(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between staging and publish must leave readers on the
+    old complete fingerprint set, and a retry must absorb the same
+    increment cleanly (no half-committed state)."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    day1 = spark.createDataFrame([(1, "alpha")], ["doc_id", "text"])
+    store.absorb(day1, "doc_id", "text")
+    day2 = spark.createDataFrame([(2, "beta")], ["doc_id", "text"])
+
+    real_flip = FingerprintStore._flip
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(FingerprintStore, "_flip", boom)
+    try:
+        store.absorb(day2, "doc_id", "text")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(FingerprintStore, "_flip", real_flip)
+    # reader still sees only day1's fingerprint
+    assert store.seen().count() == 1
+    # retry succeeds and lands day2
+    s = store.absorb(day2, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in s.collect()) == [2]
+    assert store.seen().count() == 2

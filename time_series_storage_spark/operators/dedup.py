@@ -1009,3 +1009,181 @@ def fuzzy_pairs(
         .where(F.col("lev") <= max_distance)
         .select("id1", "id2", "name1", "name2", "lev")
     )
+
+
+class FingerprintStore:
+    """Persisted corpus fingerprint set for INCREMENTAL exact dedup —
+    the daily-ingest workflow at corpus scale: dedup today's increment
+    against everything ever absorbed WITHOUT rescanning the historical
+    corpus. The artifact is a parquet set of ``normalized_fingerprint``
+    values (16-byte md5 hex per distinct document ever seen — never the
+    text), committed under the engine-wide ``VersionedStore``
+    snapshot protocol (plans/materialize.py:43): readers resolve the
+    ``_current`` pointer, writers build the next version completely and
+    flip it with one ``os.replace``, so a crash mid-absorb leaves
+    readers on the old complete set and a retry redoes the increment.
+
+    Two scale properties make this the 100-TB shape:
+
+    * the anti-join probes ONE fixed-width column of the store against
+      the increment — cost scales with increment + fingerprint count,
+      not corpus text bytes;
+    * ``absorb`` never rewrites history: the next version HARD-LINKS
+      the previous version's immutable parquet files and adds one new
+      file for the increment's fresh fingerprints, so per-day I/O is
+      O(increment), while version flips stay atomic (same technique as
+      snapshot-by-hardlink backup tools; falls back to copy where the
+      filesystem refuses links).
+
+    Unlike the rollup store (whose publish GCs superseded versions
+    immediately), absorb RETAINS old snapshots — each is just
+    directory entries over the shared immutable files — so survivor
+    DataFrames returned by earlier absorbs stay readable, exactly the
+    snapshot-until-vacuum contract of a lakehouse table. ``vacuum``
+    reclaims superseded versions explicitly.
+    """
+
+    def __init__(self, spark, path: str):
+        from ..plans.materialize import VersionedStore
+
+        self.spark = spark
+        self.path = path
+        self._store = VersionedStore(spark, path)
+
+    def _current_dir(self):
+        import os
+
+        meta = self._store.current_meta(self.path)
+        if meta is None:
+            return None
+        d = os.path.join(self.path, meta["version"])
+        return d if os.path.exists(d) else None
+
+    def seen(self) -> DataFrame:
+        """The committed fingerprint set (column ``fp``); empty if
+        nothing was ever absorbed."""
+        d = self._current_dir()
+        if d is None:
+            return self.spark.createDataFrame([], "fp string")
+        return self.spark.read.parquet(d).select("fp")
+
+    def dedup_increment(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_docs`` against the store AND within the
+        increment (min-id winner per fingerprint, the same rule as
+        :func:`exact_dedup`). Pure read — no state change. Output:
+        (id, fp, dup_count) where dup_count counts the increment's
+        internal copies."""
+        inc = new_docs.select(
+            F.col(id_col), normalized_fingerprint(text_col).alias("fp")
+        )
+        fresh = inc.join(self.seen(), "fp", "left_anti")
+        return (
+            fresh.groupBy("fp")
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.count(F.lit(1)).alias("dup_count"),
+            )
+            .select(id_col, "fp", "dup_count")
+        )
+
+    def absorb(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Dedup the increment, then commit it: next version = hard
+        links to every previous parquet file + one new file holding
+        the increment's survivors (id, fp, dup_count — the fp column
+        is what ``seen`` reads; the id/count columns make the commit
+        itself the survivor record). Returns the survivors AS READ
+        FROM THE COMMITTED FILES — never a lazy plan over the
+        pre-commit store — so the result stays stable and re-readable
+        across later absorbs (until a ``vacuum`` reclaims the
+        snapshot).
+        """
+        import os
+        import shutil
+        import uuid
+
+        meta = self._store.current_meta(self.path)
+        version = self._store.next_version(meta)
+        vdir = os.path.join(self.path, version)
+        # a version dir not referenced by _current is an orphan of a
+        # crashed commit (the flip never happened) — sweep it so the
+        # retry's rename lands cleanly (same recovery as the IVF store)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir, ignore_errors=True)
+        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if name.startswith(".staging-"):  # hard-kill leftovers
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        survivors = self.dedup_increment(new_docs, id_col, text_col)
+        os.makedirs(staging, exist_ok=True)
+        inc_names = []
+        try:
+            # one new parquet file set for the increment's survivors
+            inc_dir = os.path.join(staging, "_inc")
+            survivors.write.mode("overwrite").parquet(inc_dir)
+            for name in os.listdir(inc_dir):
+                if name.endswith(".parquet"):
+                    dst = f"inc-{version}-{len(inc_names)}.parquet"
+                    os.replace(
+                        os.path.join(inc_dir, name),
+                        os.path.join(staging, dst),
+                    )
+                    inc_names.append(dst)
+            shutil.rmtree(inc_dir, ignore_errors=True)
+            # history rides along as hard links (no data copy)
+            prev = self._current_dir()
+            if prev is not None:
+                for name in os.listdir(prev):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(prev, name)
+                    dst = os.path.join(staging, name)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+            os.replace(staging, vdir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._flip(version)
+        if not inc_names:  # empty increment: zero part files written
+            return self.spark.createDataFrame([], survivors.schema)
+        return self.spark.read.parquet(
+            *[os.path.join(vdir, n) for n in inc_names]
+        )
+
+    def _flip(self, version: str) -> None:
+        """Atomically point ``_current`` at ``version`` WITHOUT the
+        rollup store's eager GC — superseded snapshots stay readable
+        until :meth:`vacuum`."""
+        import json
+        import os
+
+        tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Remove all but the newest ``keep`` snapshot directories
+        (never the current one). Shared data files survive through
+        their hard links in retained versions; returns the removed
+        version names."""
+        import os
+        import shutil
+
+        meta = self._store.current_meta(self.path)
+        current = meta["version"] if meta else None
+        versions = sorted(
+            n for n in os.listdir(self.path) if n.startswith("v")
+        )
+        victims = [v for v in versions[:-keep] if v != current] if keep else [
+            v for v in versions if v != current
+        ]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+        return victims
