@@ -651,3 +651,32 @@ def test_fingerprint_store_crash_leaves_old_version_readable(
     s = store.absorb(day2, "doc_id", "text")
     assert sorted(r["doc_id"] for r in s.collect()) == [2]
     assert store.seen().count() == 2
+
+
+def test_fingerprint_store_compact_preserves_content(spark, tmp_path):
+    """compact() folds the per-increment file accumulation into one
+    consolidated snapshot: same fingerprint set, fewer files, absorbs
+    after it still dedup correctly against the compacted history."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    for day, text in enumerate(["alpha", "beta", "gamma", "delta"]):
+        store.absorb(
+            spark.createDataFrame([(day, text)], ["doc_id", "text"]),
+            "doc_id", "text",
+        )
+    before = {r["fp"] for r in store.seen().collect()}
+    cur = store._current_dir()
+    n_before = len([f for f in os.listdir(cur) if f.endswith(".parquet")])
+    assert n_before >= 4  # one file per absorb accumulated
+    n_after = store.compact()
+    assert n_after == 1
+    assert {r["fp"] for r in store.seen().collect()} == before
+    # dedup against compacted history still works
+    s = store.absorb(
+        spark.createDataFrame([(9, "beta"), (10, "omega")], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    assert [r["doc_id"] for r in s.collect()] == [10]

@@ -1187,3 +1187,47 @@ class FingerprintStore:
         for v in victims:
             shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
         return victims
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the accumulated per-increment files into
+        ``target_files`` consolidated parquet files, committed as a new
+        snapshot under the same atomic flip — the periodic maintenance
+        that keeps a year of daily absorbs from becoming 365 tiny
+        files behind every anti-join. Content-preserving (same rows,
+        fp-distinct by construction) and idempotent; earlier snapshots
+        keep reading their own files until vacuumed. Returns the new
+        snapshot's file count."""
+        import os
+        import shutil
+        import uuid
+
+        cur = self._current_dir()
+        if cur is None:
+            return 0
+        meta = self._store.current_meta(self.path)
+        version = self._store.next_version(meta)
+        vdir = os.path.join(self.path, version)
+        if os.path.exists(vdir):  # orphan of a crashed commit
+            shutil.rmtree(vdir, ignore_errors=True)
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        try:
+            out = os.path.join(staging, "_out")
+            self.spark.read.parquet(cur).coalesce(target_files).write.mode(
+                "overwrite"
+            ).parquet(out)
+            os.makedirs(staging, exist_ok=True)
+            n = 0
+            for name in sorted(os.listdir(out)):
+                if name.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(out, name),
+                        os.path.join(staging, f"compact-{version}-{n}.parquet"),
+                    )
+                    n += 1
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(staging, vdir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._flip(version)
+        return n
