@@ -680,3 +680,79 @@ def test_fingerprint_store_compact_preserves_content(spark, tmp_path):
         "doc_id", "text",
     )
     assert [r["doc_id"] for r in s.collect()] == [10]
+
+
+def test_fingerprint_store_batch_replay_is_exactly_once(spark, tmp_path):
+    """absorb(batch_id=...) under the foreachBatch replay contract:
+    re-delivering the committed batch re-emits its survivors WITHOUT
+    re-absorbing (version count and fingerprint set unchanged), and a
+    batch below the watermark emits nothing."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(3, "beta"), (4, "gamma")], ["doc_id", "text"])
+    s0 = store.absorb(b0, "doc_id", "text", batch_id=0)
+    s1 = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [4]
+
+    def vcount():
+        return len([n for n in os.listdir(tmp_path / "fps") if n.startswith("v")])
+
+    n_versions = vcount()
+    # replay of the committed batch: same survivors, no new commit
+    s1r = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in s1r.collect()) == [4]
+    assert vcount() == n_versions
+    # below the watermark: already absorbed AND already emitted -> empty
+    s0r = store.absorb(b0, "doc_id", "text", batch_id=0)
+    assert s0r.count() == 0
+    assert vcount() == n_versions
+    assert store.seen().count() == 3
+    assert sorted(r["doc_id"] for r in s0.collect()) == [1, 2]
+
+
+def test_fingerprint_store_foreach_batch_streaming_dedup(spark, tmp_path):
+    """End-to-end: a file stream deduped through the persisted store
+    via foreachBatch — the union of emitted survivors equals batch
+    exact_dedup over the whole feed, and history absorbed BEFORE the
+    stream started (a prior day's corpus) suppresses its duplicates,
+    which the checkpoint-scoped streaming_exact_dedup cannot do."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    # yesterday's corpus, absorbed before the stream exists
+    store.absorb(
+        spark.createDataFrame([(100, "old news")], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "old news"), (2, "fresh story")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(
+        [(3, "fresh story"), (4, "new angle")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src + "/f1")
+    emitted = []
+
+    def emit(df, bid):
+        emitted.extend(r["doc_id"] for r in df.collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    # 1 suppressed by yesterday's corpus; 3 by 2 (cross-batch)
+    assert sorted(emitted) == [2, 4]
+    assert store.seen().count() == 3  # old news, fresh story, new angle

@@ -1089,7 +1089,11 @@ class FingerprintStore:
         )
 
     def absorb(
-        self, new_docs: DataFrame, id_col: str, text_col: str
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None = None,
     ) -> DataFrame:
         """Dedup the increment, then commit it: next version = hard
         links to every previous parquet file + one new file holding
@@ -1100,12 +1104,45 @@ class FingerprintStore:
         pre-commit store — so the result stays stable and re-readable
         across later absorbs (until a ``vacuum`` reclaims the
         snapshot).
+
+        ``batch_id`` makes the commit EXACTLY-ONCE under streaming
+        replay (the ``foreachBatch`` contract: a failed sink re-delivers
+        the same batch with the same id). The id rides the atomic
+        pointer flip — "survivors committed" and "batch recorded" are
+        one event — so a replayed batch never re-absorbs: it re-reads
+        the survivor files its original commit recorded and returns
+        them again, and a batch below the committed watermark returns
+        empty (its effects and emission already happened). Same
+        discipline as the rollup merge sink's high-watermark
+        (streaming/ingest.py).
         """
         import os
         import shutil
         import uuid
 
         meta = self._store.current_meta(self.path)
+        if batch_id is not None and meta is not None and "batch" in meta:
+            committed = int(meta["batch"])
+            if batch_id == committed:
+                # replay of the committed batch: re-emit its survivors
+                vdir0 = os.path.join(self.path, meta["version"])
+                names = meta.get("inc_files") or []
+                if names and os.path.exists(vdir0):
+                    return self.spark.read.parquet(
+                        *[os.path.join(vdir0, n) for n in names]
+                    )
+                # inc files consolidated away (compact ran in between,
+                # a quiesced-maintenance contract breach) or empty
+                # increment: nothing to re-emit
+                return self.spark.createDataFrame(
+                    [],
+                    self.dedup_increment(new_docs, id_col, text_col).schema,
+                )
+            if batch_id < committed:
+                return self.spark.createDataFrame(
+                    [],
+                    self.dedup_increment(new_docs, id_col, text_col).schema,
+                )
         version = self._store.next_version(meta)
         vdir = os.path.join(self.path, version)
         # a version dir not referenced by _current is an orphan of a
@@ -1149,23 +1186,55 @@ class FingerprintStore:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        self._flip(version)
+        extra = {"inc_files": inc_names}
+        if batch_id is not None:
+            extra["batch"] = int(batch_id)
+        self._flip(version, extra)
         if not inc_names:  # empty increment: zero part files written
             return self.spark.createDataFrame([], survivors.schema)
         return self.spark.read.parquet(
             *[os.path.join(vdir, n) for n in inc_names]
         )
 
-    def _flip(self, version: str) -> None:
+    def foreach_batch(self, id_col: str, text_col: str, emit):
+        """An exactly-once ``foreachBatch`` function: each micro-batch
+        is absorbed under its batch id (replay-safe, see
+        :meth:`absorb`) and the committed survivors handed to
+        ``emit(survivors_df, batch_id)`` — streaming dedup of a live
+        feed against the FULL persisted corpus history, not just the
+        running query's own state (the complement of
+        ``streaming_exact_dedup``, whose state store starts empty at
+        every new checkpoint).
+
+        Usage::
+
+            stream.writeStream.foreachBatch(
+                store.foreach_batch("doc_id", "text", emit)
+            ).start()
+        """
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, text_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn
+
+    def _flip(self, version: str, extra: dict | None = None) -> None:
         """Atomically point ``_current`` at ``version`` WITHOUT the
         rollup store's eager GC — superseded snapshots stay readable
-        until :meth:`vacuum`."""
+        until :meth:`vacuum`. ``extra`` fields (the streaming batch
+        watermark, the committed increment file names) ride the same
+        atomic pointer write."""
         import json
         import os
 
+        meta = dict(extra or {})
+        meta["version"] = version
         tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version}, fh)
+            json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
 
     def vacuum(self, keep: int = 2) -> list[str]:
@@ -1229,5 +1298,12 @@ class FingerprintStore:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        self._flip(version)
+        # the streaming batch watermark survives compaction (replay
+        # detection must not regress), but the consolidated snapshot
+        # has no per-increment files to re-emit — compaction is
+        # quiesced maintenance, documented in absorb()
+        extra = {"inc_files": []}
+        if meta is not None and "batch" in meta:
+            extra["batch"] = int(meta["batch"])
+        self._flip(version, extra)
         return n
