@@ -737,3 +737,23 @@ def test_ts_rolling_corr_one_window_over_bucket_series(spark):
     plan = _plan(q_ts_rolling_corr(spark, "/root/testdata/sf0.001"))
     assert "partial_sum" in plan  # buckets partial-combine pre-window
     assert plan.count("Window") == 1  # one shared frame pass
+
+
+def test_top_return_customers_aggregates_before_dim_joins(spark):
+    """Q10 shape: the custkey aggregate runs BEFORE the customer and
+    nation joins (the broadcast dims see one row per surviving
+    customer, never per line), both scans are pruned at the source,
+    and the top-k is TakeOrderedAndProject, not a global sort."""
+    from time_series_storage_spark.queries_extensions import (
+        q_top_return_customers,
+    )
+
+    plan = _plan(q_top_return_customers(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the aggregate's output feeds the customer join, not vice versa:
+    # c_name must not appear in any aggregate expression
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("c_name" not in ln for ln in agg_lines)

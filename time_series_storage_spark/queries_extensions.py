@@ -4696,6 +4696,75 @@ GROUP BY n_name, s_name
 """
 
 
+RETCUST_FROM, RETCUST_TO = "1995-10-01", "1996-01-01"
+RETCUST_K = 20
+
+
+def q_top_return_customers(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: the {RETCUST_K}
+    customers who returned the most revenue in one quarter, with their
+    nation. Scale shape: the quarter filter prunes the orders scan and
+    the R filter the lineitem scan BEFORE their one orderkey join; the
+    aggregate groups by custkey (high cardinality — this is the query
+    family where group-by keys outnumber the dimension table) and only
+    THEN joins customer/nation, so the broadcast dims see one row per
+    surviving customer, not per line; the global top-k is a
+    TakeOrderedAndProject with a custkey tiebreak — never a global
+    sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    na = read_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_cust = (
+        od.where(
+            (F.col("o_orderdate") >= F.lit(RETCUST_FROM))
+            & (F.col("o_orderdate") < F.lit(RETCUST_TO))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.where(F.col("l_returnflag") == "R").select(
+                "l_orderkey", cents.alias("cents")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("returned_cents"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cu.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name", "n_name", "returned_cents",
+        )
+        .orderBy(F.col("returned_cents").desc(), F.col("c_custkey"))
+        .limit(RETCUST_K)
+    )
+
+
+SQL_TOP_RETURN_CUSTOMERS = f"""
+SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       )::BIGINT AS returned_cents
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= '{RETCUST_FROM}' AND o_orderdate < '{RETCUST_TO}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY returned_cents DESC, c_custkey LIMIT {RETCUST_K}
+"""
+
+
 ROLLCORR_W = 24  # trailing window, in observed hourly buckets
 
 
@@ -5041,4 +5110,7 @@ EXT_QUERIES = {
         q_brand_quantity_revenue, SQL_BRAND_QUANTITY_REVENUE,
     ),
     "ts_rolling_corr": (q_ts_rolling_corr, SQL_TS_ROLLING_CORR),
+    "top_return_customers": (
+        q_top_return_customers, SQL_TOP_RETURN_CUSTOMERS,
+    ),
 }
