@@ -1033,3 +1033,71 @@ def test_streaming_cusum_hot_key_large_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM hotcusum").collect()
     }
     assert streamed == batch and len(streamed) == n
+
+
+def test_streaming_rolling_corr_converges_to_batch(spark, tmp_path):
+    """Bucket-level (x, y) observations streamed in time order: the
+    emitted Pearson components equal the batch trailing-window
+    computation bit-for-bit, windows straddling micro-batch boundaries
+    included, and warm-up rows (incomplete windows) never emit."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_rolling_corr,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    W = 6
+    rows = [
+        (h, "s", base + dt.timedelta(hours=h),
+         (h * 7) % 23, (h * 5 + 3) % 19)
+        for h in range(40)
+    ]
+    schema = "id long, k string, ts timestamp, x long, y long"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "rc")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.parquet(
+            f"{src}/f{bi}"
+        )
+    # batch model: the ts_rolling_corr frame over the bucket series
+    w = Window.partitionBy("k").orderBy("id").rowsBetween(-(W - 1), 0)
+    framed = df.select(
+        "id",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sy2"),
+    ).where(F.col("n_w") == W)
+    batch = {
+        r["id"]: (
+            W * r["sxy"] - r["sx"] * r["sy"],
+            W * r["sx2"] - r["sx"] * r["sx"],
+            W * r["sy2"] - r["sy"] * r["sy"],
+        )
+        for r in framed.collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_rolling_corr(stream, "k", window=W)
+        .writeStream.format("memory")
+        .queryName("src_corr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["id"]: (r["corr_num"], r["sxx"], r["syy"])
+        for r in spark.sql("SELECT * FROM src_corr").collect()
+    }
+    assert streamed == batch and len(batch) == 40 - (W - 1)

@@ -21,4 +21,5 @@ from .stateful import (  # noqa: F401
     streaming_cusum,
     streaming_exact_dedup,
     streaming_funnel,
+    streaming_rolling_corr,
 )

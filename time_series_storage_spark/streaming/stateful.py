@@ -1168,3 +1168,118 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ROLLING_CORR_STATE_SCHEMA = "xs array<long>, ys array<long>"
+
+
+def streaming_rolling_corr(
+    series: DataFrame,
+    key_col: str,
+    window: int = 24,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming rolling Pearson components — the stateful twin of the
+    batch trailing-window co-movement query (``ts_rolling_corr``): per
+    key, for every observation whose trailing ``window`` observations
+    are complete, the EXACT integer components (corr_num, sxx, syy)
+    of the Pearson correlation between the two aligned series.
+
+    State is the last ``window - 1`` (x, y) pairs per key — bounded by
+    construction, exactly the batch operator's frame memory. Each
+    micro-batch is vectorized: one concat of state + batch, five
+    prefix-sum arrays (x, y, xy, x^2, y^2), and every emitted row's
+    frame aggregate is two prefix lookups — no per-row Python loop.
+    Rows order by (whole-second epoch, id) within a batch, the module's
+    standard tie contract; on in-order bucket streams the emitted
+    components equal the batch query bit-for-bit (pinned).
+
+    Emits only complete windows (the batch twin's ``n_w = window``
+    filter): key, id, corr_num, sxx, syy.
+    """
+    if not 2 <= window <= 10_000:
+        raise ValueError(f"window must be in [2, 10000], got {window}")
+    out_schema = (
+        f"{key_col} string, {id_col} long, "
+        "corr_num long, sxx long, syy long"
+    )
+
+    def advance(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        if state.exists:
+            sx, sy = state.get
+            hx, hy = list(sx), list(sy)
+        else:
+            hx, hy = [], []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", id_col], kind="mergesort")
+        bx = pdf["_x"].to_numpy(dtype="int64")
+        by = pdf["_y"].to_numpy(dtype="int64")
+        ax = np.concatenate([np.asarray(hx, dtype="int64"), bx])
+        ay = np.concatenate([np.asarray(hy, dtype="int64"), by])
+        n0 = len(hx)
+        # five prefix sums; every frame aggregate = two lookups
+        z = np.zeros(1, dtype="int64")
+        px = np.concatenate([z, np.cumsum(ax)])
+        py = np.concatenate([z, np.cumsum(ay)])
+        pxy = np.concatenate([z, np.cumsum(ax * ay)])
+        px2 = np.concatenate([z, np.cumsum(ax * ax)])
+        py2 = np.concatenate([z, np.cumsum(ay * ay)])
+        m = np.arange(n0, n0 + len(bx)) + 1  # global end index per row
+        full = m >= window
+        if full.any():
+            hi, lo = m[full], m[full] - window
+            w = np.int64(window)
+            sx_, sy_ = px[hi] - px[lo], py[hi] - py[lo]
+            sxy_ = pxy[hi] - pxy[lo]
+            sx2_, sy2_ = px2[hi] - px2[lo], py2[hi] - py2[lo]
+            out = pd.DataFrame(
+                {
+                    key_col: [key[0]] * int(full.sum()),
+                    id_col: pdf[id_col].to_numpy(dtype="int64")[full],
+                    "corr_num": w * sxy_ - sx_ * sy_,
+                    "sxx": w * sx2_ - sx_ * sx_,
+                    "syy": w * sy2_ - sy_ * sy_,
+                }
+            )
+        else:
+            out = None
+        keep = window - 1
+        state.update((ax[-keep:].tolist(), ay[-keep:].tolist()))
+        if out is not None:
+            yield out
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        # NULLs cannot align, order, or tie-break — drop JVM-side so a
+        # bad row is not a poison pill across checkpoint restarts
+        .where(
+            F.col("_x").isNotNull()
+            & F.col("_y").isNotNull()
+            & F.col("_ep").isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            advance,
+            outputStructType=out_schema,
+            stateStructType=ROLLING_CORR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
