@@ -9,10 +9,12 @@ so Catalyst can prune everything the consumer doesn't read.
 Decode paths: ``decode_stub=True`` (default) substitutes a
 deterministic fake decoder (byte-derived, reproducible,
 oracle-checkable). ``decode_stub=False`` runs a REAL decode for PNG
-payloads via the pure-stdlib codec (``png_codec`` — zlib inflate +
-CRC-checked chunks + all five scanline unfilters; no PIL needed), and
-raises ``NotImplementedError`` at the exact point other codecs
-(torchaudio / pyav) would be called. Frame hashes / features in real
+payloads via the pure-stdlib image codec (``png_codec`` — zlib inflate
++ CRC-checked chunks + all five scanline unfilters; no PIL needed) and
+for PCM WAV payloads via the pure-stdlib audio codec (``wav_codec`` —
+RIFF chunk walk to raw samples; no torchaudio needed), and raises
+``NotImplementedError`` at the exact point other codecs (PIL for
+JPEG, pyav for video) would be called. Frame hashes / features in real
 mode are computed over the DECODED PIXELS, so corrupt payloads fail
 loudly instead of hashing garbage. Everything around the decode —
 schemas, batch iteration, partitioning, explode of per-frame rows — is
@@ -36,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .parallel import cpu_partitions
 from .png_codec import decode_png, is_png
+from .wav_codec import decode_wav, is_wav
 
 FRAME_BYTES = 100  # fake decoder: one "frame" per 100 payload bytes
 FEATURE_DIM = 8  # stub encoder output dimensionality
@@ -53,15 +56,19 @@ MEDIA_META_SCHEMA = (
 
 
 def _decoded_bytes(payload: bytes) -> bytes:
-    """The real-decode seam: PNG payloads decode to raw pixel bytes via
-    the stdlib codec; any other format is where PIL/torchaudio/pyav
-    would plug in."""
+    """The real-decode seam: PNG payloads decode to raw pixel bytes
+    via the stdlib image codec, WAV payloads to raw PCM sample bytes
+    via the stdlib audio codec; any other format is where
+    PIL/torchaudio/pyav would plug in."""
     if is_png(payload):
         return decode_png(payload).tobytes()
+    if is_wav(payload):
+        return decode_wav(payload)[0].tobytes()
     raise NotImplementedError(
-        "real decode implemented in-container for PNG only "
-        "(operators/png_codec.py); other codecs (PIL/torchaudio/pyav) "
-        "plug in here — or run with decode_stub=True"
+        "real decode implemented in-container for PNG and PCM WAV only "
+        "(operators/png_codec.py, operators/wav_codec.py); other codecs "
+        "(PIL/torchaudio/pyav) plug in here — or run with "
+        "decode_stub=True"
     )
 FRAMES_SCHEMA = "id bigint, frame_id bigint, frame_hash bigint"
 FEATURE_SCHEMA = "id bigint, feature array<double>"
