@@ -1873,6 +1873,52 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 """
 
 
+def q_mm_audio_frames(spark, sf_dir):
+    """REAL audio decode under the hash gate: each document's bytes
+    become 8-bit PCM samples in a genuine RIFF/WAV container
+    (operators/wav_codec.py), and ``extract_frames(decode_stub=False)``
+    must parse the container and recover the EXACT samples before
+    hashing — the oracle is the same frame-hash SQL as the stub path
+    (SQL_MM_FRAMES), so a green row is a machine-checked proof that
+    encode -> container -> real decode is the identity on every
+    document in the corpus, not just unit-test fixtures. The in-query
+    encode is corpus synthesis (at scale payloads come from storage);
+    the decode side is exactly the production mapInPandas path."""
+    import pandas as _pd
+
+    from .operators.wav_codec import encode_wav
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+
+    def to_wav(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        bytearray(
+                            encode_wav(
+                                _np.frombuffer(
+                                    t.encode("utf-8"), dtype=_np.uint8
+                                ),
+                                sample_rate=8_000,
+                            )
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(to_wav, "id long, payload binary")
+    return M.extract_frames(media, decode_stub=False).select(
+        "id", "frame_id", "frame_hash"
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -5113,4 +5159,7 @@ EXT_QUERIES = {
     "top_return_customers": (
         q_top_return_customers, SQL_TOP_RETURN_CUSTOMERS,
     ),
+    # real-WAV round-trip under the hash gate: same oracle as the stub
+    # frame path — green means the codec recovered the exact samples
+    "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
 }
