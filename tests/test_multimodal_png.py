@@ -98,13 +98,16 @@ def test_extract_features_real_decode(spark):
     assert row["feature"] == want
 
 
-def test_non_png_payload_still_raises(spark):
+def test_unsupported_payload_still_raises(spark):
     """The seam's contract for formats without an in-container codec
-    is unchanged: a loud NotImplementedError, not silent garbage."""
+    is unchanged: a loud NotImplementedError, not silent garbage.
+    (WAV grew a real codec — wav_codec.py — so the no-codec case is
+    now an MP3-ish payload; a malformed RIFF container instead raises
+    the codec's own loud ValueError, tested in test_multimodal_wav.)"""
     media = attach_media(
-        spark.createDataFrame([(1, bytearray(b"RIFFxxxxWAVE"))],
+        spark.createDataFrame([(1, bytearray(b"ID3\x04mp3-ish-payload"))],
                               ["doc_id", "payload"]),
-        "doc_id", "payload", fmt="wav",
+        "doc_id", "payload", fmt="mp3",
     )
-    with pytest.raises(Exception, match="NotImplementedError|PNG only"):
+    with pytest.raises(Exception, match="NotImplementedError|PCM WAV only"):
         extract_frames(media, decode_stub=False).collect()

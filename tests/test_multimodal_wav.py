@@ -132,3 +132,31 @@ def test_real_wav_decode_through_feature_extraction(spark):
         return [float(v) for v in raw.reshape(-1, 4).sum(axis=0) % 1000]
     assert out[1] == expect(wav.tobytes())
     assert out[2] == expect(img.tobytes())
+
+
+def test_skip_mode_quarantines_corrupt_payloads(spark):
+    """on_error='skip': corrupt payloads drop without killing the job,
+    good items still decode exactly, and decode_errors() lists each
+    dropped id with a reason — the 100 TB bad-records contract."""
+    from time_series_storage_spark.operators.multimodal import decode_errors
+
+    good = _samples(150, 1, np.int16, seed=3)
+    rows = [
+        (1, bytearray(encode_wav(good))),
+        (2, bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk")),   # no data chunk
+        (3, bytearray(b"\x00\x01\x02not-a-container")),    # unknown format
+    ]
+    media = attach_media(
+        spark.createDataFrame(rows, ["doc_id", "raw"]), "doc_id", "raw",
+    )
+    got = {}
+    for r in extract_frames(media, decode_stub=False, on_error="skip").collect():
+        got.setdefault(r["id"], []).append((r["frame_id"], r["frame_hash"]))
+    assert sorted(got) == [1]
+    assert sorted(got[1]) == list(enumerate(_fake_frame_hashes(good.tobytes())))
+    errs = {r["id"]: r["error"] for r in decode_errors(media).collect()}
+    assert sorted(errs) == [2, 3]
+    assert "data chunk" in errs[2] and "NotImplementedError" in errs[3]
+    # raise mode still fails loudly on the same input
+    with pytest.raises(Exception):
+        extract_frames(media, decode_stub=False, on_error="raise").collect()

@@ -115,14 +115,25 @@ def _fake_frame_hashes(payload: bytes) -> list[int]:
     return (mat @ _POW31[::-1] % _HASH_MOD).tolist()
 
 
-def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_frames(
+    media: DataFrame, decode_stub: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Per-item frame extraction via Arrow-batched mapInPandas.
 
     Output: (id, frame_id, frame_hash) — one row per decoded frame.
     Real pipeline shape: the UDF receives Arrow record batches of
     (id, payload), decodes each payload, and yields the exploded frame
     rows; partitioning of the input is preserved (no shuffle).
+
+    ``on_error``: ``"raise"`` (default) fails the job on the first
+    undecodable payload — right for curated corpora where corruption
+    means an upstream bug. ``"skip"`` drops the bad item and keeps
+    the job alive — at 100 TB a handful of corrupt blobs is CERTAIN
+    and one must not kill a thousand-executor pipeline; pair with
+    :func:`decode_errors` to quarantine and audit what was dropped.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,7 +141,12 @@ def extract_frames(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
                 raw = bytes(payload)
                 if not decode_stub:
-                    raw = _decoded_bytes(raw)  # real pixels (PNG) or raise
+                    try:
+                        raw = _decoded_bytes(raw)  # real decode or raise
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        continue  # quarantined via decode_errors()
                 for fid, h in enumerate(_fake_frame_hashes(raw)):
                     ids.append(doc_id)
                     frame_ids.append(fid)
@@ -182,4 +198,35 @@ def extract_features(
         media.select("id", "payload")
         .repartition(cpu_partitions(media), F.col("id"))
         .mapInPandas(encode, FEATURE_SCHEMA)
+    )
+
+
+ERRORS_SCHEMA = "id bigint, error string"
+
+
+def decode_errors(media: DataFrame) -> DataFrame:
+    """The quarantine listing: (id, error) for every payload the real
+    decode rejects — corrupt containers, truncated chunks, compressed
+    formats with no in-container codec. Run it over the same media
+    frame as an ``on_error="skip"`` extraction to audit exactly what
+    was dropped and why (the two passes share the parquet scan shape;
+    at 100 TB this is the standard bad-records side channel — the
+    error row is tiny, the payload stays in place for reprocessing).
+    """
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, errs = [], []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    _decoded_bytes(bytes(payload))
+                except Exception as exc:  # noqa: BLE001 — the audit row
+                    ids.append(doc_id)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:500])
+            yield pd.DataFrame({"id": ids, "error": errs})
+
+    return (
+        media.select("id", "payload")
+        .repartition(cpu_partitions(media), F.col("id"))
+        .mapInPandas(probe, ERRORS_SCHEMA)
     )
