@@ -1873,6 +1873,81 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 """
 
 
+FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
+
+
+def _fp_store(spark, sf_dir):
+    """The persisted corpus fingerprint store for ``sf_dir`` — built on
+    first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
+    every query after, staleness-keyed on the corpus files exactly like
+    the IVF index (same artifact lifecycle: re-absorbing history inside
+    every query is the one per-query cost that cannot survive corpus
+    scale)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import FingerprintStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "tss_fp_store", key)
+    store = FingerprintStore(spark, root)
+    fp = files_fingerprint(src)
+    meta = store._store.current_meta(root)
+    if meta is None or meta.get("corpus_fp") != fp:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        store.absorb(
+            _docs(spark, sf_dir).where(F.col("doc_id") < FPSTORE_BASE),
+            "doc_id", "text",
+        )
+        committed = store._store.current_meta(root)
+        committed["corpus_fp"] = fp
+        store._flip(
+            committed.pop("version"), committed
+        )
+    return store
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup as a gated query: survivors of the increment
+    (doc_id >= {FPSTORE_BASE}) against the PERSISTED fingerprint store
+    holding everything absorbed before (min-id winner within the
+    increment, same rule as dedup_exact). The read path is the 100 TB
+    shape — an anti-join probing ONE fixed-width fingerprint column of
+    the store artifact, never a rescan of historical text; the store
+    itself is built once and staleness-refreshed like the IVF index.
+    The oracle recomputes both sides from scratch, so a green row also
+    proves the persisted artifact equals the from-scratch history."""
+    store = _fp_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    out = store.dedup_increment(inc, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fp",
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+)
+SELECT MIN(doc_id)::BIGINT AS doc_id, fp, COUNT(*)::BIGINT AS dup_count
+FROM fp
+WHERE doc_id >= {FPSTORE_BASE}
+  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < {FPSTORE_BASE})
+GROUP BY fp
+"""
+
+
 def q_mm_audio_frames(spark, sf_dir):
     """REAL audio decode under the hash gate: each document's bytes
     become 8-bit PCM samples in a genuine RIFF/WAV container
@@ -5162,4 +5237,5 @@ EXT_QUERIES = {
     # real-WAV round-trip under the hash gate: same oracle as the stub
     # frame path — green means the codec recovered the exact samples
     "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }
