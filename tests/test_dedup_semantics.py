@@ -756,3 +756,24 @@ def test_fingerprint_store_foreach_batch_streaming_dedup(spark, tmp_path):
     # 1 suppressed by yesterday's corpus; 3 by 2 (cross-batch)
     assert sorted(emitted) == [2, 4]
     assert store.seen().count() == 3  # old news, fresh story, new angle
+
+
+def test_fingerprint_store_null_text_cannot_resurface_daily(spark, tmp_path):
+    """A NULL-text document must behave like batch exact_dedup's
+    NULL-key group: one survivor ever, not a 'fresh' row every absorb
+    (a NULL join key never matches an anti-join, so without the
+    sentinel it would re-emit forever)."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    day1 = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, None)], "doc_id long, text string"
+    )
+    s1 = store.absorb(day1, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    day2 = spark.createDataFrame(
+        [(10, None), (11, "fresh")], "doc_id long, text string"
+    )
+    s2 = store.absorb(day2, "doc_id", "text")
+    # the null-text doc was absorbed on day 1: only the fresh one survives
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]

@@ -1067,16 +1067,27 @@ class FingerprintStore:
             return self.spark.createDataFrame([], "fp string")
         return self.spark.read.parquet(d).select("fp")
 
+    # NULL text fingerprints to NULL, and a NULL key NEVER matches in
+    # the anti-join — without this sentinel a null-text document would
+    # come back "fresh" every day forever, silently diverging from
+    # batch exact_dedup (whose groupBy treats NULL as one key). The
+    # sentinel cannot collide: real fingerprints are 32 hex chars.
+    NULL_FP = "<null-text>"
+
     def dedup_increment(
         self, new_docs: DataFrame, id_col: str, text_col: str
     ) -> DataFrame:
         """Survivors of ``new_docs`` against the store AND within the
         increment (min-id winner per fingerprint, the same rule as
-        :func:`exact_dedup`). Pure read — no state change. Output:
-        (id, fp, dup_count) where dup_count counts the increment's
-        internal copies."""
+        :func:`exact_dedup`, including NULL text collapsing to one
+        survivor via the ``NULL_FP`` sentinel). Pure read — no state
+        change. Output: (id, fp, dup_count) where dup_count counts the
+        increment's internal copies."""
         inc = new_docs.select(
-            F.col(id_col), normalized_fingerprint(text_col).alias("fp")
+            F.col(id_col),
+            F.coalesce(
+                normalized_fingerprint(text_col), F.lit(self.NULL_FP)
+            ).alias("fp"),
         )
         fresh = inc.join(self.seen(), "fp", "left_anti")
         return (
