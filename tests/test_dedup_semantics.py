@@ -572,8 +572,12 @@ def test_fingerprint_store_incremental_dedup(spark, tmp_path):
     everything ever absorbed (min-id winner within the increment),
     commits only O(increment) new bytes (history rides as hard links),
     and the returned survivors read from the COMMITTED files — stable
-    after later absorbs. Equivalence: the union of all absorbs'
-    survivors equals exact_dedup over the concatenated corpus."""
+    after later absorbs. On this data the survivor union also equals
+    exact_dedup over the concatenated corpus (later duplicates carry
+    larger ids here; in general the store is FIRST-DAY-WINS, which can
+    differ from the batch global-min winner when a later day brings a
+    smaller id — that general contract is property-tested in
+    test_properties.py::test_fingerprint_store_matches_sequential_model)."""
     import os
 
     from time_series_storage_spark.operators.dedup import (

@@ -601,3 +601,76 @@ def test_cusum_matches_sequential_recursion(spark, series, k):
             s = max(0, s + (x - k))
             want[(g, b)] = s
     assert got == want
+
+
+# -- incremental dedup == sequential first-day-wins model -------------------
+
+fp_days = st.lists(  # up to 4 days of (id, text) rows
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.text(alphabet="ab ", min_size=0, max_size=6),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(days=fp_days)
+@_slow
+def test_fingerprint_store_matches_sequential_model(
+    spark, tmp_path_factory, days
+):
+    """For ANY partition of a corpus into daily increments, the store
+    must implement first-day-wins: each fingerprint's one survivor is
+    the min id within the FIRST day that introduced it (later days
+    re-presenting the fingerprint emit nothing, even with a smaller
+    id — history is immutable), and the final fingerprint set is the
+    corpus' distinct normalized fingerprints. Texts collide by
+    construction ('a', 'b ' ...) so cross-day suppression, within-day
+    dedup, and the store's growth are all exercised."""
+    import re as _re
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    seen_ids = set()
+    uniq_days = []
+    for day in days:
+        cur = []
+        for i, t in day:
+            if i not in seen_ids:
+                seen_ids.add(i)
+                cur.append((i, t))
+        uniq_days.append(cur)
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t).strip().lower()
+
+    store = FingerprintStore(
+        spark, str(tmp_path_factory.mktemp("fps") / "s")
+    )
+    model_seen = set()
+    got, want = [], []
+    for day in uniq_days:
+        best = {}
+        for i, t in day:
+            k = norm(t)
+            if k in model_seen:
+                continue
+            best[k] = min(best.get(k, i), i)
+        model_seen |= set(best)
+        want.extend(sorted(best.values()))
+        if not day:
+            continue
+        df = spark.createDataFrame(day, "doc_id long, text string")
+        got.extend(
+            sorted(
+                r["doc_id"]
+                for r in store.absorb(df, "doc_id", "text").collect()
+            )
+        )
+    assert got == want
+    assert store.seen().count() == len(model_seen)

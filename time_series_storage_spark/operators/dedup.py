@@ -1041,6 +1041,14 @@ class FingerprintStore:
     DataFrames returned by earlier absorbs stay readable, exactly the
     snapshot-until-vacuum contract of a lakehouse table. ``vacuum``
     reclaims superseded versions explicitly.
+
+    Winner semantics are FIRST-DAY-WINS: a fingerprint's survivor is
+    the min id within the first increment that introduced it, and
+    later increments re-presenting it emit nothing even with a smaller
+    id (history is immutable — re-adjudicating winners would rewrite
+    already-emitted data downstream). This can differ from batch
+    ``exact_dedup`` over the concatenated corpus, whose winner is the
+    GLOBAL min id; the sequential contract is property-tested.
     """
 
     def __init__(self, spark, path: str):
