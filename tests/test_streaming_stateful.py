@@ -1101,3 +1101,86 @@ def test_streaming_rolling_corr_converges_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM src_corr").collect()
     }
     assert streamed == batch and len(batch) == 40 - (W - 1)
+
+
+def test_streaming_debounce_converges_to_batch(spark, tmp_path):
+    """Closed bursts streamed across three micro-batches equal the
+    batch debounce minus each key's final (still-open) burst — with
+    bursts deliberately straddling batch boundaries so the carried
+    open-burst state both absorbs continuations and closes on the
+    next head."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    thr = 10
+    offs = {
+        # key a: bursts [0,3,7], [30,32], [60] — [60] stays open
+        "a": [0, 3, 7, 30, 32, 60],
+        # key b: burst straddles the batch cut: [0,5,9,14], then [50]
+        "b": [0, 5, 9, 14, 50],
+    }
+    rows, rid = [], 0
+    for k, ts_list in offs.items():
+        for o in ts_list:
+            rows.append((rid, k, base + dt.timedelta(seconds=o)))
+            rid += 1
+    rows.sort(key=lambda r: (r[2], r[0]))  # interleave keys in time order
+    schema = "id long, k string, ts timestamp"
+    src = str(tmp_path / "db")
+    n = len(rows)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.parquet(
+            f"{src}/f{bi}"
+        )
+    # batch model: head rows + burst sizes (the events_debounce shape)
+    df = spark.createDataFrame(rows, schema)
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("k").orderBy(ep, F.col("id"))
+    gap = ep - F.lag(ep).over(w)
+    marked = df.select(
+        "*",
+        F.when(gap.isNull() | (gap > thr), 1).otherwise(0).alias("_h"),
+    ).select(
+        "*",
+        F.sum("_h").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_b"),
+    )
+    wb = Window.partitionBy("k", "_b")
+    batch = {}
+    for r in (
+        marked.select("*", F.count(F.lit(1)).over(wb).alias("n"))
+        .where(F.col("_h") == 1)
+        .collect()
+    ):
+        batch.setdefault(r["k"], []).append((r["_b"], r["id"], r["n"]))
+    want = []
+    for k, bursts in batch.items():
+        bursts.sort()
+        want.extend((k, i, n) for _, i, n in bursts[:-1])  # last stays open
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_debounce(stream, "k", thr)
+        .writeStream.format("memory")
+        .queryName("sdeb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(
+        (r["k"], r["id"], r["n_collapsed"])
+        for r in spark.sql("SELECT * FROM sdeb").collect()
+    )
+    assert got == sorted(want) and len(got) == 3  # a:2 closed + b:1 closed

@@ -19,6 +19,7 @@ from .scoring import (  # noqa: F401
 from .stateful import (  # noqa: F401
     streaming_asof_join,
     streaming_cusum,
+    streaming_debounce,
     streaming_exact_dedup,
     streaming_funnel,
     streaming_rolling_corr,

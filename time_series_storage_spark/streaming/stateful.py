@@ -1283,3 +1283,126 @@ def streaming_rolling_corr(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEBOUNCE_STATE_SCHEMA = (
+    "head_id long, head_ep long, size long, last_ep long, last_id long"
+)
+
+
+def streaming_debounce(
+    series: DataFrame,
+    key_col: str,
+    threshold_seconds: int,
+    ts_col: str = "ts",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming burst collapse — the stateful twin of the batch
+    debounce (``events_debounce``): per key, consecutive events with
+    gaps <= ``threshold_seconds`` collapse into one burst represented
+    by its HEAD event, across micro-batch boundaries.
+
+    A burst is only provably complete when a later event arrives
+    beyond the threshold, so emission is ON CLOSE: each new burst head
+    flushes the previous burst's (head id, head epoch, collapsed
+    count); the per-key open burst rides in state (five longs — head,
+    epoch, size, and the (epoch, id) cursor) and is emitted by the
+    NEXT event that closes it. On in-order streams the closed bursts
+    equal the batch operator's output minus each key's final
+    still-open burst (pinned). Rows behind the cursor drop — a late
+    arrival cannot retroactively split an already-flushed burst (the
+    same bounded-state tradeoff as the gap twin, documented there).
+
+    Per-batch work is vectorized: one lexsort, one diff for the head
+    mask, one cumsum for burst ids, one bincount for sizes — no
+    per-row Python.
+
+    Emits one row per CLOSED burst: key, id (head), head_ep,
+    n_collapsed.
+    """
+    out_schema = (
+        f"{key_col} string, {id_col} long, head_ep long, n_collapsed long"
+    )
+
+    def scan(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        st = state.get if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        order = np.lexsort((pdf[id_col].values, pdf["_ep"].values))
+        eps = pdf["_ep"].values[order].astype("int64")
+        ids = pdf[id_col].values[order].astype("int64")
+        if st is not None:
+            head_id, head_ep, size, last_ep, _last_id = (
+                int(st[0]), int(st[1]), int(st[2]), int(st[3]), int(st[4]),
+            )
+            keep = eps >= last_ep
+            eps, ids = eps[keep], ids[keep]
+            if not len(eps):
+                return
+            prev = np.concatenate(([last_ep], eps[:-1]))
+            is_head = (eps - prev) > threshold_seconds
+        else:
+            head_id = head_ep = None
+            size = 0
+            prev = np.concatenate(([eps[0]], eps[:-1]))
+            is_head = (eps - prev) > threshold_seconds
+            is_head[0] = True
+        burst = np.cumsum(is_head)  # 0 = continuation of the open burst
+        nb = int(burst[-1])
+        n_open_join = int((burst == 0).sum())
+        out_ids, out_eps, out_n = [], [], []
+        if nb > 0:
+            if st is not None:
+                # a new head arrived: the carried burst is now closed
+                out_ids.append(head_id)
+                out_eps.append(head_ep)
+                out_n.append(size + n_open_join)
+            counts = np.bincount(burst, minlength=nb + 1)
+            hp = np.flatnonzero(is_head)  # head position of bursts 1..nb
+            out_ids.extend(ids[hp[:-1]].tolist())
+            out_eps.extend(eps[hp[:-1]].tolist())
+            out_n.extend(counts[1:nb].tolist())
+            new_state = (
+                int(ids[hp[-1]]), int(eps[hp[-1]]), int(counts[nb]),
+                int(eps[-1]), int(ids[-1]),
+            )
+        else:  # every row joined the carried burst
+            new_state = (
+                head_id, head_ep, size + n_open_join,
+                int(eps[-1]), int(ids[-1]),
+            )
+        state.update(new_state)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_ids),
+                    id_col: out_ids,
+                    "head_ep": out_eps,
+                    "n_collapsed": out_n,
+                }
+            )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+            F.col(id_col).cast("long").alias(id_col),
+        )
+        # null ts/id cannot order or tie-break; drop JVM-side so one
+        # bad row is not a poison pill across checkpoint restarts
+        .where(F.col("_ep").isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            scan,
+            outputStructType=out_schema,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
