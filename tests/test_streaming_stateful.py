@@ -1184,3 +1184,69 @@ def test_streaming_debounce_converges_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sdeb").collect()
     )
     assert got == sorted(want) and len(got) == 3  # a:2 closed + b:1 closed
+
+
+def test_streaming_debounce_random_splits_match_model(spark, tmp_path):
+    """Randomized pin beyond the fixed convergence case: for a grid of
+    event layouts and batch-cut points, the streamed closed bursts
+    must equal the sequential model's bursts minus each key's final
+    open one — burst boundaries and batch boundaries interact in every
+    combination (head-at-cut, continuation-at-cut, whole-burst-in-one-
+    batch, burst-spanning-three-batches)."""
+    import datetime as dt
+
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    base = dt.datetime(2024, 7, 1)
+    thr = 10
+    layouts = [
+        [0, 1, 2, 3, 4, 5],                      # one burst, never closes
+        [0, 20, 40, 60, 80, 100],                # every event its own burst
+        [0, 5, 30, 35, 38, 70],                  # 3 bursts, varied sizes
+        [0, 11, 21, 32, 42, 53],                 # alternating just-over gaps
+    ]
+    for li, offs in enumerate(layouts):
+        for cut in [1, 3, 5]:
+            rows = [
+                (i, "k", base + dt.timedelta(seconds=o))
+                for i, o in enumerate(offs)
+            ]
+            schema = "id long, k string, ts timestamp"
+            src = str(tmp_path / f"d{li}c{cut}")
+            spark.createDataFrame(rows[:cut], schema).coalesce(1)\
+                .write.parquet(f"{src}/f0")
+            spark.createDataFrame(rows[cut:], schema).coalesce(1)\
+                .write.parquet(f"{src}/f1")
+            # sequential model
+            bursts, cur = [], None
+            prev = None
+            for i, o in enumerate(offs):
+                if prev is None or o - prev > thr:
+                    if cur is not None:
+                        bursts.append(cur)
+                    cur = [i, 1]
+                else:
+                    cur[1] += 1
+                prev = o
+            want = sorted((h, n) for h, n in bursts)  # final stays open
+            stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src + "/*")
+            q = (
+                streaming_debounce(stream, "k", thr)
+                .writeStream.format("memory")
+                .queryName(f"pd{li}c{cut}")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck{li}c{cut}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+            got = sorted(
+                (r["id"], r["n_collapsed"])
+                for r in spark.sql(f"SELECT * FROM pd{li}c{cut}").collect()
+            )
+            assert got == want, (li, cut, got, want)
