@@ -1250,3 +1250,53 @@ def test_streaming_debounce_random_splits_match_model(spark, tmp_path):
                 for r in spark.sql(f"SELECT * FROM pd{li}c{cut}").collect()
             )
             assert got == want, (li, cut, got, want)
+
+
+def test_streaming_retention_pairs_converge_to_batch(spark, tmp_path):
+    """The streamed (user, cohort_week, week_offset) feed, aggregated
+    with a plain count, equals the batch retention matrix on the real
+    events table streamed in time order — repeat activity within a
+    week emits nothing (exactly-once per pair), cross-batch state
+    holds each user's cohort fixed."""
+    from time_series_storage_spark.queries_extensions import (
+        q_retention_cohorts,
+    )
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_retention_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("user_id", "ts")
+    src = str(tmp_path / "ret")
+    # three time-ordered chunks so cohorts and offsets straddle batches
+    ordered = ev.orderBy("ts").collect()
+    n = len(ordered)
+    for bi, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        spark.createDataFrame(ordered[lo:hi], ev.schema).coalesce(1)\
+            .write.parquet(f"{src}/f{bi}")
+    batch = {
+        (r["cohort_week"], r["week_offset"]): r["active_users"]
+        for r in q_retention_cohorts(spark, sf).collect()
+    }
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_retention_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("sret")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    agg = {}
+    rows = spark.sql("SELECT * FROM sret").collect()
+    for r in rows:
+        k = (r["cohort_week"], r["week_offset"])
+        agg[k] = agg.get(k, 0) + 1
+    assert agg == batch and len(rows) == sum(batch.values())

@@ -22,5 +22,6 @@ from .stateful import (  # noqa: F401
     streaming_debounce,
     streaming_exact_dedup,
     streaming_funnel,
+    streaming_retention_pairs,
     streaming_rolling_corr,
 )

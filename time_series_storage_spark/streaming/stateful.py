@@ -1406,3 +1406,85 @@ def streaming_debounce(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RETENTION_STATE_SCHEMA = "first_week long, emitted array<long>"
+
+
+def streaming_retention_pairs(
+    series: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming retention feed — the stateful twin of the batch
+    cohort matrix (``retention_cohorts``): per user, emit each NEW
+    (cohort_week, week_offset) activity pair exactly once, across
+    micro-batch boundaries. The cohort matrix itself is then one
+    ordinary aggregation over this append-only feed
+    (``groupBy(cohort_week, week_offset).count()``) — each emitted
+    pair is one distinct active user by construction, so the
+    downstream count needs no distinct.
+
+    State per user: the cohort week (fixed at first sight — the
+    in-order contract shared by every operator here; a late arrival
+    from before the stored first week is counted against the stored
+    cohort) plus the set of week offsets already emitted, bounded by
+    weeks-in-range. Week arithmetic is the batch operator's exact
+    integer epoch-day division (Monday-epoch offset 3) — no
+    date_trunc drift.
+
+    Emits: user, cohort_week, week_offset (longs).
+    """
+    out_schema = (
+        f"{user_col} long, cohort_week long, week_offset long"
+    )
+
+    def track(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        weeks = np.unique(
+            ((pdf["_ep"].to_numpy(dtype="int64") // 86_400) + 3) // 7
+        )
+        if state.exists:
+            first_week, emitted = int(state.get[0]), set(state.get[1])
+        else:
+            first_week, emitted = int(weeks[0]), set()
+        offs = [
+            int(w) - first_week
+            for w in weeks
+            if int(w) - first_week not in emitted
+        ]
+        if not offs:
+            return
+        emitted.update(offs)
+        state.update((first_week, sorted(emitted)))
+        yield pd.DataFrame(
+            {
+                user_col: [int(key[0])] * len(offs),
+                "cohort_week": [first_week] * len(offs),
+                "week_offset": offs,
+            }
+        )
+
+    return (
+        series.select(
+            F.col(user_col).cast("long").alias(user_col),
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("_ep"),
+        )
+        # null user/ts cannot cohort; drop JVM-side (poison-pill rule)
+        .where(F.col(user_col).isNotNull() & F.col("_ep").isNotNull())
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=RETENTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
