@@ -21,82 +21,87 @@ from pyspark.sql import DataFrame, SparkSession
 # (insertion order), so registration order decides which queries get the
 # hard external hash-gate each round.  _GATE_PRIORITY rotates coverage:
 # put the newest queries plus everything the previous round's driver gate
-# did NOT cover (keys absent from CORRECTNESS_r{N-1}.json) at the front;
+# did NOT cover (keys absent from any CORRECTNESS_r*.json) at the front;
 # long-stable rows rotate to the back and stay covered by pytest
 # (tests/test_extensions_oracle.py runs the full registry at sf0.001)
-# and tools/check_oracle.py sweeps.  Round 6: the 45 rows the r5 gate
-# missed, newest additions first.
+# and tools/check_oracle.py sweeps.  Round 7: the 10 rows no driver round
+# has EVER gated (registered after the r6 window froze) plus this round's
+# new queries lead; then the mm_* rows last gated r4; then the ts_* core
+# family (last gated r1-r5, longest-unrotated engine rows).  The r6-gated
+# block rotates to the back.
 _GATE_PRIORITY = [
-    # --- new in round 6 ---
-    "pipeline_tokenize_pack",
-    "large_orders",
-    "cheapest_supplier",
-    "tfidf_top_terms",
-    "salted_hourly_totals",
-    "contamination_report",
-    "quality_percentile",
-    "ts_autocorr_24h",
-    "promo_revenue_share",
-    "similar_users_topk",
-    # --- registered in r5 but never driver-gated (after the 50-row cap) ---
-    "pipeline_e2e",
-    "sketch_distinct_tokens",
-    "rolling_weekly_users",
-    "sim_topk_pq",
-    "sales_rollup_nation_month",
-    "ts_ewma_smooth",
-    "emb_quantize_int8",
-    "sim_topk_int8",
-    "sim_topk_rerank",
-    "sim_recall_audit",
-    "dedup_source_overlap",
-    "vocab_encode_top256",
-    "text_chunk_windows",
-    "pipeline_chunk_pack",
-    "text_pack_bins",
-    "text_len_hist_quantiles",
-    "text_repetition",
-    "text_dup_ngrams",
-    "events_debounce",
-    "retention_cohorts",
-    "ts_anomaly_zscore",
-    "ts_seasonal_anomaly",
-    "ts_trend_slope",
-    "series_correlation",
-    "ts_m4_downsample",
-    "ts_gap_detect",
-    "ts_hourly_profile",
-    "sample_stratified_lang",
-    "sample_weighted_mix",
-    "corpus_stats_by_source",
-    "corpus_cube",
-    "corpus_pivot_lang",
-    "lang_coverage_division",
-    "brands_shipping_recent",
-    "text_length_ntile",
-    "dq_violations",
-    "pricing_summary",
-    "top_open_orders",
-    "customers_without_urgent_orders",
-    "local_supplier_volume",
-    # the five rows below land past the 50-row gate cap with round 6's
-    # ten new queries ahead of them — the r5-unchecked rows deferred
-    # to the r7 window, chosen deliberately: all five are thin
-    # projections (PII scrub and JSON kv extraction are plan-pinned
-    # pure projections; the multimodal metadata/frame/feature stubs),
-    # the lowest-risk rows in the registry, and they stay pytest- and
-    # check_oracle-gated meanwhile
+    # --- new in round 7 ---
+    "dedup_near_incremental",
+    "bpe_fit_merges",
+    "bpe_encode_docs",
+    "jpeg_gray_decode",
+    # --- never driver-gated (registered after the r6 window froze) ---
+    "order_priority_returns",
+    "supplier_return_blame",
+    "ts_cusum_changepoint",
+    "brand_quantity_revenue",
+    "ts_rolling_corr",
+    "top_return_customers",
+    "mm_audio_frames",
+    "dedup_incremental",
     "events_pii_scrub",
     "events_json_kv",
+    # --- last gated r4: the multimodal stubs ---
     "mm_media_meta",
     "mm_frame_sample",
     "mm_feature_stub",
-    # --- r5-gated representatives: keep a few core rows in-window so the
-    # engine pipeline itself stays externally gated every round ---
+    # --- core engine family, last gated r5 (longest-unrotated) ---
+    "ts_counter_none",
     "ts_counter_hour_fill",
+    "ts_counter_day_offset3",
+    "ts_counter_week_sunday",
+    "ts_counter_month",
+    "ts_counter_hierarchy_day",
+    "ts_counter_nil_filter",
+    "ts_avg_hour_fill",
+    "ts_avg_none",
+    "ts_histogram_day",
     "ts_histogram_merged",
-    "asof_purchase_click",
+    "ts_histogram_quantiles",
+    "ts_rollup_slice15",
+    "ts_counter_hour_materialized",
+    "ts_avg_hour_materialized",
+    "ts_histogram_day_materialized",
+    "ts_rolling_3h",
+    "ts_interp_fill",
+    "ts_rate_sparse",
+    # --- r5-gated analytics/dedup rows, oldest-first backfill ---
+    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram",
+    "decontaminate_token_ngram",
+    "decontaminate_bloom",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_simhash",
+    "fuzzy_part_names",
+    "entity_resolution_parts",
+    "event_transitions",
+    "split_assign",
+    "asof_purchase_click",
+    "asof_click_next_purchase",
+    "asof_nearest_click",
+    "sessionize_user_30m",
+    "interval_join_purchase_session",
+    "interval_overlap_incidents",
+    "funnel_view_click_purchase",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "sim_lsh_pairs",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "text_quality",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_top_terms",
 ]
 
 

@@ -781,3 +781,74 @@ def test_fingerprint_store_null_text_cannot_resurface_daily(spark, tmp_path):
     s2 = store.absorb(day2, "doc_id", "text")
     # the null-text doc was absorbed on day 1: only the fresh one survives
     assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+
+
+def test_fingerprint_store_manual_absorb_keeps_stream_watermark(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): a MANUAL daily absorb (no batch_id)
+    interleaved with the foreachBatch stream on the same store must not
+    erase the committed batch watermark — a replayed micro-batch after
+    the manual absorb must re-emit ITS OWN committed survivors (not the
+    manual increment's, not a re-absorbed duplicate emission)."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    s0 = store.absorb(b0, "doc_id", "text", batch_id=0)
+    assert sorted(r["doc_id"] for r in s0.collect()) == [1, 2]
+    # manual daily absorb between stream batches, no batch_id
+    manual = spark.createDataFrame(
+        [(50, "gamma"), (51, "alpha")], ["doc_id", "text"]
+    )
+    sm = store.absorb(manual, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in sm.collect()) == [50]
+
+    def vcount():
+        return len(
+            [n for n in os.listdir(tmp_path / "fps") if n.startswith("v")]
+        )
+
+    n_versions = vcount()
+    # replayed batch 0: exactly its original survivors, no new commit
+    s0r = store.absorb(b0, "doc_id", "text", batch_id=0)
+    assert sorted(r["doc_id"] for r in s0r.collect()) == [1, 2]
+    assert vcount() == n_versions
+    # the next real batch dedups against BOTH the stream and manual history
+    b1 = spark.createDataFrame(
+        [(60, "gamma"), (61, "delta")], ["doc_id", "text"]
+    )
+    s1 = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [61]
+    assert store.seen().count() == 4  # alpha beta gamma delta
+
+
+def test_fingerprint_store_mixed_id_col_schemas(spark, tmp_path):
+    """ADVICE r6 (low): absorbing increments under DIFFERENT id column
+    names must not leave mixed file schemas in one version dir — the
+    stored schema is normalized (id, fp, dup_count) and survivors read
+    back under each caller's own column name."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    s1 = store.absorb(
+        spark.createDataFrame([(1, "alpha")], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    assert s1.columns == ["doc_id", "fp", "dup_count"]
+    s2 = store.absorb(
+        spark.createDataFrame([(7, "alpha"), (8, "beta")], ["uid", "text"]),
+        "uid", "text",
+    )
+    assert s2.columns == ["uid", "fp", "dup_count"]
+    assert sorted(r["uid"] for r in s2.collect()) == [8]
+    # seen() reads EVERY file in the version dir: uniform schema
+    assert store.seen().count() == 2
+    # a third absorb still dedups against both histories
+    s3 = store.absorb(
+        spark.createDataFrame([(9, "beta"), (10, "gamma")], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    assert sorted(r["doc_id"] for r in s3.collect()) == [10]

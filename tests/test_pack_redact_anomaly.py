@@ -75,6 +75,27 @@ def test_pack_shards_are_disjoint_and_deterministic(spark):
         assert min(r.start_off for r in rs) == 0
 
 
+def test_pack_overlapping_column_lists_no_duplicates(spark):
+    """A column named in more than one of group_cols / order_cols /
+    extra_cols (here: the group column repeated as an order key and an
+    extra payload) must appear exactly once in the output — duplicate
+    columns are an AnalysisException at the first downstream reference
+    (ADVICE r6)."""
+    rows = [(i, "s", 100) for i in range(4)]
+    a = pack_assignments(
+        _docs(spark, rows),
+        250,
+        group_cols=("source",),
+        order_cols=("source", "doc_id"),
+        extra_cols=("source", "n_tokens"),
+    )
+    assert a.columns.count("source") == 1
+    assert a.columns.count("n_tokens") == 1
+    # downstream groupBy over the once-projected column works
+    got = {r.doc_id: (r.start_off, r.bin_id) for r in a.collect()}
+    assert got == {0: (0, 0), 1: (100, 0), 2: (200, 0), 3: (300, 1)}
+
+
 def test_pack_validates_params(spark):
     d = _docs(spark, [(1, "s", 5)])
     with pytest.raises(ValueError, match="budget"):

@@ -320,3 +320,22 @@ def test_duckdb_merge_backend_contract_and_convergence(spark, tmp_path):
             for key, v in got.items()
         }
         assert got == want and len(want) > 0, g
+
+
+def test_duckdb_ident_mapping_is_injective():
+    """ADVICE r6 (low): 'a-b' and 'a_b' both sanitize to 'a_b', which
+    would silently merge two rollup tables (and share one watermark
+    row). The identifier carries a hash of the RAW name, so distinct
+    ids map to distinct tables."""
+    from time_series_storage_spark.streaming.duckdb_backend import _ident
+
+    names = ["a-b", "a_b", "a.b", "a b", "hits", "hit-s", "7x", "_7x"]
+    idents = [_ident(n) for n in names]
+    assert len(set(idents)) == len(names)
+    # still valid SQL identifier fragments
+    import re
+
+    for i in idents:
+        assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", i), i
+    # deterministic
+    assert [_ident(n) for n in names] == idents

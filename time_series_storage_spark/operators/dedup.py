@@ -1143,13 +1143,17 @@ class FingerprintStore:
         if batch_id is not None and meta is not None and "batch" in meta:
             committed = int(meta["batch"])
             if batch_id == committed:
-                # replay of the committed batch: re-emit its survivors
+                # replay of the committed batch: re-emit ITS survivors.
+                # batch_files (not inc_files) names them — a manual
+                # absorb interleaved after the batch commit carries the
+                # watermark forward but points inc_files at its own
+                # increment; the batch's files survive in the current
+                # version dir under the same names via the hard links.
                 vdir0 = os.path.join(self.path, meta["version"])
-                names = meta.get("inc_files") or []
-                if names and os.path.exists(vdir0):
-                    return self.spark.read.parquet(
-                        *[os.path.join(vdir0, n) for n in names]
-                    )
+                names = meta.get("batch_files") or []
+                paths = [os.path.join(vdir0, n) for n in names]
+                if paths and all(os.path.exists(p) for p in paths):
+                    return self._read_survivors(paths, id_col)
                 # inc files consolidated away (compact ran in between,
                 # a quiesced-maintenance contract breach) or empty
                 # increment: nothing to re-emit
@@ -1177,9 +1181,15 @@ class FingerprintStore:
         os.makedirs(staging, exist_ok=True)
         inc_names = []
         try:
-            # one new parquet file set for the increment's survivors
+            # one new parquet file set for the increment's survivors —
+            # stored under the NORMALIZED schema (id, fp, dup_count)
+            # regardless of the caller's id_col, so increments absorbed
+            # under different id column names never leave mixed schemas
+            # in one version dir (seen()/replay read every file)
             inc_dir = os.path.join(staging, "_inc")
-            survivors.write.mode("overwrite").parquet(inc_dir)
+            survivors.select(
+                F.col(id_col).alias("id"), "fp", "dup_count"
+            ).write.mode("overwrite").parquet(inc_dir)
             for name in os.listdir(inc_dir):
                 if name.endswith(".parquet"):
                     dst = f"inc-{version}-{len(inc_names)}.parquet"
@@ -1205,14 +1215,33 @@ class FingerprintStore:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        extra = {"inc_files": inc_names}
+        # carry forward every prior meta field (the streaming batch
+        # watermark above all: a manual daily absorb interleaved with
+        # the foreachBatch stream must NOT erase replay detection —
+        # dropping 'batch' here would let a replayed micro-batch
+        # re-absorb and double-emit, breaking exactly-once) and only
+        # then overwrite this commit's own fields
+        extra = {
+            k: v
+            for k, v in (meta or {}).items()
+            if k not in ("version", "inc_files")
+        }
+        extra["inc_files"] = inc_names
         if batch_id is not None:
             extra["batch"] = int(batch_id)
+            extra["batch_files"] = inc_names
         self._flip(version, extra)
         if not inc_names:  # empty increment: zero part files written
             return self.spark.createDataFrame([], survivors.schema)
-        return self.spark.read.parquet(
-            *[os.path.join(vdir, n) for n in inc_names]
+        return self._read_survivors(
+            [os.path.join(vdir, n) for n in inc_names], id_col
+        )
+
+    def _read_survivors(self, files: list[str], id_col: str) -> DataFrame:
+        """Committed survivor files (normalized schema) read back under
+        the caller's id column name."""
+        return self.spark.read.parquet(*files).select(
+            F.col("id").alias(id_col), "fp", "dup_count"
         )
 
     def foreach_batch(self, id_col: str, text_col: str, emit):
@@ -1317,12 +1346,21 @@ class FingerprintStore:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        # the streaming batch watermark survives compaction (replay
-        # detection must not regress), but the consolidated snapshot
-        # has no per-increment files to re-emit — compaction is
-        # quiesced maintenance, documented in absorb()
-        extra = {"inc_files": []}
-        if meta is not None and "batch" in meta:
-            extra["batch"] = int(meta["batch"])
+        # every prior meta field survives compaction — the streaming
+        # batch watermark above all (replay detection must not regress)
+        # — but the consolidated snapshot has no per-increment files to
+        # re-emit: compaction is quiesced maintenance, see absorb()
+        extra = {
+            k: v
+            for k, v in (meta or {}).items()
+            if k not in ("version", "inc_files", "batch_files")
+        }
+        extra["inc_files"] = []
+        if "batch" in extra:
+            # watermark survives; the batch's per-increment files do
+            # not (consolidated away) — a post-compact replay of that
+            # batch returns empty, the documented quiesced-maintenance
+            # contract
+            extra["batch_files"] = []
         self._flip(version, extra)
         return n

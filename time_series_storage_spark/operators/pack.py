@@ -76,7 +76,13 @@ def pack_assignments(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
-    carried = dict.fromkeys((id_col, *order_cols))  # ordered, de-duped
+    # ONE ordered de-duplicated projection spanning every column list —
+    # a group column repeated in order_cols/extra_cols (or id_col in
+    # group_cols) must not duplicate an output column, which would be an
+    # AnalysisException at the first downstream reference
+    carried = dict.fromkeys(
+        (*group_cols, id_col, *order_cols, tokens_col, *extra_cols)
+    )
     # integer floor division, not floor(a / b): `/` on longs is double
     # division (rounds past 2^53) — start_off at 100 TB-corpus scale is
     # a token count that can approach that
@@ -85,7 +91,7 @@ def pack_assignments(
         F.lit(budget),
     )
     return (
-        docs.select(*group_cols, *carried, tokens_col, *extra_cols)
+        docs.select(*carried)
         .withColumn("shard", shard)
         .withColumn("start_off", start)
         .withColumn("bin_id", bin_id)

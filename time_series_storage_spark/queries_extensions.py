@@ -1883,6 +1883,7 @@ def _fp_store(spark, sf_dir):
     the IVF index (same artifact lifecycle: re-absorbing history inside
     every query is the one per-query cost that cannot survive corpus
     scale)."""
+    import contextlib
     import hashlib
     import os
     import shutil
@@ -1892,25 +1893,42 @@ def _fp_store(spark, sf_dir):
     from .operators.vector_index import files_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
+    # the cache key carries a store-format/algorithm version: bumping
+    # it on any change to the stored schema or normalized_fingerprint
+    # invalidates stale caches instead of silently diverging from the
+    # from-scratch oracle (v2 = normalized id/fp/dup_count file schema)
     key = hashlib.md5(
-        f"{os.path.realpath(src)}:{FPSTORE_BASE}".encode()
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:fmt-v2".encode()
     ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "tss_fp_store", key)
+    base = os.path.join(tempfile.gettempdir(), "tss_fp_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
     store = FingerprintStore(spark, root)
     fp = files_fingerprint(src)
     meta = store._store.current_meta(root)
     if meta is None or meta.get("corpus_fp") != fp:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        store.absorb(
-            _docs(spark, sf_dir).where(F.col("doc_id") < FPSTORE_BASE),
-            "doc_id", "text",
-        )
-        committed = store._store.current_meta(root)
-        committed["corpus_fp"] = fp
-        store._flip(
-            committed.pop("version"), committed
-        )
+        # exclusive file lock: a concurrent second driver must wait for
+        # (and then reuse) the winner's build, not interleave absorbs
+        # into the same version dir
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            meta = store._store.current_meta(root)
+            if meta is None or meta.get("corpus_fp") != fp:
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store.absorb(
+                    _docs(spark, sf_dir).where(
+                        F.col("doc_id") < FPSTORE_BASE
+                    ),
+                    "doc_id", "text",
+                )
+                committed = store._store.current_meta(root)
+                committed["corpus_fp"] = fp
+                store._flip(committed.pop("version"), committed)
     return store
 
 

@@ -41,11 +41,18 @@ from .ingest import RollupMergeBackend
 
 
 def _ident(name: str) -> str:
-    """Sanitize a grouping/fact id into a SQL identifier fragment."""
+    """Sanitize a grouping/fact id into a SQL identifier fragment.
+
+    The sanitized prefix alone is NOT injective ('a-b' and 'a_b' both
+    map to 'a_b'), and a collision would silently merge two rollup
+    tables — and their watermark rows — into one. A short hash of the
+    RAW name keeps the mapping injective while staying readable."""
+    import hashlib
+
     out = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if not out or not re.match(r"[A-Za-z_]", out[0]):
         out = "_" + out
-    return out
+    return f"{out}_{hashlib.md5(name.encode()).hexdigest()[:6]}"
 
 
 class DuckDBMergeBackend(RollupMergeBackend):
