@@ -16,6 +16,13 @@ table, defined here and never changed across rounds): it normalizes
 cross-round comparisons against machine drift. If round N's queries
 inflate but control inflates identically, the machine moved, not the
 plans; control is excluded from the total.
+
+Round 7 adds ``controls`` — three pinned probes of DIFFERENT shapes
+(scan-aggregate, wide shuffle, broadcast join + shuffle), each sized
+well past the fixed per-query overhead the old sub-200ms control was
+dominated by (its drift read as a phantom 15-30% regression in r6).
+Cross-round normalization should use the MEDIAN of the three per-probe
+ratios; the old ``control`` stays for continuity.
 """
 
 from __future__ import annotations
@@ -71,8 +78,94 @@ def main() -> None:
             F.col("event_type"),
         ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
 
+    def bench_control_scan(spark_, sf_dir_):
+        # PINNED r7+ — scan-bound shape: one pass over events computing
+        # enough per-row work (distinct sketch, string length, minute
+        # truncation) that scan + eval dominates, with a near-trivial
+        # final aggregation.
+        from pyspark.sql import functions as F
+
+        # 4 pinned passes unioned: sizes the probe well past fixed
+        # per-job overhead without changing its scan-bound shape
+        ev = spark_.read.parquet(os.path.join(sf_dir_, "events.parquet"))
+        copies = ev
+        for _ in range(3):
+            copies = copies.unionAll(ev)
+        return copies.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+            F.approx_count_distinct("user_id").alias("users"),
+            F.approx_count_distinct(
+                F.date_trunc("minute", F.col("ts"))
+            ).alias("minutes"),
+            F.avg(F.length("event_type")).alias("avg_len"),
+            # per-row sha2 makes the probe compute-bound on the scan,
+            # not on fixed job overhead
+            F.approx_count_distinct(
+                F.sha2(
+                    F.concat_ws(
+                        "|", "user_id", "event_type", F.col("ts").cast("string")
+                    ),
+                    256,
+                )
+            ).alias("row_sketch"),
+        )
+
+    def bench_control_shuffle(spark_, sf_dir_):
+        # PINNED r7+ — wide two-exchange shuffle shape: per-user event
+        # stats, then a second aggregation over the per-user rows.
+        # High-cardinality keys make this shuffle-bound, not
+        # overhead-bound.
+        from pyspark.sql import functions as F
+
+        ev = spark_.read.parquet(os.path.join(sf_dir_, "events.parquet"))
+        # 4 pinned passes: shuffle volume well past fixed overhead
+        for _ in range(3):
+            ev = ev.unionAll(
+                spark_.read.parquet(os.path.join(sf_dir_, "events.parquet"))
+            )
+        per_user = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        return per_user.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("users"),
+            F.avg("n").alias("avg_n"),
+            F.max("v").alias("max_v"),
+        )
+
+    def bench_control_join(spark_, sf_dir_):
+        # PINNED r7+ — broadcast-join + shuffle shape: lineitem joined
+        # to part (broadcast) and orders (shuffle), aggregated by
+        # (p_type, o_orderpriority).
+        from pyspark.sql import functions as F
+
+        li = spark_.read.parquet(os.path.join(sf_dir_, "lineitem.parquet"))
+        # 2 pinned passes over the fact side
+        li = li.unionAll(
+            spark_.read.parquet(os.path.join(sf_dir_, "lineitem.parquet"))
+        )
+        part = spark_.read.parquet(os.path.join(sf_dir_, "part.parquet"))
+        orders = spark_.read.parquet(os.path.join(sf_dir_, "orders.parquet"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("p_type", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "rev"
+                ),
+            )
+        )
+
     qs = dict(entrymod.queries())
     qs["__control__"] = bench_control
+    qs["__control_scan__"] = bench_control_scan
+    qs["__control_shuffle__"] = bench_control_shuffle
+    qs["__control_join__"] = bench_control_join
     # queries that run DRIVER-SIDE loops (iterative connected
     # components, k-means, chained multi-job pipelines) execute many
     # Spark jobs per timed run, so a single hypervisor pause lands in
@@ -83,7 +176,10 @@ def main() -> None:
     multi_job = {
         "dedup_clusters", "dedup_clusters_star", "entity_resolution_parts",
         "sim_topk_ivf_kmeans", "dedup_source_overlap", "pipeline_e2e",
-        "__control__",  # the normalizer itself must be noise-robust
+        "dedup_near_incremental",  # iterative CC driver loop inside
+        # the normalizers themselves must be noise-robust
+        "__control__", "__control_scan__", "__control_shuffle__",
+        "__control_join__",
     }
     # one query at a time, fully isolated: build, untimed warm-up
     # (pays codegen + populates the query's own persisted frames),
@@ -112,6 +208,10 @@ def main() -> None:
         times[name] = min(runs)
         spark.catalog.clearCache()
     control = times.pop("__control__")
+    controls = {
+        shape: times.pop(f"__control_{shape}__")
+        for shape in ("scan", "shuffle", "join")
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -121,6 +221,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "control": control,
+                "controls": controls,
                 "sf": sf,
             }
         )

@@ -1,0 +1,143 @@
+"""BPE tokenizer (operators/bpe.py): fit + encode semantics.
+
+The driver-level oracle rows are bpe_fit_merges / bpe_encode_docs
+(queries_extensions.py — the oracle replays the full merge sequence
+with an unrolled CTE chain); these tests pin the algorithm against an
+INDEPENDENT pure-Python sequential model (counter-based fit, greedy
+left-to-right fold encode) on adversarial inputs the corpus doesn't
+produce: overlap chains ('aaa' under merge (a,a)), alternating chains
+('babab' under (b,a)), merges whose right side is itself a merged
+token, and tie-breaking.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encode_words,
+    bpe_fit,
+)
+
+
+# -- independent sequential model -------------------------------------------
+
+def _py_apply(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right fold: the reference semantics the
+    sentinel-wrapped literal replace must equal."""
+    out: list = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _py_fit(word_counts: dict, n_merges: int):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        vocab = {w: _py_apply(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+# -- deterministic pins ------------------------------------------------------
+
+def test_bpe_fit_textbook(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new lower"),
+         (3, "wide wider widest low new")], ["doc_id", "text"])
+    m = [(r.rank, r.left, r.right, r.n)
+         for r in bpe_fit(docs, num_merges=4).orderBy("rank").collect()]
+    assert m == [(1, "l", "o", 7), (2, "lo", "w", 7),
+                 (3, "e", "w", 5), (4, "n", "ew", 5)]
+    enc = bpe_encode(docs, bpe_fit(docs, num_merges=8))
+    got = {(r.doc_id, r.word_idx): (list(r.tokens), r.n_toks)
+           for r in enc.collect()}
+    assert got[(1, 1)] == (["low", "er"], 2)
+    assert got[(3, 2)] == (["w", "id", "est"], 3)
+
+
+def test_bpe_merge_overlap_chains(spark):
+    """The sentinel-wrapped replace must equal the greedy fold on
+    overlap chains — the exact spot where naive space-joined replace
+    diverges (consumed delimiters break adjacency)."""
+    words = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("aaaaa",), ("babab",), ("ababa",)], ["w"]
+    )
+    got = {
+        r.w: r.bpe_s
+        for r in bpe_encode_words(words, "w", [("a", "a")]).collect()
+    }
+
+    def toks(s):
+        return s[1:-1].split("\x02\x01") if s else []
+
+    assert toks(got["aaa"]) == ["aa", "a"]
+    assert toks(got["aaaa"]) == ["aa", "aa"]
+    assert toks(got["aaaaa"]) == ["aa", "aa", "a"]
+    got2 = {
+        r.w: r.bpe_s
+        for r in bpe_encode_words(words, "w", [("b", "a")]).collect()
+    }
+    assert toks(got2["babab"]) == ["ba", "ba", "b"]
+    assert toks(got2["ababa"]) == ["a", "ba", "ba"]
+
+
+def test_bpe_merge_with_merged_right_side(spark):
+    """A later merge whose operands are earlier merged tokens."""
+    words = spark.createDataFrame([("abab",), ("ababab",)], ["w"])
+    out = bpe_encode_words(words, "w", [("a", "b"), ("ab", "ab")])
+    got = {r.w: (r.bpe_s[1:-1].split("\x02\x01"), r.n_toks)
+           for r in out.collect()}
+    assert got["abab"] == (["abab"], 1)
+    assert got["ababab"] == (["abab", "ab"], 2)
+
+
+# -- property: Spark pipeline == sequential model ---------------------------
+
+corpora = st.dictionaries(
+    keys=st.text(alphabet="ab", min_size=1, max_size=6),
+    values=st.integers(min_value=1, max_value=5),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(wc=corpora, n_merges=st.integers(min_value=1, max_value=6))
+@settings(max_examples=5, deadline=None)
+def test_bpe_matches_sequential_model(spark, wc, n_merges):
+    """For ANY word-count corpus, distributed fit must produce the
+    identical merge sequence (values AND counts AND order) and encode
+    must produce the identical tokenization as the pure-Python
+    sequential model. 'ab'-alphabet words maximize overlap chains and
+    ties."""
+    text = " ".join(w for w, c in sorted(wc.items()) for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    m = bpe_fit(docs, num_merges=n_merges)
+    got_merges = [
+        (r.left, r.right, r.n) for r in m.orderBy("rank").collect()
+    ]
+    want_merges, want_vocab = _py_fit(wc, n_merges)
+    assert got_merges == want_merges
+    words = spark.createDataFrame([(w,) for w in wc], ["w"])
+    enc = bpe_encode_words(
+        words, "w", [(a, b) for a, b, _ in want_merges]
+    )
+    got_vocab = {
+        r.w: r.bpe_s[1:-1].split("\x02\x01") for r in enc.collect()
+    }
+    assert got_vocab == want_vocab

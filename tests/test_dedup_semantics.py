@@ -852,3 +852,61 @@ def test_fingerprint_store_mixed_id_col_schemas(spark, tmp_path):
         "doc_id", "text",
     )
     assert sorted(r["doc_id"] for r in s3.collect()) == [10]
+
+
+@pytest.mark.parametrize(
+    "stage", ["post_write", "mid_link", "post_link", "post_publish"]
+)
+def test_fingerprint_store_absorb_crash_replay_exactly_once(
+    spark, tmp_path, stage
+):
+    """Fault injection at EVERY absorb stage (survivor write, each
+    history hard-link, pre-publish, post-publish-pre-flip): the flip is
+    the single commit point, so a crash at any stage before it leaves
+    the store on the previous complete snapshot, and the streaming
+    replay of the crashed batch re-absorbs and emits its survivors
+    EXACTLY ONCE — no fingerprint lost, none double-absorbed, no
+    survivor double-emitted."""
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    s0 = store.absorb(b0, "doc_id", "text", batch_id=0)
+    assert sorted(r["doc_id"] for r in s0.collect()) == [1, 2]
+
+    b1 = spark.createDataFrame([(3, "beta"), (4, "gamma")], ["doc_id", "text"])
+
+    def boom(s):
+        if s == stage:
+            raise RuntimeError(f"injected crash at {s}")
+
+    store._absorb_fault = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        store.absorb(b1, "doc_id", "text", batch_id=1)
+    store._absorb_fault = None
+
+    # the crash must not have moved the commit pointer: watermark still
+    # batch 0, fingerprint set still day-1 only
+    import json
+
+    meta = json.load(open(os.path.join(tmp_path / "fps", "_current")))
+    assert meta["batch"] == 0
+    assert store.seen().count() == 2
+    # replay of the crashed batch (the foreachBatch contract):
+    # re-absorbs cleanly, emits the survivors once
+    s1 = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [4]
+    assert store.seen().count() == 3
+    # a second replay is a no-op re-emission (no new commit)
+    vdirs = [n for n in os.listdir(tmp_path / "fps") if n.startswith("v")]
+    s1r = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in s1r.collect()) == [4]
+    assert [
+        n for n in os.listdir(tmp_path / "fps") if n.startswith("v")
+    ] == vdirs
+    # no stranded staging dirs after the recovery cycle
+    assert not [
+        n for n in os.listdir(tmp_path / "fps") if n.startswith(".staging-")
+    ]

@@ -1,0 +1,194 @@
+"""Distributed byte-pair-encoding tokenizer: fit + encode.
+
+Reference scope: the reference engine ships no tokenizer; this
+completes the training-data pipeline story around
+``text.build_vocab``/``encode_tokens`` (frequency top-N word vocab)
+with a real subword tokenizer learned from the corpus — the operator a
+100 TB curation pipeline runs between dedup and packing.
+
+Algorithm (Sennrich et al. 2016, word-internal merges):
+
+* FIT iterates on the DISTINCT-WORD AGGREGATE, never the corpus: one
+  shuffle builds (word, count) — at 100 TB the corpus is petabytes but
+  the distinct-word table is bounded (~100M rows) — then each of the N
+  merge rounds is one explode+groupBy over that vocab-sized table plus
+  a LIMIT-1 driver collect of the best pair (the same bounded
+  iterative-driver shape as connected components; lineage truncated
+  with ``localCheckpoint`` each round).
+* ENCODE is N chained LITERAL ``replace`` calls over the corpus —
+  pure whole-stage-codegen JVM expressions, no Python in the hot path.
+  For production-sized merge tables (32k), switch the application to a
+  broadcast merge table + Arrow ``mapInPandas``; the gate-sized N here
+  keeps the whole pipeline inside codegen AND makes the semantics
+  mirror-able in ANSI SQL for the oracle.
+
+Merge application uses a sentinel serialization that makes ONE literal
+replace per merge exactly equal to the left-to-right greedy fold over
+the symbol sequence: a word's tokenization is stored as
+``\\x01tok\\x02\\x01tok\\x02...``. Because the pattern
+``\\x01a\\x02\\x01b\\x02`` consumes both tokens WHOLE (boundaries
+anchored by the sentinels, nothing shared with a neighboring
+occurrence), standard non-overlapping left-to-right replace semantics
+— identical in Spark's ``replace`` and DuckDB's ``replace`` — apply
+every occurrence in one pass, and overlap chains (merge (a,a) on
+"aaa") resolve to the greedy fold result ([aa, a]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# token wrappers: \x01 = token start, \x02 = token end. Corpus text
+# containing these control chars would be ambiguous; fit/encode reject
+# none (synthetic + real text corpora are sentinel-free; a production
+# deployment would strip them in the cleaning pass).
+T0 = "\x01"
+T1 = "\x02"
+SEP = T1 + T0  # the inter-token boundary inside a serialized word
+
+
+def _serialize_chars(col: Column) -> Column:
+    """word -> its character-level serialized tokenization
+    (``\\x01c\\x02`` per char). One regexp_replace, codegen'd."""
+    return F.regexp_replace(col, "(.)", T0 + "$1" + T1)
+
+
+def words_with_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(w, cnt): whitespace-delimited words with corpus frequencies —
+    the one corpus-wide shuffle of the whole fit."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(left, right, n): adjacent-token pair frequencies over the
+    serialized vocab state, weighted by word counts."""
+    toks = F.split(
+        F.expr(f"substring(s, 2, length(s) - 2)"), SEP
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("left"),
+            F.element_at(toks, i + 2).alias("right"),
+        ),
+    )
+    return (
+        state.where(F.size(toks) >= 2)
+        .select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def apply_merge(s: Column, left: str, right: str) -> Column:
+    """Apply one merge to a serialized tokenization — a single literal
+    replace, exactly the greedy left-to-right fold (see module doc)."""
+    return F.replace(
+        s,
+        F.lit(T0 + left + T1 + T0 + right + T1),
+        F.lit(T0 + left + right + T1),
+    )
+
+
+def bpe_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus. Output:
+    (rank, left, right, n) — rank is 1-based application order, n the
+    pair's weighted frequency when chosen. Deterministic: ties broken
+    by (left, right) ascending (bytewise — both engines collate ASCII
+    identically). Stops early (fewer rows) only if the vocab runs out
+    of adjacent pairs.
+
+    The returned frame is driver-materialized (num_merges rows — the
+    merge table is a bounded artifact like a codebook, the documented
+    small boundary)."""
+    spark = docs.sparkSession
+    state = (
+        words_with_counts(docs, text_col)
+        .select("w", "cnt", _serialize_chars(F.col("w")).alias("s"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0]["left"], best[0]["right"], best[0]["n"]
+        merges.append((rank, left, right, int(n)))
+        state = state.withColumn(
+            "s", apply_merge(F.col("s"), left, right)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, n long"
+    )
+
+
+def bpe_encode_words(
+    df: DataFrame,
+    word_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Add ``bpe_s`` (serialized tokenization after applying the merge
+    list in rank order) and ``n_toks`` to ``df``. All chained literal
+    replaces — one codegen'd projection, no shuffle, no Python."""
+    s = _serialize_chars(F.col(word_col))
+    for left, right in merges:
+        s = apply_merge(s, left, right)
+    out = df.withColumn("bpe_s", s)
+    # token count = number of \x01 sentinels
+    return out.withColumn(
+        "n_toks",
+        (
+            F.length("bpe_s")
+            - F.length(F.replace(F.col("bpe_s"), F.lit(T0), F.lit("")))
+        ).cast("long"),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a corpus with a fitted merge table. Output one row per
+    (doc, word position): (id, word_idx, word, tokens array<string>,
+    n_toks). The merge table is collected (bounded artifact) and
+    compiled into the chained-replace projection."""
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+            "word_idx", "word"
+        ),
+    ).where(F.length("word") > 0)
+    enc = bpe_encode_words(exploded, "word", merges)
+    return enc.select(
+        F.col(id_col),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "word",
+        F.split(
+            F.expr("substring(bpe_s, 2, length(bpe_s) - 2)"), SEP
+        ).alias("tokens"),
+        "n_toks",
+    )

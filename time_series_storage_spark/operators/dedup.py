@@ -427,6 +427,32 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """The exploded banded-LSH index: (id, band_id, band_key), one row
+    per (document, band). rows-per-band r = num_hashes // bands; the
+    band key is the string concat of the band's r signature values, so
+    bucket membership is a plain equi-join key. This is both the
+    in-flight shape of :func:`lsh_candidate_pairs` and the PERSISTED
+    shape of :class:`NearDupStore`'s band table."""
+    r = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{band * r + j}").cast("string") for j in range(r)]
+            )
+            for band in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -452,18 +478,7 @@ def lsh_candidate_pairs(
     pass handles at linear cost; genuine near-dup families are orders
     of magnitude smaller). Default None preserves exact semantics.
     """
-    r = num_hashes // bands
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"m{band * r + j}").cast("string") for j in range(r)]
-            )
-            for band in range(bands)
-        ]
-    )
-    exploded = signatures.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    exploded = band_rows(signatures, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         # one partial-aggregated count over the exploded index, then a
         # windowless semi-join-free filter: re-join the small over-cap
@@ -1057,6 +1072,14 @@ class FingerprintStore:
         self.spark = spark
         self.path = path
         self._store = VersionedStore(spark, path)
+        # test seam: callable(stage_name) invoked at each absorb stage
+        # (fault-injection crash tests, same pattern as
+        # ParquetEventStore._compact_fault)
+        self._absorb_fault = None
+
+    def _fault(self, stage: str) -> None:
+        if self._absorb_fault is not None:
+            self._absorb_fault(stage)
 
     def _current_dir(self):
         import os
@@ -1199,6 +1222,7 @@ class FingerprintStore:
                     )
                     inc_names.append(dst)
             shutil.rmtree(inc_dir, ignore_errors=True)
+            self._fault("post_write")
             # history rides along as hard links (no data copy)
             prev = self._current_dir()
             if prev is not None:
@@ -1211,10 +1235,13 @@ class FingerprintStore:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
+                    self._fault("mid_link")
+            self._fault("post_link")
             os.replace(staging, vdir)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        self._fault("post_publish")
         # carry forward every prior meta field (the streaming batch
         # watermark above all: a manual daily absorb interleaved with
         # the foreachBatch stream must NOT erase replay detection —
@@ -1364,3 +1391,388 @@ class FingerprintStore:
             extra["batch_files"] = []
         self._flip(version, extra)
         return n
+
+
+class NearDupStore:
+    """Persisted MinHash band-table + shingle-set artifact for
+    INCREMENTAL near-dup — the FingerprintStore pattern applied to LSH.
+    Reference behavior: the whole-corpus path is
+    :func:`minhash_lsh_pairs` (candidates from the banded equi-join,
+    exact-Jaccard verification); a daily curation pipeline cannot
+    re-run it over corpus history every ingest (linear in corpus text),
+    so the store persists, per RETAINED document, exactly the two
+    fixed-width tables that pipeline needs:
+
+    * ``band``  — (id, band_id, band_key): the banded-LSH index.
+      Probing an increment is ONE equi-join on (band_id, band_key)
+      against this table — at cluster scale, write it bucketed by
+      band_key so only the increment shuffles.
+    * ``set``   — (id, hs_set array<long>, n): the hashed shingle sets
+      for exact-Jaccard verification of the (small) candidate list —
+      a candidate-driven join on id, never a corpus scan.
+
+    Both carry a few hundred longs per document — orders of magnitude
+    smaller than the text they index; per-day commit I/O is
+    O(increment) (history rides as hard links under the same
+    VersionedStore snapshot protocol as :class:`FingerprintStore`:
+    atomic ``_current`` flip, snapshot-until-vacuum reads, crash
+    mid-absorb leaves readers on the old complete artifact).
+
+    Winner semantics are FIRST-DAY-WINS AGAINST RETAINED SURVIVORS:
+    an increment document is a duplicate iff its exact Jaccard with
+    some STORED document reaches the threshold; among the remainder,
+    within-increment near-dup clusters (connected components of the
+    verified pair graph, the same rule as ``dedup_clusters``) keep the
+    min id. Only survivors are stored — dropped documents never become
+    comparison targets, the standard "compare against the kept corpus"
+    curation contract. Because near-dup is NOT transitive, this can
+    differ from whole-corpus LSH + clustering over the concatenated
+    history (a doc D may near-match a dropped dup of survivor S
+    without near-matching S): the sequential model, not the batch
+    recompute, is the contract, property-tested in tests.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = 8,
+        num_hashes: int = DEFAULT_NUM_HASHES,
+        bands: int = DEFAULT_BANDS,
+        threshold_x1000: int = 500,
+        max_bucket_size: int | None = None,
+    ):
+        from ..plans.materialize import VersionedStore
+
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.num_hashes = num_hashes
+        self.n_bands = bands
+        self.threshold_x1000 = threshold_x1000
+        self.max_bucket_size = max_bucket_size
+        self._store = VersionedStore(spark, path)
+        # shingle/signature params are part of the artifact: probing
+        # with different params than the stored rows were built with
+        # is silent nonsense, so they are pinned at first commit and
+        # validated on reopen
+        meta = self._store.current_meta(path)
+        params = [k, num_hashes, bands, threshold_x1000]
+        if meta is not None and meta.get("params") not in (None, params):
+            raise ValueError(
+                f"NearDupStore at {path} was built with params "
+                f"{meta['params']}; reopening with {params} would probe "
+                "an incompatible artifact"
+            )
+
+    SET_SCHEMA = "id long, hs_set array<long>, n long"
+    BAND_SCHEMA = "id long, band_id int, band_key string"
+    SURV_SCHEMA = "id long, n_members long"
+
+    def _current_dir(self):
+        import os
+
+        meta = self._store.current_meta(self.path)
+        if meta is None:
+            return None
+        d = os.path.join(self.path, meta["version"])
+        return d if os.path.exists(d) else None
+
+    def _table(self, prefix: str, schema: str) -> DataFrame:
+        import os
+
+        d = self._current_dir()
+        if d is None:
+            return self.spark.createDataFrame([], schema)
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith(prefix + "-") and f.endswith(".parquet")
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
+
+    def sets(self) -> DataFrame:
+        """(id, hs_set, n) for every retained document."""
+        return self._table("set", self.SET_SCHEMA)
+
+    def bands(self) -> DataFrame:
+        """(id, band_id, band_key) banded-LSH index of retained docs."""
+        return self._table("band", self.BAND_SCHEMA)
+
+    def _jacc(self, common, n1, n2):
+        # floor, not cast: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates — floor is identical in both engines
+        return F.floor((common * 1000) / (n1 + n2 - common)).cast("long")
+
+    def _increment_parts(self, new_docs: DataFrame, id_col: str, text_col: str):
+        """(survivors, sets_inc, sig_inc) for one increment; sets_inc
+        is persisted — the caller unpersists after consuming."""
+        sets_inc = hashed_shingle_sets(
+            new_docs, id_col, text_col, self.k
+        ).persist()
+        sig_inc = minhash_signatures(
+            sets_inc.select(F.col(id_col), F.explode("hs_set").alias("hs")),
+            id_col,
+            self.num_hashes,
+        ).persist()
+        bands_inc = band_rows(sig_inc, id_col, self.num_hashes, self.n_bands)
+        # --- history probe: equi-join on the persisted band index ----
+        cand = (
+            bands_inc.select(
+                F.col(id_col).alias("d_new"), "band_id", "band_key"
+            )
+            .join(
+                self.bands().select(
+                    F.col("id").alias("d_old"), "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
+            )
+            .select("d_new", "d_old")
+            .distinct()
+        )
+        a = sets_inc.select(
+            F.col(id_col).alias("d_new"),
+            F.col("hs_set").alias("s1"),
+            F.col("n").alias("n1"),
+        )
+        b = self.sets().select(
+            F.col("id").alias("d_old"),
+            F.col("hs_set").alias("s2"),
+            F.col("n").alias("n2"),
+        )
+        common = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+        hist_dup = (
+            cand.join(a, "d_new")
+            .join(b, "d_old")
+            .where(
+                self._jacc(common, F.col("n1"), F.col("n2"))
+                >= self.threshold_x1000
+            )
+            .select(F.col("d_new").alias(id_col))
+            .distinct()
+        )
+        # --- within-increment clusters among the remainder -----------
+        ok_sets = sets_inc.join(hist_dup, id_col, "left_anti").persist()
+        sig_ok = sig_inc.join(hist_dup, id_col, "left_anti")
+        cand_in = lsh_candidate_pairs(
+            sig_ok, id_col, self.num_hashes, self.n_bands,
+            self.max_bucket_size,
+        )
+        p1 = ok_sets.select(
+            F.col(id_col).alias("d1"),
+            F.col("hs_set").alias("s1"),
+            F.col("n").alias("n1"),
+        )
+        p2 = ok_sets.select(
+            F.col(id_col).alias("d2"),
+            F.col("hs_set").alias("s2"),
+            F.col("n").alias("n2"),
+        )
+        pairs = (
+            cand_in.join(p1, "d1")
+            .join(p2, "d2")
+            .where(
+                self._jacc(common, F.col("n1"), F.col("n2"))
+                >= self.threshold_x1000
+            )
+            .select("d1", "d2")
+        )
+        cc = connected_components(pairs, ok_sets.select(id_col), id_col)
+        survivors = (
+            cc.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(F.col("cluster").cast("long").alias(id_col), "n_members")
+        )
+        return survivors, sets_inc, sig_inc, ok_sets
+
+    def dedup_increment(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_docs`` against the stored corpus and
+        within the increment. Pure read — no state change. Output:
+        (id, n_members) where n_members counts the within-increment
+        near-dup cluster the survivor represents (1 = unique).
+        NOTE: runs the iterative CC driver loop — eager, like
+        ``dedup_clusters``."""
+        surv, sets_inc, sig_inc, ok_sets = self._increment_parts(
+            new_docs, id_col, text_col
+        )
+        out = surv.localCheckpoint()
+        for df in (sets_inc, sig_inc, ok_sets):
+            df.unpersist()
+        return out
+
+    def absorb(
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup the increment, then commit the survivors' band + set
+        rows (plus the (id, n_members) emission record) as the next
+        snapshot: hard links to every previous parquet file + new files
+        for the increment only. Returns the survivors AS READ FROM THE
+        COMMITTED FILES. ``batch_id`` gives the same exactly-once
+        foreachBatch replay contract as
+        :meth:`FingerprintStore.absorb` (the id and the committed
+        emission-file names ride the atomic pointer flip)."""
+        import os
+        import shutil
+        import uuid
+
+        meta = self._store.current_meta(self.path)
+        if batch_id is not None and meta is not None and "batch" in meta:
+            committed = int(meta["batch"])
+            if batch_id == committed:
+                vdir0 = os.path.join(self.path, meta["version"])
+                names = meta.get("batch_files") or []
+                paths = [os.path.join(vdir0, n) for n in names]
+                if paths and all(os.path.exists(p) for p in paths):
+                    return self.spark.read.parquet(*paths).select(
+                        F.col("id").alias(id_col), "n_members"
+                    )
+                return self.spark.createDataFrame(
+                    [], f"{id_col} long, n_members long"
+                )
+            if batch_id < committed:
+                return self.spark.createDataFrame(
+                    [], f"{id_col} long, n_members long"
+                )
+        version = self._store.next_version(meta)
+        vdir = os.path.join(self.path, version)
+        if os.path.exists(vdir):  # orphan of a crashed commit
+            shutil.rmtree(vdir, ignore_errors=True)
+        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        surv, sets_inc, sig_inc, ok_sets = self._increment_parts(
+            new_docs, id_col, text_col
+        )
+        # survivors drive three artifact writes — materialize once so
+        # the CC result (already eager) isn't re-derived per write
+        surv = surv.persist()
+        surv_ids = surv.select(F.col(id_col))
+        new_sets = sets_inc.join(surv_ids, id_col, "left_semi").select(
+            F.col(id_col).cast("long").alias("id"),
+            "hs_set",
+            F.col("n").cast("long").alias("n"),
+        )
+        new_bands = band_rows(
+            sig_inc.join(surv_ids, id_col, "left_semi"),
+            id_col,
+            self.num_hashes,
+            self.n_bands,
+        ).select(F.col(id_col).cast("long").alias("id"), "band_id", "band_key")
+        new_surv = surv.select(
+            F.col(id_col).cast("long").alias("id"), "n_members"
+        )
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        os.makedirs(staging, exist_ok=True)
+        inc_names: list[str] = []
+        surv_names: list[str] = []
+        try:
+            for prefix, df in (
+                ("set", new_sets),
+                ("band", new_bands),
+                ("surv", new_surv),
+            ):
+                tmp = os.path.join(staging, f"_{prefix}")
+                df.write.mode("overwrite").parquet(tmp)
+                i = 0
+                for name in sorted(os.listdir(tmp)):
+                    if name.endswith(".parquet"):
+                        dst = f"{prefix}-{version}-{i}.parquet"
+                        os.replace(
+                            os.path.join(tmp, name), os.path.join(staging, dst)
+                        )
+                        inc_names.append(dst)
+                        if prefix == "surv":
+                            surv_names.append(dst)
+                        i += 1
+                shutil.rmtree(tmp, ignore_errors=True)
+            prev = self._current_dir()
+            if prev is not None:
+                for name in os.listdir(prev):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(prev, name)
+                    dst = os.path.join(staging, name)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+            os.replace(staging, vdir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        finally:
+            for df in (sets_inc, sig_inc, ok_sets, surv):
+                df.unpersist()
+        # prior meta fields (the batch watermark above all) survive a
+        # manual absorb, exactly as in FingerprintStore.absorb
+        extra = {
+            k: v
+            for k, v in (meta or {}).items()
+            if k not in ("version", "inc_files")
+        }
+        extra["inc_files"] = inc_names
+        extra["params"] = [
+            self.k, self.num_hashes, self.n_bands, self.threshold_x1000
+        ]
+        if batch_id is not None:
+            extra["batch"] = int(batch_id)
+            extra["batch_files"] = surv_names
+        self._flip(version, extra)
+        if not surv_names:
+            return self.spark.createDataFrame(
+                [], f"{id_col} long, n_members long"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(vdir, n) for n in surv_names]
+        ).select(F.col("id").alias(id_col), "n_members")
+
+    def foreach_batch(self, id_col: str, text_col: str, emit):
+        """Exactly-once ``foreachBatch`` near-dup sink: each
+        micro-batch absorbed under its batch id, committed survivors
+        handed to ``emit(survivors_df, batch_id)`` — streaming near-dup
+        curation against the FULL persisted corpus history."""
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, text_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn
+
+    def _flip(self, version: str, extra: dict | None = None) -> None:
+        import json
+        import os
+
+        meta = dict(extra or {})
+        meta["version"] = version
+        tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Remove all but the newest ``keep`` snapshot dirs (never the
+        current one); shared data survives through hard links."""
+        import os
+        import shutil
+
+        meta = self._store.current_meta(self.path)
+        current = meta["version"] if meta else None
+        versions = sorted(
+            n for n in os.listdir(self.path) if n.startswith("v")
+        )
+        victims = [v for v in versions[:-keep] if v != current] if keep else [
+            v for v in versions if v != current
+        ]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+        return victims

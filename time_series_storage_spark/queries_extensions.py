@@ -1966,6 +1966,255 @@ GROUP BY fp
 """
 
 
+def _nd_store(spark, sf_dir):
+    """The persisted NEAR-dup store for ``sf_dir`` — the
+    FingerprintStore lifecycle applied to the MinHash band-table
+    artifact (operators/dedup.py::NearDupStore): built on first use by
+    near-dup-absorbing the base slice (doc_id < {FPSTORE_BASE}), then
+    READ by every query after, staleness-keyed on the corpus files.
+    Probing the daily increment against the persisted band index is the
+    100 TB shape — dedup_minhash_lsh recomputes the full corpus every
+    run, linear in corpus history."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import NearDupStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{MINHASH_THRESHOLD}:nd-v1"
+        .encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_nd_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+    store = NearDupStore(spark, root, threshold_x1000=MINHASH_THRESHOLD)
+    fp = files_fingerprint(src)
+    meta = store._store.current_meta(root)
+    if meta is None or meta.get("corpus_fp") != fp:
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            meta = store._store.current_meta(root)
+            if meta is None or meta.get("corpus_fp") != fp:
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = NearDupStore(
+                    spark, root, threshold_x1000=MINHASH_THRESHOLD
+                )
+                store.absorb(
+                    _docs(spark, sf_dir).where(
+                        F.col("doc_id") < FPSTORE_BASE
+                    ),
+                    "doc_id", "text",
+                )
+                committed = store._store.current_meta(root)
+                committed["corpus_fp"] = fp
+                store._flip(committed.pop("version"), committed)
+    return store
+
+
+def q_dedup_near_incremental(spark, sf_dir):
+    """Daily-ingest NEAR-dup as a gated query: survivors of the
+    increment (doc_id >= {FPSTORE_BASE}) against the PERSISTED MinHash
+    band-table store holding the base slice's retained survivors. The
+    read path probes the increment's band rows against the stored band
+    index (one equi-join), verifies the candidate list with exact
+    Jaccard against the stored shingle sets, then min-id-clusters the
+    remainder within the increment — never re-running LSH over corpus
+    history. The oracle recomputes the whole two-day sequence from
+    scratch in SQL (base LSH + clustering -> base survivors -> probe ->
+    increment clustering), so a green hash row proves the persisted
+    artifact plus the incremental probe equals the from-scratch
+    sequential model."""
+    store = _nd_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    out = store.dedup_increment(inc, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _dedup_near_incremental_sql() -> str:
+    """From-scratch SQL replay of the sequential near-dup store model:
+    pairs over the FULL corpus (pair membership and Jaccard are
+    per-pair properties, so subset-restricted pairs equal pairs
+    computed within the subset), then day-1 clustering, survivor
+    election, day-2 history probe against SURVIVORS ONLY, and day-2
+    within-increment clustering. Ids split at {FPSTORE_BASE} with base
+    ids strictly below increment ids, so d1 < d2 orders every
+    cross-day pair as (base, increment)."""
+    b = FPSTORE_BASE
+    return f"""
+WITH RECURSIVE docs AS (SELECT * FROM documents),
+{_minhash_pairs_ctes()},
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM documents
+       WHERE doc_id >= {b}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
+"""
+
+
+# -- BPE tokenizer: distributed fit + codegen encode ------------------------
+
+BPE_MERGES = 16
+
+
+def q_bpe_fit_merges(spark, sf_dir):
+    """Learn {BPE_MERGES} BPE merges from the documents corpus
+    (operators/bpe.py::bpe_fit — fit iterates on the DISTINCT-WORD
+    aggregate, one corpus shuffle total; each round is a vocab-sized
+    pair count plus a LIMIT-1 collect, the bounded iterative-driver
+    shape). The oracle replays the merge sequence with an UNROLLED CTE
+    chain (pair-count -> argmax -> literal replace per round), so a
+    green hash proves the full learned sequence, not just the final
+    vocabulary."""
+    from .operators.bpe import bpe_fit
+
+    return bpe_fit(_docs(spark, sf_dir), "text", BPE_MERGES).select(
+        F.col("rank"), F.col("left"), F.col("right"), F.col("n")
+    )
+
+
+def _bpe_fit_ctes() -> str:
+    """The unrolled BPE fit as CTEs: w0 (distinct words, char-serialized
+    with \\x01/\\x02 token sentinels) then per round i: p{i} pair
+    counts, best{i} argmax (ties by (left, right) ascending — bytewise
+    in both engines on this ASCII corpus), w{i} after the literal
+    replace. COALESCE guards make rounds past pair exhaustion no-ops,
+    mirroring the Spark loop's early break."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS cnt,
+         regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents) t
+  WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f"""tk{i} AS MATERIALIZED (
+  SELECT cnt, string_split(substring(s, 2, length(s) - 2),
+                           chr(2) || chr(1)) AS t
+  FROM w{i - 1}
+),
+p{i} AS MATERIALIZED (
+  SELECT t[j] AS "left", t[j + 1] AS "right", SUM(cnt)::BIGINT AS n
+  FROM tk{i}, unnest(generate_series(1, len(t) - 1)) g(j)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT "left", "right", n FROM p{i}
+  ORDER BY n DESC, "left", "right" LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT w, cnt,
+         replace(s,
+           COALESCE((SELECT chr(1) || "left" || chr(2) || chr(1) || "right" || chr(2) FROM best{i}), chr(3)),
+           COALESCE((SELECT chr(1) || "left" || "right" || chr(2) FROM best{i}), chr(3))) AS s
+  FROM w{i - 1}
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_fit_sql() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, \"left\", \"right\", n FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_fit_ctes()}\n{finals}"
+
+
+def q_bpe_encode_docs(spark, sf_dir):
+    """Tokenize the corpus with the fitted merges: one row per (doc,
+    word position) with the token sequence and count. The encode side
+    is {BPE_MERGES} chained LITERAL replaces — one whole-stage-codegen
+    projection over the corpus, no Python, no shuffle beyond the word
+    explode (at a production 32k-merge table, swap the application to a
+    broadcast table + Arrow mapInPandas; the semantics stay those of
+    this gate)."""
+    from .operators.bpe import bpe_encode, bpe_fit
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_fit(docs, "text", BPE_MERGES)
+    enc = bpe_encode(docs, merges, "doc_id", "text")
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("word_idx"),
+        F.col("word"),
+        F.concat_ws("|", F.col("tokens")).alias("toks"),
+        F.col("n_toks"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # the fitted merges applied as nested scalar-subquery replaces, in
+    # rank order (innermost = rank 1)
+    expr = "regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    for i in range(1, BPE_MERGES + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  COALESCE((SELECT chr(1) || \"left\" || chr(2) || chr(1) || \"right\" || chr(2) FROM best{i}), chr(3)),\n"
+            f"  COALESCE((SELECT chr(1) || \"left\" || \"right\" || chr(2) FROM best{i}), chr(3)))"
+        )
+    return f"""WITH {_bpe_fit_ctes()},
+dw AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS arr FROM documents
+),
+pw AS (
+  SELECT doc_id, (j - 1)::BIGINT AS word_idx, arr[j] AS word
+  FROM dw, unnest(generate_series(1, len(arr))) g(j)
+  WHERE arr[j] <> ''
+),
+enc AS (
+  SELECT doc_id, word_idx, word, {expr} AS s FROM pw
+)
+SELECT doc_id::BIGINT AS doc_id, word_idx, word,
+       replace(substring(s, 2, length(s) - 2), chr(2) || chr(1), '|') AS toks,
+       (length(s) - length(replace(s, chr(1), '')))::BIGINT AS n_toks
+FROM enc
+"""
+
+
 def q_mm_audio_frames(spark, sf_dir):
     """REAL audio decode under the hash gate: each document's bytes
     become 8-bit PCM samples in a genuine RIFF/WAV container
@@ -5256,4 +5505,10 @@ EXT_QUERIES = {
     # frame path — green means the codec recovered the exact samples
     "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_near_incremental": (
+        q_dedup_near_incremental,
+        _dedup_near_incremental_sql(),
+    ),
+    "bpe_fit_merges": (q_bpe_fit_merges, _bpe_fit_sql()),
+    "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
 }
