@@ -357,3 +357,50 @@ def test_neardup_store_matches_sequential_model(
             for r in store.absorb(df, "doc_id", "text").collect()
         )
         assert got == want
+
+
+def test_neardup_store_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end: a file stream near-deduped through the persisted
+    store via foreachBatch — history absorbed BEFORE the stream
+    started suppresses its near-duplicates, cross-batch near-dups are
+    suppressed by the store's growth, and within-batch clusters keep
+    the min id."""
+    store = NearDupStore(spark, str(tmp_path / "nds"))
+    store.absorb(
+        spark.createDataFrame([(100, DOC_A)], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    src = str(tmp_path / "feed")
+    fresh1 = _part("feed1", 200)
+    fresh2 = _part("feed2", 200)
+    spark.createDataFrame(
+        [(1, DOC_A + "z"), (2, fresh1), (3, fresh1 + "q")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(
+        [(4, fresh1 + "zz"), (5, fresh2)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src + "/f1")
+    emitted = []
+
+    def emit(df, bid):
+        emitted.extend((r.doc_id, r.n_members) for r in df.collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # 1 suppressed by pre-stream history; 3 clusters with 2; 4
+    # suppressed by batch-0's committed survivor 2; 5 fresh
+    assert sorted(emitted) == [(2, 2), (5, 1)]
+    assert sorted(
+        r.id for r in store.sets().select("id").collect()
+    ) == [2, 5, 100]

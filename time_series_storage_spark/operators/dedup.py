@@ -582,6 +582,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "id",
     max_iter: int = 20,
+    round_counter: list | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components of the
     near-dup pair graph by iterative min-label propagation.
@@ -627,6 +628,8 @@ def connected_components(
             .count()
         )
         lab = new
+        if round_counter is not None:  # scale-probe diagnostics
+            round_counter.append(1)
         if changed == 0:
             break
     edges.unpersist()
@@ -638,6 +641,7 @@ def connected_components_star(
     nodes: DataFrame,
     id_col: str = "id",
     max_iter: int = 25,
+    round_counter: list | None = None,
 ) -> DataFrame:
     """Connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -707,6 +711,8 @@ def connected_components_star(
             .localCheckpoint()
         )
         edges = small
+        if round_counter is not None:  # scale-probe diagnostics
+            round_counter.append(1)
         new_sig = _sig(edges)
         if new_sig == sig:
             converged = True

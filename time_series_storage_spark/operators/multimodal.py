@@ -12,9 +12,11 @@ oracle-checkable). ``decode_stub=False`` runs a REAL decode for PNG
 payloads via the pure-stdlib image codec (``png_codec`` — zlib inflate
 + CRC-checked chunks + all five scanline unfilters; no PIL needed) and
 for PCM WAV payloads via the pure-stdlib audio codec (``wav_codec`` —
-RIFF chunk walk to raw samples; no torchaudio needed), and raises
-``NotImplementedError`` at the exact point other codecs (PIL for
-JPEG, pyav for video) would be called. Frame hashes / features in real
+RIFF chunk walk to raw samples; no torchaudio needed), for baseline
+grayscale JPEG via the pure-numpy codec (``jpeg_codec`` — Huffman
+entropy decode + dequant + IDCT), and raises ``NotImplementedError``
+at the exact point other codecs (PIL for color/progressive JPEG, pyav
+for video) would be called. Frame hashes / features in real
 mode are computed over the DECODED PIXELS, so corrupt payloads fail
 loudly instead of hashing garbage. Everything around the decode —
 schemas, batch iteration, partitioning, explode of per-frame rows — is
@@ -37,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .parallel import cpu_partitions
+from .jpeg_codec import decode_jpeg, is_jpeg
 from .png_codec import decode_png, is_png
 from .wav_codec import decode_wav, is_wav
 
@@ -64,11 +67,13 @@ def _decoded_bytes(payload: bytes) -> bytes:
         return decode_png(payload).tobytes()
     if is_wav(payload):
         return decode_wav(payload)[0].tobytes()
+    if is_jpeg(payload):
+        return decode_jpeg(payload).tobytes()
     raise NotImplementedError(
-        "real decode implemented in-container for PNG and PCM WAV only "
-        "(operators/png_codec.py, operators/wav_codec.py); other codecs "
-        "(PIL/torchaudio/pyav) plug in here — or run with "
-        "decode_stub=True"
+        "real decode implemented in-container for PNG, PCM WAV and "
+        "baseline grayscale JPEG only (operators/png_codec.py, "
+        "wav_codec.py, jpeg_codec.py); other codecs (PIL/torchaudio/"
+        "pyav) plug in here — or run with decode_stub=True"
     )
 FRAMES_SCHEMA = "id bigint, frame_id bigint, frame_hash bigint"
 FEATURE_SCHEMA = "id bigint, feature array<double>"

@@ -2261,6 +2261,58 @@ def q_mm_audio_frames(spark, sf_dir):
     )
 
 
+def q_jpeg_gray_decode(spark, sf_dir):
+    """REAL image decode under the hash gate, third modality: each
+    document's bytes become an 8x8-tile grayscale mosaic encoded as a
+    genuine baseline JPEG (operators/jpeg_codec.py — DCT, flat
+    quantization with an exactly-invertible DC step, zigzag/DPCM,
+    Annex-K Huffman coding, byte stuffing), and the decode side must
+    parse the container, Huffman-decode the entropy stream, dequantize
+    and IDCT back to pixels whose tile values reproduce the EXACT
+    original bytes (``mosaic_to_bytes`` verifies every tile is
+    constant, so any pixel corruption fails loudly). The recovered
+    bytes then flow through the stub frame-hash path, making the
+    oracle the same frame-hash SQL as the other modalities: a green
+    row is a machine-checked proof that encode -> JFIF container ->
+    real Huffman/DCT decode -> downsample is the identity on every
+    document in the corpus."""
+    import pandas as _pd
+
+    from .operators.jpeg_codec import (
+        bytes_to_mosaic,
+        decode_jpeg,
+        encode_jpeg,
+        mosaic_to_bytes,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        bytearray(
+                            mosaic_to_bytes(
+                                decode_jpeg(
+                                    encode_jpeg(
+                                        bytes_to_mosaic(t.encode("utf-8"))
+                                    )
+                                )
+                            )
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    recovered = docs.mapInPandas(roundtrip, "id long, payload binary")
+    return M.extract_frames(recovered, decode_stub=True).select(
+        "id", "frame_id", "frame_hash"
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -5504,6 +5556,7 @@ EXT_QUERIES = {
     # real-WAV round-trip under the hash gate: same oracle as the stub
     # frame path — green means the codec recovered the exact samples
     "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
+    "jpeg_gray_decode": (q_jpeg_gray_decode, SQL_MM_FRAMES),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
