@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_PRIORITY = [
     # --- new in round 7 ---
     "dedup_near_incremental",
+    "emb_near_incremental",
     "bpe_fit_merges",
     "bpe_encode_docs",
     "jpeg_gray_decode",

@@ -1399,7 +1399,192 @@ class FingerprintStore:
         return n
 
 
-class NearDupStore:
+class _SnapshotArtifactStore:
+    """Shared versioned-snapshot machinery for incremental dedup
+    artifacts (:class:`NearDupStore`, :class:`EmbNearDupStore`): the
+    ``VersionedStore`` protocol of :class:`FingerprintStore` factored
+    once — parquet tables addressed by filename prefix inside the
+    current snapshot dir, hard-linked O(increment) commits, atomic
+    ``_current`` flip, snapshot-until-vacuum reads, param pinning at
+    first commit, and the exactly-once ``batch_id`` replay contract
+    (the committed emission-file names ride the pointer flip).
+    Subclasses supply the artifact tables and the increment-dedup
+    logic; everything on this class is storage, not semantics."""
+
+    def __init__(self, spark, path: str, params: list, kind: str):
+        from ..plans.materialize import VersionedStore
+
+        self.spark = spark
+        self.path = path
+        self._store = VersionedStore(spark, path)
+        # artifact params are part of the artifact: probing with
+        # different params than the stored rows were built with is
+        # silent nonsense, so they are pinned at first commit and
+        # validated on reopen
+        meta = self._store.current_meta(path)
+        if meta is not None and meta.get("params") not in (None, params):
+            raise ValueError(
+                f"{kind} at {path} was built with params "
+                f"{meta['params']}; reopening with {params} would probe "
+                "an incompatible artifact"
+            )
+        self._params = params
+
+    def _current_dir(self):
+        import os
+
+        meta = self._store.current_meta(self.path)
+        if meta is None:
+            return None
+        d = os.path.join(self.path, meta["version"])
+        return d if os.path.exists(d) else None
+
+    def _table(self, prefix: str, schema: str) -> DataFrame:
+        import os
+
+        d = self._current_dir()
+        if d is None:
+            return self.spark.createDataFrame([], schema)
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith(prefix + "-") and f.endswith(".parquet")
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
+
+    def _replay_result(self, meta, batch_id, id_col):
+        """Exactly-once replay check: the committed survivors for an
+        already-absorbed ``batch_id`` (read from the files recorded in
+        the flipped meta), an empty frame for an older batch, or None
+        when the absorb should proceed."""
+        import os
+
+        if batch_id is None or meta is None or "batch" not in meta:
+            return None
+        committed = int(meta["batch"])
+        if batch_id == committed:
+            vdir0 = os.path.join(self.path, meta["version"])
+            names = meta.get("batch_files") or []
+            paths = [os.path.join(vdir0, n) for n in names]
+            if paths and all(os.path.exists(p) for p in paths):
+                return self.spark.read.parquet(*paths).select(
+                    F.col("id").alias(id_col), "n_members"
+                )
+            return self.spark.createDataFrame(
+                [], f"{id_col} long, n_members long"
+            )
+        if batch_id < committed:
+            return self.spark.createDataFrame(
+                [], f"{id_col} long, n_members long"
+            )
+        return None
+
+    def _commit_increment(self, meta, tables, id_col, batch_id):
+        """Write the increment's rows for each ``(prefix, df)`` in
+        ``tables`` into a staging dir, hard-link every file of the
+        previous snapshot beside them, atomically publish, and flip
+        ``_current``. The ``surv``-prefixed table is the emission
+        record; returns it AS READ FROM THE COMMITTED FILES. Prior
+        meta fields (the batch watermark above all) survive a manual
+        absorb."""
+        import os
+        import shutil
+        import uuid
+
+        version = self._store.next_version(meta)
+        vdir = os.path.join(self.path, version)
+        if os.path.exists(vdir):  # orphan of a crashed commit
+            shutil.rmtree(vdir, ignore_errors=True)
+        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
+        os.makedirs(staging, exist_ok=True)
+        inc_names: list[str] = []
+        surv_names: list[str] = []
+        try:
+            for prefix, df in tables:
+                tmp = os.path.join(staging, f"_{prefix}")
+                df.write.mode("overwrite").parquet(tmp)
+                i = 0
+                for name in sorted(os.listdir(tmp)):
+                    if name.endswith(".parquet"):
+                        dst = f"{prefix}-{version}-{i}.parquet"
+                        os.replace(
+                            os.path.join(tmp, name), os.path.join(staging, dst)
+                        )
+                        inc_names.append(dst)
+                        if prefix == "surv":
+                            surv_names.append(dst)
+                        i += 1
+                shutil.rmtree(tmp, ignore_errors=True)
+            prev = self._current_dir()
+            if prev is not None:
+                for name in os.listdir(prev):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(prev, name)
+                    dst = os.path.join(staging, name)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+            os.replace(staging, vdir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        extra = {
+            k: v
+            for k, v in (meta or {}).items()
+            if k not in ("version", "inc_files")
+        }
+        extra["inc_files"] = inc_names
+        extra["params"] = self._params
+        if batch_id is not None:
+            extra["batch"] = int(batch_id)
+            extra["batch_files"] = surv_names
+        self._flip(version, extra)
+        if not surv_names:
+            return self.spark.createDataFrame(
+                [], f"{id_col} long, n_members long"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(vdir, n) for n in surv_names]
+        ).select(F.col("id").alias(id_col), "n_members")
+
+    def _flip(self, version: str, extra: dict | None = None) -> None:
+        import json
+        import os
+
+        meta = dict(extra or {})
+        meta["version"] = version
+        tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Remove all but the newest ``keep`` snapshot dirs (never the
+        current one); shared data survives through hard links."""
+        import os
+        import shutil
+
+        meta = self._store.current_meta(self.path)
+        current = meta["version"] if meta else None
+        versions = sorted(
+            n for n in os.listdir(self.path) if n.startswith("v")
+        )
+        victims = [v for v in versions[:-keep] if v != current] if keep else [
+            v for v in versions if v != current
+        ]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+        return victims
+
+
+class NearDupStore(_SnapshotArtifactStore):
     """Persisted MinHash band-table + shingle-set artifact for
     INCREMENTAL near-dup — the FingerprintStore pattern applied to LSH.
     Reference behavior: the whole-corpus path is
@@ -1448,56 +1633,19 @@ class NearDupStore:
         threshold_x1000: int = 500,
         max_bucket_size: int | None = None,
     ):
-        from ..plans.materialize import VersionedStore
-
-        self.spark = spark
-        self.path = path
         self.k = k
         self.num_hashes = num_hashes
         self.n_bands = bands
         self.threshold_x1000 = threshold_x1000
         self.max_bucket_size = max_bucket_size
-        self._store = VersionedStore(spark, path)
-        # shingle/signature params are part of the artifact: probing
-        # with different params than the stored rows were built with
-        # is silent nonsense, so they are pinned at first commit and
-        # validated on reopen
-        meta = self._store.current_meta(path)
-        params = [k, num_hashes, bands, threshold_x1000]
-        if meta is not None and meta.get("params") not in (None, params):
-            raise ValueError(
-                f"NearDupStore at {path} was built with params "
-                f"{meta['params']}; reopening with {params} would probe "
-                "an incompatible artifact"
-            )
+        super().__init__(
+            spark, path, [k, num_hashes, bands, threshold_x1000],
+            "NearDupStore",
+        )
 
     SET_SCHEMA = "id long, hs_set array<long>, n long"
     BAND_SCHEMA = "id long, band_id int, band_key string"
     SURV_SCHEMA = "id long, n_members long"
-
-    def _current_dir(self):
-        import os
-
-        meta = self._store.current_meta(self.path)
-        if meta is None:
-            return None
-        d = os.path.join(self.path, meta["version"])
-        return d if os.path.exists(d) else None
-
-    def _table(self, prefix: str, schema: str) -> DataFrame:
-        import os
-
-        d = self._current_dir()
-        if d is None:
-            return self.spark.createDataFrame([], schema)
-        files = [
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.startswith(prefix + "-") and f.endswith(".parquet")
-        ]
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
 
     def sets(self) -> DataFrame:
         """(id, hs_set, n) for every retained document."""
@@ -1625,120 +1773,43 @@ class NearDupStore:
         foreachBatch replay contract as
         :meth:`FingerprintStore.absorb` (the id and the committed
         emission-file names ride the atomic pointer flip)."""
-        import os
-        import shutil
-        import uuid
-
         meta = self._store.current_meta(self.path)
-        if batch_id is not None and meta is not None and "batch" in meta:
-            committed = int(meta["batch"])
-            if batch_id == committed:
-                vdir0 = os.path.join(self.path, meta["version"])
-                names = meta.get("batch_files") or []
-                paths = [os.path.join(vdir0, n) for n in names]
-                if paths and all(os.path.exists(p) for p in paths):
-                    return self.spark.read.parquet(*paths).select(
-                        F.col("id").alias(id_col), "n_members"
-                    )
-                return self.spark.createDataFrame(
-                    [], f"{id_col} long, n_members long"
-                )
-            if batch_id < committed:
-                return self.spark.createDataFrame(
-                    [], f"{id_col} long, n_members long"
-                )
-        version = self._store.next_version(meta)
-        vdir = os.path.join(self.path, version)
-        if os.path.exists(vdir):  # orphan of a crashed commit
-            shutil.rmtree(vdir, ignore_errors=True)
-        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        replay = self._replay_result(meta, batch_id, id_col)
+        if replay is not None:
+            return replay
         surv, sets_inc, sig_inc, ok_sets = self._increment_parts(
             new_docs, id_col, text_col
         )
         # survivors drive three artifact writes — materialize once so
         # the CC result (already eager) isn't re-derived per write
         surv = surv.persist()
-        surv_ids = surv.select(F.col(id_col))
-        new_sets = sets_inc.join(surv_ids, id_col, "left_semi").select(
-            F.col(id_col).cast("long").alias("id"),
-            "hs_set",
-            F.col("n").cast("long").alias("n"),
-        )
-        new_bands = band_rows(
-            sig_inc.join(surv_ids, id_col, "left_semi"),
-            id_col,
-            self.num_hashes,
-            self.n_bands,
-        ).select(F.col(id_col).cast("long").alias("id"), "band_id", "band_key")
-        new_surv = surv.select(
-            F.col(id_col).cast("long").alias("id"), "n_members"
-        )
-        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
-        os.makedirs(staging, exist_ok=True)
-        inc_names: list[str] = []
-        surv_names: list[str] = []
         try:
-            for prefix, df in (
-                ("set", new_sets),
-                ("band", new_bands),
-                ("surv", new_surv),
-            ):
-                tmp = os.path.join(staging, f"_{prefix}")
-                df.write.mode("overwrite").parquet(tmp)
-                i = 0
-                for name in sorted(os.listdir(tmp)):
-                    if name.endswith(".parquet"):
-                        dst = f"{prefix}-{version}-{i}.parquet"
-                        os.replace(
-                            os.path.join(tmp, name), os.path.join(staging, dst)
-                        )
-                        inc_names.append(dst)
-                        if prefix == "surv":
-                            surv_names.append(dst)
-                        i += 1
-                shutil.rmtree(tmp, ignore_errors=True)
-            prev = self._current_dir()
-            if prev is not None:
-                for name in os.listdir(prev):
-                    if not name.endswith(".parquet"):
-                        continue
-                    src = os.path.join(prev, name)
-                    dst = os.path.join(staging, name)
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        shutil.copy2(src, dst)
-            os.replace(staging, vdir)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+            surv_ids = surv.select(F.col(id_col))
+            new_sets = sets_inc.join(surv_ids, id_col, "left_semi").select(
+                F.col(id_col).cast("long").alias("id"),
+                "hs_set",
+                F.col("n").cast("long").alias("n"),
+            )
+            new_bands = band_rows(
+                sig_inc.join(surv_ids, id_col, "left_semi"),
+                id_col,
+                self.num_hashes,
+                self.n_bands,
+            ).select(
+                F.col(id_col).cast("long").alias("id"), "band_id", "band_key"
+            )
+            new_surv = surv.select(
+                F.col(id_col).cast("long").alias("id"), "n_members"
+            )
+            return self._commit_increment(
+                meta,
+                [("set", new_sets), ("band", new_bands), ("surv", new_surv)],
+                id_col,
+                batch_id,
+            )
         finally:
             for df in (sets_inc, sig_inc, ok_sets, surv):
                 df.unpersist()
-        # prior meta fields (the batch watermark above all) survive a
-        # manual absorb, exactly as in FingerprintStore.absorb
-        extra = {
-            k: v
-            for k, v in (meta or {}).items()
-            if k not in ("version", "inc_files")
-        }
-        extra["inc_files"] = inc_names
-        extra["params"] = [
-            self.k, self.num_hashes, self.n_bands, self.threshold_x1000
-        ]
-        if batch_id is not None:
-            extra["batch"] = int(batch_id)
-            extra["batch_files"] = surv_names
-        self._flip(version, extra)
-        if not surv_names:
-            return self.spark.createDataFrame(
-                [], f"{id_col} long, n_members long"
-            )
-        return self.spark.read.parquet(
-            *[os.path.join(vdir, n) for n in surv_names]
-        ).select(F.col("id").alias(id_col), "n_members")
 
     def foreach_batch(self, id_col: str, text_col: str, emit):
         """Exactly-once ``foreachBatch`` near-dup sink: each
@@ -1754,31 +1825,188 @@ class NearDupStore:
 
         return fn
 
-    def _flip(self, version: str, extra: dict | None = None) -> None:
-        import json
-        import os
 
-        meta = dict(extra or {})
-        meta["version"] = version
-        tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
+class EmbNearDupStore(_SnapshotArtifactStore):
+    """Persisted hyperplane-LSH bucket + vector artifact for
+    INCREMENTAL embedding-cosine near-dup — the third member of the
+    daily-ingest store family (:class:`FingerprintStore`: exact;
+    :class:`NearDupStore`: MinHash/Jaccard; this: embedding cosine).
+    The whole-corpus path is
+    :func:`~.similarity.embedding_cosine_dedup` (LSH-bucketed pair
+    search) — linear in corpus history per run; the store instead
+    persists, per RETAINED vector, exactly what the daily probe needs:
 
-    def vacuum(self, keep: int = 2) -> list[str]:
-        """Remove all but the newest ``keep`` snapshot dirs (never the
-        current one); shared data survives through hard links."""
-        import os
-        import shutil
+    * ``bucket`` — (id, bucket): the random-hyperplane LSH bucket.
+      Probing an increment is ONE equi-join on ``bucket`` — at cluster
+      scale, lay the table out bucketed by ``bucket`` so only the
+      increment shuffles.
+    * ``vec``    — (id, embedding array<double>): exact-cosine
+      verification targets for the (small) candidate list — a
+      candidate-driven join on id, never a corpus scan.
 
-        meta = self._store.current_meta(self.path)
-        current = meta["version"] if meta else None
-        versions = sorted(
-            n for n in os.listdir(self.path) if n.startswith("v")
+    Winner semantics are FIRST-DAY-WINS AGAINST RETAINED SURVIVORS: an
+    increment vector is a duplicate iff its exact cosine with some
+    STORED vector reaches the threshold (candidates restricted to
+    bucket-mates, the same recall contract as the batch operator);
+    among the remainder, within-increment clusters (connected
+    components of the verified same-bucket pair graph) keep the min
+    id. Cosine near-dup is NOT transitive, so this sequential model is
+    the contract — divergence from a whole-corpus batch recompute over
+    concatenated history is documented and tested, exactly as for
+    :class:`NearDupStore`. All arithmetic is ordered-fold double
+    precision (`similarity` module float discipline), so a SQL oracle
+    reproduces every comparison bit-for-bit.
+    """
+
+    BUCKET_SCHEMA = "id long, bucket long"
+    VEC_SCHEMA = "id long, embedding array<double>"
+    SURV_SCHEMA = "id long, n_members long"
+
+    def __init__(self, spark, path: str, threshold_x1e6: int = 300_000):
+        from .similarity import LSH_BITS
+
+        self.threshold_x1e6 = threshold_x1e6
+        # "planes-v1" pins the hyperplane family (seeded Rademacher
+        # signs baked into similarity.LSH_PLANES) — regenerating the
+        # planes differently is an artifact-format change
+        super().__init__(
+            spark, path, ["planes-v1", LSH_BITS, threshold_x1e6],
+            "EmbNearDupStore",
         )
-        victims = [v for v in versions[:-keep] if v != current] if keep else [
-            v for v in versions if v != current
-        ]
-        for v in victims:
-            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
-        return victims
+
+    def vectors(self) -> DataFrame:
+        """(id, embedding) for every retained vector."""
+        return self._table("vec", self.VEC_SCHEMA)
+
+    def buckets(self) -> DataFrame:
+        """(id, bucket) hyperplane-LSH index of retained vectors."""
+        return self._table("bucket", self.BUCKET_SCHEMA)
+
+    def _sim(self, a, b):
+        from .similarity import cosine
+
+        return F.round(cosine(a, b) * 1e6).cast("long")
+
+    def _increment_parts(self, new_vecs: DataFrame, id_col: str, vec_col: str):
+        """(survivors, inc, ok) for one increment; ``inc`` and ``ok``
+        are persisted — the caller unpersists after consuming."""
+        from .similarity import lsh_bucket
+
+        inc = new_vecs.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_e"),
+            lsh_bucket(vec_col).alias("_b"),
+        ).persist()
+        # --- history probe: equi-join on the persisted bucket index --
+        cand = (
+            inc.select(F.col(id_col).alias("d_new"), "_b")
+            .join(
+                self.buckets().select(
+                    F.col("id").alias("d_old"), F.col("bucket").alias("_b")
+                ),
+                "_b",
+            )
+            .select("d_new", "d_old")
+            .distinct()
+        )
+        a = inc.select(F.col(id_col).alias("d_new"), F.col("_e").alias("e1"))
+        b = self.vectors().select(
+            F.col("id").alias("d_old"), F.col("embedding").alias("e2")
+        )
+        hist_dup = (
+            cand.join(a, "d_new")
+            .join(b, "d_old")
+            .where(self._sim(F.col("e1"), F.col("e2")) >= self.threshold_x1e6)
+            .select(F.col("d_new").alias(id_col))
+            .distinct()
+        )
+        # --- within-increment clusters among the remainder -----------
+        ok = inc.join(hist_dup, id_col, "left_anti").persist()
+        p1 = ok.select(
+            F.col(id_col).alias("d1"), F.col("_e").alias("e1"), "_b"
+        )
+        p2 = ok.select(
+            F.col(id_col).alias("d2"), F.col("_e").alias("e2"), "_b"
+        )
+        pairs = (
+            p1.join(p2, "_b")
+            .where(F.col("d1") < F.col("d2"))
+            .where(self._sim(F.col("e1"), F.col("e2")) >= self.threshold_x1e6)
+            .select("d1", "d2")
+        )
+        cc = connected_components(pairs, ok.select(id_col), id_col)
+        survivors = (
+            cc.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(F.col("cluster").cast("long").alias(id_col), "n_members")
+        )
+        return survivors, inc, ok
+
+    def dedup_increment(
+        self, new_vecs: DataFrame, id_col: str, vec_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_vecs`` against the stored corpus and
+        within the increment. Pure read — no state change. Output:
+        (id, n_members) where n_members counts the within-increment
+        near-dup cluster the survivor represents (1 = unique).
+        NOTE: runs the iterative CC driver loop — eager, like
+        ``dedup_clusters``."""
+        surv, inc, ok = self._increment_parts(new_vecs, id_col, vec_col)
+        out = surv.localCheckpoint()
+        for df in (inc, ok):
+            df.unpersist()
+        return out
+
+    def absorb(
+        self,
+        new_vecs: DataFrame,
+        id_col: str,
+        vec_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup the increment, then commit the survivors' bucket +
+        vector rows (plus the (id, n_members) emission record) as the
+        next snapshot. Same exactly-once ``batch_id`` replay contract
+        as :meth:`NearDupStore.absorb`."""
+        meta = self._store.current_meta(self.path)
+        replay = self._replay_result(meta, batch_id, id_col)
+        if replay is not None:
+            return replay
+        surv, inc, ok = self._increment_parts(new_vecs, id_col, vec_col)
+        surv = surv.persist()
+        try:
+            surv_ids = surv.select(F.col(id_col))
+            keep = inc.join(surv_ids, id_col, "left_semi")
+            new_vec = keep.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col("_e").alias("embedding"),
+            )
+            new_bucket = keep.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col("_b").alias("bucket"),
+            )
+            new_surv = surv.select(
+                F.col(id_col).cast("long").alias("id"), "n_members"
+            )
+            return self._commit_increment(
+                meta,
+                [("vec", new_vec), ("bucket", new_bucket), ("surv", new_surv)],
+                id_col,
+                batch_id,
+            )
+        finally:
+            for df in (inc, ok, surv):
+                df.unpersist()
+
+    def foreach_batch(self, id_col: str, vec_col: str, emit):
+        """Exactly-once ``foreachBatch`` embedding near-dup sink: each
+        micro-batch absorbed under its batch id, committed survivors
+        handed to ``emit(survivors_df, batch_id)``."""
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, vec_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn

@@ -2093,6 +2093,153 @@ FROM inc_cl GROUP BY cluster
 """
 
 
+EMBSTORE_BASE = 250  # vec_id below this = the already-absorbed history
+EMB_ND_THRESHOLD = 300_000  # cosine >= 0.3, same bar as the batch op
+
+
+def _emb_nd_store(spark, sf_dir):
+    """The persisted EMBEDDING near-dup store for ``sf_dir`` — the
+    snapshot-store lifecycle applied to the hyperplane-LSH bucket +
+    vector artifact (operators/dedup.py::EmbNearDupStore): built on
+    first use by absorbing the base slice (vec_id < {EMBSTORE_BASE}),
+    then READ by every query after, staleness-keyed on the corpus
+    files. Probing the daily increment against the persisted bucket
+    index is the 100 TB shape — dedup_embedding_cosine re-buckets the
+    full corpus every run, linear in corpus history."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import EmbNearDupStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{EMBSTORE_BASE}:{EMB_ND_THRESHOLD}:embnd-v1"
+        .encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_embnd_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+    store = EmbNearDupStore(spark, root, threshold_x1e6=EMB_ND_THRESHOLD)
+    fp = files_fingerprint(src)
+    meta = store._store.current_meta(root)
+    if meta is None or meta.get("corpus_fp") != fp:
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            meta = store._store.current_meta(root)
+            if meta is None or meta.get("corpus_fp") != fp:
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = EmbNearDupStore(
+                    spark, root, threshold_x1e6=EMB_ND_THRESHOLD
+                )
+                store.absorb(
+                    _emb(spark, sf_dir).where(
+                        F.col("vec_id") < EMBSTORE_BASE
+                    ),
+                    "vec_id", "embedding",
+                )
+                committed = store._store.current_meta(root)
+                committed["corpus_fp"] = fp
+                store._flip(committed.pop("version"), committed)
+    return store
+
+
+def q_emb_near_incremental(spark, sf_dir):
+    """Daily-ingest EMBEDDING near-dup as a gated query: survivors of
+    the increment (vec_id >= {EMBSTORE_BASE}) against the PERSISTED
+    hyperplane-LSH bucket store holding the base slice's retained
+    survivors. The read path probes the increment's buckets against
+    the stored bucket index (one equi-join), verifies the candidate
+    list with exact ordered-fold cosine against the stored vectors,
+    then min-id-clusters the remainder within the increment — never
+    re-bucketing corpus history. The oracle recomputes the whole
+    two-day sequence from scratch in SQL (base bucket pairs +
+    recursive-CTE clustering -> base survivors -> probe -> increment
+    clustering), so a green hash row proves the persisted artifact
+    plus the incremental probe equals the from-scratch sequential
+    model."""
+    store = _emb_nd_store(spark, sf_dir)
+    inc = _emb(spark, sf_dir).where(F.col("vec_id") >= EMBSTORE_BASE)
+    out = store.dedup_increment(inc, "vec_id", "embedding")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _emb_near_incremental_sql() -> str:
+    """From-scratch SQL replay of the sequential embedding near-dup
+    store model — the same structure as the MinHash replay
+    (:func:`_dedup_near_incremental_sql`): same-bucket cosine pairs
+    over the FULL corpus (bucket and pairwise cosine are per-pair
+    properties, so subset-restricted pairs equal pairs computed within
+    the subset), day-1 clustering, survivor election, day-2 history
+    probe against SURVIVORS ONLY, day-2 within-increment clustering.
+    Ids split at {EMBSTORE_BASE} with base ids strictly below
+    increment ids, so d1 < d2 orders every cross-day pair as
+    (base, increment). ``withb``/``pairs`` are MATERIALIZED: ``pairs``
+    is referenced three times and the unrolled bucket/cosine
+    expressions must not be re-inlined per reference."""
+    b = EMBSTORE_BASE
+    cos = (
+        f"CAST(round(({_dot_sql('a.embedding', 'b.embedding')})"
+        f" / (({_norm_sql('a.embedding')}) * ({_norm_sql('b.embedding')}))"
+        f" * 1e6) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE withb AS MATERIALIZED (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {EMB_ND_THRESHOLD}
+),
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings WHERE vec_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT vec_id FROM embeddings
+       WHERE vec_id >= {b}
+         AND vec_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT vec_id FROM ok)
+    AND d2 IN (SELECT vec_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT vec_id, vec_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach GROUP BY node)
+SELECT cluster::BIGINT AS vec_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
+"""
+
+
 # -- BPE tokenizer: distributed fit + codegen encode ------------------------
 
 BPE_MERGES = 16
@@ -5561,6 +5708,10 @@ EXT_QUERIES = {
     "dedup_near_incremental": (
         q_dedup_near_incremental,
         _dedup_near_incremental_sql(),
+    ),
+    "emb_near_incremental": (
+        q_emb_near_incremental,
+        _emb_near_incremental_sql(),
     ),
     "bpe_fit_merges": (q_bpe_fit_merges, _bpe_fit_sql()),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
