@@ -33,6 +33,8 @@ _GATE_PRIORITY = [
     # --- new in round 7 ---
     "dedup_near_incremental",
     "emb_near_incremental",
+    "volume_shipping",
+    "sales_opportunity",
     "bpe_fit_merges",
     "bpe_encode_docs",
     "jpeg_gray_decode",

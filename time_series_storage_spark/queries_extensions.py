@@ -4030,6 +4030,169 @@ GROUP BY n_name
 """
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_2"
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped two-sided nation join: revenue shipped between
+    two specific nations, per (supplier nation, customer nation,
+    ship year) — each direction reported separately. The interesting
+    plan property vs Q5: nation is joined TWICE under different roles
+    (supplier side and customer side), and the disjunctive pair filter
+    ((A,B) or (B,A)) must evaluate AFTER both role joins. Strategy at
+    100 TB: lineitem |><| orders is the one big exchange; customer,
+    supplier and both nation roles are DECLARED broadcast, so the pair
+    filter is a codegen filter over broadcast-hash probes — no second
+    fact shuffle. Revenue in exact BIGINT cents, partial-aggregated."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    # only the two nations' keys survive the broadcast dims, so the
+    # disjunction prunes to two hash probes per line
+    na2 = na.where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    joined = (
+        li.select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            cents.alias("cents"),
+        )
+        .join(
+            od.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                na2.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(
+                na2.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .where(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "ship_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS ship_year,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         ::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+   OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+
+Q22_CUTOFF = "2000-06-01"
+
+
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22-shaped shape: per nation, the count and total balance
+    of customers whose account balance exceeds the GLOBAL average of
+    positive balances and who placed no order since {Q22_CUTOFF} —
+    the "dormant high-value accounts" report. Two plan properties
+    under the hash gate: a scalar aggregate consumed via a broadcast
+    cross join (no driver collect — the threshold stays in the plan),
+    and a left-anti join against the (date-pruned) orders scan. The
+    above-average comparison is EXACT integer arithmetic
+    (bal_cents * n > sum_cents, both BIGINT) — a double average would
+    hash-diverge across engines on summation order; the product stays
+    far below 2^63 even at 10^9 customers x 10^6 cents."""
+    cu = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    na = read_table(spark, sf_dir, "nation")
+    bal = cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thresh = bal.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    recent = od.where(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF)
+    ).select("o_custkey")
+    dormant = (
+        bal.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return dormant.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+    )
+
+
+SQL_SALES_OPPORTUNITY = f"""
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+thresh AS (
+  SELECT SUM(bal_cents)::BIGINT AS sum_cents, COUNT(*)::BIGINT AS n_pos
+  FROM bal WHERE bal_cents > 0
+)
+SELECT n_name, COUNT(*)::BIGINT AS n_cust,
+       SUM(bal_cents)::BIGINT AS total_bal_cents
+FROM bal, thresh
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents * n_pos > sum_cents
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY n_name
+"""
+
+
 def q_sim_recall_audit(spark, sf_dir):
     """Retrieval-quality evaluation operator: per query vector, the
     overlap@k between the compressed-domain int8 ranking and the exact
@@ -5640,6 +5803,8 @@ EXT_QUERIES = {
     ),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
         q_salted_hourly_totals, SQL_SALTED_HOURLY_TOTALS,
