@@ -351,3 +351,60 @@ def test_embnd_store_matches_sequential_model(spark, tmp_path_factory, picks, cu
             for r in store.absorb(df, "vec_id", "embedding").collect()
         )
         assert got == want
+
+
+@pytest.mark.parametrize(
+    "stage", ["post_write", "mid_link", "post_link", "post_publish"]
+)
+def test_embnd_store_commit_crash_replay_exactly_once(
+    spark, tmp_path, stage
+):
+    """Same per-stage crash/replay contract as the MinHash store,
+    through the same shared _SnapshotArtifactStore commit path — the
+    flip is the single commit point for the embedding artifact too."""
+    import json
+    import os
+
+    A, B, _ = _chain()
+    V = _fresh(10000)
+    W = _fresh(10001)
+    store = EmbNearDupStore(spark, str(tmp_path / "es"), threshold_x1e6=THR)
+    b0 = spark.createDataFrame(
+        [(1, A), (2, V)], "vec_id long, embedding array<double>"
+    )
+    s0 = store.absorb(b0, "vec_id", "embedding", batch_id=0)
+    assert sorted(r.vec_id for r in s0.collect()) == [1, 2]
+
+    b1 = spark.createDataFrame(
+        [(3, B), (4, W)], "vec_id long, embedding array<double>"
+    )
+
+    def boom(s):
+        if s == stage:
+            raise RuntimeError(f"injected crash at {s}")
+
+    store._commit_fault = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        store.absorb(b1, "vec_id", "embedding", batch_id=1)
+    store._commit_fault = None
+
+    meta = json.load(open(os.path.join(tmp_path / "es", "_current")))
+    assert meta["batch"] == 0
+    assert sorted(
+        r.id for r in store.vectors().select("id").collect()
+    ) == [1, 2]
+    # replay: 3 is a cosine near-dup of stored 1; 4 survives
+    s1 = store.absorb(b1, "vec_id", "embedding", batch_id=1)
+    assert sorted(r.vec_id for r in s1.collect()) == [4]
+    assert sorted(
+        r.id for r in store.vectors().select("id").collect()
+    ) == [1, 2, 4]
+    vdirs = [n for n in os.listdir(tmp_path / "es") if n.startswith("v")]
+    s1r = store.absorb(b1, "vec_id", "embedding", batch_id=1)
+    assert sorted(r.vec_id for r in s1r.collect()) == [4]
+    assert [
+        n for n in os.listdir(tmp_path / "es") if n.startswith("v")
+    ] == vdirs
+    assert not [
+        n for n in os.listdir(tmp_path / "es") if n.startswith(".staging-")
+    ]

@@ -404,3 +404,61 @@ def test_neardup_store_foreach_batch_streaming(spark, tmp_path):
     assert sorted(
         r.id for r in store.sets().select("id").collect()
     ) == [2, 5, 100]
+
+
+@pytest.mark.parametrize(
+    "stage", ["post_write", "mid_link", "post_link", "post_publish"]
+)
+def test_neardup_store_commit_crash_replay_exactly_once(
+    spark, tmp_path, stage
+):
+    """Fault injection at every commit stage of the shared snapshot
+    protocol (survivor write, first history hard-link, post-link
+    pre-publish, post-publish pre-flip): the flip is the single commit
+    point, so a crash anywhere before it leaves readers on the
+    previous complete snapshot and the streaming replay re-absorbs and
+    emits the crashed batch's survivors EXACTLY ONCE."""
+    import json
+    import os
+
+    store = NearDupStore(spark, str(tmp_path / "nds"))
+    b0 = spark.createDataFrame(
+        [(1, DOC_A), (2, _part("crash-v", 200))], ["doc_id", "text"]
+    )
+    s0 = store.absorb(b0, "doc_id", "text", batch_id=0)
+    assert sorted(r.doc_id for r in s0.collect()) == [1, 2]
+
+    b1 = spark.createDataFrame(
+        [(3, DOC_B), (4, _part("crash-w", 200))], ["doc_id", "text"]
+    )
+
+    def boom(s):
+        if s == stage:
+            raise RuntimeError(f"injected crash at {s}")
+
+    store._commit_fault = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        store.absorb(b1, "doc_id", "text", batch_id=1)
+    store._commit_fault = None
+
+    meta = json.load(open(os.path.join(tmp_path / "nds", "_current")))
+    assert meta["batch"] == 0
+    assert sorted(r.id for r in store.sets().select("id").collect()) == [1, 2]
+    # replay: 3 is a near-dup of stored 1 (DOC_A ~ DOC_B); 4 survives
+    s1 = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r.doc_id for r in s1.collect()) == [4]
+    assert sorted(
+        r.id for r in store.sets().select("id").collect()
+    ) == [1, 2, 4]
+    # second replay re-emits without a new commit
+    vdirs = [n for n in os.listdir(tmp_path / "nds") if n.startswith("v")]
+    s1r = store.absorb(b1, "doc_id", "text", batch_id=1)
+    assert sorted(r.doc_id for r in s1r.collect()) == [4]
+    assert [
+        n for n in os.listdir(tmp_path / "nds") if n.startswith("v")
+    ] == vdirs
+    assert not [
+        n
+        for n in os.listdir(tmp_path / "nds")
+        if n.startswith(".staging-")
+    ]

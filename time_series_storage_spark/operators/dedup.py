@@ -1417,6 +1417,10 @@ class _SnapshotArtifactStore:
         self.spark = spark
         self.path = path
         self._store = VersionedStore(spark, path)
+        # test seam: callable(stage_name) invoked at each commit stage
+        # (fault-injection crash tests, same pattern as
+        # FingerprintStore._absorb_fault)
+        self._commit_fault = None
         # artifact params are part of the artifact: probing with
         # different params than the stored rows were built with is
         # silent nonsense, so they are pinned at first commit and
@@ -1520,8 +1524,11 @@ class _SnapshotArtifactStore:
                             surv_names.append(dst)
                         i += 1
                 shutil.rmtree(tmp, ignore_errors=True)
+            if self._commit_fault is not None:
+                self._commit_fault("post_write")
             prev = self._current_dir()
             if prev is not None:
+                first = True
                 for name in os.listdir(prev):
                     if not name.endswith(".parquet"):
                         continue
@@ -1531,10 +1538,17 @@ class _SnapshotArtifactStore:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
+                    if first and self._commit_fault is not None:
+                        self._commit_fault("mid_link")
+                    first = False
+            if self._commit_fault is not None:
+                self._commit_fault("post_link")
             os.replace(staging, vdir)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        if self._commit_fault is not None:
+            self._commit_fault("post_publish")
         extra = {
             k: v
             for k, v in (meta or {}).items()
