@@ -35,6 +35,7 @@ _GATE_PRIORITY = [
     "emb_near_incremental",
     "volume_shipping",
     "sales_opportunity",
+    "events_zorder_cells",
     "bpe_fit_merges",
     "bpe_encode_docs",
     "jpeg_gray_decode",

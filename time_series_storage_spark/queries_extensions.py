@@ -4193,6 +4193,59 @@ GROUP BY n_name
 """
 
 
+ZORDER_BITS = 16
+ZORDER_CELL_SHIFT = 8
+ZORDER_EPOCH0 = 1704067200  # 2024-01-01 UTC, the events table origin
+
+
+def q_events_zorder_cells(spark, sf_dir):
+    """Data-layout operator under the hash gate: the Z-order locality
+    report for events clustered by (user_id, hour). The Morton key
+    (operators/layout.py::zorder_key — pure codegen BIGINT bit
+    interleave, the engine behind write_zordered's OPTIMIZE-ZORDER-BY
+    layout) groups rows into aligned (x, y) rectangles; per key-prefix
+    cell the report carries occupancy and both dimensions' min/max
+    extents — narrow extents are precisely why a z-ordered file layout
+    lets parquet min/max statistics skip scans on EITHER predicate
+    column. One shuffle, partial-aggregated; the oracle rebuilds the
+    identical interleave with SQL shift/and/or arithmetic."""
+    from .operators import layout as L
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").cast("long").alias("x"),
+        AN.floor_div(
+            F.unix_timestamp("ts").cast("long") - F.lit(ZORDER_EPOCH0),
+            F.lit(3600),
+        ).alias("y"),
+    )
+    return L.zorder_cells(
+        pts, "x", "y", bits=ZORDER_BITS, cell_shift=ZORDER_CELL_SHIFT
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_rows", "x_min", "x_max", "y_min", "y_max",
+    )
+
+
+def _events_zorder_sql() -> str:
+    from .operators.layout import zorder_sql
+
+    mask = (1 << ZORDER_BITS) - 1
+    z = zorder_sql("x", "y", ZORDER_BITS)
+    return f"""
+WITH pts AS (
+  SELECT CAST(user_id AS BIGINT) AS x,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {ZORDER_EPOCH0}) // 3600) AS y
+  FROM events
+)
+SELECT ({z} >> {ZORDER_CELL_SHIFT})::BIGINT AS cell,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(x & {mask})::BIGINT AS x_min, MAX(x & {mask})::BIGINT AS x_max,
+       MIN(y & {mask})::BIGINT AS y_min, MAX(y & {mask})::BIGINT AS y_max
+FROM pts GROUP BY 1
+"""
+
+
 def q_sim_recall_audit(spark, sf_dir):
     """Retrieval-quality evaluation operator: per query vector, the
     overlap@k between the compressed-domain int8 ranking and the exact
@@ -5805,6 +5858,7 @@ EXT_QUERIES = {
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
         q_salted_hourly_totals, SQL_SALTED_HOURLY_TOTALS,
