@@ -141,3 +141,108 @@ def test_bpe_matches_sequential_model(spark, wc, n_merges):
         r.w: r.bpe_s[1:-1].split("\x02\x01") for r in enc.collect()
     }
     assert got_vocab == want_vocab
+
+
+# -- production encode path (broadcast merges + mapInPandas) ----------------
+
+arbitrary_merges = st.lists(
+    st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        st.text(alphabet="ab", min_size=1, max_size=3),
+    ),
+    min_size=0,
+    max_size=64,
+)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    merges=arbitrary_merges,
+)
+@settings(max_examples=5, deadline=None)
+def test_bpe_prod_equals_chained_replace(spark, words, merges):
+    """bpe_encode_words_prod (broadcast table + mapInPandas fold) must
+    be byte-identical to bpe_encode_words (chained literal replaces)
+    for ARBITRARY merge tables up to N=64 — including invalid/synthetic
+    tables where the textbook min-rank-priority shortcut diverges from
+    the rank-order fold."""
+    from time_series_storage_spark.operators.bpe import (
+        bpe_encode_words_prod,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    a = {
+        r.w: (r.bpe_s, r.n_toks)
+        for r in bpe_encode_words(df, "w", merges).collect()
+    }
+    b = {
+        r.w: (r.bpe_s, r.n_toks)
+        for r in bpe_encode_words_prod(df, "w", merges).collect()
+    }
+    assert a == b
+
+
+def test_bpe_prod_corpus_twin(spark):
+    """bpe_encode_prod == bpe_encode on a fitted corpus (full output
+    rows: positions, tokens arrays, counts)."""
+    from time_series_storage_spark.operators.bpe import bpe_encode_prod
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new lower"),
+         (3, "wide wider widest low new")], ["doc_id", "text"])
+    merges = bpe_fit(docs, num_merges=8)
+    key = lambda r: (r.doc_id, r.word_idx)
+    a = {key(r): (r.word, list(r.tokens), r.n_toks)
+         for r in bpe_encode(docs, merges).collect()}
+    b = {key(r): (r.word, list(r.tokens), r.n_toks)
+         for r in bpe_encode_prod(docs, merges).collect()}
+    assert a == b and len(a) == 15
+
+
+def test_bpe_prod_4k_merges_scale(spark):
+    """The production path must hold at a vocabulary size where the
+    chained-replace plan breaks codegen: a 4096-merge table over the
+    sf0.01 documents corpus completes in one mapInPandas stage (the
+    plan is vocabulary-size independent) and agrees with the
+    pure-Python fold on every distinct word."""
+    from time_series_storage_spark.operators.bpe import (
+        bpe_encode_prod,
+        fold_encode_word,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # synthetic-but-valid 4096-merge table: every a-z char pair in a
+    # deterministic order (rank monotone; applicability is sparse,
+    # exactly the production profile of a large vocab vs short words)
+    pairs = [
+        (chr(97 + i), chr(97 + j)) for i in range(26) for j in range(26)
+    ]
+    extra = [
+        (a + b, c)
+        for (a, b) in pairs[:132]
+        for c in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    table = (pairs + extra)[:4096]
+    assert len(table) == 4096
+    merges_df = spark.createDataFrame(
+        [(i + 1, l, r, 0) for i, (l, r) in enumerate(table)],
+        "rank long, left string, right string, n long",
+    )
+    enc = bpe_encode_prod(docs, merges_df)
+    rows = enc.collect()
+    assert len(rows) > 0
+    by_word = {}
+    for r in rows:
+        by_word.setdefault(r.word, (list(r.tokens), r.n_toks))
+    for w, (toks, n) in list(by_word.items())[:50]:
+        want = fold_encode_word(w, table)
+        assert toks == want and n == len(want), w

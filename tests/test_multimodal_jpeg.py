@@ -78,6 +78,41 @@ def test_jpeg_rejections():
         mosaic_to_bytes(np.arange(64, dtype=np.uint8).reshape(8, 8))
 
 
+def test_jpeg_size_bounds_loud():
+    # SOF0 packs dims as >H: oversize must raise ValueError, not a
+    # struct.error from the packer
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((1, 65536), dtype=np.uint8))
+    with pytest.raises(ValueError, match="8191"):
+        bytes_to_mosaic(b"x" * 8192)
+    # the documented max payload still encodes (width 8*8191=65528)
+    assert bytes_to_mosaic(b"x" * 8191).shape == (8, 65528)
+
+
+def test_jpeg_zrl_past_block_end_rejected():
+    """A corrupt scan whose ZRL symbols run past coefficient 63 must
+    fail loudly (reject-loudly contract), not silently drop
+    coefficients and desync the bitstream."""
+    from time_series_storage_spark.operators.jpeg_codec import (
+        _AC_ENC,
+        _BitWriter,
+        _DC_ENC,
+    )
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    seg_len = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    head = good[: sos + 2 + seg_len]
+    bw = _BitWriter()
+    bw.write(*_DC_ENC[0])  # DC diff category 0 (no magnitude bits)
+    for _ in range(4):  # 4 x ZRL: k = 1+16*4 = 65 > 63
+        bw.write(*_AC_ENC[0xF0])
+    corrupt = head + bw.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="ZRL"):
+        decode_jpeg(corrupt)
+
+
 def test_jpeg_custom_qtable_roundtrip():
     """The decoder must use the DQT from the STREAM, not assume
     FLAT_Q: a coarser table still roundtrips the constant-tile mosaic

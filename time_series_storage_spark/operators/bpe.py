@@ -15,12 +15,17 @@ Algorithm (Sennrich et al. 2016, word-internal merges):
   a LIMIT-1 driver collect of the best pair (the same bounded
   iterative-driver shape as connected components; lineage truncated
   with ``localCheckpoint`` each round).
-* ENCODE is N chained LITERAL ``replace`` calls over the corpus —
-  pure whole-stage-codegen JVM expressions, no Python in the hot path.
-  For production-sized merge tables (32k), switch the application to a
-  broadcast merge table + Arrow ``mapInPandas``; the gate-sized N here
-  keeps the whole pipeline inside codegen AND makes the semantics
-  mirror-able in ANSI SQL for the oracle.
+* ENCODE ships in two equivalent plans. :func:`bpe_encode` compiles N
+  chained LITERAL ``replace`` calls — pure whole-stage-codegen JVM
+  expressions, optimal at gate-sized N and mirror-able in ANSI SQL for
+  the oracle, but expression-tree depth grows with N (a 32k-merge
+  vocabulary breaks codegen/constant-pool limits).
+  :func:`bpe_encode_prod` is the production path: the merge table
+  travels as a broadcast variable into an Arrow ``mapInPandas`` greedy
+  fold applied to the DISTINCT-WORD table only, joined back onto the
+  corpus by word — a vocabulary-size-independent plan whose
+  equivalence with the chained-replace path is property-pinned
+  (tests/test_bpe.py).
 
 Merge application uses a sentinel serialization that makes ONE literal
 replace per merge exactly equal to the left-to-right greedy fold over
@@ -159,6 +164,127 @@ def bpe_encode_words(
             F.length("bpe_s")
             - F.length(F.replace(F.col("bpe_s"), F.lit(T0), F.lit("")))
         ).cast("long"),
+    )
+
+
+def fold_encode_word(word: str, merges: list) -> list:
+    """Pure-Python reference fold: apply each ``(left, right)`` merge
+    in list order as ONE greedy left-to-right non-overlapping pass —
+    byte-identical to the sentinel-serialized literal-replace chain of
+    :func:`bpe_encode_words`, for ARBITRARY merge tables (no
+    monotone-rank assumption, so it stays exact even on synthetic or
+    truncated tables where the textbook min-rank-priority shortcut
+    diverges). The token-set membership check skips inapplicable
+    merges in O(1), so per-word cost is O(num_merges) dict probes plus
+    one O(len) pass per merge that might apply."""
+    toks = list(word)
+    if len(toks) < 2:
+        return toks
+    present = set(toks)
+    for left, right in merges:
+        if left not in present or right not in present:
+            continue
+        out: list = []
+        i, n = 0, len(toks)
+        merged = False
+        while i < n:
+            if i < n - 1 and toks[i] == left and toks[i + 1] == right:
+                out.append(left + right)
+                i += 2
+                merged = True
+            else:
+                out.append(toks[i])
+                i += 1
+        if merged:
+            toks = out
+            if len(toks) < 2:
+                break
+            present = set(toks)
+    return toks
+
+
+def bpe_encode_words_prod(
+    df: DataFrame,
+    word_col: str,
+    merges: list,
+) -> DataFrame:
+    """Production-scale twin of :func:`bpe_encode_words`: same output
+    columns (``bpe_s``, ``n_toks``), but the merge table travels as a
+    BROADCAST VARIABLE into an Arrow ``mapInPandas`` greedy fold
+    instead of being compiled into a chained-replace projection.
+
+    The chained-replace path is the optimal plan at gate-sized tables
+    (whole-stage codegen, zero Python) but cannot hold at a real 32k
+    merge vocabulary: one ``replace`` call per merge builds a
+    32k-deep expression tree that breaks JVM codegen/constant-pool
+    limits and recompiles per vocabulary. Here the plan is
+    vocabulary-size independent — one fixed mapInPandas stage whose
+    closure reads the broadcast list — so a 32k-merge encode is the
+    same Spark plan as a 16-merge encode. Equivalence with the
+    chained-replace path is property-pinned (tests/test_bpe.py) via
+    the shared :func:`fold_encode_word` semantics."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(list(merges))
+
+    def enc(batches):
+        table = bc.value
+        for pdf in batches:
+            toks = [
+                fold_encode_word(w, table) for w in pdf[word_col].astype(str)
+            ]
+            out = pdf.copy()
+            out["bpe_s"] = ["".join(T0 + t + T1 for t in ts) for ts in toks]
+            out["n_toks"] = pd.Series(
+                [len(ts) for ts in toks], index=pdf.index, dtype="int64"
+            )
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(enc, f"{fields}, bpe_s string, n_toks long")
+
+
+def bpe_encode_prod(
+    docs: DataFrame,
+    merges_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-scale twin of :func:`bpe_encode` (same output schema
+    and values, property-pinned): tokenize a corpus against a merge
+    table of ANY size.
+
+    100-TB shape: Python touches only the DISTINCT-WORD table — the
+    corpus explodes to (doc, word) rows JVM-side, distinct words are
+    folded once each through the broadcast-merge ``mapInPandas``
+    stage, and the encoded vocabulary joins back onto the exploded
+    rows by word (an ordinary hash equi-join Spark parallelizes; AQE
+    broadcasts it when the vocabulary is small). Corpus bytes never
+    cross the Arrow boundary, so cost scales with |vocab| x |merges|
+    for the Python stage and with corpus rows only for the join."""
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+            "word_idx", "word"
+        ),
+    ).where(F.length("word") > 0)
+    vocab = exploded.select("word").distinct()
+    encoded = bpe_encode_words_prod(vocab, "word", merges)
+    return exploded.join(encoded, "word").select(
+        F.col(id_col),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "word",
+        F.split(
+            F.expr("substring(bpe_s, 2, length(bpe_s) - 2)"), SEP
+        ).alias("tokens"),
+        "n_toks",
     )
 
 

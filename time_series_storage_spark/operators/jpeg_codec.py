@@ -147,6 +147,13 @@ def encode_jpeg(img, qtable=None) -> bytes:
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
+    if h > 65535 or w > 65535:
+        # SOF0 packs dimensions as '>H'; oversize must be a loud
+        # ValueError, not an opaque struct.error from the packer
+        raise ValueError(
+            f"encode_jpeg: dimensions {h}x{w} exceed the 65535 JPEG "
+            "baseline limit"
+        )
     q = np.asarray(qtable if qtable is not None else FLAT_Q, dtype=np.int32)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("encode_jpeg: qtable must be 64 ints in 1..255")
@@ -363,6 +370,12 @@ def decode_jpeg(data) -> np.ndarray:
                     break
                 if rs == 0xF0:  # ZRL
                     k += 16
+                    # ZRL promises 16 zeros AND at least one following
+                    # coefficient index inside the block; a corrupt
+                    # stream with ZRL near k=63 must fail loudly, not
+                    # silently drop coefficients and desync the reader
+                    if k > 63:
+                        raise ValueError("jpeg: ZRL run past block end")
                     continue
                 run, cat = rs >> 4, rs & 0xF
                 k += run
@@ -387,6 +400,13 @@ def bytes_to_mosaic(payload: bytes) -> np.ndarray:
     b = np.frombuffer(bytes(payload), dtype=np.uint8)
     if b.size == 0:
         raise ValueError("bytes_to_mosaic: empty payload")
+    if b.size > 8191:
+        # mosaic width is 8*len(payload) and encode_jpeg caps width at
+        # 65535, so payloads are bounded at 8191 bytes
+        raise ValueError(
+            f"bytes_to_mosaic: payload of {b.size} bytes exceeds the "
+            "8191-byte bound (mosaic width 8*len must fit JPEG's 65535)"
+        )
     return np.repeat(np.repeat(b.reshape(1, -1), 8, axis=0), 8, axis=1)
 
 

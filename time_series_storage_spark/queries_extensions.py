@@ -2333,6 +2333,29 @@ def q_bpe_encode_docs(spark, sf_dir):
     )
 
 
+def q_bpe_encode_prod(spark, sf_dir):
+    """The PRODUCTION encode path under the hash gate: same fitted
+    merges as bpe_encode_docs, applied via the broadcast-merge-table +
+    Arrow mapInPandas greedy fold over the DISTINCT-WORD table
+    (operators/bpe.py::bpe_encode_prod — the plan that holds at a 32k
+    vocabulary, where the chained-replace projection breaks codegen).
+    The oracle is the SAME unrolled chained-replace SQL as
+    bpe_encode_docs, so a green hash is a machine-checked proof that
+    the two encode plans are byte-equivalent on the whole corpus."""
+    from .operators.bpe import bpe_encode_prod, bpe_fit
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_fit(docs, "text", BPE_MERGES)
+    enc = bpe_encode_prod(docs, merges, "doc_id", "text")
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("word_idx"),
+        F.col("word"),
+        F.concat_ws("|", F.col("tokens")).alias("toks"),
+        F.col("n_toks"),
+    )
+
+
 def _bpe_encode_sql() -> str:
     # the fitted merges applied as nested scalar-subquery replaces, in
     # rank order (innermost = rank 1)
@@ -4183,8 +4206,8 @@ thresh AS (
 )
 SELECT n_name, COUNT(*)::BIGINT AS n_cust,
        SUM(bal_cents)::BIGINT AS total_bal_cents
-FROM bal, thresh
-JOIN nation ON c_nationkey = n_nationkey
+FROM bal CROSS JOIN thresh
+JOIN nation ON bal.c_nationkey = nation.n_nationkey
 WHERE bal_cents * n_pos > sum_cents
   AND c_custkey NOT IN (
     SELECT o_custkey FROM orders
@@ -5934,4 +5957,5 @@ EXT_QUERIES = {
     ),
     "bpe_fit_merges": (q_bpe_fit_merges, _bpe_fit_sql()),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
+    "bpe_encode_prod": (q_bpe_encode_prod, _bpe_encode_sql()),
 }
