@@ -1,0 +1,185 @@
+"""Image perceptual near-dup: dHash over decoded grayscale images +
+Hamming-band LSH + exact Hamming verify.
+
+Reference scope: the reference engine has no multimodal surface; this
+closes the image-dedup gap a training-data pipeline hits as soon as
+images enter the corpus, completing the modality triangle next to
+MinHash (text, dedup.py) and cosine LSH (embeddings, dedup.py /
+similarity.py).
+
+Hash (difference hash, the classic perceptual baseline): downsample
+the decoded grayscale image to a fixed strip of ``PHASH_SAMPLES``
+brightness samples taken at equally-spaced columns, then emit one bit
+per adjacent pair — ``bit_i = strip[i] > strip[i+1]``. Brightness
+GRADIENTS survive re-encoding, scaling and small edits, while raw
+pixel values do not; two images agree on most bits iff their
+brightness profiles match, so near-duplicates land within a small
+Hamming distance. The hash is 63 bits (not 64) so it stays a
+NON-NEGATIVE BIGINT in every engine — DuckDB raises on
+``1::BIGINT << 63``, and a sign bit would poison band arithmetic.
+
+Candidate generation is the pigeonhole band trick on HAMMING distance
+(the bit-space twin of dedup.py's MinHash bands): split the 63 bits
+into 9 bands of 7; two hashes within Hamming distance d < 9 MUST agree
+exactly on at least one band, so the banded equi-join has PERFECT
+recall for ``max_hamming <= 8`` — unlike MinHash bands this is a
+guarantee, not a probability. Verification is one ``bit_count(xor)``
+per candidate. Never all-pairs: cost is linear in images x bands plus
+the (tiny) candidate list.
+
+100-TB posture: the decode + hash is one Arrow ``mapInPandas`` pass
+(payload bytes never leave the executor), the band join is a plain
+shuffled equi-join with the same ``max_bucket_size`` hot-bucket guard
+as the MinHash path (a constant-color image flood concentrates in one
+bucket; drop over-cap buckets, handle them with exact dedup at linear
+cost), and the verify is a projection on the candidate list. At
+web-image cardinality widen the hash (e.g. 4 x 63-bit words from an
+8x8 grid) and the band width together; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PHASH_BITS = 63
+PHASH_SAMPLES = PHASH_BITS + 1
+PHASH_BANDS = 9
+PHASH_BAND_BITS = 7
+
+
+def dhash_strip(strip) -> int:
+    """The 63-bit difference hash of a brightness strip of
+    ``PHASH_SAMPLES`` values — the pure reference model shared by the
+    Spark UDF, the tests and (re-expressed in SQL) the DuckDB oracle:
+    ``bit_i = strip[i] > strip[i+1]``."""
+    h = 0
+    for i in range(PHASH_BITS):
+        if strip[i] > strip[i + 1]:
+            h |= 1 << i
+    return h
+
+
+def dhash_gray_image(img) -> int:
+    """dHash of a decoded grayscale image (2-D uint8 array): column
+    means collapse the image to one brightness row, ``PHASH_SAMPLES``
+    equally-spaced columns form the strip. For the 8x8-tile mosaics of
+    jpeg_codec the column mean equals the tile byte, making the hash
+    an exact function of the source payload (what the SQL oracle
+    recomputes)."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] == 0 or a.shape[1] == 0:
+        raise ValueError("dhash_gray_image: non-empty 2-D grayscale only")
+    row = a.mean(axis=0)
+    w = row.shape[0]
+    idx = [(i * w) // PHASH_SAMPLES for i in range(PHASH_SAMPLES)]
+    return dhash_strip(row[idx])
+
+
+def decode_jpeg_dhash(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, phash) from a binary JPEG payload column: one Arrow
+    ``mapInPandas`` pass running the REAL baseline decoder
+    (jpeg_codec.decode_jpeg) then :func:`dhash_gray_image`. Corrupt
+    payloads fail loudly (the codec's reject-loudly contract); callers
+    wanting quarantine semantics pre-filter with multimodal's
+    ``on_error='skip'`` path."""
+    import pandas as pd
+
+    from .jpeg_codec import decode_jpeg
+
+    def hash_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "phash": pd.Series(
+                        [
+                            dhash_gray_image(decode_jpeg(bytes(p)))
+                            for p in pdf[payload_col]
+                        ],
+                        index=pdf.index,
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(hash_batch, "id long, phash long")
+
+
+def hamming_band_rows(
+    hashes: DataFrame, id_col: str = "id", hash_col: str = "phash"
+) -> DataFrame:
+    """(id, phash, band_id, band_key): the exploded Hamming-band index
+    — band b is bits [7b, 7b+7) of the hash. Pure codegen (shift +
+    mask), no Python."""
+    bands = F.array(
+        *[
+            F.shiftright(F.col(hash_col), PHASH_BAND_BITS * b).bitwiseAND(
+                F.lit((1 << PHASH_BAND_BITS) - 1)
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    return hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("phash"),
+        F.posexplode(bands).alias("band_id", "band_key"),
+    )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs (id1 < id2, hamming <= max_hamming)
+    from a (id, phash) table. Banded equi-join candidates (PERFECT
+    recall for max_hamming <= 8 by pigeonhole over 9 bands), exact
+    ``bit_count(xor)`` verify. ``max_bucket_size`` drops over-cap
+    buckets (boilerplate-image skew guard, same semantics as
+    dedup.lsh_candidate_pairs; None = exact)."""
+    if not 0 <= max_hamming <= PHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {PHASH_BANDS - 1}] for perfect "
+            f"recall over {PHASH_BANDS} bands; got {max_hamming}"
+        )
+    exploded = hamming_band_rows(hashes, id_col, hash_col)
+    if max_bucket_size is not None:
+        over = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        exploded = exploded.join(
+            F.broadcast(over), ["band_id", "band_key"], "left_anti"
+        )
+    a = exploded.select(
+        F.col("id").alias("id1"),
+        F.col("phash").alias("h1"),
+        "band_id",
+        "band_key",
+    )
+    b = exploded.select(
+        F.col("id").alias("id2"),
+        F.col("phash").alias("h2"),
+        "band_id",
+        "band_key",
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -2483,6 +2483,102 @@ def q_jpeg_gray_decode(spark, sf_dir):
     )
 
 
+IMG_ND_CAP = 256
+IMG_ND_MAX_HAMMING = 8
+
+
+def q_img_near_dup(spark, sf_dir):
+    """Image perceptual near-dup under the hash gate, closing the
+    multimodal-dedup triangle (text MinHash / embedding cosine / image
+    dHash): each document's first {IMG_ND_CAP} bytes become a real
+    baseline JPEG (the exactly-invertible constant-tile mosaic of
+    jpeg_gray_decode), the REAL decoder recovers the pixels, a 63-bit
+    difference hash is taken over the brightness strip
+    (operators/phash.py), and pairs come from the Hamming-band
+    equi-join with exact bit_count verify — perfect recall for
+    hamming <= 8 by pigeonhole over 9 bands. The oracle recomputes
+    hash + bands + verify from the SOURCE BYTES in SQL, so a green
+    hash proves the whole encode -> decode -> downsample -> hash ->
+    band-join pipeline end to end (the mosaic makes the column means
+    an exact function of the payload)."""
+    import pandas as _pd
+
+    from .operators.jpeg_codec import bytes_to_mosaic, encode_jpeg
+    from .operators.phash import decode_jpeg_dhash, hamming_near_dup_pairs
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        bytearray(
+                            encode_jpeg(
+                                bytes_to_mosaic(
+                                    t.encode("utf-8")[:IMG_ND_CAP]
+                                )
+                            )
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    imgs = docs.mapInPandas(to_jpeg, "id long, payload binary")
+    hashes = decode_jpeg_dhash(imgs, "id", "payload")
+    return hamming_near_dup_pairs(
+        hashes, "id", "phash", max_hamming=IMG_ND_MAX_HAMMING
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        F.col("hamming"),
+    )
+
+
+SQL_IMG_NEAR_DUP = f"""
+WITH pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {IMG_ND_CAP}) AS p
+  FROM documents WHERE length(text) > 0
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, i,
+         ascii(substring(p, ((i * length(p)) // 64) + 1, 1)) AS v
+  FROM pay, unnest(generate_series(0, 63)) g(i)
+),
+adj AS (
+  SELECT doc_id, i, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM samp
+),
+hash AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN v > nxt THEN (1::BIGINT << i)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE i < 63 GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, b, (h >> (7 * b)) & 127 AS band_key
+  FROM hash, unnest(generate_series(0, 8)) g(b)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.h AS h1, c.h AS h2
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+)
+SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
+       bit_count(xor(h1, h2))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
+"""
+
+
 DUP_NGRAM_N = 3
 
 
@@ -5946,6 +6042,7 @@ EXT_QUERIES = {
     # frame path — green means the codec recovered the exact samples
     "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
     "jpeg_gray_decode": (q_jpeg_gray_decode, SQL_MM_FRAMES),
+    "img_near_dup": (q_img_near_dup, SQL_IMG_NEAR_DUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
