@@ -910,3 +910,87 @@ def test_fingerprint_store_absorb_crash_replay_exactly_once(
     assert not [
         n for n in os.listdir(tmp_path / "fps") if n.startswith(".staging-")
     ]
+
+
+def test_store_format_stamp_and_refusal(spark, tmp_path):
+    """Every commit stamps the store format in meta; reopening a store
+    whose format is missing or older RAISES loudly instead of silently
+    breaking the replay/emission contract (the pre-stamp failure mode:
+    a replayed foreachBatch on a format-less store returned empty
+    instead of re-emitting its committed survivors)."""
+    import json
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    path = str(tmp_path / "fps")
+    store = FingerprintStore(spark, path)
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    store.absorb(docs, "doc_id", "text")
+    cur = os.path.join(path, "_current")
+    meta = json.load(open(cur))
+    assert meta["format"] == FingerprintStore.FORMAT
+    # reopen with matching format: fine
+    assert FingerprintStore(spark, path).seen().count() == 2
+    # simulate a store written by format-less (or older) code
+    meta.pop("format")
+    json.dump(meta, open(cur, "w"))
+    with pytest.raises(ValueError, match="store format"):
+        FingerprintStore(spark, path)
+    meta["format"] = FingerprintStore.FORMAT - 1
+    json.dump(meta, open(cur, "w"))
+    with pytest.raises(ValueError, match="store format"):
+        FingerprintStore(spark, path)
+
+
+def test_store_corpus_pin_public_api(spark, tmp_path):
+    """is_stale/pin_corpus: the public staleness lifecycle cache
+    builders use (no reaching into store internals), riding the same
+    atomic pointer flip and surviving later absorbs' carry-forward."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    path = str(tmp_path / "fps")
+    store = FingerprintStore(spark, path)
+    assert store.is_stale("fp-abc")  # nothing committed yet
+    with pytest.raises(ValueError, match="absorb before pinning"):
+        store.pin_corpus("fp-abc")
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    store.absorb(docs, "doc_id", "text")
+    assert store.is_stale("fp-abc")  # committed but unpinned
+    store.pin_corpus("fp-abc")
+    assert not store.is_stale("fp-abc")
+    assert store.is_stale("fp-other")
+    # the pin survives a later absorb (meta carry-forward) and the
+    # store still reads its full history
+    more = spark.createDataFrame([(5, "zz")], ["doc_id", "text"])
+    store.absorb(more, "doc_id", "text")
+    assert not store.is_stale("fp-abc")
+    assert store.seen().count() == 2
+
+
+def test_store_lock_file_serializes_commits(spark, tmp_path):
+    """absorb takes the store-level lock: while another process-like
+    holder owns it, a concurrent absorb must WAIT (single-writer
+    serialization lives in the store API now, not caller conventions).
+    Probed non-blockingly: with the lock held, LOCK_EX|LOCK_NB on a
+    second fd fails; after release it succeeds."""
+    import fcntl
+    import os
+
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    path = str(tmp_path / "fps")
+    store = FingerprintStore(spark, path)
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    store.absorb(docs, "doc_id", "text")  # creates .lock
+    lock_path = os.path.join(path, ".lock")
+    assert os.path.exists(lock_path)
+    with open(lock_path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        with open(lock_path, "w") as fh2:
+            with pytest.raises(OSError):
+                fcntl.flock(fh2, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    # released: a follow-up absorb proceeds normally
+    more = spark.createDataFrame([(2, "b")], ["doc_id", "text"])
+    out = store.absorb(more, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]

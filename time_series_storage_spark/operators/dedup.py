@@ -1032,373 +1032,6 @@ def fuzzy_pairs(
     )
 
 
-class FingerprintStore:
-    """Persisted corpus fingerprint set for INCREMENTAL exact dedup —
-    the daily-ingest workflow at corpus scale: dedup today's increment
-    against everything ever absorbed WITHOUT rescanning the historical
-    corpus. The artifact is a parquet set of ``normalized_fingerprint``
-    values (16-byte md5 hex per distinct document ever seen — never the
-    text), committed under the engine-wide ``VersionedStore``
-    snapshot protocol (plans/materialize.py:43): readers resolve the
-    ``_current`` pointer, writers build the next version completely and
-    flip it with one ``os.replace``, so a crash mid-absorb leaves
-    readers on the old complete set and a retry redoes the increment.
-
-    Two scale properties make this the 100-TB shape:
-
-    * the anti-join probes ONE fixed-width column of the store against
-      the increment — cost scales with increment + fingerprint count,
-      not corpus text bytes;
-    * ``absorb`` never rewrites history: the next version HARD-LINKS
-      the previous version's immutable parquet files and adds one new
-      file for the increment's fresh fingerprints, so per-day I/O is
-      O(increment), while version flips stay atomic (same technique as
-      snapshot-by-hardlink backup tools; falls back to copy where the
-      filesystem refuses links).
-
-    Unlike the rollup store (whose publish GCs superseded versions
-    immediately), absorb RETAINS old snapshots — each is just
-    directory entries over the shared immutable files — so survivor
-    DataFrames returned by earlier absorbs stay readable, exactly the
-    snapshot-until-vacuum contract of a lakehouse table. ``vacuum``
-    reclaims superseded versions explicitly.
-
-    Winner semantics are FIRST-DAY-WINS: a fingerprint's survivor is
-    the min id within the first increment that introduced it, and
-    later increments re-presenting it emit nothing even with a smaller
-    id (history is immutable — re-adjudicating winners would rewrite
-    already-emitted data downstream). This can differ from batch
-    ``exact_dedup`` over the concatenated corpus, whose winner is the
-    GLOBAL min id; the sequential contract is property-tested.
-    """
-
-    def __init__(self, spark, path: str):
-        from ..plans.materialize import VersionedStore
-
-        self.spark = spark
-        self.path = path
-        self._store = VersionedStore(spark, path)
-        # test seam: callable(stage_name) invoked at each absorb stage
-        # (fault-injection crash tests, same pattern as
-        # ParquetEventStore._compact_fault)
-        self._absorb_fault = None
-
-    def _fault(self, stage: str) -> None:
-        if self._absorb_fault is not None:
-            self._absorb_fault(stage)
-
-    def _current_dir(self):
-        import os
-
-        meta = self._store.current_meta(self.path)
-        if meta is None:
-            return None
-        d = os.path.join(self.path, meta["version"])
-        return d if os.path.exists(d) else None
-
-    def seen(self) -> DataFrame:
-        """The committed fingerprint set (column ``fp``); empty if
-        nothing was ever absorbed."""
-        d = self._current_dir()
-        if d is None:
-            return self.spark.createDataFrame([], "fp string")
-        return self.spark.read.parquet(d).select("fp")
-
-    # NULL text fingerprints to NULL, and a NULL key NEVER matches in
-    # the anti-join — without this sentinel a null-text document would
-    # come back "fresh" every day forever, silently diverging from
-    # batch exact_dedup (whose groupBy treats NULL as one key). The
-    # sentinel cannot collide: real fingerprints are 32 hex chars.
-    NULL_FP = "<null-text>"
-
-    def dedup_increment(
-        self, new_docs: DataFrame, id_col: str, text_col: str
-    ) -> DataFrame:
-        """Survivors of ``new_docs`` against the store AND within the
-        increment (min-id winner per fingerprint, the same rule as
-        :func:`exact_dedup`, including NULL text collapsing to one
-        survivor via the ``NULL_FP`` sentinel). Pure read — no state
-        change. Output: (id, fp, dup_count) where dup_count counts the
-        increment's internal copies."""
-        inc = new_docs.select(
-            F.col(id_col),
-            F.coalesce(
-                normalized_fingerprint(text_col), F.lit(self.NULL_FP)
-            ).alias("fp"),
-        )
-        fresh = inc.join(self.seen(), "fp", "left_anti")
-        return (
-            fresh.groupBy("fp")
-            .agg(
-                F.min(id_col).alias(id_col),
-                F.count(F.lit(1)).alias("dup_count"),
-            )
-            .select(id_col, "fp", "dup_count")
-        )
-
-    def absorb(
-        self,
-        new_docs: DataFrame,
-        id_col: str,
-        text_col: str,
-        batch_id: int | None = None,
-    ) -> DataFrame:
-        """Dedup the increment, then commit it: next version = hard
-        links to every previous parquet file + one new file holding
-        the increment's survivors (id, fp, dup_count — the fp column
-        is what ``seen`` reads; the id/count columns make the commit
-        itself the survivor record). Returns the survivors AS READ
-        FROM THE COMMITTED FILES — never a lazy plan over the
-        pre-commit store — so the result stays stable and re-readable
-        across later absorbs (until a ``vacuum`` reclaims the
-        snapshot).
-
-        ``batch_id`` makes the commit EXACTLY-ONCE under streaming
-        replay (the ``foreachBatch`` contract: a failed sink re-delivers
-        the same batch with the same id). The id rides the atomic
-        pointer flip — "survivors committed" and "batch recorded" are
-        one event — so a replayed batch never re-absorbs: it re-reads
-        the survivor files its original commit recorded and returns
-        them again, and a batch below the committed watermark returns
-        empty (its effects and emission already happened). Same
-        discipline as the rollup merge sink's high-watermark
-        (streaming/ingest.py).
-        """
-        import os
-        import shutil
-        import uuid
-
-        meta = self._store.current_meta(self.path)
-        if batch_id is not None and meta is not None and "batch" in meta:
-            committed = int(meta["batch"])
-            if batch_id == committed:
-                # replay of the committed batch: re-emit ITS survivors.
-                # batch_files (not inc_files) names them — a manual
-                # absorb interleaved after the batch commit carries the
-                # watermark forward but points inc_files at its own
-                # increment; the batch's files survive in the current
-                # version dir under the same names via the hard links.
-                vdir0 = os.path.join(self.path, meta["version"])
-                names = meta.get("batch_files") or []
-                paths = [os.path.join(vdir0, n) for n in names]
-                if paths and all(os.path.exists(p) for p in paths):
-                    return self._read_survivors(paths, id_col)
-                # inc files consolidated away (compact ran in between,
-                # a quiesced-maintenance contract breach) or empty
-                # increment: nothing to re-emit
-                return self.spark.createDataFrame(
-                    [],
-                    self.dedup_increment(new_docs, id_col, text_col).schema,
-                )
-            if batch_id < committed:
-                return self.spark.createDataFrame(
-                    [],
-                    self.dedup_increment(new_docs, id_col, text_col).schema,
-                )
-        version = self._store.next_version(meta)
-        vdir = os.path.join(self.path, version)
-        # a version dir not referenced by _current is an orphan of a
-        # crashed commit (the flip never happened) — sweep it so the
-        # retry's rename lands cleanly (same recovery as the IVF store)
-        if os.path.exists(vdir):
-            shutil.rmtree(vdir, ignore_errors=True)
-        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
-            if name.startswith(".staging-"):  # hard-kill leftovers
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
-        survivors = self.dedup_increment(new_docs, id_col, text_col)
-        os.makedirs(staging, exist_ok=True)
-        inc_names = []
-        try:
-            # one new parquet file set for the increment's survivors —
-            # stored under the NORMALIZED schema (id, fp, dup_count)
-            # regardless of the caller's id_col, so increments absorbed
-            # under different id column names never leave mixed schemas
-            # in one version dir (seen()/replay read every file)
-            inc_dir = os.path.join(staging, "_inc")
-            survivors.select(
-                F.col(id_col).alias("id"), "fp", "dup_count"
-            ).write.mode("overwrite").parquet(inc_dir)
-            for name in os.listdir(inc_dir):
-                if name.endswith(".parquet"):
-                    dst = f"inc-{version}-{len(inc_names)}.parquet"
-                    os.replace(
-                        os.path.join(inc_dir, name),
-                        os.path.join(staging, dst),
-                    )
-                    inc_names.append(dst)
-            shutil.rmtree(inc_dir, ignore_errors=True)
-            self._fault("post_write")
-            # history rides along as hard links (no data copy)
-            prev = self._current_dir()
-            if prev is not None:
-                for name in os.listdir(prev):
-                    if not name.endswith(".parquet"):
-                        continue
-                    src = os.path.join(prev, name)
-                    dst = os.path.join(staging, name)
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        shutil.copy2(src, dst)
-                    self._fault("mid_link")
-            self._fault("post_link")
-            os.replace(staging, vdir)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        self._fault("post_publish")
-        # carry forward every prior meta field (the streaming batch
-        # watermark above all: a manual daily absorb interleaved with
-        # the foreachBatch stream must NOT erase replay detection —
-        # dropping 'batch' here would let a replayed micro-batch
-        # re-absorb and double-emit, breaking exactly-once) and only
-        # then overwrite this commit's own fields
-        extra = {
-            k: v
-            for k, v in (meta or {}).items()
-            if k not in ("version", "inc_files")
-        }
-        extra["inc_files"] = inc_names
-        if batch_id is not None:
-            extra["batch"] = int(batch_id)
-            extra["batch_files"] = inc_names
-        self._flip(version, extra)
-        if not inc_names:  # empty increment: zero part files written
-            return self.spark.createDataFrame([], survivors.schema)
-        return self._read_survivors(
-            [os.path.join(vdir, n) for n in inc_names], id_col
-        )
-
-    def _read_survivors(self, files: list[str], id_col: str) -> DataFrame:
-        """Committed survivor files (normalized schema) read back under
-        the caller's id column name."""
-        return self.spark.read.parquet(*files).select(
-            F.col("id").alias(id_col), "fp", "dup_count"
-        )
-
-    def foreach_batch(self, id_col: str, text_col: str, emit):
-        """An exactly-once ``foreachBatch`` function: each micro-batch
-        is absorbed under its batch id (replay-safe, see
-        :meth:`absorb`) and the committed survivors handed to
-        ``emit(survivors_df, batch_id)`` — streaming dedup of a live
-        feed against the FULL persisted corpus history, not just the
-        running query's own state (the complement of
-        ``streaming_exact_dedup``, whose state store starts empty at
-        every new checkpoint).
-
-        Usage::
-
-            stream.writeStream.foreachBatch(
-                store.foreach_batch("doc_id", "text", emit)
-            ).start()
-        """
-
-        def fn(batch_df, batch_id):
-            survivors = self.absorb(
-                batch_df, id_col, text_col, batch_id=int(batch_id)
-            )
-            emit(survivors, int(batch_id))
-
-        return fn
-
-    def _flip(self, version: str, extra: dict | None = None) -> None:
-        """Atomically point ``_current`` at ``version`` WITHOUT the
-        rollup store's eager GC — superseded snapshots stay readable
-        until :meth:`vacuum`. ``extra`` fields (the streaming batch
-        watermark, the committed increment file names) ride the same
-        atomic pointer write."""
-        import json
-        import os
-
-        meta = dict(extra or {})
-        meta["version"] = version
-        tmp = os.path.join(self.path, self._store.CURRENT + "._tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
-
-    def vacuum(self, keep: int = 2) -> list[str]:
-        """Remove all but the newest ``keep`` snapshot directories
-        (never the current one). Shared data files survive through
-        their hard links in retained versions; returns the removed
-        version names."""
-        import os
-        import shutil
-
-        meta = self._store.current_meta(self.path)
-        current = meta["version"] if meta else None
-        versions = sorted(
-            n for n in os.listdir(self.path) if n.startswith("v")
-        )
-        victims = [v for v in versions[:-keep] if v != current] if keep else [
-            v for v in versions if v != current
-        ]
-        for v in victims:
-            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
-        return victims
-
-    def compact(self, target_files: int = 1) -> int:
-        """Rewrite the accumulated per-increment files into
-        ``target_files`` consolidated parquet files, committed as a new
-        snapshot under the same atomic flip — the periodic maintenance
-        that keeps a year of daily absorbs from becoming 365 tiny
-        files behind every anti-join. Content-preserving (same rows,
-        fp-distinct by construction) and idempotent; earlier snapshots
-        keep reading their own files until vacuumed. Returns the new
-        snapshot's file count."""
-        import os
-        import shutil
-        import uuid
-
-        cur = self._current_dir()
-        if cur is None:
-            return 0
-        meta = self._store.current_meta(self.path)
-        version = self._store.next_version(meta)
-        vdir = os.path.join(self.path, version)
-        if os.path.exists(vdir):  # orphan of a crashed commit
-            shutil.rmtree(vdir, ignore_errors=True)
-        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:8]}")
-        try:
-            out = os.path.join(staging, "_out")
-            self.spark.read.parquet(cur).coalesce(target_files).write.mode(
-                "overwrite"
-            ).parquet(out)
-            os.makedirs(staging, exist_ok=True)
-            n = 0
-            for name in sorted(os.listdir(out)):
-                if name.endswith(".parquet"):
-                    os.replace(
-                        os.path.join(out, name),
-                        os.path.join(staging, f"compact-{version}-{n}.parquet"),
-                    )
-                    n += 1
-            shutil.rmtree(out, ignore_errors=True)
-            os.replace(staging, vdir)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        # every prior meta field survives compaction — the streaming
-        # batch watermark above all (replay detection must not regress)
-        # — but the consolidated snapshot has no per-increment files to
-        # re-emit: compaction is quiesced maintenance, see absorb()
-        extra = {
-            k: v
-            for k, v in (meta or {}).items()
-            if k not in ("version", "inc_files", "batch_files")
-        }
-        extra["inc_files"] = []
-        if "batch" in extra:
-            # watermark survives; the batch's per-increment files do
-            # not (consolidated away) — a post-compact replay of that
-            # batch returns empty, the documented quiesced-maintenance
-            # contract
-            extra["batch_files"] = []
-        self._flip(version, extra)
-        return n
-
-
 class _SnapshotArtifactStore:
     """Shared versioned-snapshot machinery for incremental dedup
     artifacts (:class:`NearDupStore`, :class:`EmbNearDupStore`): the
@@ -1411,15 +1044,26 @@ class _SnapshotArtifactStore:
     Subclasses supply the artifact tables and the increment-dedup
     logic; everything on this class is storage, not semantics."""
 
+    # bump on any change to the persisted layout or meta contract; the
+    # stamp rides every commit's meta and is validated on reopen, so a
+    # store written by older code fails LOUDLY instead of silently
+    # breaking replay/emission semantics (the class of bug a missing
+    # 'batch_files' field caused before stamping existed)
+    FORMAT = 1
+    # emission-record columns after the id (subclass hook: what a
+    # committed 'surv' row carries back to the caller)
+    _EMIT_COLS = ("n_members",)
+
     def __init__(self, spark, path: str, params: list, kind: str):
         from ..plans.materialize import VersionedStore
 
         self.spark = spark
         self.path = path
+        self.kind = kind
         self._store = VersionedStore(spark, path)
         # test seam: callable(stage_name) invoked at each commit stage
         # (fault-injection crash tests, same pattern as
-        # FingerprintStore._absorb_fault)
+        # ParquetEventStore._compact_fault)
         self._commit_fault = None
         # artifact params are part of the artifact: probing with
         # different params than the stored rows were built with is
@@ -1432,7 +1076,59 @@ class _SnapshotArtifactStore:
                 f"{meta['params']}; reopening with {params} would probe "
                 "an incompatible artifact"
             )
+        if meta is not None and meta.get("format", 0) != self.FORMAT:
+            raise ValueError(
+                f"{kind} at {path} has store format "
+                f"{meta.get('format', 0)} but this code writes format "
+                f"{self.FORMAT}; rebuild the store (or migrate it) — "
+                "reopening would silently break the replay/emission "
+                "contract"
+            )
         self._params = params
+
+    def _locked(self):
+        """Exclusive store-level lock held across a whole
+        replay-check + build + commit sequence: concurrent writers on
+        one store path SERIALIZE instead of sweeping each other's
+        in-flight ``.staging-*`` dirs (the single-writer contract
+        lives here, not in caller-side conventions). flock is
+        advisory-but-atomic on every POSIX filesystem this runs on;
+        the fd closes (releasing the lock) when the context exits."""
+        import contextlib
+        import os
+
+        @contextlib.contextmanager
+        def _ctx():
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, ".lock"), "w") as fh:
+                with contextlib.suppress(ImportError):
+                    import fcntl
+
+                    fcntl.flock(fh, fcntl.LOCK_EX)
+                yield
+
+        return _ctx()
+
+    def is_stale(self, corpus_fp: str) -> bool:
+        """True when the store was never committed or was pinned to a
+        different corpus fingerprint — the public staleness probe for
+        cache builders (no reaching into ``_store`` internals)."""
+        meta = self._store.current_meta(self.path)
+        return meta is None or meta.get("corpus_fp") != corpus_fp
+
+    def pin_corpus(self, corpus_fp: str) -> None:
+        """Record the corpus fingerprint the current snapshot was
+        built from (rides the atomic pointer flip; every other meta
+        field survives). Callers pair this with :meth:`is_stale` for
+        rebuild-on-corpus-change cache lifecycles."""
+        meta = self._store.current_meta(self.path)
+        if meta is None:
+            raise ValueError(
+                f"{self.kind} at {self.path}: nothing committed yet — "
+                "absorb before pinning a corpus fingerprint"
+            )
+        meta["corpus_fp"] = corpus_fp
+        self._flip(meta.pop("version"), meta)
 
     def _current_dir(self):
         import os
@@ -1458,6 +1154,16 @@ class _SnapshotArtifactStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*files)
 
+    def _emission_schema(self, id_col: str) -> str:
+        return f"{id_col} long, " + ", ".join(
+            f"{c} long" for c in self._EMIT_COLS
+        )
+
+    def _read_emission(self, paths: list, id_col: str) -> DataFrame:
+        return self.spark.read.parquet(*paths).select(
+            F.col("id").alias(id_col), *self._EMIT_COLS
+        )
+
     def _replay_result(self, meta, batch_id, id_col):
         """Exactly-once replay check: the committed survivors for an
         already-absorbed ``batch_id`` (read from the files recorded in
@@ -1473,15 +1179,13 @@ class _SnapshotArtifactStore:
             names = meta.get("batch_files") or []
             paths = [os.path.join(vdir0, n) for n in names]
             if paths and all(os.path.exists(p) for p in paths):
-                return self.spark.read.parquet(*paths).select(
-                    F.col("id").alias(id_col), "n_members"
-                )
+                return self._read_emission(paths, id_col)
             return self.spark.createDataFrame(
-                [], f"{id_col} long, n_members long"
+                [], self._emission_schema(id_col)
             )
         if batch_id < committed:
             return self.spark.createDataFrame(
-                [], f"{id_col} long, n_members long"
+                [], self._emission_schema(id_col)
             )
         return None
 
@@ -1556,17 +1260,18 @@ class _SnapshotArtifactStore:
         }
         extra["inc_files"] = inc_names
         extra["params"] = self._params
+        extra["format"] = self.FORMAT
         if batch_id is not None:
             extra["batch"] = int(batch_id)
             extra["batch_files"] = surv_names
         self._flip(version, extra)
         if not surv_names:
             return self.spark.createDataFrame(
-                [], f"{id_col} long, n_members long"
+                [], self._emission_schema(id_col)
             )
-        return self.spark.read.parquet(
-            *[os.path.join(vdir, n) for n in surv_names]
-        ).select(F.col("id").alias(id_col), "n_members")
+        return self._read_emission(
+            [os.path.join(vdir, n) for n in surv_names], id_col
+        )
 
     def _flip(self, version: str, extra: dict | None = None) -> None:
         import json
@@ -1596,6 +1301,251 @@ class _SnapshotArtifactStore:
         for v in victims:
             shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
         return victims
+
+
+class FingerprintStore(_SnapshotArtifactStore):
+    """Persisted corpus fingerprint set for INCREMENTAL exact dedup —
+    the daily-ingest workflow at corpus scale: dedup today's increment
+    against everything ever absorbed WITHOUT rescanning the historical
+    corpus. The artifact is a parquet set of ``normalized_fingerprint``
+    values (16-byte md5 hex per distinct document ever seen — never the
+    text), committed under the shared :class:`_SnapshotArtifactStore`
+    snapshot protocol: readers resolve the ``_current`` pointer,
+    writers serialize on the store lock, build the next version
+    completely and flip it with one ``os.replace``, so a crash
+    mid-absorb leaves readers on the old complete set and a retry
+    redoes the increment. (One commit protocol for all three
+    incremental stores — this class adds only the fingerprint
+    semantics plus ``seen()``/``compact()``.)
+
+    Two scale properties make this the 100-TB shape:
+
+    * the anti-join probes ONE fixed-width column of the store against
+      the increment — cost scales with increment + fingerprint count,
+      not corpus text bytes;
+    * ``absorb`` never rewrites history: the next version HARD-LINKS
+      the previous version's immutable parquet files and adds one new
+      file for the increment's fresh fingerprints, so per-day I/O is
+      O(increment), while version flips stay atomic (same technique as
+      snapshot-by-hardlink backup tools; falls back to copy where the
+      filesystem refuses links).
+
+    Unlike the rollup store (whose publish GCs superseded versions
+    immediately), absorb RETAINS old snapshots — each is just
+    directory entries over the shared immutable files — so survivor
+    DataFrames returned by earlier absorbs stay readable, exactly the
+    snapshot-until-vacuum contract of a lakehouse table. ``vacuum``
+    reclaims superseded versions explicitly.
+
+    Winner semantics are FIRST-DAY-WINS: a fingerprint's survivor is
+    the min id within the first increment that introduced it, and
+    later increments re-presenting it emit nothing even with a smaller
+    id (history is immutable — re-adjudicating winners would rewrite
+    already-emitted data downstream). This can differ from batch
+    ``exact_dedup`` over the concatenated corpus, whose winner is the
+    GLOBAL min id; the sequential contract is property-tested.
+    """
+
+    # format 2 = normalized (id, fp, dup_count) survivor files +
+    # 'batch_files' replay meta; stores written by format-less code
+    # are REFUSED on open (reopening one silently broke the
+    # exactly-once emission contract before the stamp existed)
+    FORMAT = 2
+    _EMIT_COLS = ("fp", "dup_count")
+
+    def __init__(self, spark, path: str):
+        super().__init__(spark, path, ["fp-v2"], "FingerprintStore")
+
+    # legacy seam name: fault-injection tests predate the shared base
+    @property
+    def _absorb_fault(self):
+        return self._commit_fault
+
+    @_absorb_fault.setter
+    def _absorb_fault(self, fn):
+        self._commit_fault = fn
+
+    def _emission_schema(self, id_col: str) -> str:
+        return f"{id_col} long, fp string, dup_count long"
+
+    def seen(self) -> DataFrame:
+        """The committed fingerprint set (column ``fp``); empty if
+        nothing was ever absorbed. Reads the whole current snapshot
+        dir — increment (``surv-``) and consolidated (``compact-``)
+        files share one normalized schema."""
+        d = self._current_dir()
+        if d is None:
+            return self.spark.createDataFrame([], "fp string")
+        return self.spark.read.parquet(d).select("fp")
+
+    # NULL text fingerprints to NULL, and a NULL key NEVER matches in
+    # the anti-join — without this sentinel a null-text document would
+    # come back "fresh" every day forever, silently diverging from
+    # batch exact_dedup (whose groupBy treats NULL as one key). The
+    # sentinel cannot collide: real fingerprints are 32 hex chars.
+    NULL_FP = "<null-text>"
+
+    def dedup_increment(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_docs`` against the store AND within the
+        increment (min-id winner per fingerprint, the same rule as
+        :func:`exact_dedup`, including NULL text collapsing to one
+        survivor via the ``NULL_FP`` sentinel). Pure read — no state
+        change. Output: (id, fp, dup_count) where dup_count counts the
+        increment's internal copies."""
+        inc = new_docs.select(
+            F.col(id_col),
+            F.coalesce(
+                normalized_fingerprint(text_col), F.lit(self.NULL_FP)
+            ).alias("fp"),
+        )
+        fresh = inc.join(self.seen(), "fp", "left_anti")
+        return (
+            fresh.groupBy("fp")
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.count(F.lit(1)).alias("dup_count"),
+            )
+            .select(id_col, "fp", "dup_count")
+        )
+
+    def absorb(
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup the increment, then commit it under the shared
+        snapshot protocol: next version = hard links to every previous
+        parquet file + one new ``surv`` file holding the increment's
+        survivors (id, fp, dup_count — the fp column is what ``seen``
+        reads; the id/count columns make the commit itself the
+        survivor record, stored NORMALIZED so increments absorbed
+        under different id column names never leave mixed schemas).
+        Returns the survivors AS READ FROM THE COMMITTED FILES — never
+        a lazy plan over the pre-commit store — so the result stays
+        stable and re-readable across later absorbs (until a
+        ``vacuum`` reclaims the snapshot).
+
+        ``batch_id`` makes the commit EXACTLY-ONCE under streaming
+        replay (the ``foreachBatch`` contract: a failed sink
+        re-delivers the same batch with the same id). The id rides the
+        atomic pointer flip — "survivors committed" and "batch
+        recorded" are one event — so a replayed batch never
+        re-absorbs: it re-reads the survivor files its original commit
+        recorded (``batch_files``) and returns them again, and a batch
+        below the committed watermark returns empty (its effects and
+        emission already happened). A post-compact replay of the
+        committed batch returns empty — compaction is quiesced
+        maintenance. Same discipline as the rollup merge sink's
+        high-watermark (streaming/ingest.py)."""
+        with self._locked():
+            meta = self._store.current_meta(self.path)
+            replay = self._replay_result(meta, batch_id, id_col)
+            if replay is not None:
+                return replay
+            survivors = self.dedup_increment(new_docs, id_col, text_col)
+            norm = survivors.select(
+                F.col(id_col).alias("id"), "fp", "dup_count"
+            )
+            return self._commit_increment(
+                meta, [("surv", norm)], id_col, batch_id
+            )
+
+    def foreach_batch(self, id_col: str, text_col: str, emit):
+        """An exactly-once ``foreachBatch`` function: each micro-batch
+        is absorbed under its batch id (replay-safe, see
+        :meth:`absorb`) and the committed survivors handed to
+        ``emit(survivors_df, batch_id)`` — streaming dedup of a live
+        feed against the FULL persisted corpus history, not just the
+        running query's own state (the complement of
+        ``streaming_exact_dedup``, whose state store starts empty at
+        every new checkpoint).
+
+        Usage::
+
+            stream.writeStream.foreachBatch(
+                store.foreach_batch("doc_id", "text", emit)
+            ).start()
+        """
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, text_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the accumulated per-increment files into
+        ``target_files`` consolidated parquet files, committed as a new
+        snapshot under the same store lock + atomic flip — the
+        periodic maintenance that keeps a year of daily absorbs from
+        becoming 365 tiny files behind every anti-join.
+        Content-preserving (same rows, fp-distinct by construction)
+        and idempotent; earlier snapshots keep reading their own files
+        until vacuumed. Returns the new snapshot's file count."""
+        import os
+        import shutil
+        import uuid
+
+        with self._locked():
+            cur = self._current_dir()
+            if cur is None:
+                return 0
+            meta = self._store.current_meta(self.path)
+            version = self._store.next_version(meta)
+            vdir = os.path.join(self.path, version)
+            if os.path.exists(vdir):  # orphan of a crashed commit
+                shutil.rmtree(vdir, ignore_errors=True)
+            staging = os.path.join(
+                self.path, f".staging-{uuid.uuid4().hex[:8]}"
+            )
+            try:
+                out = os.path.join(staging, "_out")
+                self.spark.read.parquet(cur).coalesce(
+                    target_files
+                ).write.mode("overwrite").parquet(out)
+                os.makedirs(staging, exist_ok=True)
+                n = 0
+                for name in sorted(os.listdir(out)):
+                    if name.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(out, name),
+                            os.path.join(
+                                staging, f"compact-{version}-{n}.parquet"
+                            ),
+                        )
+                        n += 1
+                shutil.rmtree(out, ignore_errors=True)
+                os.replace(staging, vdir)
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            # every prior meta field survives compaction — the
+            # streaming batch watermark above all (replay detection
+            # must not regress) — but the consolidated snapshot has no
+            # per-increment files to re-emit: compaction is quiesced
+            # maintenance, see absorb()
+            extra = {
+                k: v
+                for k, v in (meta or {}).items()
+                if k not in ("version", "inc_files", "batch_files")
+            }
+            extra["inc_files"] = []
+            extra["format"] = self.FORMAT
+            if "batch" in extra:
+                # watermark survives; the batch's per-increment files
+                # do not (consolidated away) — a post-compact replay of
+                # that batch returns empty, the documented
+                # quiesced-maintenance contract
+                extra["batch_files"] = []
+            self._flip(version, extra)
+            return n
+
 
 
 class NearDupStore(_SnapshotArtifactStore):
@@ -1787,43 +1737,53 @@ class NearDupStore(_SnapshotArtifactStore):
         foreachBatch replay contract as
         :meth:`FingerprintStore.absorb` (the id and the committed
         emission-file names ride the atomic pointer flip)."""
-        meta = self._store.current_meta(self.path)
-        replay = self._replay_result(meta, batch_id, id_col)
-        if replay is not None:
-            return replay
-        surv, sets_inc, sig_inc, ok_sets = self._increment_parts(
-            new_docs, id_col, text_col
-        )
-        # survivors drive three artifact writes — materialize once so
-        # the CC result (already eager) isn't re-derived per write
-        surv = surv.persist()
-        try:
-            surv_ids = surv.select(F.col(id_col))
-            new_sets = sets_inc.join(surv_ids, id_col, "left_semi").select(
-                F.col(id_col).cast("long").alias("id"),
-                "hs_set",
-                F.col("n").cast("long").alias("n"),
+        with self._locked():
+            meta = self._store.current_meta(self.path)
+            replay = self._replay_result(meta, batch_id, id_col)
+            if replay is not None:
+                return replay
+            surv, sets_inc, sig_inc, ok_sets = self._increment_parts(
+                new_docs, id_col, text_col
             )
-            new_bands = band_rows(
-                sig_inc.join(surv_ids, id_col, "left_semi"),
-                id_col,
-                self.num_hashes,
-                self.n_bands,
-            ).select(
-                F.col(id_col).cast("long").alias("id"), "band_id", "band_key"
-            )
-            new_surv = surv.select(
-                F.col(id_col).cast("long").alias("id"), "n_members"
-            )
-            return self._commit_increment(
-                meta,
-                [("set", new_sets), ("band", new_bands), ("surv", new_surv)],
-                id_col,
-                batch_id,
-            )
-        finally:
-            for df in (sets_inc, sig_inc, ok_sets, surv):
-                df.unpersist()
+            # survivors drive three artifact writes — materialize once
+            # so the CC result (already eager) isn't re-derived per
+            # write
+            surv = surv.persist()
+            try:
+                surv_ids = surv.select(F.col(id_col))
+                new_sets = sets_inc.join(
+                    surv_ids, id_col, "left_semi"
+                ).select(
+                    F.col(id_col).cast("long").alias("id"),
+                    "hs_set",
+                    F.col("n").cast("long").alias("n"),
+                )
+                new_bands = band_rows(
+                    sig_inc.join(surv_ids, id_col, "left_semi"),
+                    id_col,
+                    self.num_hashes,
+                    self.n_bands,
+                ).select(
+                    F.col(id_col).cast("long").alias("id"),
+                    "band_id",
+                    "band_key",
+                )
+                new_surv = surv.select(
+                    F.col(id_col).cast("long").alias("id"), "n_members"
+                )
+                return self._commit_increment(
+                    meta,
+                    [
+                        ("set", new_sets),
+                        ("band", new_bands),
+                        ("surv", new_surv),
+                    ],
+                    id_col,
+                    batch_id,
+                )
+            finally:
+                for df in (sets_inc, sig_inc, ok_sets, surv):
+                    df.unpersist()
 
     def foreach_batch(self, id_col: str, text_col: str, emit):
         """Exactly-once ``foreachBatch`` near-dup sink: each
@@ -1982,35 +1942,40 @@ class EmbNearDupStore(_SnapshotArtifactStore):
         vector rows (plus the (id, n_members) emission record) as the
         next snapshot. Same exactly-once ``batch_id`` replay contract
         as :meth:`NearDupStore.absorb`."""
-        meta = self._store.current_meta(self.path)
-        replay = self._replay_result(meta, batch_id, id_col)
-        if replay is not None:
-            return replay
-        surv, inc, ok = self._increment_parts(new_vecs, id_col, vec_col)
-        surv = surv.persist()
-        try:
-            surv_ids = surv.select(F.col(id_col))
-            keep = inc.join(surv_ids, id_col, "left_semi")
-            new_vec = keep.select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col("_e").alias("embedding"),
-            )
-            new_bucket = keep.select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col("_b").alias("bucket"),
-            )
-            new_surv = surv.select(
-                F.col(id_col).cast("long").alias("id"), "n_members"
-            )
-            return self._commit_increment(
-                meta,
-                [("vec", new_vec), ("bucket", new_bucket), ("surv", new_surv)],
-                id_col,
-                batch_id,
-            )
-        finally:
-            for df in (inc, ok, surv):
-                df.unpersist()
+        with self._locked():
+            meta = self._store.current_meta(self.path)
+            replay = self._replay_result(meta, batch_id, id_col)
+            if replay is not None:
+                return replay
+            surv, inc, ok = self._increment_parts(new_vecs, id_col, vec_col)
+            surv = surv.persist()
+            try:
+                surv_ids = surv.select(F.col(id_col))
+                keep = inc.join(surv_ids, id_col, "left_semi")
+                new_vec = keep.select(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col("_e").alias("embedding"),
+                )
+                new_bucket = keep.select(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col("_b").alias("bucket"),
+                )
+                new_surv = surv.select(
+                    F.col(id_col).cast("long").alias("id"), "n_members"
+                )
+                return self._commit_increment(
+                    meta,
+                    [
+                        ("vec", new_vec),
+                        ("bucket", new_bucket),
+                        ("surv", new_surv),
+                    ],
+                    id_col,
+                    batch_id,
+                )
+            finally:
+                for df in (inc, ok, surv):
+                    df.unpersist()
 
     def foreach_batch(self, id_col: str, vec_col: str, emit):
         """Exactly-once ``foreachBatch`` embedding near-dup sink: each

@@ -1898,15 +1898,24 @@ def _fp_store(spark, sf_dir):
     # invalidates stale caches instead of silently diverging from the
     # from-scratch oracle (v2 = normalized id/fp/dup_count file schema)
     key = hashlib.md5(
-        f"{os.path.realpath(src)}:{FPSTORE_BASE}:fmt-v2".encode()
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:fmt-v3".encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), "tss_fp_store")
     root = os.path.join(base, key)
     os.makedirs(base, exist_ok=True)
-    store = FingerprintStore(spark, root)
+
+    def _open():
+        # a cached store written by an older code version fails the
+        # store's own format/params pinning LOUDLY — treat exactly
+        # like corpus staleness and rebuild under the lock
+        try:
+            return FingerprintStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
     fp = files_fingerprint(src)
-    meta = store._store.current_meta(root)
-    if meta is None or meta.get("corpus_fp") != fp:
+    if store is None or store.is_stale(fp):
         # exclusive file lock: a concurrent second driver must wait for
         # (and then reuse) the winner's build, not interleave absorbs
         # into the same version dir
@@ -1916,19 +1925,18 @@ def _fp_store(spark, sf_dir):
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            meta = store._store.current_meta(root)
-            if meta is None or meta.get("corpus_fp") != fp:
+            store = _open()
+            if store is None or store.is_stale(fp):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(root, exist_ok=True)
+                store = FingerprintStore(spark, root)
                 store.absorb(
                     _docs(spark, sf_dir).where(
                         F.col("doc_id") < FPSTORE_BASE
                     ),
                     "doc_id", "text",
                 )
-                committed = store._store.current_meta(root)
-                committed["corpus_fp"] = fp
-                store._flip(committed.pop("version"), committed)
+                store.pin_corpus(fp)
     return store
 
 
@@ -1986,24 +1994,32 @@ def _nd_store(spark, sf_dir):
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
-        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{MINHASH_THRESHOLD}:nd-v1"
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{MINHASH_THRESHOLD}:nd-v2"
         .encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), "tss_nd_store")
     root = os.path.join(base, key)
     os.makedirs(base, exist_ok=True)
-    store = NearDupStore(spark, root, threshold_x1000=MINHASH_THRESHOLD)
+
+    def _open():
+        try:
+            return NearDupStore(
+                spark, root, threshold_x1000=MINHASH_THRESHOLD
+            )
+        except ValueError:
+            return None
+
+    store = _open()
     fp = files_fingerprint(src)
-    meta = store._store.current_meta(root)
-    if meta is None or meta.get("corpus_fp") != fp:
+    if store is None or store.is_stale(fp):
         lock_path = os.path.join(base, key + ".lock")
         with open(lock_path, "w") as lock_fh:
             with contextlib.suppress(ImportError):
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            meta = store._store.current_meta(root)
-            if meta is None or meta.get("corpus_fp") != fp:
+            store = _open()
+            if store is None or store.is_stale(fp):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(root, exist_ok=True)
                 store = NearDupStore(
@@ -2015,9 +2031,7 @@ def _nd_store(spark, sf_dir):
                     ),
                     "doc_id", "text",
                 )
-                committed = store._store.current_meta(root)
-                committed["corpus_fp"] = fp
-                store._flip(committed.pop("version"), committed)
+                store.pin_corpus(fp)
     return store
 
 
@@ -2117,24 +2131,32 @@ def _emb_nd_store(spark, sf_dir):
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.realpath(src)}:{EMBSTORE_BASE}:{EMB_ND_THRESHOLD}:embnd-v1"
+        f"{os.path.realpath(src)}:{EMBSTORE_BASE}:{EMB_ND_THRESHOLD}:embnd-v2"
         .encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), "tss_embnd_store")
     root = os.path.join(base, key)
     os.makedirs(base, exist_ok=True)
-    store = EmbNearDupStore(spark, root, threshold_x1e6=EMB_ND_THRESHOLD)
+
+    def _open():
+        try:
+            return EmbNearDupStore(
+                spark, root, threshold_x1e6=EMB_ND_THRESHOLD
+            )
+        except ValueError:
+            return None
+
+    store = _open()
     fp = files_fingerprint(src)
-    meta = store._store.current_meta(root)
-    if meta is None or meta.get("corpus_fp") != fp:
+    if store is None or store.is_stale(fp):
         lock_path = os.path.join(base, key + ".lock")
         with open(lock_path, "w") as lock_fh:
             with contextlib.suppress(ImportError):
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            meta = store._store.current_meta(root)
-            if meta is None or meta.get("corpus_fp") != fp:
+            store = _open()
+            if store is None or store.is_stale(fp):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(root, exist_ok=True)
                 store = EmbNearDupStore(
@@ -2146,9 +2168,7 @@ def _emb_nd_store(spark, sf_dir):
                     ),
                     "vec_id", "embedding",
                 )
-                committed = store._store.current_meta(root)
-                committed["corpus_fp"] = fp
-                store._flip(committed.pop("version"), committed)
+                store.pin_corpus(fp)
     return store
 
 
