@@ -994,3 +994,36 @@ def test_store_lock_file_serializes_commits(spark, tmp_path):
     more = spark.createDataFrame([(2, "b")], ["doc_id", "text"])
     out = store.absorb(more, "doc_id", "text")
     assert sorted(r["doc_id"] for r in out.collect()) == [2]
+
+
+def test_duplicate_clusters_dispatch_and_equivalence(spark):
+    """duplicate_clusters: identical output from both algorithms and
+    from auto (which probes edge count with a bounded limit+count);
+    unknown algorithm rejected loudly."""
+    from time_series_storage_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["d1", "d2"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    want = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)}
+    for algo in ("auto", "minlabel", "star"):
+        got = {
+            (r.node, r.cluster)
+            for r in duplicate_clusters(
+                pairs, nodes, algorithm=algo
+            ).collect()
+        }
+        assert got == want, algo
+    # tiny threshold forces the star path through auto
+    got = {
+        (r.node, r.cluster)
+        for r in duplicate_clusters(
+            pairs, nodes, star_edge_threshold=2
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        duplicate_clusters(pairs, nodes, algorithm="bogus")
