@@ -21,70 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 # (insertion order), so registration order decides which queries get the
 # hard external hash-gate each round.  _GATE_PRIORITY rotates coverage:
 # put the newest queries plus everything the previous round's driver gate
-# did NOT cover (keys absent from any CORRECTNESS_r*.json) at the front;
-# long-stable rows rotate to the back and stay covered by pytest
-# (tests/test_extensions_oracle.py runs the full registry at sf0.001)
-# and tools/check_oracle.py sweeps.  Round 7: the 10 rows no driver round
-# has EVER gated (registered after the r6 window froze) plus this round's
-# new queries lead; then the mm_* rows last gated r4; then the ts_* core
-# family (last gated r1-r5, longest-unrotated engine rows).  The r6-gated
-# block rotates to the back.
+# did NOT cover at the front; long-stable rows rotate to the back and
+# stay covered by pytest (tests/test_extensions_oracle.py runs the full
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 8: the 4
+# new queries (Q17/Q13 shapes, image near-dup, production BPE encode),
+# then the 21 rows last gated in r5 (longest-ungated), then the oldest
+# 25 of the r6 block — zero overlap with r7's window, so every registry
+# row keeps a green driver CORRECTNESS row within the last 3 rounds.
 _GATE_PRIORITY = [
-    # --- new in round 7 ---
-    "dedup_near_incremental",
-    "emb_near_incremental",
-    "volume_shipping",
-    "sales_opportunity",
-    "events_zorder_cells",
-    "bpe_fit_merges",
-    "bpe_encode_docs",
-    "jpeg_gray_decode",
-    # --- never driver-gated (registered after the r6 window froze) ---
-    "order_priority_returns",
-    "supplier_return_blame",
-    "ts_cusum_changepoint",
-    "brand_quantity_revenue",
-    "ts_rolling_corr",
-    "top_return_customers",
-    "mm_audio_frames",
-    "dedup_incremental",
-    "events_pii_scrub",
-    "events_json_kv",
-    # --- last gated r4: the multimodal stubs ---
-    "mm_media_meta",
-    "mm_frame_sample",
-    "mm_feature_stub",
-    # --- core engine family, last gated r5 (longest-unrotated) ---
-    "ts_counter_none",
-    "ts_counter_hour_fill",
-    "ts_counter_day_offset3",
-    "ts_counter_week_sunday",
-    "ts_counter_month",
-    "ts_counter_hierarchy_day",
-    "ts_counter_nil_filter",
-    "ts_avg_hour_fill",
-    "ts_avg_none",
-    "ts_histogram_day",
-    "ts_histogram_merged",
-    "ts_histogram_quantiles",
-    "ts_rollup_slice15",
-    "ts_counter_hour_materialized",
-    "ts_avg_hour_materialized",
-    "ts_histogram_day_materialized",
-    "ts_rolling_3h",
-    "ts_interp_fill",
-    "ts_rate_sparse",
-    # --- r5-gated analytics/dedup rows, oldest-first backfill ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngram",
-    "decontaminate_token_ngram",
-    "decontaminate_bloom",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_simhash",
-    "fuzzy_part_names",
+    # --- new in round 8 (never driver-gated) ---
+    "small_qty_revenue",
+    "customer_order_counts",
+    "img_near_dup",
+    "bpe_encode_prod",
+    # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",
     "split_assign",
@@ -106,6 +56,109 @@ _GATE_PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_top_terms",
+    # --- last gated r6, oldest-first: completes the 50-row window ---
+    "text_repetition",
+    "text_dup_ngrams",
+    "emb_quantize_int8",
+    "sim_topk_int8",
+    "sim_topk_rerank",
+    "sim_topk_pq",
+    "dedup_source_overlap",
+    "corpus_stats_by_source",
+    "corpus_cube",
+    "lang_coverage_division",
+    "brands_shipping_recent",
+    "text_length_ntile",
+    "corpus_pivot_lang",
+    "dq_violations",
+    "vocab_encode_top256",
+    "text_chunk_windows",
+    "pipeline_chunk_pack",
+    "text_len_hist_quantiles",
+    "sample_stratified_lang",
+    "sample_weighted_mix",
+    "pipeline_e2e",
+    "pipeline_tokenize_pack",
+    "large_orders",
+    "cheapest_supplier",
+    "tfidf_top_terms",
+    # --- below the 50-row gate line: remaining r6 rows, then the
+    # --- r7-gated block (freshest external coverage) ---
+    "salted_hourly_totals",
+    "contamination_report",
+    "quality_percentile",
+    "ts_autocorr_24h",
+    "promo_revenue_share",
+    "similar_users_topk",
+    "events_debounce",
+    "retention_cohorts",
+    "ts_anomaly_zscore",
+    "ts_seasonal_anomaly",
+    "ts_trend_slope",
+    "series_correlation",
+    "ts_m4_downsample",
+    "ts_ewma_smooth",
+    "ts_gap_detect",
+    "text_pack_bins",
+    "sketch_distinct_tokens",
+    "rolling_weekly_users",
+    "sales_rollup_nation_month",
+    "local_supplier_volume",
+    "sim_recall_audit",
+    "ts_hourly_profile",
+    "pricing_summary",
+    "top_open_orders",
+    "customers_without_urgent_orders",
+    "dedup_near_incremental",
+    "emb_near_incremental",
+    "volume_shipping",
+    "sales_opportunity",
+    "events_zorder_cells",
+    "bpe_fit_merges",
+    "bpe_encode_docs",
+    "jpeg_gray_decode",
+    "order_priority_returns",
+    "supplier_return_blame",
+    "ts_cusum_changepoint",
+    "brand_quantity_revenue",
+    "ts_rolling_corr",
+    "top_return_customers",
+    "mm_audio_frames",
+    "dedup_incremental",
+    "events_pii_scrub",
+    "events_json_kv",
+    "mm_media_meta",
+    "mm_frame_sample",
+    "mm_feature_stub",
+    "ts_counter_none",
+    "ts_counter_hour_fill",
+    "ts_counter_day_offset3",
+    "ts_counter_week_sunday",
+    "ts_counter_month",
+    "ts_counter_hierarchy_day",
+    "ts_counter_nil_filter",
+    "ts_avg_hour_fill",
+    "ts_avg_none",
+    "ts_histogram_day",
+    "ts_histogram_merged",
+    "ts_histogram_quantiles",
+    "ts_rollup_slice15",
+    "ts_counter_hour_materialized",
+    "ts_avg_hour_materialized",
+    "ts_histogram_day_materialized",
+    "ts_rolling_3h",
+    "ts_interp_fill",
+    "ts_rate_sparse",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram",
+    "decontaminate_token_ngram",
+    "decontaminate_bloom",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_simhash",
+    "fuzzy_part_names",
 ]
 
 

@@ -757,3 +757,48 @@ def test_top_return_customers_aggregates_before_dim_joins(spark):
     # c_name must not appear in any aggregate expression
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
     assert agg_lines and all("c_name" not in ln for ln in agg_lines)
+
+
+def test_small_qty_revenue_aggregates_fact_before_rejoin(spark):
+    """Q17 shape: the per-part average comes from ONE partial-
+    aggregated pass over the fact (HashAggregate on l_partkey before
+    the re-join, no correlated subquery => no second fact-sized
+    exchange pair), the part dimension is a broadcast, and the
+    quantity compare is integer arithmetic in the filter, not a
+    double-average compare."""
+    from time_series_storage_spark.queries_extensions import (
+        q_small_qty_revenue,
+    )
+
+    plan = _plan(q_small_qty_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan  # part dim rides broadcast
+    # the self-join of fact vs per-part aggregate is a real join on
+    # l_partkey (SortMerge or ShuffledHash, AQE's pick) feeding from a
+    # partial aggregate
+    assert "partial_sum" in plan or "partial_count" in plan
+    # the per-part aggregate exists as a HashAggregate keyed on
+    # l_partkey feeding the re-join (no correlated subquery rewrite)
+    assert any(
+        "keys=[l_partkey" in ln
+        for ln in plan.splitlines()
+        if "HashAggregate" in ln
+    )
+
+
+def test_customer_order_counts_preaggregates_orders(spark):
+    """Q13 shape: orders are counted per custkey BEFORE the outer join
+    (the join's build side is the compact count table, never raw
+    orders x customer), the date cut reaches the orders parquet scan,
+    and the join preserves zero-order customers (outer join present)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_customer_order_counts,
+    )
+
+    plan = _plan(q_customer_order_counts(spark, "/root/testdata/sf0.001"))
+    assert "LessThan(o_orderdate" in plan  # pushed to the scan
+    assert "Outer" in plan or "LeftOuter" in plan
+    # count-per-custkey aggregation happens below the outer join:
+    # the first HashAggregate in the tree is the histogram (c_count),
+    # fed by the join; o_custkey aggregation exists too
+    assert "partial_count" in plan
+    assert "o_custkey" in plan

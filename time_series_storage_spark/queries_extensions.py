@@ -4172,6 +4172,110 @@ GROUP BY n_name
 Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_2"
 
 
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 plan shape (correlated per-group average consumed by
+    the fact scan): revenue from lineitems whose quantity is below 20%
+    of their part's average quantity, grouped by brand. The
+    scale-defining move is AGGREGATE-BEFORE-JOIN: the per-part
+    quantity average is computed ONCE from the fact table (partial
+    aggregation, one shuffle keyed l_partkey) and joined back onto the
+    fact scan on the SAME key — never a correlated per-row subquery,
+    and AQE reuses the l_partkey partitioning for the re-join. The
+    part dimension rides in as a broadcast. The 0.2x-average compare
+    is EXACT INTEGER arithmetic (5 * qty * cnt < sum — quantities are
+    integral; never compare double averages), and revenue aggregates
+    in BIGINT cents."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = read_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("cq"),
+    )
+    small = (
+        li.join(per_part, "l_partkey")
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cq")
+            < F.col("sq")
+        )
+        .join(
+            F.broadcast(pa.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pp AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*)::BIGINT AS cq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, COUNT(*)::BIGINT AS n_small,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+         AS rev_cents
+FROM lineitem l
+JOIN pp ON l.l_partkey = pp.l_partkey
+JOIN part ON l.l_partkey = p_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq
+GROUP BY p_brand
+"""
+
+
+Q13_CUTOFF = "1996-07-01"
+
+
+def q_customer_order_counts(spark, sf_dir):
+    """TPC-H Q13 plan shape (outer-join count-distribution histogram),
+    date-cut variant: how many customers placed exactly k orders
+    before {Q13_CUTOFF} — including the zero-order class (in this
+    testdata every customer has SOME order, so the classic
+    comment-filter variant degenerates; the date cut restores the
+    empty group, the part of Q13 that actually stresses the plan).
+    Scale shape: count orders per customer FIRST (partial aggregation
+    on the filtered fact, one shuffle keyed o_custkey), LEFT-join the
+    compact per-customer counts onto the customer dimension so
+    zero-order customers survive with COALESCE(n, 0), then the second
+    tiny aggregation builds the histogram. Joining facts to customers
+    before aggregating would shuffle every order row against every
+    customer row — this way only the count table does."""
+    cu = read_table(spark, sf_dir, "customer")
+    od = read_table(spark, sf_dir, "orders")
+    cnt = (
+        od.where(F.col("o_orderdate") < F.lit(Q13_CUTOFF).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cust = cu.select("c_custkey").join(
+        cnt, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return (
+        per_cust.select(
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = f"""
+WITH cnt AS (
+  SELECT o_custkey, COUNT(*)::BIGINT AS n
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{Q13_CUTOFF} 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(n, 0)::BIGINT AS c_count, COUNT(*)::BIGINT AS custdist
+FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
 def q_volume_shipping(spark, sf_dir):
     """TPC-H Q7-shaped two-sided nation join: revenue shipped between
     two specific nations, per (supplier nation, customer nation,
@@ -5997,6 +6101,11 @@ EXT_QUERIES = {
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "customer_order_counts": (
+        q_customer_order_counts,
+        SQL_CUSTOMER_ORDER_COUNTS,
+    ),
     "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
