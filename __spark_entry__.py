@@ -33,6 +33,7 @@ _GATE_PRIORITY = [
     "small_qty_revenue",
     "customer_order_counts",
     "img_near_dup",
+    "img_near_incremental",
     "bpe_encode_prod",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import _SnapshotArtifactStore
+
 PHASH_BITS = 63
 PHASH_SAMPLES = PHASH_BITS + 1
 PHASH_BANDS = 9
@@ -128,6 +130,185 @@ def hamming_band_rows(
         F.col(hash_col).alias("phash"),
         F.posexplode(bands).alias("band_id", "band_key"),
     )
+
+
+class ImgNearDupStore(_SnapshotArtifactStore):
+    """Persisted dHash + Hamming-band artifact for INCREMENTAL image
+    near-dup — the fourth member of the daily-ingest store family
+    (exact fingerprints / MinHash-Jaccard / embedding cosine / image
+    dHash), sharing the :class:`~.dedup._SnapshotArtifactStore`
+    snapshot commit protocol (format stamp, store flock, hard-linked
+    O(increment) commits, atomic flip, exactly-once ``batch_id``
+    replay). The whole-corpus path is :func:`hamming_near_dup_pairs`
+    — linear in corpus history per run; the store persists, per
+    RETAINED image, exactly what the daily probe needs:
+
+    * ``hash`` — (id, phash): exact-Hamming verification targets for
+      the (small) candidate list.
+    * ``band`` — (id, band_id, band_key): the Hamming-band index.
+      Probing an increment is ONE equi-join — at cluster scale, lay
+      the table out bucketed by band_key so only the increment
+      shuffles.
+
+    Winner semantics are FIRST-DAY-WINS AGAINST RETAINED SURVIVORS
+    (the family contract): an increment image is a duplicate iff its
+    Hamming distance to some STORED image is <= ``max_hamming``
+    (candidates from the band join — PERFECT recall here, so the
+    sequential model is exactly thresholded Hamming, no LSH
+    probability caveat); among the remainder, within-increment
+    clusters (connected components of the verified pair graph) keep
+    the min id. Near-dup is not transitive, so this sequential model
+    — not a whole-corpus batch recompute — is the contract, same as
+    the MinHash and embedding stores."""
+
+    HASH_SCHEMA = "id long, phash long"
+    BAND_SCHEMA = "id long, band_id int, band_key long"
+
+    def __init__(self, spark, path: str, max_hamming: int = 8):
+        self.max_hamming = max_hamming
+        super().__init__(
+            spark, path, ["dhash-v1", PHASH_BANDS, max_hamming],
+            "ImgNearDupStore",
+        )
+
+    def hashes(self) -> DataFrame:
+        """(id, phash) for every retained image."""
+        return self._table("hash", self.HASH_SCHEMA)
+
+    def bands(self) -> DataFrame:
+        """(id, band_id, band_key) Hamming-band index of retained
+        images."""
+        return self._table("band", self.BAND_SCHEMA)
+
+    def _increment_parts(self, new_imgs, id_col, payload_col):
+        from .dedup import duplicate_clusters
+
+        hashes = decode_jpeg_dhash(new_imgs, id_col, payload_col).select(
+            F.col("id").alias(id_col), "phash"
+        )
+        hashes = hashes.persist()
+        bands_inc = hamming_band_rows(hashes, id_col, "phash")
+        # --- history probe: equi-join on the persisted band index ----
+        cand = (
+            bands_inc.select(
+                F.col("id").alias("d_new"),
+                F.col("phash").alias("h_new"),
+                "band_id",
+                "band_key",
+            )
+            .join(
+                self.bands().select(
+                    F.col("id").alias("d_old"), "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
+            )
+            .select("d_new", "h_new", "d_old")
+            .distinct()
+        )
+        hist_dup = (
+            cand.join(
+                self.hashes().select(
+                    F.col("id").alias("d_old"), F.col("phash").alias("h_old")
+                ),
+                "d_old",
+            )
+            .where(
+                F.bit_count(F.col("h_new").bitwiseXOR(F.col("h_old")))
+                <= self.max_hamming
+            )
+            .select(F.col("d_new").alias(id_col))
+            .distinct()
+        )
+        # --- within-increment clusters among the remainder -----------
+        ok = hashes.join(hist_dup, id_col, "left_anti").persist()
+        pairs = hamming_near_dup_pairs(
+            ok, id_col, "phash", self.max_hamming
+        ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+        cc = duplicate_clusters(pairs, ok.select(id_col), id_col)
+        survivors = (
+            cc.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(
+                F.col("cluster").cast("long").alias(id_col), "n_members"
+            )
+        )
+        return survivors, hashes, ok
+
+    def dedup_increment(
+        self, new_imgs: DataFrame, id_col: str, payload_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_imgs`` against the stored corpus and
+        within the increment. Pure read — no state change. Output:
+        (id, n_members). NOTE: runs the iterative CC driver loop —
+        eager, like ``dedup_clusters``."""
+        surv, hashes, ok = self._increment_parts(
+            new_imgs, id_col, payload_col
+        )
+        out = surv.localCheckpoint()
+        for df in (hashes, ok):
+            df.unpersist()
+        return out
+
+    def absorb(
+        self,
+        new_imgs: DataFrame,
+        id_col: str,
+        payload_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup the increment, then commit the survivors' hash + band
+        rows (plus the (id, n_members) emission record) as the next
+        snapshot. Same exactly-once ``batch_id`` replay contract as
+        the other three stores."""
+        with self._locked():
+            meta = self._store.current_meta(self.path)
+            replay = self._replay_result(meta, batch_id, id_col)
+            if replay is not None:
+                return replay
+            surv, hashes, ok = self._increment_parts(
+                new_imgs, id_col, payload_col
+            )
+            surv = surv.persist()
+            try:
+                surv_ids = surv.select(F.col(id_col))
+                keep = hashes.join(surv_ids, id_col, "left_semi")
+                new_hash = keep.select(
+                    F.col(id_col).cast("long").alias("id"), "phash"
+                )
+                new_band = hamming_band_rows(keep, id_col, "phash").select(
+                    F.col("id").cast("long").alias("id"),
+                    "band_id",
+                    "band_key",
+                )
+                new_surv = surv.select(
+                    F.col(id_col).cast("long").alias("id"), "n_members"
+                )
+                return self._commit_increment(
+                    meta,
+                    [
+                        ("hash", new_hash),
+                        ("band", new_band),
+                        ("surv", new_surv),
+                    ],
+                    id_col,
+                    batch_id,
+                )
+            finally:
+                for df in (hashes, ok, surv):
+                    df.unpersist()
+
+    def foreach_batch(self, id_col: str, payload_col: str, emit):
+        """Exactly-once ``foreachBatch`` image near-dup sink: each
+        micro-batch absorbed under its batch id, committed survivors
+        handed to ``emit(survivors_df, batch_id)``."""
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, payload_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn
 
 
 def hamming_near_dup_pairs(

@@ -2507,30 +2507,23 @@ IMG_ND_CAP = 256
 IMG_ND_MAX_HAMMING = 8
 
 
-def q_img_near_dup(spark, sf_dir):
-    """Image perceptual near-dup under the hash gate, closing the
-    multimodal-dedup triangle (text MinHash / embedding cosine / image
-    dHash): each document's first {IMG_ND_CAP} bytes become a real
-    baseline JPEG (the exactly-invertible constant-tile mosaic of
-    jpeg_gray_decode), the REAL decoder recovers the pixels, a 63-bit
-    difference hash is taken over the brightness strip
-    (operators/phash.py), and pairs come from the Hamming-band
-    equi-join with exact bit_count verify — perfect recall for
-    hamming <= 8 by pigeonhole over 9 bands. The oracle recomputes
-    hash + bands + verify from the SOURCE BYTES in SQL, so a green
-    hash proves the whole encode -> decode -> downsample -> hash ->
-    band-join pipeline end to end (the mosaic makes the column means
-    an exact function of the payload)."""
+def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
+    """(id, payload): each document's first {IMG_ND_CAP} bytes as a
+    real baseline-JPEG constant-tile mosaic (corpus synthesis — at
+    scale payloads come from storage), optionally sliced by doc_id
+    range. One mapInPandas pass; the mosaic makes decode exactly
+    invertible, which is what lets SQL oracles recompute image hashes
+    from the source bytes."""
     import pandas as _pd
 
     from .operators.jpeg_codec import bytes_to_mosaic, encode_jpeg
-    from .operators.phash import decode_jpeg_dhash, hamming_near_dup_pairs
 
-    docs = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") > 0)
-        .select(F.col("doc_id").alias("id"), "text")
-    )
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    if lo is not None:
+        docs = docs.where(F.col("doc_id") >= lo)
+    if hi is not None:
+        docs = docs.where(F.col("doc_id") < hi)
+    docs = docs.select(F.col("doc_id").alias("id"), "text")
 
     def to_jpeg(batches):
         for pdf in batches:
@@ -2550,7 +2543,26 @@ def q_img_near_dup(spark, sf_dir):
                 }
             )
 
-    imgs = docs.mapInPandas(to_jpeg, "id long, payload binary")
+    return docs.mapInPandas(to_jpeg, "id long, payload binary")
+
+
+def q_img_near_dup(spark, sf_dir):
+    """Image perceptual near-dup under the hash gate, closing the
+    multimodal-dedup triangle (text MinHash / embedding cosine / image
+    dHash): each document's first {IMG_ND_CAP} bytes become a real
+    baseline JPEG (the exactly-invertible constant-tile mosaic of
+    jpeg_gray_decode), the REAL decoder recovers the pixels, a 63-bit
+    difference hash is taken over the brightness strip
+    (operators/phash.py), and pairs come from the Hamming-band
+    equi-join with exact bit_count verify — perfect recall for
+    hamming <= 8 by pigeonhole over 9 bands. The oracle recomputes
+    hash + bands + verify from the SOURCE BYTES in SQL, so a green
+    hash proves the whole encode -> decode -> downsample -> hash ->
+    band-join pipeline end to end (the mosaic makes the column means
+    an exact function of the payload)."""
+    from .operators.phash import decode_jpeg_dhash, hamming_near_dup_pairs
+
+    imgs = _doc_jpegs(spark, sf_dir)
     hashes = decode_jpeg_dhash(imgs, "id", "payload")
     return hamming_near_dup_pairs(
         hashes, "id", "phash", max_hamming=IMG_ND_MAX_HAMMING
@@ -2596,6 +2608,165 @@ SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
        bit_count(xor(h1, h2))::BIGINT AS hamming
 FROM cand
 WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
+"""
+
+
+def _img_nd_store(spark, sf_dir):
+    """The persisted image near-dup store for ``sf_dir`` — built on
+    first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
+    every query after, staleness-keyed on the corpus files; the same
+    artifact lifecycle as the fingerprint/MinHash/embedding stores."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.phash import ImgNearDupStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{IMG_ND_MAX_HAMMING}"
+        ":imgnd-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_imgnd_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return ImgNearDupStore(
+                spark, root, max_hamming=IMG_ND_MAX_HAMMING
+            )
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = ImgNearDupStore(
+                    spark, root, max_hamming=IMG_ND_MAX_HAMMING
+                )
+                store.absorb(
+                    _doc_jpegs(spark, sf_dir, hi=FPSTORE_BASE),
+                    "id", "payload",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_img_near_incremental(spark, sf_dir):
+    """Daily-ingest IMAGE near-dup as a gated query — the fourth
+    incremental store modality (exact / MinHash / embedding / image):
+    survivors of the increment (doc_id >= {FPSTORE_BASE}) against the
+    PERSISTED dHash + Hamming-band store holding the base slice's
+    retained survivors. The read path decodes + hashes the increment
+    in one mapInPandas pass, probes its band rows against the stored
+    band index (one equi-join — perfect recall by pigeonhole),
+    verifies candidates with exact bit_count against stored hashes,
+    then min-id-clusters the remainder within the increment. The
+    oracle replays the whole two-day sequence from scratch in SQL
+    (corpus hashes from SOURCE BYTES -> band pairs -> day-1 recursive
+    clustering -> survivor probe -> day-2 clustering), so a green hash
+    proves the persisted artifact plus the incremental probe equals
+    the from-scratch sequential model."""
+    store = _img_nd_store(spark, sf_dir)
+    inc = _doc_jpegs(spark, sf_dir, lo=FPSTORE_BASE)
+    out = store.dedup_increment(inc, "id", "payload")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _img_near_incremental_sql() -> str:
+    """From-scratch SQL replay of the sequential image near-dup store
+    model — the same two-day structure as the MinHash and embedding
+    replays. Hash/band/verify are per-image or per-pair properties,
+    so subset-restricted pairs equal pairs computed within the
+    subset; ids split at {FPSTORE_BASE} with base ids strictly below
+    increment ids, so d1 < d2 orders every cross-day pair as
+    (base, increment)."""
+    b = FPSTORE_BASE
+    return f"""
+WITH RECURSIVE pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {IMG_ND_CAP}) AS p
+  FROM documents WHERE length(text) > 0
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, i,
+         ascii(substring(p, ((i * length(p)) // 64) + 1, 1)) AS v
+  FROM pay, unnest(generate_series(0, 63)) g(i)
+),
+adj AS (
+  SELECT doc_id, i, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM samp
+),
+hash AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN v > nxt THEN (1::BIGINT << i)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE i < 63 GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, bb, (h >> (7 * bb)) & 127 AS band_key
+  FROM hash, unnest(generate_series(0, 8)) g(bb)
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.h, c.h)) <= {IMG_ND_MAX_HAMMING}
+),
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM pay WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach
+            GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM pay
+       WHERE doc_id >= {b}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach
+           GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
 """
 
 
@@ -6172,6 +6343,10 @@ EXT_QUERIES = {
     "mm_audio_frames": (q_mm_audio_frames, SQL_MM_FRAMES),
     "jpeg_gray_decode": (q_jpeg_gray_decode, SQL_MM_FRAMES),
     "img_near_dup": (q_img_near_dup, SQL_IMG_NEAR_DUP),
+    "img_near_incremental": (
+        q_img_near_incremental,
+        _img_near_incremental_sql(),
+    ),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
