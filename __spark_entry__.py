@@ -32,6 +32,8 @@ _GATE_PRIORITY = [
     # --- new in round 8 (never driver-gated) ---
     "small_qty_revenue",
     "customer_order_counts",
+    "top_revenue_supplier",
+    "bulk_part_suppliers",
     "img_near_dup",
     "img_near_incremental",
     "bpe_encode_prod",

@@ -802,3 +802,39 @@ def test_customer_order_counts_preaggregates_orders(spark):
     # fed by the join; o_custkey aggregation exists too
     assert "partial_count" in plan
     assert "o_custkey" in plan
+
+
+def test_top_revenue_supplier_scalar_max_no_global_window(spark):
+    """Q15 shape: the argmax compares against a broadcast one-row
+    scalar (BroadcastNestedLoopJoin/cross of the max aggregate), never
+    a single-partition global window; the date range reaches the fact
+    scan; supplier dim is broadcast."""
+    from time_series_storage_spark.queries_extensions import (
+        q_top_revenue_supplier,
+    )
+
+    plan = _plan(q_top_revenue_supplier(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan  # the single-task rank()=1 anti-plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "partial_max" in plan or "max(total_rev_cents" in plan
+
+
+def test_bulk_part_suppliers_semi_join_chain(spark):
+    """Q20 shape: both semi-joins are broadcast LeftSemi (part filter
+    prunes the fact BEFORE aggregation; the heavy-supplier list prunes
+    the supplier dim), the name filter is pushed to the part scan, and
+    the HAVING runs on a partial-aggregated (supp, part) table."""
+    from time_series_storage_spark.queries_extensions import (
+        q_bulk_part_suppliers,
+    )
+
+    plan = _plan(q_bulk_part_suppliers(spark, "/root/testdata/sf0.001"))
+    assert plan.count("LeftSemi") >= 2
+    assert "Contains(p_name" in plan or "widget" in plan
+    assert "partial_sum" in plan
+    # the fact semi-join against part happens below the aggregation:
+    # no supplier column appears in any aggregate
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("s_name" not in ln for ln in agg_lines)

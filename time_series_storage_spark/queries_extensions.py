@@ -4398,6 +4398,131 @@ GROUP BY p_brand
 """
 
 
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 plan shape (argmax over an aggregated view): the
+    supplier(s) with the maximum quarterly revenue. The revenue view
+    is referenced twice (rows AND its max); the scale-correct plan
+    aggregates the date-pruned fact ONCE per reference into a
+    supplier-sized table, reduces it to a one-row scalar max, and
+    broadcasts that scalar back as a cross-join filter — never a
+    single-partition global window (the rank()=1 formulation funnels
+    every row through one task). Ties all surface (argmax, not top-1).
+    Exact BIGINT cents, so the max compare is hash-stable across
+    engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("total_rev_cents"))
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_cents") == F.col("mx"))
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev_cents").cast("long").alias("total_rev_cents"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT))::BIGINT AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+       total_rev_cents::BIGINT AS total_rev_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+"""
+
+
+Q20_PART_WORD = "widget"
+Q20_MIN_QTY = 90
+
+
+def q_bulk_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 plan shape (nested semi-join chain): suppliers that
+    shipped more than {Q20_MIN_QTY} units of SOME '{Q20_PART_WORD}'
+    part in total — supplier SEMI-JOIN (per-(supplier, part) fact
+    aggregate SEMI-JOINED to the filtered part list). Scale shape:
+    the inner part filter broadcasts into a left-semi prune of the
+    fact scan BEFORE the aggregation (only matching parts' lines are
+    grouped), the HAVING runs on the compact (supp, part) aggregate,
+    and the resulting supplier list — small by construction —
+    broadcasts into the outer semi-join, so the supplier dimension is
+    never shuffled. Exact integer quantity sums."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    pa = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q20_PART_WORD))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(
+            F.broadcast(pa),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .where(F.col("sq") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
+SQL_BULK_PART_SUPPLIERS = f"""
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%{Q20_PART_WORD}%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q20_MIN_QTY})
+"""
+
+
 Q13_CUTOFF = "1996-07-01"
 
 
@@ -6273,6 +6398,11 @@ EXT_QUERIES = {
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "top_revenue_supplier": (
+        q_top_revenue_supplier,
+        SQL_TOP_REVENUE_SUPPLIER,
+    ),
+    "bulk_part_suppliers": (q_bulk_part_suppliers, SQL_BULK_PART_SUPPLIERS),
     "customer_order_counts": (
         q_customer_order_counts,
         SQL_CUSTOMER_ORDER_COUNTS,
