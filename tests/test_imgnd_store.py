@@ -177,3 +177,35 @@ def test_imgnd_params_pinned(spark, tmp_path):
     store.absorb(_df(spark, day1), "id", "payload")
     with pytest.raises(ValueError, match="incompatible artifact"):
         ImgNearDupStore(spark, str(tmp_path / "imgs"), max_hamming=3)
+
+
+def test_imgnd_compact_preserves_tables_per_prefix(spark, tmp_path):
+    """Base-class compact on a multi-table store: each table prefix
+    consolidates SEPARATELY (hash rows never mix into band rows), the
+    store reads identically after, and a later absorb still dedups
+    against the compacted history."""
+    import os
+
+    day1, day2 = _payloads()
+    store = ImgNearDupStore(spark, str(tmp_path / "imgs"), max_hamming=MAXH)
+    store.absorb(_df(spark, day1), "id", "payload")
+    store.absorb(_df(spark, day2), "id", "payload")
+    hashes_before = {(r.id, r.phash) for r in store.hashes().collect()}
+    bands_before = {
+        (r.id, r.band_id, r.band_key) for r in store.bands().collect()
+    }
+    n = store.compact()
+    cur = store._current_dir()
+    files = sorted(f for f in os.listdir(cur) if f.endswith(".parquet"))
+    # one file per table (hash, band, surv)
+    assert n == 3 and len(files) == 3
+    assert {f.split("-", 1)[0] for f in files} == {"hash", "band", "surv"}
+    assert {(r.id, r.phash) for r in store.hashes().collect()} == hashes_before
+    assert {
+        (r.id, r.band_id, r.band_key) for r in store.bands().collect()
+    } == bands_before
+    # an exact re-send of a stored image is a history dup after compact
+    first_id, first_payload = next(iter(day1.items()))
+    again = _df(spark, {99: first_payload})
+    out = store.absorb(again, "id", "payload")
+    assert out.count() == 0

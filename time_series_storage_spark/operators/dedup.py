@@ -1354,6 +1354,95 @@ class _SnapshotArtifactStore:
             shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
         return victims
 
+    def _compact_plan(self, prefixes: list) -> list:
+        """[(out_prefix, [in_prefix, ...]), ...]: which file-name
+        prefixes :meth:`compact` folds together. Default: each table
+        prefix consolidates separately (multi-table stores must not
+        mix band rows into hash rows). FingerprintStore overrides —
+        its one logical table is spread across emission files."""
+        return [(p, [p]) for p in prefixes]
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the accumulated per-increment files into
+        ``target_files`` consolidated files PER TABLE, committed as a
+        new snapshot under the same store lock + atomic flip — the
+        periodic maintenance that keeps a year of daily absorbs from
+        becoming 365 tiny files behind every probe join.
+        Content-preserving and idempotent; earlier snapshots keep
+        reading their own files until vacuumed; the batch watermark
+        survives but the compacted batch's emission files do not (a
+        post-compact replay returns empty — compaction is quiesced
+        maintenance, see the absorb contract). Returns the new
+        snapshot's file count."""
+        import os
+        import shutil
+        import uuid
+
+        with self._locked():
+            cur = self._current_dir()
+            if cur is None:
+                return 0
+            meta = self._store.current_meta(self.path)
+            version = self._store.next_version(meta)
+            vdir = os.path.join(self.path, version)
+            if os.path.exists(vdir):  # orphan of a crashed commit
+                shutil.rmtree(vdir, ignore_errors=True)
+            staging = os.path.join(
+                self.path, f".staging-{uuid.uuid4().hex[:8]}"
+            )
+            prefixes = sorted(
+                {
+                    f.split("-", 1)[0]
+                    for f in os.listdir(cur)
+                    if f.endswith(".parquet")
+                }
+            )
+            n = 0
+            try:
+                os.makedirs(staging, exist_ok=True)
+                for out_prefix, ins in self._compact_plan(prefixes):
+                    files = [
+                        os.path.join(cur, f)
+                        for f in os.listdir(cur)
+                        if f.endswith(".parquet")
+                        and f.split("-", 1)[0] in ins
+                    ]
+                    if not files:
+                        continue
+                    out = os.path.join(staging, "_out")
+                    self.spark.read.parquet(*files).coalesce(
+                        target_files
+                    ).write.mode("overwrite").parquet(out)
+                    i = 0
+                    for name in sorted(os.listdir(out)):
+                        if name.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(out, name),
+                                os.path.join(
+                                    staging,
+                                    f"{out_prefix}-{version}-{i}.parquet",
+                                ),
+                            )
+                            n += 1
+                            i += 1
+                    shutil.rmtree(out, ignore_errors=True)
+                os.replace(staging, vdir)
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            extra = {
+                k: v
+                for k, v in (meta or {}).items()
+                if k not in ("version", "inc_files", "batch_files")
+            }
+            extra["inc_files"] = []
+            extra["format"] = self.FORMAT
+            extra["params"] = self._params
+            if "batch" in extra:
+                extra["batch_files"] = []
+            self._flip(version, extra)
+            return n
+
 
 class FingerprintStore(_SnapshotArtifactStore):
     """Persisted corpus fingerprint set for INCREMENTAL exact dedup —
@@ -1531,73 +1620,11 @@ class FingerprintStore(_SnapshotArtifactStore):
 
         return fn
 
-    def compact(self, target_files: int = 1) -> int:
-        """Rewrite the accumulated per-increment files into
-        ``target_files`` consolidated parquet files, committed as a new
-        snapshot under the same store lock + atomic flip — the
-        periodic maintenance that keeps a year of daily absorbs from
-        becoming 365 tiny files behind every anti-join.
-        Content-preserving (same rows, fp-distinct by construction)
-        and idempotent; earlier snapshots keep reading their own files
-        until vacuumed. Returns the new snapshot's file count."""
-        import os
-        import shutil
-        import uuid
-
-        with self._locked():
-            cur = self._current_dir()
-            if cur is None:
-                return 0
-            meta = self._store.current_meta(self.path)
-            version = self._store.next_version(meta)
-            vdir = os.path.join(self.path, version)
-            if os.path.exists(vdir):  # orphan of a crashed commit
-                shutil.rmtree(vdir, ignore_errors=True)
-            staging = os.path.join(
-                self.path, f".staging-{uuid.uuid4().hex[:8]}"
-            )
-            try:
-                out = os.path.join(staging, "_out")
-                self.spark.read.parquet(cur).coalesce(
-                    target_files
-                ).write.mode("overwrite").parquet(out)
-                os.makedirs(staging, exist_ok=True)
-                n = 0
-                for name in sorted(os.listdir(out)):
-                    if name.endswith(".parquet"):
-                        os.replace(
-                            os.path.join(out, name),
-                            os.path.join(
-                                staging, f"compact-{version}-{n}.parquet"
-                            ),
-                        )
-                        n += 1
-                shutil.rmtree(out, ignore_errors=True)
-                os.replace(staging, vdir)
-            except BaseException:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise
-            # every prior meta field survives compaction — the
-            # streaming batch watermark above all (replay detection
-            # must not regress) — but the consolidated snapshot has no
-            # per-increment files to re-emit: compaction is quiesced
-            # maintenance, see absorb()
-            extra = {
-                k: v
-                for k, v in (meta or {}).items()
-                if k not in ("version", "inc_files", "batch_files")
-            }
-            extra["inc_files"] = []
-            extra["format"] = self.FORMAT
-            if "batch" in extra:
-                # watermark survives; the batch's per-increment files
-                # do not (consolidated away) — a post-compact replay of
-                # that batch returns empty, the documented
-                # quiesced-maintenance contract
-                extra["batch_files"] = []
-            self._flip(version, extra)
-            return n
-
+    def _compact_plan(self, prefixes: list) -> list:
+        """One logical table spread across ``surv`` emission files
+        (plus any pre-unification ``compact`` outputs): fold them all
+        into a single consolidated ``surv`` file set."""
+        return [("surv", list(prefixes))]
 
 
 class NearDupStore(_SnapshotArtifactStore):
