@@ -36,6 +36,7 @@ _GATE_PRIORITY = [
     "bulk_part_suppliers",
     "img_near_dup",
     "img_near_incremental",
+    "audio_near_dup",
     "bpe_encode_prod",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",

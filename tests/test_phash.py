@@ -127,3 +127,52 @@ def test_near_dup_guards(spark):
         ).collect()
     }
     assert got == {(10, 11)}
+
+
+def test_energy_hash_model_and_short_signals():
+    """energy_hash_samples vs a direct per-window model, including
+    signals shorter than 64 samples (empty windows carry (0,0): the
+    cross-multiplied compare is False on both sides)."""
+    from time_series_storage_spark.operators.phash import (
+        energy_hash_samples,
+    )
+
+    rng = np.random.RandomState(8)
+    for n in (3, 40, 64, 100, 256):
+        a = rng.randint(0, 256, size=n).astype(np.int64)
+        sums = [0] * 64
+        cnts = [0] * 64
+        for i, v in enumerate(a):
+            w = (i * 64) // n
+            sums[w] += int(v)
+            cnts[w] += 1
+        want = 0
+        for w in range(63):
+            if sums[w] * cnts[w + 1] > sums[w + 1] * cnts[w]:
+                want |= 1 << w
+        assert energy_hash_samples(a) == want, n
+        assert 0 <= energy_hash_samples(a) < (1 << PHASH_BITS)
+    with pytest.raises(ValueError, match="empty"):
+        energy_hash_samples(np.array([]))
+
+
+def test_decode_wav_ehash_roundtrip(spark):
+    """encode -> RIFF parse -> PCM decode -> hash == hash of the
+    source bytes, on the Spark mapInPandas path."""
+    from time_series_storage_spark.operators.phash import (
+        decode_wav_ehash,
+        energy_hash_samples,
+    )
+    from time_series_storage_spark.operators.wav_codec import encode_wav
+
+    rng = np.random.RandomState(8)
+    rows = []
+    for i in range(5):
+        payload = rng.randint(0, 256, size=50 + 40 * i, dtype=np.uint8)
+        rows.append((i, payload, bytearray(encode_wav(payload, 8000))))
+    df = spark.createDataFrame(
+        [(i, w) for i, _p, w in rows], "id long, payload binary"
+    )
+    got = {r.id: r.ahash for r in decode_wav_ehash(df).collect()}
+    for i, payload, _w in rows:
+        assert got[i] == energy_hash_samples(payload)

@@ -1,10 +1,11 @@
-"""Image perceptual near-dup: dHash over decoded grayscale images +
-Hamming-band LSH + exact Hamming verify.
+"""Perceptual near-dup for media: dHash over decoded grayscale images
+and an energy-difference hash over decoded PCM audio, sharing one
+Hamming-band LSH + exact-verify engine.
 
 Reference scope: the reference engine has no multimodal surface; this
-closes the image-dedup gap a training-data pipeline hits as soon as
-images enter the corpus, completing the modality triangle next to
-MinHash (text, dedup.py) and cosine LSH (embeddings, dedup.py /
+closes the media-dedup gap a training-data pipeline hits as soon as
+images or audio enter the corpus, completing the modality square next
+to MinHash (text, dedup.py) and cosine LSH (embeddings, dedup.py /
 similarity.py).
 
 Hash (difference hash, the classic perceptual baseline): downsample
@@ -130,6 +131,72 @@ def hamming_band_rows(
         F.col(hash_col).alias("phash"),
         F.posexplode(bands).alias("band_id", "band_key"),
     )
+
+
+def energy_hash_samples(samples) -> int:
+    """63-bit energy-difference hash of a mono PCM sample array — the
+    AUDIO twin of the image dHash: split the signal into 64
+    equal-share windows (position i belongs to window ``(i*64)//n``),
+    take exact integer (sum, count) per window, and emit one bit per
+    adjacent window pair — ``bit_w = mean_w > mean_{w+1}`` compared
+    CROSS-MULTIPLIED (``sum_w * cnt_{w+1} > sum_{w+1} * cnt_w``) so
+    the comparison is exact integer arithmetic a SQL oracle reproduces
+    bit-for-bit (windows of a short signal may differ in size; float
+    means would tie-break differently across engines). Energy
+    ENVELOPE survives re-encoding and level-preserving edits; raw
+    sample values do not — the same robustness argument as the image
+    gradient hash, over time instead of space. Empty windows (signal
+    shorter than 64 samples) carry (0, 0): the cross-multiplied
+    compare is then 0 > 0 = False on both sides of the pair, in both
+    engines."""
+    import numpy as np
+
+    a = np.asarray(samples).ravel().astype(np.int64)
+    n = int(a.size)
+    if n == 0:
+        raise ValueError("energy_hash_samples: empty signal")
+    w = (np.arange(n, dtype=np.int64) * 64) // n
+    # bincount weights go through float64 — exact here (window sums
+    # are bounded by 255 * n, far inside the 2^53 integer range)
+    sums = np.bincount(w, weights=a, minlength=64).astype(np.int64)
+    cnts = np.bincount(w, minlength=64).astype(np.int64)
+    h = 0
+    for i in range(PHASH_BITS):
+        if sums[i] * cnts[i + 1] > sums[i + 1] * cnts[i]:
+            h |= 1 << i
+    return h
+
+
+def decode_wav_ehash(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, ahash) from a binary WAV payload column: one Arrow
+    ``mapInPandas`` pass running the REAL RIFF/PCM decoder
+    (wav_codec.decode_wav) then :func:`energy_hash_samples` over the
+    first channel. Corrupt payloads fail loudly. The output feeds
+    :func:`hamming_near_dup_pairs` unchanged (pass
+    ``hash_col='ahash'``) — one band/verify engine for every
+    perceptual-hash modality."""
+    import pandas as pd
+
+    from .wav_codec import decode_wav
+
+    def hash_batch(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                arr, _sr = decode_wav(bytes(p))
+                out.append(energy_hash_samples(arr[:, 0]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "ahash": pd.Series(
+                        out, index=pdf.index, dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(hash_batch, "id long, ahash long")
 
 
 class ImgNearDupStore(_SnapshotArtifactStore):

@@ -2611,6 +2611,111 @@ WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
 """
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio perceptual near-dup under the hash gate — the modality
+    SQUARE's fourth corner (text MinHash / embedding cosine / image
+    dHash / audio energy hash): each document's first {IMG_ND_CAP}
+    bytes become 8-bit PCM in a genuine RIFF/WAV container, the REAL
+    decoder recovers the exact samples, a 63-bit energy-difference
+    hash is taken over 64 equal-share windows with EXACT
+    cross-multiplied mean compares (operators/phash.py), and pairs
+    come from the SAME Hamming-band engine as images. The oracle
+    recomputes windows + hash + bands + verify from the source bytes
+    in SQL, proving encode -> RIFF parse -> PCM decode -> envelope
+    hash -> band join end to end."""
+    import pandas as _pd
+
+    from .operators.phash import decode_wav_ehash, hamming_near_dup_pairs
+    from .operators.wav_codec import encode_wav
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+
+    def to_wav(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        bytearray(
+                            encode_wav(
+                                _np.frombuffer(
+                                    t.encode("utf-8")[:IMG_ND_CAP],
+                                    dtype=_np.uint8,
+                                ),
+                                sample_rate=8_000,
+                            )
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    wavs = docs.mapInPandas(to_wav, "id long, payload binary")
+    hashes = decode_wav_ehash(wavs, "id", "payload")
+    return hamming_near_dup_pairs(
+        hashes, "id", "ahash", max_hamming=IMG_ND_MAX_HAMMING
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        F.col("hamming"),
+    )
+
+
+SQL_AUDIO_NEAR_DUP = f"""
+WITH pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {IMG_ND_CAP}) AS p
+  FROM documents WHERE length(text) > 0
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, i, ascii(substring(p, i + 1, 1)) AS v, length(p) AS n
+  FROM pay, unnest(generate_series(0, length(p) - 1)) g(i)
+),
+wsum AS MATERIALIZED (
+  SELECT doc_id, (i * 64) // n AS w,
+         SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS c
+  FROM pos GROUP BY doc_id, (i * 64) // n
+),
+wfull AS (
+  SELECT d.doc_id, g.w, COALESCE(ws.s, 0) AS s, COALESCE(ws.c, 0) AS c
+  FROM (SELECT DISTINCT doc_id FROM pay) d
+  CROSS JOIN unnest(generate_series(0, 63)) g(w)
+  LEFT JOIN wsum ws ON ws.doc_id = d.doc_id AND ws.w = g.w
+),
+adj AS (
+  SELECT doc_id, w, s, c,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY w) AS ns,
+         lead(c) OVER (PARTITION BY doc_id ORDER BY w) AS nc
+  FROM wfull
+),
+hash AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN s * nc > ns * c THEN (1::BIGINT << w)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE w < 63 GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, bb, (h >> (7 * bb)) & 127 AS band_key
+  FROM hash, unnest(generate_series(0, 8)) g(bb)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.h AS h1, c.h AS h2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+)
+SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
+       bit_count(xor(h1, h2))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
+"""
+
+
 def _img_nd_store(spark, sf_dir):
     """The persisted image near-dup store for ``sf_dir`` — built on
     first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
@@ -6477,6 +6582,7 @@ EXT_QUERIES = {
         q_img_near_incremental,
         _img_near_incremental_sql(),
     ),
+    "audio_near_dup": (q_audio_near_dup, SQL_AUDIO_NEAR_DUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
