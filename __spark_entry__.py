@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "customer_order_counts",
     "top_revenue_supplier",
     "bulk_part_suppliers",
+    "part_supplier_variety",
     "img_near_dup",
     "img_near_incremental",
     "audio_near_dup",

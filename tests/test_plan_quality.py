@@ -838,3 +838,20 @@ def test_bulk_part_suppliers_semi_join_chain(spark):
     # no supplier column appears in any aggregate
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
     assert agg_lines and all("s_name" not in ln for ln in agg_lines)
+
+
+def test_part_supplier_variety_anti_join_before_distinct(spark):
+    """Q16 shape: the exclusion list broadcasts into a LeftAnti join
+    BELOW the distinct aggregation (fact rows never carry excluded
+    suppliers into the countDistinct), the part size filter is pushed
+    to the part scan, and the distinct runs partial-aggregated."""
+    from time_series_storage_spark.queries_extensions import (
+        q_part_supplier_variety,
+    )
+
+    plan = _plan(q_part_supplier_variety(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "LessThanOrEqual(p_size" in plan
+    assert "partial_count(distinct" in plan or "partial_count" in plan
+    # no SortMergeJoin anywhere: both dims broadcast
+    assert "SortMergeJoin" not in plan

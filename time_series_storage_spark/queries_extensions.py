@@ -4628,6 +4628,62 @@ WHERE s_suppkey IN (
 """
 
 
+Q16_MAX_SIZE = 5
+Q16_EXCLUDED_NATION_MIN = 15
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 plan shape (distinct-count over a filtered relation
+    minus an exclusion list): how many DISTINCT suppliers ship each
+    (p_type, p_size <= {Q16_MAX_SIZE}) part family, excluding an
+    exclusion list of suppliers (nation >= {Q16_EXCLUDED_NATION_MIN}
+    stands in for Q16's complaint filter — a dimension-predicated
+    NOT-IN list). Scale shape: the supplier-part relation comes from
+    the fact scan pruned by the BROADCAST filtered part dim; the
+    exclusion list is tiny by construction and broadcasts into a
+    LEFT-ANTI join BEFORE aggregation (a NOT IN subquery rewritten as
+    null-safe anti-join by hand — the fact rows never carry excluded
+    suppliers into the distinct), and countDistinct runs
+    partial-aggregated on (type, size, suppkey)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    pa = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= Q16_MAX_SIZE)
+        .select("p_partkey", "p_type", "p_size")
+    )
+    excluded = su.where(
+        F.col("s_nationkey") >= Q16_EXCLUDED_NATION_MIN
+    ).select(F.col("s_suppkey").alias("x_suppkey"))
+    rel = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("x_suppkey"),
+            "left_anti",
+        )
+    )
+    return rel.groupBy("p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    ).select(
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+        "supplier_cnt",
+    )
+
+
+SQL_PART_SUPPLIER_VARIETY = f"""
+SELECT p_type, p_size::BIGINT AS p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= {Q16_MAX_SIZE}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_nationkey >= {Q16_EXCLUDED_NATION_MIN})
+GROUP BY p_type, p_size
+"""
+
+
 Q13_CUTOFF = "1996-07-01"
 
 
@@ -6508,6 +6564,10 @@ EXT_QUERIES = {
         SQL_TOP_REVENUE_SUPPLIER,
     ),
     "bulk_part_suppliers": (q_bulk_part_suppliers, SQL_BULK_PART_SUPPLIERS),
+    "part_supplier_variety": (
+        q_part_supplier_variety,
+        SQL_PART_SUPPLIER_VARIETY,
+    ),
     "customer_order_counts": (
         q_customer_order_counts,
         SQL_CUSTOMER_ORDER_COUNTS,
