@@ -23,13 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 8: the 4
-# new queries (Q17/Q13 shapes, image near-dup, production BPE encode),
-# then the 21 rows last gated in r5 (longest-ungated), then the oldest
-# 25 of the r6 block — zero overlap with r7's window, so every registry
-# row keeps a green driver CORRECTNESS row within the last 3 rounds.
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 8: the
+# 14 new queries (the five shapes completing all 22 TPC-H plan shapes,
+# Q17/Q13 etc., image/audio near-dup, production BPE encode), then the
+# 21 rows last gated in r5 (longest-ungated), then the oldest of the r6
+# block — zero overlap with r7's window.  Rows pushed below the 50-row
+# line by the new block were all gated in r6, so every registry row
+# still has a green driver CORRECTNESS row within the last 3 rounds;
+# r9 must start its window with the r6 leftovers.
 _GATE_PRIORITY = [
     # --- new in round 8 (never driver-gated) ---
+    "forecast_revenue_delta",
+    "nation_market_share",
+    "product_profit",
+    "important_stock",
+    "late_shipment_priority",
     "small_qty_revenue",
     "customer_order_counts",
     "top_revenue_supplier",

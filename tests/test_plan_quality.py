@@ -855,3 +855,114 @@ def test_part_supplier_variety_anti_join_before_distinct(spark):
     assert "partial_count(distinct" in plan or "partial_count" in plan
     # no SortMergeJoin anywhere: both dims broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_forecast_revenue_delta_all_filters_pushed(spark):
+    """Q6 shape: the whole query is one parquet scan + one-row
+    aggregate. ALL THREE predicates (ship date range, discount band,
+    quantity cap) must reach PushedFilters, the aggregate must be
+    partial (map-side combine before the single-row exchange), and
+    there is no join operator of any kind."""
+    from time_series_storage_spark.queries_extensions import (
+        q_forecast_revenue_delta,
+    )
+
+    # the default 100-char metadata render truncates the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = _plan(
+            q_forecast_revenue_delta(spark, "/root/testdata/sf0.001")
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    pushed = plan.split("PushedFilters")[1][:700]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_nation_market_share_one_fact_exchange_case_share(spark):
+    """Q8 shape: numerator and denominator ride ONE aggregation (a
+    CASE inside the same HashAggregate — never two scans or a
+    self-join), lineitem|><|orders is the only non-broadcast join,
+    the region chain prunes via broadcast, and the order-date range
+    is pushed to the orders scan."""
+    from time_series_storage_spark.queries_extensions import (
+        q_nation_market_share,
+    )
+
+    plan = _plan(q_nation_market_share(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # numerator CASE and denominator sum in the same aggregate node
+    agg_lines = [ln for ln in plan.splitlines() if "partial_sum" in ln]
+    assert agg_lines and any("CASE WHEN" in ln for ln in agg_lines)
+    # exactly one shuffled join (the fact-fact orderkey join) at most
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_product_profit_part_filter_prunes_fact_first(spark):
+    """Q9 shape: the LIKE-filtered part dim broadcasts and joins the
+    fact BELOW the orders join (pruning lineitem before the big
+    exchange), the name filter reaches the part scan, supplier/nation
+    broadcast, and the profit measure partial-aggregates on
+    (nation, year)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_product_profit,
+    )
+
+    plan = _plan(q_product_profit(spark, "/root/testdata/sf0.001"))
+    assert "Contains(p_name" in plan or "widget" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+    # part join must appear deeper in the tree than the orders join:
+    # the broadcast part probe feeds the orderkey join's left side
+    okj = plan.find("o_orderkey")
+    pkj = plan.find("p_partkey")
+    assert pkj > -1 and okj > -1 and pkj > okj
+
+
+def test_important_stock_semi_prune_scalar_threshold(spark):
+    """Q11 shape: the national supplier list prunes the fact via a
+    broadcast LeftSemi BEFORE the partkey aggregation, the global
+    total re-aggregates the per-part table (second HashAggregate, no
+    second fact scan), and the threshold compare is a broadcast
+    one-row cross join (never a float fraction, never a window)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_important_stock,
+    )
+
+    plan = _plan(q_important_stock(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    # single scan of lineitem: the fact file path appears once
+    assert plan.count("lineitem.parquet") <= 2  # scan + possible reuse
+
+
+def test_late_shipment_priority_single_join_conditional_agg(spark):
+    """Q12 shape: one fact-fact join keyed on orderkey, the delay
+    predicate evaluates AFTER the join (it needs both dates), and both
+    CASE counts ride the SAME partial aggregation (one HashAggregate
+    pair, bucket-sized output)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_late_shipment_priority,
+    )
+
+    plan = _plan(q_late_shipment_priority(spark, "/root/testdata/sf0.001"))
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1
+    assert "partial_sum" in plan
+    # both conditional counts in one aggregate node
+    agg_lines = [ln for ln in plan.splitlines() if "partial_sum" in ln]
+    assert any(ln.count("CASE WHEN") >= 2 for ln in agg_lines)

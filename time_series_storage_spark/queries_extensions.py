@@ -4733,6 +4733,359 @@ GROUP BY 1
 """
 
 
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+
+
+def q_forecast_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 plan shape (the pure scan-predicate aggregate): the
+    revenue increase from dropping discounts in a band, one year of
+    shipments, small quantities. There is no join at all — the entire
+    query is a parquet scan whose THREE predicates (date range,
+    discount band, quantity cap) must all reach PushedFilters, plus a
+    single partially-aggregated one-row reduction; at 100 TB this is
+    the canonical I/O-bound query and the plan's only job is to never
+    widen the scan (two columns read beyond the filter columns).
+    Discount literals compare exactly: the generator writes the same
+    IEEE doubles both engines parse from '0.05'/'0.07'. Exact BIGINT
+    cents (ref: the reference's whole read path is scan+filter+agg —
+    postgres.clj:103-124 — this is that path stripped to its physical
+    minimum)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("long")
+            ).cast("long").alias("delta_cents"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE_DELTA = f"""
+SELECT COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
+         AS delta_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 plan shape (conditional market share within a grouped
+    aggregate): {Q8_NATION}'s share of revenue sold into {Q8_REGION}
+    per order year. The share numerator is a CASE inside the SAME
+    aggregate pass as the denominator — never two scans or a
+    self-join. Plan at 100 TB: lineitem |><| orders is the single fact
+    exchange; the customer->nation->region chain broadcasts and
+    PRUNES (only {Q8_REGION} customers survive the probe, shrinking
+    the fact before aggregation); supplier+nation broadcast merely
+    TAGS each line with its supplier nation for the CASE. Share stays
+    an exact integer pair (nation_cents, total_cents) — one float
+    division belongs to the caller, not the gate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    re = read_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cust_in_region = (
+        cu.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                na.join(
+                    F.broadcast(
+                        re.where(F.col("r_name") == Q8_REGION)
+                        .select("r_regionkey")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = su.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            na.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(
+            od.where(
+                (F.col("o_orderdate") >= F.lit(Q8_FROM).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(Q8_TO).cast("timestamp"))
+            ).select(
+                "o_orderkey", "o_custkey",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust_in_region),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    nat = F.when(F.col("supp_nation") == Q8_NATION, F.col("cents"))
+    return joined.groupBy("o_year").agg(
+        F.coalesce(F.sum(nat), F.lit(0)).cast("long").alias("nation_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COALESCE(SUM(CASE WHEN sn.n_name = '{Q8_NATION}'
+           THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) END), 0)::BIGINT AS nation_cents,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           AS BIGINT))::BIGINT AS total_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q8_TO} 00:00:00'
+GROUP BY 1
+"""
+
+
+Q9_PART_WORD = "widget"
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 plan shape (multi-dimension star join with a derived
+    measure, LIKE-filtered): profit on '{Q9_PART_WORD}' parts per
+    (supplier nation, order year). The testdata has no partsupp, so
+    unit cost is a deterministic retailprice proxy —
+    floor(retail_cents * 11 / 20) — which keeps Q9's defining measure
+    shape (revenue MINUS a per-part cost joined from a dimension) in
+    exact BIGINT cents. Plan at 100 TB: the LIKE-filtered part dim is
+    tiny -> broadcast, and joining it FIRST prunes the fact scan to
+    matching parts before the one lineitem|><|orders exchange;
+    supplier->nation broadcast tags the group key. Aggregation
+    partial-combines on (nation, year)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    pa = read_table(spark, sf_dir, "part")
+    parts = pa.where(F.col("p_name").contains(Q9_PART_WORD)).select(
+        "p_partkey",
+        F.floor(
+            F.round(F.col("p_retailprice") * 100).cast("long") * 11 / 20
+        ).cast("long").alias("cost_cents"),
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    profit = (
+        rev - F.col("l_quantity").cast("long") * F.col("cost_cents")
+    )
+    supp_nation = su.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(na.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            profit.alias("profit_cents_line"),
+        )
+        .join(
+            od.select(
+                "o_orderkey",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("profit_cents_line").cast("long").alias("profit_cents"),
+        )
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           - CAST(l_quantity AS BIGINT)
+             * CAST(FLOOR(CAST(round(p_retailprice * 100) AS BIGINT)
+                          * 11 / 20) AS BIGINT))::BIGINT AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_PART_WORD}%'
+GROUP BY 1, 2
+"""
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION_PPM = 2000  # HAVING value > 0.002 of the national total
+
+
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 plan shape (group aggregate HAVING-compared against a
+    scalar fraction of the global total): parts whose stocked value
+    from {Q11_NATION} suppliers exceeds {Q11_FRACTION_PPM} ppm of that
+    nation's total. The testdata has no partsupp, so the stock fact is
+    lineitem restricted to the nation's suppliers with value =
+    qty * extendedprice. The scale-defining moves: (1) the national
+    supplier list is a broadcast semi-join that prunes the fact scan
+    BEFORE the one shuffle keyed l_partkey; (2) the global total
+    re-aggregates the already-aggregated per-part table (tiny), NOT
+    the fact; (3) the threshold compare is a broadcast one-row cross
+    join in exact integer arithmetic (value * 1_000_000 > ppm * total
+    — never a float fraction)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    supp = su.join(
+        F.broadcast(
+            na.where(F.col("n_name") == Q11_NATION).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = (
+        F.col("l_quantity").cast("long")
+        * F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_semi")
+        .select("l_partkey", value.alias("v"))
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_cents") * F.lit(1_000_000)
+            > F.lit(Q11_FRACTION_PPM) * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+SQL_IMPORTANT_STOCK = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q11_NATION}')
+  GROUP BY l_partkey
+)
+SELECT l_partkey::BIGINT AS l_partkey, value_cents::BIGINT AS value_cents
+FROM pp
+WHERE value_cents * 1000000 > {Q11_FRACTION_PPM} * (
+  SELECT SUM(value_cents) FROM pp)
+"""
+
+
+Q12_LATE_DAYS = 90
+Q12_VERY_LATE_DAYS = 150
+
+
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 plan shape (fact-fact join + CASE'd conditional
+    counts grouped by a line-derived category): the testdata has no
+    l_shipmode, so the category is the shipping-delay bucket
+    (LATE {Q12_LATE_DAYS}-{Q12_VERY_LATE_DAYS}d / VERY_LATE beyond),
+    and the payload is Q12's exact conditional pair — high-priority
+    (1-URGENT/2-HIGH) vs low-priority order counts per bucket. Plan
+    at 100 TB: one lineitem|><|orders exchange keyed on orderkey; the
+    delay predicate is a codegen filter AFTER the join (it needs both
+    sides' dates), both CASE counts ride the SAME partial aggregation,
+    and the output is bucket-sized (2 rows). Date arithmetic is whole
+    days on timestamps — identical in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    joined = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            od.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .withColumn(
+            "delay_bucket",
+            F.when(
+                F.col("l_shipdate")
+                < F.col("o_orderdate")
+                + F.expr(f"INTERVAL {Q12_VERY_LATE_DAYS} DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("VERY_LATE")),
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("delay_bucket").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_count"),
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = f"""
+SELECT CASE WHEN l_shipdate < o_orderdate + INTERVAL {Q12_VERY_LATE_DAYS} DAY
+            THEN 'LATE' ELSE 'VERY_LATE' END AS delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1
+"""
+
+
 def q_volume_shipping(spark, sf_dir):
     """TPC-H Q7-shaped two-sided nation join: revenue shipped between
     two specific nations, per (supplier nation, customer nation,
@@ -6571,6 +6924,17 @@ EXT_QUERIES = {
     "customer_order_counts": (
         q_customer_order_counts,
         SQL_CUSTOMER_ORDER_COUNTS,
+    ),
+    "forecast_revenue_delta": (
+        q_forecast_revenue_delta,
+        SQL_FORECAST_REVENUE_DELTA,
+    ),
+    "nation_market_share": (q_nation_market_share, SQL_NATION_MARKET_SHARE),
+    "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
+    "important_stock": (q_important_stock, SQL_IMPORTANT_STOCK),
+    "late_shipment_priority": (
+        q_late_shipment_priority,
+        SQL_LATE_SHIPMENT_PRIORITY,
     ),
     "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
