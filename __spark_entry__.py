@@ -38,6 +38,9 @@ _GATE_PRIORITY = [
     "product_profit",
     "important_stock",
     "late_shipment_priority",
+    "semantic_dedup",
+    "chunk_dedup_docs",
+    "lm_doc_likelihood",
     "small_qty_revenue",
     "customer_order_counts",
     "top_revenue_supplier",

@@ -1027,3 +1027,92 @@ def test_duplicate_clusters_dispatch_and_equivalence(spark):
     assert got == want
     with pytest.raises(ValueError, match="unknown algorithm"):
         duplicate_clusters(pairs, nodes, algorithm="bogus")
+
+
+def test_semantic_dedup_blocks_by_cluster_and_dominates(spark):
+    """SemDeDup semantics on crafted vectors: two tight clusters far
+    apart; within each cluster the lowest-id vector survives and the
+    near-copies drop; cross-cluster twins do NOT see each other (the
+    published tradeoff: blocking is the learned partition)."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [
+        # cluster around theta=0: 0 keeps, 1/2 are near-copies
+        (0, unit(0.00)), (1, unit(0.02)), (2, unit(0.04)),
+        # cluster around theta=pi/2: 3 keeps, 4 is a near-copy
+        (3, unit(1.57)), (4, unit(1.59)),
+        # outlier near cluster 2 but below threshold to nothing
+        (5, [0.0] * 62 + [1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(1.57)), (2, [0.0] * 62 + [1.0, 0.0])],
+        "cell_id: long, c_vec: array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["cell_id"], r["is_kept"])
+        for r in S.semantic_dedup(
+            emb, cents, threshold_x1e6=990_000
+        ).collect()
+    }
+    assert out[0] == (0, 1) and out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3] == (1, 1) and out[4] == (1, 0)
+    assert out[5] == (2, 1)
+    # determinism: the keep rule is lowest-id, not arbitrary
+    assert sum(k for _, k in out.values()) == 3
+
+
+def test_chunk_dedup_first_occurrence_and_reassembly(spark):
+    """C4-style chunk dedup on crafted docs: a chunk shared by two
+    docs survives only in the earlier one; a chunk repeated INSIDE a
+    doc keeps only its first copy; reassembly preserves order."""
+    import hashlib
+
+    A = "a b c d e"        # doc0 chunk 0 (chunk_words=5)
+    B = "f g h i j"        # doc0 chunk 1
+    C = "k l m n o"        # unique to doc1
+    rows = [
+        (0, f"{A} {B}"),
+        (1, f"{B} {C}"),        # B is a cross-doc dup -> dropped here
+        (2, f"{C} {C} tail"),   # C dup'd internally + already in doc1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in T.chunk_dedup(docs, chunk_words=5).collect()
+    }
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    # doc2: C (dup of doc1), C again (dup), 'tail' unique -> 1 kept
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (3, 1)
+    assert out[1]["new_text_md5"] == hashlib.md5(C.encode()).hexdigest()
+    assert out[2]["new_text_md5"] == hashlib.md5(b"tail").hexdigest()
+    assert out[0]["new_text_md5"] == hashlib.md5(
+        f"{A} {B}".encode()
+    ).hexdigest()
+    assert out[2]["new_n_chars"] == 4
+
+
+def test_lm_likelihood_scores_in_distribution_higher(spark):
+    """The bigram LM fit on a corpus of repeated 'a b' patterns gives
+    an in-distribution doc a higher mean probability than a doc made
+    of bigrams the corpus never pairs; exact model arithmetic pinned
+    against a hand computation on a 2-doc corpus."""
+    rows = [(i, "a b a b a b a b") for i in range(4)] + [(9, "b a x y")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["sum_p_x1e9"] / r["n_bigrams"]
+        for r in T.lm_doc_likelihood(docs).collect()
+    }
+    assert out[0] > out[9]
+    # hand check on a tiny corpus: docs 'a b', 'a c' ->
+    # c(a)=2, c(b)=c(c)=1, V=3; c(a,b)=1 -> P(b|a)=(1+1)/(2+3)=0.4
+    tiny = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_p_x1e9"])
+           for r in T.lm_doc_likelihood(tiny).collect()}
+    assert got[0] == (1, 400_000_000) and got[1] == (1, 400_000_000)

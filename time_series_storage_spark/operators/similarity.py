@@ -385,6 +385,67 @@ def embedding_cosine_dedup(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1e6: int = 300_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells are the blocking buckets; within
+    a cell, every vector with a LOWER-id neighbor at cosine >=
+    threshold is dropped (deterministic keep-lowest-id rule — the
+    paper keeps the vector farthest from the centroid; lowest-id is
+    the hash-stable equivalent and is the same rule the MinHash/LSH
+    dedup family here uses).
+
+    Contrast with :func:`embedding_cosine_dedup`: the blocking
+    structure is a LEARNED partition (Lloyd-refined codebook) instead
+    of random hyperplanes, which is the published SemDeDup design
+    point — semantically close vectors land in the same cell with far
+    higher probability than under random projections, so the within-
+    bucket pair search sees the true near-dup pairs.
+
+    Scale: assignment is a broadcast-join argmax (centroids are tiny
+    by construction); the pair search is a self equi-join keyed on
+    cell_id, so the cost is sum(|cell|^2) — at 100 TB the paper's own
+    regime applies: n_cells grows with the corpus (they use ~100k
+    clusters) keeping cells bounded, and the dominated-set aggregate
+    plus one left join stays a three-shuffle plan. Never all-pairs.
+
+    Output: (vec_id, cell_id, is_kept) for every corpus vector.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    left = assigned.select(
+        "cell_id", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")
+    )
+    right = assigned.select(
+        "cell_id", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")
+    )
+    sim = F.round(cosine("e1", "e2") * 1e6).cast("long")
+    dominated = (
+        left.join(right, "cell_id")
+        .where(F.col("v1") < F.col("v2"))
+        .where(sim >= F.lit(threshold_x1e6))
+        .select(F.col("v2").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dominated, F.col("vec_id") == F.col("dup_id"), "left"
+        )
+        .select(
+            F.col("vec_id").cast("long").alias(id_col),
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.when(F.col("dup_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

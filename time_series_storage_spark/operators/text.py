@@ -521,3 +521,137 @@ def chunk_windows(
             ).alias("chunk"),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Cross-document chunk-level exact dedup with reassembly — the
+    C4-style "deduplicate repeated spans, keep the first occurrence"
+    curation step (Raffel et al. 2020 dedup three-sentence spans; the
+    unit here is a ``chunk_words``-word window, the whitespace-token
+    equivalent). Every document is split into consecutive
+    non-overlapping chunks; a chunk is KEPT iff it is the corpus-wide
+    first occurrence of its exact text (lowest (doc_id, chunk_idx)
+    wins — duplicates later in the SAME document drop too, as in C4);
+    surviving chunks reassemble in original order.
+
+    Output per document: (id, n_chunks, n_kept, new_n_chars,
+    new_text_md5) — the md5 stands in for the reassembled text so the
+    result stays narrow and engine-comparable.
+
+    Scale shape: chunking is a shuffle-free projection
+    (:func:`chunk_windows` with stride = window); first-occurrence
+    detection is ONE partial-aggregated min over a composite position
+    key (doc_id * 1e6 + idx — never a struct arg-min, which not every
+    engine orders identically), keyed by chunk text; the verdict join
+    is on the same key so AQE reuses the exchange; reassembly is one
+    per-doc aggregation whose order rides IN the collected structs,
+    not in aggregation order. Three shuffles total at any corpus size,
+    each on a partial-aggregable key.
+    """
+    chunks = chunk_windows(
+        docs, id_col, text_col, window=chunk_words, stride=chunk_words
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        "chunk",
+        (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")).alias("_pk"),
+    )
+    firsts = chunks.groupBy("chunk").agg(F.min("_pk").alias("_mk"))
+    flagged = chunks.join(firsts, "chunk").withColumn(
+        "_keep", F.col("_pk") == F.col("_mk")
+    )
+    new_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("chunk_id", "chunk"))
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.length(new_text).cast("long").alias("new_n_chars"),
+        F.md5(new_text).alias("new_text_md5"),
+    )
+
+
+def lm_doc_likelihood(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    CCNet-style "score every document under an n-gram LM and filter
+    the tail" curation step (Wenzek et al. 2020 use a 5-gram KenLM;
+    the word-bigram variant keeps the same pipeline shape with the
+    model fit IN-ENGINE from the corpus itself).
+
+    Model: add-one-smoothed conditional probability
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with ``V`` the corpus
+    vocabulary size. Each document scores as the sum of its bigram
+    probabilities, quantized PER BIGRAM to 1e9 fixed point BEFORE
+    summation — counts are exact integers, each quantized term is one
+    IEEE divide+round (bit-identical in any engine), and the sum is
+    long addition, so the score is hash-stable where a log-prob sum
+    would drift in the last ulp across engines. Monotonicity, the
+    property a quality FILTER needs, is preserved (higher mean
+    probability = more in-distribution text).
+
+    Output: (id, n_bigrams, sum_p_x1e9) — mean probability =
+    sum_p_x1e9 / n_bigrams / 1e9, the caller's one float.
+
+    Scale shape: bigram extraction is a zero-shuffle projection
+    (tokenize + slide by zip-with-next); the model fit is two partial-
+    aggregated counts (bigram table keyed (w1,w2), unigram keyed w1);
+    scoring joins each document bigram against the model on the SAME
+    (w1,w2) key — one exchange pair that AQE co-partitions — with the
+    unigram counts rejoined on w1 and V a broadcast scalar. Every
+    measure is a long; no Python touches data.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).where(F.size("_t") >= 2)
+    bi = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pos", "_bg"),
+    ).select(F.col(id_col), "pos", F.col("_bg.w1"), F.col("_bg.w2"))
+    bigram_c = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    unigram_c = (
+        docs.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_n = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p_x1e9 = F.round(
+        (F.col("c12") + 1).cast("double") * 1e9 / (F.col("c1") + F.col("v"))
+    ).cast("long")
+    scored = (
+        bi.join(bigram_c, ["w1", "w2"])
+        .join(unigram_c, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(F.col(id_col), p_x1e9.alias("_p"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_p").cast("long").alias("sum_p_x1e9"),
+    )

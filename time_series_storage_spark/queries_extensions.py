@@ -1231,6 +1231,52 @@ WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_vec
 """
 
 
+SEMDEDUP_THRESHOLD = 300_000  # cosine >= 0.3 within a k-means cell
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding corpus
+    (operators/similarity.py:semantic_dedup): Lloyd-refined k-means
+    cells block the pair search; within a cell every vector with a
+    lower-id neighbor at cosine >= 0.3 is dropped. The 2-iteration
+    fixed-point k-means is bit-reproducible, so the ENTIRE published
+    pipeline — cluster, pair, dominate — sits under the hash gate."""
+    emb = _emb(spark, sf_dir)
+    cents = S.ivf_kmeans_centroids(
+        emb, n_cells=S.IVF_CELLS, n_iter=2
+    )
+    return S.semantic_dedup(
+        emb, cents, threshold_x1e6=SEMDEDUP_THRESHOLD
+    )
+
+
+def _semantic_dedup_sql(n_iter: int = 2) -> str:
+    return f"""
+WITH {_kmeans_cents_ctes(n_iter)},
+cents AS (SELECT * FROM cents{n_iter}),
+asim AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.c_vec')} AS sim_x1e6
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id, embedding FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim_x1e6 DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id::BIGINT AS vec_id, a.cell_id::BIGINT AS cell_id,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_kept
+FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id
+"""
+
+
 # -- similarity: product quantization ADC top-k -----------------------------
 
 def q_sim_topk_pq(spark, sf_dir):
@@ -1720,6 +1766,91 @@ SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS chunk_id,
        array_to_string(list_slice(toks, k * {CHUNK_S} + 1,
                                   k * {CHUNK_S} + {CHUNK_W}), ' ') AS chunk
 FROM starts
+"""
+
+
+def q_lm_doc_likelihood(spark, sf_dir):
+    """CCNet-style LM quality scoring
+    (operators/text.py:lm_doc_likelihood): an add-one-smoothed word-
+    bigram model is fit from the corpus IN-ENGINE (two partial-
+    aggregated count tables + a broadcast vocab scalar) and every
+    document scores as its exact fixed-point sum of bigram
+    probabilities — model fit AND scoring both under the hash gate."""
+    return T.lm_doc_likelihood(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_LM_DOC_LIKELIHOOD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+uc AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+         SELECT unnest(t) AS w FROM toks) GROUP BY w),
+vv AS (SELECT COUNT(DISTINCT w) AS v FROM (
+         SELECT unnest(t) AS w FROM toks))
+SELECT b.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(CAST(round((c12 + 1)::DOUBLE * 1e9 / (c1 + v))
+           AS BIGINT))::BIGINT AS sum_p_x1e9
+FROM bi b
+JOIN bc USING (w1, w2)
+JOIN uc USING (w1)
+CROSS JOIN vv
+GROUP BY b.doc_id
+"""
+
+
+CHUNK_DEDUP_WORDS = 10
+
+
+def q_chunk_dedup_docs(spark, sf_dir):
+    """C4-style chunk-level exact dedup + reassembly
+    (operators/text.py:chunk_dedup): {CHUNK_DEDUP_WORDS}-word chunks,
+    corpus-wide first occurrence wins, survivors rejoin in order; the
+    per-doc output carries the reassembled text's md5 so the full
+    reassembly — not just the counts — sits under the hash gate."""
+    return T.chunk_dedup(
+        _docs(spark, sf_dir), "doc_id", "text",
+        chunk_words=CHUNK_DEDUP_WORDS,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+SQL_CHUNK_DEDUP_DOCS = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+             0, GREATEST((len(toks) - 1) // {CHUNK_DEDUP_WORDS}, 0))) AS k
+  FROM tk
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_id,
+         doc_id * 1000000 + k AS pk,
+         array_to_string(
+             list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
+                        k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
+             ' ') AS chunk
+  FROM starts
+),
+firsts AS (SELECT chunk, MIN(pk) AS mk FROM chunks GROUP BY chunk)
+SELECT c.doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN c.pk = f.mk THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN c.pk = f.mk THEN c.chunk END,
+                                  ' ' ORDER BY c.chunk_id),
+                       ''))::BIGINT AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN c.pk = f.mk THEN c.chunk END,
+                               ' ' ORDER BY c.chunk_id), '')) AS new_text_md5
+FROM chunks c JOIN firsts f USING (chunk)
+GROUP BY c.doc_id
 """
 
 
@@ -6896,6 +7027,8 @@ EXT_QUERIES = {
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "vocab_encode_top256": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
+    "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
     "pipeline_chunk_pack": (q_pipeline_chunk_pack, SQL_PIPELINE_CHUNK_PACK),
     "text_len_hist_quantiles": (
         q_text_len_hist_quantiles,
@@ -6936,6 +7069,7 @@ EXT_QUERIES = {
         q_late_shipment_priority,
         SQL_LATE_SHIPMENT_PRIORITY,
     ),
+    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
