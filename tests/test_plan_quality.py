@@ -966,3 +966,60 @@ def test_late_shipment_priority_single_join_conditional_agg(spark):
     # both conditional counts in one aggregate node
     agg_lines = [ln for ln in plan.splitlines() if "partial_sum" in ln]
     assert any(ln.count("CASE WHEN") >= 2 for ln in agg_lines)
+
+
+def test_semantic_dedup_broadcast_assign_cell_blocked_pairs(spark):
+    """SemDeDup: centroid assignment is a broadcast join (centroids
+    are a driver-side artifact), the pair search is an equi-join keyed
+    on cell_id (never a cross join over the corpus), and the dominated
+    set feeds back through a join — no iterative operator."""
+    from time_series_storage_spark.queries_extensions import (
+        q_semantic_dedup,
+    )
+
+    plan = _plan(q_semantic_dedup(spark, "/root/testdata/sf0.001"))
+    # centroid scoring is a broadcast cross (tiny build side), never a
+    # shuffled cartesian product over the corpus
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the pair search is an equi-join KEYED on cell_id (either shuffle
+    # strategy is fine; what matters is it's never all-pairs)
+    assert any(
+        "cell_id" in ln[:120]
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        or "BroadcastHashJoin" in ln
+    )
+
+
+def test_chunk_dedup_three_shuffles_no_struct_argmin(spark):
+    """Chunk dedup: chunking is shuffle-free projection; the plan has
+    exactly the three key exchanges (min per chunk text, verdict join,
+    per-doc reassembly) and the first-occurrence min is over a LONG
+    composite key (partial_min on a bigint), not a struct arg-min."""
+    from time_series_storage_spark.queries_extensions import (
+        q_chunk_dedup_docs,
+    )
+
+    plan = _plan(q_chunk_dedup_docs(spark, "/root/testdata/sf0.001"))
+    assert "partial_min" in plan
+    n_exchanges = sum(
+        1 for seg in plan.split("Exchange")[1:]
+        if "hashpartitioning" in seg[:120]
+    )
+    assert n_exchanges <= 4  # min-agg pair + join + reassembly agg
+    assert "Window" not in plan  # no global window anywhere
+
+
+def test_lm_likelihood_model_joins_partial_aggregated(spark):
+    """LM scoring: bigram and unigram counts partial-aggregate before
+    their joins, the vocab scalar rides a broadcast, and no Python
+    UDF appears anywhere (pure codegen + joins)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_lm_doc_likelihood,
+    )
+
+    plan = _plan(q_lm_doc_likelihood(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
