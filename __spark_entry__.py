@@ -41,6 +41,7 @@ _GATE_PRIORITY = [
     "semantic_dedup",
     "chunk_dedup_docs",
     "lm_doc_likelihood",
+    "chunk_dedup_incremental",
     "small_qty_revenue",
     "customer_order_counts",
     "top_revenue_supplier",

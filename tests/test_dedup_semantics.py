@@ -1116,3 +1116,39 @@ def test_lm_likelihood_scores_in_distribution_higher(spark):
     got = {r["doc_id"]: (r["n_bigrams"], r["sum_p_x1e9"])
            for r in T.lm_doc_likelihood(tiny).collect()}
     assert got[0] == (1, 400_000_000) and got[1] == (1, 400_000_000)
+
+
+def test_chunk_dedup_incremental_first_day_wins(spark, tmp_path):
+    """Two-day chunk dedup through the persisted FingerprintStore at
+    chunk granularity: day-2 chunks already absorbed on day 1 drop
+    even though day 2 has a smaller doc_id for them (first-DAY-wins,
+    the store family's sequential contract), and fresh day-2 chunks
+    keep exactly their increment-first occurrence."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    A, B, C = "a b c", "d e f", "g h i"
+    day1 = spark.createDataFrame(
+        [(100, f"{A} {B}")], ["doc_id", "text"]
+    )
+    day2 = spark.createDataFrame(
+        [(1, f"{A} {C}"), (2, C)], ["doc_id", "text"]
+    )
+    store = FingerprintStore(spark, str(tmp_path / "chunkfp"))
+    store.absorb(
+        T.position_keyed_chunks(day1, chunk_words=3), "_pk", "chunk"
+    )
+    inc = T.position_keyed_chunks(day2, chunk_words=3)
+    kept = store.dedup_increment(inc, "_pk", "chunk").select(
+        "_pk", F.lit(True).alias("_keep")
+    )
+    flagged = inc.join(kept, "_pk", "left").withColumn(
+        "_keep", F.coalesce(F.col("_keep"), F.lit(False))
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_n_chars"])
+        for r in T.reassemble_chunks(flagged).collect()
+    }
+    # doc1: A absorbed day 1 -> dropped despite smaller doc_id; C fresh
+    assert out[1] == (2, 1, len(C))
+    # doc2: C already taken by doc1 within the increment
+    assert out[2] == (1, 0, 0)

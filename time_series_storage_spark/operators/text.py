@@ -553,7 +553,24 @@ def chunk_dedup(
     not in aggregation order. Three shuffles total at any corpus size,
     each on a partial-aggregable key.
     """
-    chunks = chunk_windows(
+    chunks = position_keyed_chunks(docs, id_col, text_col, chunk_words)
+    firsts = chunks.groupBy("chunk").agg(F.min("_pk").alias("_mk"))
+    flagged = chunks.join(firsts, "chunk").withColumn(
+        "_keep", F.col("_pk") == F.col("_mk")
+    )
+    return reassemble_chunks(flagged, id_col)
+
+
+def position_keyed_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Non-overlapping ``chunk_words``-word chunks with the composite
+    position key the dedup family adjudicates on: (id, chunk_id,
+    chunk, _pk = id * 1e6 + chunk_id). One shuffle-free projection."""
+    return chunk_windows(
         docs, id_col, text_col, window=chunk_words, stride=chunk_words
     ).select(
         F.col(id_col),
@@ -561,10 +578,13 @@ def chunk_dedup(
         "chunk",
         (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")).alias("_pk"),
     )
-    firsts = chunks.groupBy("chunk").agg(F.min("_pk").alias("_mk"))
-    flagged = chunks.join(firsts, "chunk").withColumn(
-        "_keep", F.col("_pk") == F.col("_mk")
-    )
+
+
+def reassemble_chunks(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document reassembly of kept chunks: input rows (id,
+    chunk_id, chunk, _keep boolean); output (id, n_chunks, n_kept,
+    new_n_chars, new_text_md5). One partial-aggregated groupBy whose
+    order rides IN the collected structs, not in aggregation order."""
     new_text = F.concat_ws(
         " ",
         F.transform(

@@ -1803,6 +1803,7 @@ GROUP BY b.doc_id
 
 
 CHUNK_DEDUP_WORDS = 10
+FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
 
 
 def q_chunk_dedup_docs(spark, sf_dir):
@@ -1851,6 +1852,137 @@ SELECT c.doc_id::BIGINT AS doc_id,
                                ' ' ORDER BY c.chunk_id), '')) AS new_text_md5
 FROM chunks c JOIN firsts f USING (chunk)
 GROUP BY c.doc_id
+"""
+
+
+def _chunk_fp_store(spark, sf_dir):
+    """Persisted CHUNK-granularity fingerprint store: the
+    FingerprintStore reused UNCHANGED with a {CHUNK_DEDUP_WORDS}-word
+    chunk as the 'document' (id = the composite position key, text =
+    the chunk) — the store is generic over what a record is, so
+    incremental chunk dedup costs no new commit protocol. Built on
+    first use from the base slice's chunks (doc_id < {FPSTORE_BASE}),
+    staleness-keyed on the corpus files like every other store."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import FingerprintStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{CHUNK_DEDUP_WORDS}:chunk-v1"
+        .encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_chunkfp_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return FingerprintStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = FingerprintStore(spark, root)
+                store.absorb(
+                    T.position_keyed_chunks(
+                        _docs(spark, sf_dir).where(
+                            F.col("doc_id") < FPSTORE_BASE
+                        ),
+                        "doc_id", "text", CHUNK_DEDUP_WORDS,
+                    ),
+                    "_pk", "chunk",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_chunk_dedup_incremental(spark, sf_dir):
+    """Daily-ingest CHUNK dedup: today's documents (doc_id >=
+    {FPSTORE_BASE}) are chunked, each chunk adjudicated against the
+    PERSISTED chunk-fingerprint store (everything absorbed before)
+    plus first-occurrence-wins within the increment, and survivors
+    reassemble per document. The read path probes ONE fixed-width
+    fingerprint column — never a rescan of historical text — so the
+    cost is O(increment chunks + store fingerprints); the oracle
+    recomputes both days from scratch, proving the persisted artifact
+    equals the full history."""
+    store = _chunk_fp_store(spark, sf_dir)
+    inc = T.position_keyed_chunks(
+        _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE),
+        "doc_id", "text", CHUNK_DEDUP_WORDS,
+    )
+    kept = store.dedup_increment(inc, "_pk", "chunk").select(
+        "_pk", F.lit(True).alias("_keep")
+    )
+    flagged = inc.join(kept, "_pk", "left").withColumn(
+        "_keep", F.coalesce(F.col("_keep"), F.lit(False))
+    )
+    return T.reassemble_chunks(flagged, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+SQL_CHUNK_DEDUP_INCREMENTAL = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+             0, GREATEST((len(toks) - 1) // {CHUNK_DEDUP_WORDS}, 0))) AS k
+  FROM tk
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_id,
+         doc_id * 1000000 + k AS pk,
+         md5(lower(trim(regexp_replace(
+             array_to_string(
+                 list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
+                            k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
+                 ' '), '\\s+', ' ', 'g')))) AS cfp,
+         array_to_string(
+             list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
+                        k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
+             ' ') AS chunk
+  FROM starts
+),
+incr AS (SELECT * FROM chunks WHERE doc_id >= {FPSTORE_BASE}),
+fresh AS (
+  SELECT i.* FROM incr i
+  WHERE i.cfp NOT IN (
+    SELECT cfp FROM chunks WHERE doc_id < {FPSTORE_BASE})
+),
+mins AS (SELECT cfp, MIN(pk) AS mk FROM fresh GROUP BY cfp)
+SELECT i.doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN m.mk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN m.mk IS NOT NULL THEN i.chunk END,
+                                  ' ' ORDER BY i.chunk_id),
+                       ''))::BIGINT AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN m.mk IS NOT NULL THEN i.chunk END,
+                               ' ' ORDER BY i.chunk_id), '')) AS new_text_md5
+FROM incr i LEFT JOIN mins m ON i.pk = m.mk
+GROUP BY i.doc_id
 """
 
 
@@ -2004,7 +2136,9 @@ FROM documents, unnest(generate_series(0, {M.FEATURE_DIM - 1})) t(j)
 """
 
 
-FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
+# FPSTORE_BASE (doc_id split between absorbed history and the daily
+# increment) is defined up with the chunk-dedup constants — the chunk
+# store SQL needs it at module-init time.
 
 
 def _fp_store(spark, sf_dir):
@@ -7029,6 +7163,10 @@ EXT_QUERIES = {
     "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
     "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
+    "chunk_dedup_incremental": (
+        q_chunk_dedup_incremental,
+        SQL_CHUNK_DEDUP_INCREMENTAL,
+    ),
     "pipeline_chunk_pack": (q_pipeline_chunk_pack, SQL_PIPELINE_CHUNK_PACK),
     "text_len_hist_quantiles": (
         q_text_len_hist_quantiles,
