@@ -42,6 +42,8 @@ _GATE_PRIORITY = [
     "chunk_dedup_docs",
     "lm_doc_likelihood",
     "chunk_dedup_incremental",
+    "doc_embed_hashing",
+    "text_semantic_dedup",
     "small_qty_revenue",
     "customer_order_counts",
     "top_revenue_supplier",

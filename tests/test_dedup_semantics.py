@@ -1152,3 +1152,43 @@ def test_chunk_dedup_incremental_first_day_wins(spark, tmp_path):
     assert out[1] == (2, 1, len(C))
     # doc2: C already taken by doc1 within the increment
     assert out[2] == (1, 0, 0)
+
+
+def test_hashed_doc_embedding_model_and_determinism(spark):
+    """Feature hashing pinned against a pure-Python model (same md5
+    index/sign derivation) and the additive contract: a doc repeated
+    twice embeds at exactly 2x the component values."""
+    import hashlib
+
+    D = 16
+
+    def model(text):
+        vec = [0] * D
+        for w in text.split():
+            if not w:
+                continue
+            h = hashlib.md5(w.encode()).hexdigest()
+            j = int(h[:12], 16) % D
+            s = 1 if int(h[12], 16) % 2 == 0 else -1
+            vec[j] += s
+        return vec
+
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha alpha beta"),
+            (2, "zeta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["emb_str"], r["l1"])
+        for r in T.hashed_doc_embedding(docs, dim=D).collect()
+    }
+    for i, text in rows:
+        vec = model(text)
+        assert out[i][0] == " ".join(str(x) for x in vec)
+        assert out[i][1] == sum(abs(x) for x in vec)
+    doubled = spark.createDataFrame(
+        [(7, "alpha beta gamma delta alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    twice = T.hashed_doc_embedding(doubled, dim=D).collect()[0]
+    assert twice["emb_str"] == " ".join(
+        str(2 * x) for x in model(rows[0][1])
+    )

@@ -1023,3 +1023,22 @@ def test_lm_likelihood_model_joins_partial_aggregated(spark):
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_embed_hashing_two_partial_aggs_no_python(spark):
+    """Feature-hashing embeddings: exactly the two partial-aggregated
+    exchanges ((doc, component) sum + per-doc assembly) — no Python
+    evaluator, no join, no window anywhere."""
+    from time_series_storage_spark.queries_extensions import (
+        q_doc_embed_hashing,
+    )
+
+    plan = _plan(q_doc_embed_hashing(spark, "/root/testdata/sf0.001"))
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    n_exchanges = sum(
+        1 for seg in plan.split("Exchange")[1:]
+        if "hashpartitioning" in seg[:120]
+    )
+    assert n_exchanges <= 2

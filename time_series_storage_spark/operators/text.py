@@ -675,3 +675,58 @@ def lm_doc_likelihood(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_p").cast("long").alias("sum_p_x1e9"),
     )
+
+
+def hashed_doc_embedding(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): every token hashes to one of ``dim``
+    components with a +/-1 sign from an independent hash bit, and the
+    document vector is the signed occurrence sum — a fixed-width,
+    vocabulary-free text representation produced ENTIRELY in-engine
+    (no model download), good enough to drive semantic blocking /
+    clustering / near-dup over raw text.
+
+    All-integer output: (id, emb_str, l1) where ``emb_str`` is the
+    space-joined component vector in index order (the same
+    engine-portable convention as vocab_encode's id string) and ``l1``
+    its L1 mass (0 = the degenerate all-cancelled vector — callers
+    doing cosine must filter l1 > 0). Hashes are md5-derived (48-bit
+    index hash, 4-bit sign hash), so the embedding is a pure function
+    of the token — bit-identical in any engine.
+
+    Scale shape: one explode + ONE partial-aggregated (id, component)
+    sum + one per-doc assembly aggregation — two shuffles, both on
+    partial-aggregable keys; components materialize sparse (absent =
+    0) and densify only in the final projection.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+    sbit = F.conv(F.substring(F.md5("w"), 13, 1), 16, 10).cast("long")
+    comp = tok.select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("j"),
+        F.when(sbit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+    )
+    per = comp.groupBy(id_col, "j").agg(F.sum("s").cast("long").alias("v"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.collect_list(F.struct("j", "v"))), d
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return per.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(vec, lambda x: x.cast("string"))
+        ).alias("emb_str"),
+        F.aggregate(
+            vec, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1"),
+    )

@@ -1277,6 +1277,119 @@ FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id
 """
 
 
+EMB_HASH_DIM = 16
+TXT_SEM_THRESHOLD = 950_000  # cosine >= 0.95 between hashed doc vectors
+TXT_SEM_CELLS = 8
+
+
+def q_doc_embed_hashing(spark, sf_dir):
+    """Feature-hashing document embeddings
+    (operators/text.py:hashed_doc_embedding): every document becomes a
+    {EMB_HASH_DIM}-component signed token-count vector via the hashing
+    trick — a vocabulary-free, model-free text representation computed
+    entirely in-engine. All-integer output (emb_str + L1 mass), so the
+    embedding itself is hash-gated component by component."""
+    return T.hashed_doc_embedding(
+        _docs(spark, sf_dir), "doc_id", "text", dim=EMB_HASH_DIM
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "emb_str", "l1"
+    )
+
+
+_EMB_HASH_CTES = f"""
+tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+comp AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 12)) AS BIGINT)
+           % {EMB_HASH_DIM} AS j,
+         CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(w), 13, 1)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok),
+per AS (SELECT doc_id, j, SUM(s) AS v FROM comp GROUP BY doc_id, j),
+grid AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM tok) d,
+         unnest(generate_series(0, {EMB_HASH_DIM - 1})) g(j)),
+fullv AS (SELECT grid.doc_id, grid.j, COALESCE(per.v, 0) AS v
+          FROM grid LEFT JOIN per
+            ON grid.doc_id = per.doc_id AND grid.j = per.j)"""
+
+
+SQL_DOC_EMBED_HASHING = f"""
+WITH {_EMB_HASH_CTES}
+SELECT doc_id::BIGINT AS doc_id,
+       string_agg(v::VARCHAR, ' ' ORDER BY j) AS emb_str,
+       SUM(ABS(v))::BIGINT AS l1
+FROM fullv GROUP BY doc_id
+"""
+
+
+def _dot16_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, EMB_HASH_DIM + 1)
+    )
+
+
+def _cos16_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(round(({_dot16_sql(a, b)})"
+        f" / (sqrt({_dot16_sql(a, a)}) * sqrt({_dot16_sql(b, b)}))"
+        f" * 1e6) AS BIGINT)"
+    )
+
+
+def q_text_semantic_dedup(spark, sf_dir):
+    """Raw text -> in-engine embedding -> semantic dedup, end to end:
+    the hashing-trick vectors (no external model) feed
+    :func:`similarity.semantic_dedup` with a sampled codebook — the
+    whole text-to-semantic-survivors pipeline in ONE lazy DAG, every
+    stage exact-integer or fixed-point and hash-gated. Degenerate
+    all-cancelled vectors (l1 = 0) are excluded before the cosine
+    stage (division guard); the probe shows none exist in this corpus
+    but the filter is part of the contract."""
+    emb = T.hashed_doc_embedding(
+        _docs(spark, sf_dir), "doc_id", "text", dim=EMB_HASH_DIM
+    )
+    vecs = emb.where(F.col("l1") > 0).select(
+        F.col("doc_id"),
+        F.transform(
+            F.split("emb_str", " "), lambda x: x.cast("double")
+        ).alias("embedding"),
+    )
+    cents = S.ivf_centroids(vecs, "doc_id", "embedding",
+                            n_cells=TXT_SEM_CELLS)
+    return S.semantic_dedup(
+        vecs, cents, "doc_id", "embedding",
+        threshold_x1e6=TXT_SEM_THRESHOLD,
+    )
+
+
+SQL_TEXT_SEMANTIC_DEDUP = f"""
+WITH {_EMB_HASH_CTES},
+emb AS (SELECT doc_id, list(v ORDER BY j) AS vec, SUM(ABS(v)) AS l1
+        FROM fullv GROUP BY doc_id),
+vecs AS (SELECT doc_id, vec FROM emb WHERE l1 > 0),
+cents AS (SELECT doc_id AS cell_id, vec AS c_vec FROM vecs
+          ORDER BY doc_id LIMIT {TXT_SEM_CELLS}),
+asim AS (
+  SELECT e.doc_id, e.vec, c.cell_id,
+         {_cos16_sql('e.vec', 'c.c_vec')} AS s
+  FROM vecs e CROSS JOIN cents c),
+assigned AS (
+  SELECT cell_id, doc_id, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1),
+dom AS (
+  SELECT DISTINCT b.doc_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.doc_id < b.doc_id
+  WHERE {_cos16_sql('a.vec', 'b.vec')} >= {TXT_SEM_THRESHOLD})
+SELECT a.doc_id::BIGINT AS doc_id, a.cell_id::BIGINT AS cell_id,
+       (CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_kept
+FROM assigned a LEFT JOIN dom d ON a.doc_id = d.doc_id
+"""
+
+
 # -- similarity: product quantization ADC top-k -----------------------------
 
 def q_sim_topk_pq(spark, sf_dir):
@@ -7208,6 +7321,11 @@ EXT_QUERIES = {
         SQL_LATE_SHIPMENT_PRIORITY,
     ),
     "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "doc_embed_hashing": (q_doc_embed_hashing, SQL_DOC_EMBED_HASHING),
+    "text_semantic_dedup": (
+        q_text_semantic_dedup,
+        SQL_TEXT_SEMANTIC_DEDUP,
+    ),
     "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
