@@ -44,6 +44,7 @@ _GATE_PRIORITY = [
     "chunk_dedup_incremental",
     "doc_embed_hashing",
     "text_semantic_dedup",
+    "pipeline_quality_chunk_dedup",
     "small_qty_revenue",
     "customer_order_counts",
     "top_revenue_supplier",

@@ -2099,6 +2099,90 @@ GROUP BY i.doc_id
 """
 
 
+LM_KEEP_X1E9 = 33_000_000  # keep docs with mean bigram prob >= 0.033
+
+
+def q_pipeline_quality_chunk_dedup(spark, sf_dir):
+    """Quality-gate-then-dedup curation pipeline composing this
+    round's operators in ONE lazy DAG: fit the bigram LM on the full
+    corpus, keep documents whose mean bigram probability clears
+    {LM_KEEP_X1E9}e-9 (the CCNet ordering — model the corpus, filter
+    the tail), then chunk-dedup the SURVIVORS (C4 ordering — dedup
+    after quality filtering so boilerplate in dropped docs can't
+    claim first-occurrence over kept text). The threshold compare is
+    exact integer (sum_p >= thr * n_bigrams; never a float mean), so
+    the gate hashes the full composition. Scale shape: the score
+    filter reduces to a doc_id semi-join feeding chunk dedup's three
+    partial-aggregated shuffles — no stage rescans the corpus text
+    beyond the two operator pipelines."""
+    docs = _docs(spark, sf_dir)
+    scores = T.lm_doc_likelihood(docs, "doc_id", "text")
+    keep = scores.where(
+        F.col("sum_p_x1e9") >= F.lit(LM_KEEP_X1E9) * F.col("n_bigrams")
+    ).select("doc_id")
+    kept_docs = docs.join(keep, "doc_id", "left_semi")
+    return T.chunk_dedup(
+        kept_docs, "doc_id", "text", chunk_words=CHUNK_DEDUP_WORDS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+SQL_PIPELINE_QUALITY_CHUNK_DEDUP = f"""
+WITH toksq AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+biq AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toksq, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE len(t) >= 2
+),
+bcq AS (SELECT w1, w2, COUNT(*) AS c12 FROM biq GROUP BY w1, w2),
+ucq AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+          SELECT unnest(t) AS w FROM toksq) GROUP BY w),
+vvq AS (SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(t) AS w FROM toksq)),
+scq AS (
+  SELECT b.doc_id, COUNT(*) AS nb,
+         SUM(CAST(round((c12 + 1)::DOUBLE * 1e9 / (c1 + v))
+             AS BIGINT)) AS sp
+  FROM biq b JOIN bcq USING (w1, w2) JOIN ucq USING (w1) CROSS JOIN vvq
+  GROUP BY b.doc_id
+),
+keep AS (SELECT doc_id FROM scq WHERE sp >= {LM_KEEP_X1E9} * nb),
+tk AS (SELECT doc_id, t AS toks FROM toksq
+       WHERE doc_id IN (SELECT doc_id FROM keep)),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+             0, GREATEST((len(toks) - 1) // {CHUNK_DEDUP_WORDS}, 0))) AS k
+  FROM tk
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_id,
+         doc_id * 1000000 + k AS pk,
+         array_to_string(
+             list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
+                        k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
+             ' ') AS chunk
+  FROM starts
+),
+firsts AS (SELECT chunk, MIN(pk) AS mk FROM chunks GROUP BY chunk)
+SELECT c.doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN c.pk = f.mk THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN c.pk = f.mk THEN c.chunk END,
+                                  ' ' ORDER BY c.chunk_id),
+                       ''))::BIGINT AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN c.pk = f.mk THEN c.chunk END,
+                               ' ' ORDER BY c.chunk_id), '')) AS new_text_md5
+FROM chunks c JOIN firsts f USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
 CHUNK_PACK_BUDGET = 256
 CHUNK_PACK_SHARDS = 2
 
@@ -7279,6 +7363,10 @@ EXT_QUERIES = {
     "chunk_dedup_incremental": (
         q_chunk_dedup_incremental,
         SQL_CHUNK_DEDUP_INCREMENTAL,
+    ),
+    "pipeline_quality_chunk_dedup": (
+        q_pipeline_quality_chunk_dedup,
+        SQL_PIPELINE_QUALITY_CHUNK_DEDUP,
     ),
     "pipeline_chunk_pack": (q_pipeline_chunk_pack, SQL_PIPELINE_CHUNK_PACK),
     "text_len_hist_quantiles": (
