@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 8: the
-# 14 new queries (the five shapes completing all 22 TPC-H plan shapes,
-# Q17/Q13 etc., image/audio near-dup, production BPE encode), then the
-# 21 rows last gated in r5 (longest-ungated), then the oldest of the r6
-# block — zero overlap with r7's window.  Rows pushed below the 50-row
-# line by the new block were all gated in r6, so every registry row
-# still has a green driver CORRECTNESS row within the last 3 rounds;
-# r9 must start its window with the r6 leftovers.
+# never-gated new block first (TPC-H completions Q6/Q8/Q9/Q11/Q12 +
+# Q17/Q13/Q15/Q20/Q16, SemDeDup/chunk-dedup/LM-score/hashing-embedding
+# curation ops and their pipeline, image/audio near-dup, production BPE
+# encode), then the 21 rows last gated in r5 (longest-ungated), then
+# the oldest of the r6 block — zero overlap with r7's window.  Rows
+# pushed below the 50-row line by the new block were all gated in r6,
+# so every registry row still has a green driver CORRECTNESS row within
+# the last 3 rounds; r9 must start its window with the r6 leftovers.
 _GATE_PRIORITY = [
     # --- new in round 8 (never driver-gated) ---
     "forecast_revenue_delta",
@@ -54,6 +55,7 @@ _GATE_PRIORITY = [
     "img_near_incremental",
     "audio_near_dup",
     "bpe_encode_prod",
+    "lm_score_incremental",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",

@@ -2099,6 +2099,113 @@ GROUP BY i.doc_id
 """
 
 
+def _lm_store(spark, sf_dir):
+    """The persisted bigram LM store for ``sf_dir`` — fit once by
+    absorbing the history slice (doc_id < {FPSTORE_BASE}), then READ
+    by the gated query; staleness-keyed on the corpus file and
+    format-pinned exactly like the fingerprint/near-dup/IVF artifacts
+    (operators/lm_store.py is the additive-merge member of the store
+    family — same snapshot commit protocol, counts summed across
+    increment files instead of unioned)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.lm_store import LmModelStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:lm-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_lm_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return LmModelStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = LmModelStore(spark, root)
+                store.absorb(
+                    _docs(spark, sf_dir).where(
+                        F.col("doc_id") < FPSTORE_BASE
+                    ),
+                    "doc_id", "text",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_lm_score_incremental(spark, sf_dir):
+    """Online LM evaluation over the daily increment: today's
+    documents (doc_id >= {FPSTORE_BASE}) scored under the PERSISTED
+    bigram model of everything absorbed before — what did yesterday's
+    model think of today's data? Unseen bigrams/words take add-one
+    smoothing at count 0 (the store's one divergence from the batch
+    lm_doc_likelihood, which fits on the corpus it scores). The read
+    path joins the increment's bigrams against the store's two summed
+    count tables on their natural keys with V a broadcast scalar —
+    cost is O(increment bigrams + model rows), never a rescan of
+    historical text; the oracle refits the history model from scratch,
+    so a green row also proves the persisted counts equal the full
+    history."""
+    store = _lm_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    return store.score(inc, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "sum_p_x1e9",
+    )
+
+
+SQL_LM_SCORE_INCREMENTAL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bih AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id < {FPSTORE_BASE} AND len(t) >= 2
+),
+bch AS (SELECT w1, w2, COUNT(*) AS c12 FROM bih GROUP BY w1, w2),
+uch AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {FPSTORE_BASE})
+        GROUP BY w),
+vvh AS (SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {FPSTORE_BASE})),
+bii AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id >= {FPSTORE_BASE} AND len(t) >= 2
+)
+SELECT b.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(CAST(round((COALESCE(c12, 0) + 1)::DOUBLE * 1e9
+                / GREATEST(COALESCE(c1, 0) + v, 1)) AS BIGINT))::BIGINT
+           AS sum_p_x1e9
+FROM bii b
+LEFT JOIN bch USING (w1, w2)
+LEFT JOIN uch USING (w1)
+CROSS JOIN vvh
+GROUP BY b.doc_id
+"""
+
+
 LM_KEEP_X1E9 = 33_000_000  # keep docs with mean bigram prob >= 0.033
 
 
@@ -7360,6 +7467,10 @@ EXT_QUERIES = {
     "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
     "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
+    "lm_score_incremental": (
+        q_lm_score_incremental,
+        SQL_LM_SCORE_INCREMENTAL,
+    ),
     "chunk_dedup_incremental": (
         q_chunk_dedup_incremental,
         SQL_CHUNK_DEDUP_INCREMENTAL,
