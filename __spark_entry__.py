@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     "audio_near_dup",
     "bpe_encode_prod",
     "lm_score_incremental",
+    "pipeline_incremental_curation",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",

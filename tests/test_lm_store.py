@@ -261,6 +261,77 @@ def _model_rows_of(model):
     )
 
 
+def test_lm_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end: a file stream scored-then-absorbed through the
+    persisted model via foreachBatch — each micro-batch is evaluated
+    under the model-so-far (pre-stream history for batch 0, history +
+    batch 0 for batch 1), and the final model equals the pure-Python
+    fit on everything."""
+    store = LmModelStore(spark, str(tmp_path / "lm"))
+    store.absorb(_df(spark, DAY1), "doc_id", "text")
+
+    b0 = [(10, "the cat sat quietly"), (11, "zebra quagga zebra")]
+    b1 = [(12, "on the mat the cat sat"), (13, "zebra quagga here")]
+    src = str(tmp_path / "feed")
+    _df(spark, b0).coalesce(1).write.parquet(src + "/f0")
+    _df(spark, b1).coalesce(1).write.parquet(src + "/f1")
+
+    emitted = {}
+
+    def emit(df, bid):
+        emitted[bid] = {
+            r.doc_id: (r.n_bigrams, r.sum_p_x1e9) for r in df.collect()
+        }
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert len(emitted) == 2
+    # map batch ids to content (file order is an ingestion detail)
+    by_doc = {}
+    for scores in emitted.values():
+        by_doc.update(scores)
+    first, second = (
+        (b0, b1) if 10 in emitted[min(emitted)] else (b1, b0)
+    )
+    assert {
+        k: v for k, v in by_doc.items() if k in dict(first)
+    } == _score(_fit(DAY1), first)
+    assert {
+        k: v for k, v in by_doc.items() if k in dict(second)
+    } == _score(_fit(DAY1 + first), second)
+    assert _model_rows(store) == _model_rows_of(_fit(DAY1 + b0 + b1))
+
+
+def test_lm_compact_preserves_model(spark, tmp_path):
+    """Base-class compact() rewrites count rows unchanged into fewer
+    files; because the read path SUMS across files, the model is
+    invariant — the additive store's maintenance contract."""
+    store = LmModelStore(spark, str(tmp_path / "k"))
+    store.absorb(_df(spark, DAY1), "doc_id", "text")
+    store.absorb(_df(spark, DAY2), "doc_id", "text")
+    before = _model_rows(store)
+    assert store.compact(target_files=1) > 0
+    assert _model_rows(store) == before
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_p_x1e9)
+        for r in store.score(_df(spark, DAY2), "doc_id", "text").collect()
+    }
+    assert got == _score(_fit(DAY1 + DAY2), DAY2)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     data=st.lists(

@@ -1025,6 +1025,44 @@ def test_lm_likelihood_model_joins_partial_aggregated(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_lm_score_incremental_pushed_keyed_joins_no_python(spark):
+    """Incremental LM scoring: the increment predicate reaches the
+    parquet scan, the model joins are keyed LeftOuter (never a
+    nested-loop except the single-row vocab scalar's cross), the
+    per-doc aggregation partial-aggregates before its exchange, and
+    no Python evaluator appears (pure codegen + joins)."""
+    from time_series_storage_spark.queries_extensions import (
+        q_lm_score_incremental,
+    )
+
+    plan = _plan(q_lm_score_incremental(spark, "/root/testdata/sf0.001"))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(doc_id" in pushed
+    assert "partial_count" in plan
+    # exactly one nested-loop: the broadcast single-row vocab scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_incremental_curation_probe_shapes(spark):
+    """Two-store daily curation: increment predicate pushed to every
+    documents scan, the fingerprint probe is a LeftAnti join (never a
+    rescan-and-filter), the LM gate reduces to a LeftSemi on doc_id,
+    and no Python evaluator appears."""
+    from time_series_storage_spark.queries_extensions import (
+        q_pipeline_incremental_curation,
+    )
+
+    plan = _plan(
+        q_pipeline_incremental_curation(spark, "/root/testdata/sf0.001")
+    )
+    assert "GreaterThanOrEqual(doc_id" in plan
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # vocab scalar
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_doc_embed_hashing_two_partial_aggs_no_python(spark):
     """Feature-hashing embeddings: exactly the two partial-aggregated
     exchanges ((doc, component) sum + per-doc assembly) — no Python

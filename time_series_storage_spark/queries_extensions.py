@@ -2209,6 +2209,77 @@ GROUP BY b.doc_id
 LM_KEEP_X1E9 = 33_000_000  # keep docs with mean bigram prob >= 0.033
 
 
+def q_pipeline_incremental_curation(spark, sf_dir):
+    """The DAILY-INGEST curation pipeline, composing BOTH persisted
+    stores in one lazy DAG: today's documents (doc_id >=
+    {FPSTORE_BASE}) are scored under the historical bigram LM
+    (LmModelStore — what did yesterday's model think of today's
+    data?), documents clearing the {LM_KEEP_X1E9}e-9 mean-probability
+    bar (exact integer compare, never a float mean) feed exact dedup
+    against the historical FingerprintStore plus first-occurrence-wins
+    within the increment. This is the batch pipeline
+    (pipeline_quality_chunk_dedup's CCNet-then-dedup ordering) in its
+    O(increment) form: neither stage rescans history — the LM probe
+    joins two summed count tables, the dedup probe anti-joins one
+    fixed-width fingerprint column. The oracle refits the model AND
+    the fingerprint history from scratch, so a green row proves both
+    persisted artifacts and their composition."""
+    lm = _lm_store(spark, sf_dir)
+    fps = _fp_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    keep = lm.score(inc, "doc_id", "text").where(
+        F.col("sum_p_x1e9") >= F.lit(LM_KEEP_X1E9) * F.col("n_bigrams")
+    ).select("doc_id")
+    kept = inc.join(keep, "doc_id", "left_semi")
+    return fps.dedup_increment(kept, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fp",
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+SQL_PIPELINE_INCREMENTAL_CURATION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bih AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id < {FPSTORE_BASE} AND len(t) >= 2
+),
+bch AS (SELECT w1, w2, COUNT(*) AS c12 FROM bih GROUP BY w1, w2),
+uch AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {FPSTORE_BASE})
+        GROUP BY w),
+vvh AS (SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {FPSTORE_BASE})),
+bii AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id >= {FPSTORE_BASE} AND len(t) >= 2
+),
+sc AS (
+  SELECT b.doc_id, COUNT(*) AS nb,
+         SUM(CAST(round((COALESCE(c12, 0) + 1)::DOUBLE * 1e9
+                  / GREATEST(COALESCE(c1, 0) + v, 1)) AS BIGINT)) AS sp
+  FROM bii b
+  LEFT JOIN bch USING (w1, w2)
+  LEFT JOIN uch USING (w1)
+  CROSS JOIN vvh
+  GROUP BY b.doc_id
+),
+keep AS (SELECT doc_id FROM sc WHERE sp >= {LM_KEEP_X1E9} * nb),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+)
+SELECT MIN(f.doc_id)::BIGINT AS doc_id, f.fp,
+       COUNT(*)::BIGINT AS dup_count
+FROM fp f JOIN keep USING (doc_id)
+WHERE f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < {FPSTORE_BASE})
+GROUP BY f.fp
+"""
+
+
 def q_pipeline_quality_chunk_dedup(spark, sf_dir):
     """Quality-gate-then-dedup curation pipeline composing this
     round's operators in ONE lazy DAG: fit the bigram LM on the full
@@ -7470,6 +7541,10 @@ EXT_QUERIES = {
     "lm_score_incremental": (
         q_lm_score_incremental,
         SQL_LM_SCORE_INCREMENTAL,
+    ),
+    "pipeline_incremental_curation": (
+        q_pipeline_incremental_curation,
+        SQL_PIPELINE_INCREMENTAL_CURATION,
     ),
     "chunk_dedup_incremental": (
         q_chunk_dedup_incremental,
