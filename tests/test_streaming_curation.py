@@ -1,0 +1,183 @@
+"""streaming/curation.py — the two-store curation foreachBatch.
+
+Pins the property the module docstring claims: exactly-once ACROSS
+stores without a cross-store transaction — in particular the
+crash-BETWEEN-the-commits case, where the LM watermark is one batch
+ahead of the fingerprint watermark and the replay must converge both
+without double-adding counts or double-suppressing survivors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators.dedup import FingerprintStore
+from time_series_storage_spark.operators.lm_store import LmModelStore
+from time_series_storage_spark.streaming.curation import (
+    curation_foreach_batch,
+)
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+# Threshold 120e6 separates the corpus below under BOTH possible
+# batch orders: docs made of DAY1 bigrams score >= ~144e6 mean
+# probability (seen bigrams, add-one over V=9), while the fully
+# unseen zebra doc scores the floor 1e9/(0+9) ~= 111e6. Exact values
+# are pinned against the pure-Python model in test_lm_store; this
+# suite pins the PIPELINE contract.
+THR = 120_000_000
+
+DAY1 = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on a log"),
+    (3, "a cat and a dog"),
+]
+B0 = [
+    (10, "the cat sat on the mat"),   # passes gate; dup of absorbed 1
+    (11, "the dog sat on a mat"),     # passes gate; fresh -> survivor
+    (12, "zebra quagga zebra"),       # fails gate (unseen floor)
+]
+B1 = [
+    (20, "the dog sat on a mat"),     # passes; dup of batch-0's 11
+    (21, "a cat and a dog"),          # passes; dup of absorbed 3
+    (22, "the cat sat on a log"),     # passes; fresh -> survivor
+]
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(docs, DOCS_SCHEMA)
+
+
+def _stores(spark, tmp_path):
+    lm = LmModelStore(spark, str(tmp_path / "lm"))
+    fp = FingerprintStore(spark, str(tmp_path / "fp"))
+    lm.absorb(_df(spark, DAY1), "doc_id", "text")
+    fp.absorb(_df(spark, DAY1), "doc_id", "text")
+    return lm, fp
+
+
+def test_curation_stream_end_to_end(spark, tmp_path):
+    """File stream through the composed pipeline: gate failures and
+    historical/cross-batch duplicates never reach the emission; the
+    fingerprint store grows only by gated survivors."""
+    lm, fp = _stores(spark, tmp_path)
+    src = str(tmp_path / "feed")
+    _df(spark, B0).coalesce(1).write.parquet(src + "/f0")
+    _df(spark, B1).coalesce(1).write.parquet(src + "/f1")
+
+    emitted = []
+
+    def emit(df, bid):
+        emitted.extend(r.doc_id for r in df.collect())
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_foreach_batch(lm, fp, THR, "doc_id", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # survivors regardless of file ordering: 11/20 are the same text,
+    # so exactly one of them survives (whichever batch ran first);
+    # 22 always survives; 10/12/21 never do.
+    assert sorted(emitted) in ([11, 22], [20, 22])
+    # LM model absorbed EVERY doc (gate filters the dedup feed, not
+    # the model fit); fingerprint store holds history + survivors
+    assert lm.vocab_size().collect()[0].v > 0
+    fps = {r.fp for r in fp.seen().collect()}
+    assert len(fps) == 3 + 2  # 3 distinct day-1 texts + 2 survivors
+
+
+def test_curation_crash_between_stores_replays_exactly_once(
+    spark, tmp_path
+):
+    """Inject a commit crash in the SECOND store: the LM watermark
+    commits batch 1, the fingerprint watermark stays at batch 0. The
+    replay re-reads the LM's committed emission (no count
+    double-add), regenerates the identical survivor set, and lands
+    the fingerprint commit — both stores converge to the no-crash
+    state."""
+    lm, fp = _stores(spark, tmp_path)
+    outs = {}
+
+    def emit(df, bid):
+        outs[bid] = sorted(r.doc_id for r in df.collect())
+
+    fn = curation_foreach_batch(lm, fp, THR, "doc_id", "text", emit)
+    fn(_df(spark, B0), 0)
+    assert outs[0] == [11]
+
+    lm_rows_after_b0 = sorted(
+        (r.w, r.c1) for r in lm.unigram_counts().collect()
+    )
+
+    def boom(stage):
+        if stage == "post_write":
+            raise RuntimeError("injected crash between stores")
+
+    fp._commit_fault = boom
+    with pytest.raises(RuntimeError, match="between stores"):
+        fn(_df(spark, B1), 1)
+    fp._commit_fault = None
+
+    # torn state: LM ahead by one batch, fingerprint store intact
+    assert json.load(open(os.path.join(tmp_path / "lm", "_current")))[
+        "batch"
+    ] == 1
+    assert json.load(open(os.path.join(tmp_path / "fp", "_current")))[
+        "batch"
+    ] == 0
+    lm_rows_torn = sorted(
+        (r.w, r.c1) for r in lm.unigram_counts().collect()
+    )
+    assert lm_rows_torn != lm_rows_after_b0  # B1 counts landed once
+
+    # replay converges both stores
+    fn(_df(spark, B1), 1)
+    assert outs[1] == [22]
+    assert sorted(
+        (r.w, r.c1) for r in lm.unigram_counts().collect()
+    ) == lm_rows_torn  # replay did NOT double-add
+    assert json.load(open(os.path.join(tmp_path / "fp", "_current")))[
+        "batch"
+    ] == 1
+    assert len({r.fp for r in fp.seen().collect()}) == 5
+
+    # a second full replay of the converged batch is a pure read
+    fn(_df(spark, B1), 1)
+    assert outs[1] == [22]
+    assert sorted(
+        (r.w, r.c1) for r in lm.unigram_counts().collect()
+    ) == lm_rows_torn
+
+
+def test_curation_gate_blocks_model_only_docs(spark, tmp_path):
+    """A document that fails the LM gate still trains the model (its
+    counts absorb) but never touches the fingerprint store — later
+    copies of it keep failing the gate rather than being deduped."""
+    lm, fp = _stores(spark, tmp_path)
+    outs = {}
+
+    def emit(df, bid):
+        outs[bid] = sorted(r.doc_id for r in df.collect())
+
+    fn = curation_foreach_batch(lm, fp, THR, "doc_id", "text", emit)
+    fn(_df(spark, [(30, "zebra quagga zebra")]), 0)
+    assert outs[0] == []
+    # the zebra text is IN the model now...
+    assert any(r.w == "zebra" for r in lm.unigram_counts().collect())
+    # ...but NOT in the fingerprint set
+    n_before = len({r.fp for r in fp.seen().collect()})
+    assert n_before == 3

@@ -1,0 +1,77 @@
+"""Streaming curation — the two-store daily pipeline as one
+``foreachBatch`` function with exactly-once semantics ACROSS stores.
+
+Batch form: queries_extensions.q_pipeline_incremental_curation (LM
+quality gate under the historical model, then exact dedup against the
+fingerprint store). Streaming form: every micro-batch is scored under
+the LM model-so-far and absorbed into it, gate survivors probe the
+fingerprint set and absorb into that, and the final survivors are
+emitted — the corpus curates itself as it arrives.
+
+The composition is exactly-once WITHOUT a cross-store transaction
+because both stores share the snapshot protocol's idempotent
+``batch_id`` replay contract and the pipeline is deterministic given
+the emissions:
+
+* crash BEFORE the LM commit: nothing moved; the replay is a fresh
+  run.
+* crash BETWEEN the commits: the replayed ``lm_store.absorb`` returns
+  its COMMITTED emission (the original pre-update scores — it never
+  re-adds counts), the gate recomputes the same survivor set from
+  that emission, and the fingerprint absorb proceeds as if first
+  time.
+* crash AFTER both commits: both absorbs return their committed
+  emissions; nothing is re-added on either side.
+
+So the pair of per-store watermarks IS the transaction log: the
+fingerprint watermark trails the LM watermark by at most one batch,
+and replaying the in-flight batch converges both. (The same argument
+extends to any chain of snapshot stores — determinism of the glue
+between absorbs is the only requirement.)
+
+Reference scope: the reference engine has no streaming or text
+surface (SURVEY.md section 2) — this is training-data-pipeline
+surface in its streaming form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def curation_foreach_batch(
+    lm_store,
+    fp_store,
+    keep_x1e9: int,
+    id_col: str,
+    text_col: str,
+    emit,
+):
+    """Exactly-once ``foreachBatch`` function composing
+    :class:`~..operators.lm_store.LmModelStore` and
+    :class:`~..operators.dedup.FingerprintStore`.
+
+    Per micro-batch: score under the LM model-so-far and absorb the
+    counts; keep documents whose mean bigram probability clears
+    ``keep_x1e9``/1e9 (exact integer compare — ``sum_p >= thr * n``,
+    never a float mean; documents with fewer than two tokens have no
+    score and fail the gate, same as the batch pipeline); dedup the
+    kept documents against the fingerprint store and absorb the
+    survivors. ``emit(survivors_df, batch_id)`` receives the committed
+    (id, fp, dup_count) emission.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        scores = lm_store.absorb(
+            batch_df, id_col, text_col, batch_id=batch_id
+        )
+        keep = scores.where(
+            F.col("sum_p_x1e9") >= F.lit(keep_x1e9) * F.col("n_bigrams")
+        ).select(id_col)
+        kept = batch_df.join(keep, id_col, "left_semi")
+        survivors = fp_store.absorb(
+            kept, id_col, text_col, batch_id=batch_id
+        )
+        emit(survivors, batch_id)
+
+    return _fn
