@@ -57,6 +57,8 @@ _GATE_PRIORITY = [
     "bpe_encode_prod",
     "lm_score_incremental",
     "pipeline_incremental_curation",
+    "video_frame_sample",
+    "video_near_dup",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",

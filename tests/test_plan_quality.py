@@ -1044,6 +1044,24 @@ def test_lm_score_incremental_pushed_keyed_joins_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_video_near_dup_one_decode_pass_banded_join(spark):
+    """Video near-dup: exactly ONE Arrow evaluator (the decode +
+    sample + hash pass — payload bytes never leave it), the majority
+    fold partial-aggregates, the pair search is an equi-join on
+    (band, key) — never a nested-loop — and verify is a projection."""
+    from time_series_storage_spark.queries_extensions import (
+        q_video_near_dup,
+    )
+
+    plan = _plan(q_video_near_dup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
 def test_pipeline_incremental_curation_probe_shapes(spark):
     """Two-store daily curation: increment predicate pushed to every
     documents scan, the fingerprint probe is a LeftAnti join (never a

@@ -3356,6 +3356,186 @@ WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
 """
 
 
+VID_CHUNK = 48   # bytes per frame (mosaic width 384 px)
+VID_CAP = 384    # bytes per clip -> at most 8 frames
+VID_SAMPLES = 4  # frames sampled per clip
+
+
+def _doc_clips(spark, sf_dir):
+    """(id, payload): each document's first {VID_CAP} bytes as a TSV1
+    video clip — one constant-tile mosaic JPEG frame per {VID_CHUNK}
+    bytes behind the container's length index (corpus synthesis; at
+    scale payloads come from storage). One mapInPandas pass; the
+    mosaic keeps every frame exactly invertible, which is what lets
+    SQL oracles recompute frame hashes from the source bytes."""
+    import pandas as _pd
+
+    from .operators.jpeg_codec import bytes_to_mosaic
+    from .operators.video import encode_video
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+
+    def to_clip(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": [
+                        bytearray(
+                            encode_video(
+                                [
+                                    bytes_to_mosaic(b[i : i + VID_CHUNK])
+                                    for i in range(
+                                        0, len(b), VID_CHUNK
+                                    )
+                                ]
+                            )
+                        )
+                        for b in (
+                            t.encode("utf-8")[:VID_CAP]
+                            for t in pdf["text"]
+                        )
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(to_clip, "id long, payload binary")
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Index-driven video frame sampling under the hash gate: each
+    document's clip (operators/video.py TSV1 container — real
+    baseline-JPEG frames behind a length index) has {VID_SAMPLES}
+    equally-spaced frames seeked, decoded and dHashed in ONE
+    mapInPandas pass; unsampled frames are never decoded, so per-clip
+    cost is O(sampled frames), not O(duration) — the property a
+    100 TB video corpus requires. The oracle recomputes frame picks,
+    mosaic pixels, the 64-column strip and the 63-bit hash from the
+    SOURCE TEXT in SQL, proving container -> index seek -> decode ->
+    hash end to end."""
+    from .operators.video import video_frame_sample
+
+    return video_frame_sample(
+        _doc_clips(spark, sf_dir), "id", "payload", VID_SAMPLES
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_frames",
+        "frame_idx",
+        "frame_h",
+        "frame_w",
+        "phash",
+    )
+
+
+# frame-hash CTE chain shared by both video oracles: frame picks
+# (j*nf)//S de-duplicated, per-frame 48-byte chunk, 64 equally-spaced
+# byte samples (column means of the constant-tile mosaic), dHash bits
+_SQL_VIDEO_FRAMES = f"""
+pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {VID_CAP}) AS p,
+         length(substring(text, 1, {VID_CAP})) AS L
+  FROM documents WHERE length(text) > 0
+),
+meta AS (SELECT doc_id, p, (L + {VID_CHUNK - 1}) // {VID_CHUNK} AS nf
+         FROM pay),
+picks AS (
+  SELECT DISTINCT doc_id, p, nf, (j.j * nf) // {VID_SAMPLES} AS k
+  FROM meta, unnest(generate_series(0, {VID_SAMPLES - 1})) j(j)
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, nf, k,
+         substring(p, k * {VID_CHUNK} + 1, {VID_CHUNK}) AS c,
+         length(substring(p, k * {VID_CHUNK} + 1, {VID_CHUNK})) AS cl
+  FROM picks
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, nf, k, cl, i,
+         ascii(substring(c, ((i * cl) // 64) + 1, 1)) AS v
+  FROM chunks, unnest(generate_series(0, 63)) g(i)
+),
+adj AS (
+  SELECT doc_id, nf, k, cl, i, v,
+         lead(v) OVER (PARTITION BY doc_id, k ORDER BY i) AS nxt
+  FROM samp
+),
+fhash AS MATERIALIZED (
+  SELECT doc_id, nf, k, cl,
+         COALESCE(SUM(CASE WHEN v > nxt THEN (1::BIGINT << i)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE i < 63 GROUP BY doc_id, nf, k, cl
+)
+"""
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH {_SQL_VIDEO_FRAMES}
+SELECT doc_id::BIGINT AS doc_id, nf::BIGINT AS n_frames,
+       k::BIGINT AS frame_idx, 8::BIGINT AS frame_h,
+       (8 * cl)::BIGINT AS frame_w, h AS phash
+FROM fhash
+"""
+
+
+def q_video_near_dup(spark, sf_dir):
+    """Clip-level perceptual near-dup — the video corner of the
+    modality family (text MinHash / embedding cosine / image dHash /
+    audio energy hash / video temporal-majority): sampled frames are
+    dHashed, the clip signature takes a strict per-bit MAJORITY vote
+    across its sampled frames (one edited frame cannot flip the
+    signature), and pairs ride the SAME Hamming-band engine — perfect
+    recall at hamming <= 8 by pigeonhole, never all-pairs. The oracle
+    recomputes frames, hashes, the majority fold, bands and verify
+    from the source text in SQL."""
+    from .operators.video import video_near_dup_pairs
+
+    return video_near_dup_pairs(
+        _doc_clips(spark, sf_dir),
+        "id",
+        "payload",
+        n_samples=VID_SAMPLES,
+        max_hamming=IMG_ND_MAX_HAMMING,
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "hamming",
+    )
+
+
+SQL_VIDEO_NEAR_DUP = f"""
+WITH {_SQL_VIDEO_FRAMES},
+bitsum AS (
+  SELECT doc_id, b.b AS b,
+         SUM((h >> b.b) & 1)::BIGINT AS ones, COUNT(*)::BIGINT AS n
+  FROM fhash, unnest(generate_series(0, 62)) b(b)
+  GROUP BY doc_id, b.b
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << b)
+                  ELSE 0 END)::BIGINT AS s
+  FROM bitsum GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, s, bb, (s >> (7 * bb)) & 127 AS band_key
+  FROM sig, unnest(generate_series(0, 8)) g(bb)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.s AS s1, c.s AS s2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+)
+SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
+       bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {IMG_ND_MAX_HAMMING}
+"""
+
+
 def _img_nd_store(spark, sf_dir):
     """The persisted image near-dup store for ``sf_dir`` — built on
     first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
@@ -7671,6 +7851,8 @@ EXT_QUERIES = {
         _img_near_incremental_sql(),
     ),
     "audio_near_dup": (q_audio_near_dup, SQL_AUDIO_NEAR_DUP),
+    "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
+    "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
