@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "pipeline_incremental_curation",
     "video_frame_sample",
     "video_near_dup",
+    "video_near_incremental",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",

@@ -247,12 +247,21 @@ class ImgNearDupStore(_SnapshotArtifactStore):
         images."""
         return self._table("band", self.BAND_SCHEMA)
 
+    def _hash_increment(
+        self, new_media: DataFrame, id_col: str, payload_col: str
+    ) -> DataFrame:
+        """(id_col, phash) for the increment — the ONE modality-
+        specific step; everything downstream (band probe, verify,
+        within-increment clustering, commit) is shared. Subclasses
+        (video.VideoNearDupStore) override this hook only."""
+        return decode_jpeg_dhash(new_media, id_col, payload_col).select(
+            F.col("id").alias(id_col), "phash"
+        )
+
     def _increment_parts(self, new_imgs, id_col, payload_col):
         from .dedup import duplicate_clusters
 
-        hashes = decode_jpeg_dhash(new_imgs, id_col, payload_col).select(
-            F.col("id").alias(id_col), "phash"
-        )
+        hashes = self._hash_increment(new_imgs, id_col, payload_col)
         hashes = hashes.persist()
         bands_inc = hamming_band_rows(hashes, id_col, "phash")
         # --- history probe: equi-join on the persisted band index ----

@@ -49,7 +49,13 @@ import struct
 
 from pyspark.sql import DataFrame, functions as F
 
-from .phash import PHASH_BITS, dhash_gray_image
+from .dedup import _SnapshotArtifactStore
+from .phash import (
+    PHASH_BANDS,
+    PHASH_BITS,
+    ImgNearDupStore,
+    dhash_gray_image,
+)
 
 MAGIC = b"TSV1"
 MAX_FRAMES = 65_535
@@ -225,3 +231,50 @@ def video_near_dup_pairs(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+class VideoNearDupStore(ImgNearDupStore):
+    """Persisted clip-signature + Hamming-band artifact for
+    INCREMENTAL video near-dup — the FIFTH modality on the shared
+    snapshot store protocol (exact / MinHash / embedding / image /
+    video). Everything — band probe, exact verify, first-day-wins
+    winner semantics, within-increment min-id clustering, exactly-once
+    ``batch_id`` replay, commit protocol — is inherited from
+    :class:`~.phash.ImgNearDupStore`; the one override is the hash
+    hook: a clip hashes to its temporal-majority signature over
+    ``n_samples`` index-seeked frames (:func:`video_frame_sample` +
+    :func:`video_signature`), so the daily probe decodes only sampled
+    frames of the increment and NEVER re-touches stored clips'
+    bytes."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        max_hamming: int = 8,
+        n_samples: int = 4,
+    ):
+        self.max_hamming = max_hamming
+        self.n_samples = n_samples
+        # bypass the parent __init__ — its params pin carries the
+        # image identity; the base validates THESE params against the
+        # stored meta on reopen
+        _SnapshotArtifactStore.__init__(
+            self,
+            spark,
+            path,
+            ["video-sig-v1", PHASH_BANDS, max_hamming, n_samples],
+            "VideoNearDupStore",
+        )
+
+    def _hash_increment(self, new_media, id_col, payload_col):
+        sigs = video_signature(
+            video_frame_sample(
+                new_media, id_col, payload_col, self.n_samples
+            ),
+            "id",
+            "phash",
+        )
+        return sigs.select(
+            F.col("id").alias(id_col), F.col("sig").alias("phash")
+        )

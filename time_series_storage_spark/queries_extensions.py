@@ -3536,6 +3536,161 @@ WHERE bit_count(xor(s1, s2)) <= {IMG_ND_MAX_HAMMING}
 """
 
 
+def _vid_nd_store(spark, sf_dir):
+    """The persisted VIDEO near-dup store for ``sf_dir`` — built on
+    first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
+    every query after, staleness-keyed on the corpus files; the same
+    artifact lifecycle as the other five stores."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.vector_index import files_fingerprint
+    from .operators.video import VideoNearDupStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{IMG_ND_MAX_HAMMING}"
+        f":{VID_SAMPLES}:vidnd-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_vidnd_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return VideoNearDupStore(
+                spark,
+                root,
+                max_hamming=IMG_ND_MAX_HAMMING,
+                n_samples=VID_SAMPLES,
+            )
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = VideoNearDupStore(
+                    spark,
+                    root,
+                    max_hamming=IMG_ND_MAX_HAMMING,
+                    n_samples=VID_SAMPLES,
+                )
+                store.absorb(
+                    _doc_clips(spark, sf_dir).where(
+                        F.col("id") < FPSTORE_BASE
+                    ),
+                    "id",
+                    "payload",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_video_near_incremental(spark, sf_dir):
+    """Daily-ingest VIDEO near-dup as a gated query — the FIFTH
+    incremental store modality: survivors of the increment's clips
+    (doc_id >= {FPSTORE_BASE}) against the PERSISTED clip-signature +
+    Hamming-band store holding the base slice's retained survivors.
+    The read path samples + hashes ONLY the increment's picked frames
+    in one mapInPandas pass (stored clips' bytes are never
+    re-touched), probes the band index with one equi-join, verifies
+    with exact bit_count, then min-id-clusters the remainder. The
+    oracle replays the whole two-day sequence from scratch in SQL
+    (frame picks -> mosaic pixels -> per-frame hashes -> majority
+    signature -> band pairs -> day-1 recursive clustering -> survivor
+    probe -> day-2 clustering)."""
+    store = _vid_nd_store(spark, sf_dir)
+    inc = _doc_clips(spark, sf_dir).where(F.col("id") >= FPSTORE_BASE)
+    out = store.dedup_increment(inc, "id", "payload")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _video_near_incremental_sql() -> str:
+    """From-scratch SQL replay of the sequential VIDEO near-dup store
+    model — the img replay with the hash CTE swapped for the
+    frame-sample + temporal-majority chain (_SQL_VIDEO_FRAMES)."""
+    b = FPSTORE_BASE
+    return f"""
+WITH RECURSIVE {_SQL_VIDEO_FRAMES},
+bitsum AS (
+  SELECT doc_id, bt.bt AS bt,
+         SUM((h >> bt.bt) & 1)::BIGINT AS ones, COUNT(*)::BIGINT AS n
+  FROM fhash, unnest(generate_series(0, 62)) bt(bt)
+  GROUP BY doc_id, bt.bt
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << bt)
+                  ELSE 0 END)::BIGINT AS h
+  FROM bitsum GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, bb, (h >> (7 * bb)) & 127 AS band_key
+  FROM sig, unnest(generate_series(0, 8)) g(bb)
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.h, c.h)) <= {IMG_ND_MAX_HAMMING}
+),
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM sig WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach
+            GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM sig
+       WHERE doc_id >= {b}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach
+           GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
+"""
+
+
 def _img_nd_store(spark, sf_dir):
     """The persisted image near-dup store for ``sf_dir`` — built on
     first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
@@ -7853,6 +8008,10 @@ EXT_QUERIES = {
     "audio_near_dup": (q_audio_near_dup, SQL_AUDIO_NEAR_DUP),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
+    "video_near_incremental": (
+        q_video_near_incremental,
+        _video_near_incremental_sql(),
+    ),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
