@@ -247,7 +247,7 @@ class RollupMergeBackend:
 
     Environment note: a Delta implementation was planned for this
     container but ``delta-spark`` is not installed and package
-    installation is unavailable (re-checked round 7: no delta/iceberg
+    installation is unavailable (re-checked round 8: no delta/iceberg
     jars on the Spark classpath, no ``delta`` / ``pyiceberg`` module,
     and installs remain prohibited in this environment). The seam is
     instead proven TWICE by real backends: this module's versioned-
