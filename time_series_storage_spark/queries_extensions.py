@@ -3115,7 +3115,14 @@ def q_jpeg_gray_decode(spark, sf_dir):
         mosaic_to_bytes,
     )
 
+    from .operators.parallel import cpu_partitions
+
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    # the codec pass is CPU-dense Python over narrow rows — pin the
+    # partition count (one parquet file = one partition by bytes, and
+    # AQE's size-based coalescing would keep it serialized; same fix
+    # as q_emb_quantize)
+    docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
     def roundtrip(batches):
         for pdf in batches:
@@ -3157,6 +3164,7 @@ def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
     import pandas as _pd
 
     from .operators.jpeg_codec import bytes_to_mosaic, encode_jpeg
+    from .operators.parallel import cpu_partitions
 
     docs = _docs(spark, sf_dir).where(F.length("text") > 0)
     if lo is not None:
@@ -3164,6 +3172,11 @@ def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
     if hi is not None:
         docs = docs.where(F.col("doc_id") < hi)
     docs = docs.select(F.col("doc_id").alias("id"), "text")
+    # pin parallelism for the CPU-dense encode AND the decode+hash
+    # pass downstream (both inherit this partitioning): one parquet
+    # file = one partition by bytes, which would serialize the whole
+    # Python codec workload on one core
+    docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
     def to_jpeg(batches):
         for pdf in batches:
@@ -3265,6 +3278,7 @@ def q_audio_near_dup(spark, sf_dir):
     hash -> band join end to end."""
     import pandas as _pd
 
+    from .operators.parallel import cpu_partitions
     from .operators.phash import decode_wav_ehash, hamming_near_dup_pairs
     from .operators.wav_codec import encode_wav
 
@@ -3273,6 +3287,8 @@ def q_audio_near_dup(spark, sf_dir):
         .where(F.length("text") > 0)
         .select(F.col("doc_id").alias("id"), "text")
     )
+    # pin parallelism for the codec passes (same fix as _doc_jpegs)
+    docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
     def to_wav(batches):
         import numpy as _np
@@ -3361,23 +3377,31 @@ VID_CAP = 384    # bytes per clip -> at most 8 frames
 VID_SAMPLES = 4  # frames sampled per clip
 
 
-def _doc_clips(spark, sf_dir):
+def _doc_clips(spark, sf_dir, lo=None, hi=None):
     """(id, payload): each document's first {VID_CAP} bytes as a TSV1
     video clip — one constant-tile mosaic JPEG frame per {VID_CHUNK}
     bytes behind the container's length index (corpus synthesis; at
-    scale payloads come from storage). One mapInPandas pass; the
-    mosaic keeps every frame exactly invertible, which is what lets
-    SQL oracles recompute frame hashes from the source bytes."""
+    scale payloads come from storage), optionally sliced by doc_id
+    range BEFORE the encode pass (a post-encode filter cannot push
+    through Python). One mapInPandas pass; the mosaic keeps every
+    frame exactly invertible, which is what lets SQL oracles recompute
+    frame hashes from the source bytes."""
     import pandas as _pd
 
     from .operators.jpeg_codec import bytes_to_mosaic
+    from .operators.parallel import cpu_partitions
     from .operators.video import encode_video
 
-    docs = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") > 0)
-        .select(F.col("doc_id").alias("id"), "text")
-    )
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    if lo is not None:
+        docs = docs.where(F.col("doc_id") >= lo)
+    if hi is not None:
+        docs = docs.where(F.col("doc_id") < hi)
+    docs = docs.select(F.col("doc_id").alias("id"), "text")
+    # pin parallelism for the CPU-dense frame encode and the
+    # sample+decode+hash pass downstream (same rationale as
+    # _doc_jpegs)
+    docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
     def to_clip(batches):
         for pdf in batches:
@@ -3590,9 +3614,7 @@ def _vid_nd_store(spark, sf_dir):
                     n_samples=VID_SAMPLES,
                 )
                 store.absorb(
-                    _doc_clips(spark, sf_dir).where(
-                        F.col("id") < FPSTORE_BASE
-                    ),
+                    _doc_clips(spark, sf_dir, hi=FPSTORE_BASE),
                     "id",
                     "payload",
                 )
@@ -3614,7 +3636,7 @@ def q_video_near_incremental(spark, sf_dir):
     signature -> band pairs -> day-1 recursive clustering -> survivor
     probe -> day-2 clustering)."""
     store = _vid_nd_store(spark, sf_dir)
-    inc = _doc_clips(spark, sf_dir).where(F.col("id") >= FPSTORE_BASE)
+    inc = _doc_clips(spark, sf_dir, lo=FPSTORE_BASE)
     out = store.dedup_increment(inc, "id", "payload")
     return out.select(
         F.col("id").cast("long").alias("doc_id"),

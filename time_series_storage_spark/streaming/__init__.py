@@ -8,6 +8,7 @@ from .ingest import (  # noqa: F401
     streaming_rollup_refresh,
     streaming_sessions,
 )
+from .curation import curation_foreach_batch  # noqa: F401
 from .duckdb_backend import DuckDBMergeBackend  # noqa: F401
 from .joins import streaming_interval_join  # noqa: F401
 from .scoring import (  # noqa: F401
