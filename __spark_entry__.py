@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     "img_near_dup",
     "img_near_incremental",
     "audio_near_dup",
+    "audio_near_incremental",
     "bpe_encode_prod",
     "lm_score_incremental",
     "pipeline_incremental_curation",

@@ -440,3 +440,33 @@ def hamming_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+class AudioNearDupStore(ImgNearDupStore):
+    """Persisted energy-hash + Hamming-band artifact for INCREMENTAL
+    audio near-dup — the SIXTH modality on the shared snapshot store
+    protocol (exact / MinHash / embedding / image / video / audio).
+    Everything below the hash hook — band probe, exact verify,
+    first-day-wins winner rule, within-increment min-id clustering,
+    exactly-once ``batch_id`` replay, commit protocol — is inherited
+    from :class:`ImgNearDupStore`; the one override is
+    ``_hash_increment``: a clip hashes to its 63-bit energy-envelope
+    hash over the REAL-decoded PCM (:func:`decode_wav_ehash`), the
+    same hash the whole-corpus pair path uses."""
+
+    def __init__(self, spark, path: str, max_hamming: int = 8):
+        self.max_hamming = max_hamming
+        # bypass the parent __init__ — its params pin carries the
+        # image identity; the base validates THESE params on reopen
+        _SnapshotArtifactStore.__init__(
+            self,
+            spark,
+            path,
+            ["ehash-v1", PHASH_BANDS, max_hamming],
+            "AudioNearDupStore",
+        )
+
+    def _hash_increment(self, new_media, id_col, payload_col):
+        return decode_wav_ehash(new_media, id_col, payload_col).select(
+            F.col("id").alias(id_col), F.col("ahash").alias("phash")
+        )

@@ -3264,29 +3264,24 @@ WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
 """
 
 
-def q_audio_near_dup(spark, sf_dir):
-    """Audio perceptual near-dup under the hash gate — the modality
-    SQUARE's fourth corner (text MinHash / embedding cosine / image
-    dHash / audio energy hash): each document's first {IMG_ND_CAP}
-    bytes become 8-bit PCM in a genuine RIFF/WAV container, the REAL
-    decoder recovers the exact samples, a 63-bit energy-difference
-    hash is taken over 64 equal-share windows with EXACT
-    cross-multiplied mean compares (operators/phash.py), and pairs
-    come from the SAME Hamming-band engine as images. The oracle
-    recomputes windows + hash + bands + verify from the source bytes
-    in SQL, proving encode -> RIFF parse -> PCM decode -> envelope
-    hash -> band join end to end."""
+def _doc_wavs(spark, sf_dir, lo=None, hi=None):
+    """(id, payload): each document's first {IMG_ND_CAP} bytes as
+    8-bit PCM in a genuine RIFF/WAV container (corpus synthesis; at
+    scale payloads come from storage), optionally sliced by doc_id
+    range BEFORE the encode pass. One pinned-parallelism mapInPandas
+    pass; the PCM samples ARE the source bytes, which is what lets
+    SQL oracles recompute audio hashes from the text."""
     import pandas as _pd
 
     from .operators.parallel import cpu_partitions
-    from .operators.phash import decode_wav_ehash, hamming_near_dup_pairs
     from .operators.wav_codec import encode_wav
 
-    docs = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") > 0)
-        .select(F.col("doc_id").alias("id"), "text")
-    )
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    if lo is not None:
+        docs = docs.where(F.col("doc_id") >= lo)
+    if hi is not None:
+        docs = docs.where(F.col("doc_id") < hi)
+    docs = docs.select(F.col("doc_id").alias("id"), "text")
     # pin parallelism for the codec passes (same fix as _doc_jpegs)
     docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
@@ -3312,8 +3307,24 @@ def q_audio_near_dup(spark, sf_dir):
                 }
             )
 
-    wavs = docs.mapInPandas(to_wav, "id long, payload binary")
-    hashes = decode_wav_ehash(wavs, "id", "payload")
+    return docs.mapInPandas(to_wav, "id long, payload binary")
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio perceptual near-dup under the hash gate — the modality
+    SQUARE's fourth corner (text MinHash / embedding cosine / image
+    dHash / audio energy hash): each document's first {IMG_ND_CAP}
+    bytes become 8-bit PCM in a genuine RIFF/WAV container, the REAL
+    decoder recovers the exact samples, a 63-bit energy-difference
+    hash is taken over 64 equal-share windows with EXACT
+    cross-multiplied mean compares (operators/phash.py), and pairs
+    come from the SAME Hamming-band engine as images. The oracle
+    recomputes windows + hash + bands + verify from the source bytes
+    in SQL, proving encode -> RIFF parse -> PCM decode -> envelope
+    hash -> band join end to end."""
+    from .operators.phash import decode_wav_ehash, hamming_near_dup_pairs
+
+    hashes = decode_wav_ehash(_doc_wavs(spark, sf_dir), "id", "payload")
     return hamming_near_dup_pairs(
         hashes, "id", "ahash", max_hamming=IMG_ND_MAX_HAMMING
     ).select(
@@ -3369,6 +3380,170 @@ SELECT id1::BIGINT AS id1, id2::BIGINT AS id2,
        bit_count(xor(h1, h2))::BIGINT AS hamming
 FROM cand
 WHERE bit_count(xor(h1, h2)) <= {IMG_ND_MAX_HAMMING}
+"""
+
+
+def _aud_nd_store(spark, sf_dir):
+    """The persisted AUDIO near-dup store for ``sf_dir`` — built on
+    first use from the base slice (doc_id < {FPSTORE_BASE}), READ by
+    every query after, staleness-keyed on the corpus files; the same
+    artifact lifecycle as the other five stores."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.phash import AudioNearDupStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{IMG_ND_MAX_HAMMING}"
+        ":audnd-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_audnd_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return AudioNearDupStore(
+                spark, root, max_hamming=IMG_ND_MAX_HAMMING
+            )
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = AudioNearDupStore(
+                    spark, root, max_hamming=IMG_ND_MAX_HAMMING
+                )
+                store.absorb(
+                    _doc_wavs(spark, sf_dir, hi=FPSTORE_BASE),
+                    "id",
+                    "payload",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_audio_near_incremental(spark, sf_dir):
+    """Daily-ingest AUDIO near-dup as a gated query — the SIXTH
+    incremental store modality: survivors of the increment's clips
+    (doc_id >= {FPSTORE_BASE}) against the PERSISTED energy-hash +
+    Hamming-band store holding the base slice's retained survivors.
+    The read path decodes + hashes the increment's PCM in one
+    mapInPandas pass, probes the band index with one equi-join,
+    verifies with exact bit_count, then min-id-clusters the
+    remainder. The oracle replays the whole two-day sequence from
+    scratch in SQL (window sums -> envelope hash -> band pairs ->
+    day-1 recursive clustering -> survivor probe -> day-2
+    clustering)."""
+    store = _aud_nd_store(spark, sf_dir)
+    inc = _doc_wavs(spark, sf_dir, lo=FPSTORE_BASE)
+    out = store.dedup_increment(inc, "id", "payload")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _audio_near_incremental_sql() -> str:
+    """From-scratch SQL replay of the sequential AUDIO near-dup store
+    model — the img replay with the hash CTE swapped for the
+    equal-share-window energy-envelope chain of SQL_AUDIO_NEAR_DUP."""
+    b = FPSTORE_BASE
+    return f"""
+WITH RECURSIVE pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {IMG_ND_CAP}) AS p
+  FROM documents WHERE length(text) > 0
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, i, ascii(substring(p, i + 1, 1)) AS v, length(p) AS n
+  FROM pay, unnest(generate_series(0, length(p) - 1)) g(i)
+),
+wsum AS MATERIALIZED (
+  SELECT doc_id, (i * 64) // n AS w,
+         SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS c
+  FROM pos GROUP BY doc_id, (i * 64) // n
+),
+wfull AS (
+  SELECT d.doc_id, g.w, COALESCE(ws.s, 0) AS s, COALESCE(ws.c, 0) AS c
+  FROM (SELECT DISTINCT doc_id FROM pay) d
+  CROSS JOIN unnest(generate_series(0, 63)) g(w)
+  LEFT JOIN wsum ws ON ws.doc_id = d.doc_id AND ws.w = g.w
+),
+adj AS (
+  SELECT doc_id, w, s, c,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY w) AS ns,
+         lead(c) OVER (PARTITION BY doc_id ORDER BY w) AS nc
+  FROM wfull
+),
+hash AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN s * nc > ns * c THEN (1::BIGINT << w)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE w < 63 GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, bb, (h >> (7 * bb)) & 127 AS band_key
+  FROM hash, unnest(generate_series(0, 8)) g(bb)
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.h, c.h)) <= {IMG_ND_MAX_HAMMING}
+),
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM pay WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach
+            GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM pay
+       WHERE doc_id >= {b}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach
+           GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
 """
 
 
@@ -8028,6 +8203,10 @@ EXT_QUERIES = {
         _img_near_incremental_sql(),
     ),
     "audio_near_dup": (q_audio_near_dup, SQL_AUDIO_NEAR_DUP),
+    "audio_near_incremental": (
+        q_audio_near_incremental,
+        _audio_near_incremental_sql(),
+    ),
     "video_frame_sample": (q_video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     "video_near_incremental": (
