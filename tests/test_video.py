@@ -78,6 +78,33 @@ def test_container_rejects_loudly():
         encode_video([])
 
 
+@settings(max_examples=200, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_container_fuzz_only_valueerror(junk):
+    """Arbitrary bytes either parse (iff they are a well-formed clip)
+    or raise ValueError — never struct.error/IndexError; the
+    reject-loudly contract holds under fuzz."""
+    try:
+        idx = parse_video_index(junk)
+    except ValueError:
+        return
+    # anything that parsed must tile the payload exactly
+    assert idx and idx[-1][0] + idx[-1][1] == len(junk)
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64))
+def test_container_fuzz_prefixed_magic(junk):
+    """Junk behind a valid magic + plausible count still fails with
+    ValueError, not an unbounded read."""
+    blob = MAGIC + struct.pack(">H", 3) + junk
+    try:
+        idx = parse_video_index(blob)
+        assert idx[-1][0] + idx[-1][1] == len(blob)
+    except ValueError:
+        pass
+
+
 def test_sample_indices_convention():
     assert sample_indices(8, 4) == [0, 2, 4, 6]
     assert sample_indices(6, 4) == [0, 1, 3, 4]

@@ -166,45 +166,32 @@ def video_signature(
 ) -> DataFrame:
     """(id, sig): the 63-bit temporal-majority signature — bit i set
     iff a STRICT majority of the video's sampled frames set bit i.
-    Pure codegen: explode bits, count, re-fold; two partial-aggregated
-    exchanges keyed (id, bit) then (id)."""
-    # each exploded row carries the bit's VALUE (2^b) as a literal —
-    # shift amounts must be literals in both engines, and summing
-    # distinct powers of two needs exact long arithmetic, never pow()
-    bits = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(1 << b).cast("long").alias("_pw"),
-                    F.shiftright(F.col(hash_col), b)
-                    .bitwiseAND(F.lit(1))
-                    .cast("long")
-                    .alias("_on"),
-                )
-                for b in range(PHASH_BITS)
-            ]
-        )
-    )
-    return (
-        frame_hashes.select(
-            F.col(id_col).alias("id"), bits.alias("_x")
-        )
-        .select("id", F.col("_x._pw").alias("_pw"), F.col("_x._on").alias("_on"))
-        .groupBy("id", "_pw")
-        .agg(
-            F.sum("_on").alias("_ones"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.when(F.col("_ones") * 2 > F.col("_n"), F.col("_pw"))
-                .otherwise(F.lit(0).cast("long"))
-            )
+    ONE partial-aggregated exchange keyed (id): 63 per-bit ones-count
+    aggregate columns (shift amounts are literals, so every count is
+    pure codegen) fold into the signature in a single projection —
+    no row blowup, no second exchange (an exploded (id, bit) shape
+    would 63x the frame rows through two shuffles for nothing)."""
+    ones = [
+        F.sum(
+            F.shiftright(F.col(hash_col), b)
+            .bitwiseAND(F.lit(1))
             .cast("long")
-            .alias("sig")
-        )
+        ).alias(f"_o{b}")
+        for b in range(PHASH_BITS)
+    ]
+    agg = frame_hashes.groupBy(F.col(id_col).alias("id")).agg(
+        *ones, F.count(F.lit(1)).alias("_n")
     )
+    # summing distinct powers of two in exact long arithmetic (never
+    # pow(): doubles lose exactness approaching 2^63-1)
+    sig = None
+    for b in range(PHASH_BITS):
+        term = F.when(
+            F.col(f"_o{b}") * 2 > F.col("_n"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("long").alias("sig"))
 
 
 def video_near_dup_pairs(
