@@ -165,6 +165,45 @@ def test_vidnd_replay_and_params(spark, tmp_path):
         ImgNearDupStore(spark, str(tmp_path / "vids"), max_hamming=MAXH)
 
 
+def test_vidnd_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end: a clip file stream near-deduped through the
+    persisted store via the INHERITED foreachBatch — pre-stream
+    history suppresses its near-dups, cross-batch dups are suppressed
+    by the store's growth. (The hook subclasses share foreach_batch;
+    this pins it once at the video modality.)"""
+    store = VideoNearDupStore(
+        spark, str(tmp_path / "vids"), max_hamming=MAXH, n_samples=NSAMP
+    )
+    store.absorb(_df(spark, {1: T_A, 3: T_C}), "id", "payload")
+
+    src = str(tmp_path / "feed")
+    _df(spark, {10: T_A2, 11: T_D}).coalesce(1).write.parquet(src + "/f0")
+    _df(spark, {20: T_C2, 21: T_E}).coalesce(1).write.parquet(src + "/f1")
+
+    emitted = []
+
+    def emit(df, bid):
+        emitted.extend(r.id for r in df.collect())
+
+    q = (
+        spark.readStream.schema("id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(
+            store.foreach_batch("id", "payload", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # 10 ~ stored 1, 20 ~ stored 3 (one-frame edits); 11 and 21 are
+    # fresh — exactly those survive, in either file order
+    assert sorted(emitted) == [11, 21]
+    assert sorted(r.id for r in store.hashes().collect()) == [1, 3, 11, 21]
+
+
 def test_vidnd_crash_recovery_via_shared_fault_seam(spark, tmp_path):
     store = VideoNearDupStore(
         spark, str(tmp_path / "vids"), max_hamming=MAXH, n_samples=NSAMP
