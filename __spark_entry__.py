@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "video_frame_sample",
     "video_near_dup",
     "video_near_incremental",
+    "sim_topk_ivf_incremental",
     # --- last gated r5: the longest-ungated block (21 rows) ---
     "entity_resolution_parts",
     "event_transitions",

@@ -171,3 +171,72 @@ def test_crashed_build_invisible_to_live_readers(spark, store):
     # and a later successful refresh picks up cleanly
     assert store.refresh_if_stale(emb, fingerprint="fp2") is True
     assert _rows(store.topk(q, k=5)) == before  # same corpus, same answer
+
+
+def test_absorb_equals_from_scratch_assignment(spark, store):
+    """Frozen-codebook absorb: base build + increment absorb serves
+    top-k identical to a from-scratch build over the grown corpus
+    AGAINST THE SAME CODEBOOK (base-fitted centroids), and the new
+    version hard-links history (O(increment) new bytes)."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    base = emb.where(F.col("vec_id") < 300)
+    inc = emb.where(F.col("vec_id") >= 300)
+
+    store.build(base, kmeans_iters=2, fingerprint="fp-base")
+    cents_before = _rows(store.centroids())
+    v1 = store.absorb(inc, fingerprint="fp-grown")
+    assert store._meta()["version"] == v1
+    # codebook FROZEN, assignment grown to the full corpus
+    assert _rows(store.centroids()) == cents_before
+    assert store.assignment().count() == emb.count()
+
+    # from-scratch twin: assign the grown corpus to the same codebook
+    from time_series_storage_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_topk,
+    )
+
+    cents = store.centroids()
+    want = _rows(
+        ivf_probe_topk(q, cents, ivf_assign(emb, cents), k=5)
+    )
+    assert _rows(store.topk(q, k=5)) == want
+
+
+def test_absorb_requires_committed_base(spark, store):
+    emb = spark.read.parquet(EMB)
+    with pytest.raises(FileNotFoundError, match="build"):
+        store.absorb(emb.where(F.col("vec_id") >= 300))
+
+
+@pytest.mark.parametrize(
+    "stage", ["after_assignment", "after_link", "after_rename"]
+)
+def test_absorb_crash_leaves_readers_on_base(spark, store, stage):
+    """Kill the absorb at each boundary: readers stay on the complete
+    base version; the retry converges to the grown index."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    base = emb.where(F.col("vec_id") < 300)
+    inc = emb.where(F.col("vec_id") >= 300)
+    store.build(base, kmeans_iters=2, fingerprint="fp-base")
+    want_base = _rows(store.topk(q, k=5))
+    base_meta = store._meta()
+
+    store._build_fault = _crash_at(stage)
+    with pytest.raises(_Boom):
+        store.absorb(inc, fingerprint="fp-grown")
+    store._build_fault = None
+
+    # reader untouched mid-wreck
+    assert store._meta() == base_meta
+    assert _rows(store.topk(q, k=5)) == want_base
+
+    v = store.absorb(inc, fingerprint="fp-grown")
+    assert store._meta()["version"] == v
+    assert store.assignment().count() == emb.count()
+    leftovers = [
+        n for n in os.listdir(store.path) if n.startswith(".staging-")
+    ]
+    assert leftovers == []

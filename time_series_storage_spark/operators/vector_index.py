@@ -171,6 +171,91 @@ class IvfIndexStore(VersionedStore):
         )
         return version
 
+    def absorb(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        fingerprint: Optional[str] = None,
+    ) -> str:
+        """Daily-ingest index growth: assign the increment to the
+        FROZEN stored codebook (the standard IVF practice — a daily
+        codebook rebuild over the full corpus is exactly the
+        full-scan-per-day cost this store exists to avoid; Lloyd
+        refinement happens on schedule via ``build``, not per
+        increment) and publish the next version whose assignment tree
+        HARD-LINKS every existing partition file and adds one file
+        set for the increment's rows — per-day I/O is O(increment),
+        readers stay on the old complete version until the atomic
+        ``_current`` flip, and the assignment remains bit-identical
+        to a from-scratch assignment of the grown corpus against the
+        same codebook (what the gated oracle recomputes). Returns the
+        new version id."""
+        meta = self._meta()
+        prev = self._version_dir()
+        if meta is None or prev is None:
+            raise FileNotFoundError(
+                f"no committed IVF index at {self.path} — build() the "
+                "base corpus before absorbing increments"
+            )
+        assigned = ivf_assign(
+            new_vectors, self.centroids(), id_col, vec_col
+        )
+        for name in os.listdir(self.path):
+            if name.startswith(".staging-"):
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
+        version = self.next_version(meta)
+        final = os.path.join(self.path, version)
+        staging = os.path.join(self.path, f".staging-{version}")
+        shutil.rmtree(final, ignore_errors=True)
+        # 1) increment assignment into the staging tree
+        (
+            assigned.repartition(F.col("cell_id"))
+            .write.option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("cell_id")
+            .parquet(os.path.join(staging, "assignment"))
+        )
+        self._fault("after_assignment")
+        # 2) hard-link the previous version beside it (centroids
+        #    verbatim; assignment partition-by-partition, renaming to
+        #    avoid part-file collisions)
+        def _link(src: str, dst: str, suffix: str) -> None:
+            os.makedirs(dst, exist_ok=True)
+            for name in sorted(os.listdir(src)):
+                s = os.path.join(src, name)
+                if os.path.isdir(s):
+                    _link(s, os.path.join(dst, name), suffix)
+                elif name.endswith(".parquet"):
+                    d = os.path.join(dst, f"{suffix}-{name}")
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        _link(
+            os.path.join(prev, "centroids"),
+            os.path.join(staging, "centroids"),
+            meta["version"],
+        )
+        _link(
+            os.path.join(prev, "assignment"),
+            os.path.join(staging, "assignment"),
+            meta["version"],
+        )
+        self._fault("after_link")
+        os.replace(staging, final)
+        self._fault("after_rename")
+        self.publish(
+            self.path,
+            version,
+            extra={
+                "fingerprint": fingerprint,
+                "params": meta.get("params"),
+            },
+        )
+        return version
+
     def refresh_if_stale(
         self,
         corpus: DataFrame,

@@ -1151,20 +1151,23 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir):
     )
 
 
-def _kmeans_cents_ctes(n_iter: int = 2) -> str:
+def _kmeans_cents_ctes(n_iter: int = 2, where: str = "") -> str:
     """CTE chain mirroring operators.similarity.ivf_kmeans_centroids:
     cents0 = sampled codebook; each Lloyd step = argmax-cosine
     assignment + exact fixed-point component means (quantize to 1e-6
-    longs, integer sum, floored division) -> cents{n_iter}."""
+    longs, integer sum, floored division) -> cents{n_iter}.
+    ``where`` restricts the FIT corpus (e.g. the incremental index's
+    base slice) without touching downstream assignment CTEs."""
     blocks = [
         f"""cents0 AS (SELECT vec_id AS cell_id, embedding AS c_vec
-           FROM embeddings ORDER BY vec_id LIMIT {S.IVF_CELLS})"""
+           FROM embeddings {where} ORDER BY vec_id LIMIT {S.IVF_CELLS})"""
     ]
     for i in range(1, n_iter + 1):
         blocks.append(f"""
 asim{i} AS (SELECT e.vec_id, e.embedding, c.cell_id,
             {_cos_sql('e.embedding', 'c.c_vec')} AS s
-            FROM embeddings e CROSS JOIN cents{i - 1} c),
+            FROM (SELECT * FROM embeddings {where}) e
+            CROSS JOIN cents{i - 1} c),
 a{i} AS (SELECT cell_id, vec_id, embedding FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY s DESC, cell_id) AS rn
@@ -1182,6 +1185,91 @@ cents{i} AS (SELECT cell_id, list(m / 1e6 ORDER BY j) AS c_vec
 def _sim_topk_ivf_kmeans_sql(n_iter: int = 2) -> str:
     return f"""
 WITH {_kmeans_cents_ctes(n_iter)},
+cents AS (SELECT * FROM cents{n_iter}),
+{_IVF_TAIL}
+"""
+
+
+EMB_IVF_BASE = 300  # vec_id below this = the already-indexed history
+
+
+def _ivf_inc_index(spark, sf_dir):
+    """The INCREMENTALLY-GROWN IVF index for ``sf_dir``: codebook
+    Lloyd-refined on the base slice (vec_id < {EMB_IVF_BASE}) once,
+    then the increment ABSORBED against the frozen codebook
+    (IvfIndexStore.absorb — hard-linked assignment history + one new
+    file set, O(increment) I/O). Cache-keyed and staleness-gated like
+    the other store builders; the two-step build runs under a file
+    lock so concurrent drivers cannot interleave absorbs."""
+    import contextlib
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.vector_index import IvfIndexStore, files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = files_fingerprint(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{S.IVF_CELLS}:2:{EMB_IVF_BASE}:inc-v1"
+        .encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_ivf_inc_index")
+    os.makedirs(base, exist_ok=True)
+    store = IvfIndexStore(spark, os.path.join(base, key))
+    # the absorbed fingerprint is suffixed so a half-built store
+    # (base built, increment not yet absorbed) never reads as fresh
+    want_fp = fp + ":absorbed"
+    meta = store._meta()
+    if meta is None or meta.get("fingerprint") != want_fp:
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            meta = store._meta()
+            if meta is None or meta.get("fingerprint") != want_fp:
+                store.drop()
+                emb = _emb(spark, sf_dir)
+                store.build(
+                    emb.where(F.col("vec_id") < EMB_IVF_BASE),
+                    n_cells=S.IVF_CELLS,
+                    kmeans_iters=2,
+                    fingerprint=fp + ":base",
+                )
+                store.absorb(
+                    emb.where(F.col("vec_id") >= EMB_IVF_BASE),
+                    fingerprint=want_fp,
+                )
+    return store
+
+
+def q_sim_topk_ivf_incremental(spark, sf_dir):
+    """IVF top-k served from an INCREMENTALLY-GROWN index — the
+    daily-ingest ANN workflow: the codebook was Lloyd-refined on the
+    base slice once, new vectors were absorbed against the FROZEN
+    codebook (assign + hard-link commit, O(increment) I/O — a daily
+    full-corpus rebuild is exactly the cost the store exists to
+    avoid), and the probe reads only the probed cells' partitions.
+    The oracle refits the base codebook and assigns the WHOLE grown
+    corpus from scratch, so a green hash proves the absorbed
+    assignment tree equals the from-scratch assignment against the
+    same codebook."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    index = _ivf_inc_index(spark, sf_dir)
+    return index.topk(queries, k=SIM_TOPK).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _sim_topk_ivf_incremental_sql(n_iter: int = 2) -> str:
+    return f"""
+WITH {_kmeans_cents_ctes(n_iter, where=f"WHERE vec_id < {EMB_IVF_BASE}")},
 cents AS (SELECT * FROM cents{n_iter}),
 {_IVF_TAIL}
 """
@@ -8041,6 +8129,10 @@ EXT_QUERIES = {
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, _sim_topk_ivf_kmeans_sql()),
+    "sim_topk_ivf_incremental": (
+        q_sim_topk_ivf_incremental,
+        _sim_topk_ivf_incremental_sql(),
+    ),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
     "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
