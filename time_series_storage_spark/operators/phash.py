@@ -201,9 +201,13 @@ def decode_wav_ehash(
 
 class ImgNearDupStore(_SnapshotArtifactStore):
     """Persisted dHash + Hamming-band artifact for INCREMENTAL image
-    near-dup — the fourth member of the daily-ingest store family
-    (exact fingerprints / MinHash-Jaccard / embedding cosine / image
-    dHash), sharing the :class:`~.dedup._SnapshotArtifactStore`
+    near-dup — and the BASE CLASS of the perceptual-hash store family:
+    :class:`AudioNearDupStore` (below) and ``video.VideoNearDupStore``
+    override only :meth:`_hash_increment`, so one implementation
+    serves the image / audio / video corners of the six-modality
+    daily-ingest family (exact fingerprints / MinHash-Jaccard /
+    embedding cosine / image / video / audio), all sharing the
+    :class:`~.dedup._SnapshotArtifactStore`
     snapshot commit protocol (format stamp, store flock, hard-linked
     O(increment) commits, atomic flip, exactly-once ``batch_id``
     replay). The whole-corpus path is :func:`hamming_near_dup_pairs`
