@@ -240,3 +240,77 @@ def test_absorb_crash_leaves_readers_on_base(spark, store, stage):
         n for n in os.listdir(store.path) if n.startswith(".staging-")
     ]
     assert leftovers == []
+
+
+def test_absorb_batch_replay_exactly_once(spark, store):
+    """Re-absorbing a committed batch id is a no-op returning the
+    committed version — the assignment is never double-appended."""
+    emb = spark.read.parquet(EMB)
+    base = emb.where(F.col("vec_id") < 300)
+    b0 = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b1 = emb.where(F.col("vec_id") >= 400)
+    store.build(base, kmeans_iters=0, fingerprint="fp")
+    v1 = store.absorb(b0, batch_id=0)
+    n1 = store.assignment().count()
+    # replay of batch 0: same version, same row count
+    assert store.absorb(b0, batch_id=0) == v1
+    assert store.assignment().count() == n1
+    # an older batch id is also a no-op
+    assert store.absorb(b1, batch_id=-3) == v1
+    assert store.assignment().count() == n1
+    # the next batch advances and the watermark moves
+    v2 = store.absorb(b1, batch_id=1)
+    assert v2 != v1
+    assert store.assignment().count() == emb.count()
+    assert store._meta()["batch"] == 1
+    # a manual (batch-less) absorb PRESERVES the watermark
+    store.absorb(b1.limit(0), fingerprint="fp2")
+    assert store._meta()["batch"] == 1
+
+
+def test_absorb_foreach_batch_streaming(spark, store, tmp_path):
+    """End-to-end: a vector file stream absorbed into the index via
+    foreachBatch; the final index equals base + both batches and
+    serves top-k identical to a from-scratch assignment against the
+    frozen codebook."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(
+        emb.where(F.col("vec_id") < 300), kmeans_iters=0,
+        fingerprint="fp",
+    )
+    src = str(tmp_path / "feed")
+    emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).coalesce(1).write.parquet(src + "/f0")
+    emb.where(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    seen = []
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sq = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch(emit=lambda v, b: seen.append((b, v)))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    assert sq.exception() is None
+    assert len(seen) == 2
+    assert store.assignment().count() == emb.count()
+
+    from time_series_storage_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_topk,
+    )
+
+    cents = store.centroids()
+    assert _rows(store.topk(q, k=5)) == _rows(
+        ivf_probe_topk(q, cents, ivf_assign(emb, cents), k=5)
+    )

@@ -177,6 +177,7 @@ class IvfIndexStore(VersionedStore):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         fingerprint: Optional[str] = None,
+        batch_id: Optional[int] = None,
     ) -> str:
         """Daily-ingest index growth: assign the increment to the
         FROZEN stored codebook (the standard IVF practice — a daily
@@ -190,7 +191,15 @@ class IvfIndexStore(VersionedStore):
         ``_current`` flip, and the assignment remains bit-identical
         to a from-scratch assignment of the grown corpus against the
         same codebook (what the gated oracle recomputes). Returns the
-        new version id."""
+        new version id.
+
+        ``batch_id`` gives the absorb the family's exactly-once
+        streaming contract: re-absorbing an already-committed batch id
+        (a ``foreachBatch`` replay after a sink crash) is a no-op
+        returning the committed version — without the watermark a
+        replay would append the increment's assignment rows TWICE and
+        the index would silently diverge from the from-scratch
+        assignment."""
         meta = self._meta()
         prev = self._version_dir()
         if meta is None or prev is None:
@@ -198,6 +207,12 @@ class IvfIndexStore(VersionedStore):
                 f"no committed IVF index at {self.path} — build() the "
                 "base corpus before absorbing increments"
             )
+        if (
+            batch_id is not None
+            and meta.get("batch") is not None
+            and int(batch_id) <= int(meta["batch"])
+        ):
+            return meta["version"]
         assigned = ivf_assign(
             new_vectors, self.centroids(), id_col, vec_col
         )
@@ -246,15 +261,38 @@ class IvfIndexStore(VersionedStore):
         self._fault("after_link")
         os.replace(staging, final)
         self._fault("after_rename")
-        self.publish(
-            self.path,
-            version,
-            extra={
-                "fingerprint": fingerprint,
-                "params": meta.get("params"),
-            },
-        )
+        extra = {
+            "fingerprint": fingerprint,
+            "params": meta.get("params"),
+        }
+        # the batch watermark survives manual (batch-less) absorbs,
+        # same contract as the snapshot stores
+        if batch_id is not None:
+            extra["batch"] = int(batch_id)
+        elif meta.get("batch") is not None:
+            extra["batch"] = int(meta["batch"])
+        self.publish(self.path, version, extra=extra)
         return version
+
+    def foreach_batch(
+        self,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        emit=None,
+    ):
+        """Exactly-once ``foreachBatch`` ANN-ingest sink: each
+        micro-batch of vectors is absorbed against the frozen codebook
+        under its batch id (replays are no-ops); ``emit(version,
+        batch_id)``, if given, receives the committed version."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            version = self.absorb(
+                batch_df, id_col, vec_col, batch_id=int(batch_id)
+            )
+            if emit is not None:
+                emit(version, int(batch_id))
+
+        return fn
 
     def refresh_if_stale(
         self,
