@@ -314,3 +314,48 @@ def test_absorb_foreach_batch_streaming(spark, store, tmp_path):
     assert _rows(store.topk(q, k=5)) == _rows(
         ivf_probe_topk(q, cents, ivf_assign(emb, cents), k=5)
     )
+
+
+def test_compact_preserves_index_and_shrinks_files(spark, store):
+    """After two absorbs, compaction consolidates each cell's
+    accumulated file sets, preserves every row / the watermark / the
+    served top-k, and readers crash-safely stay on the old version
+    mid-compaction."""
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    store.build(
+        emb.where(F.col("vec_id") < 300), kmeans_iters=0,
+        fingerprint="fp",
+    )
+    store.absorb(
+        emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        batch_id=0,
+    )
+    store.absorb(emb.where(F.col("vec_id") >= 400), batch_id=1)
+    want = _rows(store.topk(q, k=5))
+    rows_before = _rows(store.assignment())
+
+    def nfiles():
+        d = os.path.join(store._version_dir(), "assignment")
+        return sum(
+            1
+            for dp, _dn, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = nfiles()
+
+    # mid-compaction crash leaves readers on the complete old version
+    store._build_fault = _crash_at("after_rename")
+    with pytest.raises(_Boom):
+        store.compact()
+    store._build_fault = None
+    assert _rows(store.topk(q, k=5)) == want
+
+    v = store.compact()
+    assert store._meta()["version"] == v
+    assert store._meta()["batch"] == 1  # watermark preserved
+    assert _rows(store.assignment()) == rows_before
+    assert _rows(store.topk(q, k=5)) == want
+    assert nfiles() < files_before

@@ -294,6 +294,64 @@ class IvfIndexStore(VersionedStore):
 
         return fn
 
+    def compact(self, target_files_per_cell: int = 1) -> str:
+        """Periodic maintenance for the absorb chain: after N daily
+        absorbs every cell partition holds N hard-linked file sets;
+        compaction rewrites the assignment tree with
+        ``target_files_per_cell`` files per cell into the next
+        version (centroids hard-linked verbatim, content unchanged,
+        batch watermark and fingerprint preserved) — the same
+        keep-a-year-of-absorbs-probeable job the snapshot stores'
+        ``compact`` does. Readers stay on the old version until the
+        atomic flip. Returns the new version id."""
+        meta = self._meta()
+        prev = self._version_dir()
+        if meta is None or prev is None:
+            raise FileNotFoundError(
+                f"no committed IVF index at {self.path} — nothing to "
+                "compact"
+            )
+        version = self.next_version(meta)
+        final = os.path.join(self.path, version)
+        staging = os.path.join(self.path, f".staging-{version}")
+        shutil.rmtree(final, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self.assignment()
+            .repartition(F.col("cell_id"))
+            .sortWithinPartitions("vec_id")
+            .write.option(
+                "maxRecordsPerFile", 5_000_000 * target_files_per_cell
+            )
+            .partitionBy("cell_id")
+            .parquet(os.path.join(staging, "assignment"))
+        )
+        self._fault("after_assignment")
+        cdst = os.path.join(staging, "centroids")
+        os.makedirs(cdst, exist_ok=True)
+        csrc = os.path.join(prev, "centroids")
+        for name in sorted(os.listdir(csrc)):
+            if name.endswith(".parquet"):
+                try:
+                    os.link(
+                        os.path.join(csrc, name), os.path.join(cdst, name)
+                    )
+                except OSError:
+                    shutil.copy2(
+                        os.path.join(csrc, name), os.path.join(cdst, name)
+                    )
+        self._fault("after_link")
+        os.replace(staging, final)
+        self._fault("after_rename")
+        extra = {
+            "fingerprint": meta.get("fingerprint"),
+            "params": meta.get("params"),
+        }
+        if meta.get("batch") is not None:
+            extra["batch"] = int(meta["batch"])
+        self.publish(self.path, version, extra=extra)
+        return version
+
     def refresh_if_stale(
         self,
         corpus: DataFrame,
