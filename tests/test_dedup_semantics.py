@@ -1192,3 +1192,74 @@ def test_hashed_doc_embedding_model_and_determinism(spark):
     assert twice["emb_str"] == " ".join(
         str(2 * x) for x in model(rows[0][1])
     )
+
+
+def test_fingerprint_store_raw_mode_is_case_preserving(spark, tmp_path):
+    """normalize=False fingerprints the RAW text (the chunk-granularity
+    contract): case-differing texts stay distinct where the normalized
+    doc-level store would merge them, and the mode is pinned in the
+    store params so a reopen under the other mode is refused."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    docs = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world")], ["doc_id", "text"]
+    )
+    raw = FingerprintStore(spark, str(tmp_path / "raw"), normalize=False)
+    surv_raw = raw.absorb(docs, "doc_id", "text")
+    assert surv_raw.count() == 2  # case preserved -> both survive
+
+    norm = FingerprintStore(spark, str(tmp_path / "norm"))
+    surv_norm = norm.absorb(docs, "doc_id", "text")
+    assert surv_norm.count() == 1  # normalized -> one survivor
+
+    with pytest.raises(ValueError, match="params"):
+        FingerprintStore(spark, str(tmp_path / "raw"), normalize=True)
+    with pytest.raises(ValueError, match="params"):
+        FingerprintStore(spark, str(tmp_path / "norm"), normalize=False)
+
+
+def test_chunk_dedup_batch_and_incremental_share_case_semantics(
+    spark, tmp_path
+):
+    """The ADVICE divergence pinned shut: batch chunk_dedup (groupBy
+    raw chunk) and the raw-mode incremental store agree that two
+    chunks differing only in case are NOT duplicates."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    day1 = spark.createDataFrame([(10, "A B C")], ["doc_id", "text"])
+    day2 = spark.createDataFrame([(20, "a b c")], ["doc_id", "text"])
+    both = day1.union(day2)
+    batch = {
+        r["doc_id"]: r["n_kept"]
+        for r in T.chunk_dedup(both, chunk_words=3).collect()
+    }
+    assert batch == {10: 1, 20: 1}  # case differs -> both kept
+    store = FingerprintStore(
+        spark, str(tmp_path / "chunkraw"), normalize=False
+    )
+    store.absorb(
+        T.position_keyed_chunks(day1, chunk_words=3), "_pk", "chunk"
+    )
+    inc = T.position_keyed_chunks(day2, chunk_words=3)
+    assert store.dedup_increment(inc, "_pk", "chunk").count() == 1
+
+
+def test_position_keyed_chunks_raises_past_pk_limit(spark):
+    """A document at or past ``pk_limit`` chunks would alias into the
+    next doc_id's key space; the projection raises loudly instead of
+    silently corrupting first-occurrence adjudication."""
+    from pyspark.errors import SparkRuntimeException
+
+    ok = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    # 3 chunks of 2 words under limit 4: fine
+    assert (
+        T.position_keyed_chunks(ok, chunk_words=2, pk_limit=4).count() == 3
+    )
+    # 5th chunk (chunk_id 4) hits the limit: loud error
+    bad = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Exception), match="scalar position key"
+    ):
+        T.position_keyed_chunks(bad, chunk_words=2, pk_limit=4).collect()

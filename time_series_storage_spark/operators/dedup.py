@@ -1494,8 +1494,17 @@ class FingerprintStore(_SnapshotArtifactStore):
     FORMAT = 2
     _EMIT_COLS = ("fp", "dup_count")
 
-    def __init__(self, spark, path: str):
-        super().__init__(spark, path, ["fp-v2"], "FingerprintStore")
+    def __init__(self, spark, path: str, normalize: bool = True):
+        # normalize=True (the document default) fingerprints the
+        # whitespace-collapsed lowercased text (exact_dedup's key);
+        # normalize=False fingerprints the RAW text — the
+        # chunk-granularity contract, where batch chunk_dedup
+        # adjudicates on the exact chunk string and case-folding here
+        # would silently dedup chunks the batch path keeps. The choice
+        # is part of the artifact, so it rides the params pin.
+        self.normalize = normalize
+        params = ["fp-v2"] if normalize else ["fp-v2", "raw"]
+        super().__init__(spark, path, params, "FingerprintStore")
 
     # legacy seam name: fault-injection tests predate the shared base
     @property
@@ -1535,11 +1544,14 @@ class FingerprintStore(_SnapshotArtifactStore):
         survivor via the ``NULL_FP`` sentinel). Pure read — no state
         change. Output: (id, fp, dup_count) where dup_count counts the
         increment's internal copies."""
+        fp_expr = (
+            normalized_fingerprint(text_col)
+            if self.normalize
+            else F.md5(F.col(text_col))
+        )
         inc = new_docs.select(
             F.col(id_col),
-            F.coalesce(
-                normalized_fingerprint(text_col), F.lit(self.NULL_FP)
-            ).alias("fp"),
+            F.coalesce(fp_expr, F.lit(self.NULL_FP)).alias("fp"),
         )
         fresh = inc.join(self.seen(), "fp", "left_anti")
         return (

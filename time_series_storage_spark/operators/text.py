@@ -561,22 +561,48 @@ def chunk_dedup(
     return reassemble_chunks(flagged, id_col)
 
 
+CHUNK_PK_LIMIT = 1_000_000  # max chunks per document in the scalar key
+
+
 def position_keyed_chunks(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_words: int = 10,
+    pk_limit: int = CHUNK_PK_LIMIT,
 ) -> DataFrame:
     """Non-overlapping ``chunk_words``-word chunks with the composite
     position key the dedup family adjudicates on: (id, chunk_id,
-    chunk, _pk = id * 1e6 + chunk_id). One shuffle-free projection."""
+    chunk, _pk = id * pk_limit + chunk_id). One shuffle-free
+    projection.
+
+    The scalar key is collision-free ONLY while every document has
+    fewer than ``pk_limit`` chunks (the default bounds documents at
+    ~1e7 words at the 10-word default); a document at or past the
+    bound would alias into the next id's key space and silently
+    corrupt first-occurrence adjudication, so the projection RAISES
+    on it instead (same loud-bound discipline as the codecs)."""
     return chunk_windows(
         docs, id_col, text_col, window=chunk_words, stride=chunk_words
     ).select(
         F.col(id_col),
         "chunk_id",
         "chunk",
-        (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")).alias("_pk"),
+        F.when(
+            F.col("chunk_id") >= pk_limit,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "position_keyed_chunks: document exceeds "
+                        f"{pk_limit} chunks (id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(") — the scalar position key would collide"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(id_col) * F.lit(pk_limit) + F.col("chunk_id"))
+        .alias("_pk"),
     )
 
 

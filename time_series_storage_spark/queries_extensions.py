@@ -2061,8 +2061,12 @@ def _chunk_fp_store(spark, sf_dir):
     FingerprintStore reused UNCHANGED with a {CHUNK_DEDUP_WORDS}-word
     chunk as the 'document' (id = the composite position key, text =
     the chunk) — the store is generic over what a record is, so
-    incremental chunk dedup costs no new commit protocol. Built on
-    first use from the base slice's chunks (doc_id < {FPSTORE_BASE}),
+    incremental chunk dedup costs no new commit protocol. Opened with
+    ``normalize=False`` so the store fingerprints the RAW chunk text,
+    matching batch chunk_dedup's adjudication on the exact chunk
+    string (the doc-level store's case-folding would silently merge
+    chunks the batch path keeps distinct). Built on first use from
+    the base slice's chunks (doc_id < {FPSTORE_BASE}),
     staleness-keyed on the corpus files like every other store."""
     import contextlib
     import hashlib
@@ -2075,7 +2079,7 @@ def _chunk_fp_store(spark, sf_dir):
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
-        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{CHUNK_DEDUP_WORDS}:chunk-v1"
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{CHUNK_DEDUP_WORDS}:chunk-v2"
         .encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), "tss_chunkfp_store")
@@ -2084,7 +2088,7 @@ def _chunk_fp_store(spark, sf_dir):
 
     def _open():
         try:
-            return FingerprintStore(spark, root)
+            return FingerprintStore(spark, root, normalize=False)
         except ValueError:
             return None
 
@@ -2101,7 +2105,7 @@ def _chunk_fp_store(spark, sf_dir):
             if store is None or store.is_stale(fp):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(root, exist_ok=True)
-                store = FingerprintStore(spark, root)
+                store = FingerprintStore(spark, root, normalize=False)
                 store.absorb(
                     T.position_keyed_chunks(
                         _docs(spark, sf_dir).where(
@@ -2156,11 +2160,10 @@ starts AS (
 chunks AS (
   SELECT doc_id, k AS chunk_id,
          doc_id * 1000000 + k AS pk,
-         md5(lower(trim(regexp_replace(
-             array_to_string(
-                 list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
-                            k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
-                 ' '), '\\s+', ' ', 'g')))) AS cfp,
+         md5(array_to_string(
+             list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
+                        k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
+             ' ')) AS cfp,
          array_to_string(
              list_slice(toks, k * {CHUNK_DEDUP_WORDS} + 1,
                         k * {CHUNK_DEDUP_WORDS} + {CHUNK_DEDUP_WORDS}),
