@@ -359,3 +359,100 @@ def test_compact_preserves_index_and_shrinks_files(spark, store):
     assert _rows(store.assignment()) == rows_before
     assert _rows(store.topk(q, k=5)) == want
     assert nfiles() < files_before
+
+
+def test_format_stamp_refuses_incompatible_store(spark, store):
+    """A committed index whose format stamp differs from what this
+    code writes is refused on open (loud, not silent misread)."""
+    import json
+
+    emb = spark.read.parquet(EMB)
+    store.build(emb, fingerprint="fp")
+    cur = os.path.join(store.path, "_current")
+    meta = json.load(open(cur))
+    assert meta["format"] == IvfIndexStore.FORMAT
+    meta["format"] = 0
+    json.dump(meta, open(cur, "w"))
+    with pytest.raises(ValueError, match="format"):
+        IvfIndexStore(spark, store.path)
+
+
+def test_concurrent_absorbs_serialize_and_lose_nothing(spark, store):
+    """Two writers racing absorb() on one store path must SERIALIZE on
+    the store flock: both increments commit (in either order), no
+    staging dir is swept from under a live writer, and the final
+    assignment is the full grown corpus."""
+    import threading
+
+    emb = spark.read.parquet(EMB)
+    store.build(emb.where(F.col("vec_id") < 300), fingerprint="fp")
+    inc1 = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    inc2 = emb.where(F.col("vec_id") >= 400)
+    errs = []
+
+    def run(inc):
+        try:
+            # separate handle per writer, as two drivers would have
+            IvfIndexStore(spark, store.path).absorb(inc)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in (inc1, inc2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    assert store.assignment().count() == emb.count()
+    assert store.assignment().select("vec_id").distinct().count() == emb.count()
+    assert [
+        n for n in os.listdir(store.path) if n.startswith(".staging-")
+    ] == []
+
+
+def test_publish_retains_previous_version_until_vacuum(spark, store):
+    """Serve-while-ingest: the version a reader resolved BEFORE an
+    absorb flip must stay complete on disk through the flip
+    (KEEP_VERSIONS retention), so its files never vanish mid-query;
+    vacuum() reclaims explicitly."""
+    emb = spark.read.parquet(EMB)
+    store.build(emb.where(F.col("vec_id") < 300), fingerprint="fp")
+    v0_dir = store._version_dir()
+    # reader resolves the current version, then an absorb flips
+    old_assignment = spark.read.parquet(os.path.join(v0_dir, "assignment"))
+    store.absorb(emb.where(F.col("vec_id") >= 300))
+    assert os.path.exists(v0_dir)  # retained, not GC'd at the flip
+    assert old_assignment.count() == 300  # old reader still whole
+    removed = store.vacuum(keep=1)
+    assert removed == [os.path.basename(v0_dir)]
+    assert not os.path.exists(v0_dir)
+    # and a third flip GCs the oldest beyond KEEP_VERSIONS on its own
+    v1_dir = store._version_dir()
+    store.absorb(emb.limit(0))
+    v2_dir = store._version_dir()
+    store.compact()
+    assert not os.path.exists(v1_dir)
+    assert os.path.exists(v2_dir)
+
+
+def test_compact_target_files_per_cell_scales_file_count(spark, store):
+    """The knob means what it says: a larger target_files_per_cell
+    yields MORE files per cell (sized from the measured rows-per-cell
+    estimate), never fewer."""
+    emb = spark.read.parquet(EMB)
+    store.build(emb, kmeans_iters=0, fingerprint="fp")
+
+    def nfiles():
+        d = os.path.join(store._version_dir(), "assignment")
+        return sum(
+            1
+            for _dp, _dn, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    store.compact(target_files_per_cell=1)
+    one = nfiles()
+    store.compact(target_files_per_cell=4)
+    four = nfiles()
+    assert four > one

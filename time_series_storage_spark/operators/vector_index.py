@@ -27,7 +27,9 @@ Staleness: the committed pointer records a caller-supplied corpus
 :func:`files_fingerprint`) plus the build parameters;
 ``refresh_if_stale`` rebuilds only when either changed, and readers of
 a live index are never disturbed — the rebuild publishes with the same
-atomic ``_current`` flip as every other derived artifact here.
+atomic ``_current`` flip as every other derived artifact here, and the
+superseded version is RETAINED through the next flip (hard links make
+that nearly free) so in-flight readers never lose their files.
 
 The reference has no vector operations; this is infrastructure for the
 similarity operators (operators/similarity.py), with build math
@@ -75,16 +77,120 @@ def files_fingerprint(path: str) -> str:
 
 
 class IvfIndexStore(VersionedStore):
-    """One versioned IVF index (codebook + assignment) at ``path``."""
+    """One versioned IVF index (codebook + assignment) at ``path``,
+    under the same store discipline as the snapshot-artifact family
+    (dedup._SnapshotArtifactStore): a FORMAT stamp rides every commit
+    and is validated on open (a store written by incompatible code is
+    refused loudly), every write sequence — replay check, staging
+    sweep, Spark writes, rename, pointer flip — runs under one
+    exclusive store-path flock (concurrent writers SERIALIZE; the
+    single-writer contract lives in the store, not in caller
+    conventions), and superseded versions are RETAINED for
+    ``KEEP_VERSIONS`` flips before GC so a reader mid-query on the
+    previous version never hits FileNotFound during the daily absorb
+    cadence (hard links make retention nearly free; ``vacuum``
+    reclaims explicitly)."""
+
+    # bump on any change to the persisted layout or meta contract;
+    # validated on open so old-layout stores fail loudly
+    FORMAT = 1
+    # versions retained after each publish (current + N-1 previous):
+    # serve-while-ingest readers of the previous version stay valid
+    # across one absorb/compact flip
+    KEEP_VERSIONS = 2
 
     # test hook: callable(stage) invoked at build checkpoints
     # ("after_centroids", "after_assignment", "after_rename") so crash
     # recovery is provable at every boundary (tests/test_vector_index.py)
     _build_fault = None
 
+    def __init__(self, spark, path: str):
+        super().__init__(spark, path)
+        meta = self.current_meta(path)
+        if meta is not None and meta.get("format", 0) != self.FORMAT:
+            raise ValueError(
+                f"IVF index at {path} has store format "
+                f"{meta.get('format', 0)} but this code writes format "
+                f"{self.FORMAT}; rebuild the index — reopening would "
+                "silently break the version/replay contract"
+            )
+
     def _fault(self, stage: str) -> None:
         if self._build_fault is not None:
             self._build_fault(stage)
+
+    def _locked(self):
+        """Exclusive store-level lock held across a whole write
+        sequence (mirrors _SnapshotArtifactStore._locked): two
+        concurrent absorbs/compacts on one index path serialize
+        instead of sweeping each other's in-flight ``.staging-*``
+        dirs or double-committing one version number. flock is
+        advisory-but-atomic on every POSIX filesystem this runs on;
+        the fd closes (releasing the lock) when the context exits."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, ".lock"), "w") as fh:
+                with contextlib.suppress(ImportError):
+                    import fcntl
+
+                    fcntl.flock(fh, fcntl.LOCK_EX)
+                yield
+
+        return _ctx()
+
+    def _publish(self, version: str, extra: Optional[dict] = None) -> None:
+        """Atomic pointer flip + RETAINING GC: keep the newest
+        ``KEEP_VERSIONS`` version dirs (always including ``version``)
+        instead of the base class's delete-all-others — readers that
+        resolved ``_current`` just before the flip keep a complete
+        version on disk through the next flip."""
+        meta = dict(extra or {})
+        meta["format"] = self.FORMAT
+        meta["version"] = version
+        import json
+
+        tmp = os.path.join(self.path, self.CURRENT + "._tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.path, self.CURRENT))
+        versions = sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.startswith("v") and os.path.isdir(os.path.join(self.path, n))
+        )
+        keep = set(versions[-self.KEEP_VERSIONS:]) | {version}
+        for name in versions:
+            if name not in keep:
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
+
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Remove all but the newest ``keep`` version dirs (never the
+        current one). Returns the removed names."""
+        with self._locked():
+            meta = self._meta()
+            current = meta["version"] if meta else None
+            versions = sorted(
+                n
+                for n in os.listdir(self.path)
+                if n.startswith("v")
+                and os.path.isdir(os.path.join(self.path, n))
+            )
+            keep_set = set(versions[-max(keep, 1):])
+            if current:
+                keep_set.add(current)
+            removed = []
+            for name in versions:
+                if name not in keep_set:
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )
+                    removed.append(name)
+            return removed
 
     def _meta(self) -> Optional[dict]:
         return self.current_meta(self.path)
@@ -136,40 +242,46 @@ class IvfIndexStore(VersionedStore):
         else:
             centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-        os.makedirs(self.path, exist_ok=True)
-        # sweep staging orphans from any previously crashed build
-        for name in os.listdir(self.path):
-            if name.startswith(".staging-"):
-                shutil.rmtree(
-                    os.path.join(self.path, name), ignore_errors=True
-                )
-        version = self.next_version(self._meta())
-        final = os.path.join(self.path, version)
-        staging = os.path.join(self.path, f".staging-{version}")
-        shutil.rmtree(final, ignore_errors=True)
-        centroids.coalesce(1).write.parquet(os.path.join(staging, "centroids"))
-        self._fault("after_centroids")
-        (
-            # one writer per cell keeps each partition's file count at
-            # O(size / maxRecordsPerFile), so the per-query pruned read
-            # opens a bounded file set however large the corpus grows
-            assigned.repartition(F.col("cell_id"))
-            .write.option("maxRecordsPerFile", 5_000_000)
-            .partitionBy("cell_id")
-            .parquet(os.path.join(staging, "assignment"))
-        )
-        self._fault("after_assignment")
-        os.replace(staging, final)
-        self._fault("after_rename")
-        self.publish(
-            self.path,
-            version,
-            extra={
-                "fingerprint": fingerprint,
-                "params": {"n_cells": n_cells, "kmeans_iters": kmeans_iters},
-            },
-        )
-        return version
+        with self._locked():
+            # sweep staging orphans from any previously CRASHED build —
+            # safe under the lock: no live writer's staging can be here
+            for name in os.listdir(self.path):
+                if name.startswith(".staging-"):
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )
+            version = self.next_version(self._meta())
+            final = os.path.join(self.path, version)
+            staging = os.path.join(self.path, f".staging-{version}")
+            shutil.rmtree(final, ignore_errors=True)
+            centroids.coalesce(1).write.parquet(
+                os.path.join(staging, "centroids")
+            )
+            self._fault("after_centroids")
+            (
+                # one writer per cell keeps each partition's file count
+                # at O(size / maxRecordsPerFile), so the per-query
+                # pruned read opens a bounded file set however large
+                # the corpus grows
+                assigned.repartition(F.col("cell_id"))
+                .write.option("maxRecordsPerFile", 5_000_000)
+                .partitionBy("cell_id")
+                .parquet(os.path.join(staging, "assignment"))
+            )
+            self._fault("after_assignment")
+            os.replace(staging, final)
+            self._fault("after_rename")
+            self._publish(
+                version,
+                extra={
+                    "fingerprint": fingerprint,
+                    "params": {
+                        "n_cells": n_cells,
+                        "kmeans_iters": kmeans_iters,
+                    },
+                },
+            )
+            return version
 
     def absorb(
         self,
@@ -200,79 +312,80 @@ class IvfIndexStore(VersionedStore):
         replay would append the increment's assignment rows TWICE and
         the index would silently diverge from the from-scratch
         assignment."""
-        meta = self._meta()
-        prev = self._version_dir()
-        if meta is None or prev is None:
-            raise FileNotFoundError(
-                f"no committed IVF index at {self.path} — build() the "
-                "base corpus before absorbing increments"
-            )
-        if (
-            batch_id is not None
-            and meta.get("batch") is not None
-            and int(batch_id) <= int(meta["batch"])
-        ):
-            return meta["version"]
-        assigned = ivf_assign(
-            new_vectors, self.centroids(), id_col, vec_col
-        )
-        for name in os.listdir(self.path):
-            if name.startswith(".staging-"):
-                shutil.rmtree(
-                    os.path.join(self.path, name), ignore_errors=True
+        with self._locked():
+            meta = self._meta()
+            prev = self._version_dir()
+            if meta is None or prev is None:
+                raise FileNotFoundError(
+                    f"no committed IVF index at {self.path} — build() "
+                    "the base corpus before absorbing increments"
                 )
-        version = self.next_version(meta)
-        final = os.path.join(self.path, version)
-        staging = os.path.join(self.path, f".staging-{version}")
-        shutil.rmtree(final, ignore_errors=True)
-        # 1) increment assignment into the staging tree
-        (
-            assigned.repartition(F.col("cell_id"))
-            .write.option("maxRecordsPerFile", 5_000_000)
-            .partitionBy("cell_id")
-            .parquet(os.path.join(staging, "assignment"))
-        )
-        self._fault("after_assignment")
-        # 2) hard-link the previous version beside it (centroids
-        #    verbatim; assignment partition-by-partition, renaming to
-        #    avoid part-file collisions)
-        def _link(src: str, dst: str, suffix: str) -> None:
-            os.makedirs(dst, exist_ok=True)
-            for name in sorted(os.listdir(src)):
-                s = os.path.join(src, name)
-                if os.path.isdir(s):
-                    _link(s, os.path.join(dst, name), suffix)
-                elif name.endswith(".parquet"):
-                    d = os.path.join(dst, f"{suffix}-{name}")
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)
-        _link(
-            os.path.join(prev, "centroids"),
-            os.path.join(staging, "centroids"),
-            meta["version"],
-        )
-        _link(
-            os.path.join(prev, "assignment"),
-            os.path.join(staging, "assignment"),
-            meta["version"],
-        )
-        self._fault("after_link")
-        os.replace(staging, final)
-        self._fault("after_rename")
-        extra = {
-            "fingerprint": fingerprint,
-            "params": meta.get("params"),
-        }
-        # the batch watermark survives manual (batch-less) absorbs,
-        # same contract as the snapshot stores
-        if batch_id is not None:
-            extra["batch"] = int(batch_id)
-        elif meta.get("batch") is not None:
-            extra["batch"] = int(meta["batch"])
-        self.publish(self.path, version, extra=extra)
-        return version
+            if (
+                batch_id is not None
+                and meta.get("batch") is not None
+                and int(batch_id) <= int(meta["batch"])
+            ):
+                return meta["version"]
+            assigned = ivf_assign(
+                new_vectors, self.centroids(), id_col, vec_col
+            )
+            for name in os.listdir(self.path):
+                if name.startswith(".staging-"):
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )
+            version = self.next_version(meta)
+            final = os.path.join(self.path, version)
+            staging = os.path.join(self.path, f".staging-{version}")
+            shutil.rmtree(final, ignore_errors=True)
+            # 1) increment assignment into the staging tree
+            (
+                assigned.repartition(F.col("cell_id"))
+                .write.option("maxRecordsPerFile", 5_000_000)
+                .partitionBy("cell_id")
+                .parquet(os.path.join(staging, "assignment"))
+            )
+            self._fault("after_assignment")
+            # 2) hard-link the previous version beside it (centroids
+            #    verbatim; assignment partition-by-partition, renaming
+            #    to avoid part-file collisions)
+            def _link(src: str, dst: str, suffix: str) -> None:
+                os.makedirs(dst, exist_ok=True)
+                for name in sorted(os.listdir(src)):
+                    s = os.path.join(src, name)
+                    if os.path.isdir(s):
+                        _link(s, os.path.join(dst, name), suffix)
+                    elif name.endswith(".parquet"):
+                        d = os.path.join(dst, f"{suffix}-{name}")
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+            _link(
+                os.path.join(prev, "centroids"),
+                os.path.join(staging, "centroids"),
+                meta["version"],
+            )
+            _link(
+                os.path.join(prev, "assignment"),
+                os.path.join(staging, "assignment"),
+                meta["version"],
+            )
+            self._fault("after_link")
+            os.replace(staging, final)
+            self._fault("after_rename")
+            extra = {
+                "fingerprint": fingerprint,
+                "params": meta.get("params"),
+            }
+            # the batch watermark survives manual (batch-less) absorbs,
+            # same contract as the snapshot stores
+            if batch_id is not None:
+                extra["batch"] = int(batch_id)
+            elif meta.get("batch") is not None:
+                extra["batch"] = int(meta["batch"])
+            self._publish(version, extra=extra)
+            return version
 
     def foreach_batch(
         self,
@@ -304,53 +417,60 @@ class IvfIndexStore(VersionedStore):
         keep-a-year-of-absorbs-probeable job the snapshot stores'
         ``compact`` does. Readers stay on the old version until the
         atomic flip. Returns the new version id."""
-        meta = self._meta()
-        prev = self._version_dir()
-        if meta is None or prev is None:
-            raise FileNotFoundError(
-                f"no committed IVF index at {self.path} — nothing to "
-                "compact"
+        with self._locked():
+            meta = self._meta()
+            prev = self._version_dir()
+            if meta is None or prev is None:
+                raise FileNotFoundError(
+                    f"no committed IVF index at {self.path} — nothing "
+                    "to compact"
+                )
+            version = self.next_version(meta)
+            final = os.path.join(self.path, version)
+            staging = os.path.join(self.path, f".staging-{version}")
+            shutil.rmtree(final, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
+            # honor the parameter's name: estimate rows per cell and
+            # size maxRecordsPerFile so each cell lands in about
+            # ``target_files_per_cell`` files (ceil — never more rows
+            # per file than the even split needs)
+            n_cells = max(int((meta.get("params") or {}).get("n_cells", 1)), 1)
+            total = self.assignment().count()
+            per_cell = -(-total // n_cells)  # ceil
+            max_rows = max(-(-per_cell // max(target_files_per_cell, 1)), 1)
+            (
+                self.assignment()
+                .repartition(F.col("cell_id"))
+                .sortWithinPartitions("vec_id")
+                .write.option("maxRecordsPerFile", max_rows)
+                .partitionBy("cell_id")
+                .parquet(os.path.join(staging, "assignment"))
             )
-        version = self.next_version(meta)
-        final = os.path.join(self.path, version)
-        staging = os.path.join(self.path, f".staging-{version}")
-        shutil.rmtree(final, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
-        (
-            self.assignment()
-            .repartition(F.col("cell_id"))
-            .sortWithinPartitions("vec_id")
-            .write.option(
-                "maxRecordsPerFile", 5_000_000 * target_files_per_cell
-            )
-            .partitionBy("cell_id")
-            .parquet(os.path.join(staging, "assignment"))
-        )
-        self._fault("after_assignment")
-        cdst = os.path.join(staging, "centroids")
-        os.makedirs(cdst, exist_ok=True)
-        csrc = os.path.join(prev, "centroids")
-        for name in sorted(os.listdir(csrc)):
-            if name.endswith(".parquet"):
-                try:
-                    os.link(
-                        os.path.join(csrc, name), os.path.join(cdst, name)
-                    )
-                except OSError:
-                    shutil.copy2(
-                        os.path.join(csrc, name), os.path.join(cdst, name)
-                    )
-        self._fault("after_link")
-        os.replace(staging, final)
-        self._fault("after_rename")
-        extra = {
-            "fingerprint": meta.get("fingerprint"),
-            "params": meta.get("params"),
-        }
-        if meta.get("batch") is not None:
-            extra["batch"] = int(meta["batch"])
-        self.publish(self.path, version, extra=extra)
-        return version
+            self._fault("after_assignment")
+            cdst = os.path.join(staging, "centroids")
+            os.makedirs(cdst, exist_ok=True)
+            csrc = os.path.join(prev, "centroids")
+            for name in sorted(os.listdir(csrc)):
+                if name.endswith(".parquet"):
+                    try:
+                        os.link(
+                            os.path.join(csrc, name), os.path.join(cdst, name)
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(csrc, name), os.path.join(cdst, name)
+                        )
+            self._fault("after_link")
+            os.replace(staging, final)
+            self._fault("after_rename")
+            extra = {
+                "fingerprint": meta.get("fingerprint"),
+                "params": meta.get("params"),
+            }
+            if meta.get("batch") is not None:
+                extra["batch"] = int(meta["batch"])
+            self._publish(version, extra=extra)
+            return version
 
     def refresh_if_stale(
         self,

@@ -82,13 +82,18 @@ def _ivf_index(spark, sf_dir, kmeans_iters: int):
 
     from .operators.vector_index import IvfIndexStore, files_fingerprint
 
+    import shutil
+
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
         f"{os.path.realpath(src)}:{S.IVF_CELLS}:{kmeans_iters}".encode()
     ).hexdigest()[:16]
-    store = IvfIndexStore(
-        spark, os.path.join(tempfile.gettempdir(), "tss_ivf_index", key)
-    )
+    root = os.path.join(tempfile.gettempdir(), "tss_ivf_index", key)
+    try:
+        store = IvfIndexStore(spark, root)
+    except ValueError:  # format-stamp refusal: stale cache, rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        store = IvfIndexStore(spark, root)
     store.refresh_if_stale(
         _emb(spark, sf_dir),
         n_cells=S.IVF_CELLS,
@@ -1214,9 +1219,16 @@ def _ivf_inc_index(spark, sf_dir):
         f"{os.path.realpath(src)}:{S.IVF_CELLS}:2:{EMB_IVF_BASE}:inc-v1"
         .encode()
     ).hexdigest()[:16]
+    import shutil
+
     base = os.path.join(tempfile.gettempdir(), "tss_ivf_inc_index")
     os.makedirs(base, exist_ok=True)
-    store = IvfIndexStore(spark, os.path.join(base, key))
+    root = os.path.join(base, key)
+    try:
+        store = IvfIndexStore(spark, root)
+    except ValueError:  # format-stamp refusal: stale cache, rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        store = IvfIndexStore(spark, root)
     # the absorbed fingerprint is suffixed so a half-built store
     # (base built, increment not yet absorbed) never reads as fresh
     want_fp = fp + ":absorbed"
