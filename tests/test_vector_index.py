@@ -456,3 +456,72 @@ def test_compact_target_files_per_cell_scales_file_count(spark, store):
     store.compact(target_files_per_cell=4)
     four = nfiles()
     assert four > one
+
+
+def _drift_corpus(spark):
+    """Base: two clusters living in dims (0,1). Increment: a drifted
+    distribution in dims (2,3) whose vectors carry a small alternating
+    dim-0/dim-1 component, so the FROZEN base codebook splits each
+    drifted cluster across both cells — a drifted query's true
+    neighbors then span cells its nprobe=1 probe can't all reach."""
+    rows = []
+    for i in range(10):  # base cluster A ~ e0, ids 0..9
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10):  # base cluster B ~ e1, ids 10..19
+        rows.append((10 + i, [0.01 * i, 1.0, 0.0, 0.0]))
+    for i in range(12):  # drifted cluster C ~ e2, ids 100..111
+        a, b = (0.2, 0.0) if i % 2 == 0 else (0.0, 0.2)
+        rows.append((100 + i, [a, b, 1.0, 0.01 * i]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_recall_probe_and_drift_triggered_rebuild(spark, store, tmp_path):
+    """The drift loop end to end: absorbing a drifted increment against
+    the frozen codebook degrades measured recall; rebuild_if_drifted
+    with a threshold above it re-Lloyds on the grown corpus and equals
+    a from-scratch build (same params, same corpus), preserves the
+    batch watermark and fingerprint, and records the recall on the
+    pointer. A threshold at or below the measured recall is a no-op."""
+    emb = _drift_corpus(spark)
+    base = emb.where(F.col("vec_id") < 100)
+    inc = emb.where(F.col("vec_id") >= 100)
+    q = inc  # probe with the drifted slice, where the loss lives
+
+    store.build(base, n_cells=2, kmeans_iters=1, fingerprint="fp")
+    store.absorb(inc, fingerprint="fp", batch_id=7)
+    before = store.recall_probe(q, k=8, nprobe=1)
+    assert before < 1_000_000  # drift measurably hurts
+
+    # below-threshold recall: no-op path records and keeps the version
+    v_now = store._meta()["version"]
+    rebuilt, b0, a0 = store.rebuild_if_drifted(
+        before, queries=q, k=8, nprobe=1
+    )
+    assert (rebuilt, b0, a0) == (False, before, before)
+    assert store._meta()["version"] == v_now
+    assert store._meta()["recall_x1e6"] == before
+
+    # above-threshold: rebuild on the grown corpus
+    rebuilt, b1, a1 = store.rebuild_if_drifted(
+        before + 1, queries=q, k=8, nprobe=1
+    )
+    assert rebuilt and b1 == before
+    meta = store._meta()
+    assert meta["batch"] == 7  # watermark survived the rebuild
+    assert meta["fingerprint"] == "fp"
+    assert meta["recall_x1e6"] == a1
+
+    # the rebuild IS a from-scratch build of the grown corpus
+    twin = IvfIndexStore(spark, str(tmp_path / "twin"))
+    twin.build(emb, n_cells=2, kmeans_iters=1, fingerprint="fp")
+    assert _rows(store.centroids()) == _rows(twin.centroids())
+    assert _rows(store.assignment()) == _rows(twin.assignment())
+    assert _rows(store.topk(q, k=8, nprobe=1)) == _rows(
+        twin.topk(q, k=8, nprobe=1)
+    )
+    # and a replayed pre-rebuild batch still no-ops
+    n = store.assignment().count()
+    store.absorb(inc, fingerprint="fp", batch_id=7)
+    assert store.assignment().count() == n

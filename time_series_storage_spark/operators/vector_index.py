@@ -496,6 +496,113 @@ class IvfIndexStore(VersionedStore):
         self.build(corpus, id_col, vec_col, n_cells, kmeans_iters, fingerprint)
         return True
 
+    # -- drift policy -------------------------------------------------------
+
+    def _patch_meta(self, **fields) -> None:
+        """Record provenance fields (e.g. a measured recall) on the
+        CURRENT version's pointer — one atomic re-flip, no data
+        movement."""
+        with self._locked():
+            meta = self._meta()
+            if meta is None:
+                raise FileNotFoundError(
+                    f"no committed IVF index at {self.path}"
+                )
+            version = meta.pop("version")
+            meta.update(fields)
+            self._publish(version, extra=meta)
+
+    def recall_probe(
+        self,
+        queries: Optional[DataFrame] = None,
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+        sample: int = 32,
+    ) -> int:
+        """Measured recall (x1e6, floored) of the SERVED index against
+        exact brute-force cosine top-k over the stored corpus — the
+        drift signal for a frozen-codebook absorb chain: every daily
+        ``absorb`` assigns against the codebook fit long ago, and as
+        the absorbed distribution drifts away from it the probed cells
+        stop containing the true neighbors. The probe costs one pruned
+        index scan plus one brute pass over the corpus for ``sample``
+        queries (queries default to the ``sample`` lowest-id stored
+        vectors — deterministic, so the probe itself is replayable).
+        Cheap relative to a rebuild; schedule it after absorbs and let
+        :meth:`rebuild_if_drifted` act on it."""
+        corpus = self.assignment().select("vec_id", "embedding")
+        if queries is None:
+            queries = (
+                corpus.orderBy(F.col("vec_id")).limit(sample)
+            )
+        from .similarity import brute_force_topk
+
+        exact = brute_force_topk(queries, corpus, k=k).select(
+            "q_id", "vec_id"
+        )
+        approx = self.topk(queries, k=k, nprobe=nprobe).select(
+            "q_id", "vec_id"
+        )
+        agg = (
+            exact.join(approx, ["q_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hit"))
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("tot")))
+            .select(
+                F.floor(F.col("hit") * 1_000_000 / F.greatest("tot", F.lit(1)))
+                .cast("long")
+                .alias("r")
+            )
+            .first()
+        )
+        return int(agg["r"])
+
+    def rebuild_if_drifted(
+        self,
+        min_recall_x1e6: int,
+        queries: Optional[DataFrame] = None,
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+        sample: int = 32,
+    ) -> tuple[bool, int, int]:
+        """Close the drift loop: probe recall; when it has fallen below
+        ``min_recall_x1e6``/1e6, re-Lloyd the codebook ON THE GROWN
+        CORPUS (read from the stored assignment — no source rescan)
+        with the pinned build params and publish the rebuild as the
+        next version, preserving the corpus fingerprint and the
+        streaming batch watermark (a replayed batch after the rebuild
+        must still no-op). The rebuild is bit-identical to a
+        from-scratch ``build`` of the grown corpus because it IS one —
+        same params, same corpus, same fixed-point math.
+
+        Returns ``(rebuilt, recall_before, recall_after)``; both
+        recalls are recorded on the committed pointer
+        (``recall_x1e6``), so a scheduler can alert on the trend
+        without re-probing."""
+        meta = self._meta()
+        if meta is None:
+            raise FileNotFoundError(
+                f"no committed IVF index at {self.path}"
+            )
+        before = self.recall_probe(queries, k=k, nprobe=nprobe, sample=sample)
+        if before >= min_recall_x1e6:
+            self._patch_meta(recall_x1e6=before)
+            return (False, before, before)
+        params = meta.get("params") or {}
+        corpus = self.assignment().select("vec_id", "embedding")
+        batch = meta.get("batch")
+        self.build(
+            corpus,
+            n_cells=int(params.get("n_cells", IVF_CELLS)),
+            kmeans_iters=int(params.get("kmeans_iters", 0)),
+            fingerprint=meta.get("fingerprint"),
+        )
+        after = self.recall_probe(queries, k=k, nprobe=nprobe, sample=sample)
+        patch = {"recall_x1e6": after}
+        if batch is not None:
+            patch["batch"] = int(batch)
+        self._patch_meta(**patch)
+        return (True, before, after)
+
     # -- read / query ------------------------------------------------------
 
     def _read(self, part: str) -> DataFrame:
