@@ -1263,3 +1263,36 @@ def test_position_keyed_chunks_raises_past_pk_limit(spark):
         (SparkRuntimeException, Exception), match="scalar position key"
     ):
         T.position_keyed_chunks(bad, chunk_words=2, pk_limit=4).collect()
+
+
+def test_duplicate_clusters_auto_probe_rides_a_persisted_pair_set(
+    spark, monkeypatch
+):
+    """The auto dispatch must evaluate the (expensive) pair DAG once:
+    the probe count and the CC rounds share one persisted frame — the
+    frame handed to the chosen algorithm is cached, and it is the same
+    frame the probe counted. Cache released after dispatch."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["d1", "d2"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"]
+    )
+    seen = {}
+    real = D.connected_components
+
+    def spy(p, n, id_col="id", **kw):
+        seen["persisted"] = p.storageLevel.useMemory or p.storageLevel.useDisk
+        seen["frame"] = p
+        return real(p, n, id_col, **kw)
+
+    monkeypatch.setattr(D, "connected_components", spy)
+    out = {
+        r["node"]: r["cluster"]
+        for r in D.duplicate_clusters(pairs, nodes, "id").collect()
+    }
+    assert seen["persisted"] is True
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    # released after dispatch: nothing left pinned in the cache
+    lvl = seen["frame"].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)

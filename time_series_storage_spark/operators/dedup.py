@@ -767,21 +767,35 @@ def duplicate_clusters(
     Output contract (shared, oracle-interchangeable): (node, cluster)
     with cluster = smallest id in the component; singletons label
     themselves."""
-    if algorithm == "auto":
-        probed = pairs.limit(star_edge_threshold).count()
-        algorithm = "star" if probed >= star_edge_threshold else "minlabel"
-    if algorithm == "minlabel":
-        return connected_components(
-            pairs, nodes, id_col, round_counter=round_counter
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(
+            f"duplicate_clusters: unknown algorithm {algorithm!r} "
+            "(expected 'auto', 'minlabel' or 'star')"
         )
-    if algorithm == "star":
+    cached = None
+    if algorithm == "auto":
+        # persist BEFORE the probe: the pair search (an LSH band join +
+        # verify at every call site) is the expensive stage at scale,
+        # and without the cache it would execute once for the bounded
+        # probe count and AGAIN inside the chosen CC algorithm. Both
+        # CC variants eagerly materialize their own edge snapshot
+        # (localCheckpoint / persisted first round) before returning,
+        # so the cache can be released here.
+        cached = pairs.persist()
+        probed = cached.limit(star_edge_threshold).count()
+        algorithm = "star" if probed >= star_edge_threshold else "minlabel"
+        pairs = cached
+    try:
+        if algorithm == "minlabel":
+            return connected_components(
+                pairs, nodes, id_col, round_counter=round_counter
+            )
         return connected_components_star(
             pairs, nodes, id_col, round_counter=round_counter
         )
-    raise ValueError(
-        f"duplicate_clusters: unknown algorithm {algorithm!r} "
-        "(expected 'auto', 'minlabel' or 'star')"
-    )
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 # -- SimHash ----------------------------------------------------------------
