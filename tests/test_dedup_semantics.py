@@ -1296,3 +1296,103 @@ def test_duplicate_clusters_auto_probe_rides_a_persisted_pair_set(
     # released after dispatch: nothing left pinned in the cache
     lvl = seen["frame"].storageLevel
     assert not (lvl.useMemory or lvl.useDisk)
+
+
+def _esub_model(doc_rows, W):
+    """Pure-Python reference for exact_substring_dedup: stride-1
+    W-word windows, global first occurrence by (doc_id, start), every
+    other occurrence's covered positions removed."""
+    toks = {i: [w for w in t.split(" ") if w] for i, t in doc_rows}
+    first = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for s in range(0, len(ws) - W + 1):
+            key = tuple(ws[s : s + W])
+            if key not in first:
+                first[key] = (i, s)
+    out = {}
+    for i, ws in toks.items():
+        removed = set()
+        for s in range(0, len(ws) - W + 1):
+            if first[tuple(ws[s : s + W])] != (i, s):
+                removed.update(range(s, s + W))
+        kept = [w for p, w in enumerate(ws) if p not in removed]
+        new = " ".join(kept)
+        out[i] = (len(ws), len(kept), len(new))
+    return out
+
+
+def test_exact_substring_dedup_matches_model_on_planted_offsets(spark):
+    """Random corpus with PLANTED offset duplicates (a span from one
+    doc re-inserted elsewhere at an arbitrary word offset — exactly
+    the alignment C4 chunking can't see): Spark output equals the
+    pure-Python window model on every document."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{j}" for j in range(24)]
+    rows = []
+    for i in range(30):
+        n = rng.randint(5, 40)
+        rows.append([i, [rng.choice(vocab) for _ in range(n)]])
+    # plant 8 offset duplicates: a 15-word span from doc a spliced
+    # into doc b at a random interior offset
+    for _ in range(8):
+        a, b = rng.sample(range(30), 2)
+        if len(rows[a][1]) < 15:
+            continue
+        s = rng.randint(0, len(rows[a][1]) - 15)
+        span = rows[a][1][s : s + 15]
+        at = rng.randint(0, len(rows[b][1]))
+        rows[b][1] = rows[b][1][:at] + span + rows[b][1][at:]
+    doc_rows = [(i, " ".join(ws)) for i, ws in rows]
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    W = 8
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_kept"], r["new_n_chars"])
+        for r in T.exact_substring_dedup(docs, window_words=W).collect()
+    }
+    assert got == _esub_model(doc_rows, W)
+    # something was actually deduplicated
+    assert any(k < n for n, k, _c in got.values())
+
+
+def test_exact_substring_catches_what_chunk_dedup_misses(spark):
+    """The gap this operator exists to close: a duplicated span at a
+    one-word offset straddles C4 chunk boundaries (chunk_dedup keeps
+    every chunk of both docs) but dies under stride-1 windows."""
+    span = [f"s{j}" for j in range(15)]
+    doc0 = span + [f"a{j}" for j in range(5)]
+    doc1 = ["junk"] + span + [f"b{j}" for j in range(4)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(doc0)), (1, " ".join(doc1))], ["doc_id", "text"]
+    )
+    ch = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in T.chunk_dedup(docs, chunk_words=10).collect()
+    }
+    assert ch == {0: (2, 2), 1: (2, 2)}  # chunking sees no duplicate
+    es = {
+        r["doc_id"]: (r["n_words"], r["n_kept"])
+        for r in T.exact_substring_dedup(docs, window_words=10).collect()
+    }
+    assert es[0] == (20, 20)  # first occurrence keeps everything
+    assert es[1] == (20, 5)  # the 15-word offset span is removed
+
+
+def test_exact_substring_short_and_empty_docs_survive_verbatim(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_kept"], r["new_text_md5"])
+        for r in T.exact_substring_dedup(docs, window_words=5).collect()
+    }
+    import hashlib
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # both below the window floor: kept verbatim (the published
+    # contract — only spans of >= W tokens are eligible)
+    assert out[0] == (3, 3, h("a b c"))
+    assert out[1] == (3, 3, h("a b c"))
+    assert out[2] == (0, 0, h(""))

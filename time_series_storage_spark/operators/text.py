@@ -630,6 +630,110 @@ def reassemble_chunks(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 50,
+    pk_limit: int = CHUNK_PK_LIMIT,
+) -> DataFrame:
+    """EXACT substring dedup — the suffix-array pipeline of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"):
+    any ``window_words``-token span whose exact text occurs anywhere
+    else in the corpus is removed from every occurrence EXCEPT the
+    corpus-wide first (lowest (doc_id, position) wins). This is the
+    published dedup :func:`chunk_dedup` approximates: C4's fixed
+    non-overlapping chunks miss a duplicated span that straddles a
+    chunk boundary or sits at a different word offset; stride-1
+    windows catch every alignment, so a duplicated run of >= W words
+    dies wherever it hides.
+
+    Spark-first realization of the suffix-array step: a suffix array
+    is a single-machine index — the distributed equivalent with the
+    same detection power at span length W is the stride-1 window
+    fingerprint (two spans of >= W words share a window iff they share
+    a W-word alignment, by construction of sliding windows). Windows
+    are keyed by md5 of the window text, so the first-occurrence
+    shuffle carries one fixed-width 32-char key per token position —
+    never the text itself.
+
+    Semantics per word position: REMOVED iff covered by some window
+    occurrence that is not its window's global first occurrence.
+    Within one document a later repetition of the same span also dies
+    (its window's first occurrence is earlier in the same doc).
+    Documents shorter than ``window_words`` contribute no windows and
+    survive verbatim — same guarantee as the published 50-token floor.
+
+    Output per document (every input document appears): (id, n_words,
+    n_kept, new_n_chars, new_text_md5) with the md5 standing in for
+    the reassembled surviving text.
+
+    Scale shape: the window projection is shuffle-free (tokenize +
+    explode starts + slice, ~1 row per token); first-occurrence is ONE
+    partial-aggregated min over the window hash; the verdict join is
+    on the same hash key (AQE reuses the exchange); the xW coverage
+    explode runs on DUPLICATE occurrences only — proportional to the
+    duplicated volume, not the corpus; removal is one (id, position)
+    join; reassembly one per-doc aggregation whose order rides in the
+    collected structs. Every shuffle key is fixed-width.
+    """
+    words = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "word")
+    )
+    wins = (
+        chunk_windows(docs, id_col, text_col, window=window_words, stride=1)
+        .where(F.col("n_tokens") == window_words)  # full windows only
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").alias("_start"),
+            F.md5(F.col("chunk")).alias("_wh"),
+            F.when(
+                F.col("chunk_id") >= pk_limit,
+                F.raise_error(
+                    F.lit(
+                        "exact_substring_dedup: document exceeds "
+                        f"{pk_limit} window starts — the scalar "
+                        "position key would collide"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(id_col) * F.lit(pk_limit) + F.col("chunk_id"))
+            .alias("_pk"),
+        )
+    )
+    firsts = wins.groupBy("_wh").agg(F.min("_pk").alias("_mk"))
+    removed = (
+        wins.join(firsts, "_wh")
+        .where(F.col("_pk") != F.col("_mk"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("_start"),
+                    F.col("_start") + F.lit(window_words - 1),
+                )
+            ).alias("wpos"),
+        )
+        .distinct()
+        .withColumn("_r", F.lit(True))
+    )
+    flagged = words.join(removed, [id_col, "wpos"], "left").select(
+        F.col(id_col),
+        F.col("wpos").alias("chunk_id"),
+        F.col("word").alias("chunk"),
+        F.col("_r").isNull().alias("_keep"),
+    )
+    out = reassemble_chunks(flagged, id_col)
+    # zero-token documents have no word rows; reattach them verbatim
+    return docs.select(F.col(id_col)).join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("new_n_chars", F.lit(0)).cast("long").alias("new_n_chars"),
+        F.coalesce("new_text_md5", F.md5(F.lit(""))).alias("new_text_md5"),
+    )
+
+
 def lm_doc_likelihood(
     docs: DataFrame,
     id_col: str = "doc_id",

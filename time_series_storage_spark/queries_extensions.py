@@ -2202,6 +2202,72 @@ GROUP BY i.doc_id
 """
 
 
+ESUB_WINDOW_WORDS = 20
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    """EXACT substring dedup (operators/text.py:exact_substring_dedup)
+    — the suffix-array pipeline of Lee et al. 2021 re-expressed as
+    stride-1 {ESUB_WINDOW_WORDS}-word window fingerprints: every
+    duplicated span of >= {ESUB_WINDOW_WORDS} words is removed from
+    all but its corpus-wide first occurrence, AT ANY WORD OFFSET —
+    the boundary-straddling and offset duplicates C4 chunking
+    (chunk_dedup_docs) provably keeps. Per-doc output carries the
+    reassembled text's md5 so the full removal + reassembly sits
+    under the hash gate; the oracle recomputes windows, global first
+    occurrences, covered-position removal and reassembly in SQL."""
+    return T.exact_substring_dedup(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window_words=ESUB_WINDOW_WORDS,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTRING = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, g.i AS wpos, toks[g.i + 1] AS word
+  FROM tk, unnest(generate_series(0, len(toks) - 1)) g(i)
+),
+win AS (
+  SELECT doc_id, g.k AS s,
+         md5(array_to_string(
+             list_slice(toks, g.k + 1, g.k + {ESUB_WINDOW_WORDS}),
+             ' ')) AS wh,
+         doc_id * 1000000 + g.k AS pk
+  FROM tk,
+       unnest(generate_series(0, len(toks) - {ESUB_WINDOW_WORDS})) g(k)
+),
+firsts AS (SELECT wh, MIN(pk) AS mk FROM win GROUP BY wh),
+rem AS (
+  SELECT DISTINCT d.doc_id, d.s + g.j AS wpos
+  FROM (SELECT w2.doc_id, w2.s FROM win w2
+        JOIN firsts f ON w2.wh = f.wh AND w2.pk <> f.mk) d,
+       unnest(generate_series(0, {ESUB_WINDOW_WORDS} - 1)) g(j)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word, (r.wpos IS NULL) AS keep
+  FROM w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.wpos = r.wpos
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COUNT(k.wpos)::BIGINT AS n_words,
+       COALESCE(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                                  ' ' ORDER BY k.wpos), ''))::BIGINT
+         AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                               ' ' ORDER BY k.wpos), '')) AS new_text_md5
+FROM tk t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id
+"""
+
+
 def _lm_store(spark, sf_dir):
     """The persisted bigram LM store for ``sf_dir`` — fit once by
     absorbing the history slice (doc_id < {FPSTORE_BASE}), then READ
@@ -8188,6 +8254,10 @@ EXT_QUERIES = {
     "chunk_dedup_incremental": (
         q_chunk_dedup_incremental,
         SQL_CHUNK_DEDUP_INCREMENTAL,
+    ),
+    "dedup_exact_substring": (
+        q_dedup_exact_substring,
+        SQL_DEDUP_EXACT_SUBSTRING,
     ),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
