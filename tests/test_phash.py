@@ -176,3 +176,38 @@ def test_decode_wav_ehash_roundtrip(spark):
     got = {r.id: r.ahash for r in decode_wav_ehash(df).collect()}
     for i, payload, _w in rows:
         assert got[i] == energy_hash_samples(payload)
+
+
+def test_perceptual_family_refuses_non_integral_ids(spark, tmp_path):
+    """The family's persisted schemas and min-id winner rule are
+    long-keyed; a string/UUID id must fail LOUDLY at every API
+    boundary instead of being silently miscast downstream."""
+    import pytest as _pytest
+
+    from time_series_storage_spark.operators.phash import (
+        AudioNearDupStore,
+        ImgNearDupStore,
+        decode_jpeg_dhash,
+        decode_wav_ehash,
+    )
+    from time_series_storage_spark.operators.video import (
+        VideoNearDupStore,
+        video_frame_sample,
+    )
+
+    media = spark.createDataFrame(
+        [("doc-a", bytearray(b"\x00"))], "id string, payload binary"
+    )
+    for fn in (decode_jpeg_dhash, decode_wav_ehash, video_frame_sample):
+        with _pytest.raises(TypeError, match="integral id"):
+            fn(media, "id", "payload")
+    for cls in (ImgNearDupStore, AudioNearDupStore, VideoNearDupStore):
+        store = cls(spark, str(tmp_path / cls.__name__))
+        with _pytest.raises(TypeError, match="integral id"):
+            store.dedup_increment(media, "id", "payload")
+        with _pytest.raises(TypeError, match="integral id"):
+            store.absorb(media, "id", "payload")
+    # integral ids of any width pass the boundary check
+    ok = spark.createDataFrame([(3, bytearray(b"x"))],
+                               "id int, payload binary")
+    decode_jpeg_dhash(ok, "id", "payload")  # lazy: schema check only

@@ -50,6 +50,35 @@ PHASH_BANDS = 9
 PHASH_BAND_BITS = 7
 
 
+def require_integral_id(df: DataFrame, id_col: str, ctx: str) -> None:
+    """The perceptual-hash family is LONG-KEYED end to end: the
+    persisted hash/band/emission schemas declare ``id long``, the
+    min-id cluster winner rule orders ids numerically, and the Arrow
+    decode passes emit int64 id columns. A string/UUID id would be
+    silently miscast (NULLed) somewhere down that chain, so every API
+    boundary validates the id type and fails LOUDLY instead — callers
+    with non-integral ids pre-map them (e.g. ``F.xxhash64(id)`` with a
+    collision audit, or a dense id dimension table) and keep the
+    mapping next to the store, the same pre-mapping any long-keyed
+    index requires."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{ctx}: id column {id_col!r} has type {dt.simpleString()}, "
+            "but the perceptual-hash family requires an integral id "
+            "(long-keyed persisted schemas + min-id winner rule). Map "
+            "string/UUID ids to longs first — e.g. F.xxhash64(id) with "
+            "a collision audit — and keep the mapping with the store."
+        )
+
+
 def dhash_strip(strip) -> int:
     """The 63-bit difference hash of a brightness strip of
     ``PHASH_SAMPLES`` values — the pure reference model shared by the
@@ -92,6 +121,8 @@ def decode_jpeg_dhash(
     import pandas as pd
 
     from .jpeg_codec import decode_jpeg
+
+    require_integral_id(df, id_col, "decode_jpeg_dhash")
 
     def hash_batch(batches):
         for pdf in batches:
@@ -181,6 +212,8 @@ def decode_wav_ehash(
 
     from .wav_codec import decode_wav
 
+    require_integral_id(df, id_col, "decode_wav_ehash")
+
     def hash_batch(batches):
         for pdf in batches:
             out = []
@@ -265,6 +298,7 @@ class ImgNearDupStore(_SnapshotArtifactStore):
     def _increment_parts(self, new_imgs, id_col, payload_col):
         from .dedup import duplicate_clusters
 
+        require_integral_id(new_imgs, id_col, type(self).__name__)
         hashes = self._hash_increment(new_imgs, id_col, payload_col)
         hashes = hashes.persist()
         bands_inc = hamming_band_rows(hashes, id_col, "phash")

@@ -127,6 +127,9 @@ def video_frame_sample(
     import pandas as pd
 
     from .jpeg_codec import decode_jpeg
+    from .phash import require_integral_id
+
+    require_integral_id(df, id_col, "video_frame_sample")
 
     def sample(batches):
         for pdf in batches:
