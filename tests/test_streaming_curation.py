@@ -181,3 +181,119 @@ def test_curation_gate_blocks_model_only_docs(spark, tmp_path):
     # ...but NOT in the fingerprint set
     n_before = len({r.fp for r in fp.seen().collect()})
     assert n_before == 3
+
+
+# -- three-store chain (LM gate -> text dedup -> image near-dup) -------------
+
+def _render(docs):
+    """Deterministic text->JPEG render (the test's storage fetch):
+    each doc's utf-8 bytes as a constant-tile mosaic baseline JPEG."""
+    import pandas as pd
+
+    from time_series_storage_spark.operators.jpeg_codec import (
+        bytes_to_mosaic,
+        encode_jpeg,
+    )
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        bytearray(encode_jpeg(bytes_to_mosaic(t.encode())))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(to_jpeg, "doc_id long, payload binary")
+
+
+def _stores3(spark, tmp_path, tag):
+    from time_series_storage_spark.operators.phash import ImgNearDupStore
+
+    lm = LmModelStore(spark, str(tmp_path / f"lm{tag}"))
+    fp = FingerprintStore(spark, str(tmp_path / f"fp{tag}"))
+    img = ImgNearDupStore(spark, str(tmp_path / f"img{tag}"))
+    lm.absorb(_df(spark, DAY1), "doc_id", "text")
+    fp.absorb(_df(spark, DAY1), "doc_id", "text")
+    img.absorb(_render(_df(spark, DAY1)), "doc_id", "payload")
+    return lm, fp, img
+
+
+def _state3(lm, fp, img):
+    return (
+        sorted((r.w, r.c1) for r in lm.unigram_counts().collect()),
+        sorted(r.fp for r in fp.seen().collect()),
+        sorted((r.id, r.phash) for r in img.hashes().collect()),
+    )
+
+
+@pytest.mark.parametrize("crash_store", ["fp", "img"])
+def test_three_store_chain_crash_converges_to_no_crash_twin(
+    spark, tmp_path, crash_store
+):
+    """Crash the chain at EACH of the two new commit boundaries (the
+    text-dedup commit mid-chain; the image commit at the tail): after
+    the torn batch is replayed, emissions and all three stores'
+    contents equal a never-crashed twin chain fed the same batches —
+    the three per-store watermarks converge under one replay and
+    nothing double-absorbs."""
+    from time_series_storage_spark.streaming.curation import (
+        curation_media_foreach_batch,
+    )
+
+    # never-crashed twin
+    t_lm, t_fp, t_img = _stores3(spark, tmp_path, "t")
+    t_out = {}
+    t_fn = curation_media_foreach_batch(
+        t_lm, t_fp, t_img, _render, THR, "doc_id", "text",
+        lambda df, b: t_out.__setitem__(b, sorted(r.doc_id for r in df.collect())),
+    )
+    t_fn(_df(spark, B0), 0)
+    t_fn(_df(spark, B1), 1)
+
+    # crash chain
+    lm, fp, img = _stores3(spark, tmp_path, "c")
+    out = {}
+    fn = curation_media_foreach_batch(
+        lm, fp, img, _render, THR, "doc_id", "text",
+        lambda df, b: out.__setitem__(b, sorted(r.doc_id for r in df.collect())),
+    )
+    fn(_df(spark, B0), 0)
+    assert out[0] == t_out[0]
+
+    victim = fp if crash_store == "fp" else img
+
+    def boom(stage):
+        if stage == "post_write":
+            raise RuntimeError("injected chain crash")
+
+    victim._commit_fault = boom
+    with pytest.raises(RuntimeError, match="chain crash"):
+        fn(_df(spark, B1), 1)
+    victim._commit_fault = None
+
+    # torn front: stores upstream of the victim committed batch 1
+    lm_b = json.load(open(os.path.join(str(tmp_path), "lmc", "_current")))["batch"]
+    fp_b = json.load(open(os.path.join(str(tmp_path), "fpc", "_current")))["batch"]
+    img_b = json.load(open(os.path.join(str(tmp_path), "imgc", "_current")))["batch"]
+    if crash_store == "fp":
+        assert (lm_b, fp_b, img_b) == (1, 0, 0)
+    else:
+        assert (lm_b, fp_b, img_b) == (1, 1, 0)
+
+    # one replay converges everything to the twin's state
+    fn(_df(spark, B1), 1)
+    assert out[1] == t_out[1]
+    assert _state3(lm, fp, img) == _state3(t_lm, t_fp, t_img)
+    for path in ("lmc", "fpc", "imgc"):
+        assert json.load(
+            open(os.path.join(str(tmp_path), path, "_current"))
+        )["batch"] == 1
+
+    # a further replay of the converged batch is a pure read
+    st = _state3(lm, fp, img)
+    fn(_df(spark, B1), 1)
+    assert out[1] == t_out[1] and _state3(lm, fp, img) == st

@@ -3323,28 +3323,21 @@ IMG_ND_CAP = 256
 IMG_ND_MAX_HAMMING = 8
 
 
-def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
-    """(id, payload): each document's first {IMG_ND_CAP} bytes as a
-    real baseline-JPEG constant-tile mosaic (corpus synthesis — at
-    scale payloads come from storage), optionally sliced by doc_id
-    range. One mapInPandas pass; the mosaic makes decode exactly
-    invertible, which is what lets SQL oracles recompute image hashes
-    from the source bytes."""
+def _jpegs_of(docs):
+    """(id, payload) from an (id, text) frame: each text's first
+    {IMG_ND_CAP} bytes as a real baseline-JPEG constant-tile mosaic
+    (corpus synthesis — at scale payloads come from storage). One
+    mapInPandas pass with PINNED parallelism for the CPU-dense encode
+    AND the decode+hash pass downstream (both inherit this
+    partitioning): one parquet file = one partition by bytes, which
+    would serialize the whole Python codec workload on one core.
+    Callers slice the doc set BEFORE calling (post-encode filters
+    can't push through Python)."""
     import pandas as _pd
 
     from .operators.jpeg_codec import bytes_to_mosaic, encode_jpeg
     from .operators.parallel import cpu_partitions
 
-    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
-    if lo is not None:
-        docs = docs.where(F.col("doc_id") >= lo)
-    if hi is not None:
-        docs = docs.where(F.col("doc_id") < hi)
-    docs = docs.select(F.col("doc_id").alias("id"), "text")
-    # pin parallelism for the CPU-dense encode AND the decode+hash
-    # pass downstream (both inherit this partitioning): one parquet
-    # file = one partition by bytes, which would serialize the whole
-    # Python codec workload on one core
     docs = docs.repartition(cpu_partitions(docs), F.col("id"))
 
     def to_jpeg(batches):
@@ -3366,6 +3359,20 @@ def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
             )
 
     return docs.mapInPandas(to_jpeg, "id long, payload binary")
+
+
+def _doc_jpegs(spark, sf_dir, lo=None, hi=None):
+    """(id, payload): each document's first {IMG_ND_CAP} bytes as a
+    real baseline-JPEG mosaic (:func:`_jpegs_of`), optionally sliced
+    by doc_id range BEFORE the encode pass; the mosaic makes decode
+    exactly invertible, which is what lets SQL oracles recompute
+    image hashes from the source bytes."""
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    if lo is not None:
+        docs = docs.where(F.col("doc_id") >= lo)
+    if hi is not None:
+        docs = docs.where(F.col("doc_id") < hi)
+    return _jpegs_of(docs.select(F.col("doc_id").alias("id"), "text"))
 
 
 def q_img_near_dup(spark, sf_dir):
@@ -4195,6 +4202,161 @@ hist_dup AS (
 ),
 ok AS (SELECT doc_id FROM pay
        WHERE doc_id >= {b}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM pairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach
+           GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
+"""
+
+
+def q_pipeline_curation_media(spark, sf_dir):
+    """THREE persisted stores composed in one daily-ingest DAG — the
+    batch twin of streaming/curation.curation_media_foreach_batch and
+    the proof that the snapshot-store chain composes beyond two:
+    today's documents (doc_id >= {FPSTORE_BASE}) are scored under the
+    historical bigram LM (LmModelStore), gate survivors are
+    text-deduped against the historical FingerprintStore, the text
+    survivors' payloads are rendered to real baseline JPEGs (corpus
+    synthesis — at scale a storage fetch) and PERCEPTUALLY deduped
+    against the historical ImgNearDupStore. Every stage is a pure
+    O(increment) read of its store: the LM probe joins two count
+    tables, the text probe anti-joins one fingerprint column, the
+    image probe equi-joins the persisted band index. The oracle refits
+    the model, the fingerprint history AND the image-survivor history
+    from scratch, so a green hash proves all three artifacts plus both
+    compositions."""
+    lm = _lm_store(spark, sf_dir)
+    fps = _fp_store(spark, sf_dir)
+    imgs = _img_nd_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    keep = lm.score(inc, "doc_id", "text").where(
+        F.col("sum_p_x1e9") >= F.lit(LM_KEEP_X1E9) * F.col("n_bigrams")
+    ).select("doc_id")
+    kept = inc.join(keep, "doc_id", "left_semi")
+    tsurv = fps.dedup_increment(kept, "doc_id", "text").select("doc_id")
+    surv_docs = (
+        inc.join(tsurv, "doc_id", "left_semi")
+        .where(F.length("text") > 0)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    media = _jpegs_of(surv_docs)
+    out = imgs.dedup_increment(media, "id", "payload")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _pipeline_curation_media_sql() -> str:
+    """From-scratch SQL replay of the three-store curation chain: the
+    LM gate and fingerprint-survivor CTEs of the two-store pipeline
+    feed the image store's sequential two-day replay, with the
+    increment image set restricted to the text survivors (hash/band
+    are per-image properties, so the subset restriction is exact)."""
+    b = FPSTORE_BASE
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bih AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id < {b} AND len(t) >= 2
+),
+bch AS (SELECT w1, w2, COUNT(*) AS c12 FROM bih GROUP BY w1, w2),
+uch AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {b})
+        GROUP BY w),
+vvh AS (SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(t) AS w FROM toks WHERE doc_id < {b})),
+bii AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE doc_id >= {b} AND len(t) >= 2
+),
+sc AS (
+  SELECT bq.doc_id, COUNT(*) AS nb,
+         SUM(CAST(round((COALESCE(c12, 0) + 1)::DOUBLE * 1e9
+                  / GREATEST(COALESCE(c1, 0) + v, 1)) AS BIGINT)) AS sp
+  FROM bii bq
+  LEFT JOIN bch USING (w1, w2)
+  LEFT JOIN uch USING (w1)
+  CROSS JOIN vvh
+  GROUP BY bq.doc_id
+),
+keep AS (SELECT doc_id FROM sc WHERE sp >= {LM_KEEP_X1E9} * nb),
+fpt AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+freshf AS (
+  SELECT f.doc_id, f.fp FROM fpt f JOIN keep USING (doc_id)
+  WHERE f.fp NOT IN (SELECT fp FROM fpt WHERE doc_id < {b})
+),
+tsurv AS (SELECT MIN(doc_id) AS doc_id FROM freshf GROUP BY fp),
+pay AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, {IMG_ND_CAP}) AS p
+  FROM documents WHERE length(text) > 0
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, i,
+         ascii(substring(p, ((i * length(p)) // 64) + 1, 1)) AS v
+  FROM pay, unnest(generate_series(0, 63)) g(i)
+),
+adj AS (
+  SELECT doc_id, i, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM samp
+),
+hash AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN v > nxt THEN (1::BIGINT << i)
+                           ELSE 0 END), 0)::BIGINT AS h
+  FROM adj WHERE i < 63 GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h, bb, (h >> (7 * bb)) & 127 AS band_key
+  FROM hash, unnest(generate_series(0, 8)) g(bb)
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM bands a
+  JOIN bands c ON a.bb = c.bb AND a.band_key = c.band_key
+              AND a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.h, c.h)) <= {IMG_ND_MAX_HAMMING}
+),
+base_pairs AS (SELECT d1, d2 FROM pairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM pay WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach
+            GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM pairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM pay
+       WHERE doc_id >= {b}
+         AND doc_id IN (SELECT doc_id FROM tsurv)
          AND doc_id NOT IN (SELECT id FROM hist_dup)),
 inc_pairs AS (
   SELECT d1, d2 FROM pairs
@@ -8250,6 +8412,10 @@ EXT_QUERIES = {
     "pipeline_incremental_curation": (
         q_pipeline_incremental_curation,
         SQL_PIPELINE_INCREMENTAL_CURATION,
+    ),
+    "pipeline_curation_media": (
+        q_pipeline_curation_media,
+        _pipeline_curation_media_sql(),
     ),
     "chunk_dedup_incremental": (
         q_chunk_dedup_incremental,

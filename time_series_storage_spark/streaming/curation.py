@@ -25,9 +25,12 @@ the emissions:
 
 So the pair of per-store watermarks IS the transaction log: the
 fingerprint watermark trails the LM watermark by at most one batch,
-and replaying the in-flight batch converges both. (The same argument
+and replaying the in-flight batch converges both. The same argument
 extends to any chain of snapshot stores — determinism of the glue
-between absorbs is the only requirement.)
+between absorbs is the only requirement — and
+:func:`curation_media_foreach_batch` instantiates it at length three
+(LM gate -> text dedup -> perceptual media dedup), crash-tested at
+both new commit boundaries.
 
 Reference scope: the reference engine has no streaming or text
 surface (SURVEY.md section 2) — this is training-data-pipeline
@@ -73,5 +76,61 @@ def curation_foreach_batch(
             kept, id_col, text_col, batch_id=batch_id
         )
         emit(survivors, batch_id)
+
+    return _fn
+
+
+def curation_media_foreach_batch(
+    lm_store,
+    fp_store,
+    media_store,
+    render,
+    keep_x1e9: int,
+    id_col: str,
+    text_col: str,
+    emit,
+):
+    """THREE snapshot stores in one exactly-once ``foreachBatch`` —
+    the proof that the module docstring's "any chain of snapshot
+    stores" argument composes beyond two. Per micro-batch: score under
+    the LM model-so-far and absorb the counts; gate; dedup the kept
+    documents' TEXT against the fingerprint store and absorb; render
+    the text survivors to media payloads with the caller's
+    deterministic ``render(docs_df) -> (id, payload)`` (at scale this
+    is a storage fetch, not a render); dedup the payloads PERCEPTUALLY
+    against the media store (e.g. :class:`~..operators.phash
+    .ImgNearDupStore`) and absorb; ``emit(survivors_df, batch_id)``
+    receives the committed (id, n_members) emission.
+
+    Exactly-once across all three without a transaction, by induction
+    on the two-store argument: each store's ``batch_id`` replay
+    returns its COMMITTED emission, and the glue between any two
+    commits (gate filter, semi-joins, ``render``) is deterministic
+    given the upstream emission — so after a crash between ANY pair of
+    commits, the replay reproduces the exact inputs every
+    already-committed store saw (its absorb no-ops into a re-read) and
+    the first not-yet-committed store absorbs as if first time. The
+    three watermarks form a monotone front that one replay converges.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        scores = lm_store.absorb(
+            batch_df, id_col, text_col, batch_id=batch_id
+        )
+        keep = scores.where(
+            F.col("sum_p_x1e9") >= F.lit(keep_x1e9) * F.col("n_bigrams")
+        ).select(id_col)
+        kept = batch_df.join(keep, id_col, "left_semi")
+        text_surv = fp_store.absorb(
+            kept, id_col, text_col, batch_id=batch_id
+        )
+        surv_docs = batch_df.join(
+            text_surv.select(id_col), id_col, "left_semi"
+        )
+        media = render(surv_docs)
+        final = media_store.absorb(
+            media, id_col, "payload", batch_id=batch_id
+        )
+        emit(final, batch_id)
 
     return _fn
