@@ -23,69 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 8: the
-# never-gated new block first (TPC-H completions Q6/Q8/Q9/Q11/Q12 +
-# Q17/Q13/Q15/Q20/Q16, SemDeDup/chunk-dedup/LM-score/hashing-embedding
-# curation ops and their pipeline, image/audio near-dup, production BPE
-# encode), then the 21 rows last gated in r5 (longest-ungated), then
-# the oldest of the r6 block — zero overlap with r7's window.  Rows
-# pushed below the 50-row line by the new block were all gated in r6,
-# so every registry row still has a green driver CORRECTNESS row within
-# the last 3 rounds; r9 must start its window with the r6 leftovers.
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 9: the
+# two new queries (exact substring dedup; the three-store curation
+# pipeline) lead, followed by the 49 rows whose last driver gate was
+# r6 — every other registry row was gated in r7 or r8, so with this
+# window each row has a green driver CORRECTNESS row within the last 3
+# rounds, except `large_orders` (51st candidate for a 50-row window;
+# parked at position 51 with local sweep + pytest coverage, leading
+# r10's window).  Below the line: the r7 block (next-oldest, the bulk
+# of r10's window), then the r8 block (freshest).
 _GATE_PRIORITY = [
-    # --- new in round 8 (never driver-gated) ---
-    "forecast_revenue_delta",
-    "nation_market_share",
-    "product_profit",
-    "important_stock",
-    "late_shipment_priority",
-    "semantic_dedup",
-    "chunk_dedup_docs",
-    "lm_doc_likelihood",
-    "chunk_dedup_incremental",
-    "doc_embed_hashing",
-    "text_semantic_dedup",
-    "pipeline_quality_chunk_dedup",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_revenue_supplier",
-    "bulk_part_suppliers",
-    "part_supplier_variety",
-    "img_near_dup",
-    "img_near_incremental",
-    "audio_near_dup",
-    "audio_near_incremental",
-    "bpe_encode_prod",
-    "lm_score_incremental",
-    "pipeline_incremental_curation",
-    "video_frame_sample",
-    "video_near_dup",
-    "video_near_incremental",
-    "sim_topk_ivf_incremental",
-    # --- last gated r5: the longest-ungated block (21 rows) ---
-    "entity_resolution_parts",
-    "event_transitions",
-    "split_assign",
-    "asof_purchase_click",
-    "asof_click_next_purchase",
-    "asof_nearest_click",
-    "sessionize_user_30m",
-    "interval_join_purchase_session",
-    "interval_overlap_incidents",
-    "funnel_view_click_purchase",
-    "sim_topk_cosine",
-    "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
-    "sim_lsh_pairs",
-    "dedup_embedding_cosine",
-    "text_token_stats",
-    "text_quality",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_top_terms",
-    # --- last gated r6, oldest-first: completes the 50-row window ---
-    "text_repetition",
+    # --- round-9 window: the two new r9 queries (never gated), then
+    # --- every row whose last driver gate was r6 — 49 such rows, one
+    # --- more than fits with the new pair, so `large_orders` (stable
+    # --- since r2, trivial TPC-H shape, green in this round's local
+    # --- sf0.01 sweep and the full-registry sf0.001 pytest oracle
+    # --- suite) sits at position 51 and leads the r10 window ---
+    "dedup_exact_substring",
+    "pipeline_curation_media",
     "text_dup_ngrams",
     "emb_quantize_int8",
     "sim_topk_int8",
@@ -107,11 +62,8 @@ _GATE_PRIORITY = [
     "sample_weighted_mix",
     "pipeline_e2e",
     "pipeline_tokenize_pack",
-    "large_orders",
     "cheapest_supplier",
     "tfidf_top_terms",
-    # --- below the 50-row gate line: remaining r6 rows, then the
-    # --- r7-gated block (freshest external coverage) ---
     "salted_hourly_totals",
     "contamination_report",
     "quality_percentile",
@@ -137,6 +89,10 @@ _GATE_PRIORITY = [
     "pricing_summary",
     "top_open_orders",
     "customers_without_urgent_orders",
+    # --- below the 50-row gate line: large_orders first (leads r10),
+    # --- then the r7-gated block (next-oldest), then the r8-gated
+    # --- block (freshest external coverage) ---
+    "large_orders",
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",
@@ -187,6 +143,56 @@ _GATE_PRIORITY = [
     "dedup_clusters_star",
     "dedup_simhash",
     "fuzzy_part_names",
+    "forecast_revenue_delta",
+    "nation_market_share",
+    "product_profit",
+    "important_stock",
+    "late_shipment_priority",
+    "semantic_dedup",
+    "chunk_dedup_docs",
+    "lm_doc_likelihood",
+    "chunk_dedup_incremental",
+    "doc_embed_hashing",
+    "text_semantic_dedup",
+    "pipeline_quality_chunk_dedup",
+    "small_qty_revenue",
+    "customer_order_counts",
+    "top_revenue_supplier",
+    "bulk_part_suppliers",
+    "part_supplier_variety",
+    "img_near_dup",
+    "img_near_incremental",
+    "audio_near_dup",
+    "audio_near_incremental",
+    "bpe_encode_prod",
+    "lm_score_incremental",
+    "pipeline_incremental_curation",
+    "video_frame_sample",
+    "video_near_dup",
+    "video_near_incremental",
+    "sim_topk_ivf_incremental",
+    "entity_resolution_parts",
+    "event_transitions",
+    "split_assign",
+    "asof_purchase_click",
+    "asof_click_next_purchase",
+    "asof_nearest_click",
+    "sessionize_user_30m",
+    "interval_join_purchase_session",
+    "interval_overlap_incidents",
+    "funnel_view_click_purchase",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "sim_lsh_pairs",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "text_quality",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_top_terms",
+    "text_repetition",
 ]
 
 
