@@ -24,22 +24,23 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 9: the
-# two new queries (exact substring dedup; the three-store curation
-# pipeline) lead, followed by the 49 rows whose last driver gate was
-# r6 — every other registry row was gated in r7 or r8, so with this
-# window each row has a green driver CORRECTNESS row within the last 3
-# rounds, except `large_orders` (51st candidate for a 50-row window;
-# parked at position 51 with local sweep + pytest coverage, leading
+# three new queries (exact substring dedup, batch + incremental; the
+# three-store curation pipeline) lead, followed by 47 of the 49 rows
+# whose last driver gate was r6 — every other registry row was gated
+# in r7 or r8, so with this window each row has a green driver
+# CORRECTNESS row within the last 3 rounds, except `large_orders` and `cheapest_supplier` (52 candidates
+# for a 50-row window; those two — trivial TPC-H shapes, stable since
+# r2, green in this round's local sf0.01 sweep and the full-registry
+# sf0.001 pytest oracle suite — park at positions 51-52 and lead
 # r10's window).  Below the line: the r7 block (next-oldest, the bulk
 # of r10's window), then the r8 block (freshest).
 _GATE_PRIORITY = [
-    # --- round-9 window: the two new r9 queries (never gated), then
-    # --- every row whose last driver gate was r6 — 49 such rows, one
-    # --- more than fits with the new pair, so `large_orders` (stable
-    # --- since r2, trivial TPC-H shape, green in this round's local
-    # --- sf0.01 sweep and the full-registry sf0.001 pytest oracle
-    # --- suite) sits at position 51 and leads the r10 window ---
+    # --- round-9 window: the three new r9 queries (never gated),
+    # --- then 47 of the 49 rows whose last driver gate was r6
+    # --- (large_orders + cheapest_supplier park at 51-52, sweep- and
+    # --- pytest-covered, and lead the r10 window) ---
     "dedup_exact_substring",
+    "esub_dedup_incremental",
     "pipeline_curation_media",
     "text_dup_ngrams",
     "emb_quantize_int8",
@@ -62,7 +63,6 @@ _GATE_PRIORITY = [
     "sample_weighted_mix",
     "pipeline_e2e",
     "pipeline_tokenize_pack",
-    "cheapest_supplier",
     "tfidf_top_terms",
     "salted_hourly_totals",
     "contamination_report",
@@ -89,10 +89,11 @@ _GATE_PRIORITY = [
     "pricing_summary",
     "top_open_orders",
     "customers_without_urgent_orders",
-    # --- below the 50-row gate line: large_orders first (leads r10),
-    # --- then the r7-gated block (next-oldest), then the r8-gated
-    # --- block (freshest external coverage) ---
+    # --- below the 50-row gate line: the two parked r6 rows first
+    # --- (they lead r10), then the r7-gated block (next-oldest),
+    # --- then the r8-gated block (freshest external coverage) ---
     "large_orders",
+    "cheapest_supplier",
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",

@@ -1396,3 +1396,44 @@ def test_exact_substring_short_and_empty_docs_survive_verbatim(spark):
     assert out[0] == (3, 3, h("a b c"))
     assert out[1] == (3, 3, h("a b c"))
     assert out[2] == (0, 0, h(""))
+
+
+def test_exact_substring_incremental_first_day_wins(spark, tmp_path):
+    """Two-day exact substring dedup through the persisted raw-mode
+    FingerprintStore at WINDOW grain: a span absorbed on day 1
+    suppresses day-2 occurrences even at a smaller doc_id AND at a
+    different word offset (the alignment chunk grain can't see);
+    within the increment the lower (doc_id, start) occurrence wins;
+    fresh spans survive."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    W = 5
+    span = [f"s{j}" for j in range(7)]  # 7 words: 3 windows of 5
+    fresh = [f"f{j}" for j in range(7)]
+    day1 = spark.createDataFrame(
+        [(100, " ".join(span + ["tail1", "tail2"]))], ["doc_id", "text"]
+    )
+    # doc 1 re-embeds the day-1 span at offset 1; doc 2 repeats doc 1's
+    # fresh span at offset 2 within the same increment
+    d1 = ["pre"] + span + fresh
+    d2 = ["x", "y"] + fresh + ["z"]
+    day2 = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], ["doc_id", "text"]
+    )
+    store = FingerprintStore(spark, str(tmp_path / "esub"), normalize=False)
+    store.absorb(
+        T.substring_windows(day1, window_words=W).select("_pk", "_win"),
+        "_pk", "_win",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_kept"])
+        for r in T.exact_substring_dedup_increment(
+            store, day2, window_words=W
+        ).collect()
+    }
+    # doc 1: the 7 span words die (absorbed day 1, despite doc_id 1 <
+    # 100); "pre" and the fresh 7 survive as first occurrence
+    assert out[1] == (15, 8)
+    # doc 2: its copy of the fresh span loses to doc 1 within the
+    # increment; x y z survive
+    assert out[2] == (10, 3)

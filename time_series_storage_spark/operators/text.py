@@ -677,21 +677,44 @@ def exact_substring_dedup(
     join; reassembly one per-doc aggregation whose order rides in the
     collected structs. Every shuffle key is fixed-width.
     """
-    words = docs.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "word")
+    wins = substring_windows(
+        docs, id_col, text_col, window_words, pk_limit
+    ).select(F.col(id_col), "_start", F.md5("_win").alias("_wh"), "_pk")
+    firsts = wins.groupBy("_wh").agg(F.min("_pk").alias("_mk"))
+    dup_occ = (
+        wins.join(firsts, "_wh")
+        .where(F.col("_pk") != F.col("_mk"))
+        .select(F.col(id_col), "_start")
     )
-    wins = (
+    return _remove_covered_and_reassemble(
+        docs, dup_occ, id_col, text_col, window_words
+    )
+
+
+def substring_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 50,
+    pk_limit: int = CHUNK_PK_LIMIT,
+) -> DataFrame:
+    """(id, _start, _win, _pk): the stride-1 full-window projection
+    shared by batch :func:`exact_substring_dedup` and its incremental
+    store form — ``_win`` is the W-word window text (fingerprinted by
+    the consumer), ``_pk`` the scalar (id, start) adjudication key
+    with the same loud collision bound as the chunk family."""
+    return (
         chunk_windows(docs, id_col, text_col, window=window_words, stride=1)
-        .where(F.col("n_tokens") == window_words)  # full windows only
+        .where(F.col("n_tokens") == window_words)
         .select(
             F.col(id_col),
             F.col("chunk_id").alias("_start"),
-            F.md5(F.col("chunk")).alias("_wh"),
+            F.col("chunk").alias("_win"),
             F.when(
                 F.col("chunk_id") >= pk_limit,
                 F.raise_error(
                     F.lit(
-                        "exact_substring_dedup: document exceeds "
+                        "substring_windows: document exceeds "
                         f"{pk_limit} window starts — the scalar "
                         "position key would collide"
                     )
@@ -701,11 +724,25 @@ def exact_substring_dedup(
             .alias("_pk"),
         )
     )
-    firsts = wins.groupBy("_wh").agg(F.min("_pk").alias("_mk"))
+
+
+def _remove_covered_and_reassemble(
+    docs: DataFrame,
+    dup_occurrences: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_words: int,
+) -> DataFrame:
+    """Shared tail of the exact-substring family: expand duplicate
+    window occurrences (id, _start) to covered word positions, drop
+    those words, reassemble per document, and reattach zero-window
+    documents verbatim. Output: (id, n_words, n_kept, new_n_chars,
+    new_text_md5)."""
+    words = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "word")
+    )
     removed = (
-        wins.join(firsts, "_wh")
-        .where(F.col("_pk") != F.col("_mk"))
-        .select(
+        dup_occurrences.select(
             F.col(id_col),
             F.explode(
                 F.sequence(
@@ -724,13 +761,51 @@ def exact_substring_dedup(
         F.col("_r").isNull().alias("_keep"),
     )
     out = reassemble_chunks(flagged, id_col)
-    # zero-token documents have no word rows; reattach them verbatim
     return docs.select(F.col(id_col)).join(out, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_words"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("new_n_chars", F.lit(0)).cast("long").alias("new_n_chars"),
         F.coalesce("new_text_md5", F.md5(F.lit(""))).alias("new_text_md5"),
+    )
+
+
+def exact_substring_dedup_increment(
+    store,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 50,
+) -> DataFrame:
+    """Daily-ingest exact substring dedup — :func:`exact_substring_dedup`
+    in O(increment) form against a PERSISTED window-fingerprint set: a
+    raw-mode :class:`~.dedup.FingerprintStore` holding one md5 per
+    stride-1 window position ever retained is the distributed,
+    incrementally-growable stand-in for the suffix array (the index
+    Lee et al. rebuild per run). Today's windows probe the store in
+    ONE anti-join on the fixed-width fingerprint column — history text
+    is never rescanned — then first-occurrence-wins within the
+    increment; covered positions of every non-winning occurrence are
+    removed and survivors reassemble per document. Pure read — the
+    caller absorbs the increment's windows separately when committing
+    the day (the store family's usual read/commit split).
+
+    Winner semantics are the family's FIRST-DAY-WINS sequential
+    contract at window grain: a span absorbed on any earlier day
+    suppresses today's occurrences even at a smaller doc_id, and
+    history is never re-adjudicated. Output: (id, n_words, n_kept,
+    new_n_chars, new_text_md5), every increment document present."""
+    wins = substring_windows(
+        new_docs, id_col, text_col, window_words
+    )
+    kept = store.dedup_increment(
+        wins.select(F.col("_pk"), F.col("_win")), "_pk", "_win"
+    ).select("_pk")
+    dup_occ = wins.join(kept, "_pk", "left_anti").select(
+        F.col(id_col), "_start"
+    )
+    return _remove_covered_and_reassemble(
+        new_docs, dup_occ, id_col, text_col, window_words
     )
 
 

@@ -2268,6 +2268,138 @@ GROUP BY t.doc_id
 """
 
 
+def _esub_fp_store(spark, sf_dir):
+    """Persisted WINDOW-granularity fingerprint store for incremental
+    exact-substring dedup: the raw-mode FingerprintStore holding one
+    md5 per stride-1 {ESUB_WINDOW_WORDS}-word window position of the
+    absorbed history — the incrementally-growable stand-in for the
+    suffix array the batch pipeline rebuilds per run. Built on first
+    use from the base slice (doc_id < {FPSTORE_BASE}), staleness-keyed
+    on the corpus files like every other store builder."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import FingerprintStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{ESUB_WINDOW_WORDS}"
+        ":esub-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_esubfp_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return FingerprintStore(spark, root, normalize=False)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = FingerprintStore(spark, root, normalize=False)
+                wins = T.substring_windows(
+                    _docs(spark, sf_dir).where(
+                        F.col("doc_id") < FPSTORE_BASE
+                    ),
+                    "doc_id", "text", ESUB_WINDOW_WORDS,
+                )
+                store.absorb(
+                    wins.select("_pk", "_win"), "_pk", "_win"
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_esub_dedup_incremental(spark, sf_dir):
+    """Daily-ingest EXACT SUBSTRING dedup (operators/text.py:
+    exact_substring_dedup_increment): today's documents (doc_id >=
+    {FPSTORE_BASE}) are windowed at stride 1, each window adjudicated
+    against the PERSISTED window-fingerprint store (one anti-join on a
+    fixed-width md5 column — history text never rescanned) plus
+    first-occurrence-wins within the increment; covered positions of
+    every non-winning occurrence are removed and survivors reassemble
+    per document. The oracle recomputes both days' windows from
+    scratch, proving the persisted window set equals full history —
+    the O(increment) form of dedup_exact_substring, at the family's
+    first-day-wins sequential contract."""
+    store = _esub_fp_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    return T.exact_substring_dedup_increment(
+        store, inc, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+SQL_ESUB_DEDUP_INCREMENTAL = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, g.i AS wpos, toks[g.i + 1] AS word
+  FROM tk, unnest(generate_series(0, len(toks) - 1)) g(i)
+  WHERE doc_id >= {FPSTORE_BASE}
+),
+win AS (
+  SELECT doc_id, g.k AS s,
+         md5(array_to_string(
+             list_slice(toks, g.k + 1, g.k + {ESUB_WINDOW_WORDS}),
+             ' ')) AS wh,
+         doc_id * 1000000 + g.k AS pk
+  FROM tk,
+       unnest(generate_series(0, len(toks) - {ESUB_WINDOW_WORDS})) g(k)
+),
+incw AS (SELECT * FROM win WHERE doc_id >= {FPSTORE_BASE}),
+freshw AS (
+  SELECT i.* FROM incw i
+  WHERE i.wh NOT IN (SELECT wh FROM win WHERE doc_id < {FPSTORE_BASE})
+),
+mins AS (SELECT wh, MIN(pk) AS mk FROM freshw GROUP BY wh),
+rem AS (
+  SELECT DISTINCT d.doc_id, d.s + g.j AS wpos
+  FROM (SELECT i.doc_id, i.s FROM incw i
+        LEFT JOIN mins m ON i.pk = m.mk
+        WHERE m.mk IS NULL) d,
+       unnest(generate_series(0, {ESUB_WINDOW_WORDS} - 1)) g(j)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word, (r.wpos IS NULL) AS keep
+  FROM w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.wpos = r.wpos
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COUNT(k.wpos)::BIGINT AS n_words,
+       COALESCE(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                                  ' ' ORDER BY k.wpos), ''))::BIGINT
+         AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                               ' ' ORDER BY k.wpos), '')) AS new_text_md5
+FROM tk t LEFT JOIN kept k ON t.doc_id = k.doc_id
+WHERE t.doc_id >= {FPSTORE_BASE}
+GROUP BY t.doc_id
+"""
+
+
 def _lm_store(spark, sf_dir):
     """The persisted bigram LM store for ``sf_dir`` — fit once by
     absorbing the history slice (doc_id < {FPSTORE_BASE}), then READ
@@ -8424,6 +8556,10 @@ EXT_QUERIES = {
     "dedup_exact_substring": (
         q_dedup_exact_substring,
         SQL_DEDUP_EXACT_SUBSTRING,
+    ),
+    "esub_dedup_incremental": (
+        q_esub_dedup_incremental,
+        SQL_ESUB_DEDUP_INCREMENTAL,
     ),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
