@@ -24,24 +24,28 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 9: the
-# three new queries (exact substring dedup, batch + incremental; the
-# three-store curation pipeline) lead, followed by 47 of the 49 rows
-# whose last driver gate was r6 — every other registry row was gated
-# in r7 or r8, so with this window each row has a green driver
-# CORRECTNESS row within the last 3 rounds, except `large_orders` and `cheapest_supplier` (52 candidates
-# for a 50-row window; those two — trivial TPC-H shapes, stable since
-# r2, green in this round's local sf0.01 sweep and the full-registry
-# sf0.001 pytest oracle suite — park at positions 51-52 and lead
-# r10's window).  Below the line: the r7 block (next-oldest, the bulk
-# of r10's window), then the r8 block (freshest).
+# five new queries (exact substring dedup, batch + incremental; the
+# three-store curation pipeline; Gopher quality rules; DSIR
+# importance) lead, followed by 45 of the 49 rows whose last driver
+# gate was r6 — every other registry row was gated in r7 or r8, so
+# with this window each row has a green driver CORRECTNESS row within
+# the last 3 rounds except the four parked at positions 51-54 (the
+# registry now exceeds 150 = 3 rounds x 50 rows, so strict 3-round
+# coverage is arithmetically impossible; the parked rows are trivial
+# TPC-H shapes, stable since r2, green in this round's local sf0.01
+# sweep and the full-registry sf0.001 pytest oracle suite, and they
+# LEAD r10's window).  Below the line: the r7 block (next-oldest, the
+# bulk of r10's window), then the r8 block (freshest).
 _GATE_PRIORITY = [
-    # --- round-9 window: the three new r9 queries (never gated),
-    # --- then 47 of the 49 rows whose last driver gate was r6
-    # --- (large_orders + cheapest_supplier park at 51-52, sweep- and
-    # --- pytest-covered, and lead the r10 window) ---
+    # --- round-9 window: the five new r9 queries (never gated),
+    # --- then 45 of the 49 rows whose last driver gate was r6 (the
+    # --- other four park at 51-54, sweep- and pytest-covered, and
+    # --- lead the r10 window) ---
     "dedup_exact_substring",
     "esub_dedup_incremental",
     "pipeline_curation_media",
+    "gopher_quality_rules",
+    "dsir_importance",
     "text_dup_ngrams",
     "emb_quantize_int8",
     "sim_topk_int8",
@@ -87,11 +91,11 @@ _GATE_PRIORITY = [
     "sim_recall_audit",
     "ts_hourly_profile",
     "pricing_summary",
-    "top_open_orders",
-    "customers_without_urgent_orders",
-    # --- below the 50-row gate line: the two parked r6 rows first
+    # --- below the 50-row gate line: the four parked r6 rows first
     # --- (they lead r10), then the r7-gated block (next-oldest),
     # --- then the r8-gated block (freshest external coverage) ---
+    "top_open_orders",
+    "customers_without_urgent_orders",
     "large_orders",
     "cheapest_supplier",
     "dedup_near_incremental",

@@ -1437,3 +1437,84 @@ def test_exact_substring_incremental_first_day_wins(spark, tmp_path):
     # doc 2: its copy of the fresh span loses to doc 1 within the
     # increment; x y z survive
     assert out[2] == (10, 3)
+
+
+def test_gopher_quality_rules_signals_and_gate(spark):
+    """Each Gopher rule pinned on a crafted doc that fails exactly it;
+    a compliant doc passes the full gate (paper thresholds)."""
+    good = ("the quick brown foxes have raced to the edge of that "
+            "misty valley and waited with their patient friends " * 3)
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "the small cat sat with joy"),           # < 50 words
+        (2, ("### ## " * 30) + good),                # symbol-heavy
+        (3, " ".join(["12345"] * 60)),               # no alpha, no stops
+        (4, "\n".join(["- " + good] * 10)),          # all bullet lines
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in
+           T.gopher_quality_rules(docs).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["n_words"] == 6
+    assert out[2]["keep"] == 0 and out[2]["symbol_x1000"] > 100
+    assert out[3]["keep"] == 0 and out[3]["alpha_x1000"] == 0
+    assert out[3]["n_req_stops"] == 0
+    assert out[4]["keep"] == 0 and out[4]["bullet_x1000"] == 1000
+    # exact signal spot-check on the short doc
+    assert out[1]["mwl_x100"] == (3 + 5 + 3 + 3 + 4 + 3) * 100 // 6
+    assert out[1]["n_req_stops"] == 2  # the, with
+
+
+def test_dsir_importance_matches_python_model_and_ranks_target(spark):
+    """DSIR scores pinned against a pure-Python model (same md5
+    bucketing, same fixed-point ratio), and the semantic contract: a
+    document drawn from the target vocabulary outscores (higher mean
+    per-term ratio) one drawn from the raw-only vocabulary."""
+    import hashlib
+
+    B = 256
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    raw_words = ["zeta", "eta", "theta", "iota"]
+    rows = [
+        (0, " ".join(tgt_words * 5), True),
+        (1, " ".join(tgt_words[::-1] * 5), True),
+        (2, " ".join(raw_words * 5), False),
+        (3, " ".join(tgt_words * 3), False),   # target-LIKE, not labeled
+        (4, " ".join(raw_words[:2] * 8), False),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "_is_target"])
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:12], 16) % B
+
+    terms = {}
+    for i, t, is_t in rows:
+        ws = t.split()
+        terms[i] = (
+            [bucket(f"{a} {b}") for a, b in zip(ws, ws[1:])], is_t
+        )
+    cr, ct = {}, {}
+    nr = nt = 0
+    for i, (bs, is_t) in terms.items():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            nr += 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+                nt += 1
+    want = {}
+    for i, (bs, _t) in terms.items():
+        s = sum(
+            round((ct.get(b, 0) + 1) * (nr + B) * 1e9
+                  / ((cr[b] + 1) * (nt + B)))
+            for b in bs
+        )
+        want[i] = (len(bs), s)
+    got = {
+        r["doc_id"]: (r["n_terms"], r["sum_ratio_x1e9"])
+        for r in T.dsir_importance(docs).collect()
+    }
+    assert got == want
+    mean = lambda i: got[i][1] / got[i][0]  # noqa: E731
+    # target-like docs (labeled or not) outrank raw-only docs
+    assert mean(3) > mean(2) and mean(0) > mean(2) and mean(3) > mean(4)

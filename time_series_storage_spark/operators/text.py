@@ -882,6 +882,174 @@ def lm_doc_likelihood(
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stops: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021, Appendix A) —
+    the published heuristic filter suite MassiveWeb/MassiveText used,
+    as one shuffle-free projection: word-count bounds, mean word
+    length in [3, 10], symbol-to-word ratio (# and ...) <= 0.1, >= 80%
+    of words containing an alphabetic character, <= 90% bullet-point
+    lines, <= 30% ellipsis-ending lines, and >= ``min_stops`` of the
+    paper's eight required stop words (paper default 2). Every signal is scaled+floored to an integer
+    (the repo's cross-engine discipline) and emitted alongside the
+    composite ``keep`` verdict, so downstream can re-gate on any
+    subset without recomputing.
+
+    Scale shape: pure codegen over the scan — tokenize once, fold the
+    per-token predicates as array expressions, zero shuffles; the
+    filter's cost is the read itself, which is what lets the rule
+    suite run as the FIRST pass of a 100-TB curation pipeline.
+    """
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_words = F.size(toks).cast("long")
+    denom_w = F.greatest(n_words, F.lit(1))
+    total_wlen = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl_x100 = F.floor(total_wlen * 100 / denom_w).cast("long")
+    n_hash = (F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))).cast("long")
+    n_ell = (
+        (F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))) / 3
+    ).cast("long")
+    symbol_x1000 = F.floor((n_hash + n_ell) * 1000 / denom_w).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_x1000 = F.floor(n_alpha * 1000 / denom_w).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda s: s != "")
+    denom_l = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda s: s.startswith("-") | s.startswith("*"))
+    ).cast("long")
+    bullet_x1000 = F.floor(n_bullet * 1000 / denom_l).cast("long")
+    n_ell_lines = F.size(F.filter(lines, lambda s: s.endswith("..."))).cast(
+        "long"
+    )
+    ellipsis_x1000 = F.floor(n_ell_lines * 1000 / denom_l).cast("long")
+    n_stops = sum(
+        F.array_contains(toks, s).cast("long") for s in GOPHER_STOPS
+    ).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mwl_x100 >= 300)
+        & (mwl_x100 <= 1000)
+        & (symbol_x1000 <= 100)
+        & (alpha_x1000 >= 800)
+        & (bullet_x1000 <= 900)
+        & (ellipsis_x1000 <= 300)
+        & (n_stops >= min_stops)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mwl_x100.alias("mwl_x100"),
+        symbol_x1000.alias("symbol_x1000"),
+        alpha_x1000.alias("alpha_x1000"),
+        bullet_x1000.alias("bullet_x1000"),
+        ellipsis_x1000.alias("ellipsis_x1000"),
+        n_stops.alias("n_req_stops"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_importance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "_is_target",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit a TARGET bag-of-hashed-bigrams model (rows where
+    ``target_col`` is true — the domain you want more of) and a RAW
+    model (the whole corpus), then score every document by how much
+    its hashed bigrams look like target rather than raw. Documents
+    ranked by this score are what importance resampling draws.
+
+    In-engine fixed-point form: bigrams hash to ``buckets`` md5
+    buckets (pure function of the term — engine-portable); each model
+    is add-one-smoothed bucket counts; each term contributes
+    ``round(1e9 * (ct+1)(Nr+B) / ((cr+1)(Nt+B)))`` — counts are exact
+    integers and the quantization is IEEE multiply/divide + round in
+    a fixed expression shape, bit-identical in any engine (the same
+    per-term-quantize-then-sum discipline as lm_doc_likelihood; a
+    float log-sum would drift in the last ulp across engines, so the
+    gated statistic sums quantized probability RATIOS — per-term
+    ordering identical to the paper's log-ratio).
+
+    Output: (id, n_terms, sum_ratio_x1e9) for every document with at
+    least one bigram. Scale shape: bigram extraction is a zero-shuffle
+    projection; each model is ONE partial-aggregated count over a
+    <= ``buckets``-row key space (broadcastable however big the
+    corpus); scoring joins doc terms to the two tiny models + two
+    scalar totals — no shuffle wider than the bucket space.
+    """
+    bi = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("_t"),
+        tokens(text_col).alias("_w"),
+    ).where(F.size("_w") >= 2)
+    terms = bi.select(
+        F.col(id_col),
+        "_t",
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.size("_w") - 1),
+                F.slice("_w", 2, F.size("_w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("_term"),
+    ).select(
+        F.col(id_col),
+        "_t",
+        (
+            F.conv(F.substring(F.md5("_term"), 1, 12), 16, 10).cast("long")
+            % buckets
+        ).alias("_b"),
+    )
+    raw_c = terms.groupBy("_b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = terms.where(F.col("_t")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = terms.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.col("_t").cast("long")).alias("nt"),
+    )
+    t_x1e9 = F.round(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        * (F.col("nr") + buckets)
+        * 1e9
+        / ((F.col("cr") + 1) * (F.col("nt") + buckets))
+    ).cast("long")
+    scored = (
+        terms.join(F.broadcast(raw_c), "_b")
+        .join(F.broadcast(tgt_c), "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), t_x1e9.alias("_r"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_r").cast("long").alias("sum_ratio_x1e9"),
+    )
+
+
 def hashed_doc_embedding(
     docs: DataFrame,
     id_col: str = "doc_id",

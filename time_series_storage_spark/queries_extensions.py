@@ -2202,6 +2202,134 @@ GROUP BY i.doc_id
 """
 
 
+def q_gopher_quality_rules(spark, sf_dir):
+    """The Gopher quality-rule gate (Rae et al. 2021, Appendix A) as
+    one shuffle-free projection (operators/text.py:
+    gopher_quality_rules): word-count bounds, mean word length,
+    symbol-to-word ratio, alpha-word share, bullet/ellipsis line
+    shares and the required-stop-word rule, every signal
+    integer-scaled and the composite keep verdict alongside — the
+    published first-pass heuristic filter of a web-scale curation
+    pipeline, whose cost is the scan itself. The synthetic corpus
+    vocabulary contains exactly one of the paper's eight required
+    stop words ('the'), so the gate applies that rule at threshold 1
+    (the operator's default stays at the paper's 2) — otherwise the
+    keep verdict would be degenerately all-zero here."""
+    return T.gopher_quality_rules(
+        _docs(spark, sf_dir), min_stops=GOPHER_MIN_STOPS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "mwl_x100",
+        "symbol_x1000",
+        "alpha_x1000",
+        "bullet_x1000",
+        "ellipsis_x1000",
+        "n_req_stops",
+        "keep",
+    )
+
+
+GOPHER_MIN_STOPS = 1  # see q_gopher_quality_rules docstring
+
+_GOPHER_STOPS_SQL = " + ".join(
+    f"list_contains(toks, '{s}')::INT" for s in
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+SQL_GOPHER_QUALITY_RULES = f"""
+WITH tk AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         GREATEST(len(toks), 1) AS dw,
+         COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS twl,
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+         len(list_filter(toks,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         ({_GOPHER_STOPS_SQL})::BIGINT AS n_req_stops
+  FROM tk
+),
+sig2 AS (
+  SELECT doc_id, n_words, n_req_stops,
+         FLOOR(twl * 100 / dw)::BIGINT AS mwl_x100,
+         FLOOR((nhash + nell) * 1000 / dw)::BIGINT AS symbol_x1000,
+         FLOOR(nalpha * 1000 / dw)::BIGINT AS alpha_x1000,
+         FLOOR(len(list_filter(lines,
+             l -> starts_with(l, '-') OR starts_with(l, '*'))) * 1000
+             / GREATEST(len(lines), 1))::BIGINT AS bullet_x1000,
+         FLOOR(len(list_filter(lines, l -> ends_with(l, '...'))) * 1000
+             / GREATEST(len(lines), 1))::BIGINT AS ellipsis_x1000
+  FROM sig
+)
+SELECT doc_id::BIGINT AS doc_id, n_words, mwl_x100, symbol_x1000,
+       alpha_x1000, bullet_x1000, ellipsis_x1000, n_req_stops,
+       (CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND mwl_x100 >= 300 AND mwl_x100 <= 1000
+              AND symbol_x1000 <= 100 AND alpha_x1000 >= 800
+              AND bullet_x1000 <= 900 AND ellipsis_x1000 <= 300
+              AND n_req_stops >= {GOPHER_MIN_STOPS}
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM sig2
+"""
+
+
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR hashed-n-gram importance scoring (Xie et al. 2023 —
+    operators/text.py:dsir_importance): the target distribution is
+    the '{DSIR_TARGET_LANG}' slice, the raw distribution the whole
+    corpus; every document scores as the fixed-point sum of its
+    hashed-bigram target/raw probability ratios (per-term quantized
+    IEEE divide+round, so the hash gate holds across engines; per-term
+    ordering identical to the paper's log-ratio). The two models are
+    {DSIR_BUCKETS_SQL}-bucket count tables — broadcastable however
+    large the corpus, so scoring never shuffles wider than the bucket
+    space."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "_is_target", F.col("lang") == DSIR_TARGET_LANG
+    )
+    return T.dsir_importance(docs, "doc_id", "text", "_is_target").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_terms",
+        "sum_ratio_x1e9",
+    )
+
+
+DSIR_BUCKETS_SQL = 256  # mirrors operators/text.py DSIR_BUCKETS
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH tk AS (SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS t,
+                   {_TOKS} AS w
+            FROM documents),
+terms AS (
+  SELECT doc_id, t,
+         CAST(CONCAT('0x', SUBSTRING(md5(w[g.i] || ' ' || w[g.i + 1]),
+                                     1, 12)) AS BIGINT)
+           % {DSIR_BUCKETS_SQL} AS b
+  FROM tk, unnest(generate_series(1, len(w) - 1)) g(i)
+  WHERE len(w) >= 2
+),
+rawc AS (SELECT b, COUNT(*) AS cr FROM terms GROUP BY b),
+tgtc AS (SELECT b, COUNT(*) AS ct FROM terms WHERE t GROUP BY b),
+tot AS (SELECT COUNT(*) AS nr,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt
+        FROM terms)
+SELECT doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_terms,
+       SUM(CAST(round((COALESCE(ct, 0) + 1)::DOUBLE
+                * (nr + {DSIR_BUCKETS_SQL}) * 1e9
+                / ((cr + 1) * (nt + {DSIR_BUCKETS_SQL})))
+           AS BIGINT))::BIGINT AS sum_ratio_x1e9
+FROM terms JOIN rawc USING (b) LEFT JOIN tgtc USING (b) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 ESUB_WINDOW_WORDS = 20
 
 
@@ -8561,6 +8689,11 @@ EXT_QUERIES = {
         q_esub_dedup_incremental,
         SQL_ESUB_DEDUP_INCREMENTAL,
     ),
+    "gopher_quality_rules": (
+        q_gopher_quality_rules,
+        SQL_GOPHER_QUALITY_RULES,
+    ),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
         SQL_PIPELINE_QUALITY_CHUNK_DEDUP,
