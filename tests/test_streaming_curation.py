@@ -297,3 +297,60 @@ def test_three_store_chain_crash_converges_to_no_crash_twin(
     st = _state3(lm, fp, img)
     fn(_df(spark, B1), 1)
     assert out[1] == t_out[1] and _state3(lm, fp, img) == st
+
+
+# -- streaming exact-substring dedup -----------------------------------------
+
+def test_esub_stream_crash_replay_emits_identical_survivors(
+    spark, tmp_path
+):
+    """Streaming exact-substring dedup is exactly-once: batch 0's
+    retained spans suppress batch 1's occurrences at any offset; a
+    commit crash during batch 1 leaves batch 0's state intact, and the
+    replay emits byte-identical reassembled survivors to a
+    never-crashed twin without double-absorbing windows."""
+    from time_series_storage_spark.streaming.curation import (
+        esub_foreach_batch,
+    )
+
+    W = 5
+    span = [f"s{j}" for j in range(8)]
+    b0 = [(100, " ".join(span + ["t1", "t2"]))]
+    b1 = [(1, " ".join(["pre"] + span + ["x", "y"])),
+          (2, " ".join([f"f{j}" for j in range(6)]))]
+
+    def run(tag, crash=False):
+        store = FingerprintStore(
+            spark, str(tmp_path / f"es{tag}"), normalize=False
+        )
+        outs = {}
+
+        def emit(df, bid):
+            outs[bid] = sorted(
+                (r.doc_id, r.n_words, r.n_kept, r.new_text_md5)
+                for r in df.collect()
+            )
+
+        fn = esub_foreach_batch(store, W, "doc_id", "text", emit)
+        fn(_df(spark, b0), 0)
+        if crash:
+            def boom(stage):
+                if stage == "post_write":
+                    raise RuntimeError("injected esub crash")
+            store._commit_fault = boom
+            with pytest.raises(RuntimeError, match="esub crash"):
+                fn(_df(spark, b1), 1)
+            store._commit_fault = None
+        fn(_df(spark, b1), 1)
+        if crash:  # a further replay of the committed batch: pure read
+            fn(_df(spark, b1), 1)
+        return outs, sorted(r.fp for r in store.seen().collect())
+
+    want, want_fps = run("t")
+    got, got_fps = run("c", crash=True)
+    assert got == want and got_fps == want_fps
+    # semantic spot-check: doc 1's 8-word span died across batches at
+    # offset 1; doc 2 untouched (below the window floor)
+    out1 = dict((d, (n, k)) for d, n, k, _m in want[1])
+    assert out1[1] == (11, 3)   # pre, x, y survive
+    assert out1[2] == (6, 6)

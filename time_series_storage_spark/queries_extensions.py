@@ -2330,6 +2330,70 @@ GROUP BY doc_id
 """
 
 
+CCNET_BUCKETS = 3
+
+
+def q_ccnet_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, rank every document by its LM quality score (the
+    in-engine bigram model of lm_doc_likelihood standing in for the
+    paper's KenLM — higher mean bigram probability = more
+    in-distribution = 'head') and cut into {CCNET_BUCKETS}
+    equal-frequency buckets. Ordering is (mean probability DESC,
+    doc_id) — the mean is one IEEE divide of two exact longs, so both
+    engines rank identically and NTILE assigns identical buckets.
+    Scale: one exchange on lang; at web scale swap NTILE for
+    percentile cut points computed per lang and broadcast — the
+    output contract (doc -> bucket) is unchanged."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    scores = T.lm_doc_likelihood(_docs(spark, sf_dir), "doc_id", "text")
+    ranked = docs.join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        (
+            F.col("sum_p_x1e9").cast("double") / F.col("n_bigrams")
+        ).desc(),
+        F.col("doc_id"),
+    )
+    return ranked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_bigrams",
+        "sum_p_x1e9",
+        F.ntile(CCNET_BUCKETS).over(w).cast("long").alias("ppl_bucket"),
+    )
+
+
+SQL_CCNET_QUALITY_BUCKETS = f"""
+WITH toksc AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+bic AS (
+  SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toksc, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE len(t) >= 2
+),
+bcc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bic GROUP BY w1, w2),
+ucc AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+          SELECT unnest(t) AS w FROM toksc) GROUP BY w),
+vvc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(t) AS w FROM toksc)),
+scc AS (
+  SELECT b.doc_id, COUNT(*) AS nb,
+         SUM(CAST(round((c12 + 1)::DOUBLE * 1e9 / (c1 + v))
+             AS BIGINT)) AS sp
+  FROM bic b JOIN bcc USING (w1, w2) JOIN ucc USING (w1) CROSS JOIN vvc
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.lang,
+       s.nb::BIGINT AS n_bigrams, s.sp::BIGINT AS sum_p_x1e9,
+       NTILE({CCNET_BUCKETS}) OVER (
+         PARTITION BY d.lang
+         ORDER BY s.sp::DOUBLE / s.nb DESC, d.doc_id)::BIGINT
+         AS ppl_bucket
+FROM documents d JOIN scc s ON d.doc_id = s.doc_id
+"""
+
+
 ESUB_WINDOW_WORDS = 20
 
 
@@ -8694,6 +8758,10 @@ EXT_QUERIES = {
         SQL_GOPHER_QUALITY_RULES,
     ),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "ccnet_quality_buckets": (
+        q_ccnet_quality_buckets,
+        SQL_CCNET_QUALITY_BUCKETS,
+    ),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
         SQL_PIPELINE_QUALITY_CHUNK_DEDUP,

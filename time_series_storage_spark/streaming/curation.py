@@ -80,6 +80,47 @@ def curation_foreach_batch(
     return _fn
 
 
+def esub_foreach_batch(
+    store,
+    window_words: int,
+    id_col: str,
+    text_col: str,
+    emit,
+):
+    """Exactly-once STREAMING exact-substring dedup (the Lee et al.
+    2021 pipeline as a live feed): each micro-batch's stride-1 windows
+    absorb into a window-grain raw-mode
+    :class:`~..operators.dedup.FingerprintStore` under the batch id —
+    a span ever retained by ANY earlier batch suppresses today's
+    occurrences (first-day-wins at window grain) — and the per-document
+    removal + reassembly is reconstructed FROM THE COMMITTED EMISSION
+    (the kept window keys), so a sink-crash replay re-reads the
+    committed keys and emits byte-identical reassembled survivors
+    without re-adjudicating or double-absorbing.
+    ``emit(survivors_df, batch_id)`` receives (id, n_words, n_kept,
+    new_n_chars, new_text_md5) for every batch document."""
+    from ..operators.text import (
+        _remove_covered_and_reassemble,
+        substring_windows,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        wins = substring_windows(batch_df, id_col, text_col, window_words)
+        kept = store.absorb(
+            wins.select("_pk", "_win"), "_pk", "_win",
+            batch_id=int(batch_id),
+        ).select("_pk")
+        dup_occ = wins.join(kept, "_pk", "left_anti").select(
+            F.col(id_col), "_start"
+        )
+        out = _remove_covered_and_reassemble(
+            batch_df, dup_occ, id_col, text_col, window_words
+        )
+        emit(out, int(batch_id))
+
+    return _fn
+
+
 def curation_media_foreach_batch(
     lm_store,
     fp_store,
