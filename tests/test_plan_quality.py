@@ -1098,3 +1098,50 @@ def test_doc_embed_hashing_two_partial_aggs_no_python(spark):
         if "hashpartitioning" in seg[:120]
     )
     assert n_exchanges <= 2
+
+
+def test_gopher_rules_plan_is_shuffle_free_projection(spark):
+    """The Gopher rule gate claims its cost is the scan itself: the
+    whole rule suite must compile to a projection with NO exchange
+    and no Python evaluation."""
+    from time_series_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox")], ["doc_id", "text"]
+    )
+    plan = _plan(T.gopher_quality_rules(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_exact_substring_plan_partial_min_no_python(spark):
+    """Exact substring dedup's first-occurrence pass must partial-
+    aggregate the min position key map-side (the shuffle carries one
+    row per distinct window hash per partition), with zero Python and
+    no cartesian anywhere in the DAG."""
+    from time_series_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], ["doc_id", "text"]
+    )
+    plan = _plan(T.exact_substring_dedup(docs, window_words=5))
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_models_are_broadcast(spark):
+    """DSIR scoring joins every doc term against the two bucket-count
+    models: both joins must be broadcast (the models are <= buckets
+    rows however large the corpus) — a shuffled join here would be
+    the 100-TB bottleneck."""
+    from time_series_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", True), (2, "c d e f", False)],
+        ["doc_id", "text", "_is_target"],
+    )
+    plan = _plan(T.dsir_importance(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
