@@ -2330,6 +2330,146 @@ GROUP BY doc_id
 """
 
 
+DSIR_KEEP_X1E9 = 1_000_000_000  # keep docs with mean term ratio >= 1.0
+
+
+def q_pipeline_modern_curation(spark, sf_dir):
+    """The MODERN published curation pipeline end to end in ONE lazy
+    DAG — the stages today's open datasets actually run, in their
+    published order: (1) Gopher heuristic rule gate (Rae et al. 2021;
+    shuffle-free projection), (2) DSIR hashed-n-gram importance
+    selection (Xie et al. 2023; models fit ON THE RULE SURVIVORS,
+    keep documents whose mean term ratio clears {DSIR_KEEP_X1E9}e-9 —
+    exact integer compare, never a float mean), (3) exact substring
+    dedup over the selected set (Lee et al. 2021; stride-1 window
+    fingerprints, first-occurrence-wins at any offset). Every stage's
+    verdict is integer-exact, so the final reassembled-text md5 hashes
+    the WHOLE composition. Scale shape: stage 1 rides the scan, stage
+    2 never shuffles wider than the 256-bucket space, stage 3's
+    shuffles are all fixed-width hash keys."""
+    docs = _docs(spark, sf_dir)
+    g = T.gopher_quality_rules(docs, min_stops=GOPHER_MIN_STOPS).where(
+        F.col("keep") == 1
+    ).select("doc_id")
+    kept1 = docs.join(g, "doc_id", "left_semi").withColumn(
+        "_is_target", F.col("lang") == DSIR_TARGET_LANG
+    )
+    d = T.dsir_importance(kept1, "doc_id", "text", "_is_target")
+    sel = d.where(
+        F.col("sum_ratio_x1e9") >= F.lit(DSIR_KEEP_X1E9) * F.col("n_terms")
+    ).select("doc_id")
+    kept2 = docs.join(sel, "doc_id", "left_semi")
+    return T.exact_substring_dedup(
+        kept2, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+def _pipeline_modern_curation_sql() -> str:
+    """From-scratch SQL replay of the three published stages: the
+    Gopher signal CTEs gate, the DSIR models refit on the gate
+    survivors score, and the substring window replay runs over the
+    selected set (subset restriction is exact — windows are computed
+    within the surviving corpus on both sides)."""
+    return f"""
+WITH tk0 AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         GREATEST(len(toks), 1) AS dw,
+         COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS twl,
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+         len(list_filter(toks,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         ({_GOPHER_STOPS_SQL})::BIGINT AS nstops
+  FROM tk0
+),
+gok AS (
+  SELECT doc_id FROM sig
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND FLOOR(twl * 100 / dw) >= 300 AND FLOOR(twl * 100 / dw) <= 1000
+    AND FLOOR((nhash + nell) * 1000 / dw) <= 100
+    AND FLOOR(nalpha * 1000 / dw) >= 800
+    AND FLOOR(len(list_filter(lines,
+        l -> starts_with(l, '-') OR starts_with(l, '*'))) * 1000
+        / GREATEST(len(lines), 1)) <= 900
+    AND FLOOR(len(list_filter(lines, l -> ends_with(l, '...'))) * 1000
+        / GREATEST(len(lines), 1)) <= 300
+    AND nstops >= {GOPHER_MIN_STOPS}
+),
+k1 AS (SELECT t.doc_id, (t.lang = '{DSIR_TARGET_LANG}') AS t,
+              t.toks AS w
+       FROM tk0 t JOIN gok USING (doc_id)),
+terms AS (
+  SELECT doc_id, t,
+         CAST(CONCAT('0x', SUBSTRING(md5(w[g.i] || ' ' || w[g.i + 1]),
+                                     1, 12)) AS BIGINT)
+           % {DSIR_BUCKETS_SQL} AS b
+  FROM k1, unnest(generate_series(1, len(w) - 1)) g(i)
+  WHERE len(w) >= 2
+),
+rawc AS (SELECT b, COUNT(*) AS cr FROM terms GROUP BY b),
+tgtc AS (SELECT b, COUNT(*) AS ct FROM terms WHERE t GROUP BY b),
+tot AS (SELECT COUNT(*) AS nr,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt
+        FROM terms),
+dscore AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         SUM(CAST(round((COALESCE(ct, 0) + 1)::DOUBLE
+                  * (nr + {DSIR_BUCKETS_SQL}) * 1e9
+                  / ((cr + 1) * (nt + {DSIR_BUCKETS_SQL})))
+             AS BIGINT)) AS sp
+  FROM terms JOIN rawc USING (b) LEFT JOIN tgtc USING (b) CROSS JOIN tot
+  GROUP BY doc_id
+),
+sel AS (SELECT doc_id FROM dscore
+        WHERE sp >= {DSIR_KEEP_X1E9} * n_terms),
+tk AS (SELECT t.doc_id, t.toks FROM tk0 t JOIN sel USING (doc_id)),
+w AS (
+  SELECT doc_id, g.i AS wpos, toks[g.i + 1] AS word
+  FROM tk, unnest(generate_series(0, len(toks) - 1)) g(i)
+),
+win AS (
+  SELECT doc_id, g.k AS s,
+         md5(array_to_string(
+             list_slice(toks, g.k + 1, g.k + {ESUB_WINDOW_WORDS}),
+             ' ')) AS wh,
+         doc_id * 1000000 + g.k AS pk
+  FROM tk,
+       unnest(generate_series(0, len(toks) - {ESUB_WINDOW_WORDS})) g(k)
+),
+firsts AS (SELECT wh, MIN(pk) AS mk FROM win GROUP BY wh),
+rem AS (
+  SELECT DISTINCT d.doc_id, d.s + g.j AS wpos
+  FROM (SELECT w2.doc_id, w2.s FROM win w2
+        JOIN firsts f ON w2.wh = f.wh AND w2.pk <> f.mk) d,
+       unnest(generate_series(0, {ESUB_WINDOW_WORDS} - 1)) g(j)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word, (r.wpos IS NULL) AS keep
+  FROM w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.wpos = r.wpos
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COUNT(k.wpos)::BIGINT AS n_words,
+       COALESCE(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                                  ' ' ORDER BY k.wpos), ''))::BIGINT
+         AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                               ' ' ORDER BY k.wpos), '')) AS new_text_md5
+FROM tk t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id
+"""
+
+
 CCNET_BUCKETS = 3
 
 
@@ -8761,6 +8901,10 @@ EXT_QUERIES = {
     "ccnet_quality_buckets": (
         q_ccnet_quality_buckets,
         SQL_CCNET_QUALITY_BUCKETS,
+    ),
+    "pipeline_modern_curation": (
+        q_pipeline_modern_curation,
+        _pipeline_modern_curation_sql(),
     ),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
