@@ -36,6 +36,12 @@ _NLJ_OVERRIDES = {
     "semantic_dedup": 3,
     "text_semantic_dedup": 3,
     "sim_recall_audit": 3,
+    # the modern pipeline embeds DSIR's single-row corpus-totals
+    # broadcast (one bounded scalar NLJ by construction) under
+    # exact_substring_dedup, whose words/windows/reattach branches
+    # each replan the upstream — the same ONE scalar join printed
+    # four times, never a wide build side
+    "pipeline_modern_curation": 4,
 }
 
 
