@@ -2346,7 +2346,15 @@ def q_pipeline_modern_curation(spark, sf_dir):
     verdict is integer-exact, so the final reassembled-text md5 hashes
     the WHOLE composition. Scale shape: stage 1 rides the scan, stage
     2 never shuffles wider than the 256-bucket space, stage 3's
-    shuffles are all fixed-width hash keys."""
+    shuffles are all fixed-width hash keys. The lazy one-DAG form
+    replans the stage-1/2 subtree under each of stage 3's branches
+    (exchanges dedupe at runtime; the one scalar totals broadcast is
+    the plan sweep's budgeted NLJ) — at 100 TB run it staged instead:
+    materialize the selection ids (a trivially small table) or use the
+    store-backed O(increment) forms (gopher is stateless, the LM/DSIR
+    models are persisted count tables, `_esub_fp_store` is the
+    substring stage), which is exactly the
+    pipeline_incremental_curation pattern."""
     docs = _docs(spark, sf_dir)
     g = T.gopher_quality_rules(docs, min_stops=GOPHER_MIN_STOPS).where(
         F.col("keep") == 1
