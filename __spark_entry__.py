@@ -24,14 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 9: the
-# seven new queries (exact substring dedup, batch + incremental; the
+# eight new queries (exact substring dedup, batch + incremental; the
 # three-store curation pipeline; Gopher quality rules; DSIR
-# importance; CCNet quality buckets; the Gopher->DSIR->substring
-# modern pipeline) lead, followed by 43 of the 49 rows whose last
-# driver gate was r6 — every other registry row was gated in r7 or
-# r8, so with this window each row has a green driver CORRECTNESS row
-# within the last 3 rounds except the six parked at positions 51-56
-# (the
+# importance, batch + incremental store; CCNet quality buckets; the
+# Gopher->DSIR->substring modern pipeline) lead, followed by 42 of
+# the 49 rows whose last driver gate was r6 — every other registry
+# row was gated in r7 or r8, so with this window each row has a green
+# driver CORRECTNESS row within the last 3 rounds except the seven
+# parked at positions 51-57 (the
 # registry now exceeds 150 = 3 rounds x 50 rows, so strict 3-round
 # coverage is arithmetically impossible; the parked rows are trivial
 # TPC-H shapes, stable since r2, green in this round's local sf0.01
@@ -39,9 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 # LEAD r10's window).  Below the line: the r7 block (next-oldest, the
 # bulk of r10's window), then the r8 block (freshest).
 _GATE_PRIORITY = [
-    # --- round-9 window: the seven new r9 queries (never gated),
-    # --- then 43 of the 49 rows whose last driver gate was r6 (the
-    # --- other six park at 51-56, sweep- and pytest-covered, and
+    # --- round-9 window: the eight new r9 queries (never gated),
+    # --- then 42 of the 49 rows whose last driver gate was r6 (the
+    # --- other seven park at 51-57, sweep- and pytest-covered, and
     # --- lead the r10 window) ---
     "dedup_exact_substring",
     "esub_dedup_incremental",
@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "dsir_importance",
     "ccnet_quality_buckets",
     "pipeline_modern_curation",
+    "dsir_score_incremental",
     "text_dup_ngrams",
     "emb_quantize_int8",
     "sim_topk_int8",
@@ -91,11 +92,11 @@ _GATE_PRIORITY = [
     "sketch_distinct_tokens",
     "rolling_weekly_users",
     "sales_rollup_nation_month",
-    "local_supplier_volume",
     "sim_recall_audit",
-    # --- below the 50-row gate line: the six parked r6 rows first
+    # --- below the 50-row gate line: the seven parked r6 rows first
     # --- (they lead r10), then the r7-gated block (next-oldest),
     # --- then the r8-gated block (freshest external coverage) ---
+    "local_supplier_volume",
     "ts_hourly_profile",
     "pricing_summary",
     "top_open_orders",

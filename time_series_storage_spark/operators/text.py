@@ -968,6 +968,43 @@ def gopher_quality_rules(
 DSIR_BUCKETS = 256
 
 
+def dsir_term_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "_is_target",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, _t, _b) — one row per bigram occurrence with its md5
+    feature-hash bucket, the zero-shuffle projection shared by the
+    batch :func:`dsir_importance` and the incremental
+    ``DsirModelStore`` (one derivation, so the persisted model and
+    the batch score agree bit-for-bit)."""
+    bi = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("_t"),
+        tokens(text_col).alias("_w"),
+    ).where(F.size("_w") >= 2)
+    return bi.select(
+        F.col(id_col),
+        "_t",
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.size("_w") - 1),
+                F.slice("_w", 2, F.size("_w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("_term"),
+    ).select(
+        F.col(id_col),
+        "_t",
+        (
+            F.conv(F.substring(F.md5("_term"), 1, 12), 16, 10).cast("long")
+            % buckets
+        ).alias("_b"),
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1001,29 +1038,7 @@ def dsir_importance(
     corpus); scoring joins doc terms to the two tiny models + two
     scalar totals — no shuffle wider than the bucket space.
     """
-    bi = docs.select(
-        F.col(id_col),
-        F.col(target_col).alias("_t"),
-        tokens(text_col).alias("_w"),
-    ).where(F.size("_w") >= 2)
-    terms = bi.select(
-        F.col(id_col),
-        "_t",
-        F.explode(
-            F.zip_with(
-                F.slice("_w", 1, F.size("_w") - 1),
-                F.slice("_w", 2, F.size("_w") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("_term"),
-    ).select(
-        F.col(id_col),
-        "_t",
-        (
-            F.conv(F.substring(F.md5("_term"), 1, 12), 16, 10).cast("long")
-            % buckets
-        ).alias("_b"),
-    )
+    terms = dsir_term_buckets(docs, id_col, text_col, target_col, buckets)
     raw_c = terms.groupBy("_b").agg(F.count(F.lit(1)).alias("cr"))
     tgt_c = terms.where(F.col("_t")).groupBy("_b").agg(
         F.count(F.lit(1)).alias("ct")

@@ -2478,6 +2478,116 @@ GROUP BY t.doc_id
 """
 
 
+def _dsir_store(spark, sf_dir):
+    """The persisted DSIR model store for ``sf_dir`` — fit once by
+    absorbing the history slice (doc_id < {FPSTORE_BASE}, target =
+    lang '{DSIR_TARGET_LANG}'), then READ by the gated query;
+    staleness-keyed on the corpus file and format-pinned exactly like
+    the other store builders (operators/dsir_store.py is the second
+    additive-merge member of the store family)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dsir_store import DsirModelStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{DSIR_TARGET_LANG}"
+        ":dsir-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_dsir_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return DsirModelStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = DsirModelStore(spark, root)
+                store.absorb(
+                    _docs(spark, sf_dir)
+                    .where(F.col("doc_id") < FPSTORE_BASE)
+                    .withColumn(
+                        "_is_target", F.col("lang") == DSIR_TARGET_LANG
+                    ),
+                    "doc_id", "text", "_is_target",
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_dsir_score_incremental(spark, sf_dir):
+    """Daily-ingest DSIR: today's documents (doc_id >= {FPSTORE_BASE})
+    scored under the PERSISTED importance models (DsirModelStore —
+    what does the history-fitted target/raw contrast think of today's
+    data?). Pure read: two broadcast joins against the summed bucket
+    tables plus one broadcast totals row — never a history rescan.
+    Buckets history never saw smooth at count 0 (the one divergence
+    from the batch scorer, which fits on the corpus it scores). The
+    oracle refits both models on the history slice from scratch,
+    proving the persisted additive counts equal full history."""
+    store = _dsir_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    return store.score(inc, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_terms",
+        "sum_ratio_x1e9",
+    )
+
+
+SQL_DSIR_SCORE_INCREMENTAL = f"""
+WITH tk AS (SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS t,
+                   {_TOKS} AS w
+            FROM documents),
+terms AS (
+  SELECT doc_id, t,
+         CAST(CONCAT('0x', SUBSTRING(md5(w[g.i] || ' ' || w[g.i + 1]),
+                                     1, 12)) AS BIGINT)
+           % {DSIR_BUCKETS_SQL} AS b
+  FROM tk, unnest(generate_series(1, len(w) - 1)) g(i)
+  WHERE len(w) >= 2
+),
+hraw AS (SELECT b, COUNT(*) AS cr FROM terms
+         WHERE doc_id < {FPSTORE_BASE} GROUP BY b),
+htgt AS (SELECT b, COUNT(*) AS ct FROM terms
+         WHERE doc_id < {FPSTORE_BASE} AND t GROUP BY b),
+tot AS (SELECT
+          (SELECT COUNT(*) FROM terms WHERE doc_id < {FPSTORE_BASE})
+            AS nr,
+          (SELECT COUNT(*) FROM terms
+           WHERE doc_id < {FPSTORE_BASE} AND t) AS nt)
+SELECT doc_id::BIGINT AS doc_id,
+       COUNT(*)::BIGINT AS n_terms,
+       SUM(CAST(round((COALESCE(ct, 0) + 1)::DOUBLE
+                * (nr + {DSIR_BUCKETS_SQL}) * 1e9
+                / ((COALESCE(cr, 0) + 1) * (nt + {DSIR_BUCKETS_SQL})))
+           AS BIGINT))::BIGINT AS sum_ratio_x1e9
+FROM terms LEFT JOIN hraw USING (b) LEFT JOIN htgt USING (b)
+CROSS JOIN tot
+WHERE doc_id >= {FPSTORE_BASE}
+GROUP BY doc_id
+"""
+
+
 CCNET_BUCKETS = 3
 
 
@@ -8913,6 +9023,10 @@ EXT_QUERIES = {
     "pipeline_modern_curation": (
         q_pipeline_modern_curation,
         _pipeline_modern_curation_sql(),
+    ),
+    "dsir_score_incremental": (
+        q_dsir_score_incremental,
+        SQL_DSIR_SCORE_INCREMENTAL,
     ),
     "pipeline_quality_chunk_dedup": (
         q_pipeline_quality_chunk_dedup,
