@@ -29,7 +29,7 @@ hit float rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .parallel import cpu_partitions
 
@@ -796,6 +796,60 @@ def duplicate_clusters(
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: given a near-dup cluster
+    assignment (``(node, cluster)`` — the :func:`duplicate_clusters`
+    contract), keep ONE document per cluster — the highest-``score_col``
+    member (keep-longest by default, the standard production rule),
+    smallest id on ties — instead of the blind first-occurrence-wins
+    rule exact/minhash dedup applies.
+
+    This is the selection step production dedup pipelines run after
+    clustering (keep the longest / highest-scoring / canonical-URL
+    member; e.g. RefinedWeb keeps one representative per MinHash
+    bucket): the cluster graph decides WHAT is duplicated, this
+    operator decides WHICH copy survives.
+
+    Plan shape: one hash join on the doc id (broadcast when the
+    cluster table is small; at 100 TB both sides are huge but the join
+    key is the id both tables are naturally bucketed by), then ONE
+    exchange on ``cluster`` shared by the two window functions
+    (row_number and the member count partition on the same key, so
+    Catalyst plans a single sort+window over one shuffle). Quality is
+    compared as the stored value — no arithmetic — so ordering is
+    engine-exact.
+
+    Output: (cluster, keep_doc_id, keep_quality, n_members).
+    """
+    members = clusters.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.col(score_col).alias("_q"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_q").desc(), F.col("node")
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("node").cast("long").alias("keep_doc_id"),
+            F.col("_q").alias("keep_score"),
+            F.col("n_members"),
+        )
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

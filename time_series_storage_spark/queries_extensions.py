@@ -602,6 +602,51 @@ FROM reach GROUP BY node
 """
 
 
+# -- dedup: canonical-member selection per near-dup cluster ------------------
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-longest canonical selection per near-dup cluster — the
+    selection step after clustering (which copy survives, not just
+    what is duplicated): minhash-LSH pairs -> connected components ->
+    keep argmax(n_chars, tiebreak smallest doc_id) per cluster.
+    The oracle replays clustering with the shared recursive CTE and
+    the selection with the same window ranking."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    cc = D.connected_components(
+        pairs.select("d1", "d2"), docs.select("doc_id"), "doc_id"
+    )
+    return D.canonical_per_cluster(cc, docs, "doc_id", "n_chars")
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+members AS (SELECT c.cluster, c.node, d.n_chars
+            FROM clusters c JOIN documents d ON d.doc_id = c.node),
+ranked AS (
+  SELECT cluster, node, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+  FROM members
+)
+SELECT cluster::BIGINT AS cluster, node::BIGINT AS keep_doc_id,
+       n_chars::BIGINT AS keep_score, n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 # -- deterministic train/val/test split -------------------------------------
 
 def q_split_assign(spark, sf_dir):
@@ -8939,6 +8984,7 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
+    "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "entity_resolution_parts": (q_entity_resolution, _entity_resolution_sql()),
