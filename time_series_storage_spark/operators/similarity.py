@@ -356,6 +356,58 @@ def ivf_probe_topk(
     )
 
 
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS) with the
+    norm-augmentation reduction surfaced (Bachrach et al., RecSys'14):
+    append sqrt(M^2 - ||c||^2) to every corpus vector (M = max corpus
+    norm) and 0 to every query, and MIPS becomes cosine search —
+    cos(q_hat, c_hat) = <q,c> / (||q|| * M), strictly monotone in the
+    inner product per query. We never materialize the extra dimension:
+    ``mips_x1e6`` is that augmented cosine by its closed form, which is
+    what any cosine ANN structure (the LSH buckets / IVF cells here)
+    would bucket on at scale; ranking uses the exact fixed-point inner
+    product so order never rides float division.
+
+    Plan shape: M is a ONE-ROW aggregate broadcast onto the query side
+    (a replicated scalar, never collected to the driver), queries
+    broadcast onto the corpus scan — the corpus is read once with zero
+    shuffle; the only exchange is the per-query top-k window.
+
+    Output: (q_id, vec_id, rank, ip_x1e6, mips_x1e6).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    max_norm = c.agg(F.max(norm("c_vec")).alias("_max_norm"))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).crossJoin(F.broadcast(max_norm))
+    )
+    sims = c.join(q, F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(dot("q_vec", "c_vec") * 1e6).cast("long").alias("ip_x1e6"),
+        F.round(
+            dot("q_vec", "c_vec") / (norm("q_vec") * F.col("_max_norm")) * 1e6
+        ).cast("long").alias("mips_x1e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("ip_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "ip_x1e6", "mips_x1e6")
+    )
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1163,6 +1163,50 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 """
 
 
+# -- similarity: exact MIPS via the norm-augmentation reduction --------------
+
+def q_sim_topk_mips(spark, sf_dir):
+    """Maximum-inner-product top-k: rank by the exact fixed-point
+    inner product; emit the augmented cosine (ip / (||q|| * max_norm))
+    alongside — the Bachrach et al. reduction that makes MIPS
+    cosine-ANN-bucketable, computed by its closed form in BOTH
+    engines so the monotone equivalence is itself under the gate."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.mips_topk(queries, emb, k=SIM_TOPK).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("ip_x1e6"),
+        F.col("mips_x1e6"),
+    )
+
+
+SQL_SIM_TOPK_MIPS = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id < {SIM_QUERY_COUNT}),
+mx AS (SELECT MAX({_norm_sql('embedding')}) AS m FROM embeddings),
+sims AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(round(({_dot_sql('q.embedding', 'c.embedding')}) * 1e6)
+              AS BIGINT) AS ip_x1e6,
+         CAST(round(({_dot_sql('q.embedding', 'c.embedding')})
+                    / (({_norm_sql('q.embedding')}) * mx.m) * 1e6)
+              AS BIGINT) AS mips_x1e6
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id CROSS JOIN mx
+),
+ranked AS (
+  SELECT q_id, vec_id, ip_x1e6, mips_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ip_x1e6 DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, ip_x1e6, mips_x1e6
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
 # -- similarity: IVF approximate top-k (the ANN scale path) -----------------
 
 def q_sim_topk_ivf(spark, sf_dir):
@@ -8998,6 +9042,7 @@ EXT_QUERIES = {
     "interval_overlap_incidents": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "funnel_view_click_purchase": (q_funnel, SQL_FUNNEL),
     "sim_topk_cosine": (q_sim_topk, SQL_SIM_TOPK),
+    "sim_topk_mips": (q_sim_topk_mips, SQL_SIM_TOPK_MIPS),
     "sim_topk_ivf": (q_sim_topk_ivf, _sim_topk_ivf_sql()),
     "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, _sim_topk_ivf_kmeans_sql()),
     "sim_topk_ivf_incremental": (
