@@ -186,3 +186,68 @@ def weighted_mix(
     return _topk_per_key(
         df, [key_col], id_col, quota, salt
     ).withColumnRenamed("_rank", "mix_rank")
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    total_target: int,
+    temperature: int = 2,
+    salt: str = "v1",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: allocate a ``total_target``
+    budget across ``key_col`` groups proportionally to
+    ``count ** (1/T)`` — the multilingual/source rebalancing rule of
+    Arivazhagan et al. 2019 / UniMax (Chung et al. 2023): T=1 keeps
+    the natural distribution, larger T flattens it toward uniform so
+    head sources stop drowning the tail. Unlike :func:`weighted_mix`
+    the quotas are DERIVED FROM THE DATA, not a static map.
+
+    Exactness contract: T must be 1, 2 or 4 — those tempered weights
+    are IEEE-exact in any engine (identity / one / two correctly-
+    rounded ``sqrt`` calls, scaled to integer weights), so allocations
+    are pure integer arithmetic: ``alloc_g = (total_target * w_g) //
+    sum(w)``  with ``w_g = floor(count_g^(1/T) * 1e6)``. A general
+    real temperature needs ``pow``, whose rounding is libm-dependent —
+    rather than silently losing the oracle contract, unsupported T
+    raises.
+
+    Plan shape: the per-key count is one partial-aggregated exchange;
+    the weight total is a ONE-ROW aggregate broadcast back onto the
+    (small, one-row-per-source) weight table; the alloc table then
+    broadcast-joins onto the corpus scan, and the selection is the
+    exact two-phase hash-ordered top-k (:func:`_topk_per_key`) — no
+    full-corpus sort, no driver collect.
+
+    Output: selected rows + ``mix_rank`` (hash-order rank within the
+    key) + ``alloc`` (the key's computed quota).
+    """
+    if temperature not in (1, 2, 4):
+        raise ValueError(
+            f"temperature_mix: temperature={temperature!r} is not "
+            "cross-engine exact; supported temperatures are 1, 2 and 4 "
+            "(identity or correctly-rounded sqrt chains)"
+        )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    if temperature == 1:
+        w = F.col("_n") * F.lit(1_000_000)
+    elif temperature == 2:
+        w = F.floor(F.sqrt(F.col("_n")) * F.lit(1e6)).cast("long")
+    else:
+        w = F.floor(F.sqrt(F.sqrt(F.col("_n"))) * F.lit(1e6)).cast("long")
+    from .analytics import floor_div
+
+    weights = counts.select(F.col(key_col), w.alias("_w"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    alloc = weights.crossJoin(F.broadcast(total)).select(
+        F.col(key_col),
+        floor_div(F.lit(int(total_target)) * F.col("_w"), F.col("_tw"))
+        .cast("long")
+        .alias("alloc"),
+    )
+    capped = df.join(F.broadcast(alloc), key_col)
+    return (
+        _topk_per_key(capped, [key_col], id_col, F.col("alloc"), salt)
+        .withColumnRenamed("_rank", "mix_rank")
+    )

@@ -1971,6 +1971,47 @@ FROM r WHERE mix_rank <= (CASE {cases} ELSE {MIX_DEFAULT} END)
 """
 
 
+TEMP_MIX_TARGET = 150  # total sampled docs across sources (T=2)
+
+
+def q_sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixture (T=2): quotas derived from
+    per-source counts as count^(1/2), integer-scaled and floor-divided
+    so the allocation is engine-exact; selection by hashed-id order.
+    The data-driven counterpart of the static-quota
+    ``sample_weighted_mix``."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return SP.temperature_mix(
+        docs, "source", "doc_id", TEMP_MIX_TARGET, temperature=2
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("mix_rank"),
+        F.col("alloc"),
+    )
+
+
+SQL_SAMPLE_TEMPERATURE_MIX = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, CAST(FLOOR(sqrt(n) * 1e6) AS BIGINT) AS w FROM counts),
+tot AS (SELECT SUM(w) AS tw FROM w),
+alloc AS (SELECT source, ({TEMP_MIX_TARGET} * w) // tw AS alloc
+          FROM w CROSS JOIN tot),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)),
+                                                1, 15)) AS BIGINT),
+                    doc_id) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id::BIGINT AS doc_id, r.source,
+       r.mix_rank::BIGINT AS mix_rank, a.alloc::BIGINT AS alloc
+FROM r JOIN alloc a USING (source) WHERE r.mix_rank <= a.alloc
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -9130,6 +9171,10 @@ EXT_QUERIES = {
     ),
     "sample_stratified_lang": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_weighted_mix": (q_sample_weighted_mix, _mix_sql()),
+    "sample_temperature_mix": (
+        q_sample_temperature_mix,
+        SQL_SAMPLE_TEMPERATURE_MIX,
+    ),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
     "pipeline_tokenize_pack": (
         q_pipeline_tokenize_pack, _pipeline_tokenize_pack_sql(),
