@@ -798,6 +798,75 @@ def duplicate_clusters(
             cached.unpersist()
 
 
+def pagerank(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 5,
+    damping_x100: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph (the
+    near-dup graph here): rank duplicated documents by how central
+    they are in the duplication structure — hub pages that many
+    near-copies orbit score high, chain-end copies low. Centrality
+    over the dup graph is the signal web-dedup pipelines use to pick
+    or weight canonical members beyond local attributes.
+
+    Semantics: the standard power iteration with damping d
+    (``d = damping_x100 / 100``), run a FIXED ``n_iter`` rounds (no
+    convergence test — deterministic round count is what makes an
+    unrolled SQL oracle possible), without dangling-mass
+    redistribution (isolated nodes settle at ``1 - d`` — the same
+    variant GraphX's standalone PageRank implements). All arithmetic
+    is integer fixed-point at x1e6 scale: ``share(u) = r(u) //
+    deg(u)``, ``r'(v) = (1-d)*1e6 + (d_x100 * sum(shares)) // 100`` —
+    floor division of non-negative longs, bit-identical in any engine.
+
+    Plan shape: the classic iterative-DataFrame loop. Degrees are
+    joined onto the directed edge set ONCE and persisted; each round
+    is one (edges >< ranks) hash join + one partial-aggregated sum
+    shuffle on the destination id, with ``localCheckpoint`` truncating
+    lineage so round N never replays rounds 1..N-1 (use a reliable
+    ``checkpoint`` dir on a real cluster). Per-round shuffle volume is
+    O(edges) long pairs — at web scale pre-bucket both sides by id.
+
+    Output: (node, rank_x1e6).
+    """
+    e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = edges.join(deg, "src").persist()
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    ranks = base.withColumn("rank_x1e6", F.lit(1_000_000).cast("long"))
+    from .analytics import floor_div
+
+    one_minus_d = (100 - damping_x100) * 10_000  # (1-d) at x1e6 scale
+    for _ in range(n_iter):
+        contrib = ed.join(
+            ranks, ed["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            floor_div(F.col("rank_x1e6"), F.col("_deg")).alias("_share"),
+        )
+        incoming = contrib.groupBy("node").agg(
+            F.sum("_share").alias("_inc")
+        )
+        ranks = base.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(one_minus_d)
+                + floor_div(
+                    F.lit(damping_x100) * F.coalesce(F.col("_inc"), F.lit(0)),
+                    F.lit(100),
+                )
+            ).cast("long").alias("rank_x1e6"),
+        ).localCheckpoint()
+    ed.unpersist()
+    return ranks
+
+
 def canonical_per_cluster(
     clusters: DataFrame,
     docs: DataFrame,

@@ -647,6 +647,51 @@ FROM ranked WHERE rn = 1
 """
 
 
+# -- dedup: PageRank centrality over the near-dup graph ----------------------
+
+PAGERANK_ITERS = 5
+
+
+def q_dup_graph_pagerank(spark, sf_dir):
+    """Duplication-centrality ranking: fixed-point PageRank (5 rounds,
+    d=0.85, x1e6 integer scale) over the minhash near-dup graph — the
+    iterative-DataFrame classic, oracle-checked against the same five
+    rounds unrolled as CTEs."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    return D.pagerank(
+        pairs, docs, "doc_id", n_iter=PAGERANK_ITERS
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("rank_x1e6"),
+    )
+
+
+def _dup_graph_pagerank_sql(n_iter: int = PAGERANK_ITERS) -> str:
+    blocks = []
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""
+inc{i} AS (SELECT e.b AS node, SUM(r.r // d.deg) AS inc
+           FROM edges e
+           JOIN r{i - 1} r ON r.node = e.a
+           JOIN deg d ON d.a = e.a
+           GROUP BY e.b),
+r{i} AS (SELECT n.node,
+                CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r
+         FROM r0 n LEFT JOIN inc{i} i USING (node))""")
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+{",".join(blocks)}
+SELECT node::BIGINT AS doc_id, r AS rank_x1e6 FROM r{n_iter}
+"""
+
+
 # -- deterministic train/val/test split -------------------------------------
 
 def q_split_assign(spark, sf_dir):
@@ -9070,6 +9115,7 @@ EXT_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
+    "dup_graph_pagerank": (q_dup_graph_pagerank, _dup_graph_pagerank_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "entity_resolution_parts": (q_entity_resolution, _entity_resolution_sql()),
