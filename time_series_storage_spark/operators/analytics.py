@@ -599,3 +599,72 @@ def cusum(
             - F.least(F.lit(0).cast("long"), run_min)
         ).alias(out_col),
     ).drop("_cusum_c")
+
+
+def holt_linear(
+    series: DataFrame,
+    dims: Sequence[str],
+    ep_col: str = "ep",
+    x_col: str = "x",
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per series —
+    the level+trend recursion EWMA can't express: ``l_t = a*x_t +
+    (1-a)(l_{t-1}+b_{t-1})``, ``b_t = g*(l_t-l_{t-1}) + (1-g)*b_{t-1}``
+    with a = g = 1/2, init ``l_1 = x_1, b_1 = 0``.
+
+    Exactness: halving a long is EXACT in binary floating point, so
+    with a = g = 1/2 every step is one exact double division plus a
+    truncation toward zero — bit-identical in any engine (Spark's
+    double->BIGINT cast and an oracle's TRUNC agree; inputs stay far
+    below 2^52). That is the whole reason for the fixed smoothing
+    constants: a general alpha needs per-step float multiplies whose
+    accumulated rounding is engine-dependent.
+
+    Scale posture: the recursion is inherently sequential per series
+    (each state depends on the full prefix), so unlike
+    :func:`ewma_trunc` (a bounded window aggregate) this runs as ONE
+    ordered array fold per series — ``collect_list`` into a sorted
+    in-memory array, then ``aggregate`` inside codegen. Right-size the
+    series grain accordingly: smooth per (dims, bounded-time-window)
+    at web scale so a series fits an executor (the same contract as
+    the pack/BPE array stages). Parallelism is across series.
+
+    Input: one row per (dims, ep) with ``x_col`` the x1e6-scaled
+    long observation. Output: (dims, ep, x, level_x1e6, trend_x1e6).
+    """
+    step_l = "CAST((s.x + acc.l + acc.b) / 2.0D AS BIGINT)"
+    step_b = f"CAST(({step_l} - acc.l + acc.b) / 2.0D AS BIGINT)"
+    fold = f"""
+aggregate(
+  slice(series, 2, greatest(size(series) - 1, 0)),
+  named_struct(
+    'l', series[0].x, 'b', CAST(0 AS BIGINT),
+    'out', array(named_struct('ep', series[0].ep, 'x', series[0].x,
+                              'l', series[0].x, 'b', CAST(0 AS BIGINT)))),
+  (acc, s) -> named_struct(
+    'l', {step_l},
+    'b', {step_b},
+    'out', concat(acc.out, array(named_struct(
+        'ep', s.ep, 'x', s.x, 'l', {step_l}, 'b', {step_b})))),
+  acc -> acc.out)
+"""
+    packed = (
+        series.select(
+            *dims,
+            F.struct(
+                F.col(ep_col).cast("long").alias("ep"),
+                F.col(x_col).cast("long").alias("x"),
+            ).alias("_obs"),
+        )
+        .groupBy(*dims)
+        .agg(F.array_sort(F.collect_list("_obs")).alias("series"))
+    )
+    return packed.select(
+        *dims, F.explode(F.expr(fold)).alias("_s")
+    ).select(
+        *dims,
+        F.col("_s.ep").alias(ep_col),
+        F.col("_s.x").alias(x_col),
+        F.col("_s.l").alias("level_x1e6"),
+        F.col("_s.b").alias("trend_x1e6"),
+    )

@@ -8006,6 +8006,57 @@ FROM f
 """
 
 
+def q_ts_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoothing of each event_type's hourly-count
+    series (operators/analytics.py:holt_linear): level+trend recursion
+    with alpha=gamma=1/2 in exact halving arithmetic — the genuinely
+    sequential per-series smoother (vs ewma_trunc's bounded window),
+    run as one codegen array fold per series; the oracle replays the
+    identical recursion as a recursive CTE."""
+    from .operators.analytics import holt_linear
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("unix_timestamp(ts) div 3600") * 3600)
+        .cast("long")
+        .alias("bucket_ep"),
+    ).agg((F.count(F.lit(1)) * F.lit(1_000_000)).alias("x"))
+    out = holt_linear(hourly, ["event_type"], ep_col="bucket_ep", x_col="x")
+    return out.select(
+        "event_type",
+        "bucket_ep",
+        F.expr("x div 1000000").cast("long").alias("cnt"),
+        "level_x1e6",
+        "trend_x1e6",
+    )
+
+
+SQL_TS_HOLT_LINEAR = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::BIGINT AS ep,
+         (COUNT(*) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+ord AS (SELECT event_type, ep, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep) AS t
+        FROM hourly),
+rec AS (
+  SELECT event_type, t, ep, x, x AS l, CAST(0 AS BIGINT) AS b
+  FROM ord WHERE t = 1
+  UNION ALL
+  SELECT o.event_type, o.t, o.ep, o.x,
+         CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT) AS l,
+         CAST(TRUNC((CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT)
+                     - r.l + r.b) / 2.0) AS BIGINT) AS b
+  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+)
+SELECT event_type, ep::BIGINT AS bucket_ep, (x // 1000000)::BIGINT AS cnt,
+       l::BIGINT AS level_x1e6, b::BIGINT AS trend_x1e6
+FROM rec
+"""
+
+
 def q_ts_gaps(spark, sf_dir):
     """Reporting-silence detection per event_type
     (operators/analytics.py:gap_detect): consecutive observations more
@@ -9282,6 +9333,7 @@ EXT_QUERIES = {
     "series_correlation": (q_series_correlation, SQL_SERIES_CORRELATION),
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
+    "ts_holt_linear": (q_ts_holt_linear, SQL_TS_HOLT_LINEAR),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
     "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
