@@ -354,3 +354,129 @@ def test_esub_stream_crash_replay_emits_identical_survivors(
     out1 = dict((d, (n, k)) for d, n, k, _m in want[1])
     assert out1[1] == (11, 3)   # pre, x, y survive
     assert out1[2] == (6, 6)
+
+
+# -- streaming modern pipeline (Gopher -> DSIR -> substring dedup) -----------
+
+MW = 5  # substring window for the modern-chain tests
+
+# >= 50 words, mean word length in [3,10], every word alphabetic-ish,
+# one required stop word ('the') -> all three long docs pass Gopher;
+# vocab A (alpha*) is the 'en' target slice, vocab B (zulu*) is not.
+_A_WORDS = ["the"] + [f"alpha{i}" for i in range(59)]
+_B_WORDS = ["the"] + [f"zulu{i}" for i in range(59)]
+DOC_A1 = " ".join(_A_WORDS)
+DOC_B1 = " ".join(_B_WORDS)
+# shares _A_WORDS[3:9] (a 6-word span = two full 5-windows) with DOC_A1;
+# fresh-vocab filler keeps its DSIR ratio above 1
+DOC_A2 = " ".join(
+    ["the", "pre1", "pre2"] + _A_WORDS[3:9]
+    + [f"alpha{100 + i}" for i in range(45)]
+)
+
+MB0 = [(1, DOC_A1, "en"), (2, DOC_B1, "xx")]
+MB1 = [
+    (10, DOC_A2, "en"),   # selected; batch-0 span dies at offset 3
+    (11, DOC_B1, "xx"),   # Gopher-passes; DSIR filters (ratio < 1)
+    (12, "too short", "en"),  # Gopher-fails (word count)
+]
+
+
+def _mdf(spark, docs):
+    return spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).withColumn("_t", F.col("lang") == "en")
+
+
+def _mstores(spark, tmp_path, tag):
+    from time_series_storage_spark.operators.dsir_store import (
+        DsirModelStore,
+    )
+
+    dsir = DsirModelStore(spark, str(tmp_path / f"md{tag}"))
+    esub = FingerprintStore(
+        spark, str(tmp_path / f"me{tag}"), normalize=False
+    )
+    return dsir, esub
+
+
+def _mstate(dsir, esub):
+    return (
+        sorted((r.b, r.cr) for r in dsir.raw_counts().collect()),
+        sorted((r.b, r.ct) for r in dsir.target_counts().collect()),
+        sorted(r.fp for r in esub.seen().collect()),
+    )
+
+
+@pytest.mark.parametrize("crash_store", ["dsir", "esub"])
+def test_modern_chain_crash_converges_to_no_crash_twin(
+    spark, tmp_path, crash_store
+):
+    """The modern chain (Gopher -> DSIR store -> window store) is
+    exactly-once across BOTH store disciplines: crash the ADDITIVE
+    store's commit, then separately the union store's, and in each
+    case one replay of the torn batch converges emissions and both
+    stores to a never-crashed twin — the additive store never
+    double-adds counts, the window store never double-absorbs."""
+    from time_series_storage_spark.streaming.curation import (
+        modern_curation_foreach_batch,
+    )
+
+    def mk(tag, stores):
+        outs = {}
+        fn = modern_curation_foreach_batch(
+            stores[0], stores[1], MW, 1_000_000_000, 1,
+            "doc_id", "text", "_t",
+            lambda df, b: outs.__setitem__(
+                b, sorted(
+                    (r.doc_id, r.n_words, r.n_kept, r.new_text_md5)
+                    for r in df.collect()
+                )
+            ),
+        )
+        return fn, outs
+
+    t_stores = _mstores(spark, tmp_path, "t")
+    t_fn, t_out = mk("t", t_stores)
+    t_fn(_mdf(spark, MB0), 0)
+    t_fn(_mdf(spark, MB1), 1)
+
+    # semantic pins on the twin: batch 0 keeps both docs whole (empty
+    # model selects everything; all windows fresh); batch 1 emits ONLY
+    # doc 10 (11 DSIR-filtered, 12 Gopher-filtered), with the 6-word
+    # batch-0 span removed
+    assert [(d, n, k) for d, n, k, _m in t_out[0]] == [
+        (1, 60, 60), (2, 60, 60)
+    ]
+    assert [(d, n, k) for d, n, k, _m in t_out[1]] == [(10, 54, 48)]
+
+    c_stores = _mstores(spark, tmp_path, "c")
+    fn, out = mk("c", c_stores)
+    fn(_mdf(spark, MB0), 0)
+    assert out[0] == t_out[0]
+
+    victim = c_stores[0] if crash_store == "dsir" else c_stores[1]
+
+    def boom(stage):
+        if stage == "post_write":
+            raise RuntimeError("injected modern-chain crash")
+
+    victim._commit_fault = boom
+    with pytest.raises(RuntimeError, match="modern-chain"):
+        fn(_mdf(spark, MB1), 1)
+    victim._commit_fault = None
+
+    # torn front: stores upstream of the victim committed batch 1
+    d_b = json.load(open(os.path.join(str(tmp_path), "mdc", "_current")))["batch"]
+    e_b = json.load(open(os.path.join(str(tmp_path), "mec", "_current")))["batch"]
+    assert (d_b, e_b) == ((0, 0) if crash_store == "dsir" else (1, 0))
+
+    # one replay converges emissions and both stores to the twin
+    fn(_mdf(spark, MB1), 1)
+    assert out[1] == t_out[1]
+    assert _mstate(*c_stores) == _mstate(*t_stores)
+
+    # a further replay of the converged batch is a pure read
+    st = _mstate(*c_stores)
+    fn(_mdf(spark, MB1), 1)
+    assert out[1] == t_out[1] and _mstate(*c_stores) == st

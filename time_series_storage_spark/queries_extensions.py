@@ -3025,6 +3025,247 @@ GROUP BY t.doc_id
 """
 
 
+def _modern_stores(spark, sf_dir):
+    """The persisted two-store state of the MODERN pipeline's day-1
+    absorb — the staged form q_pipeline_modern_curation's docstring
+    prescribes for 100 TB: (a) a DsirModelStore (ADDITIVE-merge) fit
+    on the GOPHER SURVIVORS of the history slice (doc_id <
+    {FPSTORE_BASE}, target = lang '{DSIR_TARGET_LANG}'), (b) a
+    window-grain raw-mode FingerprintStore holding the stride-1
+    substring windows of the same survivors. Day 1's DSIR selection
+    under the then-EMPTY model scores every term at exactly ratio 1.0
+    (the store's uninformative prior), so every gate survivor clears
+    the mean-ratio >= 1.0 bar — absorbing all gate survivors' windows
+    IS the sequential day-1 result, not a shortcut. Both stores live
+    under one cache root, staleness-keyed on the corpus file like
+    every other builder."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import FingerprintStore
+    from .operators.dsir_store import DsirModelStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{DSIR_TARGET_LANG}:"
+        f"{ESUB_WINDOW_WORDS}:{GOPHER_MIN_STOPS}:modern-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_modern_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return (
+                DsirModelStore(spark, os.path.join(root, "dsir")),
+                FingerprintStore(
+                    spark, os.path.join(root, "esub"), normalize=False
+                ),
+            )
+        except ValueError:
+            return None
+
+    pair = _open()
+    fp = files_fingerprint(src)
+
+    def _stale(p):
+        return p is None or p[0].is_stale(fp) or p[1].is_stale(fp)
+
+    if _stale(pair):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            pair = _open()
+            if _stale(pair):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(os.path.join(root, "dsir"), exist_ok=True)
+                os.makedirs(os.path.join(root, "esub"), exist_ok=True)
+                dsir = DsirModelStore(spark, os.path.join(root, "dsir"))
+                esub = FingerprintStore(
+                    spark, os.path.join(root, "esub"), normalize=False
+                )
+                hist = _docs(spark, sf_dir).where(
+                    F.col("doc_id") < FPSTORE_BASE
+                )
+                g = T.gopher_quality_rules(
+                    hist, min_stops=GOPHER_MIN_STOPS
+                ).where(F.col("keep") == 1).select("doc_id")
+                kept = hist.join(g, "doc_id", "left_semi").withColumn(
+                    "_is_target", F.col("lang") == DSIR_TARGET_LANG
+                )
+                dsir.absorb(kept, "doc_id", "text", "_is_target")
+                wins = T.substring_windows(
+                    kept, "doc_id", "text", ESUB_WINDOW_WORDS
+                )
+                esub.absorb(wins.select("_pk", "_win"), "_pk", "_win")
+                dsir.pin_corpus(fp)
+                esub.pin_corpus(fp)
+                pair = (dsir, esub)
+    return pair
+
+
+def q_pipeline_modern_incremental(spark, sf_dir):
+    """The modern pipeline (Gopher -> DSIR -> exact substring dedup)
+    in its DAILY-INGEST form — every stateful stage a pure O(increment)
+    read of a persisted store: today's documents (doc_id >=
+    {FPSTORE_BASE}) pass the stateless Gopher gate, score under the
+    PERSISTED history-fitted DSIR models (two broadcast bucket-table
+    joins — what did yesterday's importance contrast think of today's
+    data?), and the mean-ratio survivors substring-dedup against the
+    PERSISTED window-fingerprint set (one anti-join on the md5 column
+    — history text never rescanned). First chain mixing the additive-
+    merge and union-merge store disciplines; streaming twin:
+    streaming/curation.modern_curation_foreach_batch. The oracle
+    replays both days from scratch — gate, model refit on history gate
+    survivors, selection, window history — proving the two persisted
+    artifacts together equal full history."""
+    dsir, esub = _modern_stores(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    g = T.gopher_quality_rules(inc, min_stops=GOPHER_MIN_STOPS).where(
+        F.col("keep") == 1
+    ).select("doc_id")
+    kept1 = inc.join(g, "doc_id", "left_semi")
+    scores = dsir.score(kept1, "doc_id", "text")
+    sel = scores.where(
+        F.col("sum_ratio_x1e9") >= F.lit(DSIR_KEEP_X1E9) * F.col("n_terms")
+    ).select("doc_id")
+    kept2 = inc.join(sel, "doc_id", "left_semi")
+    return T.exact_substring_dedup_increment(
+        esub, kept2, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_kept",
+        "new_n_chars",
+        "new_text_md5",
+    )
+
+
+def _pipeline_modern_incremental_sql() -> str:
+    """From-scratch two-day replay: Gopher signals gate BOTH days; the
+    DSIR models refit on the history gate survivors score the
+    increment gate survivors with count-0 smoothing for never-seen
+    buckets (the store's contract); the window history is the history
+    gate survivors' windows (= day 1's sequential result, since the
+    empty model selects every gate survivor) and the increment windows
+    are the selected documents'."""
+    return f"""
+WITH tk0 AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         GREATEST(len(toks), 1) AS dw,
+         COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS twl,
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS nell,
+         len(list_filter(toks,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         ({_GOPHER_STOPS_SQL})::BIGINT AS nstops
+  FROM tk0
+),
+gok AS (
+  SELECT doc_id FROM sig
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND FLOOR(twl * 100 / dw) >= 300 AND FLOOR(twl * 100 / dw) <= 1000
+    AND FLOOR((nhash + nell) * 1000 / dw) <= 100
+    AND FLOOR(nalpha * 1000 / dw) >= 800
+    AND FLOOR(len(list_filter(lines,
+        l -> starts_with(l, '-') OR starts_with(l, '*'))) * 1000
+        / GREATEST(len(lines), 1)) <= 900
+    AND FLOOR(len(list_filter(lines, l -> ends_with(l, '...'))) * 1000
+        / GREATEST(len(lines), 1)) <= 300
+    AND nstops >= {GOPHER_MIN_STOPS}
+),
+k1 AS (SELECT t.doc_id, (t.lang = '{DSIR_TARGET_LANG}') AS t,
+              t.toks AS w
+       FROM tk0 t JOIN gok USING (doc_id)),
+terms AS (
+  SELECT doc_id, t,
+         CAST(CONCAT('0x', SUBSTRING(md5(w[g.i] || ' ' || w[g.i + 1]),
+                                     1, 12)) AS BIGINT)
+           % {DSIR_BUCKETS_SQL} AS b
+  FROM k1, unnest(generate_series(1, len(w) - 1)) g(i)
+  WHERE len(w) >= 2
+),
+hraw AS (SELECT b, COUNT(*) AS cr FROM terms
+         WHERE doc_id < {FPSTORE_BASE} GROUP BY b),
+htgt AS (SELECT b, COUNT(*) AS ct FROM terms
+         WHERE doc_id < {FPSTORE_BASE} AND t GROUP BY b),
+tot AS (SELECT
+          (SELECT COUNT(*) FROM terms WHERE doc_id < {FPSTORE_BASE})
+            AS nr,
+          (SELECT COUNT(*) FROM terms
+           WHERE doc_id < {FPSTORE_BASE} AND t) AS nt),
+dscore AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         SUM(CAST(round((COALESCE(ct, 0) + 1)::DOUBLE
+                  * (nr + {DSIR_BUCKETS_SQL}) * 1e9
+                  / ((COALESCE(cr, 0) + 1) * (nt + {DSIR_BUCKETS_SQL})))
+             AS BIGINT)) AS sp
+  FROM terms LEFT JOIN hraw USING (b) LEFT JOIN htgt USING (b)
+  CROSS JOIN tot
+  WHERE doc_id >= {FPSTORE_BASE}
+  GROUP BY doc_id
+),
+sel AS (SELECT doc_id FROM dscore
+        WHERE sp >= {DSIR_KEEP_X1E9} * n_terms),
+itk AS (SELECT t.doc_id, t.toks FROM tk0 t JOIN sel USING (doc_id)),
+etk AS (SELECT t.doc_id, t.toks FROM tk0 t JOIN gok USING (doc_id)
+        WHERE t.doc_id < {FPSTORE_BASE}
+        UNION ALL
+        SELECT doc_id, toks FROM itk),
+w AS (
+  SELECT doc_id, g.i AS wpos, toks[g.i + 1] AS word
+  FROM itk, unnest(generate_series(0, len(toks) - 1)) g(i)
+),
+win AS (
+  SELECT doc_id, g.k AS s,
+         md5(array_to_string(
+             list_slice(toks, g.k + 1, g.k + {ESUB_WINDOW_WORDS}),
+             ' ')) AS wh,
+         doc_id * 1000000 + g.k AS pk
+  FROM etk,
+       unnest(generate_series(0, len(toks) - {ESUB_WINDOW_WORDS})) g(k)
+),
+incw AS (SELECT * FROM win WHERE doc_id >= {FPSTORE_BASE}),
+freshw AS (
+  SELECT i.* FROM incw i
+  WHERE i.wh NOT IN (SELECT wh FROM win WHERE doc_id < {FPSTORE_BASE})
+),
+mins AS (SELECT wh, MIN(pk) AS mk FROM freshw GROUP BY wh),
+rem AS (
+  SELECT DISTINCT d.doc_id, d.s + g.j AS wpos
+  FROM (SELECT i.doc_id, i.s FROM incw i
+        LEFT JOIN mins m ON i.pk = m.mk
+        WHERE m.mk IS NULL) d,
+       unnest(generate_series(0, {ESUB_WINDOW_WORDS} - 1)) g(j)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word, (r.wpos IS NULL) AS keep
+  FROM w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.wpos = r.wpos
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COUNT(k.wpos)::BIGINT AS n_words,
+       COALESCE(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_kept,
+       length(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                                  ' ' ORDER BY k.wpos), ''))::BIGINT
+         AS new_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN k.keep THEN k.word END,
+                               ' ' ORDER BY k.wpos), '')) AS new_text_md5
+FROM itk t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id
+"""
+
+
 def _lm_store(spark, sf_dir):
     """The persisted bigram LM store for ``sf_dir`` — fit once by
     absorbing the history slice (doc_id < {FPSTORE_BASE}), then READ
@@ -9252,6 +9493,10 @@ EXT_QUERIES = {
     "pipeline_modern_curation": (
         q_pipeline_modern_curation,
         _pipeline_modern_curation_sql(),
+    ),
+    "pipeline_modern_incremental": (
+        q_pipeline_modern_incremental,
+        _pipeline_modern_incremental_sql(),
     ),
     "dsir_score_incremental": (
         q_dsir_score_incremental,

@@ -175,3 +175,72 @@ def curation_media_foreach_batch(
         emit(final, batch_id)
 
     return _fn
+
+
+def modern_curation_foreach_batch(
+    dsir_store,
+    esub_store,
+    window_words: int,
+    keep_x1e9: int,
+    min_stops: int,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    emit,
+):
+    """The MODERN published pipeline (Gopher rules -> DSIR importance
+    -> exact substring dedup) as one exactly-once ``foreachBatch`` —
+    the store-backed streaming form of
+    ``queries_extensions.q_pipeline_modern_curation``, and the first
+    chain mixing BOTH store merge disciplines: the DSIR model store is
+    an ADDITIVE-merge member (counts summed across increment files),
+    the window-fingerprint store a UNION-merge snapshot member. The
+    module docstring's convergence argument only needs each store's
+    idempotent ``batch_id`` replay plus deterministic glue, so the mix
+    composes unchanged.
+
+    Per micro-batch: (1) Gopher-gate the batch (stateless projection —
+    no store); (2) score the gate survivors under the DSIR models-so-
+    far and absorb their counts (raw = all gate survivors, target =
+    ``target_col`` rows); (3) keep documents whose mean term ratio
+    clears ``keep_x1e9``/1e9 (exact integer compare; documents with
+    fewer than two tokens have no score and fail, as in the batch
+    pipeline); (4) window the selected documents at stride 1, absorb
+    the fresh windows (first-day-wins at window grain), and rebuild
+    the per-document removal + reassembly FROM THE COMMITTED window
+    emission, so a sink-crash replay emits byte-identical survivors.
+    ``emit(survivors_df, batch_id)`` receives (id, n_words, n_kept,
+    new_n_chars, new_text_md5) for every SELECTED batch document.
+    """
+    from ..operators.text import (
+        _remove_covered_and_reassemble,
+        gopher_quality_rules,
+        substring_windows,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        g = gopher_quality_rules(
+            batch_df, id_col, text_col, min_stops=min_stops
+        ).where(F.col("keep") == 1).select(id_col)
+        kept1 = batch_df.join(g, id_col, "left_semi")
+        scores = dsir_store.absorb(
+            kept1, id_col, text_col, target_col, batch_id=int(batch_id)
+        )
+        sel = scores.where(
+            F.col("sum_ratio_x1e9") >= F.lit(keep_x1e9) * F.col("n_terms")
+        ).select(id_col)
+        kept2 = batch_df.join(sel, id_col, "left_semi")
+        wins = substring_windows(kept2, id_col, text_col, window_words)
+        kept_w = esub_store.absorb(
+            wins.select("_pk", "_win"), "_pk", "_win",
+            batch_id=int(batch_id),
+        ).select("_pk")
+        dup_occ = wins.join(kept_w, "_pk", "left_anti").select(
+            F.col(id_col), "_start"
+        )
+        out = _remove_covered_and_reassemble(
+            kept2, dup_occ, id_col, text_col, window_words
+        )
+        emit(out, int(batch_id))
+
+    return _fn
