@@ -356,6 +356,68 @@ def ivf_probe_topk(
     )
 
 
+def lsh_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_x1e6: int = 150_000,
+) -> DataFrame:
+    """Radius (range) search with MULTI-PROBE LSH (Lv et al.,
+    VLDB'07): return every corpus vector within cosine >=
+    ``threshold_x1e6``/1e6 of each query, searching only the query's
+    hyperplane bucket plus its ``LSH_BITS`` Hamming-1 neighbors — the
+    buckets a near-miss sign flip would land a true neighbor in. The
+    candidate set is exactly defined (all vectors whose bucket differs
+    from the query's in <= 1 bit), so an oracle reproduces it
+    verbatim; candidates verify with the exact fixed-point cosine.
+
+    This is the third query shape of the ANN family: ``*_topk`` ranks
+    a fixed k, ``lsh_similar_pairs`` enumerates all close pairs
+    (self-join), range search answers "everything within tau of these
+    queries" — the dedup-threshold / recall-audit primitive.
+
+    Plan shape: each query explodes into ``LSH_BITS + 1`` probe rows
+    (tiny — queries are the small side) broadcast onto the
+    bucket-keyed corpus scan: zero shuffle of the corpus, one bucket
+    hash join, per-probe buckets are disjoint so no candidate dedup
+    pass is needed. At web scale the corpus side is written
+    bucket-partitioned, so the broadcast probe join prunes to the
+    probed buckets' files only.
+
+    Output: (q_id, vec_id, sim_x1e6), one row per in-radius candidate.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(vec_col).alias("_qb"),
+    )
+    masks = [0] + [1 << t for t in range(LSH_BITS)]
+    probes = q.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.array(*[
+                F.col("_qb").bitwiseXOR(F.lit(m)).cast("long")
+                for m in masks
+            ])
+        ).alias("bucket"),
+    )
+    cands = c.join(F.broadcast(probes), "bucket").where(
+        F.col("q_id") != F.col("vec_id")
+    )
+    return cands.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine("q_vec", "c_vec") * 1e6).cast("long").alias("sim_x1e6"),
+    ).where(F.col("sim_x1e6") >= threshold_x1e6)
+
+
 def mips_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1734,6 +1734,47 @@ SELECT v1, v2, sim_x1e6 FROM (
 """
 
 
+def q_sim_range_search(spark, sf_dir):
+    """Multi-probe LSH radius search: all corpus vectors within cosine
+    >= {SIM_LSH_THRESHOLD}e-6 of each query among the query bucket's
+    Hamming<=1 neighborhood — candidate generation replicated exactly
+    by the oracle, verification in exact fixed-point cosine."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.lsh_range_search(
+        queries, emb, threshold_x1e6=SIM_LSH_THRESHOLD
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _sim_range_search_sql() -> str:
+    masks = ", ".join(
+        str(m) for m in [0] + [1 << t for t in range(S.LSH_BITS)]
+    )
+    return f"""
+WITH withb AS (SELECT vec_id, embedding,
+                      {_lsh_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+probes AS (
+  SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+         xor(q.bucket, m.m) AS bucket
+  FROM withb q, (SELECT unnest([{masks}]) AS m) m
+  WHERE q.vec_id < {SIM_QUERY_COUNT}
+)
+SELECT q_id, vec_id, sim_x1e6 FROM (
+  SELECT p.q_id::BIGINT AS q_id, c.vec_id::BIGINT AS vec_id,
+         CAST(round(({_dot_sql('p.q_emb', 'c.embedding')})
+                    / (({_norm_sql('p.q_emb')}) * ({_norm_sql('c.embedding')}))
+                    * 1e6) AS BIGINT) AS sim_x1e6
+  FROM probes p JOIN withb c USING (bucket)
+  WHERE c.vec_id <> p.q_id
+) WHERE sim_x1e6 >= {SIM_LSH_THRESHOLD}
+"""
+
+
 def q_emb_dedup(spark, sf_dir):
     """Embedding-cosine near-dup collapse (LSH-bucketed): every vector
     with a lower-id bucket-mate at cosine >= 0.3 is dropped."""
@@ -9429,6 +9470,7 @@ EXT_QUERIES = {
         _sim_topk_ivf_incremental_sql(),
     ),
     "sim_lsh_pairs": (q_sim_lsh, _sim_lsh_sql()),
+    "sim_range_search": (q_sim_range_search, _sim_range_search_sql()),
     "dedup_embedding_cosine": (q_emb_dedup, _emb_dedup_sql()),
     "text_token_stats": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
