@@ -1,0 +1,260 @@
+"""Round-10 operator semantics vs pure-Python models: PageRank over
+the dup graph, Holt linear smoothing, MIPS top-k, temperature mixture
+allocation, canonical-per-cluster selection, multi-probe range search.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_storage_spark.operators import similarity as S
+from time_series_storage_spark.operators.analytics import holt_linear
+from time_series_storage_spark.operators.dedup import (
+    canonical_per_cluster,
+    pagerank,
+)
+from time_series_storage_spark.operators.split import temperature_mix
+
+
+# -- PageRank -----------------------------------------------------------------
+
+def _pr_model(nodes, pairs, n_iter, damping_x100=85):
+    nbrs, deg = defaultdict(list), defaultdict(int)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+        deg[a] += 1
+        deg[b] += 1
+    r = {v: 1_000_000 for v in nodes}
+    one_minus_d = (100 - damping_x100) * 10_000
+    for _ in range(n_iter):
+        inc = defaultdict(int)
+        for u, vs in nbrs.items():
+            share = r[u] // deg[u]
+            for v in vs:
+                inc[v] += share
+    # fmt: off
+        r = {
+            v: one_minus_d + (damping_x100 * inc.get(v, 0)) // 100
+            for v in nodes
+        }
+    # fmt: on
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    """Chain + triangle + star + singleton, 3 rounds: every node's
+    fixed-point rank equals the integer power-iteration model,
+    singletons settle at (1-d) = 150000."""
+    nodes = list(range(1, 12))
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (5, 6), (6, 7), (5, 7),          # triangle
+        (8, 9), (8, 10),                 # star centered on 8
+    ]                                    # 11 isolated
+    want = _pr_model(nodes, pairs, n_iter=3)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r.node: r.rank_x1e6
+        for r in pagerank(pdf, ndf, "doc_id", n_iter=3).collect()
+    }
+    assert got == want
+    assert got[11] == 150_000
+    # the triangle is the densest structure: strictly above the chain ends
+    assert got[5] > got[1] and got[5] > got[4]
+
+
+# -- Holt linear trend --------------------------------------------------------
+
+def _holt_model(xs):
+    out = []
+    l, b = xs[0], 0
+    out.append((l, b))
+    for x in xs[1:]:
+        nl = int((x + l + b) / 2.0)
+        nb = int((nl - l + b) / 2.0)
+        l, b = nl, nb
+        out.append((l, b))
+    return out
+
+
+@pytest.mark.parametrize(
+    "xs",
+    [
+        [7],                               # single point: level=x, trend=0
+        [0, 0, 0, 0],
+        [1, 2, 3, 4, 5, 6, 7, 8],          # rising trend
+        [90, 70, 50, 30, 10, 0],           # falling: negative trend halving
+        [5, 100, 3, 88, 1, 77, 2],         # sawtooth: sign flips in b
+    ],
+)
+def test_holt_linear_matches_python_model(spark, xs):
+    scaled = [x * 1_000_000 for x in xs]
+    df = spark.createDataFrame(
+        [("s", i * 3600, v) for i, v in enumerate(scaled)],
+        "k string, ep long, x long",
+    )
+    rows = (
+        holt_linear(df, ["k"], "ep", "x")
+        .orderBy("ep")
+        .collect()
+    )
+    got = [(r.level_x1e6, r.trend_x1e6) for r in rows]
+    assert got == _holt_model(scaled)
+    assert [r.x for r in rows] == scaled  # observations ride along
+
+
+# -- MIPS ---------------------------------------------------------------------
+
+def test_mips_topk_matches_inner_product_model(spark):
+    rng = random.Random(7)
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        for i in range(20)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = S.mips_topk(
+        df.where(F.col("vec_id") < 3), df, k=5
+    ).collect()
+    by_q = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
+        by_q[r.q_id].append(r)
+    for q in (0, 1, 2):
+        # exact model: ordered left-fold dot, rounded at 1e6
+        want = sorted(
+            (
+                (-_ip_x1e6(vecs[q], vecs[c]), c)
+                for c in vecs
+                if c != q
+            ),
+        )[:5]
+        got = [(-r.ip_x1e6, r.vec_id) for r in by_q[q]]
+        assert got == want
+        # augmented cosine is monotone in the inner product per query
+        mips = [r.mips_x1e6 for r in by_q[q]]
+        assert mips == sorted(mips, reverse=True)
+
+
+def _dot_left(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _ip_x1e6(a, b):
+    v = _dot_left(a, b) * 1e6
+    # Spark round() = HALF_UP on the double
+    f = math.floor(v)
+    return int(f + (1 if v - f >= 0.5 else 0))
+
+
+# -- temperature mixture ------------------------------------------------------
+
+def test_temperature_mix_allocations_and_caps(spark):
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(1000 + i, "mid") for i in range(25)]
+        + [(2000 + i, "tail") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for t in (1, 2, 4):
+        out = temperature_mix(df, "source", "doc_id", 30, temperature=t)
+        counts = {
+            r.source: r.c
+            for r in out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("alloc").alias("a"))
+            .collect()
+        }
+        w = {
+            s: int(math.floor(n ** (1.0 / t) * 1e6))
+            for s, n in (("big", 100), ("mid", 25), ("tail", 4))
+        }
+        tw = sum(w.values())
+        sizes = {"big": 100, "mid": 25, "tail": 4}
+        # a group never yields more rows than it has — the UniMax
+        # single-epoch cap falls out of the selection for free
+        want = {s: min((30 * ws) // tw, sizes[s]) for s, ws in w.items()}
+        assert counts == {s: n for s, n in want.items() if n > 0}
+    # T=2 flattens vs T=1: the head source gives up budget to the tail
+    out1 = temperature_mix(df, "source", "doc_id", 30, temperature=1)
+    out2 = temperature_mix(df, "source", "doc_id", 30, temperature=2)
+    big1 = out1.where(F.col("source") == "big").count()
+    big2 = out2.where(F.col("source") == "big").count()
+    assert big2 < big1
+    with pytest.raises(ValueError, match="temperatures are 1, 2 and 4"):
+        temperature_mix(df, "source", "doc_id", 30, temperature=3)
+
+
+# -- canonical per cluster ----------------------------------------------------
+
+def test_canonical_per_cluster_keep_longest_semantics(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5)], "node long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (5, 7)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.cluster: (r.keep_doc_id, r.keep_score, r.n_members)
+        for r in canonical_per_cluster(clusters, docs).collect()
+    }
+    # argmax n_chars; tie between 2 and 3 breaks to the smaller id;
+    # singleton keeps itself
+    assert got == {1: (2, 30, 3), 5: (5, 7, 1)}
+
+
+# -- multi-probe range search -------------------------------------------------
+
+def _py_bucket(v):
+    b = 0
+    for t, plane in enumerate(S.LSH_PLANES):
+        acc = 0.0
+        for x, sgn in zip(v, plane):
+            acc = acc + x * float(sgn)
+        if acc > 0:
+            b += 1 << t
+    return b
+
+
+def test_lsh_range_search_matches_probe_model(spark):
+    rng = random.Random(13)
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(S.EMBED_DIM)]
+        for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 100_000
+    got = {
+        (r.q_id, r.vec_id): r.sim_x1e6
+        for r in S.lsh_range_search(
+            df.where(F.col("vec_id") < 4), df, threshold_x1e6=thr
+        ).collect()
+    }
+    buckets = {i: _py_bucket(v) for i, v in vecs.items()}
+    want = {}
+    for q in range(4):
+        probe = {buckets[q] ^ m for m in [0] + [1 << t for t in range(S.LSH_BITS)]}
+        for c, v in vecs.items():
+            if c == q or buckets[c] not in probe:
+                continue
+            na = math.sqrt(_dot_left(vecs[q], vecs[q]))
+            nb = math.sqrt(_dot_left(v, v))
+            sim = _dot_left(vecs[q], v) / (na * nb) * 1e6
+            f = math.floor(sim)
+            sim_i = int(f + (1 if sim - f >= 0.5 else 0))
+            if sim_i >= thr:
+                want[(q, c)] = sim_i
+    assert got == want
+    assert want  # the model actually produced in-radius neighbors
