@@ -23,79 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 9: the
-# eight new queries (exact substring dedup, batch + incremental; the
-# three-store curation pipeline; Gopher quality rules; DSIR
-# importance, batch + incremental store; CCNet quality buckets; the
-# Gopher->DSIR->substring modern pipeline) lead, followed by 42 of
-# the 49 rows whose last driver gate was r6 — every other registry
-# row was gated in r7 or r8, so with this window each row has a green
-# driver CORRECTNESS row within the last 3 rounds except the seven
-# parked at positions 51-57 (the
-# registry now exceeds 150 = 3 rounds x 50 rows, so strict 3-round
-# coverage is arithmetically impossible; the parked rows are trivial
-# TPC-H shapes, stable since r2, green in this round's local sf0.01
-# sweep and the full-registry sf0.001 pytest oracle suite, and they
-# LEAD r10's window).  Below the line: the r7 block (next-oldest, the
-# bulk of r10's window), then the r8 block (freshest).
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 10: the
+# seven new queries (keep-best canonical selection; dup-graph PageRank;
+# MIPS top-k; multi-probe range search; temperature mixture sampling;
+# Holt linear smoothing; the store-backed modern pipeline) lead,
+# then the seven rows parked at 51-57 last round (last gated r6 — the
+# r9 comment's promise that they LEAD r10), then 36 of the 50 rows whose
+# last driver gate was r7.  The registry (164) exceeds 150 = 3 rounds x
+# 50, so strict 3-round coverage stays arithmetically impossible; the
+# 14 r7-gated overflow rows park at positions 51-64 (engine ts_* /
+# dedup family shapes, stable since r2-r5, green in this round's local
+# sf0.01 sweep and the full-registry sf0.001 pytest oracle suite) and
+# LEAD r11's window.  Below them: the r8 block, then the r9 block
+# (freshest external coverage).
 _GATE_PRIORITY = [
-    # --- round-9 window: the eight new r9 queries (never gated),
-    # --- then 42 of the 49 rows whose last driver gate was r6 (the
-    # --- other seven park at 51-57, sweep- and pytest-covered, and
-    # --- lead the r10 window) ---
-    "dedup_exact_substring",
-    "esub_dedup_incremental",
-    "pipeline_curation_media",
-    "gopher_quality_rules",
-    "dsir_importance",
-    "ccnet_quality_buckets",
-    "pipeline_modern_curation",
-    "dsir_score_incremental",
-    "text_dup_ngrams",
-    "emb_quantize_int8",
-    "sim_topk_int8",
-    "sim_topk_rerank",
-    "sim_topk_pq",
-    "dedup_source_overlap",
-    "corpus_stats_by_source",
-    "corpus_cube",
-    "lang_coverage_division",
-    "brands_shipping_recent",
-    "text_length_ntile",
-    "corpus_pivot_lang",
-    "dq_violations",
-    "vocab_encode_top256",
-    "text_chunk_windows",
-    "pipeline_chunk_pack",
-    "text_len_hist_quantiles",
-    "sample_stratified_lang",
-    "sample_weighted_mix",
-    "pipeline_e2e",
-    "pipeline_tokenize_pack",
-    "tfidf_top_terms",
-    "salted_hourly_totals",
-    "contamination_report",
-    "quality_percentile",
-    "ts_autocorr_24h",
-    "promo_revenue_share",
-    "similar_users_topk",
-    "events_debounce",
-    "retention_cohorts",
-    "ts_anomaly_zscore",
-    "ts_seasonal_anomaly",
-    "ts_trend_slope",
-    "series_correlation",
-    "ts_m4_downsample",
-    "ts_ewma_smooth",
-    "ts_gap_detect",
-    "text_pack_bins",
-    "sketch_distinct_tokens",
-    "rolling_weekly_users",
-    "sales_rollup_nation_month",
-    "sim_recall_audit",
-    # --- below the 50-row gate line: the seven parked r6 rows first
-    # --- (they lead r10), then the r7-gated block (next-oldest),
-    # --- then the r8-gated block (freshest external coverage) ---
+    # --- round-10 window: seven new queries, the seven parked r6
+    # --- rows, then 36 of the 50 r7-gated rows ---
+    "dedup_keep_best",
+    "dup_graph_pagerank",
+    "sim_topk_mips",
+    "sim_range_search",
+    "sample_temperature_mix",
+    "ts_holt_linear",
+    "pipeline_modern_incremental",
     "local_supplier_volume",
     "ts_hourly_profile",
     "pricing_summary",
@@ -139,6 +89,8 @@ _GATE_PRIORITY = [
     "ts_rollup_slice15",
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
+    # --- below the 50-row gate line: the 14 r7-gated overflow rows
+    # --- (they lead r11), then the r8 block, then the r9 block ---
     "ts_histogram_day_materialized",
     "ts_rolling_3h",
     "ts_interp_fill",
@@ -203,6 +155,56 @@ _GATE_PRIORITY = [
     "text_fingerprint",
     "text_top_terms",
     "text_repetition",
+    "dedup_exact_substring",
+    "esub_dedup_incremental",
+    "pipeline_curation_media",
+    "gopher_quality_rules",
+    "dsir_importance",
+    "ccnet_quality_buckets",
+    "pipeline_modern_curation",
+    "dsir_score_incremental",
+    "text_dup_ngrams",
+    "emb_quantize_int8",
+    "sim_topk_int8",
+    "sim_topk_rerank",
+    "sim_topk_pq",
+    "dedup_source_overlap",
+    "corpus_stats_by_source",
+    "corpus_cube",
+    "lang_coverage_division",
+    "brands_shipping_recent",
+    "text_length_ntile",
+    "corpus_pivot_lang",
+    "dq_violations",
+    "vocab_encode_top256",
+    "text_chunk_windows",
+    "pipeline_chunk_pack",
+    "text_len_hist_quantiles",
+    "sample_stratified_lang",
+    "sample_weighted_mix",
+    "pipeline_e2e",
+    "pipeline_tokenize_pack",
+    "tfidf_top_terms",
+    "salted_hourly_totals",
+    "contamination_report",
+    "quality_percentile",
+    "ts_autocorr_24h",
+    "promo_revenue_share",
+    "similar_users_topk",
+    "events_debounce",
+    "retention_cohorts",
+    "ts_anomaly_zscore",
+    "ts_seasonal_anomaly",
+    "ts_trend_slope",
+    "series_correlation",
+    "ts_m4_downsample",
+    "ts_ewma_smooth",
+    "ts_gap_detect",
+    "text_pack_bins",
+    "sketch_distinct_tokens",
+    "rolling_weekly_users",
+    "sales_rollup_nation_month",
+    "sim_recall_audit",
 ]
 
 
