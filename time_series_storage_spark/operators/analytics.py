@@ -668,3 +668,96 @@ aggregate(
         F.col("_s.l").alias("level_x1e6"),
         F.col("_s.b").alias("trend_x1e6"),
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    dims: Sequence[str],
+    x_col: str,
+    id_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """EXACT robust location/scale statistics per group — median,
+    ``trim_pct``%-trimmed mean and MAD (median absolute deviation) —
+    the outlier-resistant profile a corpus-quality dashboard wants
+    where plain mean/stddev follow the heavy tail. All integer
+    arithmetic on rank statistics, never a float quantile estimate:
+
+    * ``median_x2``   = the sum of the two middle order statistics
+      (equals 2x the usual median; odd n counts the middle twice);
+    * ``trim_mean``   = floor(sum / count) over ranks in
+      (k, n-k], k = n * trim_pct // 100;
+    * ``mad_x4``      = median (x2) of |2*x - median_x2| (itself x2) —
+      deviations from the EXACT possibly-half-integer median.
+
+    Plan shape: one exchange on ``dims`` feeds a rank window; the MAD
+    pass re-windows the same partitioning (Catalyst reuses the
+    exchange), and the per-group medians ride back as a broadcast
+    (one row per group). Ranks tie-break on ``id_col`` so both engines
+    order identically. At web scale an exact global rank per group is
+    one sort per group-partition — for hot groups pre-bucket by dims
+    or switch to the histogram-rank lookup (text_len_hist_quantiles'
+    pattern); this operator is the exact form.
+
+    Output: dims + (n_docs, median_x2, trim_mean, mad_x4).
+    """
+    x = F.col(x_col).cast("long")
+    w = Window.partitionBy(*dims).orderBy(x, F.col(id_col))
+    wc = Window.partitionBy(*dims)
+    ranked = df.select(
+        *dims,
+        x.alias("_x"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("_n"),
+    )
+    lo_mid = (F.col("_n") + 1) / F.lit(2)  # (n+1)//2 for positive n
+    med = (
+        ranked.where(
+            (F.col("_rn") == F.floor(lo_mid))
+            | (F.col("_rn") == F.floor((F.col("_n") + 2) / F.lit(2)))
+        )
+        .groupBy(*dims)
+        .agg(
+            F.max("_n").alias("n_docs"),
+            # odd n: the two rank predicates coincide -> count the
+            # middle twice; even n: sum of the two middles
+            (F.sum("_x") * F.when(F.count(F.lit(1)) == 1, 2).otherwise(1))
+            .cast("long")
+            .alias("median_x2"),
+        )
+    )
+    k = F.expr(f"_n * {int(trim_pct)} div 100")
+    trim = (
+        ranked.where((F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k))
+        .groupBy(*dims)
+        .agg(
+            floor_div(F.sum("_x"), F.count(F.lit(1)))
+            .cast("long")
+            .alias("trim_mean"),
+        )
+    )
+    dev = ranked.join(F.broadcast(med), list(dims)).select(
+        *dims,
+        F.abs(F.col("_x") * 2 - F.col("median_x2")).alias("_d"),
+    )
+    wd = Window.partitionBy(*dims).orderBy(F.col("_d"))
+    wdc = Window.partitionBy(*dims)
+    mad = (
+        dev.select(
+            *dims,
+            "_d",
+            F.row_number().over(wd).cast("long").alias("_rn"),
+            F.count(F.lit(1)).over(wdc).cast("long").alias("_n"),
+        )
+        .where(
+            (F.col("_rn") == F.floor((F.col("_n") + 1) / F.lit(2)))
+            | (F.col("_rn") == F.floor((F.col("_n") + 2) / F.lit(2)))
+        )
+        .groupBy(*dims)
+        .agg(
+            (F.sum("_d") * F.when(F.count(F.lit(1)) == 1, 2).otherwise(1))
+            .cast("long")
+            .alias("mad_x4"),
+        )
+    )
+    return med.join(trim, list(dims)).join(mad, list(dims))

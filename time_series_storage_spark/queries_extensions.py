@@ -2098,6 +2098,54 @@ FROM r JOIN alloc a USING (source) WHERE r.mix_rank <= a.alloc
 """
 
 
+def q_source_length_robust(spark, sf_dir):
+    """Exact robust per-source length profile (operators/analytics.py:
+    robust_stats): median, 10%-trimmed mean and MAD over n_chars — all
+    rank statistics in integer arithmetic (median_x2 / mad_x4 carry
+    the half-integer medians exactly), never an approximate quantile,
+    so the whole profile is under the hash gate."""
+    from .operators.analytics import robust_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return robust_stats(docs, ["source"], "n_chars", "doc_id").select(
+        "source", "n_docs", "median_x2", "trim_mean", "mad_x4"
+    )
+
+
+SQL_SOURCE_LENGTH_ROBUST = """
+WITH r AS (
+  SELECT source, n_chars AS x, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (
+  SELECT source, MAX(n) AS n_docs,
+         (SUM(x) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END))::BIGINT
+           AS median_x2
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY source),
+trim AS (
+  SELECT source, (SUM(x) // COUNT(*))::BIGINT AS trim_mean
+  FROM r WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
+  GROUP BY source),
+d AS (SELECT r.source, ABS(r.x * 2 - m.median_x2) AS d
+      FROM r JOIN med m USING (source)),
+dr AS (SELECT source, d,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY d) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS n
+       FROM d),
+mad AS (SELECT source,
+               (SUM(d) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END))::BIGINT
+                 AS mad_x4
+        FROM dr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY source)
+SELECT m.source, m.n_docs::BIGINT AS n_docs, m.median_x2,
+       t.trim_mean, a.mad_x4
+FROM med m JOIN trim t USING (source) JOIN mad a USING (source)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -9486,6 +9534,10 @@ EXT_QUERIES = {
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
+    "source_length_robust": (
+        q_source_length_robust,
+        SQL_SOURCE_LENGTH_ROBUST,
+    ),
     "corpus_cube": (q_corpus_cube, SQL_CORPUS_CUBE),
     "lang_coverage_division": (q_lang_coverage_division, SQL_LANG_COVERAGE),
     "brands_shipping_recent": (
