@@ -1145,3 +1145,112 @@ def test_dsir_models_are_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# -- round-10 operator pins ----------------------------------------------------
+
+def test_mips_two_bounded_scalar_nljs_no_corpus_shuffle(spark):
+    """MIPS top-k: the max-norm scalar and the query set ride as the
+    only two (bounded) broadcast NLJs; the corpus is never sort-merge
+    joined or reshuffled — the one hash exchange is the per-query
+    top-k window."""
+    from time_series_storage_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(S.mips_topk(df.where("vec_id < 2"), df, k=2))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_checkpoint_truncates_round_lineage(spark):
+    """Iterative PageRank must not grow the plan with the round count:
+    localCheckpoint truncates each round, so the FINAL plan contains
+    one round's join+aggregate regardless of n_iter (round N never
+    replays rounds 1..N-1)."""
+    from time_series_storage_spark.operators.dedup import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "d1 long, d2 long")
+    p1 = _plan(pagerank(pairs, nodes, "doc_id", n_iter=1))
+    p4 = _plan(pagerank(pairs, nodes, "doc_id", n_iter=4))
+    assert p4.count("Join") <= p1.count("Join")
+    assert "BatchEvalPython" not in p4
+
+
+def test_range_search_broadcast_probe_no_corpus_exchange(spark):
+    """Multi-probe range search: the exploded probe set broadcasts
+    onto the bucket-keyed corpus scan — no sort-merge join and no
+    hash exchange of the corpus anywhere (the plan is scan + one
+    broadcast hash join + filter)."""
+    from time_series_storage_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [0.1 * (i + j) for j in range(S.EMBED_DIM)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(
+        S.lsh_range_search(df.where("vec_id < 2"), df, threshold_x1e6=0)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not any(
+        "hashpartitioning" in seg[:120]
+        for seg in plan.split("Exchange")[1:]
+    )
+
+
+def test_temperature_mix_broadcast_alloc_two_phase_topk(spark):
+    """Temperature sampling: the derived alloc table broadcast-joins
+    onto the corpus (never sort-merge), the weight total rides as one
+    bounded scalar NLJ, and the selection is the two-phase top-k (two
+    rank windows, no single global sort per key)."""
+    from time_series_storage_spark.operators.split import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    plan = _plan(temperature_mix(df, "source", "doc_id", 10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Window") >= 2
+
+
+def test_holt_linear_pure_codegen_one_exchange(spark):
+    """Holt smoothing is one exchange (the per-series collect_list)
+    and a codegen array fold: no Python evaluator, no join, exactly
+    one hash exchange."""
+    from time_series_storage_spark.operators.analytics import holt_linear
+
+    df = spark.createDataFrame(
+        [("a", i, i * 1000000) for i in range(6)],
+        "k string, ep long, x long",
+    )
+    plan = _plan(holt_linear(df, ["k"], "ep", "x"))
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    n_exchanges = sum(
+        1 for seg in plan.split("Exchange")[1:]
+        if "hashpartitioning" in seg[:120]
+    )
+    assert n_exchanges == 1
+
+
+def test_robust_stats_rank_windows_no_python(spark):
+    """Robust stats: rank windows partitioned by the group key (never
+    a global window), per-group medians ride back as a broadcast hash
+    join, zero Python, no cartesian."""
+    from time_series_storage_spark.operators.analytics import robust_stats
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", 10 + i) for i in range(12)],
+        "doc_id long, source string, n_chars long",
+    )
+    plan = _plan(robust_stats(df, ["source"], "n_chars", "doc_id"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan

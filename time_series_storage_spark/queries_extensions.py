@@ -3225,6 +3225,12 @@ def q_pipeline_modern_incremental(spark, sf_dir):
     sel = scores.where(
         F.col("sum_ratio_x1e9") >= F.lit(DSIR_KEEP_X1E9) * F.col("n_terms")
     ).select("doc_id")
+    # STAGE the selection ids — the trivially-small table the batch
+    # pipeline's docstring prescribes materializing at 100 TB: without
+    # it, the substring stage's four branches each replan the scoring
+    # subtree and its two bounded scalar broadcasts print 8 NLJs in
+    # one plan (use a reliable checkpoint dir on a real cluster)
+    sel = sel.localCheckpoint()
     kept2 = inc.join(sel, "doc_id", "left_semi")
     return T.exact_substring_dedup_increment(
         esub, kept2, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
