@@ -1300,3 +1300,51 @@ def test_streaming_retention_pairs_converge_to_batch(spark, tmp_path):
         k = (r["cohort_week"], r["week_offset"])
         agg[k] = agg.get(k, 0) + 1
     assert agg == batch and len(rows) == sum(batch.values())
+
+
+def test_streaming_holt_converges_to_batch(spark, tmp_path):
+    """In-order micro-batches: the streamed Holt level/trend equals
+    batch holt_linear bit-for-bit across batch boundaries — the state
+    is just the two fixed-point registers, so the recursion continues
+    seamlessly where the previous batch stopped, including negative
+    trends (sign-adjusted truncation)."""
+    from time_series_storage_spark.operators.analytics import holt_linear
+    from time_series_storage_spark.streaming.stateful import streaming_holt
+
+    rows = []
+    for k, xs in (
+        ("a", [5, 100, 3, 88, 1, 77, 2, 60, 9]),
+        ("b", [90, 70, 50, 30, 10, 0, 4, 4, 4]),
+    ):
+        rows.extend((k, i * 3600, x * 1_000_000) for i, x in enumerate(xs))
+    df = spark.createDataFrame(rows, "k string, ep long, x long")
+    src = str(tmp_path / "holt")
+    n = 9
+    for bi, (lo, hi) in enumerate([(0, 3), (3, 6), (6, n)]):
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[1] // 3600 < hi],
+            "k string, ep long, x long",
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        (r.k, r.ep): (r.level_x1e6, r.trend_x1e6)
+        for r in holt_linear(df, ["k"], "ep", "x").collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_holt(stream, "k")
+        .writeStream.format("memory")
+        .queryName("sholt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.k, r.ep): (r.level_x1e6, r.trend_x1e6)
+        for r in spark.sql("select * from sholt").collect()
+    }
+    assert got == batch and len(got) == 18

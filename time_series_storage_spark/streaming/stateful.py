@@ -666,6 +666,99 @@ def streaming_ewma(
     )
 
 
+HOLT_STATE_SCHEMA = "l long, b long"
+
+
+def streaming_holt(
+    series: DataFrame,
+    key_col: str,
+    ep_col: str = "ep",
+    x_col: str = "x",
+) -> DataFrame:
+    """Streaming Holt linear-trend smoothing — the stateful twin of
+    ``operators.analytics.holt_linear``, and the case that NEEDS
+    per-key state: the level+trend recursion has an unbounded horizon
+    (every value depends on the full prefix), so unlike the truncated
+    EWMA's K-value ring the state here is just the two running
+    fixed-point registers (l, b) — constant memory per series however
+    long it runs.
+
+    Arithmetic is the batch operator's exactly: with alpha=gamma=1/2
+    each step is one halving truncated toward zero, done here in pure
+    integer form (``a // 2`` sign-adjusted), which equals the batch
+    double-halving bit-for-bit within the operator's documented
+    sub-2^52 magnitude contract. First observation ever per key:
+    l = x, b = 0. Rows sort by (ep, x) within a batch and the state
+    assumes in-order micro-batches (the bucketed-series contract —
+    same as streaming_cusum); on in-order streams every emitted row
+    equals the batch output bit-for-bit (pinned in tests).
+
+    Emits one row per observation: key, ep, x, level_x1e6, trend_x1e6.
+    """
+    out_schema = (
+        f"{key_col} string, {ep_col} long, {x_col} long,"
+        " level_x1e6 long, trend_x1e6 long"
+    )
+
+    def _half_trunc(a: int) -> int:
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    def smooth(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        have = state.exists
+        l, b = state.get if have else (0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", "_x"], kind="mergesort")
+        eps, xs, ls, bs = [], [], [], []
+        for ep, x in zip(pdf["_ep"], pdf["_x"]):
+            x = int(x)
+            if not have:
+                l, b, have = x, 0, True
+            else:
+                nl = _half_trunc(x + l + b)
+                b = _half_trunc(nl - l + b)
+                l = nl
+            eps.append(int(ep))
+            xs.append(x)
+            ls.append(l)
+            bs.append(b)
+        state.update((l, b))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(eps),
+                ep_col: eps,
+                x_col: xs,
+                "level_x1e6": ls,
+                "trend_x1e6": bs,
+            }
+        )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ep_col).cast("long").alias("_ep"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .where(
+            F.col("_ep").isNotNull() & F.col("_x").isNotNull()
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            smooth,
+            outputStructType=out_schema,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ANOM_STATE_SCHEMA = "qs array<long>"
 
 
