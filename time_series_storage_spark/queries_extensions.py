@@ -8393,6 +8393,84 @@ FROM rec
 """
 
 
+HOLT_HORIZON = 3
+
+
+def q_ts_holt_forecast(spark, sf_dir):
+    """h-step-ahead Holt forecast per event_type — what the smoother
+    is for: from each series' FINAL (level, trend) state, project
+    yhat(t+h) = level + h * trend for h = 1..{HOLT_HORIZON} (exact
+    long arithmetic on the gated recursion's fixed-point registers).
+    One rank window picks the last observation per series; the
+    horizon explode is a literal array."""
+    from .operators.analytics import holt_linear
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("unix_timestamp(ts) div 3600") * 3600)
+        .cast("long")
+        .alias("bucket_ep"),
+    ).agg((F.count(F.lit(1)) * F.lit(1_000_000)).alias("x"))
+    sm = holt_linear(hourly, ["event_type"], ep_col="bucket_ep", x_col="x")
+    w = W.partitionBy("event_type").orderBy(F.col("bucket_ep").desc())
+    last = sm.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return last.select(
+        "event_type",
+        "bucket_ep",
+        F.explode(
+            F.array(*[
+                F.lit(h).cast("long") for h in range(1, HOLT_HORIZON + 1)
+            ])
+        ).alias("h"),
+        "level_x1e6",
+        "trend_x1e6",
+    ).select(
+        "event_type",
+        (F.col("bucket_ep") + F.col("h") * 3600).alias("forecast_ep"),
+        "h",
+        (F.col("level_x1e6") + F.col("h") * F.col("trend_x1e6"))
+        .cast("long")
+        .alias("forecast_x1e6"),
+    )
+
+
+SQL_TS_HOLT_FORECAST = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::BIGINT AS ep,
+         (COUNT(*) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+ord AS (SELECT event_type, ep, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep) AS t
+        FROM hourly),
+rec AS (
+  SELECT event_type, t, ep, x, x AS l, CAST(0 AS BIGINT) AS b
+  FROM ord WHERE t = 1
+  UNION ALL
+  SELECT o.event_type, o.t, o.ep, o.x,
+         CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT) AS l,
+         CAST(TRUNC((CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT)
+                     - r.l + r.b) / 2.0) AS BIGINT) AS b
+  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+),
+last AS (
+  SELECT event_type, ep, l, b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep DESC) AS rn
+  FROM rec
+)
+SELECT event_type,
+       (ep + g.h * 3600)::BIGINT AS forecast_ep,
+       g.h::BIGINT AS h,
+       (l + g.h * b)::BIGINT AS forecast_x1e6
+FROM last, unnest(generate_series(1, {HOLT_HORIZON})) g(h)
+WHERE rn = 1
+"""
+
+
 def q_ts_gaps(spark, sf_dir):
     """Reporting-silence detection per event_type
     (operators/analytics.py:gap_detect): consecutive observations more
@@ -9679,6 +9757,7 @@ EXT_QUERIES = {
     "ts_m4_downsample": (q_ts_m4, SQL_TS_M4),
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_holt_linear": (q_ts_holt_linear, SQL_TS_HOLT_LINEAR),
+    "ts_holt_forecast": (q_ts_holt_forecast, SQL_TS_HOLT_FORECAST),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
     "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
