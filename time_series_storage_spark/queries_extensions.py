@@ -3361,6 +3361,81 @@ GROUP BY t.doc_id
 """
 
 
+def q_doc_novelty_incremental(spark, sf_dir):
+    """Per-document NOVELTY against the persisted window history — the
+    curation signal between "exact dup" and "fresh": the share of
+    today's stride-1 {ESUB_WINDOW_WORDS}-word windows never retained
+    by any earlier day, from ONE anti-join-shaped probe of the
+    window-grain FingerprintStore (history text never rescanned).
+    novelty_x1000 = 1000 * fresh_windows // windows, integer-floored;
+    documents shorter than the window emit -1 (no window evidence —
+    distinguishable from "all windows seen" = 0). The oracle
+    recomputes both days' windows from scratch."""
+    store = _esub_fp_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(F.col("doc_id") >= FPSTORE_BASE)
+    wins = T.substring_windows(inc, "doc_id", "text", ESUB_WINDOW_WORDS)
+    seen = store.seen().select(F.col("fp").alias("_win_fp"))
+    # raw-mode store fingerprint = md5 of the raw window text
+    # (dedup.py FingerprintStore, normalize=False — params-pinned)
+    probed = wins.select(
+        "doc_id", F.md5(F.col("_win")).alias("_w")
+    ).join(
+        F.broadcast(seen).withColumnRenamed("_win_fp", "_w").withColumn(
+            "_hit", F.lit(1)
+        ),
+        "_w",
+        "left",
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_seen"),
+    )
+    from .operators.analytics import floor_div
+
+    return inc.select("doc_id").join(per_doc, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+        F.coalesce(F.col("n_seen"), F.lit(0)).alias("n_seen"),
+        F.when(F.col("n_windows").isNull(), F.lit(-1).cast("long"))
+        .otherwise(
+            floor_div(
+                (F.col("n_windows") - F.col("n_seen")) * 1000,
+                F.col("n_windows"),
+            ).cast("long")
+        )
+        .alias("novelty_x1000"),
+    )
+
+
+SQL_DOC_NOVELTY_INCREMENTAL = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, g.k + 1, g.k + {ESUB_WINDOW_WORDS}),
+             ' ')) AS wh
+  FROM tk,
+       unnest(generate_series(0, len(toks) - {ESUB_WINDOW_WORDS})) g(k)
+),
+hist AS (SELECT DISTINCT wh FROM win WHERE doc_id < {FPSTORE_BASE}),
+per AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN h.wh IS NULL THEN 0 ELSE 1 END) AS n_seen
+  FROM win w LEFT JOIN hist h ON w.wh = h.wh
+  WHERE w.doc_id >= {FPSTORE_BASE}
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       COALESCE(p.n_windows, 0)::BIGINT AS n_windows,
+       COALESCE(p.n_seen, 0)::BIGINT AS n_seen,
+       (CASE WHEN p.n_windows IS NULL THEN -1
+             ELSE ((p.n_windows - p.n_seen) * 1000) // p.n_windows
+        END)::BIGINT AS novelty_x1000
+FROM tk t LEFT JOIN per p ON p.doc_id = t.doc_id
+WHERE t.doc_id >= {FPSTORE_BASE}
+"""
+
+
 def _lm_store(spark, sf_dir):
     """The persisted bigram LM store for ``sf_dir`` — fit once by
     absorbing the history slice (doc_id < {FPSTORE_BASE}), then READ
@@ -9658,6 +9733,10 @@ EXT_QUERIES = {
     "esub_dedup_incremental": (
         q_esub_dedup_incremental,
         SQL_ESUB_DEDUP_INCREMENTAL,
+    ),
+    "doc_novelty_incremental": (
+        q_doc_novelty_incremental,
+        SQL_DOC_NOVELTY_INCREMENTAL,
     ),
     "gopher_quality_rules": (
         q_gopher_quality_rules,
