@@ -3377,10 +3377,14 @@ def q_doc_novelty_incremental(spark, sf_dir):
     seen = store.seen().select(F.col("fp").alias("_win_fp"))
     # raw-mode store fingerprint = md5 of the raw window text
     # (dedup.py FingerprintStore, normalize=False — params-pinned)
+    # plain keyed left join (NOT a broadcast): the window-history set
+    # grows with the absorbed corpus — at scale both sides shuffle on
+    # the fixed-width md5 key, the same shape as the store's own
+    # dedup_increment anti-join
     probed = wins.select(
         "doc_id", F.md5(F.col("_win")).alias("_w")
     ).join(
-        F.broadcast(seen).withColumnRenamed("_win_fp", "_w").withColumn(
+        seen.withColumnRenamed("_win_fp", "_w").withColumn(
             "_hit", F.lit(1)
         ),
         "_w",
