@@ -218,7 +218,10 @@ def temperature_mix(
     (small, one-row-per-source) weight table; the alloc table then
     broadcast-joins onto the corpus scan, and the selection is the
     exact two-phase hash-ordered top-k (:func:`_topk_per_key`) — no
-    full-corpus sort, no driver collect.
+    full-corpus sort, no driver collect. A group whose allocation
+    exceeds its row count simply yields every row — UniMax's
+    single-epoch cap falls out of the selection for free
+    (property-pinned in tests).
 
     Output: selected rows + ``mix_rank`` (hash-order rank within the
     key) + ``alloc`` (the key's computed quota).
