@@ -692,6 +692,84 @@ SELECT node::BIGINT AS doc_id, r AS rank_x1e6 FROM r{n_iter}
 """
 
 
+def q_dedup_canonical_pagerank(spark, sf_dir):
+    """Centrality-based canonical selection — the composition the
+    PageRank gate exists for: cluster the near-dup graph AND rank its
+    nodes, then keep the highest-PageRank member per cluster (tiebreak
+    smallest id) — the hub the copies orbit, rather than the longest
+    copy. The pair set is STAGED (localCheckpoint) so the expensive
+    LSH band join evaluates once for both consumers (the r8-verdict
+    duplicate_clusters lesson applied to a two-consumer composition).
+    Oracle: the shared recursive-CC CTE + the unrolled PageRank rounds
+    + one window, all over one pairs CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    ).localCheckpoint()
+    cc = D.connected_components(
+        pairs.select("d1", "d2"), docs.select("doc_id"), "doc_id"
+    )
+    pr = D.pagerank(pairs, docs, "doc_id", n_iter=PAGERANK_ITERS)
+    members = cc.join(pr, "node")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(
+        F.col("rank_x1e6").desc(), F.col("node")
+    )
+    wc = W.partitionBy("cluster")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("node").cast("long").alias("keep_doc_id"),
+            F.col("rank_x1e6").alias("keep_rank_x1e6"),
+            F.col("n_members"),
+        )
+    )
+
+
+def _dedup_canonical_pagerank_sql(n_iter: int = PAGERANK_ITERS) -> str:
+    blocks = []
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""
+inc{i} AS (SELECT e.b AS node, SUM(r.r // d.deg) AS inc
+           FROM edges e
+           JOIN r{i - 1} r ON r.node = e.a
+           JOIN deg d ON d.a = e.a
+           GROUP BY e.b),
+r{i} AS (SELECT n.node,
+                CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r
+         FROM r0 n LEFT JOIN inc{i} i USING (node))""")
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+{",".join(blocks)},
+members AS (SELECT c.cluster, c.node, p.r
+            FROM clusters c JOIN r{n_iter} p USING (node)),
+ranked AS (
+  SELECT cluster, node, r,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY r DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+  FROM members
+)
+SELECT cluster::BIGINT AS cluster, node::BIGINT AS keep_doc_id,
+       r AS keep_rank_x1e6, n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 # -- deterministic train/val/test split -------------------------------------
 
 def q_split_assign(spark, sf_dir):
@@ -9660,6 +9738,10 @@ EXT_QUERIES = {
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dup_graph_pagerank": (q_dup_graph_pagerank, _dup_graph_pagerank_sql()),
+    "dedup_canonical_pagerank": (
+        q_dedup_canonical_pagerank,
+        _dedup_canonical_pagerank_sql(),
+    ),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "entity_resolution_parts": (q_entity_resolution, _entity_resolution_sql()),
