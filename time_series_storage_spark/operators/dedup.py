@@ -833,9 +833,14 @@ def pagerank(
     Output: (node, rank_x1e6).
     """
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    # persist the directed edge set BEFORE deriving degrees: the
+    # degree aggregate and the probe side of the degree join both
+    # consume it, and without the cache the (expensive at scale) pair
+    # DAG upstream would evaluate once per consumer — the same
+    # double-evaluation duplicate_clusters' auto-probe once had
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     ed = edges.join(deg, "src").persist()
     base = nodes.select(F.col(id_col).cast("long").alias("node"))
@@ -864,6 +869,7 @@ def pagerank(
             ).cast("long").alias("rank_x1e6"),
         ).localCheckpoint()
     ed.unpersist()
+    edges.unpersist()
     return ranks
 
 
