@@ -258,3 +258,50 @@ def test_lsh_range_search_matches_probe_model(spark):
                 want[(q, c)] = sim_i
     assert got == want
     assert want  # the model actually produced in-radius neighbors
+
+
+# -- UniMax water-filling -------------------------------------------------------
+
+def _waterfill_loop(sizes, budget):
+    """The paper's iterative form: smallest keys first, each takes
+    min(its size, equal share of what remains)."""
+    items = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    alloc, remaining = {}, budget
+    for j, (k, n) in enumerate(items):
+        share = remaining // (len(items) - j)
+        take = min(n, share)
+        alloc[k] = take
+        remaining -= take
+    return alloc
+
+
+@pytest.mark.parametrize(
+    "budget", [1, 2, 3, 5, 7, 11, 13, 30, 73, 120, 133, 10_000]
+)
+def test_waterfill_closed_form_equals_iterative_loop(spark, budget):
+    from time_series_storage_spark.operators.split import waterfill_mix
+
+    sizes = {"a": 100, "b": 25, "c": 4, "d": 4, "e": 1}
+    rows = [
+        (k_i * 1000 + j, k)
+        for k_i, (k, n) in enumerate(sorted(sizes.items()))
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = waterfill_mix(df, "source", "doc_id", budget)
+    got = {
+        r.source: r.c
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    want = {
+        k: v for k, v in _waterfill_loop(sizes, budget).items() if v > 0
+    }
+    assert got == want
+    # never overspends; spends the whole budget when the corpus allows
+    assert sum(got.values()) <= budget
+    if budget <= sum(sizes.values()):
+        # the loop (and therefore the closed form) spends exactly the
+        # budget when the corpus can absorb it
+        assert sum(got.values()) == budget

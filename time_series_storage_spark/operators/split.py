@@ -254,3 +254,86 @@ def temperature_mix(
         _topk_per_key(capped, [key_col], id_col, F.col("alloc"), salt)
         .withColumnRenamed("_rank", "mix_rank")
     )
+
+
+def waterfill_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    total_budget: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023) in closed form —
+    the published successor to temperature sampling: give every key an
+    EQUAL share of the ``total_budget``, capped at what the key
+    actually has, redistributing what small keys can't use to the
+    large ones (water-filling). Equivalent to the paper's
+    iterate-smallest-first loop, computed without iteration: with
+    sizes sorted ascending, k = the largest prefix whose keys fit
+    entirely within an equal split (``prefix_{<k} + (G-k+1) * n_k <=
+    B``); those keys take all their rows, the rest take the floor-
+    equal share of the remaining budget, with the floor REMAINDER
+    going to the last ``r`` keys in sort order — exactly where the
+    iterative loop's per-step floor divisions concentrate it, so the
+    closed form reproduces the loop bit-for-bit (property-pinned
+    against the loop across budgets). All integer arithmetic.
+
+    Plan shape: the size table is one row per key — the sort window
+    over it is a deliberately single-partition frame over G dimension
+    rows (never the corpus); the resulting alloc table broadcast-joins
+    onto the scan and selection is the exact two-phase hash-ordered
+    top-k. Undershoot from the floor division is documented behavior
+    (same as :func:`temperature_mix`).
+
+    Output: selected rows + ``mix_rank`` + ``alloc``.
+    """
+    from pyspark.sql import Window
+
+    from .analytics import floor_div
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    wo = Window.orderBy(F.col("_n"), F.col(key_col))
+    wall = Window.partitionBy()
+    sized = counts.select(
+        F.col(key_col),
+        "_n",
+        (F.sum("_n").over(wo) - F.col("_n")).alias("_prefix"),
+        F.row_number().over(wo).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("_g"),
+        F.sum("_n").over(wo).alias("_cum"),
+    )
+    b = F.lit(int(total_budget))
+    fits = sized.withColumn(
+        "_fits",
+        (F.col("_prefix") + (F.col("_g") - F.col("_i") + 1) * F.col("_n"))
+        <= b,
+    )
+    # k = last ascending-sorted key whose full size fits an equal
+    # split; prefix_k = rows those keys consume. One tiny aggregate.
+    krow = fits.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_fits"), F.col("_i"))), F.lit(0)
+        ).alias("_k"),
+        F.coalesce(
+            F.max(F.when(F.col("_fits"), F.col("_cum"))), F.lit(0)
+        ).alias("_prefix_k"),
+    )
+    rem = b - F.col("_prefix_k")
+    m = F.col("_g") - F.col("_k")
+    base = floor_div(rem, m)
+    leftover = rem - base * m  # in [0, m): goes to the last keys
+    alloc = fits.crossJoin(F.broadcast(krow)).select(
+        F.col(key_col),
+        F.when(F.col("_i") <= F.col("_k"), F.col("_n"))
+        .otherwise(
+            base
+            + F.when(F.col("_i") > F.col("_g") - leftover, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    capped = df.join(F.broadcast(alloc), key_col)
+    return _topk_per_key(
+        capped, [key_col], id_col, F.col("alloc"), salt
+    ).withColumnRenamed("_rank", "mix_rank")

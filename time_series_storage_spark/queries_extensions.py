@@ -2224,6 +2224,66 @@ FROM med m JOIN trim t USING (source) JOIN mad a USING (source)
 """
 
 
+WATERFILL_BUDGET = 120
+
+
+def q_sample_waterfill(spark, sf_dir):
+    """UniMax water-filling allocation (Chung et al. 2023) in closed
+    form: equal budget share per source capped at availability, small
+    sources' unused share redistributed to large ones — computed
+    without the paper's loop (sorted-prefix threshold k, one window
+    over the G-row size table), all integer arithmetic. At sf0.001 the
+    budget exceeds the corpus (every source takes all rows — the
+    uncapped edge); at sf0.01 capping is active."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return SP.waterfill_mix(
+        docs, "source", "doc_id", WATERFILL_BUDGET
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.col("mix_rank"),
+        F.col("alloc"),
+    )
+
+
+SQL_SAMPLE_WATERFILL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+sized AS (
+  SELECT source, n,
+         SUM(n) OVER w - n AS prefix,
+         ROW_NUMBER() OVER w AS i,
+         COUNT(*) OVER () AS g,
+         SUM(n) OVER w AS cum
+  FROM counts
+  WINDOW w AS (ORDER BY n, source)
+),
+kr AS (SELECT
+         COALESCE(MAX(CASE WHEN prefix + (g - i + 1) * n
+                           <= {WATERFILL_BUDGET} THEN i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN prefix + (g - i + 1) * n
+                           <= {WATERFILL_BUDGET} THEN cum END), 0) AS pk
+       FROM sized),
+alloc AS (
+  SELECT source,
+         CASE WHEN i <= k THEN n
+              ELSE ({WATERFILL_BUDGET} - pk) // (g - k) END AS alloc
+  FROM sized CROSS JOIN kr
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)),
+                                                1, 15)) AS BIGINT),
+                    doc_id) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id::BIGINT AS doc_id, r.source,
+       r.mix_rank::BIGINT AS mix_rank, a.alloc::BIGINT AS alloc
+FROM r JOIN alloc a USING (source) WHERE r.mix_rank <= a.alloc
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -9860,6 +9920,7 @@ EXT_QUERIES = {
         q_sample_temperature_mix,
         SQL_SAMPLE_TEMPERATURE_MIX,
     ),
+    "sample_waterfill": (q_sample_waterfill, SQL_SAMPLE_WATERFILL),
     "pipeline_e2e": (q_pipeline_e2e, _pipeline_e2e_sql()),
     "pipeline_tokenize_pack": (
         q_pipeline_tokenize_pack, _pipeline_tokenize_pack_sql(),
