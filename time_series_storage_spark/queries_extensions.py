@@ -602,6 +602,94 @@ FROM reach GROUP BY node
 """
 
 
+def _cluster_store(spark, sf_dir):
+    """The persisted incremental cluster map for ``sf_dir``
+    (operators/cluster_store.py): day 1 absorbs the history slice's
+    nodes and intra-history near-dup pairs, day 2 absorbs the
+    increment's nodes and every pair touching them — reclustering only
+    the affected components. Staleness-keyed and format-pinned like
+    every other store builder."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.cluster_store import ClusterStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{MINHASH_THRESHOLD}"
+        ":ccstore-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_cluster_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return ClusterStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src)
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = ClusterStore(spark, root)
+                docs = _docs(spark, sf_dir)
+                pairs = D.minhash_lsh_pairs(
+                    docs, "doc_id", "text", k=8,
+                    threshold_x1000=MINHASH_THRESHOLD,
+                ).select("d1", "d2").localCheckpoint()
+                hist_pairs = pairs.where(
+                    (F.col("d1") < FPSTORE_BASE)
+                    & (F.col("d2") < FPSTORE_BASE)
+                )
+                inc_pairs = pairs.where(
+                    (F.col("d1") >= FPSTORE_BASE)
+                    | (F.col("d2") >= FPSTORE_BASE)
+                )
+                store.absorb(
+                    docs.where(F.col("doc_id") < FPSTORE_BASE).select(
+                        "doc_id"
+                    ),
+                    hist_pairs,
+                )
+                store.absorb(
+                    docs.where(F.col("doc_id") >= FPSTORE_BASE).select(
+                        "doc_id"
+                    ),
+                    inc_pairs,
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Daily-ingest duplicate clustering: the PERSISTED incremental
+    cluster map (ClusterStore — day 2 reclustered only the components
+    its pairs touched, O(affected) not O(corpus)) read back whole. The
+    oracle is the from-scratch recursive-CTE CC over ALL pairs — the
+    strongest possible check: incremental maintenance must equal the
+    batch result exactly, labels included."""
+    store = _cluster_store(spark, sf_dir)
+    return store.clusters().select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 # -- dedup: canonical-member selection per near-dup cluster ------------------
 
 def q_dedup_keep_best(spark, sf_dir):
@@ -9796,6 +9884,10 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
+    "dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        _dedup_clusters_sql(),
+    ),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dup_graph_pagerank": (q_dup_graph_pagerank, _dup_graph_pagerank_sql()),
     "dedup_canonical_pagerank": (
