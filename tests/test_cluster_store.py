@@ -130,3 +130,50 @@ def test_crash_replay_converges_to_no_crash_twin(spark, tmp_path):
     got = run("c", crash=True)
     assert got == want
     assert want[0][1] == [(10, 3)]  # 10 joined {3,4} at label 3
+
+
+def test_cluster_stream_foreach_batch_end_to_end(spark, tmp_path):
+    """File-stream through ClusterStore.foreach_batch: each
+    micro-batch's nodes absorb with the pairs a (static, deterministic)
+    pair source yields for them; the final map equals from-scratch CC
+    and the emissions carry each batch's own assignments."""
+    st = ClusterStore(spark, str(tmp_path / "ccs"))
+    st.absorb(_nodes(spark, [1, 2, 3]), _pairs(spark, [(1, 2)]))
+
+    pair_src = spark.createDataFrame(
+        [(2, 10), (3, 11), (10, 20)], "d1 long, d2 long"
+    )
+
+    def pair_fn(batch_df):
+        ids = batch_df.select(F.col("doc_id").alias("d2"))
+        return pair_src.join(ids, "d2", "left_semi")
+
+    src = str(tmp_path / "feed")
+    _nodes(spark, [10, 11]).coalesce(1).write.parquet(src + "/f0")
+    _nodes(spark, [20, 21]).coalesce(1).write.parquet(src + "/f1")
+    emitted = {}
+    stream = spark.readStream.schema("doc_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        stream.writeStream.foreachBatch(
+            st.foreach_batch(
+                pair_fn, "doc_id",
+                lambda df, b: emitted.__setitem__(
+                    b, sorted((r.doc_id, r.cluster) for r in df.collect())
+                ),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    all_ids = [1, 2, 3, 10, 11, 20, 21]
+    all_ps = [(1, 2), (2, 10), (3, 11), (10, 20)]
+    assert _assign(st) == _scratch(spark, all_ids, all_ps)
+    # whichever file order ran, each emission holds that batch's nodes
+    assert sorted(sum(emitted.values(), [])) == sorted(
+        (i, _scratch(spark, all_ids, all_ps)[i]) for i in [10, 11, 20, 21]
+    )
