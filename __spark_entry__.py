@@ -24,28 +24,30 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 10: the
-# thirteen new queries (keep-best + PageRank-canonical selection;
-# dup-graph PageRank; incremental cluster maintenance; MIPS top-k;
+# fourteen new queries (keep-best + PageRank-canonical selection,
+# batch and incremental; dup-graph PageRank; incremental cluster
+# maintenance; MIPS top-k;
 # multi-probe range search; temperature + UniMax water-filling
 # mixture sampling; Holt linear smoothing + forecasting; the
 # store-backed modern pipeline; window-history novelty scoring;
 # robust source-length stats) lead,
 # then the seven rows parked at 51-57 last round (last gated r6 — the
-# r9 comment's promise that they LEAD r10), then 30 of the 50 rows whose
-# last driver gate was r7.  The registry (170) exceeds 150 = 3 rounds x
+# r9 comment's promise that they LEAD r10), then 29 of the 50 rows whose
+# last driver gate was r7.  The registry (171) exceeds 150 = 3 rounds x
 # 50, so strict 3-round coverage stays arithmetically impossible; the
-# 20 r7-gated overflow rows park at positions 51-70 (engine ts_* /
+# 21 r7-gated overflow rows park at positions 51-71 (engine ts_* /
 # dedup family shapes, stable since r2-r5, green in this round's local
 # sf0.01 sweep and the full-registry sf0.001 pytest oracle suite) and
 # LEAD r11's window.  Below them: the r8 block, then the r9 block
 # (freshest external coverage).
 _GATE_PRIORITY = [
-    # --- round-10 window: thirteen new queries, the seven parked r6
-    # --- rows, then 30 of the 50 r7-gated rows ---
+    # --- round-10 window: fourteen new queries, the seven parked r6
+    # --- rows, then 29 of the 50 r7-gated rows ---
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",
     "dedup_clusters_incremental",
+    "dedup_keep_best_incremental",
     "sim_topk_mips",
     "sim_range_search",
     "sample_temperature_mix",
@@ -91,9 +93,9 @@ _GATE_PRIORITY = [
     "ts_counter_hierarchy_day",
     "ts_counter_nil_filter",
     "ts_avg_hour_fill",
-    "ts_avg_none",
-    # --- below the 50-row gate line: the 20 r7-gated overflow rows
+    # --- below the 50-row gate line: the 21 r7-gated overflow rows
     # --- (they lead r11), then the r8 block, then the r9 block ---
+    "ts_avg_none",
     "ts_histogram_day",
     "ts_histogram_merged",
     "ts_histogram_quantiles",

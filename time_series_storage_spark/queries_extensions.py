@@ -735,6 +735,22 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_dedup_keep_best_incremental(spark, sf_dir):
+    """Keep-longest canonical selection over the PERSISTED incremental
+    cluster map — the daily-ingest form of ``dedup_keep_best``: the
+    ClusterStore already holds today's exact components (maintained
+    O(affected) per day), so canonical selection is one window over a
+    pure store read, no pair search at query time. Same oracle as the
+    batch gate (from-scratch CC + the ranking window): incremental
+    maintenance composes into selection without changing one
+    answer."""
+    store = _cluster_store(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return D.canonical_per_cluster(
+        store.clusters(), docs, "doc_id", "n_chars"
+    )
+
+
 # -- dedup: PageRank centrality over the near-dup graph ----------------------
 
 PAGERANK_ITERS = 5
@@ -9889,6 +9905,10 @@ EXT_QUERIES = {
         _dedup_clusters_sql(),
     ),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
+    "dedup_keep_best_incremental": (
+        q_dedup_keep_best_incremental,
+        _dedup_keep_best_sql(),
+    ),
     "dup_graph_pagerank": (q_dup_graph_pagerank, _dup_graph_pagerank_sql()),
     "dedup_canonical_pagerank": (
         q_dedup_canonical_pagerank,
