@@ -177,3 +177,19 @@ def test_cluster_stream_foreach_batch_end_to_end(spark, tmp_path):
     assert sorted(sum(emitted.values(), [])) == sorted(
         (i, _scratch(spark, all_ids, all_ps)[i]) for i in [10, 11, 20, 21]
     )
+
+
+def test_cluster_store_reopen_keeps_latest_wins(spark, tmp_path):
+    """A fresh handle on a committed store reads the same latest-wins
+    map (the _seq precedence is in the rows, not handle state), and
+    the inherited format stamp rides every commit."""
+    path = str(tmp_path / "cc")
+    st = ClusterStore(spark, path)
+    st.absorb(_nodes(spark, [1, 2]), _pairs(spark, [(1, 2)]))
+    st.absorb(_nodes(spark, [3]), _pairs(spark, [(2, 3)]))
+    want = _assign(st)
+    reopened = ClusterStore(spark, path)
+    assert _assign(reopened) == want == {1: 1, 2: 1, 3: 1}
+    meta = json.load(open(os.path.join(path, "_current")))
+    assert meta["format"] == ClusterStore.FORMAT
+    assert meta["params"] == ["cc-v1"]
