@@ -107,6 +107,17 @@ def kmv_estimate(
     estimator otherwise. All arithmetic BIGINT; reproducible anywhere.
     """
     minima = kmv_minima(elements, key_cols, elem_col, k)
+    return kmv_aggregate(minima, key_cols, k)
+
+
+def kmv_aggregate(
+    minima: DataFrame, key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Fold a per-key minima frame (key_cols + ``h``, <= k distinct
+    rows per key) into the estimate row — the estimator half of
+    :func:`kmv_estimate`, factored so artifacts that PERSIST minima
+    (the incremental :class:`~.sketch_store.KmvSketchStore`) fold
+    through the identical arithmetic as the in-plan sketch."""
     agg = minima.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_mins"),
         F.max("h").cast("long").alias("kth_min"),

@@ -6666,6 +6666,130 @@ FROM est e JOIN ex USING (source)
 """
 
 
+def _kmv_elems(spark, sf_dir, pred=None):
+    """Per-source char-8-gram elements — the same element definition
+    as q_sketch_distinct_tokens (shingles, not the ~30-word synthetic
+    vocabulary, so the estimator path actually runs), with the codec
+    family's pinned-partition discipline before the explode. ``pred``
+    slices the DOCS (the shingle projection drops doc_id)."""
+    from .operators.parallel import cpu_partitions
+
+    docs = _docs(spark, sf_dir)
+    if pred is not None:
+        docs = docs.where(pred)
+    npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
+    return (
+        docs.select("doc_id", "source", "text")
+        .repartition(cpu_partitions(docs), F.col("doc_id"))
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+            "text",
+        )
+        .select("source", F.expr("substring(text, pos, 8)").alias("tok"))
+    )
+
+
+def _kmv_store(spark, sf_dir):
+    """The persisted KMV sketch store for ``sf_dir`` — built by TWO
+    absorbs (the history slice doc_id < {FPSTORE_BASE}, then the
+    increment slice) so the gated read exercises the keep-min merge
+    across commits; staleness-keyed and format-pinned exactly like the
+    other store builders (operators/sketch_store.py is the keep-min
+    member of the store family)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.sketch_store import KmvSketchStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{KMV_K}:kmv-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_kmv_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return KmvSketchStore(spark, root, k=KMV_K)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = KmvSketchStore(spark, root, k=KMV_K)
+                for pred in (
+                    F.col("doc_id") < FPSTORE_BASE,
+                    F.col("doc_id") >= FPSTORE_BASE,
+                ):
+                    store.absorb(
+                        _kmv_elems(spark, sf_dir, pred), "source", "tok"
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_distinct_incremental(spark, sf_dir):
+    """Per-source distinct-shingle estimate as a PURE READ of the
+    persisted KmvSketchStore — the store was built by two separate
+    absorbs (history slice, then increment slice), so the row the gate
+    hashes is the KEEP-MIN MERGE across commits. The oracle recomputes
+    the KMV sketch from scratch over the FULL corpus: matching proves
+    union-of-slice-minima reselection equals the one-shot sketch —
+    the exactness argument in operators/sketch_store.py, externally
+    hash-checked. At 100 TB this read touches k longs per (source,
+    absorb) — never the corpus."""
+    store = _kmv_store(spark, sf_dir)
+    return store.estimates(key_name="source").select(
+        "source", "n_mins", "kth_min", "est_distinct"
+    )
+
+
+SQL_DISTINCT_INCREMENTAL = f"""
+WITH toks AS (
+  SELECT source, substring(text, pos, 8) AS w
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+),
+hs AS (
+  SELECT DISTINCT source,
+         CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 12)) AS BIGINT) AS h
+  FROM toks
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (
+  SELECT source, COUNT(*) AS n_mins, MAX(h) AS kth_min
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+)
+SELECT source, n_mins::BIGINT AS n_mins, kth_min::BIGINT AS kth_min,
+       CASE WHEN n_mins < {KMV_K} THEN n_mins
+            ELSE {KMV_K - 1} * ({1 << 48} // kth_min)
+                 + ({KMV_K - 1} * ({1 << 48} % kth_min)) // kth_min
+       END::BIGINT AS est_distinct
+FROM sk
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -10167,4 +10291,8 @@ EXT_QUERIES = {
     "bpe_fit_merges": (q_bpe_fit_merges, _bpe_fit_sql()),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
     "bpe_encode_prod": (q_bpe_encode_prod, _bpe_encode_sql()),
+    # round-10 late additions (post-rotation): keep-min sketch store
+    "distinct_incremental": (
+        q_distinct_incremental, SQL_DISTINCT_INCREMENTAL,
+    ),
 }
