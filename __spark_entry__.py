@@ -44,6 +44,7 @@ _GATE_PRIORITY = [
     # --- round-10 window: fourteen new queries, the seven parked r6
     # --- rows, then 29 of the 50 r7-gated rows ---
     "distinct_incremental",
+    "decontaminate_incremental",
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",

@@ -1109,9 +1109,28 @@ def bloom_contamination(
     joins on word index (one per bloom position) followed by a codegen
     bit test — no shuffle is keyed on anything benchmark-sized.
     """
-    corpus = hashed_shingles(docs, id_col, text_col, k)
     bench = hashed_shingles(benchmark, id_col, text_col, k)
-    words = bloom_build(bench, m_bits)
+    return bloom_probe(
+        docs, bloom_build(bench, m_bits), id_col, text_col,
+        k=k, m_bits=m_bits, threshold_x1000=threshold_x1000,
+    )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    m_bits: int = BLOOM_M_BITS,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """The probe half of :func:`bloom_contamination`, against an
+    ALREADY-BUILT words frame (wi, bits) — factored out so persisted
+    bloom artifacts (:class:`~.bloom_store.BloomFilterStore`, whose
+    OR-merged read IS such a frame) probe through the identical plan:
+    two broadcast hash joins on word index plus a codegen bit test."""
+    corpus = hashed_shingles(docs, id_col, text_col, k)
     p1, p2 = _bloom_positions(F.col("hs"), m_bits)
     probed = (
         corpus.select(
@@ -1564,6 +1583,70 @@ class _SnapshotArtifactStore:
                                 os.path.join(
                                     staging,
                                     f"{out_prefix}-{version}-{i}.parquet",
+                                ),
+                            )
+                            n += 1
+                            i += 1
+                    shutil.rmtree(out, ignore_errors=True)
+                os.replace(staging, vdir)
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            extra = {
+                k: v
+                for k, v in (meta or {}).items()
+                if k not in ("version", "inc_files", "batch_files")
+            }
+            extra["inc_files"] = []
+            extra["format"] = self.FORMAT
+            extra["params"] = self._params
+            if "batch" in extra:
+                extra["batch_files"] = []
+            self._flip(version, extra)
+            return n
+
+    def _rewrite_snapshot(self, tables_fn) -> int:
+        """Publish a new snapshot containing ONLY the tables returned
+        by ``tables_fn()`` — [(prefix, df)] — with no hard-linked
+        history: the semantic-compaction primitive for stores whose
+        merged state has a bounded closed form (keep-min minima,
+        OR-merged bloom words). The callable runs UNDER the store lock
+        so the merged frames list the snapshot files no concurrent
+        absorb can be mid-flight over; this method handles staging,
+        atomic flip, and the quiesced-maintenance meta contract (batch
+        watermark survives, emission files do not). Returns the new
+        snapshot's file count."""
+        import os
+        import shutil
+        import uuid
+
+        with self._locked():
+            cur = self._current_dir()
+            if cur is None:
+                return 0
+            tables = tables_fn()
+            meta = self._store.current_meta(self.path)
+            version = self._store.next_version(meta)
+            vdir = os.path.join(self.path, version)
+            if os.path.exists(vdir):  # orphan of a crashed commit
+                shutil.rmtree(vdir, ignore_errors=True)
+            staging = os.path.join(
+                self.path, f".staging-{uuid.uuid4().hex[:8]}"
+            )
+            try:
+                os.makedirs(staging, exist_ok=True)
+                n = 0
+                for prefix, df in tables:
+                    out = os.path.join(staging, "_out")
+                    df.coalesce(1).write.mode("overwrite").parquet(out)
+                    i = 0
+                    for name in sorted(os.listdir(out)):
+                        if name.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(out, name),
+                                os.path.join(
+                                    staging,
+                                    f"{prefix}-{version}-{i}.parquet",
                                 ),
                             )
                             n += 1

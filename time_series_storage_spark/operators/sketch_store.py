@@ -157,52 +157,9 @@ class KmvSketchStore(_SnapshotArtifactStore):
         maintenance contract as compact(): the batch watermark
         survives, the pruned batch's emission files do not. Returns
         the new snapshot's file count."""
-        import os
-        import shutil
-        import uuid
-
-        with self._locked():
-            cur = self._current_dir()
-            if cur is None:
-                return 0
-            meta = self._store.current_meta(self.path)
-            pruned = self.minima().select("gk", "h")
-            version = self._store.next_version(meta)
-            vdir = os.path.join(self.path, version)
-            if os.path.exists(vdir):  # orphan of a crashed commit
-                shutil.rmtree(vdir, ignore_errors=True)
-            staging = os.path.join(
-                self.path, f".staging-{uuid.uuid4().hex[:8]}"
-            )
-            try:
-                os.makedirs(staging, exist_ok=True)
-                out = os.path.join(staging, "_out")
-                pruned.coalesce(1).write.mode("overwrite").parquet(out)
-                n = 0
-                for name in sorted(os.listdir(out)):
-                    if name.endswith(".parquet"):
-                        os.replace(
-                            os.path.join(out, name),
-                            os.path.join(
-                                staging, f"min-{version}-{n}.parquet"
-                            ),
-                        )
-                        n += 1
-                shutil.rmtree(out, ignore_errors=True)
-                os.replace(staging, vdir)
-            except BaseException:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise
-            extra = {
-                k: v
-                for k, v in (meta or {}).items()
-                if k not in ("version", "inc_files", "batch_files")
-            }
-            extra["inc_files"] = []
-            extra["format"] = self.FORMAT
-            extra["params"] = self._params
-            self._flip(version, extra)
-            return n
+        return self._rewrite_snapshot(
+            lambda: [("min", self.minima().select("gk", "h"))]
+        )
 
     # -- streaming twin ------------------------------------------------------
 

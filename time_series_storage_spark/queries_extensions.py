@@ -308,6 +308,88 @@ FROM per_doc
 """
 
 
+def _bloom_store(spark, sf_dir):
+    """The persisted decontamination bloom for ``sf_dir`` — built by
+    TWO absorbs (benchmark docs doc_id < {DECON_BENCH_MAX} split at
+    the midpoint: suites register one release at a time), so the gated
+    probe exercises the OR-merge across commits; staleness-keyed and
+    format-pinned like the other store builders
+    (operators/bloom_store.py is the OR-merge member of the family)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.bloom_store import BloomFilterStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{DECON_BENCH_MAX}:{BLOOM_M}"
+        ":bloomstore-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_bloom_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return BloomFilterStore(spark, root, k=8, m_bits=BLOOM_M)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = BloomFilterStore(spark, root, k=8, m_bits=BLOOM_M)
+                mid = DECON_BENCH_MAX // 2
+                docs = _docs(spark, sf_dir)
+                store.absorb(docs.where(F.col("doc_id") < mid))
+                store.absorb(
+                    docs.where(
+                        (F.col("doc_id") >= mid)
+                        & (F.col("doc_id") < DECON_BENCH_MAX)
+                    )
+                )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_decontaminate_incremental(spark, sf_dir):
+    """Suite-by-suite decontamination: probe the WHOLE corpus against
+    the persisted BloomFilterStore, whose bitmap was registered in two
+    separate absorbs — the gated read is the OR-MERGE across commits.
+    The oracle builds the one-shot bloom over the full benchmark from
+    scratch (SQL_DECONTAMINATE_BLOOM verbatim): matching proves
+    OR-of-increment-words equals the concatenated-benchmark bitmap,
+    the idempotent-merge argument in operators/bloom_store.py,
+    externally hash-checked. At 100 TB the probe side stays two
+    broadcast joins against <= 130 KiB of words — registration cost
+    per new suite is O(suite), never O(all suites ever)."""
+    store = _bloom_store(spark, sf_dir)
+    return store.probe(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold_x1000=DECON_THRESHOLD,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_hit",
+        "contam_x1000",
+        "is_contaminated",
+    )
+
+
 # -- fuzzy (edit-distance) entity matching ----------------------------------
 
 FUZZY_MAX_LEV = 3
@@ -10291,8 +10373,12 @@ EXT_QUERIES = {
     "bpe_fit_merges": (q_bpe_fit_merges, _bpe_fit_sql()),
     "bpe_encode_docs": (q_bpe_encode_docs, _bpe_encode_sql()),
     "bpe_encode_prod": (q_bpe_encode_prod, _bpe_encode_sql()),
-    # round-10 late additions (post-rotation): keep-min sketch store
+    # round-10 late additions (post-rotation): keep-min sketch store,
+    # OR-merge bloom store (oracle = the one-shot bloom, verbatim)
     "distinct_incremental": (
         q_distinct_incremental, SQL_DISTINCT_INCREMENTAL,
+    ),
+    "decontaminate_incremental": (
+        q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
     ),
 }
