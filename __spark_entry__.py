@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     # --- rows, then 29 of the 50 r7-gated rows ---
     "distinct_incremental",
     "decontaminate_incremental",
+    "dup_graph_triangles",
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",

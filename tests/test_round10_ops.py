@@ -305,3 +305,57 @@ def test_waterfill_closed_form_equals_iterative_loop(spark, budget):
         # the loop (and therefore the closed form) spends exactly the
         # budget when the corpus can absorb it
         assert sum(got.values()) == budget
+
+
+# -- triangle counting (degree-ordered orientation) ---------------------------
+
+def _tri_model(nodes, pairs):
+    """Pure-Python: {node: (degree, n_triangles, clustering_x1e6)}."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {}
+    for v in nodes:
+        nb = adj[v]
+        d = len(nb)
+        t = sum(
+            1
+            for y in nb
+            for z in nb
+            if y < z and z in adj[y]
+        )
+        c = (2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, t, c)
+    return out
+
+
+def test_triangle_counts_matches_python_model(spark):
+    """Clique (coefficient 1e6) + chain (0) + diamond (partial) +
+    singleton on a random graph: the oriented-wedge count equals the
+    brute-force neighborhood model node by node."""
+    from time_series_storage_spark.operators.dedup import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(1, 26))
+    pairs = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}  # K4
+    pairs |= {(5, 6), (6, 7), (7, 8)}                          # chain
+    pairs |= {(9, 10), (9, 11), (10, 12), (11, 12), (10, 11)}  # diamond+
+    while len(pairs) < 40:  # random edges across 13..24
+        a, b = rng.sample(range(13, 25), 2)
+        pairs.add((min(a, b), max(a, b)))
+    want = _tri_model(nodes, pairs)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    # feed pairs both ways round and duplicated: the operator
+    # normalizes orientation and dedups
+    feed = list(pairs) + [(b, a) for a, b in list(pairs)[:10]]
+    pdf = spark.createDataFrame(feed, "d1 long, d2 long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_x1e6)
+        for r in triangle_counts(pdf, ndf, "doc_id").collect()
+    }
+    assert got == want
+    assert got[1] == (3, 3, 1_000_000)  # K4 member: fully clustered
+    assert got[6][2] == 0               # chain interior: no closure
+    assert got[25] == (0, 0, 0)         # isolated

@@ -956,6 +956,55 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_dup_graph_triangles(spark, sf_dir):
+    """Dup-graph shape classification: per-document triangle count and
+    local clustering coefficient over the minhash near-dup graph
+    (operators/dedup.py:triangle_counts) — clique-like duplication
+    (template families: coefficient ~1e6) vs chain-like (iterative
+    edits: ~0). Spark runs the degree-ordered-orientation algorithm
+    (O(m^1.5) wedge work, hot-node safe); the oracle enumerates
+    triangles naively as a < b < c — matching proves the orientation
+    changes the search order, never the set."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    return D.triangle_counts(pairs, docs, "doc_id").select(
+        F.col("node").cast("long").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering_x1e6",
+    )
+
+
+SQL_DUP_GRAPH_TRIANGLES = f"""
+WITH pairs AS ({{minhash}}),
+e AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+      FROM pairs),
+deg AS (SELECT node, COUNT(*) AS deg FROM
+          (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT x AS node FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, COUNT(*) AS t FROM tn GROUP BY node)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(g.deg, 0)::BIGINT AS degree,
+       COALESCE(tc.t, 0)::BIGINT AS n_triangles,
+       (CASE WHEN COALESCE(g.deg, 0) >= 2
+             THEN (COALESCE(tc.t, 0) * 2000000)
+                  // (g.deg * (g.deg - 1))
+             ELSE 0 END)::BIGINT AS clustering_x1e6
+FROM documents d
+LEFT JOIN deg g ON g.node = d.doc_id
+LEFT JOIN tc ON tc.node = d.doc_id
+"""
+
+
 # -- deterministic train/val/test split -------------------------------------
 
 def q_split_assign(spark, sf_dir):
@@ -10380,5 +10429,9 @@ EXT_QUERIES = {
     ),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
+    ),
+    "dup_graph_triangles": (
+        q_dup_graph_triangles,
+        SQL_DUP_GRAPH_TRIANGLES.format(minhash=_minhash_sql()),
     ),
 }
