@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",
+    "curation_attrition",
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",

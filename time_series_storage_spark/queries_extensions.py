@@ -3015,12 +3015,14 @@ def q_pipeline_modern_curation(spark, sf_dir):
     )
 
 
-def _pipeline_modern_curation_sql() -> str:
-    """From-scratch SQL replay of the three published stages: the
-    Gopher signal CTEs gate, the DSIR models refit on the gate
-    survivors score, and the substring window replay runs over the
-    selected set (subset restriction is exact — windows are computed
-    within the surviving corpus on both sides)."""
+def _modern_curation_ctes() -> str:
+    """The shared CTE body replaying the three published stages from
+    scratch — the Gopher signal gate, the DSIR models refit on the
+    gate survivors, the substring window replay over the selected set
+    (subset restriction is exact — windows are computed within the
+    surviving corpus on both sides). Two oracles read it: the modern
+    pipeline's survivor rows and the attrition report's per-document
+    stage attribution."""
     return f"""
 WITH tk0 AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents),
 sig AS (
@@ -3100,7 +3102,11 @@ rem AS (
 kept AS (
   SELECT w.doc_id, w.wpos, w.word, (r.wpos IS NULL) AS keep
   FROM w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.wpos = r.wpos
-)
+)"""
+
+
+def _pipeline_modern_curation_sql() -> str:
+    return _modern_curation_ctes() + """
 SELECT t.doc_id::BIGINT AS doc_id,
        COUNT(k.wpos)::BIGINT AS n_words,
        COALESCE(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END), 0)::BIGINT
@@ -3112,6 +3118,78 @@ SELECT t.doc_id::BIGINT AS doc_id,
                                ' ' ORDER BY k.wpos), '')) AS new_text_md5
 FROM tk t LEFT JOIN kept k ON t.doc_id = k.doc_id
 GROUP BY t.doc_id
+"""
+
+
+def q_curation_attrition(spark, sf_dir):
+    """Per-document attrition attribution across the modern pipeline —
+    the operational question a 100-TB curation run answers daily:
+    WHICH stage removed each document (and how much survived)?
+    Composition of the same three published stages as
+    pipeline_modern_curation, but emitting every document with its
+    FIRST-kill stage: 'gopher' (failed the rule gate), 'dsir' (gated
+    but not selected), 'trimmed' (selected but lost words to substring
+    dedup), or 'kept' (untouched). The stage-1/2 id tables are STAGED
+    (localCheckpoint — the documented 100-TB recipe) so the flag joins
+    don't replan the scoring subtree. The oracle replays all three
+    stages from the shared CTE body and classifies identically."""
+    docs = _docs(spark, sf_dir)
+    g = T.gopher_quality_rules(docs, min_stops=GOPHER_MIN_STOPS).select(
+        "doc_id", "n_words", "keep"
+    )
+    gok = g.where(F.col("keep") == 1).select("doc_id").localCheckpoint()
+    kept1 = docs.join(gok, "doc_id", "left_semi").withColumn(
+        "_is_target", F.col("lang") == DSIR_TARGET_LANG
+    )
+    d = T.dsir_importance(kept1, "doc_id", "text", "_is_target")
+    sel = (
+        d.where(
+            F.col("sum_ratio_x1e9")
+            >= F.lit(DSIR_KEEP_X1E9) * F.col("n_terms")
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    kept2 = docs.join(sel, "doc_id", "left_semi")
+    esub = T.exact_substring_dedup(
+        kept2, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
+    ).select("doc_id", F.col("n_kept"), F.col("n_words").alias("_enw"))
+    stage = (
+        F.when(F.col("keep") == 0, F.lit("gopher"))
+        .when(F.col("_sel").isNull(), F.lit("dsir"))
+        .when(F.col("n_kept") < F.col("_enw"), F.lit("trimmed"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        g.join(
+            sel.select(F.col("doc_id"), F.lit(1).alias("_sel")),
+            "doc_id",
+            "left",
+        )
+        .join(esub, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_words"),
+            stage.alias("stage"),
+        )
+    )
+
+
+def _curation_attrition_sql() -> str:
+    return _modern_curation_ctes() + """,
+trim AS (SELECT doc_id, COUNT(*) AS nw,
+                SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS nk
+         FROM kept GROUP BY doc_id)
+SELECT s.doc_id::BIGINT AS doc_id,
+       s.n_words,
+       CASE WHEN g.doc_id IS NULL THEN 'gopher'
+            WHEN se.doc_id IS NULL THEN 'dsir'
+            WHEN t.nk < t.nw THEN 'trimmed'
+            ELSE 'kept' END AS stage
+FROM sig s
+LEFT JOIN gok g ON g.doc_id = s.doc_id
+LEFT JOIN sel se ON se.doc_id = s.doc_id
+LEFT JOIN trim t ON t.doc_id = s.doc_id
 """
 
 
@@ -10434,4 +10512,5 @@ EXT_QUERIES = {
         q_dup_graph_triangles,
         SQL_DUP_GRAPH_TRIANGLES.format(minhash=_minhash_sql()),
     ),
+    "curation_attrition": (q_curation_attrition, _curation_attrition_sql()),
 }
