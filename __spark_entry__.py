@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "decontaminate_incremental",
     "dup_graph_triangles",
     "curation_attrition",
+    "sim_margin_mine",
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",

@@ -359,3 +359,72 @@ def test_triangle_counts_matches_python_model(spark):
     assert got[1] == (3, 3, 1_000_000)  # K4 member: fully clustered
     assert got[6][2] == 0               # chain interior: no closure
     assert got[25] == (0, 0, 0)         # isolated
+
+
+# -- margin-based pair mining --------------------------------------------------
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_margin_mine_matches_python_model(spark):
+    """Ratio-margin mining on a 2-corpus split: per-pair margin equals
+    the pure-Python model (forward top-k, backward top-k over the
+    candidates, integer division), and the hubness correction demotes
+    the hub: a candidate close to EVERYTHING scores a lower margin
+    than an exclusive pair of equal raw cosine."""
+    from time_series_storage_spark.operators.similarity import margin_mine
+
+    rng = random.Random(11)
+    K = 3
+    # even ids = queries/backward corpus; odd ids = forward corpus.
+    # id 101 is a HUB: mid-way between both query directions, so every
+    # query ranks it high, but its own neighborhood sum is large too.
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.1],
+        2: [0.0, 1.0, 0.0, 0.1],
+        4: [0.7, 0.7, 0.0, 0.0],
+        101: [0.6, 0.6, 0.2, 0.1],            # hub
+        103: [0.98, 0.05, 0.0, 0.1],          # exclusive partner of 0
+        105: [0.05, 0.98, 0.0, 0.1],          # exclusive partner of 2
+        107: [rng.random() for _ in range(4)],
+        109: [rng.random() for _ in range(4)],
+    }
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    even = df.where(F.col("vec_id") % 2 == 0)
+    odd = df.where(F.col("vec_id") % 2 == 1)
+    got = {
+        (r.q_id, r.vec_id): (r.sim_x1e6, r.margin_x1e6)
+        for r in margin_mine(even, odd, even, k=K).collect()
+    }
+
+    # pure-Python replay
+    evens = sorted(i for i in vecs if i % 2 == 0)
+    odds = sorted(i for i in vecs if i % 2 == 1)
+
+    def topk(src, pool):
+        sims = sorted(
+            ((round(_cos(vecs[src], vecs[c]) * 1e6), c) for c in pool
+             if c != src),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return sims[:K]
+
+    fwd = {q: topk(q, odds) for q in evens}
+    cands = sorted({c for lst in fwd.values() for _, c in lst})
+    sx = {q: sum(s for s, _ in lst) for q, lst in fwd.items()}
+    sy = {c: sum(s for s, _ in topk(c, evens)) for c in cands}
+    want = {}
+    for q, lst in fwd.items():
+        for s, c in lst:
+            den = sx[q] + sy[c]
+            if s >= 0 and den > 0:
+                want[(q, c)] = (s, (s * 2 * K * 1_000_000) // den)
+    assert got == want
+    # hubness correction: 0-103 is an exclusive pair, 0-101 rides the
+    # hub — raw cosines are comparable but the margin separates them
+    assert got[(0, 103)][1] > got[(0, 101)][1]

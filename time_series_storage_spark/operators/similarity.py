@@ -470,6 +470,87 @@ def mips_topk(
     )
 
 
+def margin_mine(
+    queries: DataFrame,
+    fwd_corpus: DataFrame,
+    bwd_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based candidate-pair mining (Artetxe & Schwenk, ACL'19 —
+    the scoring CCMatrix/CCAligned used to mine parallel text): raw
+    cosine over-selects in dense neighborhoods (hub vectors look
+    similar to everything), so each pair is scored RELATIVE to both
+    endpoints' neighborhoods — the ratio margin
+
+        margin(x, y) = cos(x, y) / ((S_k(x) + S_k(y)) / 2k)
+
+    where ``S_k(v)`` sums v's top-k neighbor cosines in the OTHER
+    corpus. A pair scores high only when x and y are much closer to
+    each other than either is to its k-neighborhood — the hubness
+    correction that made mined bitext usable.
+
+    Integer contract: cosines ride as the repo's x1e6 longs;
+    ``margin_x1e6 = (cos_xy_x1e6 * 2k * 1e6) div (S_x + S_y)`` with
+    candidates restricted to ``cos >= 0`` and ``S_x + S_y > 0``
+    (mining thresholds are > 1.0 in practice, far above both guards),
+    so every division is floor-of-nonnegative — bit-identical in any
+    engine.
+
+    Plan shape: two broadcast-query brute-force passes — forward
+    (queries over ``fwd_corpus``) and backward (the <= |queries| * k
+    distinct forward candidates over ``bwd_corpus``) — each a
+    shuffle-free corpus scan plus one bounded top-k window; the margin
+    join keys on the candidate id against the <= Qk-row backward
+    aggregate, broadcastable by construction. At 100 TB the published
+    systems swap each brute-force pass for the IVF index
+    (sim_topk_ivf's shape) — the margin algebra on top is unchanged.
+
+    Output: (q_id, vec_id, sim_x1e6, margin_x1e6, rank) — rank by
+    margin per query, ties on candidate id.
+    """
+    # STAGE the forward result (localCheckpoint — the repo's
+    # multi-consumer recipe): it is <= |queries| * k rows and feeds
+    # three branches (S_x, the candidate semi-join, the margin join);
+    # lazy, each branch would replan the corpus-scan BNLJ
+    fwd = brute_force_topk(
+        queries, fwd_corpus, id_col, vec_col, k
+    ).localCheckpoint()
+    s_x = fwd.groupBy("q_id").agg(
+        F.sum("sim_x1e6").cast("long").alias("_sx")
+    )
+    cand_vecs = fwd_corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        fwd.select(F.col("vec_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    bwd = brute_force_topk(cand_vecs, bwd_corpus, id_col, vec_col, k)
+    s_y = bwd.groupBy("q_id").agg(
+        F.sum("sim_x1e6").cast("long").alias("_sy")
+    ).select(F.col("q_id").alias("vec_id"), "_sy")
+    den = F.col("_sx") + F.col("_sy")
+    from .analytics import floor_div
+
+    margin = floor_div(
+        F.col("sim_x1e6") * (2 * k) * 1_000_000, den
+    ).cast("long")
+    scored = (
+        fwd.join(F.broadcast(s_x), "q_id")
+        .join(F.broadcast(s_y), "vec_id")
+        .where((F.col("sim_x1e6") >= 0) & (den > 0))
+        .select("q_id", "vec_id", "sim_x1e6", margin.alias("margin_x1e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("margin_x1e6").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("q_id", "vec_id", "sim_x1e6", "margin_x1e6", "rank")
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -3121,6 +3121,87 @@ GROUP BY t.doc_id
 """
 
 
+MARGIN_QUERY_MAX = 16  # forward queries: even vec_ids below this (8 vecs)
+MARGIN_K = 4
+
+
+def q_sim_margin_mine(spark, sf_dir):
+    """Margin-based pair mining (operators/similarity.py:margin_mine —
+    Artetxe & Schwenk ACL'19, the CCMatrix scoring): the embedding
+    corpus split by vec_id parity into two 'languages', even-side
+    queries mined against the odd side with the ratio margin
+    normalizing each cosine by both endpoints' k-NN neighborhoods.
+    The oracle replays forward top-k, backward top-k over the forward
+    candidates, and the integer margin division."""
+    emb = _emb(spark, sf_dir)
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    queries = even.where(F.col("vec_id") < MARGIN_QUERY_MAX)
+    return S.margin_mine(queries, odd, even, k=MARGIN_K).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "sim_x1e6",
+        "margin_x1e6",
+        "rank",
+    )
+
+
+def _sim_margin_mine_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id < {MARGIN_QUERY_MAX}),
+fwd_sims AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(round(({_dot_sql('q.embedding', 'c.embedding')})
+                    / (({_norm_sql('q.embedding')})
+                       * ({_norm_sql('c.embedding')})) * 1e6)
+              AS BIGINT) AS sim_x1e6
+  FROM q JOIN embeddings c ON c.vec_id % 2 = 1
+),
+fwd AS (
+  SELECT * FROM (
+    SELECT q_id, vec_id, sim_x1e6,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rn
+    FROM fwd_sims) WHERE rn <= {MARGIN_K}
+),
+sx AS (SELECT q_id, SUM(sim_x1e6)::BIGINT AS sx FROM fwd GROUP BY q_id),
+cand AS (SELECT DISTINCT vec_id FROM fwd),
+bwd_sims AS (
+  SELECT y.vec_id AS cid, a.vec_id,
+         CAST(round(({_dot_sql('y.embedding', 'a.embedding')})
+                    / (({_norm_sql('y.embedding')})
+                       * ({_norm_sql('a.embedding')})) * 1e6)
+              AS BIGINT) AS sim_x1e6
+  FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN cand USING (vec_id)) y
+  JOIN embeddings a ON a.vec_id % 2 = 0
+),
+bwd AS (
+  SELECT * FROM (
+    SELECT cid, sim_x1e6,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rn
+    FROM bwd_sims) WHERE rn <= {MARGIN_K}
+),
+sy AS (SELECT cid AS vec_id, SUM(sim_x1e6)::BIGINT AS sy
+       FROM bwd GROUP BY cid),
+scored AS (
+  SELECT f.q_id, f.vec_id, f.sim_x1e6,
+         (f.sim_x1e6 * {2 * MARGIN_K} * 1000000) // (sx + sy)
+           AS margin_x1e6
+  FROM fwd f JOIN sx USING (q_id) JOIN sy USING (vec_id)
+  WHERE f.sim_x1e6 >= 0 AND sx + sy > 0
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, sim_x1e6,
+       margin_x1e6::BIGINT AS margin_x1e6,
+       ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY margin_x1e6 DESC, vec_id)::BIGINT
+         AS rank
+FROM scored
+"""
+
+
 def q_curation_attrition(spark, sf_dir):
     """Per-document attrition attribution across the modern pipeline —
     the operational question a 100-TB curation run answers daily:
@@ -10513,4 +10594,5 @@ EXT_QUERIES = {
         SQL_DUP_GRAPH_TRIANGLES.format(minhash=_minhash_sql()),
     ),
     "curation_attrition": (q_curation_attrition, _curation_attrition_sql()),
+    "sim_margin_mine": (q_sim_margin_mine, _sim_margin_mine_sql()),
 }
