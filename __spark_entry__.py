@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "dup_graph_triangles",
     "curation_attrition",
     "sim_margin_mine",
+    "semantic_dedup_incremental",
     "dedup_keep_best",
     "dup_graph_pagerank",
     "dedup_canonical_pagerank",

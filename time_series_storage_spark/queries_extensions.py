@@ -1734,6 +1734,78 @@ cents AS (SELECT * FROM cents{n_iter}),
 """
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """SemDeDup in daily-ingest form — the last batch dedup family
+    member brought into the store regime: cells and assignments come
+    from the PERSISTED incrementally-grown IVF index (codebook frozen
+    on the history slice, increment absorbed with O(increment) I/O —
+    _ivf_inc_index), and each increment vector dies iff some LOWER-id
+    vector in its cell sits at cosine >= {SEMDEDUP_THRESHOLD}e-6.
+    History is never re-adjudicated (it was kept when absorbed), so
+    query cost is increment x cell-occupancy, never corpus x corpus.
+    The oracle refits the base codebook and assigns the WHOLE grown
+    corpus from scratch, then replays the same domination rule — a
+    green hash proves frozen-codebook absorption plus the incremental
+    rule equals the from-scratch sequential result. Output: one row
+    per INCREMENT vector (vec_id, cell_id, is_kept)."""
+    index = _ivf_inc_index(spark, sf_dir)
+    assigned = index.assignment()
+    inc = assigned.where(F.col("vec_id") >= EMB_IVF_BASE)
+    older = assigned.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("_ov"),
+        F.col("embedding").alias("_oe"),
+    )
+    sim = F.round(S.cosine("_oe", "embedding") * 1e6).cast("long")
+    dom = (
+        inc.join(older, "cell_id")
+        .where(F.col("_ov") < F.col("vec_id"))
+        .where(sim >= F.lit(SEMDEDUP_THRESHOLD))
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        inc.join(dom.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.when(F.col("_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )
+
+
+def _semantic_dedup_incremental_sql(n_iter: int = 2) -> str:
+    return f"""
+WITH {_kmeans_cents_ctes(n_iter, where=f"WHERE vec_id < {EMB_IVF_BASE}")},
+cents AS (SELECT * FROM cents{n_iter}),
+asim AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.c_vec')} AS sim_x1e6
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id, embedding FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim_x1e6 DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE b.vec_id >= {EMB_IVF_BASE}
+    AND {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id::BIGINT AS vec_id, a.cell_id::BIGINT AS cell_id,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_kept
+FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id
+WHERE a.vec_id >= {EMB_IVF_BASE}
+"""
+
+
 # shared IVF probe/rank pipeline over a `cents(cell_id, c_vec)` CTE
 _IVF_TAIL = f"""
 asim AS (
@@ -10595,4 +10667,7 @@ EXT_QUERIES = {
     ),
     "curation_attrition": (q_curation_attrition, _curation_attrition_sql()),
     "sim_margin_mine": (q_sim_margin_mine, _sim_margin_mine_sql()),
+    "semantic_dedup_incremental": (
+        q_semantic_dedup_incremental, _semantic_dedup_incremental_sql(),
+    ),
 }
