@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_PRIORITY = [
     # --- round-10 window: fourteen new queries, the seven parked r6
     # --- rows, then 29 of the 50 r7-gated rows ---
+    "ts_holt_winters",
+    "ts_hw_forecast",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

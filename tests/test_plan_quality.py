@@ -1254,3 +1254,30 @@ def test_robust_stats_rank_windows_no_python(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_holt_winters_pure_codegen_one_exchange(spark):
+    """Holt-Winters seasonal smoothing keeps holt_linear's plan
+    contract: one hash exchange (the per-series collect_list), a
+    codegen array fold carrying the length-m seasonal ring, no
+    Python evaluator, no join — for the smoother AND the forecast."""
+    from time_series_storage_spark.operators.analytics import (
+        holt_winters,
+        holt_winters_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, (i % 3) * 1000000) for i in range(9)],
+        "k string, ep long, x long",
+    )
+    for out in (
+        holt_winters(df, ["k"], "ep", "x", season=3),
+        holt_winters_forecast(df, ["k"], "ep", "x", season=3, horizon=2),
+    ):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan and "Join" not in plan
+        n_exchanges = sum(
+            1 for seg in plan.split("Exchange")[1:]
+            if "hashpartitioning" in seg[:120]
+        )
+        assert n_exchanges == 1

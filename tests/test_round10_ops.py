@@ -428,3 +428,102 @@ def test_margin_mine_matches_python_model(spark):
     # hubness correction: 0-103 is an exclusive pair, 0-101 rides the
     # hub — raw cosines are comparable but the margin separates them
     assert got[(0, 103)][1] > got[(0, 101)][1]
+
+
+# -- Holt-Winters seasonal ----------------------------------------------------
+
+def _hw_model(xs, m):
+    """Pure-Python replay of the holt_winters contract: first-season
+    integer-mean init, alpha=gamma=delta=1/2 halving with truncation
+    toward zero, length-m ring."""
+    if len(xs) <= m:
+        return [], None
+    l = sum(xs[:m]) // m
+    b = 0
+    s = [x - l for x in xs[:m]]
+    out = []
+    for t in range(m, len(xs)):
+        j = t % m
+        sm = s[j]
+        nl = int((xs[t] - sm + l + b) / 2.0)
+        nb = int((nl - l + b) / 2.0)
+        ns = int((xs[t] - nl + sm) / 2.0)
+        s[j] = ns
+        l, b = nl, nb
+        out.append((t, xs[t], l, b, ns))
+    return out, (l, b, s, len(xs))
+
+
+@pytest.mark.parametrize(
+    "xs, m",
+    [
+        ([5, 9, 5, 9, 5, 9, 5, 9, 5], 2),            # pure period-2 cycle
+        ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], 3),        # trend, no season
+        ([90, 10, 80, 5, 70, 0, 60, 2, 50, 1], 2),   # falling + cycle
+        ([0, 0, 0, 0, 0], 2),                        # all-zero
+        ([7, 7, 7], 4),                              # too short: dropped
+        ([3, 100, 4, 90, 120, 2, 80, 7, 6, 110, 95, 1, 2, 3], 4),
+    ],
+)
+def test_holt_winters_matches_python_model(spark, xs, m):
+    from time_series_storage_spark.operators.analytics import holt_winters
+
+    scaled = [x * 1_000_000 for x in xs]
+    df = spark.createDataFrame(
+        [("s", i * 3600, v) for i, v in enumerate(scaled)],
+        "k string, ep long, x long",
+    )
+    rows = (
+        holt_winters(df, ["k"], "ep", "x", season=m)
+        .orderBy("ep")
+        .collect()
+    )
+    got = [
+        (r.ep // 3600, r.x, r.level_x1e6, r.trend_x1e6, r.seasonal_x1e6)
+        for r in rows
+    ]
+    exp, _ = _hw_model(scaled, m)
+    assert got == exp
+
+
+def test_holt_winters_forecast_final_state(spark):
+    """Forecasts come from the FINAL (l, b, ring) state: yhat(t+h) =
+    l + h*b + ring[(t+h-1) mod m], negative seasonal entries
+    included."""
+    from time_series_storage_spark.operators.analytics import (
+        holt_winters_forecast,
+    )
+
+    random.seed(11)
+    m = 4
+    xs = [
+        abs(100 + 60 * ((i % m) - 2) + random.randint(-9, 9)) * 1_000_000
+        for i in range(17)
+    ]
+    df = spark.createDataFrame(
+        [("s", i * 3600, v) for i, v in enumerate(xs)],
+        "k string, ep long, x long",
+    )
+    _, fin = _hw_model(xs, m)
+    l, b, s, n = fin
+    assert any(v < 0 for v in s)  # the contract's negative-ring case
+    rows = (
+        holt_winters_forecast(df, ["k"], "ep", "x", season=m, horizon=3)
+        .orderBy("h")
+        .collect()
+    )
+    assert [r.forecast_x1e6 for r in rows] == [
+        l + h * b + s[(n + h - 1) % m] for h in (1, 2, 3)
+    ]
+    assert [r.forecast_ep for r in rows] == [
+        (len(xs) - 1) * 3600 + h * 3600 for h in (1, 2, 3)
+    ]
+
+
+def test_holt_winters_horizon_bound():
+    from time_series_storage_spark.operators.analytics import (
+        holt_winters_forecast,
+    )
+
+    with pytest.raises(ValueError, match="horizon"):
+        holt_winters_forecast(None, ["k"], season=4, horizon=5)

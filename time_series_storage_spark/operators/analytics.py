@@ -670,6 +670,205 @@ aggregate(
     )
 
 
+def _hw_fold(m: int, finish: str) -> str:
+    """Shared Holt-Winters fold expression (see :func:`holt_winters`).
+
+    ``finish`` is the aggregate's finish lambda body applied to the
+    final accumulator (``acc.out`` for the per-step rows, a final-state
+    struct for forecasting). State: (l, b, s[m] seasonal ring, t).
+    At step t (1-based, t > m) the seasonal read/written slot is the
+    0-based ring index ``acc.t % m`` — the slot holds s_{t-m} before
+    the step and s_t after it.
+    """
+    j0 = f"CAST(acc.t % {m} AS INT)"
+    sm = f"element_at(acc.s, {j0} + 1)"
+    step_l = f"CAST((s.x - {sm} + acc.l + acc.b) / 2.0D AS BIGINT)"
+    step_b = f"CAST(({step_l} - acc.l + acc.b) / 2.0D AS BIGINT)"
+    step_s = f"CAST((s.x - {step_l} + {sm}) / 2.0D AS BIGINT)"
+    news = (
+        f"concat(slice(acc.s, 1, {j0}), array({step_s}), "
+        f"slice(acc.s, {j0} + 2, {m} - {j0} - 1))"
+    )
+    return f"""
+aggregate(
+  slice(series, {m} + 1, size(series) - {m}),
+  named_struct(
+    'l', _l0, 'b', CAST(0 AS BIGINT), 's', _sinit,
+    't', CAST({m} AS BIGINT),
+    'out', slice(transform(series, o -> named_struct(
+        'ep', o.ep, 'x', o.x, 'l', _l0, 'b', CAST(0 AS BIGINT),
+        'sv', CAST(0 AS BIGINT))), 1, 0)),
+  (acc, s) -> named_struct(
+    'l', {step_l},
+    'b', {step_b},
+    's', {news},
+    't', acc.t + 1L,
+    'out', concat(acc.out, array(named_struct(
+        'ep', s.ep, 'x', s.x,
+        'l', {step_l}, 'b', {step_b}, 'sv', {step_s})))),
+  acc -> {finish})
+"""
+
+
+def _hw_packed(
+    series: DataFrame,
+    dims: Sequence[str],
+    ep_col: str,
+    x_col: str,
+    m: int,
+) -> DataFrame:
+    """Pack, sort and initialize per-series state for Holt-Winters:
+    one exchange on ``dims``; series with <= m observations are
+    DROPPED (one full season is the initialization window, so there
+    is nothing to smooth). ``_l0`` = floor(mean of the first season)
+    — integer division of a nonnegative sum, identical in any engine
+    — and ``_sinit`` the first season's deviations from it."""
+    if m < 2:
+        raise ValueError(f"holt_winters: season must be >= 2, got {m}")
+    packed = (
+        series.select(
+            *dims,
+            F.struct(
+                F.col(ep_col).cast("long").alias("ep"),
+                F.col(x_col).cast("long").alias("x"),
+            ).alias("_obs"),
+        )
+        .groupBy(*dims)
+        .agg(F.array_sort(F.collect_list("_obs")).alias("series"))
+        .where(F.size("series") > m)
+    )
+    return packed.withColumn(
+        "_l0",
+        F.expr(
+            f"aggregate(slice(series, 1, {m}), CAST(0 AS BIGINT),"
+            " (a, o) -> a + o.x)"
+            f" div {m}"
+        ),
+    ).withColumn(
+        "_sinit",
+        F.expr(f"transform(slice(series, 1, {m}), o -> o.x - _l0)"),
+    )
+
+
+def holt_winters(
+    series: DataFrame,
+    dims: Sequence[str],
+    ep_col: str = "ep",
+    x_col: str = "x",
+    season: int = 24,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL (triple exponential) smoothing
+    per series — the seasonal recursion neither :func:`ewma_trunc`
+    (bounded window) nor :func:`holt_linear` (level+trend only) can
+    express::
+
+        l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+        s_t = d*(x_t - l_t)     + (1-d)*s_{t-m}
+
+    with a = g = d = 1/2 and season length m. Initialization is the
+    textbook first-season rule in EXACT integer arithmetic:
+    ``l_m = floor(sum(x_1..x_m) / m)`` (inputs are nonnegative
+    fixed-point longs, so Spark's truncating ``div`` and an oracle's
+    flooring ``//`` agree), ``b_m = 0``, ``s_i = x_i - l_m`` for
+    i = 1..m. Smoothed rows are emitted for t > m only; series with
+    <= m observations are dropped (nothing to smooth after the
+    initialization season).
+
+    Exactness: with all three constants at 1/2 every step is one
+    exact double halving plus truncation toward zero (the
+    :func:`holt_linear` argument, extended to the seasonal register:
+    deviations x_t - l_t may be negative, so truncation-toward-zero
+    on BOTH sides of zero is part of the contract). Bit-identical in
+    any engine; magnitudes stay far below 2^52.
+
+    Scale posture: inherently sequential per series, so it runs as
+    ONE codegen array fold per series over the sorted packed array —
+    exactly one hash exchange (the per-series collect_list), no join,
+    no Python (plan-pinned). The seasonal state is a LENGTH-m RING
+    updated in place by slice+concat (O(m) per step, m = 24 here —
+    never the series length). Parallelism is across series: smooth
+    per (dims, bounded-window) grain at web scale, the same contract
+    as holt_linear.
+
+    Input: one row per (dims, ep), ``x_col`` a nonnegative
+    x1e6-scaled long. Output: (dims, ep, x, level_x1e6, trend_x1e6,
+    seasonal_x1e6), rows t = m+1..n per series.
+    """
+    m = int(season)
+    packed = _hw_packed(series, dims, ep_col, x_col, m)
+    return packed.select(
+        *dims, F.explode(F.expr(_hw_fold(m, "acc.out"))).alias("_s")
+    ).select(
+        *dims,
+        F.col("_s.ep").alias(ep_col),
+        F.col("_s.x").alias(x_col),
+        F.col("_s.l").alias("level_x1e6"),
+        F.col("_s.b").alias("trend_x1e6"),
+        F.col("_s.sv").alias("seasonal_x1e6"),
+    )
+
+
+def holt_winters_forecast(
+    series: DataFrame,
+    dims: Sequence[str],
+    ep_col: str = "ep",
+    x_col: str = "x",
+    season: int = 24,
+    horizon: int = 3,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """h-step-ahead Holt-Winters forecast per series — what the
+    seasonal smoother is for: from each series' FINAL state
+    (level, trend, seasonal ring) project::
+
+        yhat(t+h) = l_t + h * b_t + s_{t+h-m}    for h = 1..horizon
+
+    where ``s_{t+h-m}`` is read from the final ring at slot
+    ``(t+h-1) mod m`` (valid for h <= m; this operator enforces
+    ``horizon <= season``). The fold's finish lambda returns the
+    final accumulator instead of the per-step rows, so the forecast
+    adds NO second pass over the series — same single exchange, the
+    horizon explode is a literal array.
+
+    Output: dims + (forecast_ep, h, forecast_x1e6).
+    """
+    m = int(season)
+    h = int(horizon)
+    if h < 1 or h > m:
+        raise ValueError(
+            f"holt_winters_forecast: horizon must be in [1, {m}], got {h}"
+        )
+    finish = (
+        "named_struct('l', acc.l, 'b', acc.b, 's', acc.s, 't', acc.t,"
+        " 'ep', element_at(series, -1).ep)"
+    )
+    packed = _hw_packed(series, dims, ep_col, x_col, m)
+    fin = packed.select(
+        *dims, F.expr(_hw_fold(m, finish)).alias("_f")
+    )
+    return fin.select(
+        *dims,
+        F.col("_f.*"),
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(1, h + 1)])
+        ).alias("h"),
+    ).select(
+        *dims,
+        (F.col("ep") + F.col("h") * F.lit(step_seconds)).alias(
+            "forecast_ep"
+        ),
+        "h",
+        (
+            F.col("l")
+            + F.col("h") * F.col("b")
+            + F.expr(f"element_at(s, CAST((t + h - 1) % {m} AS INT) + 1)")
+        )
+        .cast("long")
+        .alias("forecast_x1e6"),
+    )
+
+
 def robust_stats(
     df: DataFrame,
     dims: Sequence[str],

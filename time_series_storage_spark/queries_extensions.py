@@ -9278,6 +9278,150 @@ WHERE rn = 1
 """
 
 
+HW_SEASON = 24
+
+
+def _hw_hourly(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    return ev.groupBy(
+        "event_type",
+        (F.expr("unix_timestamp(ts) div 3600") * 3600)
+        .cast("long")
+        .alias("bucket_ep"),
+    ).agg((F.count(F.lit(1)) * F.lit(1_000_000)).alias("x"))
+
+
+def q_ts_holt_winters(spark, sf_dir):
+    """Holt-Winters additive SEASONAL smoothing of each event_type's
+    hourly-count series (operators/analytics.py:holt_winters), season
+    m = {HW_SEASON} (the daily cycle): level+trend+seasonal recursion
+    with alpha=gamma=delta=1/2 in exact halving arithmetic, first-
+    season integer-mean initialization, length-m seasonal ring updated
+    in place inside ONE codegen array fold per series. The oracle
+    replays the identical recursion as a recursive CTE carrying the
+    ring as a LIST column — the registry's first list-state recursive
+    CTE. Series with <= m hourly buckets are dropped (both engines)."""
+    from .operators.analytics import holt_winters
+
+    out = holt_winters(
+        _hw_hourly(spark, sf_dir),
+        ["event_type"],
+        ep_col="bucket_ep",
+        x_col="x",
+        season=HW_SEASON,
+    )
+    return out.select(
+        "event_type",
+        "bucket_ep",
+        F.expr("x div 1000000").cast("long").alias("cnt"),
+        "level_x1e6",
+        "trend_x1e6",
+        "seasonal_x1e6",
+    )
+
+
+def _hw_sql_body(m: int) -> str:
+    """Shared recursive-CTE body replaying the Holt-Winters fold: the
+    seasonal ring rides as a BIGINT[] list column, updated by
+    slice-concat exactly where the Spark fold updates it (0-based slot
+    r.t % m). TRUNC mirrors Spark's double->BIGINT cast (toward zero,
+    negatives included); `//` on the nonnegative first-season sum
+    mirrors `div`."""
+    sm = f"(r.s[CAST(r.t % {m} AS INT) + 1])"
+    l = f"CAST(TRUNC((o.x - {sm} + r.l + r.b) / 2.0) AS BIGINT)"
+    b = f"CAST(TRUNC(({l} - r.l + r.b) / 2.0) AS BIGINT)"
+    s = f"CAST(TRUNC((o.x - {l} + {sm}) / 2.0) AS BIGINT)"
+    news = (
+        f"r.s[1:CAST(r.t % {m} AS INT)] || [{s}]"
+        f" || r.s[(CAST(r.t % {m} AS INT) + 2):]"
+    )
+    return f"""
+hourly AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::BIGINT AS ep,
+         (COUNT(*) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+ord AS (SELECT event_type, ep, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+big AS (SELECT * FROM ord WHERE n > {m}),
+init AS (
+  SELECT event_type,
+         CAST(CAST(SUM(x) AS BIGINT) // {m} AS BIGINT) AS l0,
+         list(x ORDER BY t) AS xs
+  FROM big WHERE t <= {m} GROUP BY event_type),
+rec AS (
+  SELECT event_type, CAST({m} AS BIGINT) AS t, CAST(0 AS BIGINT) AS ep,
+         CAST(0 AS BIGINT) AS x, l0 AS l, CAST(0 AS BIGINT) AS b,
+         list_transform(xs, v -> CAST(v - l0 AS BIGINT)) AS s,
+         CAST(0 AS BIGINT) AS sv
+  FROM init
+  UNION ALL
+  SELECT o.event_type, o.t, o.ep, o.x,
+         {l} AS l,
+         {b} AS b,
+         {news} AS s,
+         {s} AS sv
+  FROM rec r JOIN big o ON o.event_type = r.event_type AND o.t = r.t + 1
+)
+"""
+
+
+SQL_TS_HOLT_WINTERS = f"""
+WITH RECURSIVE {_hw_sql_body(HW_SEASON)}
+SELECT event_type, ep::BIGINT AS bucket_ep, (x // 1000000)::BIGINT AS cnt,
+       l::BIGINT AS level_x1e6, b::BIGINT AS trend_x1e6,
+       sv::BIGINT AS seasonal_x1e6
+FROM rec WHERE t > {HW_SEASON}
+"""
+
+
+HW_HORIZON = 3
+
+
+def q_ts_hw_forecast(spark, sf_dir):
+    """h-step-ahead Holt-Winters forecast per event_type
+    (operators/analytics.py:holt_winters_forecast): from each series'
+    FINAL (level, trend, seasonal ring) state project yhat(t+h) =
+    level + h*trend + ring[(t+h-1) mod m] for h = 1..{HW_HORIZON} —
+    the seasonal term the plain Holt forecast lacks. The fold's finish
+    lambda returns the final state, so forecasting adds no second
+    pass; the oracle takes the recursion's last row per series and
+    indexes the carried list."""
+    from .operators.analytics import holt_winters_forecast
+
+    out = holt_winters_forecast(
+        _hw_hourly(spark, sf_dir),
+        ["event_type"],
+        ep_col="bucket_ep",
+        x_col="x",
+        season=HW_SEASON,
+        horizon=HW_HORIZON,
+    )
+    return out.select(
+        "event_type", "forecast_ep", "h", "forecast_x1e6"
+    )
+
+
+SQL_TS_HW_FORECAST = f"""
+WITH RECURSIVE {_hw_sql_body(HW_SEASON)},
+last AS (
+  SELECT event_type, t, ep, l, b, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t DESC) AS rn
+  FROM rec
+)
+SELECT event_type,
+       (ep + g.h * 3600)::BIGINT AS forecast_ep,
+       g.h::BIGINT AS h,
+       (l + g.h * b
+        + s[CAST((t + g.h - 1) % {HW_SEASON} AS INT) + 1])::BIGINT
+         AS forecast_x1e6
+FROM last, unnest(generate_series(1, {HW_HORIZON})) g(h)
+WHERE rn = 1
+"""
+
+
 def q_ts_gaps(spark, sf_dir):
     """Reporting-silence detection per event_type
     (operators/analytics.py:gap_detect): consecutive observations more
@@ -10582,6 +10726,8 @@ EXT_QUERIES = {
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_holt_linear": (q_ts_holt_linear, SQL_TS_HOLT_LINEAR),
     "ts_holt_forecast": (q_ts_holt_forecast, SQL_TS_HOLT_FORECAST),
+    "ts_holt_winters": (q_ts_holt_winters, SQL_TS_HOLT_WINTERS),
+    "ts_hw_forecast": (q_ts_hw_forecast, SQL_TS_HW_FORECAST),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
     "text_pack_bins": (q_text_pack_bins, SQL_TEXT_PACK_BINS),
     "events_pii_scrub": (q_events_pii_scrub, SQL_EVENTS_PII_SCRUB),
