@@ -1348,3 +1348,55 @@ def test_streaming_holt_converges_to_batch(spark, tmp_path):
         for r in spark.sql("select * from sholt").collect()
     }
     assert got == batch and len(got) == 18
+
+
+def test_streaming_holt_winters_converges_to_batch(spark, tmp_path):
+    """In-order micro-batches: streamed Holt-Winters equals batch
+    holt_winters bit-for-bit across batch boundaries — including the
+    WARMUP split over multiple batches (the first-season buffer lives
+    in the ring slot of the state until the m-th observation flips it
+    to the (l, b, ring) registers) and negative seasonal entries."""
+    from time_series_storage_spark.operators.analytics import holt_winters
+    from time_series_storage_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    m = 4
+    rows = []
+    for k, xs in (
+        ("a", [5, 100, 3, 88, 1, 77, 2, 60, 9, 55, 4, 70]),
+        ("b", [90, 70, 50, 30, 10, 0, 4, 4, 4, 8, 2, 6]),
+    ):
+        rows.extend((k, i * 3600, x * 1_000_000) for i, x in enumerate(xs))
+    df = spark.createDataFrame(rows, "k string, ep long, x long")
+    src = str(tmp_path / "hw")
+    # batch boundaries at 3 and 7: warmup (m=4) straddles the first
+    for bi, (lo, hi) in enumerate([(0, 3), (3, 7), (7, 12)]):
+        spark.createDataFrame(
+            [r for r in rows if lo <= r[1] // 3600 < hi],
+            "k string, ep long, x long",
+        ).coalesce(1).write.parquet(f"{src}/f{bi}")
+    batch = {
+        (r.k, r.ep): (r.level_x1e6, r.trend_x1e6, r.seasonal_x1e6)
+        for r in holt_winters(df, ["k"], "ep", "x", season=m).collect()
+    }
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_holt_winters(stream, "k", season=m)
+        .writeStream.format("memory")
+        .queryName("shw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckhw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.k, r.ep): (r.level_x1e6, r.trend_x1e6, r.seasonal_x1e6)
+        for r in spark.sql("select * from shw").collect()
+    }
+    assert got == batch and len(got) == 2 * (12 - m)
+    assert any(v[2] < 0 for v in got.values())

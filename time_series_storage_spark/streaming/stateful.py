@@ -759,6 +759,117 @@ def streaming_holt(
     )
 
 
+HW_STATE_SCHEMA = "t long, l long, b long, s array<long>"
+
+
+def streaming_holt_winters(
+    series: DataFrame,
+    key_col: str,
+    ep_col: str = "ep",
+    x_col: str = "x",
+    season: int = 24,
+) -> DataFrame:
+    """Streaming Holt-Winters additive seasonal smoothing — the
+    stateful twin of ``operators.analytics.holt_winters``. Like
+    :func:`streaming_holt` the horizon is unbounded, but the state
+    stays BOUNDED BY THE SEASON, never the stream: the two fixed-point
+    registers plus the length-m seasonal ring, m = ``season`` (and the
+    observation counter) — constant memory per series however long it
+    runs.
+
+    Warmup matches the batch initialization exactly: the first m
+    observations per key are BUFFERED IN THE RING SLOT of the state
+    (the counter ``t`` discriminates buffer from ring — t < m means
+    ``s`` still holds raw observations) and emit nothing; at the m-th
+    observation the state flips to ``l = sum(buffer) // m, b = 0,
+    s[i] = x_i - l`` — the batch operator's first-season rule — and
+    every later observation steps the alpha=gamma=delta=1/2 halving
+    recursion in sign-adjusted pure-integer form (bit-equal to the
+    batch double halving within the sub-2^52 contract). On in-order
+    micro-batches every emitted row equals batch ``holt_winters``
+    bit-for-bit, across batch boundaries and through warmup split over
+    multiple batches (pinned in tests).
+
+    Emits one row per observation with t > m: key, ep, x, level_x1e6,
+    trend_x1e6, seasonal_x1e6.
+    """
+    m = int(season)
+    if m < 2:
+        raise ValueError(f"streaming_holt_winters: season >= 2, got {m}")
+    out_schema = (
+        f"{key_col} string, {ep_col} long, {x_col} long,"
+        " level_x1e6 long, trend_x1e6 long, seasonal_x1e6 long"
+    )
+
+    def _half_trunc(a: int) -> int:
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    def smooth(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ):
+        if state.exists:
+            t, l, b, s = state.get
+            s = list(s)
+        else:
+            t, l, b, s = 0, 0, 0, []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["_ep", "_x"], kind="mergesort")
+        out = []
+        for ep, x in zip(pdf["_ep"], pdf["_x"]):
+            x = int(x)
+            t += 1
+            if t <= m:
+                s.append(x)
+                if t == m:  # flip buffer -> first-season init
+                    l = sum(s) // m
+                    b = 0
+                    s = [v - l for v in s]
+                continue
+            j = (t - 1) % m
+            sm = s[j]
+            nl = _half_trunc(x - sm + l + b)
+            nb = _half_trunc(nl - l + b)
+            ns = _half_trunc(x - nl + sm)
+            s[j] = ns
+            l, b = nl, nb
+            out.append((int(ep), x, l, b, ns))
+        state.update((t, l, b, s))
+        if not out:
+            return
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out),
+                ep_col: [r[0] for r in out],
+                x_col: [r[1] for r in out],
+                "level_x1e6": [r[2] for r in out],
+                "trend_x1e6": [r[3] for r in out],
+                "seasonal_x1e6": [r[4] for r in out],
+            }
+        )
+
+    return (
+        series.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ep_col).cast("long").alias("_ep"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .where(F.col("_ep").isNotNull() & F.col("_x").isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            smooth,
+            outputStructType=out_schema,
+            stateStructType=HW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 ANOM_STATE_SCHEMA = "qs array<long>"
 
 
