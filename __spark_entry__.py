@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     # --- rows, then 29 of the 50 r7-gated rows ---
     "ts_holt_winters",
     "ts_hw_forecast",
+    "dedup_lsh_audit",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -631,6 +631,82 @@ SELECT d1, d2, jacc_x1000 FROM pairs
 """
 
 
+def q_dedup_lsh_audit(spark, sf_dir):
+    """LSH-quality audit — sim_recall_audit's twin for the TEXT
+    near-dup path, the measurement a production dedup runs on a
+    sample before trusting banded LSH at corpus scale: ground truth =
+    exact all-pairs n-gram Jaccard >= {MINHASH_THRESHOLD}e-3 on the
+    {NGRAM_DOC_LIMIT}-doc audit prefix (the quadratic baseline is
+    affordable exactly BECAUSE it's a fixed-size sample), candidates =
+    the banded band-bucket collisions, found = truth that collided
+    (LSH verification is exact Jaccard, so the miss set is purely
+    band-hash misses). One summary row: pair counts, recall, and
+    band-stage precision — the two dials (bands x rows) trade off.
+    Tag-union + one pair-key aggregation, no scalar cross joins."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOC_LIMIT)
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    ).select("d1", "d2")
+    sets = D.hashed_shingle_sets(docs, "doc_id", "text", 8)
+    sig = D.minhash_signatures(
+        sets.select("doc_id", F.explode("hs_set").alias("hs")), "doc_id"
+    )
+    cand = D.lsh_candidate_pairs(sig, "doc_id")
+    u = truth.select(
+        "d1", "d2", F.lit(1).alias("_t"), F.lit(0).alias("_c")
+    ).unionByName(
+        cand.select("d1", "d2", F.lit(0).alias("_t"), F.lit(1).alias("_c"))
+    )
+    per_pair = u.groupBy("d1", "d2").agg(
+        F.max("_t").alias("t"), F.max("_c").alias("c")
+    )
+    agg = per_pair.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("c").cast("long").alias("n_cand"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("n_found"),
+    )
+    return agg.select(
+        "n_true",
+        "n_cand",
+        "n_found",
+        F.when(F.col("n_true") > 0,
+               F.floor(F.col("n_found") * 1000 / F.col("n_true")))
+        .otherwise(F.lit(0)).cast("long").alias("recall_x1000"),
+        F.when(F.col("n_cand") > 0,
+               F.floor(F.col("n_found") * 1000 / F.col("n_cand")))
+        .otherwise(F.lit(0)).cast("long").alias("band_precision_x1000"),
+    )
+
+
+SQL_DEDUP_LSH_AUDIT = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+{_minhash_pairs_ctes()},
+tcommon AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS common
+            FROM shh s1 JOIN shh s2 ON s1.hs = s2.hs
+                                   AND s1.doc_id < s2.doc_id
+            GROUP BY 1, 2),
+truth AS (
+  SELECT d1::BIGINT AS d1, d2::BIGINT AS d2
+  FROM tcommon
+  JOIN sizes z1 ON z1.doc_id = tcommon.d1
+  JOIN sizes z2 ON z2.doc_id = tcommon.d2
+  WHERE (common * 1000) // (z1.n + z2.n - common) >= {MINHASH_THRESHOLD}),
+candb AS (SELECT d1::BIGINT AS d1, d2::BIGINT AS d2 FROM cand),
+found AS (SELECT d1, d2 FROM truth INTERSECT SELECT d1, d2 FROM candb)
+SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+       (SELECT COUNT(*) FROM candb)::BIGINT AS n_cand,
+       (SELECT COUNT(*) FROM found)::BIGINT AS n_found,
+       (CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+             THEN ((SELECT COUNT(*) FROM found) * 1000)
+                    // (SELECT COUNT(*) FROM truth)
+             ELSE 0 END)::BIGINT AS recall_x1000,
+       (CASE WHEN (SELECT COUNT(*) FROM candb) > 0
+             THEN ((SELECT COUNT(*) FROM found) * 1000)
+                    // (SELECT COUNT(*) FROM candb)
+             ELSE 0 END)::BIGINT AS band_precision_x1000
+"""
+
+
 # -- dedup: connected-component cluster assignment --------------------------
 
 def q_dedup_clusters(spark, sf_dir):
@@ -10528,6 +10604,7 @@ EXT_QUERIES = {
     "decontaminate_token_ngram": (q_decontaminate_token, SQL_DECONTAMINATE_TOKEN),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
+    "dedup_lsh_audit": (q_dedup_lsh_audit, SQL_DEDUP_LSH_AUDIT),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_clusters_incremental": (
