@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     "ts_holt_winters",
     "ts_hw_forecast",
     "dedup_lsh_audit",
+    "sim_topk_rp",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

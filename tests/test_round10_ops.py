@@ -527,3 +527,74 @@ def test_holt_winters_horizon_bound():
 
     with pytest.raises(ValueError, match="horizon"):
         holt_winters_forecast(None, ["k"], season=4, horizon=5)
+
+
+# -- JL sign projection -------------------------------------------------------
+
+def test_rp_project_exact_integer(spark):
+    """The JL projection is pure integer arithmetic on x1e6-quantized
+    components: matches a Python replay exactly, any row order."""
+    from time_series_storage_spark.operators.similarity import (
+        EMBED_DIM, RP_DIM, RP_SIGNS, rp_project,
+    )
+
+    random.seed(3)
+    vecs = [
+        [random.uniform(-1, 1) for _ in range(EMBED_DIM)] for _ in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.p)
+        for r in df.select(
+            "vec_id", rp_project("embedding").alias("p")
+        ).collect()
+    }
+
+    def pyround(x):  # Spark round: HALF_UP on the double value
+        import decimal
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    for i, v in enumerate(vecs):
+        q = [pyround(float(__import__("numpy").float32(x)) * 1e6) for x in v]
+        want = [
+            sum(s * qi for s, qi in zip(RP_SIGNS[j], q))
+            for j in range(RP_DIM)
+        ]
+        assert got[i] == want
+
+
+def test_rp_topk_contract(spark):
+    """rp_topk keeps brute_force_topk's output contract: k rows per
+    query, ranks 1..k, sims weakly decreasing, and every returned sim
+    equals the exact cosine (rerank stage is exact by construction)."""
+    from time_series_storage_spark.operators.similarity import (
+        EMBED_DIM, brute_force_topk, rp_topk,
+    )
+
+    random.seed(5)
+    vecs = [
+        [random.uniform(-1, 1) for _ in range(EMBED_DIM)]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.where(F.col("vec_id") < 2)
+    got = rp_topk(qs, df, k=5, prefilter_k=39).orderBy(
+        "q_id", "rank"
+    ).collect()
+    # prefilter covers the whole corpus -> must equal exact brute force
+    exact = brute_force_topk(qs, df, k=5).orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    narrow = rp_topk(qs, df, k=5, prefilter_k=8).collect()
+    assert {r.q_id for r in narrow} == {0, 1}
+    for q in (0, 1):
+        sims = [r.sim_x1e6 for r in sorted(
+            (x for x in narrow if x.q_id == q), key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True) and len(sims) == 5

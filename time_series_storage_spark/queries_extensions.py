@@ -6424,6 +6424,85 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 """
 
 
+RP_PREFILTER = 50
+
+
+def q_sim_topk_rp(spark, sf_dir):
+    """Two-stage retrieval via Johnson-Lindenstrauss dimensionality
+    reduction (operators/similarity.py:rp_topk): candidates ranked by
+    the EXACT INTEGER dot of seeded +-1 sign projections (64 -> 16
+    dims — the compressed table a 100-TB deployment persists), exact
+    float cosine rescores only the {RP_PREFILTER} survivors. The
+    Rademacher matrix is baked into plan AND oracle as literals, and
+    the projected coordinates are pure integer sums — so unlike the
+    float folds the candidate stage is order-independent exact."""
+    emb = _emb(spark, sf_dir)
+    return S.rp_topk(
+        emb.where(F.col("vec_id") < SIM_QUERY_COUNT), emb,
+        k=SIM_TOPK, prefilter_k=RP_PREFILTER,
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _sim_topk_rp_sql() -> str:
+    sign_rows = ",\n        ".join(
+        f"({j + 1}, {S.RP_SIGNS[j]})" for j in range(S.RP_DIM)
+    )
+    return f"""
+WITH signs(j, sv) AS (
+  VALUES {sign_rows}
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+proj AS (
+  SELECT qv.vec_id, s.j,
+         CAST(list_sum(list_transform(generate_series(1, {S.EMBED_DIM}),
+                                      i -> qv.q[i] * s.sv[i]))
+              AS BIGINT) AS ps
+  FROM qv, signs s
+),
+pd AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         CAST(SUM(a.ps * b.ps) AS BIGINT) AS proj_dot
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {SIM_QUERY_COUNT}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY proj_dot DESC, vec_id) AS cr
+    FROM pd
+  ) WHERE cr <= {RP_PREFILTER}
+),
+rescored AS (
+  SELECT p.q_id, p.vec_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS sim_x1e6
+  FROM cand p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN embeddings c ON c.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_x1e6 DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, sim_x1e6::BIGINT AS sim_x1e6
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source near-duplicate overlap matrix: for every unordered
     source pair, how many MinHash near-dup pairs straddle it — the
@@ -10655,6 +10734,7 @@ EXT_QUERIES = {
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
+    "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
