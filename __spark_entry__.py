@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "ts_hw_forecast",
     "dedup_lsh_audit",
     "sim_topk_rp",
+    "quality_drift_incremental",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -7262,6 +7262,125 @@ def _kmv_store(spark, sf_dir):
     return store
 
 
+HIST_W = 256  # histogram bucket width (chars of text length)
+HIST_NB = 32  # bucket count (top bucket absorbs the tail)
+
+
+def _hist_store(spark, sf_dir):
+    """The persisted length-histogram store for ``sf_dir`` — built by
+    TWO absorbs (doc_id % 3 == 0, then % 3 == 1) so the gated drift
+    read probes the ADDITIVE MERGE across commits; the % 3 == 2 slice
+    stays out of the store and plays today's increment. Staleness-keyed
+    and format-pinned like the other store builders."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.hist_store import HistogramStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{HIST_W}:{HIST_NB}:hist-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_hist_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return HistogramStore(
+                spark, root, bucket_width=HIST_W, n_buckets=HIST_NB
+            )
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = HistogramStore(
+                    spark, root, bucket_width=HIST_W, n_buckets=HIST_NB
+                )
+                docs = _docs(spark, sf_dir).select(
+                    "doc_id", "source", F.length("text").alias("len")
+                )
+                for m in (0, 1):
+                    store.absorb(
+                        docs.where(F.col("doc_id") % 3 == m),
+                        "source",
+                        "len",
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_quality_drift_incremental(spark, sf_dir):
+    """Distribution-drift monitoring in daily-ingest form
+    (operators/hist_store.py:HistogramStore): the per-source length
+    histogram persisted by TWO additive absorbs (slices doc_id%3 of 0
+    then 1), probed with today's slice (%3 == 2) — per source, the
+    exact integer L1 distance between today's bucket shares and the
+    persisted corpus shares (2x bucketed total variation, x1e6).
+    The oracle recomputes the merged history histogram FROM SCRATCH
+    over both absorbed slices and replays the identical share/floor
+    arithmetic: a green hash proves sum-across-commits equals the
+    one-shot histogram AND gates the drift statistic itself. At 100 TB
+    the probe touches <= n_buckets rows per touched source — never
+    the corpus."""
+    store = _hist_store(spark, sf_dir)
+    today = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 2).select(
+        "source", F.length("text").alias("len")
+    )
+    return store.drift(today, "source", "len").select(
+        F.col("gk").alias("source"), "n_hist", "n_inc", "l1_x1e6"
+    )
+
+
+SQL_QUALITY_DRIFT = f"""
+WITH d AS (
+  SELECT source, length(text) AS len, doc_id % 3 AS sl FROM documents),
+hb AS (SELECT source, LEAST(len // {HIST_W}, {HIST_NB - 1}) AS b,
+              COUNT(*) AS ch
+       FROM d WHERE sl IN (0, 1) GROUP BY 1, 2),
+ob AS (SELECT source, LEAST(len // {HIST_W}, {HIST_NB - 1}) AS b,
+              COUNT(*) AS co
+       FROM d WHERE sl = 2 GROUP BY 1, 2),
+keys AS (SELECT DISTINCT source FROM ob),
+j AS (
+  SELECT COALESCE(hb.source, ob.source) AS source,
+         COALESCE(hb.b, ob.b) AS b,
+         COALESCE(ch, 0) AS ch, COALESCE(co, 0) AS co
+  FROM hb FULL OUTER JOIN ob
+    ON hb.source = ob.source AND hb.b = ob.b
+  WHERE COALESCE(hb.source, ob.source) IN (SELECT source FROM keys)),
+t AS (
+  SELECT source, ch, co,
+         SUM(ch) OVER (PARTITION BY source) AS nh,
+         SUM(co) OVER (PARTITION BY source) AS no
+  FROM j)
+SELECT source,
+       MAX(nh)::BIGINT AS n_hist,
+       MAX(no)::BIGINT AS n_inc,
+       (CASE WHEN MAX(nh) > 0
+             THEN SUM(ABS(COALESCE((co * 1000000) // NULLIF(no, 0), 0)
+                          - COALESCE((ch * 1000000) // NULLIF(nh, 0), 0)))
+             ELSE -1 END)::BIGINT AS l1_x1e6
+FROM t GROUP BY source
+"""
+
+
 def q_distinct_incremental(spark, sf_dir):
     """Per-source distinct-shingle estimate as a PURE READ of the
     persisted KmvSketchStore — the store was built by two separate
@@ -10958,6 +11077,9 @@ EXT_QUERIES = {
     "bpe_encode_prod": (q_bpe_encode_prod, _bpe_encode_sql()),
     # round-10 late additions (post-rotation): keep-min sketch store,
     # OR-merge bloom store (oracle = the one-shot bloom, verbatim)
+    "quality_drift_incremental": (
+        q_quality_drift_incremental, SQL_QUALITY_DRIFT,
+    ),
     "distinct_incremental": (
         q_distinct_incremental, SQL_DISTINCT_INCREMENTAL,
     ),
