@@ -48,6 +48,7 @@ _GATE_PRIORITY = [
     "dedup_lsh_audit",
     "sim_topk_rp",
     "quality_drift_incremental",
+    "ts_holt_backtest",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

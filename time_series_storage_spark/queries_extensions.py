@@ -9552,6 +9552,108 @@ WHERE rn = 1
 """
 
 
+BACKTEST_H = 3
+
+
+def q_ts_holt_backtest(spark, sf_dir):
+    """Forecast-quality backtesting — the evaluation loop that turns a
+    smoother into a defensible forecaster: per event_type, hold out
+    the final {BACKTEST_H} OBSERVATIONS (the recursion is observation-
+    indexed, so the horizon is in steps, robust to hourly gaps), fit
+    Holt linear smoothing (exact halving recursion) on the prefix
+    only, project yhat(t+h) = level + h*trend from the prefix's final
+    state, and join the held-out actuals BY STEP INDEX for exact
+    integer absolute errors. Every value is the gated Holt arithmetic,
+    so even the evaluation metric hash-gates; the oracle replays the
+    recursion on the identically-truncated prefix."""
+    from pyspark.sql import Window as W
+
+    from .operators.analytics import holt_linear
+
+    hourly = _hw_hourly(spark, sf_dir)
+    wrn = W.partitionBy("event_type").orderBy("bucket_ep")
+    wct = W.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        "bucket_ep",
+        "x",
+        F.row_number().over(wrn).cast("long").alias("_t"),
+        F.count(F.lit(1)).over(wct).cast("long").alias("_n"),
+    ).where(F.col("_n") > BACKTEST_H)
+    pre = idx.where(F.col("_t") <= F.col("_n") - BACKTEST_H).select(
+        "event_type", "bucket_ep", "x"
+    )
+    test = idx.where(F.col("_t") > F.col("_n") - BACKTEST_H).select(
+        "event_type",
+        (F.col("_t") - (F.col("_n") - BACKTEST_H)).alias("h"),
+        F.col("bucket_ep").alias("forecast_ep"),
+        F.col("x").alias("actual_x1e6"),
+    )
+    sm = holt_linear(pre, ["event_type"], ep_col="bucket_ep", x_col="x")
+    wlast = W.partitionBy("event_type").orderBy(F.col("bucket_ep").desc())
+    last = sm.withColumn("_rn", F.row_number().over(wlast)).where(
+        F.col("_rn") == 1
+    ).select("event_type", "level_x1e6", "trend_x1e6")
+    return test.join(last, "event_type").select(
+        "event_type",
+        "forecast_ep",
+        "h",
+        (F.col("level_x1e6") + F.col("h") * F.col("trend_x1e6"))
+        .cast("long")
+        .alias("forecast_x1e6"),
+        "actual_x1e6",
+        F.abs(
+            F.col("actual_x1e6")
+            - (F.col("level_x1e6") + F.col("h") * F.col("trend_x1e6"))
+        )
+        .cast("long")
+        .alias("abs_err_x1e6"),
+    )
+
+
+SQL_TS_HOLT_BACKTEST = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::BIGINT AS ep,
+         (COUNT(*) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT event_type, ep, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep) AS t0,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+big AS (SELECT * FROM idx WHERE n > {BACKTEST_H}),
+pre AS (SELECT event_type, ep, x FROM big WHERE t0 <= n - {BACKTEST_H}),
+test AS (SELECT event_type,
+                (t0 - (n - {BACKTEST_H}))::BIGINT AS h,
+                ep::BIGINT AS forecast_ep,
+                x::BIGINT AS actual_x1e6
+         FROM big WHERE t0 > n - {BACKTEST_H}),
+ord AS (SELECT event_type, ep, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep) AS t
+        FROM pre),
+rec AS (
+  SELECT event_type, t, ep, x, x AS l, CAST(0 AS BIGINT) AS b
+  FROM ord WHERE t = 1
+  UNION ALL
+  SELECT o.event_type, o.t, o.ep, o.x,
+         CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT) AS l,
+         CAST(TRUNC((CAST(TRUNC((o.x + r.l + r.b) / 2.0) AS BIGINT)
+                     - r.l + r.b) / 2.0) AS BIGINT) AS b
+  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+),
+last AS (
+  SELECT event_type, l, b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ep DESC) AS rn
+  FROM rec
+)
+SELECT t.event_type, t.forecast_ep, t.h,
+       (f.l + t.h * f.b)::BIGINT AS forecast_x1e6,
+       t.actual_x1e6,
+       ABS(t.actual_x1e6 - (f.l + t.h * f.b))::BIGINT AS abs_err_x1e6
+FROM test t JOIN last f ON f.event_type = t.event_type AND f.rn = 1
+"""
+
+
 HW_SEASON = 24
 
 
@@ -11002,6 +11104,7 @@ EXT_QUERIES = {
     "ts_ewma_smooth": (q_ts_ewma, _ewma_sql()),
     "ts_holt_linear": (q_ts_holt_linear, SQL_TS_HOLT_LINEAR),
     "ts_holt_forecast": (q_ts_holt_forecast, SQL_TS_HOLT_FORECAST),
+    "ts_holt_backtest": (q_ts_holt_backtest, SQL_TS_HOLT_BACKTEST),
     "ts_holt_winters": (q_ts_holt_winters, SQL_TS_HOLT_WINTERS),
     "ts_hw_forecast": (q_ts_hw_forecast, SQL_TS_HW_FORECAST),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
