@@ -49,6 +49,7 @@ _GATE_PRIORITY = [
     "sim_topk_rp",
     "quality_drift_incremental",
     "ts_holt_backtest",
+    "dup_graph_kcore",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -598,3 +598,73 @@ def test_rp_topk_contract(spark):
         sims = [r.sim_x1e6 for r in sorted(
             (x for x in narrow if x.q_id == q), key=lambda x: x.rank)]
         assert sims == sorted(sims, reverse=True) and len(sims) == 5
+
+
+# -- k-core peeling -----------------------------------------------------------
+
+def _kcore_model(n_nodes, pairs, k, rounds):
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(range(n_nodes))
+    removed_round = {}
+    for r in range(1, rounds + 1):
+        rm = {u for u in alive if len(nbrs[u] & alive) < k}
+        for u in rm:
+            removed_round[u] = r
+        alive -= rm
+    return {
+        u: (len(nbrs[u]), removed_round.get(u, 0), 1 if u in alive else 0)
+        for u in range(n_nodes)
+    }
+
+
+@pytest.mark.parametrize(
+    "pairs, n, k",
+    [
+        # triangle + pendant chain: core survives, chain peels by round
+        ([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)], 7, 2),
+        # 4-clique plus spokes
+        ([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+          (0, 4), (1, 5), (2, 6)], 8, 3),
+        # pure chain: everything eventually peels (needs the rounds)
+        ([(0, 1), (1, 2), (2, 3), (3, 4)], 5, 2),
+        ([], 4, 2),  # edgeless: all removed round 1
+    ],
+)
+def test_kcore_matches_python_model(spark, pairs, n, k):
+    from time_series_storage_spark.operators.dedup import kcore_peel
+
+    rounds = 4
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "d1 long, d2 long"
+    )
+    if not pairs:
+        pdf = pdf.where(F.col("d1") != F.col("d2"))
+    got = {
+        r.node: (r.degree, r.removed_round, r.in_core)
+        for r in kcore_peel(pdf, nodes, "doc_id", k=k, n_rounds=rounds)
+        .collect()
+    }
+    assert got == _kcore_model(n, pairs, k, rounds)
+
+
+def test_kcore_extra_rounds_noop_after_convergence(spark):
+    """Once a round removes nothing, later rounds are no-ops: the
+    round-R result equals the true k-core for converged graphs."""
+    from time_series_storage_spark.operators.dedup import kcore_peel
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    a = sorted(
+        tuple(r)
+        for r in kcore_peel(pdf, nodes, "doc_id", k=2, n_rounds=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kcore_peel(pdf, nodes, "doc_id", k=2, n_rounds=5).collect()
+    )
+    assert a == b

@@ -735,6 +735,90 @@ def connected_components_star(
     )
 
 
+def kcore_peel(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 2,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair graph (the
+    near-dup graph here): iteratively remove every node whose degree
+    in the REMAINING subgraph is below ``k``. Nodes that survive all
+    rounds form the round-``n_rounds`` k-core approximation — the
+    dense heart of each duplication family (template farms, mirror
+    sets), which is what canonical-selection and boilerplate triage
+    want separated from peel-away chain copies.
+
+    Like :func:`pagerank`, the round count is FIXED (no convergence
+    probe) — that determinism is what makes an unrolled SQL oracle
+    possible; peeling monotonically shrinks the alive set, so once a
+    round removes nothing every later round is a no-op and the result
+    EQUALS the true k-core (on bounded-diameter dup families a few
+    rounds converge; raise ``n_rounds`` for adversarial chains).
+
+    Plan shape: the iterative-DataFrame loop under the repo's loop
+    discipline — the edge set is localCheckpoint-staged ONCE (the LSH
+    pair DAG upstream evaluates exactly once), each round is one
+    degree aggregation + one anti join + two semi joins, and both the
+    alive set and the live edge set re-checkpoint per round so round
+    N never replays rounds 1..N-1 and the final plan does not grow
+    with ``n_rounds``.
+
+    Output: one row per node of ``nodes`` — (node, degree,
+    removed_round, in_core): ``degree`` in the FULL graph,
+    ``removed_round`` the 1-based peel round that killed the node
+    (0 for core members), ``in_core`` 1/0.
+    """
+    e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    deg0 = (
+        base.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")),
+            base["node"] == F.col("src"),
+            "left",
+        )
+        .select("node", F.coalesce("_d", F.lit(0)).cast("long").alias("degree"))
+        .localCheckpoint()
+    )
+    alive = base.localCheckpoint()
+    live = edges
+    removed = None
+    for r in range(1, n_rounds + 1):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        rm = (
+            alive.join(deg, alive["node"] == deg["src"], "left")
+            .where(F.coalesce("_d", F.lit(0)) < k)
+            .select("node")
+            .withColumn("removed_round", F.lit(r).cast("long"))
+            .localCheckpoint()
+        )
+        removed = rm if removed is None else removed.union(rm)
+        alive = alive.join(rm, "node", "left_anti").localCheckpoint()
+        live = (
+            live.join(
+                alive.select(F.col("node").alias("src")), "src", "semi"
+            )
+            .join(alive.select(F.col("node").alias("dst")), "dst", "semi")
+            .localCheckpoint()
+        )
+    out = deg0.join(removed, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("removed_round", F.lit(0)).cast("long").alias(
+            "removed_round"
+        ),
+        F.when(F.col("removed_round").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_core"),
+    )
+    return out
+
+
 STAR_EDGE_THRESHOLD = 250_000
 
 

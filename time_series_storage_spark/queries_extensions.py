@@ -1081,6 +1081,78 @@ LEFT JOIN tc ON tc.node = d.doc_id
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_dup_graph_kcore(spark, sf_dir):
+    """Dup-graph density stratification: fixed-round {KCORE_K}-core
+    peeling (operators/dedup.py:kcore_peel) — iteratively strip nodes
+    with remaining-degree < {KCORE_K} for {KCORE_ROUNDS} rounds; the
+    survivors are the dense heart of each duplication family, the
+    peel round is a density rank (template farms survive, chain-end
+    copies die round 1-2). Fixed rounds make the oracle an UNROLLED
+    peel (one degree+filter block per round), the PageRank lesson
+    applied to subgraph iteration; the Spark loop re-checkpoints the
+    alive/live sets per round so the plan does not grow with the
+    round count."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    return D.kcore_peel(
+        pairs, docs, "doc_id", k=KCORE_K, n_rounds=KCORE_ROUNDS
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        "degree",
+        "removed_round",
+        "in_core",
+    )
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel: alive{{r}} / live-edge{{r}} CTE pair per round,
+    removed-round classification by first membership. Every CTE in the
+    chain is MATERIALIZED: each round references the previous round's
+    relations several times, and without materialization DuckDB
+    re-inlines the whole chain per reference — the LSH pair pipeline
+    at the base would re-evaluate exponentially in the round count."""
+    blocks = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        blocks.append(f"""
+deg{r} AS MATERIALIZED (SELECT al.node, COUNT(e.b) AS dg
+           FROM alive{p} al LEFT JOIN e{p} e ON e.a = al.node
+           GROUP BY al.node),
+rm{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE dg < {KCORE_K}),
+alive{r} AS MATERIALIZED (SELECT node FROM alive{p}
+             WHERE node NOT IN (SELECT node FROM rm{r})),
+e{r} AS MATERIALIZED (SELECT a, b FROM e{p}
+         WHERE a IN (SELECT node FROM alive{r})
+           AND b IN (SELECT node FROM alive{r}))""")
+    when = " ".join(
+        f"WHEN d.doc_id IN (SELECT node FROM rm{r}) THEN {r}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_sql()}),
+e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
+       UNION ALL SELECT d2, d1 FROM pairs),
+alive0 AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+{",".join(blocks)},
+dg0 AS (SELECT al.node, COUNT(e.b) AS dg
+        FROM alive0 al LEFT JOIN e0 e ON e.a = al.node
+        GROUP BY al.node)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(g.dg, 0)::BIGINT AS degree,
+       (CASE {when} ELSE 0 END)::BIGINT AS removed_round,
+       (CASE WHEN d.doc_id IN (SELECT node FROM alive{KCORE_ROUNDS})
+             THEN 1 ELSE 0 END)::BIGINT AS in_core
+FROM documents d
+LEFT JOIN dg0 g ON g.node = d.doc_id
+"""
+
+
 # -- deterministic train/val/test split -------------------------------------
 
 def q_split_assign(spark, sf_dir):
@@ -10905,6 +10977,7 @@ EXT_QUERIES = {
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_lsh_audit": (q_dedup_lsh_audit, SQL_DEDUP_LSH_AUDIT),
+    "dup_graph_kcore": (q_dup_graph_kcore, _kcore_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_clusters_incremental": (
