@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "quality_drift_incremental",
     "ts_holt_backtest",
     "dup_graph_kcore",
+    "lm_stupid_backoff",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

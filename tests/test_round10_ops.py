@@ -668,3 +668,42 @@ def test_kcore_extra_rounds_noop_after_convergence(spark):
         for r in kcore_peel(pdf, nodes, "doc_id", k=2, n_rounds=5).collect()
     )
     assert a == b
+
+
+# -- Stupid Backoff -----------------------------------------------------------
+
+def test_stupid_backoff_levels(spark):
+    """Each backoff level fires where it should: seen trigram ->
+    c3/c2; unseen trigram with seen (w2,w3) bigram -> 0.4-discounted;
+    bigram-unseen but w3 known -> 0.16-discounted unigram; OOV -> 0.
+    Expected values computed by hand from the model slice counts."""
+    from time_series_storage_spark.operators.text import (
+        stupid_backoff_score,
+    )
+
+    model = spark.createDataFrame(
+        [(0, "a b c a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    # counts: c3(a,b,c)=2, c3(b,c,a)=1, c3(b,c,d)=1, c2(a,b)=2,
+    # c2(b,c)=3, c2(c,a)=1, c2(c,d)=1, c1: a=2 b=3 c=3 d=1, N=9
+    scored = spark.createDataFrame(
+        [
+            (1, "a b c"),      # level 3: (2*1e9) div 2 = 1e9
+            (3, "d b c"),      # unseen tri (d,b,c); (b,c) seen c2=3,
+                               # c1(b)=3: (3*2e9) div (3*5) = 4e8
+            (5, "d d c"),      # (d,d,c): no tri, no (d,c) bigram,
+                               # c known: (3*4e9) div (9*25)
+            (7, "q q q"),      # OOV everywhere: 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.sum_s_x1e9)
+        for r in stupid_backoff_score(model, scored).collect()
+    }
+    assert got == {
+        1: (1, 1_000_000_000),
+        3: (1, (3 * 2 * 10**9) // (3 * 5)),
+        5: (1, (3 * 4 * 10**9) // (9 * 25)),
+        7: (1, 0),
+    }

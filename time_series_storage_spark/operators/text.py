@@ -1118,3 +1118,133 @@ def hashed_doc_embedding(
             vec, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("l1"),
     )
+
+
+def trigram_positions(docs: DataFrame, id_col: str, text_col):
+    """(id, w1, w2, w3) — one row per trigram position, zero-shuffle
+    projection (tokenize + two zip-with-next slides)."""
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).where(F.size("_t") >= 3)
+    z12 = F.zip_with(
+        F.slice("_t", 1, F.size("_t") - 2),
+        F.slice("_t", 2, F.size("_t") - 2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    z123 = F.zip_with(
+        z12,
+        F.slice("_t", 3, F.size("_t") - 2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    return toks.select(
+        F.col(id_col), F.explode(z123).alias("_tg")
+    ).select(
+        F.col(id_col),
+        F.col("_tg.w1"),
+        F.col("_tg.w2"),
+        F.col("_tg.w3"),
+    )
+
+
+def stupid_backoff_score(
+    model_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (Brants et al., EMNLP 2007) —
+    THE web-scale n-gram smoothing: designed at Google precisely so a
+    distributed count-table LM needs no normalization pass. Per
+    trigram position of a scored document::
+
+        S(w3|w1,w2) = c3(w1w2w3) / c2(w1w2)              if c3 > 0
+                    = 0.4 * c2(w2w3) / c1(w2)            elif c2 > 0
+                    = 0.4^2 * c1(w3) / N                 elif c1 > 0
+                    = 0                                  (OOV)
+
+    with counts fit on ``model_docs`` (the history slice — scoring
+    held-out text is what makes the backoff chain fire; a corpus
+    scored under its own counts never leaves level 3). The 0.4
+    backoff factor is the paper's constant and EXACTLY 2/5, so every
+    level is one integer-rational floor division at x1e9 scale —
+    ``(c*2*1e9) div (d*5)`` — bit-identical in any engine; per-position
+    scores are longs summed per document (the
+    :func:`lm_doc_likelihood` fixed-point discipline).
+
+    Scale shape: the three count tables are partial-aggregated counts
+    over the model slice; scoring is word-keyed equi-joins (trigram,
+    two bigram probes, two unigram probes) that AQE co-partitions,
+    with the token total N one broadcast row. No Python, no floats
+    beyond one IEEE divide per position.
+
+    Output: (id, n_trigrams, sum_s_x1e9).
+    """
+    mt = model_docs.select(tokens(text_col).alias("_t"))
+    uni = (
+        mt.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi_pos = mt.where(F.size("_t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1"), F.col("_bg.w2"))
+    bi = bi_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    tri = (
+        trigram_positions(
+            model_docs.select(
+                F.lit(0).alias("_mid"), F.col(text_col)
+            ),
+            "_mid",
+            text_col,
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    n_total = uni.agg(F.sum("c1").cast("long").alias("n"))
+    pos = trigram_positions(score_docs, id_col, text_col)
+    c2a = bi.select(
+        F.col("w1"), F.col("w2"), F.col("c2").alias("c2a")
+    )
+    c2b = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("c2b"),
+    )
+    c1b = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    c1c = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1c"))
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.expr("(c3 * 1000000000) div c2a"),
+        )
+        .when(
+            F.col("c2b").isNotNull(),
+            F.expr("(c2b * 2 * 1000000000) div (c1b * 5)"),
+        )
+        .when(
+            F.col("c1c").isNotNull(),
+            F.expr("(c1c * 4 * 1000000000) div (n * 25)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(c2a, ["w1", "w2"], "left")
+        .join(c2b, ["w2", "w3"], "left")
+        .join(c1b, "w2", "left")
+        .join(c1c, "w3", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(F.col(id_col), s.alias("_s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("_s").cast("long").alias("sum_s_x1e9"),
+    )

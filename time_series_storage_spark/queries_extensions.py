@@ -2872,6 +2872,67 @@ GROUP BY b.doc_id
 """
 
 
+def q_lm_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+    smoothing DESIGNED for distributed count-table LMs; operators/
+    text.py:stupid_backoff_score): counts fit on the even-doc_id
+    history slice, odd documents scored held-out so the trigram ->
+    bigram -> unigram backoff chain actually fires; the 0.4 backoff
+    factor is exactly 2/5, so every level is one integer-rational
+    floor division at x1e9 scale. The oracle refits the counts and
+    replays the case chain verbatim."""
+    docs = _docs(spark, sf_dir)
+    return T.stupid_backoff_score(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_trigrams",
+        "sum_s_x1e9",
+    )
+
+
+SQL_LM_STUPID_BACKOFF = f"""
+WITH mt AS (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 2 = 0),
+uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM mt)
+        GROUP BY w),
+bi AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2, COUNT(*) AS c2
+       FROM mt, unnest(generate_series(1, len(t) - 1)) g(i)
+       WHERE len(t) >= 2 GROUP BY 1, 2),
+tri AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3,
+               COUNT(*) AS c3
+        FROM mt, unnest(generate_series(1, len(t) - 2)) g(i)
+        WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+nt AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+st AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 2 = 1),
+pos AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3
+        FROM st, unnest(generate_series(1, len(t) - 2)) g(i)
+        WHERE len(t) >= 3),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN tri.c3 IS NOT NULL
+                THEN (tri.c3 * 1000000000) // ba.c2
+              WHEN bb.c2 IS NOT NULL
+                THEN (bb.c2 * 2 * 1000000000) // (ub.c1 * 5)
+              WHEN uc.c1 IS NOT NULL
+                THEN (uc.c1 * 4 * 1000000000) // (nt.n * 25)
+              ELSE 0 END AS s
+  FROM pos p
+  LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+  LEFT JOIN bi ba ON ba.w1 = p.w1 AND ba.w2 = p.w2
+  LEFT JOIN bi bb ON bb.w1 = p.w2 AND bb.w2 = p.w3
+  LEFT JOIN uni ub ON ub.w = p.w2
+  LEFT JOIN uni uc ON uc.w = p.w3
+  CROSS JOIN nt
+)
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_trigrams,
+       SUM(s)::BIGINT AS sum_s_x1e9
+FROM sc GROUP BY doc_id
+"""
+
+
 CHUNK_DEDUP_WORDS = 10
 FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
 
@@ -11049,6 +11110,7 @@ EXT_QUERIES = {
     "text_chunk_windows": (q_text_chunks, SQL_TEXT_CHUNKS),
     "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
+    "lm_stupid_backoff": (q_lm_stupid_backoff, SQL_LM_STUPID_BACKOFF),
     "lm_score_incremental": (
         q_lm_score_incremental,
         SQL_LM_SCORE_INCREMENTAL,
