@@ -41,8 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 # LEAD r11's window.  Below them: the r8 block, then the r9 block
 # (freshest external coverage).
 _GATE_PRIORITY = [
-    # --- round-10 window: fourteen new queries, the seven parked r6
-    # --- rows, then 29 of the 50 r7-gated rows ---
+    # --- round-10 window (continuation): the eight continuation-block
+    # --- queries lead, then the fourteen r10 queries, the seven
+    # --- parked r6 rows, and the oldest r7 rows up to the 50 line;
+    # --- rows they displaced below 50 keep pytest/sweep coverage and
+    # --- lead r11 with the 21 r7 overflow rows ---
     "ts_holt_winters",
     "ts_hw_forecast",
     "dedup_lsh_audit",
@@ -51,6 +54,8 @@ _GATE_PRIORITY = [
     "ts_holt_backtest",
     "dup_graph_kcore",
     "lm_stupid_backoff",
+    "knn_label_audit",
+    "label_centroid_confusion",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

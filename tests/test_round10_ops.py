@@ -707,3 +707,71 @@ def test_stupid_backoff_levels(spark):
         5: (1, (3 * 4 * 10**9) // (9 * 25)),
         7: (1, 0),
     }
+
+
+# -- label-quality audits -----------------------------------------------------
+
+def _unit(d, hot, val=1.0):
+    v = [0.0] * d
+    v[hot] = val
+    return v
+
+
+def test_knn_label_audit_flags_noise(spark):
+    """A vector whose label disagrees with its tight neighborhood is
+    flagged; coherent vectors are not; vote ties break on smaller
+    label."""
+    from time_series_storage_spark.operators.similarity import (
+        knn_label_audit,
+    )
+
+    rows = []
+    # cluster A around dim 0 (label 1), cluster B around dim 1
+    # (label 2); vec 0 sits in cluster A but carries label 2 (noise)
+    for i in range(4):
+        rows.append((i, [1.0, 0.05 * i] + [0.0] * 6, 2 if i == 0 else 1))
+    for i in range(4, 8):
+        rows.append((i, [0.05 * (i - 4), 1.0] + [0.0] * 6, 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    got = {
+        r.q_id: (r.pred_label, r.is_mismatch)
+        for r in knn_label_audit(
+            df.where(F.col("vec_id") < 4), df, k=3
+        ).collect()
+    }
+    assert got[0] == (1, 1)  # noisy label flagged
+    assert all(got[i] == (1, 0) for i in (1, 2, 3))
+
+
+def test_centroid_confusion_separable_labels_diagonal(spark):
+    """Perfectly separable labels produce a purely diagonal confusion
+    matrix; centroids are exact integer floor-means."""
+    from time_series_storage_spark.operators.similarity import (
+        centroid_confusion,
+        label_centroids,
+    )
+
+    rows = []
+    for i in range(5):
+        rows.append((i, _unit(8, 0, 1.0 + 0.1 * i), 0))
+        rows.append((10 + i, _unit(8, 3, 2.0 + 0.1 * i), 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = {
+        r.label: list(r.centroid)
+        for r in label_centroids(df).collect()
+    }
+    # floor-mean of [1.0..1.4] x1e6 on dim 0
+    assert cents[0][0] == sum(
+        round(__import__("numpy").float32(1.0 + 0.1 * i) * 10**6)
+        for i in range(5)
+    ) // 5
+    assert cents[0][1:] == [0] * 7
+    got = {
+        (r.label, r.pred_label): r.n
+        for r in centroid_confusion(df).collect()
+    }
+    assert got == {(0, 0): 5, (1, 1): 5}

@@ -782,6 +782,184 @@ def int8_rerank_topk(
     )
 
 
+def knn_label_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Label-noise detection by k-NN disagreement — the
+    confident-learning-style audit a labeled training corpus runs
+    before trusting its labels: for each audited vector, take its k
+    exact-cosine nearest neighbors (self excluded), majority-vote
+    their labels (ties break on count DESC then label ASC — fully
+    deterministic, no float tie-breaks), and flag vectors whose own
+    label disagrees with the neighborhood vote.
+
+    Built on :func:`brute_force_topk`'s exact ranking for the audited
+    SAMPLE (audits run on samples — the dedup_lsh_audit argument); at
+    corpus scale serve the neighbor search from the persisted IVF
+    index instead and keep this vote stage unchanged.
+
+    Output: (q_id, label, pred_label, n_agree, is_mismatch) —
+    ``n_agree`` the winning vote count, ``is_mismatch`` 1 when the
+    vote contradicts the stored label.
+    """
+    nn = brute_force_topk(queries, corpus, id_col, vec_col, k=k)
+    lab = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        nn.join(lab, "vec_id")
+        .groupBy("q_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_votes").desc(), F.col("_nl")
+    )
+    pred = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "q_id",
+            F.col("_nl").cast("long").alias("pred_label"),
+            F.col("_votes").cast("long").alias("n_agree"),
+        )
+    )
+    own = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    return own.join(pred, "q_id").select(
+        "q_id",
+        "label",
+        "pred_label",
+        "n_agree",
+        F.when(F.col("label") != F.col("pred_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_mismatch"),
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label integer centroid: each component is
+    ``floor(sum(round(v_d * 1e6)) / n)`` — exact long arithmetic, so
+    the prototype table is bit-identical in any engine. Output:
+    (label, centroid array<long>, n_members). One posexplode + one
+    (label, dim) aggregation; the result is L rows of d longs — a
+    broadcast-sized prototype table at any corpus size."""
+    q = corpus.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(
+            F.transform(
+                _as_double(vec_col),
+                lambda x: F.round(x * F.lit(1e6)).cast("long"),
+            )
+        ).alias("_d", "_v"),
+    )
+    comp = q.groupBy("_l", "_d").agg(
+        F.expr("sum(_v) div count(1)").alias("_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        comp.groupBy("_l")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_d", "_c"))
+                ),
+                lambda s: s["_c"],
+            ).alias("centroid"),
+            F.max("_n").cast("long").alias("n_members"),
+        )
+        .select(F.col("_l").alias(label_col), "centroid", "n_members")
+    )
+
+
+def centroid_confusion(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid-classifier confusion matrix — the one-pass
+    label-coherence summary (how separable are the label clusters in
+    embedding space?): assign every vector to its nearest per-label
+    centroid by fixed-point cosine (ties break on label ASC) and
+    count (label, pred_label) cells. The centroid table rides as a
+    broadcast (L rows); the corpus never shuffles until the final
+    L x L cell aggregation.
+
+    Output: (label, pred_label, n).
+    """
+    cents = F.broadcast(
+        label_centroids(corpus, vec_col, label_col).select(
+            F.col(label_col).alias("_cl"), "centroid"
+        )
+    )
+    qv = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.transform(
+            _as_double(vec_col),
+            lambda x: F.round(x * F.lit(1e6)).cast("long"),
+        ).alias("_q"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("_q"),
+                        lambda a: a.cast("double") * a.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("centroid"),
+                        lambda a: a.cast("double") * a.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        )
+        * 1e6
+    ).cast("long")
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("_cl")
+    )
+    assigned = (
+        qv.join(cents, F.lit(True))
+        .select("_id", "label", "_cl", cos.alias("_cos"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+    )
+    return assigned.groupBy(
+        "label", F.col("_cl").cast("long").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 # -- Johnson-Lindenstrauss sign projection (dimensionality reduction) --------
 
 RP_DIM = 16  # 64 dims -> 16: 4x cheaper candidate dots

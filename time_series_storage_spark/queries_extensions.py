@@ -6557,6 +6557,128 @@ FROM ranked WHERE rank <= {SIM_TOPK}
 """
 
 
+KNN_AUDIT_N = 200  # audited sample: vec_id below this
+KNN_AUDIT_K = 5
+
+
+def q_knn_label_audit(spark, sf_dir):
+    """Label-noise detection by k-NN disagreement
+    (operators/similarity.py:knn_label_audit — the confident-learning
+    audit): each audited vector's {KNN_AUDIT_K} exact-cosine nearest
+    neighbors majority-vote a predicted label (count-then-label
+    deterministic tie-break); vectors whose stored label loses the
+    vote are flagged. Runs on the {KNN_AUDIT_N}-vector audit sample —
+    the same sample-audit contract as dedup_lsh_audit; at scale the
+    neighbor search comes from the persisted IVF index. The oracle
+    replays ranking AND vote."""
+    emb = _emb(spark, sf_dir)
+    return S.knn_label_audit(
+        emb.where(F.col("vec_id") < KNN_AUDIT_N), emb,
+        k=KNN_AUDIT_K,
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        "label",
+        "pred_label",
+        "n_agree",
+        "is_mismatch",
+    )
+
+
+def _knn_label_audit_sql() -> str:
+    return f"""
+WITH nn AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.embedding')}
+               DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {KNN_AUDIT_N}
+  ) WHERE rank <= {KNN_AUDIT_K}
+),
+votes AS (
+  SELECT nn.q_id, e.label AS nl, COUNT(*) AS v
+  FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT q_id, nl, v FROM (
+    SELECT q_id, nl, v,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY v DESC, nl) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT q.vec_id::BIGINT AS q_id,
+       q.label::BIGINT AS label,
+       p.nl::BIGINT AS pred_label,
+       p.v::BIGINT AS n_agree,
+       (CASE WHEN q.label <> p.nl THEN 1 ELSE 0 END)::BIGINT AS is_mismatch
+FROM embeddings q JOIN pred p ON p.q_id = q.vec_id
+WHERE q.vec_id < {KNN_AUDIT_N}
+"""
+
+
+def q_label_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid confusion matrix over the labeled embedding
+    corpus (operators/similarity.py:centroid_confusion): per-label
+    INTEGER centroids (floor-mean of x1e6 components — exact in any
+    engine), every vector assigned to its nearest centroid by
+    fixed-point cosine, (label, pred_label) cells counted — the
+    one-pass label-coherence summary (the diagonal is nearest-
+    prototype accuracy; off-diagonal cells are the label pairs that
+    blur). The centroid table is a broadcast at any corpus size; the
+    oracle recomputes centroids and the assignment verbatim."""
+    return S.centroid_confusion(_emb(spark, sf_dir)).select(
+        "label", "pred_label", "n"
+    )
+
+
+def _centroid_confusion_sql() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+comp AS (
+  SELECT label, d.i AS dim,
+         CAST(SUM(q[d.i]) AS BIGINT) // COUNT(*) AS c
+  FROM qv, unnest(generate_series(1, len(q))) d(i)
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT label AS cl, list(c ORDER BY dim) AS centroid FROM comp
+  GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.cl,
+         CAST(round(
+           list_sum(list_transform(generate_series(1, len(v.q)),
+             i -> CAST(v.q[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(v.q,
+                a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.centroid,
+                a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))))
+           * 1e6) AS BIGINT) AS cos
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, cl FROM (
+    SELECT vec_id, label, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cl) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT label::BIGINT AS label, cl::BIGINT AS pred_label,
+       COUNT(*)::BIGINT AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
 RP_PREFILTER = 50
 
 
@@ -11090,6 +11212,10 @@ EXT_QUERIES = {
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
     "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
+    "knn_label_audit": (q_knn_label_audit, _knn_label_audit_sql()),
+    "label_centroid_confusion": (
+        q_label_centroid_confusion, _centroid_confusion_sql(),
+    ),
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
