@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     "lm_stupid_backoff",
     "knn_label_audit",
     "label_centroid_confusion",
+    "ts_classical_decompose",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -775,3 +775,69 @@ def test_centroid_confusion_separable_labels_diagonal(spark):
         for r in centroid_confusion(df).collect()
     }
     assert got == {(0, 0): 5, (1, 1): 5}
+
+
+# -- classical decomposition ----------------------------------------------------
+
+def _decomp_model(obs, m=4):
+    """obs: list of (ep, x). Returns {ep: (trend, seas, resid)}."""
+    h = m // 2
+    n = len(obs)
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    rows = []
+    for t in range(n):
+        if t + 1 > h and t + 1 <= n - h:
+            sa = sum(x for _, x in obs[t - h:t + h])
+            sb = sum(x for _, x in obs[t - h + 1:t + h + 1])
+            ep = obs[t][0]
+            trend = trunc_div(sa + sb, 2 * m)
+            det = obs[t][1] - trend
+            rows.append((ep, obs[t][1], trend, det, (ep // 3600) % m))
+    seas = {}
+    for ph in {r[4] for r in rows}:
+        ds = [r[3] for r in rows if r[4] == ph]
+        seas[ph] = trunc_div(sum(ds), len(ds))
+    return {
+        ep: (tr, seas[ph], det - seas[ph])
+        for ep, x, tr, det, ph in rows
+    }
+
+
+def test_classical_decompose_matches_python_model(spark):
+    from time_series_storage_spark.operators.analytics import (
+        classical_decompose,
+    )
+
+    random.seed(13)
+    m = 4
+    obs = [
+        (i * 3600, (50 + 40 * ((i % m) - 1) + random.randint(-60, 10))
+         * 1_000_000)
+        for i in range(18)
+    ]
+    df = spark.createDataFrame(
+        [("s", ep, x) for ep, x in obs], "k string, ep long, x long"
+    )
+    got = {
+        r.ep: (r.trend_x1e6, r.seasonal_x1e6, r.residual_x1e6)
+        for r in classical_decompose(
+            df, ["k"], "ep", "x", season=m
+        ).collect()
+    }
+    want = _decomp_model(obs, m)
+    assert got == want
+    # negative detrended values exercised (trunc-toward-zero contract)
+    assert any(v[1] < 0 for v in got.values())
+
+
+def test_classical_decompose_rejects_odd_season():
+    from time_series_storage_spark.operators.analytics import (
+        classical_decompose,
+    )
+
+    with pytest.raises(ValueError, match="even"):
+        classical_decompose(None, ["k"], season=5)

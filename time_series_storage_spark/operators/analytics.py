@@ -869,6 +869,88 @@ def holt_winters_forecast(
     )
 
 
+def classical_decompose(
+    series: DataFrame,
+    dims: Sequence[str],
+    ep_col: str = "ep",
+    x_col: str = "x",
+    season: int = 24,
+    phase_seconds: int = 3600,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    textbook method, the non-recursive complement to
+    :func:`holt_winters`): per series,
+
+    * ``trend``    = the standard 2x``m`` centered moving average for
+      even ``m`` — ``(sum(x[t-m/2 .. t+m/2-1]) + sum(x[t-m/2+1 ..
+      t+m/2])) div (2m)`` over OBSERVATION index (defined only where
+      both windows are full);
+    * ``seasonal`` = the per-(dims, phase) truncated mean of the
+      detrended values, phase = (ep div phase_seconds) mod m — the
+      wall-clock slot, robust to gaps;
+    * ``residual`` = detrended - seasonal.
+
+    All arithmetic is integer: window sums are long additions and
+    every division is a truncating integer division (Spark ``div`` and
+    an oracle's ``//`` both truncate toward zero — detrended values
+    go NEGATIVE, so truncation symmetry is part of the contract; the
+    raw per-phase means are NOT re-centered to sum zero, which keeps
+    the whole operator division-bounded and engine-exact).
+
+    Plan shape: one exchange on ``dims`` shared by the index window
+    and the two framed sums; the seasonal means are one
+    (dims, phase) aggregation joined back broadcast-sized (m rows per
+    series). No recursion, no Python.
+
+    Output: dims + (ep, x, trend, seasonal, residual) for rows where
+    the centered window is full.
+    """
+    m = int(season)
+    if m < 2 or m % 2 != 0:
+        raise ValueError(
+            f"classical_decompose: season must be even and >= 2, got {m}"
+        )
+    h = m // 2
+    w = Window.partitionBy(*dims).orderBy(F.col(ep_col))
+    wa = w.rowsBetween(-h, h - 1)
+    wb = w.rowsBetween(-h + 1, h)
+    wn = Window.partitionBy(*dims)
+    x = F.col(x_col).cast("long")
+    idx = series.select(
+        *dims,
+        F.col(ep_col).cast("long").alias(ep_col),
+        x.alias("_x"),
+        F.row_number().over(w).cast("long").alias("_t"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+        F.sum(x).over(wa).alias("_sa"),
+        F.sum(x).over(wb).alias("_sb"),
+    )
+    trended = idx.where(
+        (F.col("_t") > h) & (F.col("_t") <= F.col("_n") - h)
+    ).select(
+        *dims,
+        ep_col,
+        "_x",
+        F.expr(f"(_sa + _sb) div {2 * m}").alias("_trend"),
+    ).withColumn("_det", F.col("_x") - F.col("_trend")).withColumn(
+        "_phase",
+        F.expr(f"(({ep_col} div {phase_seconds}) % {m})").cast("long"),
+    )
+    seas = trended.groupBy(*dims, "_phase").agg(
+        F.expr("sum(_det) div count(1)").alias("_seas")
+    )
+    return trended.join(seas, [*dims, "_phase"]).select(
+        *dims,
+        ep_col,
+        F.col("_x").alias(x_col),
+        F.col("_trend").alias("trend_x1e6"),
+        F.col("_seas").alias("seasonal_x1e6"),
+        (F.col("_det") - F.col("_seas")).cast("long").alias(
+            "residual_x1e6"
+        ),
+    )
+
+
 def robust_stats(
     df: DataFrame,
     dims: Sequence[str],

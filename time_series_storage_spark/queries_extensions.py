@@ -9807,6 +9807,66 @@ WHERE rn = 1
 """
 
 
+def q_ts_classical_decompose(spark, sf_dir):
+    """Classical additive decomposition of each event_type's hourly
+    series (operators/analytics.py:classical_decompose): 2x24 centered
+    moving-average trend, per-hour-of-day truncated-mean seasonal
+    indices, residuals — the non-recursive moving-average complement
+    to the Holt-Winters gate, entirely window sums and truncating
+    integer division (negative detrended values exercise trunc
+    symmetry in both engines)."""
+    from .operators.analytics import classical_decompose
+
+    return classical_decompose(
+        _hw_hourly(spark, sf_dir),
+        ["event_type"],
+        ep_col="bucket_ep",
+        x_col="x",
+        season=24,
+    ).select(
+        "event_type",
+        "bucket_ep",
+        F.expr("x div 1000000").cast("long").alias("cnt"),
+        "trend_x1e6",
+        "seasonal_x1e6",
+        "residual_x1e6",
+    )
+
+
+SQL_TS_CLASSICAL_DECOMPOSE = """
+WITH hourly AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::BIGINT AS ep,
+         (COUNT(*) * 1000000)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, ep, x,
+         ROW_NUMBER() OVER w AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (w ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sa,
+         SUM(x) OVER (w ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sb
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY ep)),
+tr AS (
+  SELECT event_type, ep, x,
+         CAST((sa + sb) AS BIGINT) // 48 AS trend,
+         x - CAST((sa + sb) AS BIGINT) // 48 AS det,
+         ((ep // 3600) % 24)::BIGINT AS phase
+  FROM idx WHERE t > 12 AND t <= n - 12),
+seas AS (
+  SELECT event_type, phase,
+         CAST(SUM(det) AS BIGINT) // COUNT(*) AS s
+  FROM tr GROUP BY 1, 2)
+SELECT tr.event_type, tr.ep::BIGINT AS bucket_ep,
+       (tr.x // 1000000)::BIGINT AS cnt,
+       tr.trend::BIGINT AS trend_x1e6,
+       seas.s::BIGINT AS seasonal_x1e6,
+       (tr.det - seas.s)::BIGINT AS residual_x1e6
+FROM tr JOIN seas ON seas.event_type = tr.event_type
+                 AND seas.phase = tr.phase
+"""
+
+
 BACKTEST_H = 3
 
 
@@ -11366,6 +11426,9 @@ EXT_QUERIES = {
     "ts_holt_linear": (q_ts_holt_linear, SQL_TS_HOLT_LINEAR),
     "ts_holt_forecast": (q_ts_holt_forecast, SQL_TS_HOLT_FORECAST),
     "ts_holt_backtest": (q_ts_holt_backtest, SQL_TS_HOLT_BACKTEST),
+    "ts_classical_decompose": (
+        q_ts_classical_decompose, SQL_TS_CLASSICAL_DECOMPOSE,
+    ),
     "ts_holt_winters": (q_ts_holt_winters, SQL_TS_HOLT_WINTERS),
     "ts_hw_forecast": (q_ts_hw_forecast, SQL_TS_HW_FORECAST),
     "ts_gap_detect": (q_ts_gaps, SQL_TS_GAPS),
