@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "knn_label_audit",
     "label_centroid_confusion",
     "ts_classical_decompose",
+    "centroid_drift_incremental",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -6679,6 +6679,123 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+def _centroid_store(spark, sf_dir):
+    """The persisted label-centroid store for ``sf_dir`` — built by
+    TWO absorbs (vec_id % 3 == 0, then % 3 == 1); the % 3 == 2 slice
+    stays out and plays today's increment for the gated drift probe.
+    Staleness-keyed and format-pinned like the other store builders."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.centroid_store import CentroidStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:64:centroid-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_centroid_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return CentroidStore(spark, root, dim=64)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = CentroidStore(spark, root, dim=64)
+                emb = _emb(spark, sf_dir)
+                for m in (0, 1):
+                    store.absorb(
+                        emb.where(F.col("vec_id") % 3 == m),
+                        "label",
+                        "embedding",
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_centroid_drift_incremental(spark, sf_dir):
+    """Per-label prototype drift in daily-ingest form
+    (operators/centroid_store.py:CentroidStore): per-(label, dim)
+    component sums persisted by TWO additive absorbs (vec_id%3 of 0
+    then 1), probed with today's slice (%3 == 2) — per label, the
+    fixed-point cosine between the persisted centroid and the
+    centroid the merge would produce (1e6 = prototype unmoved). The
+    oracle recomputes both slices' sums FROM SCRATCH and replays the
+    floor-mean + cosine arithmetic: a green hash proves
+    sum-across-commits equals the one-shot aggregation AND gates the
+    drift statistic. State is L x d longs — never the corpus."""
+    store = _centroid_store(spark, sf_dir)
+    today = _emb(spark, sf_dir).where(F.col("vec_id") % 3 == 2)
+    return store.drift(today, "label", "embedding").select(
+        F.col("lb").alias("label"), "n_hist", "n_inc", "cos_shift_x1e6"
+    )
+
+
+SQL_CENTROID_DRIFT = """
+WITH qv AS (
+  SELECT vec_id, label, vec_id % 3 AS sl,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+hsum AS (
+  SELECT label AS lb, d.i AS dim,
+         CAST(SUM(q[d.i]) AS BIGINT) AS hs, COUNT(*) AS hn
+  FROM qv, unnest(generate_series(1, len(q))) d(i)
+  WHERE sl IN (0, 1) GROUP BY 1, 2
+),
+isum AS (
+  SELECT label AS lb, d.i AS dim,
+         CAST(SUM(q[d.i]) AS BIGINT) AS i_s, COUNT(*) AS i_n
+  FROM qv, unnest(generate_series(1, len(q))) d(i)
+  WHERE sl = 2 GROUP BY 1, 2
+),
+j AS (
+  SELECT i.lb, i.dim,
+         COALESCE(h.hs, 0) AS hs, COALESCE(h.hn, 0) AS hn,
+         i.i_s, i.i_n
+  FROM isum i LEFT JOIN hsum h ON h.lb = i.lb AND h.dim = i.dim
+),
+comp AS (
+  SELECT lb, dim,
+         CASE WHEN hn > 0 THEN hs // hn ELSE 0 END AS pre,
+         (hs + i_s) // (hn + i_n) AS post,
+         hn, i_n
+  FROM j
+)
+SELECT lb::BIGINT AS label,
+       MAX(hn)::BIGINT AS n_hist,
+       MAX(i_n)::BIGINT AS n_inc,
+       (CASE WHEN MAX(hn) > 0
+             THEN CAST(round(
+               SUM(pre::DOUBLE * post::DOUBLE)
+               / (sqrt(SUM(pre::DOUBLE * pre::DOUBLE))
+                  * sqrt(SUM(post::DOUBLE * post::DOUBLE)))
+               * 1e6) AS BIGINT)
+             ELSE -1 END)::BIGINT AS cos_shift_x1e6
+FROM comp GROUP BY lb
+"""
+
+
 RP_PREFILTER = 50
 
 
@@ -11273,6 +11390,9 @@ EXT_QUERIES = {
     "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
     "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
     "knn_label_audit": (q_knn_label_audit, _knn_label_audit_sql()),
+    "centroid_drift_incremental": (
+        q_centroid_drift_incremental, SQL_CENTROID_DRIFT,
+    ),
     "label_centroid_confusion": (
         q_label_centroid_confusion, _centroid_confusion_sql(),
     ),
