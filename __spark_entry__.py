@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "label_centroid_confusion",
     "ts_classical_decompose",
     "centroid_drift_incremental",
+    "text_readability",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -841,3 +841,39 @@ def test_classical_decompose_rejects_odd_season():
 
     with pytest.raises(ValueError, match="even"):
         classical_decompose(None, ["k"], season=5)
+
+
+# -- readability ----------------------------------------------------------------
+
+def test_readability_hand_computed(spark):
+    """Hand-computed Flesch / FK on known sentences, incl. the
+    no-punctuation one-sentence clamp and 1-syllable-minimum words."""
+    from time_series_storage_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat. the dog ran!"),   # 6 words, 2 sents, 6 syll
+            (1, "xyz qqq"),                      # no vowels: clamp 1 each
+            (2, "beautiful extraordinary"),      # multi-syllable words
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_sentences, r.n_syllables,
+            r.flesch_x1000, r.fk_grade_x1000,
+        )
+        for r in readability(docs).collect()
+    }
+
+    def flesch(w, s, y):
+        return (
+            206835 - (1015 * w) // s - (84600 * y) // w,
+            (390 * w) // s + (11800 * y) // w - 15590,
+        )
+
+    # "beautiful" = eau+i+u? vowel runs: eau, i, u -> 3; check model:
+    # b(eau)t(i)f(u)l -> 3 runs; (e)xtr(ao)rd(i)n(a)r(y) -> 5 runs
+    assert got[0] == (6, 2, 6, *flesch(6, 2, 6))
+    assert got[1] == (2, 1, 2, *flesch(2, 1, 2))
+    assert got[2] == (2, 1, 8, *flesch(2, 1, 8))

@@ -1248,3 +1248,80 @@ def stupid_backoff_score(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         F.sum("_s").cast("long").alias("sum_s_x1e9"),
     )
+
+
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as EXACT integer
+    rationals — the classic readability gate a text-quality pipeline
+    adds next to the Gopher rules (readability bands are a standard
+    corpus-stratification signal). Counts:
+
+    * words      = whitespace tokens;
+    * sentences  = runs of sentence-ending punctuation ``[.!?]+``,
+      clamped to >= 1 (fragment documents count as one sentence);
+    * syllables  = per word, vowel-group runs ``[aeiouyAEIOUY]+``
+      clamped to >= 1, summed.
+
+    The published coefficients are decimal rationals, so both scores
+    are single integer expressions at x1000 scale::
+
+        flesch_x1000 = 206835 - (1015 * W) div S - (84600 * Y) div W
+        fk_grade_x1000 = (390 * W) div S + (11800 * Y) div W - 15590
+
+    — counts are nonnegative longs, every division truncating integer
+    division, bit-identical in any engine. Zero-word documents are
+    dropped (no denominator). Pure codegen: tokenize + two regexes +
+    one array fold, no shuffle at all.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch_x1000,
+    fk_grade_x1000).
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(
+                    F.regexp_extract_all(
+                        w, F.lit("[aeiouyAEIOUY]+"), 0
+                    )
+                ),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).where(F.col("n_words") >= 1)
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words")
+        ).cast("long").alias("flesch_x1000"),
+        (
+            F.expr("(390 * n_words) div n_sentences")
+            + F.expr("(11800 * n_syllables) div n_words")
+            - F.lit(15590)
+        ).cast("long").alias("fk_grade_x1000"),
+    )

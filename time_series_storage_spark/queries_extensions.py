@@ -2933,6 +2933,45 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (operators/text.py:readability): vowel-group syllable counting,
+    sentence-run counting with the >= 1 clamp, and the published
+    decimal coefficients as exact x1000 integer rationals — zero
+    shuffle, pure codegen. The oracle replays counts and arithmetic
+    verbatim."""
+    return T.readability(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_x1000",
+        "fk_grade_x1000",
+    )
+
+
+SQL_TEXT_READABILITY = f"""
+WITH c AS (
+  SELECT doc_id,
+         len({_TOKS})::BIGINT AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         CAST(list_sum(list_transform({_TOKS},
+           w -> GREATEST(len(regexp_extract_all(w, '[aeiouyAEIOUY]+')),
+                         1))) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - (1015 * n_words) // n_sentences
+               - (84600 * n_syllables) // n_words)::BIGINT
+         AS flesch_x1000,
+       ((390 * n_words) // n_sentences
+        + (11800 * n_syllables) // n_words - 15590)::BIGINT
+         AS fk_grade_x1000
+FROM c WHERE n_words >= 1
+"""
+
+
 CHUNK_DEDUP_WORDS = 10
 FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
 
@@ -11417,6 +11456,7 @@ EXT_QUERIES = {
     "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
     "lm_stupid_backoff": (q_lm_stupid_backoff, SQL_LM_STUPID_BACKOFF),
+    "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
     "lm_score_incremental": (
         q_lm_score_incremental,
         SQL_LM_SCORE_INCREMENTAL,
