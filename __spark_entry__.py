@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "ts_classical_decompose",
     "centroid_drift_incremental",
     "text_readability",
+    "source_diversity",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -1081,6 +1081,112 @@ LEFT JOIN tc ON tc.node = d.doc_id
 """
 
 
+def q_source_diversity(spark, sf_dir):
+    """Within-source corpus diversity — the self-similarity audit that
+    catches mode collapse in a synthetic or over-crawled source: per
+    source, the MEAN PAIRWISE n-gram Jaccard over the
+    {NGRAM_DOC_LIMIT}-doc audit prefix (low mean = diverse, high =
+    the source is repeating itself). Pairs come from the shingle
+    equi-join (only co-occurring pairs materialize); the denominator
+    is the FULL pair count n*(n-1)/2 per source, so never-overlapping
+    pairs count as zero similarity — the true mean, not the
+    co-occurrence-conditioned one. All integer: per-pair jaccard
+    floored at x1e6, summed, divided by the pair count."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOC_LIMIT)
+    sh = D.hashed_shingles(docs, "doc_id", "text", 8)
+    src = docs.select("doc_id", "source")
+    shs = sh.join(src, "doc_id")
+    sizes = shs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = shs.select(
+        F.col("doc_id").alias("d1"), F.col("source"), "hs"
+    )
+    b = shs.select(
+        F.col("doc_id").alias("d2"), F.col("source"), "hs"
+    )
+    common = (
+        a.join(b, ["source", "hs"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("source", "d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    z1 = sizes.select(
+        F.col("doc_id").alias("d1"), F.col("n").alias("n1")
+    )
+    z2 = sizes.select(
+        F.col("doc_id").alias("d2"), F.col("n").alias("n2")
+    )
+    pair_j = (
+        common.join(z1, "d1")
+        .join(z2, "d2")
+        .select(
+            "source",
+            F.floor(
+                F.col("common") * 1_000_000
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+            ).cast("long").alias("_j"),
+        )
+    )
+    sums = pair_j.groupBy("source").agg(
+        F.sum("_j").cast("long").alias("sum_jacc_x1e6")
+    )
+    counts = sizes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return counts.join(sums, "source", "left").select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+        F.coalesce("sum_jacc_x1e6", F.lit(0)).cast("long").alias(
+            "sum_jacc_x1e6"
+        ),
+        F.when(
+            F.col("n_docs") > 1,
+            F.floor(
+                F.coalesce("sum_jacc_x1e6", F.lit(0))
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_jacc_x1e6"),
+    )
+
+
+SQL_SOURCE_DIVERSITY = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+{_SH},
+ss AS (SELECT s.doc_id, d.source, s.hs
+       FROM shh s JOIN docs d ON d.doc_id = s.doc_id),
+sz AS (SELECT doc_id, source, COUNT(*) AS n FROM ss GROUP BY 1, 2),
+common AS (
+  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM ss a JOIN ss b ON a.source = b.source AND a.hs = b.hs
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3),
+pj AS (
+  SELECT c.source,
+         CAST(floor(c.common * 1000000.0
+                    / (z1.n + z2.n - c.common)) AS BIGINT) AS j
+  FROM common c
+  JOIN sz z1 ON z1.doc_id = c.d1
+  JOIN sz z2 ON z2.doc_id = c.d2),
+sums AS (SELECT source, CAST(SUM(j) AS BIGINT) AS sj FROM pj GROUP BY 1),
+cnt AS (SELECT source, COUNT(*) AS n_docs FROM sz GROUP BY 1)
+SELECT c.source, c.n_docs::BIGINT AS n_docs,
+       CAST(c.n_docs * (c.n_docs - 1) / 2 AS BIGINT) AS n_pairs,
+       COALESCE(s.sj, 0)::BIGINT AS sum_jacc_x1e6,
+       (CASE WHEN c.n_docs > 1
+             THEN CAST(floor(COALESCE(s.sj, 0)
+                  / (c.n_docs * (c.n_docs - 1) / 2.0)) AS BIGINT)
+             ELSE 0 END)::BIGINT AS mean_jacc_x1e6
+FROM cnt c LEFT JOIN sums s ON s.source = c.source
+"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 3
 
@@ -11377,6 +11483,7 @@ EXT_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_sql()),
     "dedup_lsh_audit": (q_dedup_lsh_audit, SQL_DEDUP_LSH_AUDIT),
     "dup_graph_kcore": (q_dup_graph_kcore, _kcore_sql()),
+    "source_diversity": (q_source_diversity, SQL_SOURCE_DIVERSITY),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_sql()),
     "dedup_clusters_incremental": (
