@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "centroid_drift_incremental",
     "text_readability",
     "source_diversity",
+    "event_trigram_paths",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -550,6 +550,64 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_event_trigram_paths(spark, sf_dir):
+    """Second-order behavioral paths: per (t1, t2, t3) event-type
+    trigram over each user's time-ordered stream, occurrences and the
+    x1000 conditional probability given the (t1, t2) prefix — the
+    order-2 extension of event_transitions (what follows a VIEW ->
+    CLICK prefix is not what follows CLICK alone; sequence features
+    need the longer context). Two lag windows sharing one (user)
+    exchange, a partial-aggregated trigram rollup, and the prefix
+    totals by one more window — all exact counts and floor_div."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), F.col("event_id")
+    )
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wtot = Window.partitionBy("t1", "t2")
+    return counts.select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        AN.floor_div(
+            F.col("n") * 1000, F.sum("n").over(wtot)
+        ).cast("long").alias("p_x1000"),
+    )
+
+
+SQL_EVENT_TRIGRAM_PATHS = """
+WITH t AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+),
+c AS (
+  SELECT t1, t2, t3, COUNT(*) AS n
+  FROM t WHERE t1 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n::BIGINT AS n,
+       ((n * 1000) // SUM(n) OVER (PARTITION BY t1, t2))::BIGINT
+         AS p_x1000
+FROM c
+"""
+
+
 SQL_EVENT_TRANSITIONS = """
 WITH t AS (
   SELECT lag(event_type) OVER (
@@ -11504,6 +11562,9 @@ EXT_QUERIES = {
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "entity_resolution_parts": (q_entity_resolution, _entity_resolution_sql()),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "event_trigram_paths": (
+        q_event_trigram_paths, SQL_EVENT_TRIGRAM_PATHS,
+    ),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "asof_click_next_purchase": (q_asof_forward, SQL_ASOF_FORWARD),
