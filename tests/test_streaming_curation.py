@@ -480,3 +480,132 @@ def test_modern_chain_crash_converges_to_no_crash_twin(
     st = _mstate(*c_stores)
     fn(_mdf(spark, MB1), 1)
     assert out[1] == t_out[1] and _mstate(*c_stores) == st
+
+
+# -- three-discipline monitored chain (LM + fingerprints + histogram) --------
+
+MON_DOCS_SCHEMA = "doc_id long, text string, source string"
+MDAY1 = [(i, t, "web") for i, t in DAY1]
+MB0 = [
+    (10, "the cat sat on the mat", "web"),
+    (11, "the dog sat on a mat", "web"),
+    (12, "zebra quagga zebra", "web"),
+]
+MB1 = [
+    (20, "the dog sat on a mat", "web"),
+    (21, "a cat and a dog", "web"),
+    (22, "the cat sat on a log", "news"),
+]
+
+
+def _mdf(spark, docs):
+    return spark.createDataFrame(docs, MON_DOCS_SCHEMA)
+
+
+def _mon_stores(spark, tmp_path):
+    from time_series_storage_spark.operators.hist_store import (
+        HistogramStore,
+    )
+
+    lm = LmModelStore(spark, str(tmp_path / "lm"))
+    fp = FingerprintStore(spark, str(tmp_path / "fp"))
+    hist = HistogramStore(
+        spark, str(tmp_path / "hist"), bucket_width=8, n_buckets=8
+    )
+    lm.absorb(_mdf(spark, MDAY1), "doc_id", "text")
+    fp.absorb(_mdf(spark, MDAY1), "doc_id", "text")
+    hist.absorb(
+        _mdf(spark, MDAY1).select(
+            "source", F.length("text").alias("_len")
+        ),
+        "source",
+        "_len",
+    )
+    return lm, fp, hist
+
+
+def _run_monitored(spark, tmp_path, crash_store=None, crash_batch=None):
+    from time_series_storage_spark.streaming.curation import (
+        monitored_curation_foreach_batch,
+    )
+
+    lm, fp, hist = _mon_stores(spark, tmp_path)
+    surv, drift = {}, {}
+
+    def emit(sdf, ddf, bid):
+        surv[bid] = sorted(r.doc_id for r in sdf.collect())
+        drift[bid] = {
+            r.source: (r.n_hist, r.n_inc, r.l1_x1e6)
+            for r in ddf.collect()
+        }
+
+    fn = monitored_curation_foreach_batch(
+        lm, fp, hist, THR, "doc_id", "text", "source", emit
+    )
+    stores = {"lm": lm, "fp": fp, "hist": hist}
+    for bid, batch in ((0, MB0), (1, MB1)):
+        if crash_batch == bid and crash_store is not None:
+            target = stores[crash_store]
+
+            def boom(stage):
+                if stage == "post_write":
+                    raise RuntimeError("injected")
+
+            target._commit_fault = boom
+            with pytest.raises(RuntimeError, match="injected"):
+                fn(_mdf(spark, batch), bid)
+            target._commit_fault = None
+        fn(_mdf(spark, batch), bid)
+    return stores, surv, drift
+
+
+def test_monitored_curation_end_to_end(spark, tmp_path):
+    """LM gate + dedup + survivor-length drift in one chain: the
+    drift emission covers exactly the survivor keys per batch, with
+    history = day-1 survivors (+ earlier batches'), and the
+    fingerprint survivors match the two-store pipeline."""
+    stores, surv, drift = _run_monitored(spark, tmp_path)
+    assert surv[0] == [11] and surv[1] == [22]
+    # batch 0's survivor (11, 'web', len 20) drifts against day-1 web
+    assert set(drift[0]) == {"web"} and drift[0]["web"][1] == 1
+    assert drift[0]["web"][0] == 3  # day-1 history rows
+    # batch 1's survivor is the first 'news' doc: no baseline -> -1
+    assert drift[1] == {"news": (0, 1, -1)}
+    # histogram holds day1 + both batches' survivors
+    hrows = dict(
+        ((r.gk, r.b), r.c)
+        for r in stores["hist"].histogram().collect()
+    )
+    assert sum(c for (g, _), c in hrows.items() if g == "web") == 4
+    assert sum(c for (g, _), c in hrows.items() if g == "news") == 1
+
+
+@pytest.mark.parametrize("crash_store", ["lm", "fp", "hist"])
+def test_monitored_curation_crash_any_commit_converges(
+    spark, tmp_path, crash_store
+):
+    """A commit crash at ANY of the three stores, replayed under the
+    same batch id, converges every store and both emissions to the
+    no-crash state — the three-discipline instantiation of the
+    module's induction argument."""
+    clean_tmp = tmp_path / "clean"
+    crash_tmp = tmp_path / "crash"
+    clean_tmp.mkdir()
+    crash_tmp.mkdir()
+    _, surv_c, drift_c = _run_monitored(spark, clean_tmp)
+    stores, surv, drift = _run_monitored(
+        spark, crash_tmp, crash_store=crash_store, crash_batch=1
+    )
+    assert surv == surv_c and drift == drift_c
+    from time_series_storage_spark.operators.hist_store import (
+        HistogramStore,
+    )
+
+    clean_hist = HistogramStore(
+        spark, str(clean_tmp / "hist"), bucket_width=8, n_buckets=8
+    )
+    got = {
+        (r.gk, r.b): r.c for r in stores["hist"].histogram().collect()
+    }
+    want = {(r.gk, r.b): r.c for r in clean_hist.histogram().collect()}
+    assert got == want

@@ -244,3 +244,66 @@ def modern_curation_foreach_batch(
         emit(out, int(batch_id))
 
     return _fn
+
+
+def monitored_curation_foreach_batch(
+    lm_store,
+    fp_store,
+    hist_store,
+    keep_x1e9: int,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    emit,
+):
+    """Curation WITH LIVE QUALITY MONITORING — three stores spanning
+    all three batch-state disciplines in one exactly-once
+    ``foreachBatch``: the ADDITIVE LM model, the UNION-merge
+    fingerprint set, and the ADDITIVE
+    :class:`~..operators.hist_store.HistogramStore` watching the
+    SURVIVORS' length distribution. Per micro-batch: score under the
+    LM model-so-far and absorb; gate on mean bigram probability
+    (exact integer compare); dedup the kept documents against the
+    fingerprint store and absorb; absorb the survivors' (key, length)
+    rows into the histogram store, whose committed emission IS the
+    alert signal — per key, the exact L1 drift of this batch's
+    survivor lengths against every previous batch's (the
+    "did today's kept data change shape?" pager line; -1 on a key's
+    first day). ``emit(survivors_df, drift_df, batch_id)`` receives
+    both committed emissions.
+
+    Exactly-once by the module docstring's induction: the drift store
+    is one more idempotent ``batch_id`` absorber, and the glue that
+    feeds it (semi-join of the batch to the committed fingerprint
+    survivors + a length projection) is deterministic given the
+    upstream emissions — a crash between the fingerprint and
+    histogram commits replays into a fingerprint re-read and a
+    first-time histogram absorb; a crash after all three replays into
+    three re-reads.
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        scores = lm_store.absorb(
+            batch_df, id_col, text_col, batch_id=batch_id
+        )
+        keep = scores.where(
+            F.col("sum_p_x1e9") >= F.lit(keep_x1e9) * F.col("n_bigrams")
+        ).select(id_col)
+        kept = batch_df.join(keep, id_col, "left_semi")
+        survivors = fp_store.absorb(
+            kept, id_col, text_col, batch_id=batch_id
+        )
+        surv_docs = batch_df.join(
+            survivors.select(id_col), id_col, "left_semi"
+        )
+        drift = hist_store.absorb(
+            surv_docs.select(
+                F.col(key_col), F.length(text_col).alias("_len")
+            ),
+            key_col,
+            "_len",
+            batch_id=batch_id,
+        )
+        emit(survivors, drift, batch_id)
+
+    return _fn
