@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "text_readability",
     "source_diversity",
     "event_trigram_paths",
+    "lm_kneser_ney",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

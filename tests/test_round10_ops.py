@@ -877,3 +877,37 @@ def test_readability_hand_computed(spark):
     assert got[0] == (6, 2, 6, *flesch(6, 2, 6))
     assert got[1] == (2, 1, 2, *flesch(2, 1, 2))
     assert got[2] == (2, 1, 8, *flesch(2, 1, 8))
+
+
+# -- Kneser-Ney ----------------------------------------------------------------
+
+def test_kneser_ney_hand_computed(spark):
+    """Hand-computed interpolated KN on a tiny model: discounted term
+    + continuation backoff for a seen bigram; pure backoff weight for
+    an unseen continuation; OOV context scores 0."""
+    from time_series_storage_spark.operators.text import kneser_ney_score
+
+    model = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    # c12: ab=2 ba=2 ac=1; c1: a=3 b=2; B=3 distinct bigrams;
+    # n1w1: a=2 b=1; ncont: a=1 b=1 c=1
+    scored = spark.createDataFrame(
+        [
+            (1, "a b"),   # (3*3 + 2*1)*1e9 / 18
+            (3, "a q"),   # unseen cont: (0*3 + 2*0)/18 = 0
+            (5, "q a"),   # OOV context -> 0
+            (7, "b a"),   # (3*3 + 1*1)*1e9 / (2*2*3)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_p_x1e9)
+        for r in kneser_ney_score(model, scored).collect()
+    }
+    assert got == {
+        1: (1, round((3 * 3 + 2 * 1) * 1e9 / 18)),
+        3: (1, 0),
+        5: (1, 0),
+        7: (1, round((3 * 3 + 1 * 1) * 1e9 / 12)),
+    }

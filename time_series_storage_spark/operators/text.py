@@ -1325,3 +1325,99 @@ def readability(
             - F.lit(15590)
         ).cast("long").alias("fk_grade_x1000"),
     )
+
+
+def kneser_ney_score(
+    model_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995,
+    Chen & Goodman's interpolated form) — the canonical n-gram
+    smoothing, completing the LM family (add-one bigram, Stupid
+    Backoff trigram, now absolute discounting with continuation
+    backoff). With discount D = 1/2 (exact — the same
+    rational-constant discipline as Stupid Backoff's 2/5)::
+
+        P(w2|w1) = max(c(w1w2) - 1/2, 0) / c(w1)
+                 + (1/2) * N1+(w1,*) / c(w1) * Pcont(w2)
+        Pcont(w2) = N1+(*,w2) / N1+(*,*)
+
+    where N1+ are distinct-continuation counts — the celebrated
+    Kneser-Ney insight that backoff mass should follow how many
+    CONTEXTS a word completes, not its raw frequency. Over the common
+    denominator ``2 * c(w1) * B`` (B = distinct bigram count) each
+    per-position score is ONE fixed-point rounding::
+
+        p_x1e9 = round((max(2*c12 - 1, 0) * B + n1w1 * ncont2) * 1e9
+                       / (2 * c1 * B))
+
+    — integer numerator and denominator converted to double for one
+    IEEE divide+round, the :func:`lm_doc_likelihood` discipline, so
+    the score is hash-stable in any engine. Model fit on
+    ``model_docs`` (history slice); scored bigrams whose w1 was never
+    seen have no distribution to draw from and score 0 (the OOV-context
+    convention). Counts are word-keyed partial aggregates; scoring is
+    the same equi-join shape as the other LM operators.
+
+    Output: (id, n_bigrams, sum_p_x1e9).
+    """
+    mt = model_docs.select(tokens(text_col).alias("_t"))
+    bi_pos = mt.where(F.size("_t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1"), F.col("_bg.w2"))
+    bc = bi_pos.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = bi_pos.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # distinct-continuation tables: types, not tokens
+    n1w = bc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1w1"))
+    ncont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont2"))
+    btot = bc.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    st = score_docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).where(F.size("_t") >= 2)
+    pos = st.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.round(
+            (
+                F.greatest(
+                    F.lit(2) * F.coalesce("c12", F.lit(0)) - 1, F.lit(0)
+                ).cast("double")
+                * F.col("bt")
+                + F.col("n1w1").cast("double")
+                * F.coalesce("ncont2", F.lit(0))
+            )
+            * 1e9
+            / (F.lit(2).cast("double") * F.col("c1") * F.col("bt"))
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = (
+        pos.join(bc, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(n1w, "w1", "left")
+        .join(ncont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(F.col(id_col), p.alias("_p"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_p").cast("long").alias("sum_p_x1e9"),
+    )

@@ -3136,6 +3136,62 @@ FROM c WHERE n_words >= 1
 """
 
 
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring
+    (operators/text.py:kneser_ney_score): absolute discounting D=1/2
+    with CONTINUATION-count backoff — fit on the even-doc history
+    slice, odd docs scored held-out so both the discounted and the
+    backoff terms carry weight. Per position, one fixed-point rounding
+    over the common denominator; the oracle refits all four count
+    tables and replays the arithmetic verbatim."""
+    docs = _docs(spark, sf_dir)
+    return T.kneser_ney_score(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "sum_p_x1e9",
+    )
+
+
+SQL_LM_KNESER_NEY = f"""
+WITH mt AS (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 2 = 0),
+bi AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+       FROM mt, unnest(generate_series(1, len(t) - 1)) g(i)
+       WHERE len(t) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+n1w AS (SELECT w1, COUNT(*) AS n1w1 FROM bc GROUP BY 1),
+ncont AS (SELECT w2, COUNT(*) AS ncont2 FROM bc GROUP BY 1),
+btot AS (SELECT COUNT(*)::BIGINT AS bt FROM bc),
+st AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 2 = 1),
+pos AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM st, unnest(generate_series(1, len(t) - 1)) g(i)
+        WHERE len(t) >= 2),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN c1.c1 IS NOT NULL THEN
+           CAST(round(
+             (GREATEST(2 * COALESCE(bc.c12, 0) - 1, 0)::DOUBLE * bt.bt
+              + n1w.n1w1::DOUBLE * COALESCE(ncont.ncont2, 0))
+             * 1e9 / (2::DOUBLE * c1.c1 * bt.bt)) AS BIGINT)
+         ELSE 0 END AS p
+  FROM pos p
+  LEFT JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+  LEFT JOIN c1 ON c1.w1 = p.w1
+  LEFT JOIN n1w ON n1w.w1 = p.w1
+  LEFT JOIN ncont ON ncont.w2 = p.w2
+  CROSS JOIN btot bt
+)
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(p)::BIGINT AS sum_p_x1e9
+FROM sc GROUP BY doc_id
+"""
+
+
 CHUNK_DEDUP_WORDS = 10
 FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
 
@@ -11625,6 +11681,7 @@ EXT_QUERIES = {
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
     "lm_stupid_backoff": (q_lm_stupid_backoff, SQL_LM_STUPID_BACKOFF),
     "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
+    "lm_kneser_ney": (q_lm_kneser_ney, SQL_LM_KNESER_NEY),
     "lm_score_incremental": (
         q_lm_score_incremental,
         SQL_LM_SCORE_INCREMENTAL,
