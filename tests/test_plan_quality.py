@@ -1281,3 +1281,67 @@ def test_holt_winters_pure_codegen_one_exchange(spark):
             if "hashpartitioning" in seg[:120]
         )
         assert n_exchanges == 1
+
+
+def test_rp_topk_single_bounded_nlj(spark):
+    """JL two-stage ANN: the only non-equi join is the bounded
+    broadcast of the (small) query side; candidate scoring and rerank
+    stay JVM-side; two ranking windows."""
+    import random as _r
+
+    from time_series_storage_spark.operators.similarity import (
+        EMBED_DIM, rp_topk,
+    )
+
+    _r.seed(1)
+    df = spark.createDataFrame(
+        [
+            (i, [float(_r.uniform(-1, 1)) for _ in range(EMBED_DIM)])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(
+        rp_topk(df.where("vec_id < 2"), df, k=3, prefilter_k=6)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Window") >= 2
+
+
+def test_kcore_final_plan_does_not_grow_with_rounds(spark):
+    """The per-round localCheckpoints truncate lineage: the FINAL plan
+    is one join over checkpointed tables regardless of round count —
+    the PageRank discipline on subgraph iteration."""
+    from time_series_storage_spark.operators.dedup import kcore_peel
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "d1 long, d2 long"
+    )
+    p2 = _plan(kcore_peel(pairs, nodes, "doc_id", k=2, n_rounds=2))
+    p6 = _plan(kcore_peel(pairs, nodes, "doc_id", k=2, n_rounds=6))
+    assert "BatchEvalPython" not in p6
+    assert p2.count("Join") == p6.count("Join")
+
+
+def test_hist_store_drift_plan(spark, tmp_path):
+    """HistogramStore.drift: history probed via a broadcast semi join
+    on the increment's keys, one full-outer bucket join, one key
+    window — no Python, no cartesian."""
+    from time_series_storage_spark.operators.hist_store import (
+        HistogramStore,
+    )
+
+    store = HistogramStore(
+        spark, str(tmp_path / "h"), bucket_width=8, n_buckets=8
+    )
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 20), ("b", 9)], "gk string, v long"
+    )
+    store.absorb(df, "gk", "v")
+    plan = _plan(store.drift(df, "gk", "v"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
