@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "source_diversity",
     "event_trigram_paths",
     "lm_kneser_ney",
+    "dedup_retention_horizon",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -283,3 +283,99 @@ def test_hist_store_property(spark, tmp_path_factory, rows, cut):
         for r in store.drift(_df(spark, probe), "gk", "v").collect()
     }
     assert got == _drift_model(rows, probe)
+
+
+# -- retain_recent (the shared retention-horizon primitive) -------------------
+
+def test_retain_recent_first_seen_expiry(spark, tmp_path):
+    """FingerprintStore cut to a 1-commit horizon keeps exactly the
+    fingerprints FIRST SEEN in the newest commit: day-2
+    re-presentations of day-1 content age out with day 1, and a day-3
+    probe treats expired content as fresh again."""
+    from time_series_storage_spark.operators.dedup import (
+        FingerprintStore,
+        normalized_fingerprint,
+    )
+
+    store = FingerprintStore(spark, str(tmp_path / "fpr"))
+    d1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+    )
+    store.absorb(d1, "doc_id", "text")
+    store.absorb(d2, "doc_id", "text")
+    assert store.seen().count() == 3  # alpha, beta, gamma
+    store.retain_recent(1)
+    kept = {r.fp for r in store.seen().collect()}
+    gamma_fp = d2.select(
+        normalized_fingerprint("text").alias("f")
+    ).collect()[1].f
+    assert kept == {gamma_fp}  # only day-2-FIRST-SEEN survives
+    # day-3 probe: alpha (expired) is fresh again; gamma still dup
+    d3 = spark.createDataFrame(
+        [(5, "alpha"), (6, "gamma")], "doc_id long, text string"
+    )
+    surv = {r.doc_id for r in
+            store.dedup_increment(d3, "doc_id", "text").collect()}
+    assert surv == {5}
+
+
+def test_retain_recent_counts_rewrites_as_one_commit(spark, tmp_path):
+    """A retention rewrite consolidates survivors into one version
+    that counts as ONE commit toward later horizons (log-compaction
+    semantics); absorb-after-retention then probes retained + new."""
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fpl"))
+    for i, txt in enumerate(("a", "b", "c")):
+        store.absorb(
+            spark.createDataFrame(
+                [(i, txt)], "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+        )
+    store.retain_recent(2)  # keeps b, c — consolidated as ONE commit
+    assert store.seen().count() == 2
+    store.absorb(
+        spark.createDataFrame([(9, "d")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    # horizon 2 now = {consolidated(b,c)} + {d}
+    store.retain_recent(2)
+    assert store.seen().count() == 3
+    # ...and that retention consolidated all three into one commit, so
+    # a horizon of 1 keeps them until a NEW absorb ages them together
+    store.retain_recent(1)
+    assert store.seen().count() == 3
+    store.absorb(
+        spark.createDataFrame([(10, "e")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    store.retain_recent(1)  # newest commit = {e} alone
+    assert store.seen().count() == 1
+
+
+def test_retain_recent_validates_and_watermark_survives(spark, tmp_path):
+    from time_series_storage_spark.operators.dedup import FingerprintStore
+
+    store = FingerprintStore(spark, str(tmp_path / "fpw"))
+    with pytest.raises(ValueError, match="k_commits"):
+        store.retain_recent(0)
+    store.absorb(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "doc_id", "text", batch_id=0,
+    )
+    store.retain_recent(1)
+    # the batch watermark survives the rewrite: replaying batch 0
+    # returns empty (already absorbed), never a re-absorb
+    out = store.absorb(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "doc_id", "text", batch_id=0,
+    )
+    assert out.count() == 0
+    assert store.seen().count() == 1

@@ -1793,6 +1793,59 @@ class _SnapshotArtifactStore:
             self._flip(version, extra)
             return n
 
+    def retain_recent(self, k_commits: int) -> int:
+        """RETENTION HORIZON — rewrite the store keeping only the rows
+        introduced by the newest ``k_commits`` snapshot versions (every
+        table prefix, version-consistent), dropping everything older.
+        This is the bounded-history form every store in the family
+        needs operationally: dedup against the last K ingest days
+        instead of forever (content re-crawled after the horizon is
+        eligible again), drift baselines that follow the recent corpus,
+        and data-retention compliance for stores whose rows derive from
+        expired source data.
+
+        Expiry is by FIRST-SEEN commit: a union-merge store (e.g.
+        :class:`FingerprintStore`) records a fingerprint only in the
+        commit that introduced it, so a duplicate re-presented inside
+        the horizon does NOT refresh its recency — refreshing would
+        rewrite immutable history, the same tradeoff the first-day-wins
+        emission contract documents. A maintenance rewrite (compact /
+        fold / prune / an earlier retention) consolidates surviving
+        rows into one version, which then counts as a single "commit"
+        toward later horizons — log-compaction semantics.
+
+        Runs under the store lock via the :meth:`_rewrite_snapshot`
+        contract (atomic flip, batch watermark survives, dropped
+        batches replay empty). Returns the new snapshot's file count.
+        """
+        import os
+
+        if k_commits < 1:
+            raise ValueError(
+                f"retain_recent: k_commits must be >= 1, got {k_commits}"
+            )
+
+        def tables():
+            cur = self._current_dir()
+            files = [
+                f for f in os.listdir(cur) if f.endswith(".parquet")
+            ]
+            versions = sorted({f.split("-")[1] for f in files})
+            keep = set(versions[-k_commits:])
+            out = []
+            for p in sorted({f.split("-", 1)[0] for f in files}):
+                kept = [
+                    os.path.join(cur, f)
+                    for f in files
+                    if f.split("-", 1)[0] == p
+                    and f.split("-")[1] in keep
+                ]
+                if kept:
+                    out.append((p, self.spark.read.parquet(*kept)))
+            return out
+
+        return self._rewrite_snapshot(tables)
+
     def _rewrite_snapshot(self, tables_fn) -> int:
         """Publish a new snapshot containing ONLY the tables returned
         by ``tables_fn()`` — [(prefix, df)] — with no hard-linked

@@ -5027,6 +5027,101 @@ GROUP BY fp
 """
 
 
+def _fp_horizon_store(spark, sf_dir):
+    """A FingerprintStore built by TWO absorbs (doc_id % 3 == 0, then
+    % 3 == 1) and then CUT TO A ONE-COMMIT RETENTION HORIZON
+    (retain_recent(1)) — the persisted state is exactly the
+    fingerprints FIRST SEEN in the second commit (first-seen expiry:
+    day-2 re-presentations of day-1 content contributed no day-2 row,
+    so they age out with day 1). Staleness-keyed like the other
+    builders."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import FingerprintStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:fp-horizon-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_fp_horizon")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return FingerprintStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs-ret1"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = FingerprintStore(spark, root)
+                docs = _docs(spark, sf_dir)
+                for m in (0, 1):
+                    store.absorb(
+                        docs.where(F.col("doc_id") % 3 == m),
+                        "doc_id",
+                        "text",
+                    )
+                store.retain_recent(1)
+                store.pin_corpus(fp)
+    return store
+
+
+def q_dedup_retention_horizon(spark, sf_dir):
+    """Bounded-history dedup — the retention-horizon form of the
+    incremental store
+    (operators/dedup.py:_SnapshotArtifactStore.retain_recent): the
+    fingerprint store absorbed two daily commits and was then cut to a
+    ONE-commit horizon, so today's slice (doc_id % 3 == 2) dedups
+    against ONLY the fingerprints first seen in the retained commit —
+    content older than the horizon is eligible again (re-crawl
+    semantics / retention compliance). The oracle recomputes the
+    retained set from scratch (day-2 fingerprints minus day-1's —
+    first-seen expiry is part of the gated contract) and replays the
+    anti-join + min-id survivor rule."""
+    store = _fp_horizon_store(spark, sf_dir)
+    today = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 2)
+    return store.dedup_increment(today, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fp",
+        "dup_count",
+    )
+
+
+SQL_DEDUP_RETENTION = """
+WITH fp AS (
+  SELECT doc_id, doc_id % 3 AS sl,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+retained AS (
+  SELECT DISTINCT fp FROM fp WHERE sl = 1
+  AND fp NOT IN (SELECT fp FROM fp WHERE sl = 0)
+)
+SELECT MIN(doc_id)::BIGINT AS doc_id, fp, COUNT(*)::BIGINT AS dup_count
+FROM fp
+WHERE sl = 2 AND fp NOT IN (SELECT fp FROM retained)
+GROUP BY fp
+"""
+
+
 def _nd_store(spark, sf_dir):
     """The persisted NEAR-dup store for ``sf_dir`` — the
     FingerprintStore lifecycle applied to the MinHash band-table
@@ -11876,6 +11971,9 @@ EXT_QUERIES = {
         _video_near_incremental_sql(),
     ),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_retention_horizon": (
+        q_dedup_retention_horizon, SQL_DEDUP_RETENTION,
+    ),
     "dedup_near_incremental": (
         q_dedup_near_incremental,
         _dedup_near_incremental_sql(),
