@@ -485,20 +485,20 @@ def test_modern_chain_crash_converges_to_no_crash_twin(
 # -- three-discipline monitored chain (LM + fingerprints + histogram) --------
 
 MON_DOCS_SCHEMA = "doc_id long, text string, source string"
-MDAY1 = [(i, t, "web") for i, t in DAY1]
-MB0 = [
+MON_DAY1 = [(i, t, "web") for i, t in DAY1]
+MON_B0 = [
     (10, "the cat sat on the mat", "web"),
     (11, "the dog sat on a mat", "web"),
     (12, "zebra quagga zebra", "web"),
 ]
-MB1 = [
+MON_B1 = [
     (20, "the dog sat on a mat", "web"),
     (21, "a cat and a dog", "web"),
     (22, "the cat sat on a log", "news"),
 ]
 
 
-def _mdf(spark, docs):
+def _mon_df(spark, docs):
     return spark.createDataFrame(docs, MON_DOCS_SCHEMA)
 
 
@@ -512,10 +512,10 @@ def _mon_stores(spark, tmp_path):
     hist = HistogramStore(
         spark, str(tmp_path / "hist"), bucket_width=8, n_buckets=8
     )
-    lm.absorb(_mdf(spark, MDAY1), "doc_id", "text")
-    fp.absorb(_mdf(spark, MDAY1), "doc_id", "text")
+    lm.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
+    fp.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
     hist.absorb(
-        _mdf(spark, MDAY1).select(
+        _mon_df(spark, MON_DAY1).select(
             "source", F.length("text").alias("_len")
         ),
         "source",
@@ -543,7 +543,7 @@ def _run_monitored(spark, tmp_path, crash_store=None, crash_batch=None):
         lm, fp, hist, THR, "doc_id", "text", "source", emit
     )
     stores = {"lm": lm, "fp": fp, "hist": hist}
-    for bid, batch in ((0, MB0), (1, MB1)):
+    for bid, batch in ((0, MON_B0), (1, MON_B1)):
         if crash_batch == bid and crash_store is not None:
             target = stores[crash_store]
 
@@ -553,9 +553,9 @@ def _run_monitored(spark, tmp_path, crash_store=None, crash_batch=None):
 
             target._commit_fault = boom
             with pytest.raises(RuntimeError, match="injected"):
-                fn(_mdf(spark, batch), bid)
+                fn(_mon_df(spark, batch), bid)
             target._commit_fault = None
-        fn(_mdf(spark, batch), bid)
+        fn(_mon_df(spark, batch), bid)
     return stores, surv, drift
 
 

@@ -87,9 +87,11 @@ class HistogramStore(_SnapshotArtifactStore):
         )
 
     def _bucketize(self, rows: DataFrame, key_col: str, val_col: str):
-        """(gk, b, c) histogram of one slice: values below zero are a
-        caller bug and rejected by the floor contract, so clamp is
-        top-side only."""
+        """(gk, b, c) histogram of one slice. The clamp is top-side
+        only: the monitored quantity is a nonnegative measure (length,
+        count, size) by contract; a negative value would land in a
+        negative bucket id — visible, deterministic, and mirrored by
+        the oracle, not silently folded into bucket 0."""
         b = F.least(
             F.expr(
                 f"CAST({val_col} AS BIGINT) div {self.bucket_width}"
