@@ -63,6 +63,7 @@ _GATE_PRIORITY = [
     "event_trigram_paths",
     "lm_kneser_ney",
     "dedup_retention_horizon",
+    "sb_score_incremental",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

@@ -1181,7 +1181,19 @@ def stupid_backoff_score(
 
     Output: (id, n_trigrams, sum_s_x1e9).
     """
-    mt = model_docs.select(tokens(text_col).alias("_t"))
+    uni, bi, tri = sb_count_tables(model_docs, text_col)
+    n_total = uni.agg(F.sum("c1").cast("long").alias("n"))
+    return sb_score_with_counts(
+        score_docs, id_col, text_col, uni, bi, tri, n_total
+    )
+
+
+def sb_count_tables(docs: DataFrame, text_col: str = "text"):
+    """The three Stupid-Backoff count tables of one slice:
+    (w, c1), (w1, w2, c2), (w1, w2, w3, c3) — pure partial-aggregated
+    counts, so they merge across slices by ADDITION (the property
+    :class:`~.sb_store.SbModelStore` persists them under)."""
+    mt = docs.select(tokens(text_col).alias("_t"))
     uni = (
         mt.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -1199,16 +1211,29 @@ def stupid_backoff_score(
     bi = bi_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     tri = (
         trigram_positions(
-            model_docs.select(
-                F.lit(0).alias("_mid"), F.col(text_col)
-            ),
+            docs.select(F.lit(0).alias("_mid"), F.col(text_col)),
             "_mid",
             text_col,
         )
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
-    n_total = uni.agg(F.sum("c1").cast("long").alias("n"))
+    return uni, bi, tri
+
+
+def sb_score_with_counts(
+    score_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    n_total: DataFrame,
+) -> DataFrame:
+    """Stupid-Backoff scoring joins against EXPLICIT count tables —
+    the arithmetic of :func:`stupid_backoff_score` factored once so
+    the batch operator and the persisted ``SbModelStore`` score
+    bit-identically. ``n_total`` is a one-row (n) frame."""
     pos = trigram_positions(score_docs, id_col, text_col)
     c2a = bi.select(
         F.col("w1"), F.col("w2"), F.col("c2").alias("c2a")

@@ -3192,6 +3192,119 @@ FROM sc GROUP BY doc_id
 """
 
 
+def _sb_store(spark, sf_dir):
+    """The persisted Stupid-Backoff LM store for ``sf_dir`` — built by
+    TWO absorbs (doc_id % 3 == 0, then % 3 == 1) so the gated read
+    scores under the ADDITIVE MERGE of both commits' count tables;
+    the % 3 == 2 slice stays held out. Staleness-keyed and
+    format-pinned like the other store builders."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.sb_store import SbModelStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:sb-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_sb_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return SbModelStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = SbModelStore(spark, root)
+                docs = _docs(spark, sf_dir)
+                for m in (0, 1):
+                    store.absorb(
+                        docs.where(F.col("doc_id") % 3 == m),
+                        "doc_id",
+                        "text",
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_sb_score_incremental(spark, sf_dir):
+    """Stupid Backoff in daily-ingest form
+    (operators/sb_store.py:SbModelStore): the trigram/bigram/unigram
+    count tables persisted by TWO additive absorbs, today's slice
+    (doc_id % 3 == 2) scored as a PURE READ under the summed counts —
+    the incrementable LM the smoothing was designed to be (no
+    normalization pass, counts merge by addition; Kneser-Ney's
+    distinct-continuation counts don't, which is why KN stays batch).
+    The oracle refits all three tables over BOTH absorbed slices from
+    scratch and replays the backoff arithmetic: a green hash proves
+    sum-across-commits equals the one-shot model."""
+    store = _sb_store(spark, sf_dir)
+    today = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 2)
+    return store.score(today, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_trigrams",
+        "sum_s_x1e9",
+    )
+
+
+SQL_SB_SCORE_INCREMENTAL = f"""
+WITH mt AS (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 3 IN (0, 1)),
+uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM mt)
+        GROUP BY w),
+bi AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2, COUNT(*) AS c2
+       FROM mt, unnest(generate_series(1, len(t) - 1)) g(i)
+       WHERE len(t) >= 2 GROUP BY 1, 2),
+tri AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3,
+               COUNT(*) AS c3
+        FROM mt, unnest(generate_series(1, len(t) - 2)) g(i)
+        WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+nt AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+st AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 3 = 2),
+pos AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3
+        FROM st, unnest(generate_series(1, len(t) - 2)) g(i)
+        WHERE len(t) >= 3),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN tri.c3 IS NOT NULL
+                THEN (tri.c3 * 1000000000) // ba.c2
+              WHEN bb.c2 IS NOT NULL
+                THEN (bb.c2 * 2 * 1000000000) // (ub.c1 * 5)
+              WHEN uc.c1 IS NOT NULL
+                THEN (uc.c1 * 4 * 1000000000) // (nt.n * 25)
+              ELSE 0 END AS s
+  FROM pos p
+  LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+  LEFT JOIN bi ba ON ba.w1 = p.w1 AND ba.w2 = p.w2
+  LEFT JOIN bi bb ON bb.w1 = p.w2 AND bb.w2 = p.w3
+  LEFT JOIN uni ub ON ub.w = p.w2
+  LEFT JOIN uni uc ON uc.w = p.w3
+  CROSS JOIN nt
+)
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_trigrams,
+       SUM(s)::BIGINT AS sum_s_x1e9
+FROM sc GROUP BY doc_id
+"""
+
+
 CHUNK_DEDUP_WORDS = 10
 FPSTORE_BASE = 250  # doc_id below this = the already-absorbed history
 
@@ -11775,6 +11888,9 @@ EXT_QUERIES = {
     "chunk_dedup_docs": (q_chunk_dedup_docs, SQL_CHUNK_DEDUP_DOCS),
     "lm_doc_likelihood": (q_lm_doc_likelihood, SQL_LM_DOC_LIKELIHOOD),
     "lm_stupid_backoff": (q_lm_stupid_backoff, SQL_LM_STUPID_BACKOFF),
+    "sb_score_incremental": (
+        q_sb_score_incremental, SQL_SB_SCORE_INCREMENTAL,
+    ),
     "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
     "lm_kneser_ney": (q_lm_kneser_ney, SQL_LM_KNESER_NEY),
     "lm_score_incremental": (
