@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     "lm_kneser_ney",
     "dedup_retention_horizon",
     "sb_score_incremental",
+    "emb_power_iteration",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

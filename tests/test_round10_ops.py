@@ -911,3 +911,54 @@ def test_kneser_ney_hand_computed(spark):
         5: (1, 0),
         7: (1, round((3 * 3 + 1 * 1) * 1e9 / 12)),
     }
+
+
+# -- power iteration ------------------------------------------------------------
+
+def test_power_iteration_matches_python_model(spark):
+    """3 rounds of the integer power iteration equal a pure-Python
+    replay (trunc rescale, max-abs renorm, double trunc), and the
+    dominant synthetic direction carries the largest components."""
+    import numpy as np
+
+    from time_series_storage_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    random.seed(9)
+    D = 6
+    vecs = []
+    for i in range(40):
+        a = random.uniform(-1, 1)
+        base = [0.0, a * 0.9, a * 0.8, 0.0, 0.0, 0.0]
+        vecs.append(
+            (i, [base[d] + random.uniform(-0.05, 0.05) for d in range(D)])
+        )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.dim: r.v_x1e6
+        for r in power_iteration_top_component(df, n_iter=3).collect()
+    }
+    q = [[round(float(np.float32(x)) * 1e6) for x in v] for _, v in vecs]
+    v = [1_000_000] + [0] * (D - 1)
+
+    def td(a, b):
+        s = abs(a) // b
+        return s if a >= 0 else -s
+
+    for _ in range(3):
+        s = [
+            td(sum(q[r][d] * v[d] for d in range(D)), 1_000_000)
+            for r in range(len(q))
+        ]
+        w = [
+            sum(s[r] * q[r][d] for r in range(len(q)))
+            for d in range(D)
+        ]
+        m = max(abs(x) for x in w)
+        v = [math.trunc(float(x) * 1e6 / float(m)) for x in w]
+    assert got == {d: v[d] for d in range(D)}
+    assert abs(got[1]) == 1_000_000 and abs(got[2]) > 800_000

@@ -1130,6 +1130,82 @@ def rp_topk(
     )
 
 
+def power_iteration_top_component(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by FIXED-ITERATION power iteration — the classic
+    distributed spectral primitive (PCA's first component, spectral
+    embedding seeds), in the repo's deterministic-integer discipline:
+
+    * components quantize once to x1e6 longs;
+    * v starts at the FIRST BASIS VECTOR (x1e6) — a fixed start makes
+      the iteration deterministic AND fixes the sign indeterminacy;
+    * each round is two corpus aggregations:
+      ``s_r = (sum_d q_rd * v_d) div 1e6`` (the per-row projection,
+      rescaled by truncating integer division — negative projections
+      truncate toward zero in any engine) and
+      ``w_d = sum_r s_r * q_rd`` (the back-projection);
+    * v renormalizes by MAX-ABS, not L2 — ``v_d = trunc(double(w_d) *
+      1e6 / max|w|)``: one long->double conversion + one IEEE
+      multiply/divide/trunc, bit-identical in any engine (|w| can pass
+      2^53, where the conversion rounds — identically everywhere, so
+      the contract stays hash-stable; the magnitude bound is
+      |w| <= n_rows * 3.2e8 * max|q|, fine to ~1e6-row audit slices —
+      rescale ``s`` harder for bigger ones).
+
+    v rides the loop as a COLLECTED 64-long driver artifact (the IVF
+    codebook precedent — bounded by the dimension, never the corpus);
+    each round's heavy work is the two partial-aggregated corpus
+    passes. Output: one row per dimension, (dim, v_x1e6) after
+    ``n_iter`` rounds.
+    """
+    import math
+
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_as_double(vec_col)).alias("d", "_x"),
+    ).select(
+        "_id",
+        "d",
+        F.round(F.col("_x") * F.lit(1e6)).cast("long").alias("q"),
+    ).localCheckpoint()
+    dim = q.agg(F.max("d")).collect()[0][0] + 1
+    v = [1_000_000] + [0] * (dim - 1)
+    for _ in range(int(n_iter)):
+        varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        s = (
+            q.select(
+                "_id",
+                (F.col("q") * F.element_at(varr, F.col("d") + 1)).alias(
+                    "_p"
+                ),
+            )
+            .groupBy("_id")
+            .agg(F.expr("CAST(sum(_p) AS BIGINT) div 1000000").alias("s"))
+        )
+        w_rows = (
+            q.join(s, "_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("s")).cast("long").alias("w"))
+            .collect()
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[r.d] = r.w
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [math.trunc(float(x) * 1e6 / float(m)) for x in w]
+    out = corpus.sparkSession.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "dim long, v_x1e6 long"
+    )
+    return out
+
+
 # -- product quantization (PQ) with asymmetric-distance scoring --------------
 
 PQ_M = 4  # subspaces: 64 dims -> 4 x 16

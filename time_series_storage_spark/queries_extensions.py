@@ -7263,6 +7263,56 @@ FROM comp GROUP BY lb
 """
 
 
+PI_ITER = 3
+
+
+def q_emb_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by
+    fixed-iteration power iteration
+    (operators/similarity.py:power_iteration_top_component): x1e6
+    integer projections, truncating rescale, max-abs renormalization
+    with one deterministic long->double trunc per dimension per round
+    — the classic distributed spectral primitive with v riding as a
+    64-long driver artifact. {PI_ITER} rounds; the oracle unrolls them
+    as MATERIALIZED CTEs (the k-core lesson — each round references
+    the previous twice)."""
+    return S.power_iteration_top_component(
+        _emb(spark, sf_dir), n_iter=PI_ITER
+    ).select("dim", "v_x1e6")
+
+
+def _power_iteration_sql() -> str:
+    blocks = []
+    for t in range(1, PI_ITER + 1):
+        p = t - 1
+        blocks.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) // 1000000 AS s
+  FROM q JOIN v{p} v ON v.d = q.d GROUP BY q.vec_id),
+w{t} AS MATERIALIZED (
+  SELECT q.d, CAST(SUM(q.q * s.s) AS BIGINT) AS w
+  FROM q JOIN s{t} s USING (vec_id) GROUP BY q.d),
+m{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT w.d,
+         CAST(TRUNC(CAST(w.w AS DOUBLE) * 1e6 / m.m) AS BIGINT) AS v
+  FROM w{t} w CROSS JOIN m{t} m)""")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, d.i - 1 AS d,
+         CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) d(i)),
+v0 AS MATERIALIZED (
+  SELECT g.i - 1 AS d,
+         CAST(CASE WHEN g.i = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+  FROM unnest(generate_series(1,
+       (SELECT MAX(d) + 1 FROM q))) g(i)),
+{",".join(blocks)}
+SELECT d::BIGINT AS dim, v::BIGINT AS v_x1e6 FROM v{PI_ITER}
+"""
+
+
 RP_PREFILTER = 50
 
 
@@ -11860,6 +11910,9 @@ EXT_QUERIES = {
     "sim_topk_int8": (q_sim_topk_int8, SQL_SIM_TOPK_INT8),
     "sim_topk_rerank": (q_sim_topk_rerank, _sim_topk_rerank_sql()),
     "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
+    "emb_power_iteration": (
+        q_emb_power_iteration, _power_iteration_sql(),
+    ),
     "knn_label_audit": (q_knn_label_audit, _knn_label_audit_sql()),
     "centroid_drift_incremental": (
         q_centroid_drift_incremental, SQL_CENTROID_DRIFT,
