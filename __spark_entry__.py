@@ -65,6 +65,7 @@ _GATE_PRIORITY = [
     "dedup_retention_horizon",
     "sb_score_incremental",
     "emb_power_iteration",
+    "emb_spectral_outliers",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

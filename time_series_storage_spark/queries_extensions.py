@@ -7313,6 +7313,77 @@ SELECT d::BIGINT AS dim, v::BIGINT AS v_x1e6 FROM v{PI_ITER}
 """
 
 
+def q_emb_spectral_outliers(spark, sf_dir):
+    """Spectral outlier scoring: every vector's |cosine| against the
+    power-iteration top component — vectors nearly orthogonal to the
+    corpus's dominant direction are the off-manifold candidates a
+    curation pass reviews (the one-component PCA residual test). The
+    component rides back as a 64-long collected artifact feeding one
+    shuffle-free corpus scan; the oracle re-derives the component via
+    the unrolled iteration and replays the cosine."""
+    emb = _emb(spark, sf_dir)
+    comp = S.power_iteration_top_component(emb, n_iter=PI_ITER)
+    v = [0] * comp.count()
+    for r in comp.collect():
+        v[r.dim] = r.v_x1e6
+    varr = F.array(*[F.lit(int(x)).cast("double") for x in v])
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(1e6)),
+    )
+    dot = F.aggregate(
+        F.zip_with(qv, varr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(varr, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.abs(F.round(dot / (nq * nv) * 1e6)).cast("long").alias(
+            "align_x1e6"
+        ),
+    )
+
+
+def _spectral_outliers_sql() -> str:
+    body = _power_iteration_sql().rstrip()
+    # reuse the unrolled iteration verbatim; wrap its final SELECT
+    assert body.endswith(f"FROM v{PI_ITER}")
+    with_part = body[: body.rindex("SELECT")].rstrip()
+    return f"""{with_part},
+comp AS MATERIALIZED (SELECT d, v FROM v{PI_ITER}),
+qv AS (
+  SELECT vec_id, d.i - 1 AS d,
+         round(CAST(embedding[d.i] AS DOUBLE) * 1000000) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) d(i)),
+dots AS (
+  SELECT qv.vec_id,
+         SUM(qv.q * CAST(c.v AS DOUBLE)) AS dot,
+         SUM(qv.q * qv.q) AS nq2
+  FROM qv JOIN comp c ON c.d = qv.d
+  GROUP BY qv.vec_id),
+nv AS (SELECT SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv2
+       FROM comp)
+SELECT d.vec_id::BIGINT AS vec_id,
+       ABS(CAST(round(d.dot / (sqrt(d.nq2) * sqrt(nv.nv2)) * 1e6)
+                AS BIGINT))::BIGINT AS align_x1e6
+FROM dots d CROSS JOIN nv
+"""
+
+
 RP_PREFILTER = 50
 
 
@@ -11912,6 +11983,9 @@ EXT_QUERIES = {
     "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
     "emb_power_iteration": (
         q_emb_power_iteration, _power_iteration_sql(),
+    ),
+    "emb_spectral_outliers": (
+        q_emb_spectral_outliers, _spectral_outliers_sql(),
     ),
     "knn_label_audit": (q_knn_label_audit, _knn_label_audit_sql()),
     "centroid_drift_incremental": (
