@@ -379,3 +379,20 @@ def test_retain_recent_validates_and_watermark_survives(spark, tmp_path):
     )
     assert out.count() == 0
     assert store.seen().count() == 1
+
+
+def test_retain_recent_cross_family_histogram(spark, tmp_path):
+    """retain_recent lives on the shared base: an ADDITIVE store
+    (HistogramStore) cut to a 1-commit horizon keeps only the newest
+    commit's counts — the drift baseline follows the recent corpus."""
+    store = _mk(spark, tmp_path, "rr")
+    store.absorb(_df(spark, DAY1), "gk", "v")
+    store.absorb(_df(spark, DAY2), "gk", "v")
+    store.retain_recent(1)
+    assert _read_hist(store) == _hist_model(DAY2)
+    # drift probe now measures against DAY2 only
+    got = {
+        r.gk: (r.n_hist, r.n_inc, r.l1_x1e6)
+        for r in store.drift(_df(spark, DAY3), "gk", "v").collect()
+    }
+    assert got == _drift_model(DAY2, DAY3)
