@@ -66,6 +66,7 @@ _GATE_PRIORITY = [
     "sb_score_incremental",
     "emb_power_iteration",
     "emb_spectral_outliers",
+    "lang_id_confusion",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

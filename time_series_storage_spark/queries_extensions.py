@@ -2638,6 +2638,37 @@ FROM hits
 """
 
 
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID quality audit — the text twin of
+    label_centroid_confusion: (stored lang, predicted lang, n) cells
+    over the whole corpus, the one-pass summary of where the marker
+    heuristic agrees with the labeled metadata and which language
+    pairs blur (the 'und' column is the coverage gap). Zero-shuffle
+    prediction + one cell aggregation."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    body = _lang_sql().strip()
+    assert body.startswith("WITH ")
+    # reuse the prediction CTE verbatim; aggregate to confusion cells
+    inner = body.replace(
+        "SELECT doc_id::BIGINT AS doc_id,",
+        "SELECT doc_id,",
+    )
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang, p.lang_pred, COUNT(*)::BIGINT AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -11973,6 +12004,7 @@ EXT_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
     "text_lang_id": (q_text_lang, _lang_sql()),
+    "lang_id_confusion": (q_lang_id_confusion, _lang_confusion_sql()),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
