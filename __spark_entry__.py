@@ -67,6 +67,7 @@ _GATE_PRIORITY = [
     "emb_power_iteration",
     "emb_spectral_outliers",
     "lang_id_confusion",
+    "emb_power_iteration2",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

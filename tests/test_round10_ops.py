@@ -962,3 +962,71 @@ def test_power_iteration_matches_python_model(spark):
         v = [math.trunc(float(x) * 1e6 / float(m)) for x in w]
     assert got == {d: v[d] for d in range(D)}
     assert abs(got[1]) == 1_000_000 and abs(got[2]) > 800_000
+
+
+def test_power_iteration_two_components_deflation(spark):
+    """Deflation by the rescaled squared norm: v2 matches the Python
+    replay and lands on the SECOND synthetic direction (the
+    under-deflation bug — dividing by 1e6 instead of |v1|^2/1e6 —
+    left v2 ~= v1; this pins the fix)."""
+    import numpy as np
+
+    from time_series_storage_spark.operators.similarity import (
+        power_iteration_two_components,
+    )
+
+    random.seed(21)
+    D = 6
+    vecs = []
+    for i in range(60):
+        a = random.uniform(-1, 1)
+        b = random.uniform(-1, 1)
+        base = [a, a * 0.9, b * 0.5, b * 0.45, 0.0, 0.0]
+        vecs.append(
+            (i, [base[d] + random.uniform(-0.02, 0.02) for d in range(D)])
+        )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.dim: (r.v1_x1e6, r.v2_x1e6)
+        for r in power_iteration_two_components(df, n_iter=3).collect()
+    }
+    q = [[round(float(np.float32(x)) * 1e6) for x in v] for _, v in vecs]
+
+    def td(a, b):
+        s = abs(a) // b
+        return s if a >= 0 else -s
+
+    def loop(qm):
+        v = [1_000_000] + [0] * (D - 1)
+        for _ in range(3):
+            s = [
+                td(sum(qm[r][d] * v[d] for d in range(D)), 10**6)
+                for r in range(len(qm))
+            ]
+            w = [
+                sum(s[r] * qm[r][d] for r in range(len(qm)))
+                for d in range(D)
+            ]
+            m = max(abs(x) for x in w)
+            if m == 0:
+                break
+            v = [math.trunc(float(x) * 1e6 / float(m)) for x in w]
+        return v
+
+    v1 = loop(q)
+    s1 = [
+        td(sum(q[r][d] * v1[d] for d in range(D)), 10**6)
+        for r in range(len(q))
+    ]
+    m2 = sum(x * x for x in v1) // 10**6
+    q2 = [
+        [q[r][d] - td(s1[r] * v1[d], m2) for d in range(D)]
+        for r in range(len(q))
+    ]
+    v2 = loop(q2)
+    assert got == {d: (v1[d], v2[d]) for d in range(D)}
+    assert max(abs(got[0][0]), abs(got[1][0])) == 1_000_000
+    assert max(abs(got[2][1]), abs(got[3][1])) == 1_000_000

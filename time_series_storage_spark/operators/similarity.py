@@ -1174,19 +1174,37 @@ def power_iteration_top_component(
         F.round(F.col("_x") * F.lit(1e6)).cast("long").alias("q"),
     ).localCheckpoint()
     dim = q.agg(F.max("d")).collect()[0][0] + 1
-    v = [1_000_000] + [0] * (dim - 1)
-    for _ in range(int(n_iter)):
-        varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        s = (
-            q.select(
-                "_id",
-                (F.col("q") * F.element_at(varr, F.col("d") + 1)).alias(
-                    "_p"
-                ),
-            )
-            .groupBy("_id")
-            .agg(F.expr("CAST(sum(_p) AS BIGINT) div 1000000").alias("s"))
+    v = _power_loop(q, dim, int(n_iter))
+    out = corpus.sparkSession.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "dim long, v_x1e6 long"
+    )
+    return out
+
+
+def _row_projection(q: DataFrame, v: list):
+    """Per-row rescaled projection onto ``v``:
+    (_id, s = (sum_d q_rd * v_d) div 1e6)."""
+    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    return (
+        q.select(
+            "_id",
+            (F.col("q") * F.element_at(varr, F.col("d") + 1)).alias("_p"),
         )
+        .groupBy("_id")
+        .agg(F.expr("CAST(sum(_p) AS BIGINT) div 1000000").alias("s"))
+    )
+
+
+def _power_loop(q: DataFrame, dim: int, n_iter: int):
+    """The power-iteration rounds of
+    :func:`power_iteration_top_component` over an explicit
+    (_id, d, q) table — factored so the deflated second-component run
+    reuses the identical arithmetic."""
+    import math
+
+    v = [1_000_000] + [0] * (dim - 1)
+    for _ in range(n_iter):
+        s = _row_projection(q, v)
         w_rows = (
             q.join(s, "_id")
             .groupBy("d")
@@ -1200,10 +1218,68 @@ def power_iteration_top_component(
         if m == 0:
             break
         v = [math.trunc(float(x) * 1e6 / float(m)) for x in w]
-    out = corpus.sparkSession.createDataFrame(
-        [(i, int(v[i])) for i in range(dim)], "dim long, v_x1e6 long"
+    return v
+
+
+def power_iteration_two_components(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Top TWO principal directions by power iteration with
+    DEFLATION — the textbook extension: run the fixed-iteration loop
+    for v1, remove each row's v1-aligned part, and run the identical
+    loop on the deflated table for v2. The true projection
+    coefficient is (q.v1)/|v1|^2 — v1 is max-abs-normalized, NOT
+    unit-L2 — so the integer deflation divides by the rescaled
+    squared norm::
+
+        s_r    = (sum_d q_rd * v1_d) div 1e6          -- ~ (q.v1)/1e6
+        m2     = (sum_d v1_d^2)      div 1e6          -- ~ |v1|^2/1e6
+        q'_rd  = q_rd - (s_r * v1_d) div m2
+
+    (every division truncates toward zero on both signs — bit-
+    identical in any engine; the two rescales bound every product
+    under 2^62). Deflation is exact up to the x1e6 quantization —
+    the gate pins the ARITHMETIC, the property test pins that v2
+    lands on the second synthetic direction.
+
+    Output: one row per dimension, (dim, v1_x1e6, v2_x1e6).
+    """
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_as_double(vec_col)).alias("d", "_x"),
+    ).select(
+        "_id",
+        "d",
+        F.round(F.col("_x") * F.lit(1e6)).cast("long").alias("q"),
+    ).localCheckpoint()
+    dim = q.agg(F.max("d")).collect()[0][0] + 1
+    t = int(n_iter)
+    v1 = _power_loop(q, dim, t)
+    s1 = _row_projection(q, v1)
+    v1arr = F.array(*[F.lit(int(x)).cast("long") for x in v1])
+    m2 = sum(x * x for x in v1) // 1_000_000
+    q2 = (
+        q.join(s1, "_id")
+        .withColumn(
+            "_dq", F.col("s") * F.element_at(v1arr, F.col("d") + 1)
+        )
+        .select(
+            "_id",
+            "d",
+            (F.col("q") - F.expr(f"CAST(_dq AS BIGINT) div {m2}"))
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint()
     )
-    return out
+    v2 = _power_loop(q2, dim, t)
+    return corpus.sparkSession.createDataFrame(
+        [(i, int(v1[i]), int(v2[i])) for i in range(dim)],
+        "dim long, v1_x1e6 long, v2_x1e6 long",
+    )
 
 
 # -- product quantization (PQ) with asymmetric-distance scoring --------------

@@ -7312,23 +7312,30 @@ def q_emb_power_iteration(spark, sf_dir):
     ).select("dim", "v_x1e6")
 
 
-def _power_iteration_sql() -> str:
+def _pi_blocks(qname: str, tag: str) -> str:
+    """The unrolled power-iteration rounds over count table ``qname``
+    with CTE names suffixed by ``tag`` (all MATERIALIZED — each round
+    references the previous several times, the k-core lesson).
+    Expects ``v{tag}0`` in scope; ends with ``v{tag}{PI_ITER}``."""
     blocks = []
     for t in range(1, PI_ITER + 1):
         p = t - 1
         blocks.append(f"""
-s{t} AS MATERIALIZED (
+s{tag}{t} AS MATERIALIZED (
   SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) // 1000000 AS s
-  FROM q JOIN v{p} v ON v.d = q.d GROUP BY q.vec_id),
-w{t} AS MATERIALIZED (
+  FROM {qname} q JOIN v{tag}{p} v ON v.d = q.d GROUP BY q.vec_id),
+w{tag}{t} AS MATERIALIZED (
   SELECT q.d, CAST(SUM(q.q * s.s) AS BIGINT) AS w
-  FROM q JOIN s{t} s USING (vec_id) GROUP BY q.d),
-m{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{t}),
-v{t} AS MATERIALIZED (
+  FROM {qname} q JOIN s{tag}{t} s USING (vec_id) GROUP BY q.d),
+m{tag}{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{tag}{t}),
+v{tag}{t} AS MATERIALIZED (
   SELECT w.d,
          CAST(TRUNC(CAST(w.w AS DOUBLE) * 1e6 / m.m) AS BIGINT) AS v
-  FROM w{t} w CROSS JOIN m{t} m)""")
-    return f"""
+  FROM w{tag}{t} w CROSS JOIN m{tag}{t} m)""")
+    return ",".join(blocks)
+
+
+_PI_PREFIX = """
 WITH q AS MATERIALIZED (
   SELECT vec_id, d.i - 1 AS d,
          CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000000)
@@ -7339,8 +7346,46 @@ v0 AS MATERIALIZED (
          CAST(CASE WHEN g.i = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS v
   FROM unnest(generate_series(1,
        (SELECT MAX(d) + 1 FROM q))) g(i)),
-{",".join(blocks)}
+"""
+
+
+def _power_iteration_sql() -> str:
+    return f"""{_PI_PREFIX}{_pi_blocks("q", "")}
 SELECT d::BIGINT AS dim, v::BIGINT AS v_x1e6 FROM v{PI_ITER}
+"""
+
+
+def q_emb_power_iteration2(spark, sf_dir):
+    """Top TWO principal directions by power iteration with integer
+    DEFLATION (operators/similarity.py:power_iteration_two_components):
+    v1 from the fixed-iteration loop, each row's v1-aligned part
+    removed by the rescaled-squared-norm rule (q' = q -
+    (s*v1_d) div (|v1|^2 div 1e6), truncation both signs), v2 from the
+    identical loop on the deflated table. The oracle unrolls BOTH
+    loops plus the deflation as MATERIALIZED CTEs."""
+    return S.power_iteration_two_components(
+        _emb(spark, sf_dir), n_iter=PI_ITER
+    ).select("dim", "v1_x1e6", "v2_x1e6")
+
+
+def _power_iteration2_sql() -> str:
+    return f"""{_PI_PREFIX}{_pi_blocks("q", "")},
+sf AS MATERIALIZED (
+  SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) // 1000000 AS s
+  FROM q JOIN v{PI_ITER} v ON v.d = q.d GROUP BY q.vec_id),
+nrm AS MATERIALIZED (
+  SELECT CAST(SUM(v * v) AS BIGINT) // 1000000 AS m2 FROM v{PI_ITER}),
+qd AS MATERIALIZED (
+  SELECT q.vec_id, q.d,
+         q.q - (sf.s * v.v) // nrm.m2 AS q
+  FROM q JOIN sf USING (vec_id)
+         JOIN v{PI_ITER} v ON v.d = q.d
+         CROSS JOIN nrm),
+vb0 AS MATERIALIZED (SELECT d, v FROM v0),
+{_pi_blocks("qd", "b")}
+SELECT a.d::BIGINT AS dim, a.v::BIGINT AS v1_x1e6,
+       b.v::BIGINT AS v2_x1e6
+FROM v{PI_ITER} a JOIN vb{PI_ITER} b USING (d)
 """
 
 
@@ -12015,6 +12060,9 @@ EXT_QUERIES = {
     "sim_topk_rp": (q_sim_topk_rp, _sim_topk_rp_sql()),
     "emb_power_iteration": (
         q_emb_power_iteration, _power_iteration_sql(),
+    ),
+    "emb_power_iteration2": (
+        q_emb_power_iteration2, _power_iteration2_sql(),
     ),
     "emb_spectral_outliers": (
         q_emb_spectral_outliers, _spectral_outliers_sql(),
