@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "emb_spectral_outliers",
     "lang_id_confusion",
     "emb_power_iteration2",
+    "label_norm_robust",
     "distinct_incremental",
     "decontaminate_incremental",
     "dup_graph_triangles",

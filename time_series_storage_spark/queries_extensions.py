@@ -2826,6 +2826,75 @@ FROM r JOIN alloc a USING (source) WHERE r.mix_rank <= a.alloc
 """
 
 
+def q_label_norm_robust(spark, sf_dir):
+    """Exact robust per-label embedding-energy profile: median,
+    10%-trimmed mean and MAD of the integer SQUARED NORM (sum of
+    x1e6-quantized components squared — exact longs, no sqrt) per
+    label — the scale-health check a labeled embedding corpus runs
+    (collapsed or exploded norms per class flag bad batches). The
+    rank-statistics machinery of source_length_robust composed onto
+    the vector table; everything under the hash gate."""
+    from .operators.analytics import robust_stats
+
+    emb = _emb(spark, sf_dir)
+    ssq = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e6)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + q * q,
+        ).alias("ssq"),
+    )
+    return robust_stats(ssq, ["label"], "ssq", "vec_id").select(
+        "label", "n_docs", "median_x2", "trim_mean", "mad_x4"
+    )
+
+
+SQL_LABEL_NORM_ROBUST = """
+WITH qv AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+           AS BIGINT) AS x
+  FROM embeddings),
+r AS (
+  SELECT label, x, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY x, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM qv),
+med AS (
+  SELECT label, MAX(n) AS n_docs,
+         (SUM(x) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END))::BIGINT
+           AS median_x2
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY label),
+trim AS (
+  SELECT label, (SUM(x) // COUNT(*))::BIGINT AS trim_mean
+  FROM r WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
+  GROUP BY label),
+d AS (SELECT r.label, ABS(r.x * 2 - m.median_x2) AS d
+      FROM r JOIN med m USING (label)),
+dr AS (SELECT label, d,
+              ROW_NUMBER() OVER (PARTITION BY label ORDER BY d) AS rn,
+              COUNT(*) OVER (PARTITION BY label) AS n
+       FROM d),
+mad AS (SELECT label,
+               (SUM(d) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END))::BIGINT
+                 AS mad_x4
+        FROM dr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY label)
+SELECT med.label::BIGINT AS label, med.n_docs::BIGINT AS n_docs,
+       med.median_x2, trim.trim_mean, mad.mad_x4
+FROM med JOIN trim USING (label) JOIN mad USING (label)
+"""
+
+
 def q_source_length_robust(spark, sf_dir):
     """Exact robust per-source length profile (operators/analytics.py:
     robust_stats): median, 10%-trimmed mean and MAD over n_chars — all
@@ -12077,6 +12146,9 @@ EXT_QUERIES = {
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
+    "label_norm_robust": (
+        q_label_norm_robust, SQL_LABEL_NORM_ROBUST,
+    ),
     "source_length_robust": (
         q_source_length_robust,
         SQL_SOURCE_LENGTH_ROBUST,
