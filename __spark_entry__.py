@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 # LEAD r11's window.  Below them: the r8 block, then the r9 block
 # (freshest external coverage).
 _GATE_PRIORITY = [
-    # --- round-10 window (continuation): the eight continuation-block
+    # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;
     # --- rows they displaced below 50 keep pytest/sweep coverage and
