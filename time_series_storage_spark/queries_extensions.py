@@ -8531,6 +8531,124 @@ FROM sk
 """
 
 
+def q_hll_distinct_by_lang(spark, sf_dir):
+    """Per-lang distinct-shingle estimate via the HAND-ROLLED exact-
+    integer HyperLogLog (operators/hll.py) — the fixed-size counterpart
+    to the KMV gates: m = 256 registers per key however large the
+    corpus, md5-derived register updates, and the published estimator
+    (alpha_256 raw branch + linear-counting small-range branch)
+    evaluated in pure BIGINT arithmetic so the estimate ITSELF is
+    under the hash gate, not just the registers. Spark's own
+    approx_count_distinct is the same sketch but opaque (engine-
+    private hashing — not oracle-checkable); this one is a pure
+    function of the data in any engine. One partial-aggregated
+    exchange (max combines map-side); nothing is keyed on corpus
+    size."""
+    from .operators.hll import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
+    elems = (
+        docs.select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+            "text",
+        )
+        .select("lang", F.expr("substring(text, pos, 8)").alias("tok"))
+    )
+    return hll_distinct(elems, ["lang"], "tok").select(
+        "lang", "n_regs", "harm_num", "v_zero", "est_distinct"
+    )
+
+
+def _hll_sql(key: str) -> str:
+    from .operators.hll import hll_estimate_sql, hll_registers_sql
+
+    rows = f"""(
+  SELECT {key} AS k8, substring(text, pos, 8) AS w8
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+) shingles"""
+    regs = hll_registers_sql(rows, "k8", "w8")
+    return (
+        f"SELECT gk AS {key}, n_regs, harm_num, v_zero, est_distinct "
+        f"FROM ({hll_estimate_sql(regs)}) est"
+    )
+
+
+def _hll_store(spark, sf_dir):
+    """The persisted HLL sketch store for ``sf_dir`` — built by TWO
+    absorbs (history slice doc_id < FPSTORE_BASE, then the increment
+    slice) so the gated read exercises the MAX merge across commits;
+    staleness-keyed and format-pinned exactly like the other store
+    builders (operators/hll_store.py is the max-merge member of the
+    store family)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.hll_store import HllSketchStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:hll-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_hll_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return HllSketchStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = HllSketchStore(spark, root)
+                for pred in (
+                    F.col("doc_id") < FPSTORE_BASE,
+                    F.col("doc_id") >= FPSTORE_BASE,
+                ):
+                    store.absorb(
+                        _kmv_elems(spark, sf_dir, pred), "source", "tok"
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_hll_distinct_incremental(spark, sf_dir):
+    """Per-source distinct-shingle estimate as a PURE READ of the
+    persisted HllSketchStore — built by two separate absorbs, so the
+    row the gate hashes is the register-wise MAX MERGE across
+    commits. The oracle recomputes the HLL sketch from scratch over
+    the FULL corpus: matching proves max-of-slice-registers equals
+    the one-shot sketch (the exactness argument in
+    operators/hll_store.py), externally hash-checked, estimator
+    included. At 100 TB this read touches <= 256 small ints per
+    (source, absorb) — never the corpus. Same elements and keys as
+    ``distinct_incremental`` (the KMV member) by design: the two
+    sketch disciplines are directly comparable row for row."""
+    store = _hll_store(spark, sf_dir)
+    return store.estimates(key_name="source").select(
+        "source", "n_regs", "harm_num", "v_zero", "est_distinct"
+    )
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -12387,6 +12505,10 @@ EXT_QUERIES = {
     ),
     "distinct_incremental": (
         q_distinct_incremental, SQL_DISTINCT_INCREMENTAL,
+    ),
+    "hll_distinct_by_lang": (q_hll_distinct_by_lang, _hll_sql("lang")),
+    "hll_distinct_incremental": (
+        q_hll_distinct_incremental, _hll_sql("source"),
     ),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
