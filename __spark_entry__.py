@@ -44,6 +44,8 @@ _GATE_PRIORITY = [
     # --- round-10 second-wave additions (never externally gated) ---
     "hll_distinct_by_lang",
     "hll_distinct_incremental",
+    "cms_heavy_hitters",
+    "cms_incremental",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

@@ -8649,6 +8649,152 @@ def q_hll_distinct_incremental(spark, sf_dir):
     )
 
 
+CMS_HH_PCT = 2  # heavy hitter = sketch-estimated share >= 2%
+
+
+def _doc_tokens(spark, sf_dir, pred=None):
+    """(token) occurrence rows — whitespace tokens, the _TOKS mirror."""
+    docs = _docs(spark, sf_dir)
+    if pred is not None:
+        docs = docs.where(pred)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters BY THE SKETCH (operators/cms.py): build
+    the d=4 x w=512 Count-Min sketch over all token occurrences, then
+    keep every distinct token whose SKETCH-estimated share is >=
+    {CMS_HH_PCT}% — the selection the sketch's one-sided guarantee is
+    for (estimate >= true, so no true heavy hitter is ever missed; a
+    few collided tails may sneak in, and the emitted true count makes
+    that overestimate externally auditable row by row). The sketch is
+    2048 longs however large the corpus: counters build in one
+    partial-aggregated exchange, probing is a broadcast join, and the
+    candidate set (distinct tokens here — at 100 TB a streamed
+    candidate heap) never shuffles. The oracle recomputes counters,
+    estimates, and the selection from scratch in SQL."""
+    from .operators.cms import cms_counters, cms_estimate
+
+    toks = _doc_tokens(spark, sf_dir)
+    counters = cms_counters(toks, "tok")
+    truth = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    est = cms_estimate(counters, truth, "tok")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_cnt") * 100 >= F.col("_n") * CMS_HH_PCT)
+        .select("tok", "true_cnt", "est_cnt")
+    )
+
+
+_CMS_TOKS = """(
+  SELECT w AS tok FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+    FROM documents) u
+) toks"""
+
+
+def _cms_sql(probes: str, select: str) -> str:
+    from .operators.cms import cms_counters_sql, cms_estimate_sql
+
+    counters = cms_counters_sql(_CMS_TOKS, "tok")
+    return select.format(
+        est=cms_estimate_sql(counters, probes, "tok"), toks=_CMS_TOKS
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = _cms_sql(
+    f"""SELECT tok, COUNT(*)::BIGINT AS true_cnt
+  FROM {_CMS_TOKS} GROUP BY tok""",
+    """
+WITH est AS ({est}),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM {toks})
+SELECT tok, true_cnt, est_cnt FROM est, tot
+WHERE est_cnt * 100 >= n * """ + str(CMS_HH_PCT),
+)
+
+
+def _cms_store(spark, sf_dir):
+    """The persisted Count-Min store for ``sf_dir`` — built by TWO
+    absorbs (history slice doc_id < FPSTORE_BASE, then the increment
+    slice) so the gated read exercises the ADDITIVE merge across
+    commits; staleness-keyed and format-pinned like the other store
+    builders (operators/cms_store.py)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.cms import CMS_D, CMS_W
+    from .operators.cms_store import CmsStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{CMS_D}:{CMS_W}:cms-v1"
+        .encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_cms_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return CmsStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = CmsStore(spark, root)
+                for pred in (
+                    F.col("doc_id") < FPSTORE_BASE,
+                    F.col("doc_id") >= FPSTORE_BASE,
+                ):
+                    store.absorb(
+                        _doc_tokens(spark, sf_dir, pred), "tok"
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def q_cms_incremental(spark, sf_dir):
+    """Per-token corpus frequency estimates as a PURE READ of the
+    persisted CmsStore — built by two separate absorbs, so every
+    counter the probe mins over is the ADDITIVE MERGE across commits.
+    The oracle recomputes the sketch from scratch over the FULL
+    corpus: matching proves sum-of-slice-counters equals the one-shot
+    sketch (addition is exact, operators/cms_store.py), estimator
+    included. At 100 TB the merged sketch is 2048 longs — the probe
+    is a broadcast join, never a corpus shuffle."""
+    store = _cms_store(spark, sf_dir)
+    probes = _doc_tokens(spark, sf_dir).distinct()
+    return store.estimate(probes, "tok").select("tok", "est_cnt")
+
+
+SQL_CMS_INCREMENTAL = _cms_sql(
+    f"SELECT DISTINCT tok FROM {_CMS_TOKS}",
+    "SELECT tok, est_cnt FROM ({est}) e",
+)
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -12510,6 +12656,8 @@ EXT_QUERIES = {
     "hll_distinct_incremental": (
         q_hll_distinct_incremental, _hll_sql("source"),
     ),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
     ),
