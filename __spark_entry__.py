@@ -46,6 +46,9 @@ _GATE_PRIORITY = [
     "hll_distinct_incremental",
     "cms_heavy_hitters",
     "cms_incremental",
+    "dup_graph_labelprop",
+    "basket_pair_rules",
+    "events_hilbert_cells",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

@@ -1030,3 +1030,116 @@ def test_power_iteration_two_components_deflation(spark):
     assert got == {d: (v1[d], v2[d]) for d in range(D)}
     assert max(abs(got[0][0]), abs(got[1][0])) == 1_000_000
     assert max(abs(got[2][1]), abs(got[3][1])) == 1_000_000
+
+
+# -- Label propagation ---------------------------------------------------------
+
+def _lpa_model(nodes, pairs, n_iter):
+    """Pure-Python synchronous LPA: argmax neighbor-label count,
+    ties to the smallest label, isolated nodes keep their own."""
+    nbrs = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in nodes:
+            if not nbrs[v]:
+                nxt[v] = lab[v]
+                continue
+            cnt = defaultdict(int)
+            for u in nbrs[v]:
+                cnt[lab[u]] += 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_labelprop_matches_python_model(spark):
+    """Chain + two cliques + star + singleton, 4 synchronous rounds:
+    every label equals the deterministic pure-Python model."""
+    from time_series_storage_spark.operators.dedup import label_propagation
+
+    nodes = list(range(1, 13))
+    pairs = [
+        (1, 2), (2, 3), (3, 4),                  # chain
+        (5, 6), (6, 7), (5, 7),                  # triangle
+        (8, 9), (8, 10), (9, 10), (10, 11),      # clique + pendant
+    ]                                            # 12 isolated
+    want = _lpa_model(nodes, pairs, n_iter=4)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(pdf, ndf, "doc_id", n_iter=4).collect()
+    }
+    assert got == want
+    assert got[12] == 12  # isolated keeps its own label
+
+
+def test_labelprop_random_graphs_match_model(spark):
+    """Randomized audit: labels equal the synchronous model on
+    arbitrary graphs (seeded, several shapes and densities)."""
+    from time_series_storage_spark.operators.dedup import label_propagation
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        nodes = list(range(n))
+        pairs = sorted(
+            {
+                (a, b)
+                for a in nodes
+                for b in nodes
+                if a < b and rng.random() < 0.25
+            }
+        )
+        want = _lpa_model(nodes, pairs, n_iter=4)
+        ndf = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+        pdf = (
+            spark.createDataFrame(pairs, "d1 long, d2 long")
+            if pairs
+            else spark.createDataFrame([], "d1 long, d2 long")
+        )
+        got = {
+            r.node: r.community
+            for r in label_propagation(
+                pdf, ndf, "doc_id", n_iter=4
+            ).collect()
+        }
+        assert got == want, (trial, pairs)
+
+
+def test_labelprop_bridge_separates_where_cc_glues(spark):
+    """The semantic point of LPA over CC: two 4-cliques joined by ONE
+    bridge edge — connected components returns a single 8-member
+    cluster (transitive closure must), while label propagation keeps
+    the two dense families under distinct labels."""
+    from time_series_storage_spark.operators.dedup import (
+        connected_components,
+        label_propagation,
+    )
+
+    a = [1, 2, 3, 4]
+    b = [5, 6, 7, 8]
+    clique = lambda vs: [(x, y) for x in vs for y in vs if x < y]
+    pairs = clique(a) + clique(b) + [(4, 5)]  # one bridge
+    ndf = spark.createDataFrame([(v,) for v in a + b], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+
+    cc = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pdf, ndf, "doc_id").collect()
+    }
+    assert len(set(cc.values())) == 1  # CC glues across the bridge
+
+    lpa = {
+        r.node: r.community
+        for r in label_propagation(pdf, ndf, "doc_id", n_iter=4).collect()
+    }
+    assert lpa == _lpa_model(a + b, pairs, n_iter=4)
+    comm_a = {lpa[v] for v in a}
+    comm_b = {lpa[v] for v in b}
+    assert comm_a == {1} and comm_b == {5}  # families stay separate

@@ -957,6 +957,76 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected pair graph — the third graph read
+    beside PageRank (member ranking) and triangles (cluster shape):
+    LPA finds the community PARTITION without the transitive-closure
+    semantics of connected components, so a thin bridge between two
+    dense duplicate families does NOT glue them into one cluster the
+    way CC must. That separation is the practical signal: template
+    families connected by one chance collision keep distinct labels.
+
+    Determinism (the property the oracle gate needs; vanilla LPA is
+    famously order-dependent): updates are SYNCHRONOUS (every node
+    votes on the PREVIOUS round's labels — no update-order
+    sensitivity), the vote is argmax neighbor-label frequency with
+    ties broken toward the SMALLEST label, the round count is FIXED
+    (n_iter, no convergence test), and isolated nodes keep their own
+    label. Initial label = own id. Every step is counting and integer
+    comparison — bit-identical in any engine.
+
+    Plan shape: the same iterative-DataFrame discipline as
+    :func:`pagerank` — the directed edge set persists once; each round
+    is one (edges >< labels) hash join, one partial-aggregated
+    (node, label) count, one per-node window argmax, and a left join
+    back onto the node base, with ``localCheckpoint`` truncating
+    lineage so the final plan's join count does not grow with
+    ``n_iter`` (use a reliable ``checkpoint`` dir on a real cluster).
+    Per-round shuffle volume is O(edges) long pairs — at web scale
+    pre-bucket both sides by id.
+
+    Output: (node, community) — community is the converged (or
+    n_iter-round) label, a member id of the community.
+    """
+    e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    labels = base.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("_c"), F.asc("label")
+    )
+    for _ in range(n_iter):
+        votes = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        top = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_counts(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -138,3 +138,109 @@ def zorder_cells(
             F.max("_y").cast("long").alias("y_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality-stronger alternative to Z-order
+# ---------------------------------------------------------------------------
+
+# 4-state Hilbert machine (derived from the classic Wikipedia xy2d
+# rotation loop and verified EXHAUSTIVELY against it for the full
+# 256 x 256 grid in tests/test_layout.py): processing one (x, y) bit
+# pair per level MSB->LSB, the quadrant digit is D[state*4 + q] and
+# the next state is S[state*4 + q], with q = 2*x_bit + y_bit. The
+# state encodes the rotation/reflection the classic algorithm applies
+# to the remaining low bits — four states are reachable from the
+# identity. This formulation keeps the unrolled expression LINEAR in
+# `bits` (each level references the previous state expression once),
+# where unrolling the coordinate-mutating loop directly would double
+# the expression tree per level.
+_HILBERT_D = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+_HILBERT_S = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
+def hilbert_key(x, y, bits: int = 8) -> Column:
+    """Hilbert-curve index of two non-negative integer columns — the
+    same space-filling-layout contract as :func:`zorder_key` with
+    strictly better locality: consecutive keys are ALWAYS adjacent
+    cells (Manhattan distance 1 — the property Z-order lacks at
+    quadrant seams), so a contiguous key range covers a tighter (x, y)
+    region and parquet min/max pruning gets more selective on both
+    dimensions (Faloutsos & Roseman 1989 established the clustering
+    advantage for range scans).
+
+    ``bits`` low bits of each input are used (inputs masked, as in
+    zorder_key); the key is in [0, 4^bits). Evaluation is a pure
+    codegen chain over two literal 16-entry lookup tables — zero
+    shuffle, zero Python, O(bits) expression size."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    d_arr = F.array(*[F.lit(v) for v in _HILBERT_D])
+    s_arr = F.array(*[F.lit(v) for v in _HILBERT_S])
+    xm = _as_col(x).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ym = _as_col(y).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    key = F.lit(0).cast("long")
+    state = F.lit(0)
+    for i in range(bits):
+        lvl = bits - 1 - i
+        bx = F.shiftright(xm, lvl).bitwiseAND(F.lit(1))
+        by = F.shiftright(ym, lvl).bitwiseAND(F.lit(1))
+        q = (state * 4 + bx * 2 + by).cast("int")
+        digit = F.element_at(d_arr, q + F.lit(1)).cast("long")
+        key = key.bitwiseOR(F.shiftleft(digit, 2 * lvl))
+        state = F.element_at(s_arr, q + F.lit(1))
+    return key
+
+
+def hilbert_sql(x: str, y: str, bits: int = 8) -> str:
+    """The identical Hilbert index as an ANSI-SQL expression string —
+    the oracle mirror of :func:`hilbert_key` (same state machine, same
+    literal tables, list_extract 1-indexed in DuckDB exactly like
+    Spark's element_at)."""
+    mask = (1 << bits) - 1
+    d_arr = "[" + ", ".join(str(v) for v in _HILBERT_D) + "]"
+    s_arr = "[" + ", ".join(str(v) for v in _HILBERT_S) + "]"
+    xm = f"(CAST({x} AS BIGINT) & {mask})"
+    ym = f"(CAST({y} AS BIGINT) & {mask})"
+    state = "0"
+    terms = []
+    for i in range(bits):
+        lvl = bits - 1 - i
+        q = f"({state} * 4 + (({xm} >> {lvl}) & 1) * 2 + (({ym} >> {lvl}) & 1))"
+        terms.append(
+            f"(CAST(list_extract({d_arr}, {q} + 1) AS BIGINT) << {2 * lvl})"
+        )
+        state = f"list_extract({s_arr}, {q} + 1)"
+    return "(" + " | ".join(terms) + ")"
+
+
+def hilbert_cells(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 8,
+    cell_shift: int = 4,
+) -> DataFrame:
+    """Locality report of the Hilbert layout — the exact analogue of
+    :func:`zorder_cells` (cell = key >> cell_shift, occupancy +
+    per-dimension extents), for measuring the Hilbert curve's tighter
+    per-cell extents against the Morton baseline on the same points.
+    One shuffle (the groupBy), partial-aggregated."""
+    key = hilbert_key(x, y, bits)
+    xm = _as_col(x).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    ym = _as_col(y).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    return (
+        df.select(
+            F.shiftright(key, cell_shift).alias("cell"),
+            xm.alias("_x"),
+            ym.alias("_y"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_x").cast("long").alias("x_min"),
+            F.max("_x").cast("long").alias("x_max"),
+            F.min("_y").cast("long").alias("y_min"),
+            F.max("_y").cast("long").alias("y_max"),
+        )
+    )

@@ -1012,6 +1012,55 @@ SELECT node::BIGINT AS doc_id, r AS rank_x1e6 FROM r{n_iter}
 """
 
 
+LPA_ITERS = 4
+
+
+def q_dup_graph_labelprop(spark, sf_dir):
+    """Community detection on the near-dup graph by synchronous
+    label propagation (operators/dedup.py:label_propagation) — the
+    partition WITHOUT transitive closure: a chance bridge between two
+    dense duplicate families does not glue them the way connected
+    components must. Deterministic by construction (synchronous
+    votes, min-label tie-break, fixed {LPA_ITERS} rounds), so the
+    DuckDB oracle replays the identical rounds as unrolled CTEs —
+    vote, count, argmax and carry-forward all under the hash gate."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    return D.label_propagation(
+        pairs, docs, "doc_id", n_iter=LPA_ITERS
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _dup_graph_labelprop_sql(n_iter: int = LPA_ITERS) -> str:
+    blocks = []
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""
+v{i} AS (SELECT e.b AS node, l.label
+         FROM edges e JOIN l{i - 1} l ON l.node = e.a),
+c{i} AS (SELECT node, label, COUNT(*) AS c
+         FROM v{i} GROUP BY node, label),
+t{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM c{i}) rk WHERE rn = 1),
+l{i} AS (SELECT l.node, COALESCE(t.label, l.label) AS label
+         FROM l{i - 1} l LEFT JOIN t{i} t USING (node))""")
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{",".join(blocks)}
+SELECT node::BIGINT AS doc_id, label::BIGINT AS community FROM l{n_iter}
+"""
+
+
 def q_dedup_canonical_pagerank(spark, sf_dir):
     """Centrality-based canonical selection — the composition the
     PageRank gate exists for: cluster the near-dup graph AND rank its
@@ -8795,6 +8844,97 @@ SQL_CMS_INCREMENTAL = _cms_sql(
 )
 
 
+BASKET_MIN_SUPP = 2  # association rules: minimum pair support (orders)
+
+
+def q_basket_pair_rules(spark, sf_dir):
+    """Market-basket association rules over order line items — the
+    classic co-occurrence mining shape (support / confidence / lift,
+    Agrawal & Srikant 1994) the registry's event-sequence family does
+    not cover: which part PAIRS are ordered together more often than
+    chance. All statistics in exact integer arithmetic: support
+    counts are longs, confidence and lift are floor-scaled x1e6
+    rationals (floor_div both engines).
+
+    Scale shape: the pair self-join is keyed on the order and
+    BOUNDED BY BASKET SIZE (TPC-H orders hold <= 7 line items, so
+    <= 21 pairs per order — fan-out is a constant, never quadratic in
+    the corpus); one exchange builds distinct (order, part) items,
+    one shuffle join + partial-aggregated count builds pair supports.
+    Per-part supports broadcast onto the pair table twice (one row
+    per distinct part — drop the hint if the part dimension outgrows
+    broadcast range and it degrades gracefully to a shuffle join);
+    the order total rides as one broadcast scalar. The min-support
+    gate (supp >= {BASKET_MIN_SUPP}) cuts the singleton-pair tail
+    before the rule arithmetic."""
+    from .operators.analytics import floor_div
+
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.select(F.col("o"), F.col("p").alias("part_a"))
+    b = items.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+        .where(F.col("supp_ab") >= BASKET_MIN_SUPP)
+    )
+    supp = items.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("_s")
+    )
+    n_orders = items.select("o").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("p").alias("part_a"),
+                                    F.col("_s").alias("supp_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("p").alias("part_b"),
+                                    F.col("_s").alias("supp_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        F.col("part_a").cast("long").alias("part_a"),
+        F.col("part_b").cast("long").alias("part_b"),
+        "supp_ab",
+        "supp_a",
+        "supp_b",
+        floor_div(F.col("supp_ab") * 1_000_000, F.col("supp_a"))
+        .cast("long").alias("conf_x1e6"),
+        floor_div(
+            F.col("supp_ab") * F.col("_n") * 1_000_000,
+            F.col("supp_a") * F.col("supp_b"),
+        ).cast("long").alias("lift_x1e6"),
+    )
+
+
+SQL_BASKET_PAIR_RULES = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*)::BIGINT AS supp_ab
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPP}),
+supp AS (SELECT p, COUNT(*)::BIGINT AS s FROM items GROUP BY p),
+tot AS (SELECT COUNT(DISTINCT o)::BIGINT AS n FROM items)
+SELECT part_a::BIGINT AS part_a, part_b::BIGINT AS part_b,
+       supp_ab, sa.s AS supp_a, sb.s AS supp_b,
+       (supp_ab * 1000000) // sa.s AS conf_x1e6,
+       (supp_ab * n * 1000000) // (sa.s * sb.s) AS lift_x1e6
+FROM pairs
+JOIN supp sa ON sa.p = part_a
+JOIN supp sb ON sb.p = part_b
+CROSS JOIN tot
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -10338,6 +10478,55 @@ WITH pts AS (
   FROM events
 )
 SELECT ({z} >> {ZORDER_CELL_SHIFT})::BIGINT AS cell,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(x & {mask})::BIGINT AS x_min, MAX(x & {mask})::BIGINT AS x_max,
+       MIN(y & {mask})::BIGINT AS y_min, MAX(y & {mask})::BIGINT AS y_max
+FROM pts GROUP BY 1
+"""
+
+
+def q_events_hilbert_cells(spark, sf_dir):
+    """The Hilbert-curve layout report on the SAME points as
+    events_zorder_cells — the locality-stronger space-filling curve
+    (operators/layout.py::hilbert_key — a 4-state machine over two
+    16-entry literal tables, pure codegen, O(bits) expression): every
+    pair of consecutive keys is an ADJACENT cell, so contiguous key
+    ranges cover tighter (x, y) regions than Morton's quadrant-seam
+    jumps, and min/max file skipping gets strictly more selective
+    (tests pin the extent advantage on these very points). Same
+    bits/cell-shift as the Z-order gate for row-for-row
+    comparability; the oracle rebuilds the identical state-machine
+    chain in SQL."""
+    from .operators import layout as L
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").cast("long").alias("x"),
+        AN.floor_div(
+            F.unix_timestamp("ts").cast("long") - F.lit(ZORDER_EPOCH0),
+            F.lit(3600),
+        ).alias("y"),
+    )
+    return L.hilbert_cells(
+        pts, "x", "y", bits=ZORDER_BITS, cell_shift=ZORDER_CELL_SHIFT
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_rows", "x_min", "x_max", "y_min", "y_max",
+    )
+
+
+def _events_hilbert_sql() -> str:
+    from .operators.layout import hilbert_sql
+
+    mask = (1 << ZORDER_BITS) - 1
+    h = hilbert_sql("x", "y", ZORDER_BITS)
+    return f"""
+WITH pts AS (
+  SELECT CAST(user_id AS BIGINT) AS x,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {ZORDER_EPOCH0}) // 3600) AS y
+  FROM events
+)
+SELECT ({h} >> {ZORDER_CELL_SHIFT})::BIGINT AS cell,
        COUNT(*)::BIGINT AS n_rows,
        MIN(x & {mask})::BIGINT AS x_min, MAX(x & {mask})::BIGINT AS x_max,
        MIN(y & {mask})::BIGINT AS y_min, MAX(y & {mask})::BIGINT AS y_max
@@ -12348,6 +12537,9 @@ EXT_QUERIES = {
         _dedup_keep_best_sql(),
     ),
     "dup_graph_pagerank": (q_dup_graph_pagerank, _dup_graph_pagerank_sql()),
+    "dup_graph_labelprop": (
+        q_dup_graph_labelprop, _dup_graph_labelprop_sql(),
+    ),
     "dedup_canonical_pagerank": (
         q_dedup_canonical_pagerank,
         _dedup_canonical_pagerank_sql(),
@@ -12541,6 +12733,7 @@ EXT_QUERIES = {
         SQL_TEXT_SEMANTIC_DEDUP,
     ),
     "events_zorder_cells": (q_events_zorder_cells, _events_zorder_sql()),
+    "events_hilbert_cells": (q_events_hilbert_cells, _events_hilbert_sql()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "salted_hourly_totals": (
         q_salted_hourly_totals, SQL_SALTED_HOURLY_TOTALS,
@@ -12658,6 +12851,7 @@ EXT_QUERIES = {
     ),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
+    "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
     ),
