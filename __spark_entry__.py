@@ -49,6 +49,8 @@ _GATE_PRIORITY = [
     "dup_graph_labelprop",
     "basket_pair_rules",
     "events_hilbert_cells",
+    "sim_rrf_fusion",
+    "ts_sax_daily",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

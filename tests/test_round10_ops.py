@@ -1143,3 +1143,104 @@ def test_labelprop_bridge_separates_where_cc_glues(spark):
     comm_a = {lpa[v] for v in a}
     comm_b = {lpa[v] for v in b}
     assert comm_a == {1} and comm_b == {5}  # families stay separate
+
+
+# -- Reciprocal-rank fusion -----------------------------------------------------
+
+def test_rrf_fuse_matches_hand_model(spark):
+    """Two tiny rankings: fused scores equal the exact integer
+    floor(1e9/(60+rank)) sums; a doc present in BOTH lists outranks a
+    doc that leads only one; ties break toward the smaller vec_id."""
+    from time_series_storage_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "q_id long, vec_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "q_id long, vec_id long, rank long",
+    )
+    got = {
+        r.vec_id: (r.rrf_x1e9, r.rank)
+        for r in rrf_fuse([a, b], k=4).collect()
+    }
+    p = lambda rk: 1_000_000_000 // (60 + rk)
+    want_scores = {
+        10: p(1) + p(3),
+        11: p(2) + p(1),
+        12: p(3),
+        13: p(2),
+    }
+    order = sorted(want_scores, key=lambda v: (-want_scores[v], v))
+    want = {
+        v: (want_scores[v], i + 1) for i, v in enumerate(order)
+    }
+    assert got == want
+    # both-lists docs (10, 11) outrank single-list docs (12, 13)
+    assert {got[10][1], got[11][1]} == {1, 2}
+
+
+def test_rrf_fuse_missing_contributes_zero_and_k_bounds(spark):
+    from time_series_storage_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(7, i, i) for i in range(1, 6)],
+        "q_id long, vec_id long, rank long",
+    )
+    out = rrf_fuse([a], k=3).collect()
+    assert len(out) == 3
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+# -- SAX symbolization ----------------------------------------------------------
+
+def test_sax_ntile_symbols_match_model(spark):
+    """Daily-count series -> quartile symbols: equal-frequency NTILE
+    with (cnt, day) total order, string in day order — vs a
+    pure-Python model on a crafted series with ties."""
+    import datetime as dt
+
+    from time_series_storage_spark.queries_extensions import (
+        SAX_ALPHABET,
+        SAX_EPOCH0,
+        q_ts_sax_daily,
+    )
+
+    # craft events: one type, 8 days with counts [3,1,4,1,5,9,2,6]
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for j in range(c):
+            ts = dt.datetime.utcfromtimestamp(
+                SAX_EPOCH0 + day * 86_400 + j
+            )
+            rows.append((eid, ts, 1, "click", 0.0, "{}"))
+            eid += 1
+    import os
+    import tempfile
+
+    sf_dir = tempfile.mkdtemp(prefix="sax_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = {r.event_type: (r.n_days, r.sax)
+           for r in q_ts_sax_daily(spark, sf_dir).collect()}
+
+    # model: ntile over (cnt, day) ascending
+    order = sorted(range(len(counts)), key=lambda d: (counts[d], d))
+    n = len(order)
+    q, rem = divmod(n, SAX_ALPHABET)
+    sym = {}
+    pos = 0
+    for b in range(SAX_ALPHABET):
+        size = q + (1 if b < rem else 0)
+        for d in order[pos:pos + size]:
+            sym[d] = chr(97 + b)
+        pos += size
+    want = "".join(sym[d] for d in range(n))
+    assert got == {"click": (n, want)}

@@ -1469,3 +1469,58 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "adc_x1e6")
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N retrieval rankings — the standard hybrid-search combiner (dense
+    + sparse, exact + quantized): each list contributes
+    ``1 / (rrf_k + rank)`` per hit, documents are re-ranked by the
+    sum. rrf_k = 60 is the published constant; the score is evaluated
+    as the EXACT integer ``floor(1e9 / (rrf_k + rank))`` per hit (rank
+    is a small positive integer, so the quotient table is finite and
+    identical in any engine) and summed as longs — no float crosses
+    an engine boundary, so the fused ranking itself hash-gates.
+
+    Inputs are (q_id, vec_id, rank) frames — the output contract every
+    top-k operator in this module shares, which is what makes fusion
+    compositional here. A document missing from one list contributes
+    nothing from it (the standard convention). Ties break toward the
+    smaller vec_id, like every ranking in the registry.
+
+    Scale shape: one union of already-k-bounded lists (N * k rows per
+    query), one partial-aggregated sum keyed on (q_id, vec_id), one
+    per-query window over <= N * k rows. The corpus is never touched —
+    fusion cost is independent of corpus size by construction.
+
+    Output: (q_id, vec_id, rrf_x1e9, rank) — rank <= k by fused score.
+    """
+    from .analytics import floor_div
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    pts = None
+    for r in rankings:
+        scored = r.select(
+            "q_id",
+            "vec_id",
+            floor_div(
+                F.lit(1_000_000_000), F.lit(rrf_k) + F.col("rank")
+            ).alias("_pts"),
+        )
+        pts = scored if pts is None else pts.unionByName(scored)
+    fused = pts.groupBy("q_id", "vec_id").agg(
+        F.sum("_pts").cast("long").alias("rrf_x1e9")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_x1e9"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rrf_x1e9", "rank")
+    )

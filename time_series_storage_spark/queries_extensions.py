@@ -8935,6 +8935,125 @@ CROSS JOIN tot
 """
 
 
+RRF_K = 60  # the published reciprocal-rank-fusion constant
+
+
+def q_sim_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion (operators/similarity.py:rrf_fuse):
+    reciprocal-rank fusion of the EXACT float-cosine top-10 and the
+    int8 compressed-domain top-10 for the standard query slice — the
+    combiner production search stacks use to merge heterogeneous
+    rankings without score calibration. Every contribution is the
+    exact integer floor(1e9/(60+rank)), so the fused ranking itself is
+    under the hash gate. Fusion cost is independent of corpus size:
+    one union of k-bounded lists, one partial-aggregated sum, one
+    per-query window — the expensive parts are the upstream rankings,
+    each already gated on its own."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    exact = S.brute_force_topk(queries, emb, k=SIM_TOPK)
+    quant = S.int8_topk(queries, emb, k=SIM_TOPK)
+    return S.rrf_fuse([exact, quant], k=SIM_TOPK, rrf_k=RRF_K).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "rrf_x1e9",
+        "rank",
+    )
+
+
+def _sim_rrf_fusion_sql() -> str:
+    return f"""
+WITH a AS (SELECT * FROM ({SQL_SIM_TOPK}) xa),
+b AS (SELECT * FROM ({SQL_SIM_TOPK_INT8}) xb),
+pts AS (
+  SELECT q_id, vec_id, 1000000000 // ({RRF_K} + rank) AS p FROM a
+  UNION ALL
+  SELECT q_id, vec_id, 1000000000 // ({RRF_K} + rank) AS p FROM b),
+fused AS (
+  SELECT q_id, vec_id, SUM(p)::BIGINT AS rrf_x1e9
+  FROM pts GROUP BY q_id, vec_id),
+ranked AS (
+  SELECT q_id, vec_id, rrf_x1e9,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf_x1e9 DESC, vec_id) AS rank
+  FROM fused)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rrf_x1e9, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {SIM_TOPK}
+"""
+
+
+SAX_ALPHABET = 4  # quartile symbols a-d
+SAX_EPOCH0 = 1704067200  # 2024-01-01 UTC, the events table origin
+
+
+def q_ts_sax_daily(spark, sf_dir):
+    """SAX symbolization of the per-event-type daily-volume series
+    (Lin et al. 2003, with EMPIRICAL quantile breakpoints instead of
+    the paper's Gaussian table — rank-derived cutpoints are exact
+    integers in any engine where N(0,1) breakpoints are irrational;
+    documented divergence, same role): PAA-aggregate each series to
+    daily grain, NTILE the days into {SAX_ALPHABET} equal-frequency
+    symbols within the series (order by volume then day — total,
+    deterministic), and emit the symbol string in day order. The
+    canonical cheap representation for motif/novelty scans over long
+    series: downstream similarity is alphabet comparisons, not float
+    distance. One exchange to daily counts, one window rank, one
+    ordered string aggregation per series; day count per series is
+    bounded by the retention horizon at any corpus size."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            AN.floor_div(
+                F.unix_timestamp("ts").cast("long") - F.lit(SAX_EPOCH0),
+                F.lit(86_400),
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "day")
+    sym = F.char(
+        F.lit(97) + F.ntile(SAX_ALPHABET).over(w) - F.lit(1)
+    )
+    return (
+        daily.withColumn("sym", sym)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.concat_ws(
+                "", F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("day", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                )
+            ).alias("sax"),
+        )
+    )
+
+
+SQL_TS_SAX_DAILY = f"""
+WITH daily AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {SAX_EPOCH0}) // 86400)
+           AS day,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+sym AS (
+  SELECT event_type, day,
+         chr((96 + NTILE({SAX_ALPHABET}) OVER (PARTITION BY event_type
+                                              ORDER BY cnt, day))::INT) AS s
+  FROM daily)
+SELECT event_type, COUNT(*)::BIGINT AS n_days,
+       string_agg(s, '' ORDER BY day) AS sax
+FROM sym GROUP BY event_type
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -12852,6 +12971,8 @@ EXT_QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
     "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
+    "sim_rrf_fusion": (q_sim_rrf_fusion, _sim_rrf_fusion_sql()),
+    "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
     ),
