@@ -1244,3 +1244,81 @@ def test_sax_ntile_symbols_match_model(spark):
         pos += size
     want = "".join(sym[d] for d in range(n))
     assert got == {"click": (n, want)}
+
+
+# -- MMR diversified top-k -------------------------------------------------------
+
+def _mmr_model(rel, psim, k, lam=700_000):
+    """Pure-Python greedy MMR with the exact fixed-point arithmetic:
+    rel = {cand: sim_x1e6 to query}, psim = {(a, b): sim_x1e6}."""
+    lam1 = 1_000_000 - lam
+    sel, out = [], []
+    rem = set(rel)
+    for step in range(1, k + 1):
+        best = None
+        for c in sorted(rem):
+            ms = max((psim[(c, s)] for s in sel), default=0)
+            score = lam * rel[c] - lam1 * ms
+            if best is None or score > best[1]:
+                best = (c, score)
+        sel.append(best[0])
+        rem.discard(best[0])
+        out.append((best[0], step, best[1]))
+    return out
+
+
+def test_mmr_diversifies_and_matches_model(spark):
+    """Corpus with a tight near-duplicate pair at the top: plain
+    top-2 returns both copies, MMR's second pick skips the duplicate
+    for the diverse candidate; every pick and score matches the
+    pure-Python greedy model."""
+    import math
+
+    from time_series_storage_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = {
+        0: unit([1.0, 0.0, 0.0, 0.0]),          # the query
+        1: unit([0.98, 0.17, 0.0, 0.0]),        # near the query
+        2: unit([0.97, 0.18, 0.05, 0.0]),       # near-duplicate of 1
+        3: unit([0.7, -0.7, 0.1, 0.0]),         # relevant but diverse
+        4: unit([0.5, 0.0, 0.86, 0.0]),         # diverse, less relevant
+        5: unit([-1.0, 0.0, 0.0, 0.0]),         # irrelevant
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") == 0)
+
+    plain = [
+        r.vec_id
+        for r in brute_force_topk(q, emb, k=2).orderBy("rank").collect()
+    ]
+    assert set(plain) == {1, 2}  # the duplicate pair dominates
+
+    got = sorted(
+        (r.vec_id, r.step, r.mmr_x1e12)
+        for r in mmr_topk(q, emb, k=3, prefilter_k=5,
+                          lambda_x1e6=500_000).collect()
+    )
+
+    sim = lambda a, b: round(
+        sum(x * y for x, y in zip(vecs[a], vecs[b])) * 1e6
+    )
+    cands = [1, 2, 3, 4, 5]
+    rel = {c: sim(0, c) for c in cands}
+    psim = {(a, b): sim(a, b) for a in cands for b in cands if a != b}
+    want = sorted(
+        (c, s, m) for c, s, m in _mmr_model(rel, psim, 3, lam=500_000)
+    )
+    assert got == want
+    by_step = {s: c for c, s, _ in want}
+    assert by_step[1] == 1      # most relevant first
+    assert by_step[2] == 3      # NOT the near-duplicate 2: diversity won

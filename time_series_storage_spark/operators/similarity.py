@@ -1524,3 +1524,128 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rrf_x1e9", "rank")
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    prefilter_k: int = 20,
+    lambda_x1e6: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the rerank production retrieval uses when plain
+    top-k returns k near-copies of one result: greedily pick the
+    candidate maximizing ``lambda * rel(c) - (1-lambda) * max_{s in
+    selected} sim(c, s)``, so each pick trades relevance against
+    redundancy with what is already chosen.
+
+    Determinism: relevance and candidate-pair similarities are the
+    registry's rounded x1e6 fixed-point cosines; lambda is an x1e6
+    integer, so every MMR score is the exact long ``lam * rel - (1e6 -
+    lam) * maxsim`` (x1e12 scale, |score| <= 1e12); argmax ties break
+    toward the smaller id; the selection over an empty set scores
+    maxsim = 0 (so pick 1 is the plain relevance argmax). The greedy
+    loop runs a FIXED k steps — the unrolled-CTE oracle replays every
+    pick.
+
+    Scale shape: stage 1 bounds the working set to ``prefilter_k``
+    candidates per query (the exact top-k operator — swap in the int8
+    or IVF ranking upstream at larger corpora; the MMR stage only
+    needs SOME (q_id, vec_id, rel) candidate frame). The pair-sim
+    table is <= prefilter_k^2 rows per query and persists across
+    steps; each greedy step is one bounded join + partial-agg max +
+    per-query window argmax over <= prefilter_k rows, with
+    ``localCheckpoint`` truncating lineage — cost is O(k *
+    prefilter_k^2) per query INDEPENDENT of corpus size.
+
+    Output: (q_id, vec_id, step, mmr_x1e12) — step in 1..k, the pick
+    order (step replaces rank: MMR's order IS its ranking).
+    """
+    if prefilter_k < k:
+        raise ValueError(
+            f"prefilter_k ({prefilter_k}) must be >= k ({k}): the "
+            "greedy loop selects k of the prefiltered candidates"
+        )
+    lam = lambda_x1e6
+    lam1 = 1_000_000 - lambda_x1e6
+    cands = brute_force_topk(
+        queries, corpus, id_col, vec_col, k=prefilter_k
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    cand = cands.join(cv, "vec_id").select(
+        "q_id", "vec_id", "sim_x1e6", "_v"
+    )
+    a = cand.select(
+        "q_id", F.col("vec_id").alias("_ca"), F.col("_v").alias("_va")
+    )
+    b = cand.select(
+        "q_id", F.col("vec_id").alias("_cb"), F.col("_v").alias("_vb")
+    )
+    pair = (
+        a.join(b, "q_id")
+        .where(F.col("_ca") != F.col("_cb"))
+        .select(
+            "q_id",
+            "_ca",
+            "_cb",
+            F.round(cosine("_va", "_vb") * 1e6).cast("long").alias("_psim"),
+        )
+        .persist()
+    )
+    rel = cand.select("q_id", "vec_id", "sim_x1e6")
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("mmr_x1e12"), F.asc("vec_id")
+    )
+    first = (
+        rel.select(
+            "q_id",
+            "vec_id",
+            (F.lit(lam) * F.col("sim_x1e6")).cast("long").alias("mmr_x1e12"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("q_id", "vec_id", F.lit(1).cast("long").alias("step"),
+                "mmr_x1e12")
+    )
+    sel = first.localCheckpoint()
+    rem = rel.join(
+        sel.select("q_id", "vec_id"), ["q_id", "vec_id"], "anti"
+    ).localCheckpoint()
+    for t in range(2, k + 1):
+        ms = (
+            pair.join(
+                sel.select("q_id", F.col("vec_id").alias("_cb")),
+                ["q_id", "_cb"],
+            )
+            .groupBy("q_id", "_ca")
+            .agg(F.max("_psim").alias("_msim"))
+        )
+        pick = (
+            rem.join(
+                ms,
+                (rem["q_id"] == ms["q_id"]) & (rem["vec_id"] == ms["_ca"]),
+            )
+            .select(
+                rem["q_id"],
+                rem["vec_id"],
+                (
+                    F.lit(lam) * F.col("sim_x1e6")
+                    - F.lit(lam1) * F.coalesce(F.col("_msim"), F.lit(0))
+                ).cast("long").alias("mmr_x1e12"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("q_id", "vec_id",
+                    F.lit(t).cast("long").alias("step"), "mmr_x1e12")
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+        rem = rem.join(
+            pick.select("q_id", "vec_id"), ["q_id", "vec_id"], "anti"
+        ).localCheckpoint()
+    pair.unpersist()
+    return sel

@@ -9054,6 +9054,108 @@ FROM sym GROUP BY event_type
 """
 
 
+MMR_K = 8
+MMR_PREFILTER = 20
+MMR_LAMBDA = 700_000  # x1e6 relevance weight
+
+
+def q_sim_topk_mmr(spark, sf_dir):
+    """Diversified retrieval by Maximal Marginal Relevance
+    (operators/similarity.py:mmr_topk): greedy fixed-point rerank of
+    the exact-cosine top-{MMR_PREFILTER} candidates, each of
+    {MMR_K} picks trading relevance against max similarity to what is
+    already picked (lambda = 0.7, all scores exact x1e12 longs). The
+    greedy loop is fixed-length and every argmax is
+    deterministically tie-broken, so the DuckDB oracle replays ALL
+    {MMR_K} picks as unrolled CTEs — pick order, pick identity and
+    the MMR scores themselves are under the hash gate. Per-query cost
+    is O(k * prefilter^2) independent of corpus size."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    return S.mmr_topk(
+        queries, emb, k=MMR_K, prefilter_k=MMR_PREFILTER,
+        lambda_x1e6=MMR_LAMBDA,
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "step",
+        "mmr_x1e12",
+    )
+
+
+def _sim_mmr_sql(
+    k: int = MMR_K, pre: int = MMR_PREFILTER, lam: int = MMR_LAMBDA
+) -> str:
+    lam1 = 1_000_000 - lam
+    cos_qc = (
+        f"CAST(round(({_dot_sql('q.embedding', 'c.embedding')})"
+        f" / (({_norm_sql('q.embedding')}) * ({_norm_sql('c.embedding')}))"
+        f" * 1e6) AS BIGINT)"
+    )
+    cos_ab = (
+        f"CAST(round(({_dot_sql('ea.embedding', 'eb.embedding')})"
+        f" / (({_norm_sql('ea.embedding')}) * ({_norm_sql('eb.embedding')}))"
+        f" * 1e6) AS BIGINT)"
+    )
+    blocks = [f"""
+cands AS MATERIALIZED (
+  SELECT q_id, vec_id, sim_x1e6 FROM (
+    SELECT q_id, vec_id, sim_x1e6,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rk
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id, {cos_qc} AS sim_x1e6
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {SIM_QUERY_COUNT}) s) r
+  WHERE rk <= {pre}),
+pair AS MATERIALIZED (
+  SELECT a.q_id, a.vec_id AS ca, b.vec_id AS cb, {cos_ab} AS psim
+  FROM cands a
+  JOIN cands b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT q_id, vec_id, 1 AS step, mmr_x1e12 FROM (
+    SELECT q_id, vec_id, {lam}::BIGINT * sim_x1e6 AS mmr_x1e12,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY {lam}::BIGINT * sim_x1e6 DESC,
+                                       vec_id) AS rn
+    FROM cands) z WHERE rn = 1),
+r1 AS MATERIALIZED (
+  SELECT c.* FROM cands c
+  ANTI JOIN sel1 s ON s.q_id = c.q_id AND s.vec_id = c.vec_id)"""]
+    for t in range(2, k + 1):
+        blocks.append(f"""
+ms{t} AS MATERIALIZED (
+  SELECT p.q_id, p.ca AS vec_id, MAX(p.psim) AS msim
+  FROM pair p
+  JOIN sel{t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.cb
+  JOIN r{t - 1} r ON r.q_id = p.q_id AND r.vec_id = p.ca
+  GROUP BY 1, 2),
+s{t} AS MATERIALIZED (
+  SELECT q_id, vec_id, {t} AS step, mmr_x1e12 FROM (
+    SELECT q_id, vec_id, mmr_x1e12,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY mmr_x1e12 DESC, vec_id) AS rn
+    FROM (
+      SELECT r.q_id, r.vec_id,
+             {lam}::BIGINT * r.sim_x1e6
+               - {lam1}::BIGINT * COALESCE(m.msim, 0) AS mmr_x1e12
+      FROM r{t - 1} r
+      LEFT JOIN ms{t} m ON m.q_id = r.q_id AND m.vec_id = r.vec_id) y
+    ) z WHERE rn = 1),
+sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t}),
+r{t} AS MATERIALIZED (
+  SELECT r.* FROM r{t - 1} r
+  ANTI JOIN s{t} s ON s.q_id = r.q_id AND s.vec_id = r.vec_id)""")
+    return f"""
+WITH {",".join(blocks)}
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       step::BIGINT AS step, mmr_x1e12::BIGINT AS mmr_x1e12
+FROM sel{k}
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -12972,6 +13074,7 @@ EXT_QUERIES = {
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
     "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
     "sim_rrf_fusion": (q_sim_rrf_fusion, _sim_rrf_fusion_sql()),
+    "sim_topk_mmr": (q_sim_topk_mmr, _sim_mmr_sql()),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
