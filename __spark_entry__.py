@@ -52,6 +52,7 @@ _GATE_PRIORITY = [
     "sim_rrf_fusion",
     "ts_sax_daily",
     "sim_topk_mmr",
+    "ts_dtw_pairs",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

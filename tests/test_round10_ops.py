@@ -1322,3 +1322,61 @@ def test_mmr_diversifies_and_matches_model(spark):
     by_step = {s: c for c, s, _ in want}
     assert by_step[1] == 1      # most relevant first
     assert by_step[2] == 3      # NOT the near-duplicate 2: diversity won
+
+
+# -- DTW ------------------------------------------------------------------------
+
+def _dtw_model(x, y):
+    n, m = len(x), len(y)
+    D = [[0] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            c = abs(x[i] - y[j])
+            if i == 0 and j == 0:
+                D[i][j] = c
+            elif i == 0:
+                D[i][j] = c + D[i][j - 1]
+            elif j == 0:
+                D[i][j] = c + D[i - 1][j]
+            else:
+                D[i][j] = c + min(
+                    D[i - 1][j], D[i - 1][j - 1], D[i][j - 1]
+                )
+    return D[-1][-1]
+
+
+def test_dtw_matches_model_on_random_series(spark):
+    """Nested-array-fold DTW equals the full-DP Python model on
+    random series of uneven lengths, including length-1 edges."""
+    from time_series_storage_spark.operators.analytics import dtw_distance
+
+    rng = random.Random(3)
+    rows = []
+    for t in range(8):
+        x = [rng.randint(0, 40) for _ in range(rng.randint(1, 14))]
+        y = [rng.randint(0, 40) for _ in range(rng.randint(1, 14))]
+        rows.append((t, x, y))
+    rows.append((98, [5], [5]))
+    rows.append((99, [7], [1, 2, 3]))
+    df = spark.createDataFrame(rows, "t long, x array<long>, y array<long>")
+    got = {
+        r.t: r.d
+        for r in df.select("t", dtw_distance("x", "y").alias("d")).collect()
+    }
+    assert got == {t: _dtw_model(x, y) for t, x, y in rows}
+
+
+def test_dtw_shift_tolerance_vs_lockstep(spark):
+    """The semantic reason DTW exists here: a one-step shifted copy of
+    a spiky series is FAR in lockstep (sum |x_i - y_i|) but near-zero
+    in DTW."""
+    from time_series_storage_spark.operators.analytics import dtw_distance
+
+    x = [0, 0, 50, 0, 0, 50, 0, 0, 50, 0]
+    y = x[1:] + [0]  # shifted by one
+    lockstep = sum(abs(a - b) for a, b in zip(x, y))
+    df = spark.createDataFrame([(x, y)], "x array<long>, y array<long>")
+    d = df.select(dtw_distance("x", "y").alias("d")).collect()[0].d
+    assert d == _dtw_model(x, y)
+    assert lockstep >= 250
+    assert d <= 50  # warping absorbs the shift

@@ -1042,3 +1042,80 @@ def robust_stats(
         )
     )
     return med.join(trim, list(dims)).join(mad, list(dims))
+
+
+def dtw_distance(x, y):
+    """Dynamic-time-warping distance between two BIGINT array columns
+    (Sakoe & Chiba 1978; Berndt & Clifford 1994 for the data-mining
+    form) — the sequence-similarity measure that tolerates local time
+    shifts a lockstep metric (Euclidean / the Pearson components of
+    series_correlation) cannot: two series with the same shape offset
+    by a day still score close.
+
+    The full O(n*m) DP runs as ONE whole-stage-codegen expression —
+    a nested array fold: the outer ``aggregate`` carries the previous
+    DP row (array<long>) across the first series' elements, the inner
+    ``aggregate`` builds each new row left to right (the in-row
+    dependency D[i][j-1] rides the inner accumulator's tail). Costs
+    are integer |x_i - y_j|, so every cell is exact BIGINT arithmetic
+    — bit-identical to the DuckDB oracle's identical nested
+    ``list_reduce`` and to a pure-Python model (property-tested).
+
+    Scale shape: the DP is per-ROW-PAIR, embarrassingly parallel
+    across pairs, and each series' length is bounded by the grain and
+    retention horizon (days per series), never by corpus size — the
+    canonical way to run quadratic sequence alignment inside a
+    columnar engine without a shuffle or a Python UDF. Unbounded
+    series should be PAA-compressed first (ts_sax_daily's grain) —
+    the standard practice at scale.
+
+    Returns a Column: DTW(x, y) as long. Empty inputs are the
+    caller's contract to exclude (a zero-length series has no DP).
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+
+    def cost(xi, yj):
+        return F.abs(xi - yj)
+
+    # row 0: cumulative costs of x[1] against y prefix
+    row0 = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.size(y)), lambda j: j > F.lit(1)
+        ),
+        F.array(cost(F.element_at(x, 1), F.element_at(y, 1))),
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                cost(F.element_at(x, 1), F.element_at(y, j))
+                + F.element_at(acc, -1)
+            ),
+        ),
+    )
+    final_row = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.size(x)), lambda i: i > F.lit(1)
+        ),
+        row0,
+        lambda prev, i: F.aggregate(
+            F.filter(
+                F.sequence(F.lit(1), F.size(y)), lambda j: j > F.lit(1)
+            ),
+            F.array(
+                F.element_at(prev, 1)
+                + cost(F.element_at(x, i), F.element_at(y, 1))
+            ),
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    cost(F.element_at(x, i), F.element_at(y, j))
+                    + F.least(
+                        F.element_at(prev, j),
+                        F.element_at(prev, j - F.lit(1)),
+                        F.element_at(acc, -1),
+                    )
+                ),
+            ),
+        ),
+    )
+    return F.element_at(final_row, -1).cast("long")

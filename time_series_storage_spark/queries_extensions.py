@@ -9156,6 +9156,91 @@ FROM sel{k}
 """
 
 
+def q_ts_dtw_pairs(spark, sf_dir):
+    """Dynamic-time-warping distance between every pair of per-event-
+    type daily-volume series (operators/analytics.py:dtw_distance) —
+    shift-tolerant sequence similarity where series_correlation is
+    lockstep: two series with the same shape offset by a day still
+    score close. The full O(n*m) DP runs as ONE codegen nested array
+    fold per pair (no shuffle, no Python), exact integer |a-b| costs
+    end to end, and the oracle evaluates the IDENTICAL nested
+    list_reduce in DuckDB — the registry's first quadratic-DP gate.
+    The series table is one row per event type (bounded — distinct
+    types, not corpus rows), so pairing rides an equality join on a
+    constant key; per-series length is bounded by grain x retention
+    at any corpus size."""
+    from .operators.analytics import dtw_distance
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            AN.floor_div(
+                F.unix_timestamp("ts").cast("long") - F.lit(SAX_EPOCH0),
+                F.lit(86_400),
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"],
+        ).alias("vals")
+    ).withColumn("_k", F.lit(1))
+    a = ser.select(
+        F.col("event_type").alias("type_a"),
+        F.col("vals").alias("_va"),
+        "_k",
+    )
+    b = ser.select(
+        F.col("event_type").alias("type_b"),
+        F.col("vals").alias("_vb"),
+        "_k",
+    )
+    return (
+        a.join(b, "_k")
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.size("_va").cast("long").alias("n_a"),
+            F.size("_vb").cast("long").alias("n_b"),
+            dtw_distance("_va", "_vb").alias("dtw"),
+        )
+    )
+
+
+def _ts_dtw_sql() -> str:
+    dtw = """list_reduce(
+  [list_reduce([[abs(va[1]-vb[1])]] ||
+               list_transform(range(2, len(vb)+1), j -> [j::BIGINT]),
+               (acc, e) -> acc || [abs(va[1]-vb[e[1]]) + acc[len(acc)]])]
+  || list_transform(range(2, len(va)+1), i -> [va[i]]),
+  (prev, xe) -> list_reduce(
+      [[prev[1] + abs(xe[1]-vb[1])]] ||
+      list_transform(range(2, len(vb)+1), j -> [j::BIGINT]),
+      (acc, e) -> acc || [abs(xe[1]-vb[e[1]])
+                          + least(prev[e[1]], prev[e[1]-1], acc[len(acc)])])
+)[len(vb)]"""
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {SAX_EPOCH0}) // 86400) AS day,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ser AS (
+  SELECT event_type, list(cnt ORDER BY day) AS vals
+  FROM daily GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       len(a.vals)::BIGINT AS n_a, len(b.vals)::BIGINT AS n_b,
+       (SELECT {dtw} FROM (SELECT a.vals AS va, b.vals AS vb) s)::BIGINT
+         AS dtw
+FROM ser a JOIN ser b ON a.event_type < b.event_type
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -13075,6 +13160,7 @@ EXT_QUERIES = {
     "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
     "sim_rrf_fusion": (q_sim_rrf_fusion, _sim_rrf_fusion_sql()),
     "sim_topk_mmr": (q_sim_topk_mmr, _sim_mmr_sql()),
+    "ts_dtw_pairs": (q_ts_dtw_pairs, _ts_dtw_sql()),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
