@@ -9241,6 +9241,166 @@ FROM ser a JOIN ser b ON a.event_type < b.event_type
 """
 
 
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, x1e9 —
+# transcendental but FIXED literals (the LC_TABLE discipline): both
+# engines share the pinned integer table, no libm at query time.
+BENFORD_P_X1E9 = (
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+)
+
+
+def q_dq_benford_prices(spark, sf_dir):
+    """Benford's-law conformance audit of the price column — the
+    data-forensics screen (Nigrini 1996; first-significant-digit
+    frequencies should follow log10(1+1/d)) that flags fabricated or
+    clipped numeric columns before they poison downstream statistics.
+    First digits are string heads of exact BIGINTs (identical in any
+    engine — no float formatting); expected counts and chi-square
+    components are floor arithmetic against the pinned x1e9
+    probability table. One scan, one 9-row aggregate — runs at any
+    corpus size for the cost of the scan."""
+    from .operators.analytics import floor_div
+
+    li = read_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        li.where(F.col("l_extendedprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").cast("long").alias("_n"))
+    p_arr = F.array(*[F.lit(int(p)) for p in BENFORD_P_X1E9])
+    exp = floor_div(
+        F.col("_n") * F.element_at(p_arr, F.col("digit").cast("int")),
+        F.lit(1_000_000_000),
+    ).cast("long")
+    diff = F.col("n_obs") - F.col("n_exp")
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("n_exp", exp)
+        .select(
+            "digit",
+            "n_obs",
+            "n_exp",
+            floor_div(
+                diff * diff * F.lit(1000), F.greatest(F.col("n_exp"), F.lit(1))
+            ).cast("long").alias("chi2_x1e3"),
+        )
+    )
+
+
+SQL_DQ_BENFORD = f"""
+WITH obs AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*)::BIGINT AS n_obs
+  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+tot AS (SELECT SUM(n_obs)::BIGINT AS n FROM obs),
+ex AS (
+  SELECT digit, n_obs,
+         (n * list_extract([{", ".join(str(p) for p in BENFORD_P_X1E9)}],
+                           digit::INT)) // 1000000000 AS n_exp
+  FROM obs, tot)
+SELECT digit, n_obs, n_exp::BIGINT AS n_exp,
+       ((n_obs - n_exp) * (n_obs - n_exp) * 1000
+        // GREATEST(n_exp, 1))::BIGINT AS chi2_x1e3
+FROM ex
+"""
+
+
+RFM_BUCKETS = 5
+
+
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer-analytics triple
+    (Recency / Frequency / Monetary, Hughes 1994) as exact integers:
+    days since last order (relative to the corpus max date), order
+    count, and lifetime cents (floor(p*100 + 0.5) — explicit IEEE
+    arithmetic, never an engine-specific double->int cast), each
+    NTILE({RFM_BUCKETS})-scored with a deterministic total order
+    (value, then customer id). Emits the per-customer scores plus the
+    composite segment string. One exchange to the per-customer
+    aggregate (bounded by the customer dimension, not the fact
+    table); the three global NTILE windows then rank that one-row-
+    per-customer table — at web scale swap them for the broadcast-
+    cutpoint variant the ccnet_quality_buckets docstring prescribes
+    (rank against approx/exact quantile cutpoints instead of a total
+    sort)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    maxd = o.agg(
+        F.max(F.col("o_orderdate")).alias("_mx")
+    )
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            ).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.datediff(F.col("_mx"), F.col("_last"))
+            .cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    # recency: SMALLER is better -> rank descending so bucket 5 = freshest
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
+    scored = (
+        per_cust.withColumn(
+            "r_score", F.ntile(RFM_BUCKETS).over(wr).cast("long")
+        )
+        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(wf).cast("long"))
+        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(wm).cast("long"))
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )
+
+
+SQL_CUSTOMER_RFM = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders))::BIGINT
+           AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days DESC, custkey)
+           ::BIGINT AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency ASC, custkey)
+           ::BIGINT AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents ASC, custkey)
+           ::BIGINT AS m_score
+  FROM per_cust)
+SELECT custkey::BIGINT AS custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       (r_score::VARCHAR || '-' || f_score::VARCHAR || '-'
+        || m_score::VARCHAR) AS segment
+FROM scored
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -13161,6 +13321,8 @@ EXT_QUERIES = {
     "sim_rrf_fusion": (q_sim_rrf_fusion, _sim_rrf_fusion_sql()),
     "sim_topk_mmr": (q_sim_topk_mmr, _sim_mmr_sql()),
     "ts_dtw_pairs": (q_ts_dtw_pairs, _ts_dtw_sql()),
+    "dq_benford_prices": (q_dq_benford_prices, SQL_DQ_BENFORD),
+    "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
