@@ -55,6 +55,8 @@ _GATE_PRIORITY = [
     "ts_dtw_pairs",
     "dq_benford_prices",
     "customer_rfm",
+    "join_card_estimate",
+    "hist_range_selectivity",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

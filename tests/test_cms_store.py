@@ -276,3 +276,44 @@ def test_cms_store_property(spark, tmp_path_factory, elems, cut):
         ).collect()
     }
     assert got == {e: _model_est(model, e) for e in set(elems)}
+
+
+def test_cms_join_estimate_overestimates_and_exact_when_sparse(spark):
+    """Inner-product join estimate: >= the true join size always
+    (collision cross terms are non-negative), and EXACTLY the true
+    size when the key sets are too small to collide."""
+    from time_series_storage_spark.operators.cms import (
+        cms_counters,
+        cms_join_estimate,
+    )
+
+    # A has keys k0 x3, k1 x2; B has k0 x2, k2 x5 -> true join = 3*2
+    a = _df(spark, ["k0"] * 3 + ["k1"] * 2)
+    b = _df(spark, ["k0"] * 2 + ["k2"] * 5)
+    est = cms_join_estimate(
+        cms_counters(a, "e"), cms_counters(b, "e")
+    ).collect()[0].est_join
+    assert est == 6  # no collisions at w=512 with 3 keys
+
+    # forced collisions at w=2: still never an undercount
+    est2 = cms_join_estimate(
+        cms_counters(a, "e", d=2, w=2), cms_counters(b, "e", d=2, w=2), d=2
+    ).collect()[0].est_join
+    assert est2 >= 6
+
+
+def test_cms_join_estimate_disjoint_keys(spark):
+    """Disjoint key sets at full width: estimate is 0 (no shared
+    buckets in at least one row, min picks it)... at w=512 with 4
+    distinct keys no row collides, so every row's inner product is 0."""
+    from time_series_storage_spark.operators.cms import (
+        cms_counters,
+        cms_join_estimate,
+    )
+
+    a = _df(spark, ["x1", "x2"])
+    b = _df(spark, ["y1", "y2"])
+    est = cms_join_estimate(
+        cms_counters(a, "e"), cms_counters(b, "e")
+    ).collect()[0].est_join
+    assert est == 0

@@ -148,3 +148,55 @@ def cms_estimate_sql(
         f"SELECT p.*, LEAST({', '.join(mins)})::BIGINT AS est_cnt "
         f"FROM ({probes}) p " + " ".join(joins)
     )
+
+
+def cms_join_estimate(
+    counters_a: DataFrame, counters_b: DataFrame, d: int = CMS_D
+) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005, section 4.2): |A join B on key| =
+    sum_k a_k * b_k, estimated per sketch row as the bucket-wise inner
+    product sum_b A_i[b] * B_i[b] and combined with MIN over the d
+    rows. Like the point estimate, each row's inner product is the
+    TRUE join size plus non-negative collision cross terms, so the
+    estimate NEVER undercounts — the one-sided guarantee a join
+    planner wants when deciding whether a result fits a broadcast.
+
+    This is the optimizer-statistics use of the sketch: two d x w
+    counter tables (broadcast-sized by construction) answer the join
+    size question without touching either input again — at 100 TB the
+    alternative is the join itself.
+
+    Output: one row, ``est_join`` (long)."""
+    a = counters_a.select("i", "b", F.col("c").alias("_ca"))
+    b = counters_b.select("i", "b", F.col("c").alias("_cb"))
+    per_row = (
+        a.join(b, ["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_ip"))
+    )
+    rows = counters_a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("i")
+    )
+    return (
+        rows.join(per_row, "i", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_ip"), F.lit(0)))
+            .cast("long").alias("est_join")
+        )
+    )
+
+
+def cms_join_estimate_sql(
+    counters_a: str, counters_b: str, d: int = CMS_D
+) -> str:
+    """Oracle mirror of :func:`cms_join_estimate`: per-row bucket-wise
+    inner products, MIN over all d rows with absent rows counting 0."""
+    return f"""
+SELECT MIN(COALESCE(ip, 0))::BIGINT AS est_join
+FROM range({d}) r(i)
+LEFT JOIN (
+  SELECT a.i, SUM(a.c * b.c)::BIGINT AS ip
+  FROM ({counters_a}) a JOIN ({counters_b}) b
+    ON a.i = b.i AND a.b = b.b
+  GROUP BY a.i) p ON p.i = r.i"""

@@ -9401,6 +9401,143 @@ FROM scored
 """
 
 
+def q_join_card_estimate(spark, sf_dir):
+    """Join-size estimation from Count-Min sketches — the
+    optimizer-statistics read (Cormode & Muthukrishnan 2005 s4.2,
+    the AGMS-style inner-product use): |orders join lineitem on
+    orderkey| estimated as the MIN over sketch rows of the bucket-wise
+    counter inner product, NEVER an undercount (collision cross terms
+    are non-negative) — the one-sided bound a planner wants before
+    promising a broadcast. The gate emits the estimate NEXT TO the
+    exact join count, so the overestimate property and the error are
+    externally hash-checked. At 100 TB the two sketches are 2048
+    longs each and answer without re-touching either table; the exact
+    column here is the audit, not the serving path."""
+    from .operators.cms import cms_counters, cms_join_estimate
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ka = o.select(F.col("o_orderkey").cast("string").alias("_e"))
+    kb = li.select(F.col("l_orderkey").cast("string").alias("_e"))
+    est = cms_join_estimate(cms_counters(ka, "_e"), cms_counters(kb, "_e"))
+    exact = (
+        o.select("o_orderkey")
+        .join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join"))
+    )
+    counts = o.agg(F.count(F.lit(1)).cast("long").alias("rows_a")).crossJoin(
+        li.agg(F.count(F.lit(1)).cast("long").alias("rows_b"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select("rows_a", "rows_b", "exact_join", "est_join")
+    )
+
+
+def _join_card_sql() -> str:
+    from .operators.cms import cms_counters_sql, cms_join_estimate_sql
+
+    ca = cms_counters_sql(
+        "(SELECT o_orderkey::VARCHAR AS k FROM orders) ta", "k"
+    )
+    cb = cms_counters_sql(
+        "(SELECT l_orderkey::VARCHAR AS k FROM lineitem) tb", "k"
+    )
+    return f"""
+WITH est AS MATERIALIZED ({cms_join_estimate_sql(ca, cb)}),
+exact AS (
+  SELECT COUNT(*)::BIGINT AS exact_join
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+cnts AS (
+  SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS rows_a,
+         (SELECT COUNT(*) FROM lineitem)::BIGINT AS rows_b)
+SELECT rows_a, rows_b, exact_join, est_join
+FROM cnts, exact, est
+"""
+
+
+SEL_HIST_NB = 32  # equi-width buckets for the selectivity estimate
+SEL_LO_CENTS = 100_000_00  # predicate: totalprice in [$100k, $300k)
+SEL_HI_CENTS = 300_000_00
+
+
+def q_hist_range_selectivity(spark, sf_dir):
+    """Range-predicate selectivity estimation from an equi-width
+    histogram — the other canonical optimizer statistic (Selinger et
+    al. 1979 lineage; every CBO's reflex before choosing a scan
+    strategy): bucket counts over o_totalprice (exact cents), the
+    predicate's estimated rows by uniform-within-bucket interpolation
+    (pure floor arithmetic: cnt * overlap_width // bucket_width), and
+    the EXACT predicate count beside it so the estimate's error is
+    externally hash-checked. The histogram is one partial-aggregated
+    exchange of <= {SEL_HIST_NB} rows per partition and broadcasts;
+    the exact column is the audit, not the serving path."""
+    from .operators.analytics import ceil_div, floor_div
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rng = o.agg(
+        F.min(cents).alias("_mn"), F.max(cents).alias("_mx")
+    ).select(
+        "_mn",
+        ceil_div(F.col("_mx") - F.col("_mn") + 1, F.lit(SEL_HIST_NB))
+        .alias("_wd"),
+    )
+    hist = (
+        o.select(cents.alias("_v"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            floor_div(F.col("_v") - F.col("_mn"), F.col("_wd")).alias("b"),
+            "_mn", "_wd",
+        )
+        .groupBy("b", "_mn", "_wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    b_lo = F.col("_mn") + F.col("b") * F.col("_wd")
+    b_hi = b_lo + F.col("_wd")
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.lit(SEL_HI_CENTS), b_hi) - F.greatest(F.lit(SEL_LO_CENTS), b_lo),
+    )
+    est = hist.agg(
+        F.sum(
+            floor_div(F.col("cnt") * overlap, F.col("_wd"))
+        ).cast("long").alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    exact = o.where(
+        (cents >= SEL_LO_CENTS) & (cents < SEL_HI_CENTS)
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select("n_buckets", "exact_rows", "est_rows")
+    )
+
+
+SQL_HIST_RANGE_SELECTIVITY = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+rng AS (
+  SELECT MIN(v) AS mn,
+         (MAX(v) - MIN(v) + 1 + {SEL_HIST_NB} - 1) // {SEL_HIST_NB} AS wd
+  FROM cents),
+hist AS (
+  SELECT (v - mn) // wd AS b, mn, wd, COUNT(*)::BIGINT AS cnt
+  FROM cents, rng GROUP BY 1, 2, 3),
+est AS (
+  SELECT COUNT(*)::BIGINT AS n_buckets,
+         SUM((cnt * GREATEST(0, LEAST({SEL_HI_CENTS}, mn + (b + 1) * wd)
+                                - GREATEST({SEL_LO_CENTS}, mn + b * wd)))
+             // wd)::BIGINT AS est_rows
+  FROM hist),
+exact AS (
+  SELECT COUNT(*)::BIGINT AS exact_rows FROM cents
+  WHERE v >= {SEL_LO_CENTS} AND v < {SEL_HI_CENTS})
+SELECT n_buckets, exact_rows, est_rows FROM est, exact
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -13323,6 +13460,10 @@ EXT_QUERIES = {
     "ts_dtw_pairs": (q_ts_dtw_pairs, _ts_dtw_sql()),
     "dq_benford_prices": (q_dq_benford_prices, SQL_DQ_BENFORD),
     "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+    "join_card_estimate": (q_join_card_estimate, _join_card_sql()),
+    "hist_range_selectivity": (
+        q_hist_range_selectivity, SQL_HIST_RANGE_SELECTIVITY,
+    ),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
