@@ -1380,3 +1380,60 @@ def test_dtw_shift_tolerance_vs_lockstep(spark):
     assert d == _dtw_model(x, y)
     assert lockstep >= 250
     assert d <= 50  # warping absorbs the shift
+
+
+# -- Theil-Sen -------------------------------------------------------------------
+
+def test_theilsen_robust_where_ols_breaks(spark):
+    """A clean +2/day trend with ONE 1000-high spike day: the median
+    pairwise slope stays 2.0 x1e6 while the OLS slope is dragged an
+    order of magnitude away — the breakdown-point argument for having
+    both statistics, checked end to end through the gated query."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from time_series_storage_spark.queries_extensions import (
+        SAX_EPOCH0,
+        q_ts_theilsen_slope,
+    )
+
+    counts = [10 + 2 * d for d in range(15)]
+    counts[14] = 1000  # the outlier day (at the end: max OLS leverage)
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for j in range(c):
+            ts = dt.datetime.utcfromtimestamp(SAX_EPOCH0 + day * 86_400 + j)
+            rows.append((eid, ts, 1, "click", 0.0, "{}"))
+            eid += 1
+    sf_dir = tempfile.mkdtemp(prefix="theil_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = q_ts_theilsen_slope(spark, sf_dir).collect()[0]
+    n = len(counts)
+    assert got.n_pairs == n * (n - 1) // 2
+
+    # pure-python model: lower median of floor-scaled pairwise slopes
+    slopes = sorted(
+        (
+            ((counts[j] - counts[i]) * 1_000_000) // (j - i),
+            i, j,
+        )
+        for i in range(n) for j in range(i + 1, n)
+    )
+    want = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert got.slope_med_x1e6 == want
+    assert got.slope_med_x1e6 == 2_000_000  # the true trend, spike ignored
+
+    # OLS on the same series is dragged far off by the single spike
+    xs = list(range(n))
+    mx = sum(xs) / n
+    my = sum(counts) / n
+    ols = sum((x - mx) * (y - my) for x, y in zip(xs, counts)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(ols - 2.0) > 5  # OLS off by >5 counts/day

@@ -9425,8 +9425,16 @@ def q_join_card_estimate(spark, sf_dir):
         .join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_join"))
     )
-    counts = o.agg(F.count(F.lit(1)).cast("long").alias("rows_a")).crossJoin(
-        li.agg(F.count(F.lit(1)).cast("long").alias("rows_b"))
+    # both row counts from ONE tagged-union aggregate (no scalar join),
+    # so the plan carries exactly two bounded scalar broadcasts (exact,
+    # est) and stays inside the registry-wide 2-NLJ budget
+    counts = (
+        ka.select(F.lit(0).alias("_t"))
+        .unionByName(kb.select(F.lit(1).alias("_t")))
+        .agg(
+            F.sum((F.col("_t") == 0).cast("long")).alias("rows_a"),
+            F.sum((F.col("_t") == 1).cast("long")).alias("rows_b"),
+        )
     )
     return (
         counts.crossJoin(F.broadcast(exact))
@@ -9535,6 +9543,94 @@ exact AS (
   SELECT COUNT(*)::BIGINT AS exact_rows FROM cents
   WHERE v >= {SEL_LO_CENTS} AND v < {SEL_HI_CENTS})
 SELECT n_buckets, exact_rows, est_rows FROM est, exact
+"""
+
+
+def q_ts_theilsen_slope(spark, sf_dir):
+    """Theil-Sen robust trend estimation per event-type daily series
+    (Theil 1950 / Sen 1968): the MEDIAN of all pairwise slopes — the
+    trend statistic a single outlier day cannot move, where the OLS
+    slope (ts_trend_slope) follows the outlier (breakdown point 29%
+    vs 0%; pinned side by side in pytest). Slopes are quantized
+    x1e6 floors (floor_div of possibly-negative numerators — exact in
+    both engines); the median is the LOWER median under (slope, then
+    the pair's day coordinates) total order — fully deterministic, so
+    the statistic itself hash-gates. The pairwise join is keyed on
+    the series and bounded by days-per-series squared (grain x
+    retention — a constant per series, never corpus-sized); one more
+    window pass picks the median."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            AN.floor_div(
+                F.unix_timestamp("ts").cast("long") - F.lit(SAX_EPOCH0),
+                F.lit(86_400),
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            AN.floor_div(
+                (F.col("c2") - F.col("c1")) * 1_000_000,
+                F.col("d2") - F.col("d1"),
+            ).alias("slope_x1e6"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_x1e6", "d1", "d2")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w))
+    stats = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return (
+        ranked.join(stats, "event_type")
+        .where(F.col("_rn") == AN.floor_div(F.col("n_pairs") + 1, F.lit(2)))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("slope_x1e6").alias("slope_med_x1e6"),
+        )
+    )
+
+
+SQL_TS_THEILSEN = f"""
+WITH daily AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {SAX_EPOCH0}) // 86400) AS day,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         ((b.cnt - a.cnt) * 1000000
+          - ((((b.cnt - a.cnt) * 1000000) % (b.day - a.day)
+              + (b.day - a.day)) % (b.day - a.day)))
+           // (b.day - a.day) AS slope_x1e6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day),
+ranked AS (
+  SELECT event_type, d1, d2, slope_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_x1e6, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs)
+SELECT event_type, n_pairs::BIGINT AS n_pairs,
+       slope_x1e6 AS slope_med_x1e6
+FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
@@ -13464,6 +13560,7 @@ EXT_QUERIES = {
     "hist_range_selectivity": (
         q_hist_range_selectivity, SQL_HIST_RANGE_SELECTIVITY,
     ),
+    "ts_theilsen_slope": (q_ts_theilsen_slope, SQL_TS_THEILSEN),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
