@@ -1437,3 +1437,54 @@ def test_theilsen_robust_where_ols_breaks(spark):
         (x - mx) ** 2 for x in xs
     )
     assert abs(ols - 2.0) > 5  # OLS off by >5 counts/day
+
+
+# -- MaxMatch segmentation --------------------------------------------------------
+
+def test_maxmatch_matches_greedy_model(spark):
+    """Greedy longest-match segmentation equals the pure-Python
+    maximal-munch model over an adversarial vocab (overlapping pieces,
+    char fallback, full-word piece), and the TRUNC marker fires when
+    rounds are undersized."""
+    from time_series_storage_spark.operators.text import maxmatch_segment
+
+    vocab = ["ab", "abc", "bcd", "cd", "dede", "de"]
+    words = ["abcd", "abcde", "dedede", "xyz", "abcdabcd", "a"]
+
+    def model(w):
+        pos, pieces = 0, []
+        while pos < len(w):
+            for L in (4, 3, 2):
+                if w[pos:pos + L] in vocab and len(w[pos:pos + L]) == L:
+                    pieces.append(w[pos:pos + L])
+                    pos += L
+                    break
+            else:
+                pieces.append(w[pos])
+                pos += 1
+        return pieces
+
+    wc = spark.createDataFrame(
+        [(w, 1) for w in words], "word string, n_occurrences long"
+    )
+    vdf = spark.createDataFrame([(p,) for p in vocab], "piece string")
+    got = {
+        r.word: (r.n_pieces, r.seg)
+        for r in maxmatch_segment(
+            wc, vdf, min_len=2, max_len=4, max_rounds=8
+        ).collect()
+    }
+    want = {w: (len(model(w)), "|".join(model(w))) for w in words}
+    assert got == want
+    # greedy is greedy: 'abcd' -> abc|d (longest-first), not ab|cd
+    assert got["abcd"][1] == "abc|d"
+
+    # undersized rounds: the truncation is loud, never silent
+    short = {
+        r.word: r.seg
+        for r in maxmatch_segment(
+            wc, vdf, min_len=2, max_len=4, max_rounds=1
+        ).collect()
+    }
+    assert short["dedede"].endswith("|<TRUNC>")
+    assert short["a"] == "a"  # one round suffices for 1-char words

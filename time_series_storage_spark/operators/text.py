@@ -1446,3 +1446,108 @@ def kneser_ney_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_p").cast("long").alias("sum_p_x1e9"),
     )
+
+
+def maxmatch_segment(
+    word_counts: DataFrame,
+    vocab: DataFrame,
+    min_len: int = 2,
+    max_len: int = 4,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Greedy longest-match (MaxMatch) subword segmentation — the
+    WordPiece-style ENCODING rule (maximal munch: at each position
+    take the longest vocabulary piece that matches; Wong & Chan 1996
+    for the classic segmentation form, Schuster & Nakajima 2012 /
+    BERT's tokenizer for the subword use): the third tokenizer family
+    beside the BPE merge walk (bpe.py) and the fixed top-K vocabulary
+    coder (vocab_encode). Positions with no vocabulary match fall back
+    to the single character (the [UNK]-per-char convention), so every
+    word always segments.
+
+    Inputs: ``word_counts`` (word, n_occurrences) — the DISTINCT-WORD
+    table (the bpe_encode_prod discipline: segmentation cost scales
+    with the vocabulary of words, not corpus tokens; join the result
+    back to occurrences for token-level views) — and ``vocab``
+    (piece), pieces of length in [min_len, max_len].
+
+    Determinism: candidate lengths are tried longest-first as a pure
+    argmax over (length) per position — no tie possible (one candidate
+    per length); the loop runs a FIXED ``max_rounds`` (each round
+    consumes >= 1 char, so size it to the max word length — words
+    still unfinished get a loud ``|<TRUNC>`` marker IN the output, so
+    an under-sized round count can never silently pass a hash gate).
+
+    Plan shape: per round, candidate generation is a generator explode
+    over the CONSTANT length range (no join), the vocabulary probe is
+    one broadcast hash join, the per-position argmax a partial
+    ``max(struct)`` aggregate, and ``localCheckpoint`` truncates the
+    loop lineage. Work per round is O(active words x lengths);
+    nothing is keyed on corpus size.
+
+    Output: (word, n_occurrences, n_pieces, seg) — seg is the
+    '|'-joined piece sequence.
+    """
+    v = F.broadcast(vocab.select(F.col("piece").alias("_c")))
+    active = word_counts.select(
+        "word",
+        F.col("n_occurrences"),
+        F.lit(1).alias("_pos"),
+        F.lit("").alias("_seg"),
+        F.lit(0).cast("long").alias("n_pieces"),
+    ).localCheckpoint()
+    done = None
+    lens = F.array(
+        *[F.lit(l) for l in range(max_len, min_len - 1, -1)]
+    )
+    for _ in range(max_rounds):
+        cand = (
+            active.select(
+                "word", "_pos", F.explode(lens).alias("_L")
+            )
+            .withColumn("_c", F.expr("substring(word, _pos, _L)"))
+            .where(F.length("_c") == F.col("_L"))
+        )
+        m = (
+            cand.join(v, "_c")
+            .groupBy("word", "_pos")
+            .agg(F.max(F.struct("_L", "_c")).alias("_m"))
+        )
+        stepped = (
+            active.join(m, ["word", "_pos"], "left")
+            .select(
+                "word",
+                "n_occurrences",
+                (
+                    F.col("_pos")
+                    + F.coalesce(F.col("_m._L"), F.lit(1))
+                ).alias("_pos"),
+                F.concat(
+                    F.col("_seg"),
+                    F.when(F.col("_seg") == "", F.lit("")).otherwise(
+                        F.lit("|")
+                    ),
+                    F.coalesce(
+                        F.col("_m._c"),
+                        F.expr("substring(word, _pos, 1)"),
+                    ),
+                ).alias("_seg"),
+                (F.col("n_pieces") + 1).cast("long").alias("n_pieces"),
+            )
+            .localCheckpoint()
+        )
+        finished = stepped.where(F.col("_pos") > F.length("word"))
+        done = (
+            finished if done is None else done.unionByName(finished)
+        )
+        active = stepped.where(
+            F.col("_pos") <= F.length("word")
+        ).localCheckpoint()
+    # anything still active after max_rounds surfaces LOUDLY in the hash
+    trunc = active.withColumn(
+        "_seg", F.concat(F.col("_seg"), F.lit("|<TRUNC>"))
+    )
+    out = done.unionByName(trunc)
+    return out.select(
+        "word", "n_occurrences", "n_pieces", F.col("_seg").alias("seg")
+    )

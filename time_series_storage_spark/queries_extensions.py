@@ -9634,6 +9634,130 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+MAXMATCH_VOCAB = 16  # top n-grams kept as segmentation pieces
+MAXMATCH_MINL = 2
+MAXMATCH_MAXL = 4
+MAXMATCH_ROUNDS = 8  # >= max word length in the corpus (loud if not)
+
+
+def q_maxmatch_segment(spark, sf_dir):
+    """Greedy longest-match (MaxMatch / WordPiece-encode-style)
+    subword segmentation (operators/text.py:maxmatch_segment) over a
+    corpus-derived piece vocabulary: the top-{MAXMATCH_VOCAB}
+    occurrence-weighted character n-grams (lengths
+    {MAXMATCH_MINL}..{MAXMATCH_MAXL}, ties to the lexicographically
+    smaller gram). Runs on the DISTINCT-WORD table — the
+    bpe_encode_prod discipline, cost scales with word vocabulary not
+    corpus tokens — with a fixed {MAXMATCH_ROUNDS}-round greedy loop
+    whose every pick the oracle replays as unrolled CTEs; unfinished
+    words surface a loud |<TRUNC> marker in the hashed output. Per
+    round: a generator explode over the constant length range, ONE
+    broadcast vocab probe, a partial max(struct) argmax — no joins
+    keyed on corpus size."""
+    occ = (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    grams = (
+        occ.select(
+            "word",
+            "n_occurrences",
+            F.explode(
+                F.array(*[
+                    F.lit(x)
+                    for x in range(MAXMATCH_MINL, MAXMATCH_MAXL + 1)
+                ])
+            ).alias("_L"),
+        )
+        .select(
+            "word",
+            "n_occurrences",
+            "_L",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("word") - F.col("_L") + 1, F.lit(1)
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            F.expr("substring(word, _p, _L)").alias("piece"),
+            "_L",
+            "n_occurrences",
+        )
+        # a word shorter than _L yields one undersized piece at p=1
+        # (Spark sequence(1, 0) would descend [1, 0] — floored at 1
+        # and filtered here instead)
+        .where(F.length("piece") == F.col("_L"))
+        .drop("_L")
+    )
+    vocab = (
+        grams.groupBy("piece")
+        .agg(F.sum("n_occurrences").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("piece"))
+        .limit(MAXMATCH_VOCAB)
+        .select("piece")
+    )
+    return T.maxmatch_segment(
+        occ, vocab,
+        min_len=MAXMATCH_MINL, max_len=MAXMATCH_MAXL,
+        max_rounds=MAXMATCH_ROUNDS,
+    )
+
+
+def _maxmatch_sql(rounds: int = MAXMATCH_ROUNDS) -> str:
+    lens_desc = list(range(MAXMATCH_MAXL, MAXMATCH_MINL - 1, -1))
+    blocks = [f"""
+wocc AS MATERIALIZED (
+  SELECT w AS word, COUNT(*)::BIGINT AS n
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w FROM documents) u
+  GROUP BY w),
+vocab AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT substring(word, p, L) AS piece, SUM(n) AS cnt
+    FROM wocc
+    CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in range(MAXMATCH_MINL, MAXMATCH_MAXL + 1))}]) AS L) ll
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(1, GREATEST(length(word) - L + 1, 0)))
+        AS p) pp
+    GROUP BY 1)
+  ORDER BY cnt DESC, piece LIMIT {MAXMATCH_VOCAB}),
+a0 AS (SELECT word, n, 1 AS pos, '' AS seg, 0 AS np FROM wocc)"""]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT s.word, s.pos, MAX(l.L) AS L
+  FROM a{r - 1} s
+  CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in lens_desc)}]) AS L) l
+  JOIN vocab v ON length(substring(s.word, s.pos, l.L)) = l.L
+             AND v.piece = substring(s.word, s.pos, l.L)
+  GROUP BY 1, 2),
+s{r} AS MATERIALIZED (
+  SELECT s.word, s.n, s.pos + COALESCE(m.L, 1) AS pos,
+         s.seg || (CASE WHEN s.seg = '' THEN '' ELSE '|' END)
+               || substring(s.word, s.pos, COALESCE(m.L, 1)) AS seg,
+         s.np + 1 AS np
+  FROM a{r - 1} s LEFT JOIN m{r} m
+    ON m.word = s.word AND m.pos = s.pos),
+f{r} AS (SELECT * FROM s{r} WHERE pos > length(word)),
+a{r} AS (SELECT * FROM s{r} WHERE pos <= length(word))""")
+    finished = "\nUNION ALL\n".join(
+        f"SELECT word, n, np, seg FROM f{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH {",".join(blocks)}
+SELECT word, n AS n_occurrences, np::BIGINT AS n_pieces, seg FROM (
+  {finished}
+  UNION ALL
+  SELECT word, n, np, seg || '|<TRUNC>' AS seg FROM a{rounds}) z
+"""
+
+
 ROLLING_KMV_K = 64
 ROLLING_KMV_DAYS = 7
 
@@ -13561,6 +13685,7 @@ EXT_QUERIES = {
         q_hist_range_selectivity, SQL_HIST_RANGE_SELECTIVITY,
     ),
     "ts_theilsen_slope": (q_ts_theilsen_slope, SQL_TS_THEILSEN),
+    "maxmatch_segment": (q_maxmatch_segment, _maxmatch_sql()),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
