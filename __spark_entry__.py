@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "hist_range_selectivity",
     "ts_theilsen_slope",
     "maxmatch_segment",
+    "rolling_weekly_users_hll",
     # --- round-10 window (continuation): the twenty-three continuation-block
     # --- queries lead, then the fourteen r10 queries, the seven
     # --- parked r6 rows, and the oldest r7 rows up to the 50 line;

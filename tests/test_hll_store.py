@@ -326,3 +326,42 @@ def test_hll_store_property(spark, tmp_path_factory, rows, cut):
         store.absorb(_df(spark, d2), "gk", "e")
     assert _read_regs(store) == _model_regs(rows)
     assert _read_est(store) == _model(rows)
+
+
+def test_hll_rolling_equals_oneshot_per_window(spark):
+    """Rolling in-plan merge == one-shot sketch of each trailing
+    window's elements (max-merge algebra), on synthetic multi-day
+    traffic with gaps."""
+    import datetime as dt
+
+    from time_series_storage_spark.operators.hll import (
+        hll_distinct,
+        hll_rolling_estimate,
+    )
+
+    rows = []
+    days = [0, 1, 2, 5, 9]  # gaps on purpose: range frame, not rows
+    by_day = {}
+    for d in days:
+        elems = [f"u{d}-{i}" for i in range(3 + d)] + ["shared"]
+        by_day[d] = elems
+        for i, e in enumerate(elems):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=d, seconds=i)
+            rows.append(("g", ts, e))
+    df = spark.createDataFrame(rows, "gk string, ts timestamp, e string")
+    got = {
+        r.bucket_idx: (r.n_regs, r.harm_num, r.v_zero, r.est_distinct)
+        for r in hll_rolling_estimate(
+            df, ["gk"], "e", "ts", 86_400, window_buckets=3
+        ).collect()
+    }
+    base = min(got)  # epoch-day of day 0
+    for d in days:
+        win = [
+            e for dd in days if d - 2 <= dd <= d for e in by_day[dd]
+        ]
+        wdf = spark.createDataFrame([("g", e) for e in win], "gk string, e string")
+        want = hll_distinct(wdf, ["gk"], "e").collect()[0]
+        assert got[base + d] == (
+            want.n_regs, want.harm_num, want.v_zero, want.est_distinct
+        ), d

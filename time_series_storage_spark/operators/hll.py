@@ -223,3 +223,114 @@ def hll_estimate_sql(regs: str) -> str:
              )::BIGINT AS harm_num,
              ({HLL_M} - COUNT(*))::BIGINT AS v_zero
       FROM ({regs}) GROUP BY gk) b) c"""
+
+
+def hll_rolling_estimate(
+    elements: DataFrame,
+    key_cols: Sequence[str],
+    elem_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    window_buckets: int = 7,
+) -> DataFrame:
+    """ROLLING distinct estimate — HLL register MERGE inside the plan,
+    the max-merge mirror of :func:`~.sketch.kmv_rolling_estimate`
+    (same grain, same output role; the two sketch families answer the
+    same rolling-distinct question and their gates share keys so they
+    compare row for row).
+
+    Per (key, time bucket) the registers pack into a DENSE m-slot
+    array (absent register = 0); the trailing-window merge is then a
+    pure codegen fold — ``zip_with(acc, arr, greatest)`` over a
+    range-frame ``collect_list`` of at most ``window_buckets`` arrays
+    — because HLL merge IS element-wise max. Missing buckets cost
+    nothing (range frame over the bucket index). The estimator is the
+    exact-integer form of :func:`hll_aggregate` evaluated on the
+    merged array (``rho = 0`` slots contribute 2^41 to the harmonic
+    numerator uniformly, so the dense form needs no zero-count
+    special case).
+
+    Scale shape: register building is one partial-aggregated exchange
+    bounded at m rows per (key, bucket) per partition; what crosses
+    the wire afterward is one m-slot int array per (key, bucket); the
+    rolling merge is one window pass over sketch-sized rows. Output:
+    key_cols + ``bucket_idx`` + ``n_regs``/``harm_num``/``v_zero``/
+    ``est_distinct`` (long).
+    """
+    from pyspark.sql import Window
+
+    from .analytics import floor_div
+
+    if window_buckets < 1:
+        raise ValueError(
+            f"window_buckets must be >= 1, got {window_buckets}"
+        )
+    bidx = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+    ).cast("long")
+    bucketed = elements.select(
+        *key_cols, bidx.alias("bucket_idx"), F.col(elem_col).alias("_e")
+    )
+    regs = hll_registers(bucketed, [*key_cols, "bucket_idx"], "_e")
+    dense = regs.groupBy(*key_cols, "bucket_idx").agg(
+        F.aggregate(
+            F.collect_list(F.struct("r", "rho")),
+            F.array_repeat(F.lit(0), HLL_M),
+            lambda acc, e: F.transform(
+                F.sequence(F.lit(1), F.lit(HLL_M)),
+                lambda i: F.when(
+                    i == e["r"] + 1, F.greatest(F.element_at(acc, i), e["rho"])
+                ).otherwise(F.element_at(acc, i)),
+            ),
+        ).alias("_dense")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_idx")
+        .rangeBetween(-(window_buckets - 1), 0)
+    )
+    merged = F.aggregate(
+        F.collect_list("_dense").over(w),
+        F.array_repeat(F.lit(0), HLL_M),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.greatest(a, b)),
+    )
+    rolled = dense.select(
+        *key_cols,
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        merged.alias("_m"),
+    )
+    n_regs = F.size(F.filter(F.col("_m"), lambda x: x > 0)).cast("long")
+    harm = F.aggregate(
+        F.col("_m"),
+        F.lit(0).cast("long"),
+        lambda acc, rho: acc
+        + F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.lit(HLL_RHO_MAX) - rho).cast("int"),
+        ),
+    ).cast("long")
+    v_zero = (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+    raw = floor_div(
+        F.lit(ALPHA_X1E4) * floor_div(F.lit(_POW2_57), F.col("harm_num")),
+        F.lit(10_000),
+    ).cast("long")
+    lc = F.element_at(
+        F.array(*[F.lit(int(x)) for x in LC_TABLE]),
+        F.greatest(F.col("v_zero"), F.lit(1)).cast("int"),
+    ).cast("long")
+    return (
+        rolled.withColumn("n_regs", n_regs)
+        .withColumn("harm_num", harm)
+        .withColumn("v_zero", v_zero)
+        .withColumn(
+            "est_distinct",
+            F.when(
+                (raw <= LC_THRESHOLD) & (F.col("v_zero") > 0), lc
+            ).otherwise(raw),
+        )
+        .select(
+            *key_cols, "bucket_idx",
+            "n_regs", "harm_num", "v_zero", "est_distinct",
+        )
+    )

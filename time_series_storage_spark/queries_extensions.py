@@ -9640,6 +9640,87 @@ MAXMATCH_MAXL = 4
 MAXMATCH_ROUNDS = 8  # >= max word length in the corpus (loud if not)
 
 
+def q_rolling_weekly_users_hll(spark, sf_dir):
+    """Rolling weekly-active-users per event type from DAILY HLL
+    sketches merged in-plan (operators/hll.py:hll_rolling_estimate) —
+    the MAX-merge mirror of rolling_weekly_users (same keys, same
+    buckets, so the two sketch families' answers to the same
+    rolling-distinct question compare row for row): each day's 256
+    registers pack into a dense array once, the trailing 7-day merge
+    is one zip_with(greatest) fold over a range-frame collect_list,
+    and the exact-integer estimator runs on the merged array."""
+    from .operators.hll import hll_rolling_estimate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_rolling_estimate(
+        ev, ["event_type"], "uid", "ts",
+        bucket_seconds=86_400, window_buckets=ROLLING_KMV_DAYS,
+    )
+
+
+def _rolling_hll_sql() -> str:
+    from .operators.hll import (
+        ALPHA_X1E4,
+        HLL_M,
+        HLL_RHO_BITS,
+        HLL_RHO_MAX,
+        LC_THRESHOLD,
+        _POW2_57,
+        lc_table_sql,
+    )
+
+    wb = ROLLING_KMV_DAYS
+    mask = (1 << HLL_RHO_BITS) - 1
+    h = ("CAST(CONCAT('0x', SUBSTRING(md5(user_id::VARCHAR), 1, 12))"
+         " AS BIGINT)")
+    return f"""
+WITH regs AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket_idx,
+         ({h} >> {HLL_RHO_BITS})::INT AS r,
+         MAX(CASE WHEN ({h} & {mask}) = 0 THEN {HLL_RHO_MAX}
+              ELSE {HLL_RHO_MAX} - length(bin({h} & {mask})) END)::INT AS rho
+  FROM events GROUP BY 1, 2, 3),
+dense AS (
+  SELECT event_type, bucket_idx,
+         list_transform(range(1, {HLL_M} + 1),
+           i -> COALESCE(list_max(list_transform(
+                  list_filter(rl, s -> s.r = i - 1), s -> s.rho)), 0))
+           AS d
+  FROM (SELECT event_type, bucket_idx, list(struct_pack(r := r, rho := rho))
+          AS rl FROM regs GROUP BY 1, 2) g),
+rolled AS (
+  SELECT event_type, bucket_idx,
+         list(d) OVER (PARTITION BY event_type ORDER BY bucket_idx
+                       RANGE BETWEEN {wb - 1} PRECEDING AND CURRENT ROW)
+           AS ws
+  FROM dense),
+m AS (
+  SELECT event_type, bucket_idx,
+         list_transform(range(1, {HLL_M} + 1),
+           i -> list_max(list_transform(ws, l -> l[i]))) AS mg
+  FROM rolled),
+est AS (
+  SELECT event_type, bucket_idx,
+         len(list_filter(mg, x -> x > 0))::BIGINT AS n_regs,
+         list_sum(list_transform(mg,
+           rho -> 1::BIGINT << ({HLL_RHO_MAX} - rho)))::BIGINT AS harm_num
+  FROM m)
+SELECT event_type, bucket_idx::BIGINT AS bucket_idx, n_regs, harm_num,
+       ({HLL_M} - n_regs)::BIGINT AS v_zero,
+       CASE WHEN ({ALPHA_X1E4} * (({_POW2_57}::BIGINT) // harm_num)) // 10000
+                 <= {LC_THRESHOLD}
+             AND n_regs < {HLL_M}
+            THEN list_extract({lc_table_sql()},
+                              GREATEST({HLL_M} - n_regs, 1)::INT)::BIGINT
+            ELSE ({ALPHA_X1E4} * (({_POW2_57}::BIGINT) // harm_num)) // 10000
+       END AS est_distinct
+FROM est
+"""
+
+
 def q_maxmatch_segment(spark, sf_dir):
     """Greedy longest-match (MaxMatch / WordPiece-encode-style)
     subword segmentation (operators/text.py:maxmatch_segment) over a
@@ -13686,6 +13767,9 @@ EXT_QUERIES = {
     ),
     "ts_theilsen_slope": (q_ts_theilsen_slope, SQL_TS_THEILSEN),
     "maxmatch_segment": (q_maxmatch_segment, _maxmatch_sql()),
+    "rolling_weekly_users_hll": (
+        q_rolling_weekly_users_hll, _rolling_hll_sql(),
+    ),
     "ts_sax_daily": (q_ts_sax_daily, SQL_TS_SAX_DAILY),
     "decontaminate_incremental": (
         q_decontaminate_incremental, SQL_DECONTAMINATE_BLOOM,
