@@ -365,3 +365,38 @@ def test_hll_rolling_equals_oneshot_per_window(spark):
         assert got[base + d] == (
             want.n_regs, want.harm_num, want.v_zero, want.est_distinct
         ), d
+
+
+def test_hll_time_travel_as_of(spark, tmp_path):
+    """Every retained snapshot is an independently readable
+    point-in-time image: estimates_as_of(v_i) equals a twin store
+    stopped after i absorbs, later absorbs and prune() stay invisible,
+    and a vacuumed version raises loudly instead of serving the wrong
+    snapshot."""
+    days = [DAY1, DAY2, [("a", "zzz"), ("d", "late")]]
+    store = HllSketchStore(spark, str(tmp_path / "t"))
+    for d in days:
+        store.absorb(_df(spark, d), "gk", "e")
+    versions = store.snapshot_versions()
+    assert len(versions) == 3
+
+    for i, v in enumerate(versions, start=1):
+        got = {
+            r.gk: (r.n_regs, r.harm_num, r.v_zero, r.est_distinct)
+            for r in store.estimates_as_of(v).collect()
+        }
+        assert got == _model(sum(days[:i], [])), v
+
+    # prune rewrites the CURRENT snapshot; older versions still serve
+    store.prune()
+    v2 = versions[1]
+    got2 = {
+        r.gk: (r.n_regs, r.harm_num, r.v_zero, r.est_distinct)
+        for r in store.estimates_as_of(v2).collect()
+    }
+    assert got2 == _model(days[0] + days[1])
+
+    # vacuum trims the tail; reading a vacuumed version is a loud error
+    store.vacuum(keep=1)
+    with pytest.raises(ValueError, match="not retained"):
+        store.registers_as_of(versions[0]).collect()

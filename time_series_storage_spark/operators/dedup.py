@@ -1756,6 +1756,49 @@ class _SnapshotArtifactStore:
             json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.path, self._store.CURRENT))
 
+    def snapshot_versions(self) -> list[str]:
+        """All RETAINED snapshot versions, oldest first — the
+        time-travel index. Every commit publishes a complete
+        hard-linked snapshot dir, so each retained version is an
+        independently readable point-in-time image of the whole store
+        (the lakehouse time-travel property, for free from the commit
+        protocol); :meth:`vacuum` trims the tail, :meth:`as_of_table`
+        reads one."""
+        import os
+
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.startswith("v")
+            and os.path.isdir(os.path.join(self.path, n))
+        )
+
+    def as_of_table(self, version: str, prefix: str, schema: str):
+        """Point-in-time read of one artifact table: the ``prefix``
+        rows exactly as they stood when ``version`` was committed —
+        later absorbs, compactions and prunes are invisible. Raises
+        loudly when the version was vacuumed (never silently serves
+        the wrong snapshot)."""
+        import os
+
+        vdir = os.path.join(self.path, version)
+        if not os.path.isdir(vdir):
+            raise ValueError(
+                f"{self.kind} at {self.path}: snapshot {version!r} is "
+                f"not retained (vacuumed or never committed); available:"
+                f" {self.snapshot_versions()}"
+            )
+        files = [
+            os.path.join(vdir, f)
+            for f in os.listdir(vdir)
+            if f.startswith(prefix + "-") and f.endswith(".parquet")
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Remove all but the newest ``keep`` snapshot dirs (never the
         current one); shared data survives through hard links."""

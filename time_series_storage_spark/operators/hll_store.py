@@ -141,6 +141,26 @@ class HllSketchStore(_SnapshotArtifactStore):
             lambda: [("reg", self.registers().select("gk", "r", "rho"))]
         )
 
+    # -- time travel ---------------------------------------------------------
+
+    def registers_as_of(self, version: str) -> DataFrame:
+        """Point-in-time register table: the merged sketch exactly as
+        it stood when ``version`` was committed (later absorbs and
+        prunes invisible) — the lakehouse time-travel read the
+        hard-linked snapshot protocol gives for free. Versions come
+        from :meth:`snapshot_versions`; a vacuumed version raises
+        loudly."""
+        return self._remax(self.as_of_table(version, "reg", _REG_SCHEMA))
+
+    def estimates_as_of(
+        self, version: str, key_name: str = "gk"
+    ) -> DataFrame:
+        """Point-in-time estimates — "what did we believe each key's
+        cardinality was as of that commit", the audit question a
+        monitoring pipeline asks when an estimate moved."""
+        out = hll_aggregate(self.registers_as_of(version), ["gk"])
+        return out.withColumnRenamed("gk", key_name)
+
     # -- streaming twin ------------------------------------------------------
 
     def foreach_batch(self, key_col: str, elem_col: str, emit):
