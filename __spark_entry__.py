@@ -23,23 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 10: the
-# fourteen new queries (keep-best + PageRank-canonical selection,
-# batch and incremental; dup-graph PageRank; incremental cluster
-# maintenance; MIPS top-k;
-# multi-probe range search; temperature + UniMax water-filling
-# mixture sampling; Holt linear smoothing + forecasting; the
-# store-backed modern pipeline; window-history novelty scoring;
-# robust source-length stats) lead,
-# then the seven rows parked at 51-57 last round (last gated r6 — the
-# r9 comment's promise that they LEAD r10), then 29 of the 50 rows whose
-# last driver gate was r7.  The registry (171) exceeds 150 = 3 rounds x
-# 50, so strict 3-round coverage stays arithmetically impossible; the
-# 21 r7-gated overflow rows park at positions 51-71 (engine ts_* /
-# dedup family shapes, stable since r2-r5, green in this round's local
-# sf0.01 sweep and the full-registry sf0.001 pytest oracle suite) and
-# LEAD r11's window.  Below them: the r8 block, then the r9 block
-# (freshest external coverage).
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 10
+# (this session): the EIGHTEEN second-wave queries (HLL batch +
+# max-merge store; CMS heavy hitters + additive store; label-prop
+# communities; basket rules; Hilbert layout; RRF fusion; SAX; MMR;
+# DTW; Benford; RFM; CMS join-size + histogram selectivity optimizer
+# stats; Theil-Sen; MaxMatch; rolling HLL) lead — none has EVER been
+# externally gated — followed by the continuation-block queries and
+# r10-first-half queries (also never driver-gated) up to the 50 line.
+# The rows those 18 displaced below 50 (ts_counter_* / ts_avg_* engine
+# shapes + the r6-parked trivials, stable since r2-r5) keep
+# tools/check_oracle sweeps + the full-registry sf0.001 pytest oracle
+# suite and lead r11's window together with the 21 r7 overflow rows
+# noted below.  Below them: the r8 block, then the r9 block (freshest
+# external coverage).
 _GATE_PRIORITY = [
     # --- round-10 second-wave additions (never externally gated) ---
     "hll_distinct_by_lang",

@@ -609,3 +609,137 @@ def test_monitored_curation_crash_any_commit_converges(
     }
     want = {(r.gk, r.b): r.c for r in clean_hist.histogram().collect()}
     assert got == want
+
+
+# -- five-store sketch-audited chain -------------------------------------------
+
+
+def _sk_stores(spark, tmp_path):
+    from time_series_storage_spark.operators.cms_store import CmsStore
+    from time_series_storage_spark.operators.hll_store import HllSketchStore
+    from time_series_storage_spark.operators.sketch_store import (
+        KmvSketchStore,
+    )
+
+    lm = LmModelStore(spark, str(tmp_path / "lm"))
+    fp = FingerprintStore(spark, str(tmp_path / "fp"))
+    kmv = KmvSketchStore(spark, str(tmp_path / "kmv"), k=5)
+    hll = HllSketchStore(spark, str(tmp_path / "hll"))
+    cms = CmsStore(spark, str(tmp_path / "cms"))
+    lm.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
+    fp.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
+    day1_toks = _mon_df(spark, MON_DAY1).select(
+        "source", F.explode(F.split("text", " ")).alias("_tok")
+    ).where(F.col("_tok") != "")
+    kmv.absorb(day1_toks, "source", "_tok")
+    hll.absorb(day1_toks, "source", "_tok")
+    cms.absorb(day1_toks, "_tok")
+    return {"lm": lm, "fp": fp, "kmv": kmv, "hll": hll, "cms": cms}
+
+
+def _run_sketch_audited(spark, tmp_path, crash_store=None, crash_batch=None):
+    from time_series_storage_spark.streaming.curation import (
+        sketch_audited_curation_foreach_batch,
+    )
+
+    stores = _sk_stores(spark, tmp_path)
+    surv, kmv_e, hll_e, cms_e = {}, {}, {}, {}
+
+    def emit(sdf, kdf, hdf, cdf, bid):
+        surv[bid] = sorted(r.doc_id for r in sdf.collect())
+        kmv_e[bid] = {r.source: r.est_distinct for r in kdf.collect()}
+        hll_e[bid] = {r.source: r.est_distinct for r in hdf.collect()}
+        cms_e[bid] = {r._tok: r.est_cnt for r in cdf.collect()}
+
+    fn = sketch_audited_curation_foreach_batch(
+        stores["lm"], stores["fp"], stores["kmv"], stores["hll"],
+        stores["cms"], THR, "doc_id", "text", "source", emit,
+    )
+    for bid, batch in ((0, MON_B0), (1, MON_B1)):
+        if crash_batch == bid and crash_store is not None:
+            target = stores[crash_store]
+
+            def boom(stage):
+                if stage == "post_write":
+                    raise RuntimeError("injected")
+
+            target._commit_fault = boom
+            with pytest.raises(RuntimeError, match="injected"):
+                fn(_mon_df(spark, batch), bid)
+            target._commit_fault = None
+        fn(_mon_df(spark, batch), bid)
+    return stores, (surv, kmv_e, hll_e, cms_e)
+
+
+def test_sketch_audited_chain_end_to_end(spark, tmp_path):
+    """LM gate -> dedup -> three sketch monitors in one chain: the
+    survivor set matches the monitored chain's, every emission covers
+    exactly the survivor keys/tokens, and the KMV and HLL estimates
+    agree on the tiny per-key vocabularies (both exact/near-exact in
+    the small regime by construction)."""
+    stores, (surv, kmv_e, hll_e, cms_e) = _run_sketch_audited(
+        spark, tmp_path
+    )
+    assert surv[0] == [11] and surv[1] == [22]
+    # survivors' keys only
+    assert set(kmv_e[0]) == {"web"} and set(kmv_e[1]) == {"news"}
+    assert set(hll_e[0]) == {"web"} and set(hll_e[1]) == {"news"}
+    # doc 22 = 'the cat sat on a log': 6 distinct tokens, first news
+    # day. HLL (256 registers) resolves it EXACTLY via the
+    # linear-counting branch; the deliberately tiny k=5 KMV saturates
+    # at 6 > k and returns its deterministic estimator value — the
+    # disagreement between the two monitors is itself the alert
+    # signal this chain exists to emit.
+    assert hll_e[1]["news"] == 6
+    import hashlib
+    toks = ["the", "cat", "sat", "on", "a", "log"]
+    hs = sorted(
+        int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in toks
+    )[:5]
+    kth = max(hs)
+    m = 1 << 48
+    want_kmv = 4 * (m // kth) + (4 * (m % kth)) // kth
+    assert kmv_e[1]["news"] == want_kmv
+    # CMS emission covers exactly the survivor-batch tokens
+    assert set(cms_e[1]) == {"the", "cat", "sat", "on", "a", "log"}
+    # every CMS estimate >= this batch's own count (overestimate-only)
+    assert all(v >= 1 for v in cms_e[1].values())
+
+
+@pytest.mark.parametrize("crash_store", ["lm", "fp", "kmv", "hll", "cms"])
+def test_sketch_audited_chain_crash_any_commit_converges(
+    spark, tmp_path, crash_store
+):
+    """A commit crash at ANY of the five stores, replayed under the
+    same batch id, converges every store and all four emissions to
+    the no-crash state — the full-algebra instantiation of the
+    module's induction argument (union, additive, keep-min, max, and
+    additive-counter disciplines in one chain)."""
+    clean_tmp = tmp_path / "clean"
+    crash_tmp = tmp_path / "crash"
+    clean_tmp.mkdir()
+    crash_tmp.mkdir()
+    _, clean = _run_sketch_audited(spark, clean_tmp)
+    stores, got = _run_sketch_audited(
+        spark, crash_tmp, crash_store=crash_store, crash_batch=1
+    )
+    assert got == clean
+    # the crashed store's final state equals its never-crashed twin
+    from time_series_storage_spark.operators.cms_store import CmsStore
+    from time_series_storage_spark.operators.hll_store import HllSketchStore
+    from time_series_storage_spark.operators.sketch_store import (
+        KmvSketchStore,
+    )
+
+    twins = {
+        "kmv": lambda d: KmvSketchStore(spark, str(d / "kmv"), k=5)
+        .minima().collect(),
+        "hll": lambda d: HllSketchStore(spark, str(d / "hll"))
+        .registers().collect(),
+        "cms": lambda d: CmsStore(spark, str(d / "cms"))
+        .counters().collect(),
+    }
+    for name, read in twins.items():
+        got_rows = sorted(map(tuple, read(crash_tmp)))
+        want_rows = sorted(map(tuple, read(clean_tmp)))
+        assert got_rows == want_rows, name

@@ -307,3 +307,67 @@ def monitored_curation_foreach_batch(
         emit(survivors, drift, batch_id)
 
     return _fn
+
+
+def sketch_audited_curation_foreach_batch(
+    lm_store,
+    fp_store,
+    kmv_store,
+    hll_store,
+    cms_store,
+    keep_x1e9: int,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    emit,
+):
+    """Curation audited by the FULL sketch family — five stores
+    spanning EVERY merge discipline in the snapshot-store algebra in
+    one exactly-once ``foreachBatch``: the ADDITIVE LM model gates,
+    the UNION-merge fingerprint set dedups, and the survivors' tokens
+    feed three monitoring sketches at once — KEEP-MIN
+    (:class:`~..operators.sketch_store.KmvSketchStore`) and MAX
+    (:class:`~..operators.hll_store.HllSketchStore`) both tracking
+    per-key distinct vocabulary (two independent estimators of the
+    same quantity: their disagreement is itself an alert signal), and
+    the ADDITIVE Count-Min counters
+    (:class:`~..operators.cms_store.CmsStore`) tracking token
+    frequencies for heavy-hitter drift.
+
+    ``emit(survivors_df, kmv_df, hll_df, cms_df, batch_id)`` receives
+    all four committed emissions.
+
+    Exactly-once by the module docstring's induction, now at length
+    FIVE: each sketch store is one more idempotent ``batch_id``
+    absorber, and the glue that feeds all three (semi-join of the
+    batch to the committed fingerprint survivors + one token explode)
+    is deterministic given the upstream emissions — a crash between
+    ANY two commits replays the already-committed stores as re-reads
+    and the rest as first-time absorbs (crash-tested at every one of
+    the five boundaries).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        scores = lm_store.absorb(
+            batch_df, id_col, text_col, batch_id=batch_id
+        )
+        keep = scores.where(
+            F.col("sum_p_x1e9") >= F.lit(keep_x1e9) * F.col("n_bigrams")
+        ).select(id_col)
+        kept = batch_df.join(keep, id_col, "left_semi")
+        survivors = fp_store.absorb(
+            kept, id_col, text_col, batch_id=batch_id
+        )
+        surv_docs = batch_df.join(
+            survivors.select(id_col), id_col, "left_semi"
+        )
+        toks = surv_docs.select(
+            F.col(key_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        ).where(F.col("_tok") != "")
+        kmv = kmv_store.absorb(toks, key_col, "_tok", batch_id=batch_id)
+        hll = hll_store.absorb(toks, key_col, "_tok", batch_id=batch_id)
+        cms = cms_store.absorb(toks, "_tok", batch_id=batch_id)
+        emit(survivors, kmv, hll, cms, batch_id)
+
+    return _fn
