@@ -8610,13 +8610,14 @@ def q_hll_distinct_by_lang(spark, sf_dir):
     )
 
 
-def _hll_sql(key: str) -> str:
+def _hll_sql(key: str, where: str = "") -> str:
     from .operators.hll import hll_estimate_sql, hll_registers_sql
 
     rows = f"""(
   SELECT {key} AS k8, substring(text, pos, 8) AS w8
   FROM documents,
        unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+  {where}
 ) shingles"""
     regs = hll_registers_sql(rows, "k8", "w8")
     return (
@@ -8709,6 +8710,24 @@ def _doc_tokens(spark, sf_dir, pred=None):
     return (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .where(F.col("tok") != "")
+    )
+
+
+def q_hll_distinct_as_of(spark, sf_dir):
+    """TIME TRAVEL under the external hash gate: the per-source
+    distinct estimate AS OF THE STORE'S FIRST COMMIT — the same
+    persisted HllSketchStore the incremental gate reads at HEAD, read
+    at its oldest retained snapshot (every commit publishes a complete
+    hard-linked point-in-time image; dedup.py:as_of_table). The oracle
+    recomputes the sketch over ONLY the history slice (doc_id <
+    FPSTORE_BASE): a green hash proves the later absorb is INVISIBLE
+    to the historical read — the lakehouse as-of contract, externally
+    checked rather than pytest-pinned. The read touches <= 256 small
+    ints per source, never the corpus."""
+    store = _hll_store(spark, sf_dir)
+    v0 = store.snapshot_versions()[0]
+    return store.estimates_as_of(v0, key_name="source").select(
+        "source", "n_regs", "harm_num", "v_zero", "est_distinct"
     )
 
 
@@ -13752,6 +13771,10 @@ EXT_QUERIES = {
     "hll_distinct_by_lang": (q_hll_distinct_by_lang, _hll_sql("lang")),
     "hll_distinct_incremental": (
         q_hll_distinct_incremental, _hll_sql("source"),
+    ),
+    "hll_distinct_as_of": (
+        q_hll_distinct_as_of,
+        _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
     ),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
