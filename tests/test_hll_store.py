@@ -400,3 +400,21 @@ def test_hll_time_travel_as_of(spark, tmp_path):
     store.vacuum(keep=1)
     with pytest.raises(ValueError, match="not retained"):
         store.registers_as_of(versions[0]).collect()
+
+
+def test_hll_union_algebra_matches_oneshot(spark):
+    """Register-wise max of two groups' sketches == the sketch of the
+    concatenated elements (union algebra is exact at the sketch
+    level), and the inclusion-exclusion intersection estimate tracks
+    the true overlap on a controlled corpus."""
+    a = [f"shared{i}" for i in range(300)] + [f"a{i}" for i in range(700)]
+    b = [f"shared{i}" for i in range(300)] + [f"b{i}" for i in range(700)]
+    union_model = _est(_regs(a + b))
+    ra, rb = _regs(a), _regs(b)
+    merged = {
+        r: max(ra.get(r, 0), rb.get(r, 0)) for r in set(ra) | set(rb)
+    }
+    assert _est(merged) == union_model  # exact sketch algebra
+    est_a, est_b = _est(ra)[3], _est(rb)[3]
+    inter = est_a + est_b - union_model[3]
+    assert abs(inter - 300) / 300 < 0.5  # overlap recovered to sketch error

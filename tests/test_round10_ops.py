@@ -1476,6 +1476,8 @@ def test_maxmatch_matches_greedy_model(spark):
     }
     want = {w: (len(model(w)), "|".join(model(w))) for w in words}
     assert got == want
+    # lossless: pieces reassemble the word exactly (fallbacks included)
+    assert all(seg.replace("|", "") == w for w, (_, seg) in got.items())
     # greedy is greedy: 'abcd' -> abc|d (longest-first), not ab|cd
     assert got["abcd"][1] == "abc|d"
 

@@ -8731,6 +8731,111 @@ def q_hll_distinct_as_of(spark, sf_dir):
     )
 
 
+def q_hll_union_langs(spark, sf_dir):
+    """Sketch SET ALGEBRA under the hash gate — the audience-overlap
+    query: for every language pair, the distinct-shingle estimate of
+    the UNION from register-wise max (HLL union is exact sketch
+    algebra — the union's sketch IS the max of the two sketches, no
+    re-scan), plus the inclusion-exclusion INTERSECTION estimate
+    (est_a + est_b - est_union; can go negative inside sketch error —
+    emitted as-is, the honest audit convention). At 100 TB this
+    answers any pairwise overlap question from per-group sketches
+    already built once: per pair it touches <= 2m register rows,
+    never the corpus. Pair enumeration rides the bounded distinct-key
+    table (constant-key equi-join, no cartesian)."""
+    from .operators.hll import hll_aggregate, hll_registers
+
+    docs = _docs(spark, sf_dir)
+    npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
+    elems = (
+        docs.select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+            "text",
+        )
+        .select("lang", F.expr("substring(text, pos, 8)").alias("tok"))
+    )
+    regs = hll_registers(elems, ["lang"], "tok").persist()
+    per_lang = hll_aggregate(regs, ["lang"]).select(
+        "lang", F.col("est_distinct").alias("_est")
+    )
+    langs = regs.select("lang").distinct().withColumn("_k", F.lit(1))
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"), "_k")
+        .join(langs.select(F.col("lang").alias("lang_b"), "_k"), "_k")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .drop("_k")
+    )
+    side_a = pairs.join(
+        regs.withColumnRenamed("lang", "lang_a"), "lang_a"
+    )
+    side_b = pairs.join(
+        regs.withColumnRenamed("lang", "lang_b"), "lang_b"
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("lang_a", "lang_b", "r")
+        .agg(F.max("rho").alias("rho"))
+    )
+    uni = hll_aggregate(merged, ["lang_a", "lang_b"]).select(
+        "lang_a", "lang_b", F.col("est_distinct").alias("est_union")
+    )
+    return (
+        uni.join(
+            F.broadcast(per_lang.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("_est", "est_a")),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(per_lang.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("_est", "est_b")),
+            "lang_b",
+        )
+        .select(
+            "lang_a", "lang_b", "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long").alias("est_inter"),
+        )
+    )
+
+
+def _hll_union_sql() -> str:
+    from .operators.hll import hll_estimate_sql, hll_registers_sql
+
+    rows = """(
+  SELECT lang AS kl, substring(text, pos, 8) AS wl
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+) shingles"""
+    regs = hll_registers_sql(rows, "kl", "wl")
+    return f"""
+WITH regs AS MATERIALIZED ({regs}),
+per_lang AS MATERIALIZED (
+  SELECT gk AS lang, est_distinct AS est
+  FROM ({hll_estimate_sql("SELECT * FROM regs")}) e),
+pairs AS (
+  SELECT a.gk AS lang_a, b.gk AS lang_b
+  FROM (SELECT DISTINCT gk FROM regs) a
+  JOIN (SELECT DISTINCT gk FROM regs) b ON a.gk < b.gk),
+merged AS (
+  SELECT p.lang_a, p.lang_b, s.r, MAX(s.rho) AS rho
+  FROM pairs p JOIN regs s ON s.gk IN (p.lang_a, p.lang_b)
+  GROUP BY 1, 2, 3),
+uni AS (
+  SELECT lang_a, lang_b, est_distinct AS est_union FROM (
+    {hll_estimate_sql(
+        "SELECT lang_a || '~' || lang_b AS gk, r, rho FROM merged")}) u
+  JOIN (SELECT DISTINCT lang_a, lang_b,
+               lang_a || '~' || lang_b AS gk2 FROM pairs) pk
+    ON pk.gk2 = u.gk)
+SELECT lang_a, lang_b, ea.est AS est_a, eb.est AS est_b, est_union,
+       (ea.est + eb.est - est_union)::BIGINT AS est_inter
+FROM uni
+JOIN per_lang ea ON ea.lang = lang_a
+JOIN per_lang eb ON eb.lang = lang_b
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters BY THE SKETCH (operators/cms.py): build
     the d=4 x w=512 Count-Min sketch over all token occurrences, then
@@ -13772,6 +13877,7 @@ EXT_QUERIES = {
     "hll_distinct_incremental": (
         q_hll_distinct_incremental, _hll_sql("source"),
     ),
+    "hll_union_langs": (q_hll_union_langs, _hll_union_sql()),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
