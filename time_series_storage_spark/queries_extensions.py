@@ -8731,6 +8731,71 @@ def q_hll_distinct_as_of(spark, sf_dir):
     )
 
 
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/val/test LEAKAGE audit — the evaluation-integrity check
+    every published pipeline runs after splitting (Lee et al. 2021
+    measured exactly this: near-duplicates straddling the split
+    boundary inflate eval scores): every minhash near-dup pair whose
+    two members landed in DIFFERENT splits of the deterministic hash
+    split, with both assignments and the estimated Jaccard — the
+    actionable row-per-leak form (fix = move or drop one member).
+    Pure composition of two gated operators (the near-dup pair search
+    + hash_split at an eval-heavy 80/10/10 — the regime where
+    cross-boundary leakage is probable enough to audit), so its cost
+    is the pair search's; the split assignment is a projection riding
+    the same scan. Splits are ordered (s1 <= s2) so the pair
+    orientation is deterministic."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, threshold_x1000=MINHASH_THRESHOLD
+    )
+    asg = SP.hash_split(
+        docs.select("doc_id"), "doc_id",
+        weights=(("train", 80), ("val", 10), ("test", 10)),
+    ).select("doc_id", "split")
+    j = (
+        pairs.join(
+            asg.select(F.col("doc_id").alias("d1"),
+                       F.col("split").alias("_s1")), "d1"
+        )
+        .join(
+            asg.select(F.col("doc_id").alias("d2"),
+                       F.col("split").alias("_s2")), "d2"
+        )
+        .where(F.col("_s1") != F.col("_s2"))
+    )
+    return j.select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.least("_s1", "_s2").alias("split_lo"),
+        F.greatest("_s1", "_s2").alias("split_hi"),
+        F.col("jacc_x1000"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH docs AS (SELECT * FROM documents),
+{_minhash_pairs_ctes()},
+asg AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               (CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)),
+                                            1, 15)) AS BIGINT) % 100) AS b
+        FROM documents) hb)
+SELECT p.d1::BIGINT AS d1, p.d2::BIGINT AS d2,
+       LEAST(a1.split, a2.split) AS split_lo,
+       GREATEST(a1.split, a2.split) AS split_hi,
+       p.jacc_x1000
+FROM pairs p
+JOIN asg a1 ON a1.doc_id = p.d1
+JOIN asg a2 ON a2.doc_id = p.d2
+WHERE a1.split <> a2.split
+"""
+
+
 def q_hll_union_langs(spark, sf_dir):
     """Sketch SET ALGEBRA under the hash gate — the audience-overlap
     query: for every language pair, the distinct-shingle estimate of
@@ -13878,6 +13943,7 @@ EXT_QUERIES = {
         q_hll_distinct_incremental, _hll_sql("source"),
     ),
     "hll_union_langs": (q_hll_union_langs, _hll_union_sql()),
+    "split_leakage_audit": (q_split_leakage_audit, _split_leakage_sql()),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
