@@ -1490,3 +1490,62 @@ def test_maxmatch_matches_greedy_model(spark):
     }
     assert short["dedede"].endswith("|<TRUNC>")
     assert short["a"] == "a"  # one round suffices for 1-char words
+
+
+# -- k-center coreset -------------------------------------------------------------
+
+def test_kcenter_matches_model_and_radius_monotone(spark):
+    """Greedy farthest-point picks equal the pure-Python model on a
+    crafted corpus (three tight clusters + one outlier: the coreset
+    visits every cluster before densifying any), and the coverage
+    radius is non-increasing across picks."""
+    import math
+
+    from time_series_storage_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = {
+        0: unit([1.0, 0.01, 0.0, 0.0]),
+        1: unit([1.0, -0.01, 0.0, 0.0]),   # cluster A with 0
+        2: unit([0.0, 1.0, 0.01, 0.0]),
+        3: unit([0.0, 1.0, -0.01, 0.0]),   # cluster B
+        4: unit([0.0, 0.0, 0.0, 1.0]),     # cluster C (singleton)
+        5: unit([-1.0, -1.0, -1.0, -1.0]), # outlier
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r.step, r.vec_id, r.mind_x1e6)
+        for r in kcenter_coreset(emb, k=5).collect()
+    )
+
+    sim = lambda a, b: round(
+        sum(x * y for x, y in zip(vecs[a], vecs[b])) * 1e6
+    )
+    dist = lambda a, b: 1_000_000 - sim(a, b)
+    sel = [0]  # smallest id seeds
+    out = [(1, 0, 2_000_000)]
+    cands = set(vecs) - {0}
+    for step in range(2, 6):
+        best = max(
+            sorted(cands),
+            key=lambda c: (min(dist(c, s) for s in sel), -c),
+        )
+        out.append((step, best, min(dist(best, s) for s in sel)))
+        sel.append(best)
+        cands.discard(best)
+    assert got == sorted(out)
+    # radius is non-increasing after the seed sentinel
+    radii = [m for _, _, m in sorted(out)][1:]
+    assert radii == sorted(radii, reverse=True)
+    # the first four picks cover all four groups (A, B, C, outlier)
+    first4 = {v for s, v, _ in out if s <= 4}
+    groups = [{0, 1}, {2, 3}, {4}, {5}]
+    assert all(first4 & g for g in groups)

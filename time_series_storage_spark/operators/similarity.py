@@ -1649,3 +1649,97 @@ def mmr_topk(
         ).localCheckpoint()
     pair.unpersist()
     return sel
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-Center-Greedy coreset selection (Gonzalez 1985; Sener &
+    Savarese ICLR'18 for the training-data-selection use): pick the
+    smallest-id point, then repeatedly the point FARTHEST from the
+    selected set (max-min distance) — the 2-approximation to the
+    k-center cover, and the standard diversity-first recipe for
+    choosing which documents to label/train on when the budget is k.
+    Where MMR diversifies a per-query ranking, this selects a global
+    corpus coreset.
+
+    Determinism: distances are ``1e6 - sim_x1e6`` over the registry's
+    rounded fixed-point cosine (range [0, 2e6]); every argmax breaks
+    ties toward the smaller id; the seed is the smallest id; the loop
+    runs exactly k fixed steps — the unrolled-CTE oracle replays every
+    pick. The emitted ``mind_x1e6`` is each pick's distance to the
+    set selected before it (the coverage radius at that step —
+    non-increasing, property-tested); the seed carries the 2e6
+    sentinel (max possible distance, "uncovered").
+
+    Scale shape: the classic O(n*k) incremental form — per step ONE
+    bounded broadcast of the single new pick onto the candidate set
+    (each candidate keeps a running min-distance; no pairwise
+    materialization), one deterministic TakeOrdered(1), with
+    ``localCheckpoint`` truncating lineage. Candidates never shuffle;
+    at 100 TB run it over per-cell IVF representatives the way the
+    paper runs it over features.
+
+    Output: (vec_id, step, mind_x1e6) — step in 1..k, the pick order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cands = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    seed = cands.orderBy(F.asc("vec_id")).limit(1).localCheckpoint()
+    sel = seed.select(
+        "vec_id",
+        F.lit(1).cast("long").alias("step"),
+        F.lit(2_000_000).cast("long").alias("mind_x1e6"),
+    )
+    dist_to_pick = (
+        F.lit(1_000_000)
+        - F.round(cosine("_v", "_pv") * 1e6).cast("long")
+    )
+    state = (
+        cands.crossJoin(
+            F.broadcast(
+                seed.select(
+                    F.col("vec_id").alias("_pid"), F.col("_v").alias("_pv")
+                )
+            )
+        )
+        .where(F.col("vec_id") != F.col("_pid"))
+        .select("vec_id", "_v", dist_to_pick.alias("_mind"))
+        .localCheckpoint()
+    )
+    for t in range(2, k + 1):
+        pick = (
+            state.orderBy(F.desc("_mind"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        sel = sel.unionByName(
+            pick.select(
+                "vec_id",
+                F.lit(t).cast("long").alias("step"),
+                F.col("_mind").alias("mind_x1e6"),
+            )
+        )
+        state = (
+            state.crossJoin(
+                F.broadcast(
+                    pick.select(
+                        F.col("vec_id").alias("_pid"),
+                        F.col("_v").alias("_pv"),
+                    )
+                )
+            )
+            .where(F.col("vec_id") != F.col("_pid"))
+            .select(
+                "vec_id",
+                "_v",
+                F.least(F.col("_mind"), dist_to_pick).alias("_mind"),
+            )
+            .localCheckpoint()
+        )
+    return sel

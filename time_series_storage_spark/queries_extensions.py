@@ -8731,6 +8731,63 @@ def q_hll_distinct_as_of(spark, sf_dir):
     )
 
 
+KCENTER_K = 8
+
+
+def q_sample_kcenter_coreset(spark, sf_dir):
+    """Diversity-first data selection: the k-Center-Greedy coreset
+    (operators/similarity.py:kcenter_coreset) over the embedding
+    corpus — pick order, pick identity and each pick's coverage
+    radius all under the hash gate (the oracle replays every greedy
+    step as unrolled MATERIALIZED CTEs). O(n*k): per step one bounded
+    broadcast of the single new pick onto the running min-distance
+    column; candidates never shuffle."""
+    emb = _emb(spark, sf_dir)
+    return S.kcenter_coreset(emb, k=KCENTER_K).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "step",
+        "mind_x1e6",
+    )
+
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(1000000 - CAST(round(({_dot_sql(a, b)})"
+            f" / (({_norm_sql(a)}) * ({_norm_sql(b)}))"
+            f" * 1e6) AS BIGINT))"
+        )
+
+    blocks = [f"""
+c AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+p1 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM c ORDER BY vec_id LIMIT 1),
+s1 AS (SELECT vec_id, 1 AS step, 2000000::BIGINT AS mind FROM p1),
+d1 AS MATERIALIZED (
+  SELECT cc.vec_id, cc.embedding,
+         {dist("cc.embedding", "p.embedding")} AS mind
+  FROM c cc, p1 p WHERE cc.vec_id <> p.vec_id)"""]
+    for t in range(2, k + 1):
+        blocks.append(f"""
+p{t} AS MATERIALIZED (
+  SELECT vec_id, embedding, mind FROM d{t - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1),
+s{t} AS (SELECT vec_id, {t} AS step, mind FROM p{t}),
+d{t} AS MATERIALIZED (
+  SELECT d.vec_id, d.embedding,
+         LEAST(d.mind, {dist("d.embedding", "p.embedding")}) AS mind
+  FROM d{t - 1} d, p{t} p WHERE d.vec_id <> p.vec_id)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{t}" for t in range(1, k + 1)
+    )
+    return f"""
+WITH {",".join(blocks)}
+SELECT vec_id::BIGINT AS vec_id, step::BIGINT AS step,
+       mind::BIGINT AS mind_x1e6
+FROM ({picks}) z
+"""
+
+
 def q_split_leakage_audit(spark, sf_dir):
     """Train/val/test LEAKAGE audit — the evaluation-integrity check
     every published pipeline runs after splitting (Lee et al. 2021
@@ -13944,6 +14001,9 @@ EXT_QUERIES = {
     ),
     "hll_union_langs": (q_hll_union_langs, _hll_union_sql()),
     "split_leakage_audit": (q_split_leakage_audit, _split_leakage_sql()),
+    "sample_kcenter_coreset": (
+        q_sample_kcenter_coreset, _kcenter_sql(),
+    ),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
