@@ -1549,3 +1549,52 @@ def test_kcenter_matches_model_and_radius_monotone(spark):
     first4 = {v for s, v, _ in out if s <= 4}
     groups = [{0, 1}, {2, 3}, {4}, {5}]
     assert all(first4 & g for g in groups)
+
+
+# -- BM25 ---------------------------------------------------------------------------
+
+def test_bm25_semantics_on_crafted_corpus(spark):
+    """BM25's load-bearing behaviors on a controlled corpus: rarer
+    query terms outweigh common ones (IDF), repeated terms saturate
+    (a 10x tf is nowhere near 10x score), and longer documents are
+    penalized at equal tf (length normalization)."""
+    import os
+    import tempfile
+
+    from time_series_storage_spark.queries_extensions import (
+        q_search_bm25_topk,
+    )
+
+    filler = " ".join(["pad"] * 30)
+    docs = [
+        # 'spark' appears in just these two docs (rare); 'table' in many
+        (0, "spark table", "en", "s", 11),
+        (1, "spark " + filler, "en", "s", 11),        # rare term, long doc
+        (2, "table " + " ".join(["table"] * 9), "en", "s", 11),  # tf=10
+        (3, "table", "en", "s", 11),                  # tf=1, short
+        (4, "table pad", "en", "s", 11),
+        (5, filler, "en", "s", 11),                   # no hits
+        (6, "fast table pad pad", "en", "s", 11),
+    ]
+    sf_dir = tempfile.mkdtemp(prefix="bm25_")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in q_search_bm25_topk(spark, sf_dir).collect()}
+
+    assert 5 not in rows  # no matching term, no row
+    # the unique 'fast' (df=1, the rarest term) tops the ranking; the
+    # two-term doc 0 (rare 'spark' + common 'table') comes second
+    assert rows[6].rank == 1
+    assert rows[0].rank == 2 and rows[0].n_hit_terms == 2
+    # IDF: doc 1 (one RARE term, long) still beats doc 3 (one common)
+    assert rows[1].score_x1e6 > rows[3].score_x1e6
+    # saturation: tf=10 scores well under 10x the tf=1 score at
+    # comparable length... doc 2 is also longer, both effects shrink it
+    assert rows[2].score_x1e6 < 4 * rows[3].score_x1e6
+    # length normalization: same tf=1 of 'table', doc 4 (2 tokens)
+    # scores below doc 3 (1 token)
+    assert rows[4].score_x1e6 < rows[3].score_x1e6

@@ -8731,6 +8731,134 @@ def q_hll_distinct_as_of(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("spark", "table", "fast")  # the fixed keyword query
+BM25_K1_X10 = 12  # k1 = 1.2 (the published default)
+BM25_B_X4 = 3  # b = 0.75
+BM25_TOPK = 20
+
+
+def q_search_bm25_topk(spark, sf_dir):
+    """Lexical retrieval — BM25 ranking (Robertson & Walker 1994 /
+    the Okapi formula production keyword search runs) for a fixed
+    keyword query, in EXACT integer arithmetic: per (doc, term) the
+    saturation tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl)) and the IDF
+    both evaluate as single floor divisions over cross-multiplied
+    integers (k1 = 1.2 and b = 0.75 enter as the rationals 12/10 and
+    3/4; dl/avgdl as dl*N/total_len), quantized PER TERM before the
+    summation — the DSIR discipline. DOCUMENTED DIVERGENCE: the IDF's
+    ln((N-df+0.5)/(df+0.5)) is replaced by its rational argument
+    (2N-2df+1)/(2df+1) at x1e6 — monotone in df like the published
+    form, exact in any engine where ln is not; the dense-retrieval
+    family is the precision path, this is the lexical counterpart
+    (and rrf_fuse exists precisely to combine the two).
+
+    Plan shape: term stats (df) and corpus stats (N, total_len) are
+    tiny aggregates that broadcast; the per-doc term frequencies ride
+    ONE explode + filter on the scan (the posting-list scan); one
+    exchange to per-doc scores; top-k by (score, doc_id) is a
+    deterministic TakeOrdered. Nothing shuffles wider than the
+    matching docs."""
+    from .operators.analytics import floor_div
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_dl")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    ).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("_tl"))
+    )
+    qterms = toks.where(F.col("tok").isin(*BM25_TERMS))
+    tf = qterms.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_tf")
+    )
+    df_ = qterms.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    idf = floor_div(
+        (2 * F.col("_n") - 2 * F.col("_df") + 1) * 1_000_000,
+        2 * F.col("_df") + 1,
+    )
+    norm_x1e4 = F.lit(10_000 - BM25_B_X4 * 2_500) + floor_div(
+        F.lit(BM25_B_X4 * 2_500) * F.col("_dl") * F.col("_n"),
+        F.col("_tl"),
+    )
+    sat_x1e6 = floor_div(
+        F.col("_tf") * F.lit((BM25_K1_X10 + 10) * 10_000_000_000),
+        F.col("_tf") * 50_000 + F.lit(BM25_K1_X10 // 2) * norm_x1e4,
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            floor_div(idf * sat_x1e6, F.lit(1_000_000)).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_s").cast("long").alias("score_x1e6"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rank", "score_x1e6", "n_hit_terms",
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1p1_scale = (BM25_K1_X10 + 10) * 10_000_000_000
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w AS tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents) u),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n,
+         (SELECT COUNT(*) FROM toks)::BIGINT AS tl),
+qt AS (SELECT doc_id, tok FROM toks WHERE tok IN ({terms})),
+tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM qt GROUP BY 1, 2),
+dfq AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM qt GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ((((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1))
+          * ((tf * {k1p1_scale})
+             // (tf * 50000
+                 + {BM25_K1_X10 // 2}
+                   * ({10_000 - BM25_B_X4 * 2_500}
+                      + ({BM25_B_X4 * 2_500} * dl.dl * n) // tl))))
+           // 1000000 AS s
+  FROM tf JOIN dfq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus),
+agg AS (
+  SELECT doc_id, SUM(s)::BIGINT AS score_x1e6,
+         COUNT(*)::BIGINT AS n_hit_terms
+  FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score_x1e6, n_hit_terms,
+         ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id) AS rank
+  FROM agg)
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank,
+       score_x1e6, n_hit_terms
+FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
 KCENTER_K = 8
 
 
@@ -14004,6 +14132,7 @@ EXT_QUERIES = {
     "sample_kcenter_coreset": (
         q_sample_kcenter_coreset, _kcenter_sql(),
     ),
+    "search_bm25_topk": (q_search_bm25_topk, _bm25_sql()),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
