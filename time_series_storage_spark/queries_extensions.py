@@ -8767,10 +8767,17 @@ def q_search_bm25_topk(spark, sf_dir):
     dl = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("_dl")
     )
-    corpus = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
-    ).crossJoin(
-        toks.agg(F.count(F.lit(1)).cast("long").alias("_tl"))
+    # both corpus stats from ONE tagged-union aggregate (no scalar
+    # join), so the whole BM25 plan carries a single bounded scalar
+    # broadcast — and compositions (search_hybrid_rrf) stay inside
+    # the registry-wide 2-NLJ budget
+    corpus = (
+        docs.select(F.lit(0).alias("_t"))
+        .unionByName(toks.select(F.lit(1).alias("_t")))
+        .agg(
+            F.sum((F.col("_t") == 0).cast("long")).alias("_n"),
+            F.sum((F.col("_t") == 1).cast("long")).alias("_tl"),
+        )
     )
     qterms = toks.where(F.col("tok").isin(*BM25_TERMS))
     tf = qterms.groupBy("doc_id", "tok").agg(
@@ -8856,6 +8863,110 @@ ranked AS (
 SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank,
        score_x1e6, n_hit_terms
 FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
+HYBRID_TOPK = 10
+
+
+def q_search_hybrid_rrf(spark, sf_dir):
+    """END-TO-END HYBRID SEARCH — the full modern retrieval stack in
+    one gated query: BM25 lexical ranking (exact integer Okapi) and a
+    DENSE ranking (the query string embedded by the same in-engine
+    hashing trick as the documents, fixed-point cosine top-k) fused
+    by reciprocal-rank fusion. Every stage is an already-gated
+    operator (search_bm25_topk, hashed_doc_embedding, rrf_fuse); this
+    composes them the way production search serves: two cheap
+    rankings, one calibration-free combiner. The query embedding is
+    a ONE-ROW broadcast (the only NLJ beside BM25's corpus-stats
+    scalar — 2 total, inside the registry budget); the dense scan
+    never shuffles."""
+    from pyspark.sql import Window
+
+    lex = q_search_bm25_topk(spark, sf_dir).select(
+        F.lit(0).cast("long").alias("q_id"),
+        F.col("doc_id").alias("vec_id"),
+        "rank",
+    )
+    emb = T.hashed_doc_embedding(
+        _docs(spark, sf_dir), "doc_id", "text", dim=EMB_HASH_DIM
+    )
+    vecs = emb.where(F.col("l1") > 0).select(
+        "doc_id",
+        F.transform(
+            F.split("emb_str", " "), lambda x: x.cast("double")
+        ).alias("_v"),
+    )
+    qdoc = spark.createDataFrame(
+        [(0, " ".join(BM25_TERMS))], "doc_id long, text string"
+    )
+    qvec = T.hashed_doc_embedding(qdoc, "doc_id", "text",
+                                  dim=EMB_HASH_DIM).select(
+        F.transform(
+            F.split("emb_str", " "), lambda x: x.cast("double")
+        ).alias("_qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("sim_x1e6"), F.asc("vec_id")
+    )
+    dense = (
+        vecs.crossJoin(F.broadcast(qvec))
+        .select(
+            F.lit(0).cast("long").alias("q_id"),
+            F.col("doc_id").alias("vec_id"),
+            F.round(S.cosine("_v", "_qv") * 1e6).cast("long")
+            .alias("sim_x1e6"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("q_id", "vec_id", "rank")
+    )
+    return S.rrf_fuse([lex, dense], k=HYBRID_TOPK, rrf_k=RRF_K).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "rrf_x1e9",
+        "rank",
+    )
+
+
+def _hybrid_sql() -> str:
+    qterms_list = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    return f"""
+WITH lex AS MATERIALIZED (
+  SELECT doc_id, rank FROM ({_bm25_sql()}) bb),
+{_EMB_HASH_CTES},
+emb AS (SELECT doc_id, list(v ORDER BY j) AS vec, SUM(ABS(v)) AS l1
+        FROM fullv GROUP BY doc_id),
+vecs AS (SELECT doc_id, vec FROM emb WHERE l1 > 0),
+qcomp AS (
+  SELECT CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 12)) AS BIGINT)
+           % {EMB_HASH_DIM} AS j,
+         CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(w), 13, 1)) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest({qterms_list}) AS w) qt),
+qper AS (SELECT j, SUM(s) AS v FROM qcomp GROUP BY j),
+qvec AS (
+  SELECT list(COALESCE(qper.v, 0) ORDER BY g.j) AS qv
+  FROM unnest(generate_series(0, {EMB_HASH_DIM - 1})) g(j)
+  LEFT JOIN qper ON qper.j = g.j),
+dense AS MATERIALIZED (
+  SELECT doc_id, rank FROM (
+    SELECT v.doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {_cos16_sql('v.vec', 'q.qv')} DESC, v.doc_id)
+             AS rank
+    FROM vecs v, qvec q) d WHERE rank <= {BM25_TOPK}),
+pts AS (
+  SELECT doc_id, 1000000000 // ({RRF_K} + rank) AS p FROM lex
+  UNION ALL
+  SELECT doc_id, 1000000000 // ({RRF_K} + rank) AS p FROM dense),
+fused AS (
+  SELECT doc_id, SUM(p)::BIGINT AS rrf_x1e9 FROM pts GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, rrf_x1e9,
+         ROW_NUMBER() OVER (ORDER BY rrf_x1e9 DESC, doc_id) AS rank
+  FROM fused)
+SELECT doc_id::BIGINT AS doc_id, rrf_x1e9, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {HYBRID_TOPK}
 """
 
 
@@ -14133,6 +14244,7 @@ EXT_QUERIES = {
         q_sample_kcenter_coreset, _kcenter_sql(),
     ),
     "search_bm25_topk": (q_search_bm25_topk, _bm25_sql()),
+    "search_hybrid_rrf": (q_search_hybrid_rrf, _hybrid_sql()),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
