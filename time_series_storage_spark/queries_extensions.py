@@ -8866,6 +8866,81 @@ FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
 
+def _bm25_store(spark, sf_dir):
+    """The persisted BM25 statistics store for ``sf_dir`` — built by
+    TWO absorbs (history slice doc_id < FPSTORE_BASE, then the
+    increment slice) so the gated ranking is served from the ADDITIVE
+    merge across commits; staleness-keyed and format-pinned like the
+    other store builders (operators/bm25_store.py)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.bm25_store import Bm25StatsStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:bm25-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_bm25_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return Bm25StatsStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = Bm25StatsStore(spark, root)
+                docs = _docs(spark, sf_dir)
+                for pred in (
+                    F.col("doc_id") < FPSTORE_BASE,
+                    F.col("doc_id") >= FPSTORE_BASE,
+                ):
+                    store.absorb(docs.where(pred), "doc_id", "text")
+                store.pin_corpus(fp)
+    return store
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """BM25 served from PERSISTED index statistics — the ranking of
+    the fixed keyword query under corpus stats (per-term df, doc
+    count, token count) accumulated by TWO separate absorbs of the
+    Bm25StatsStore (how a production search index actually lives:
+    stats absorb daily increments, queries never re-scan history).
+    The oracle is the BATCH BM25 oracle VERBATIM: a green hash proves
+    sum-of-slice-statistics equals one-shot statistics through the
+    whole scoring pipeline — ranks, scores and hit counts all. The
+    query-time read touches a handful of df rows plus one totals row;
+    candidates ride one explode+filter."""
+    store = _bm25_store(spark, sf_dir)
+    return store.topk(
+        _docs(spark, sf_dir), BM25_TERMS, k=BM25_TOPK,
+        id_col="doc_id", text_col="text",
+        k1_x10=BM25_K1_X10, b_x4=BM25_B_X4,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank", "score_x1e6", "n_hit_terms",
+    )
+
+
 HYBRID_TOPK = 10
 
 
@@ -14245,6 +14320,7 @@ EXT_QUERIES = {
     ),
     "search_bm25_topk": (q_search_bm25_topk, _bm25_sql()),
     "search_hybrid_rrf": (q_search_hybrid_rrf, _hybrid_sql()),
+    "bm25_incremental": (q_bm25_incremental, _bm25_sql()),
     "hll_distinct_as_of": (
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
