@@ -1598,3 +1598,48 @@ def test_bm25_semantics_on_crafted_corpus(spark):
     # length normalization: same tf=1 of 'table', doc 4 (2 tokens)
     # scores below doc 3 (1 token)
     assert rows[4].score_x1e6 < rows[3].score_x1e6
+
+
+# -- Mann-Kendall ----------------------------------------------------------------
+
+def test_mann_kendall_signs_on_crafted_series(spark):
+    """S-statistic semantics: a strictly rising series has S =
+    n_pairs (all concordant); a flat series has S = 0 (all tied);
+    the query's counts reconcile (conc + disc + tied = pairs,
+    S = conc - disc)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from time_series_storage_spark.queries_extensions import (
+        SAX_EPOCH0,
+        q_ts_mann_kendall,
+    )
+
+    series = {"up": [1, 2, 3, 4, 5], "flat": [3, 3, 3, 3]}
+    rows, eid = [], 0
+    for et, counts in series.items():
+        for day, c in enumerate(counts):
+            for j in range(c):
+                ts = dt.datetime.utcfromtimestamp(
+                    SAX_EPOCH0 + day * 86_400 + j
+                )
+                rows.append((eid, ts, 1, et, 0.0, "{}"))
+                eid += 1
+    sf_dir = tempfile.mkdtemp(prefix="mk_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = {r.event_type: r for r in q_ts_mann_kendall(spark, sf_dir).collect()}
+    up = got["up"]
+    assert (up.n_pairs, up.s_stat, up.n_conc, up.n_disc, up.n_tied) == (
+        10, 10, 10, 0, 0
+    )
+    flat = got["flat"]
+    assert (flat.n_pairs, flat.s_stat, flat.n_tied) == (6, 0, 6)
+    for r in got.values():
+        assert r.n_conc + r.n_disc + r.n_tied == r.n_pairs
+        assert r.s_stat == r.n_conc - r.n_disc

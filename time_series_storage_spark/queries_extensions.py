@@ -10168,6 +10168,71 @@ def q_ts_theilsen_slope(spark, sf_dir):
     )
 
 
+def q_ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend TEST statistic per event-type daily series
+    (Mann 1945 / Kendall 1975) — the non-parametric significance
+    companion to the Theil-Sen slope (the two are used together: Sen
+    estimates the trend, Mann-Kendall says whether it exists):
+    S = sum over day pairs of sign(c_j - c_i), with the concordant /
+    discordant / tied pair counts emitted alongside so the caller can
+    apply any variance convention. Pure integer counting — no
+    variance float crosses an engine boundary. Same bounded pairwise
+    join as the Theil-Sen gate (days-per-series squared, keyed on the
+    series, never corpus-sized)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            AN.floor_div(
+                F.unix_timestamp("ts").cast("long") - F.lit(SAX_EPOCH0),
+                F.lit(86_400),
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    sgn = F.signum((F.col("c2") - F.col("c1")).cast("double")).cast("long")
+    return (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(sgn).cast("long").alias("s_stat"),
+            F.sum((sgn == 1).cast("long")).cast("long").alias("n_conc"),
+            F.sum((sgn == -1).cast("long")).cast("long").alias("n_disc"),
+            F.sum((sgn == 0).cast("long")).cast("long").alias("n_tied"),
+        )
+    )
+
+
+SQL_TS_MANN_KENDALL = f"""
+WITH daily AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - {SAX_EPOCH0}) // 86400) AS day,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day)
+SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+       SUM(sgn)::BIGINT AS s_stat,
+       SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_conc,
+       SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_disc,
+       SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)::BIGINT AS n_tied
+FROM pairs GROUP BY event_type
+"""
+
+
 SQL_TS_THEILSEN = f"""
 WITH daily AS (
   SELECT event_type,
@@ -14338,6 +14403,7 @@ EXT_QUERIES = {
         q_hist_range_selectivity, SQL_HIST_RANGE_SELECTIVITY,
     ),
     "ts_theilsen_slope": (q_ts_theilsen_slope, SQL_TS_THEILSEN),
+    "ts_mann_kendall": (q_ts_mann_kendall, SQL_TS_MANN_KENDALL),
     "maxmatch_segment": (q_maxmatch_segment, _maxmatch_sql()),
     "rolling_weekly_users_hll": (
         q_rolling_weekly_users_hll, _rolling_hll_sql(),
