@@ -190,3 +190,29 @@ def test_kmv_rolling_merge_equals_union_sketch(spark):
     last = rolled[max(rolled)]
     assert last[0] == K
     assert 40 <= last[2] <= 220
+
+
+def test_kmv_overlap_algebra_matches_truth(spark):
+    """Broder resemblance on controlled sets: the union sketch is the
+    one-shot sketch of the union (keep-min algebra), and the Jaccard
+    estimate tracks the true resemblance on a heavy-overlap pair."""
+    import hashlib
+
+    a = [f"shared{i}" for i in range(400)] + [f"a{i}" for i in range(100)]
+    b = [f"shared{i}" for i in range(400)] + [f"b{i}" for i in range(100)]
+    k = 64
+
+    def model_minima(elems):
+        hs = sorted(
+            {int(hashlib.md5(e.encode()).hexdigest()[:12], 16) for e in elems}
+        )
+        return hs[:k]
+
+    ma, mb = set(model_minima(a)), set(model_minima(b))
+    mu = model_minima(a + b)
+    # keep-min algebra: union sketch == k smallest of merged minima
+    assert mu == sorted(ma | mb)[:k]
+    shared = sum(1 for h in mu if h in ma and h in mb)
+    jacc = shared * 1_000_000 // len(mu)
+    true_j = 400 * 1_000_000 // 600
+    assert abs(jacc - true_j) < 250_000  # within sketch error at k=64

@@ -9272,6 +9272,153 @@ JOIN per_lang eb ON eb.lang = lang_b
 """
 
 
+def q_kmv_overlap_langs(spark, sf_dir):
+    """KMV SET ALGEBRA — Broder's resemblance estimator (Broder 1997,
+    'On the resemblance and containment of documents'), the published
+    min-hash Jaccard the MinHash signatures descend from: for every
+    language pair, the union sketch is the k smallest of the merged
+    minima (keep-min algebra, exact at the sketch level), the Jaccard
+    estimate is the fraction of union-sketch members present in BOTH
+    sides' sketches, and the intersection estimate is jaccard x the
+    union estimate — all exact integer/floor arithmetic. The HLL twin
+    (hll_union_langs) answers the same overlap question with max
+    algebra; same keys, so the two families compare row for row. Per
+    pair the read touches <= 2k minima, never the corpus."""
+    from .operators.analytics import floor_div
+    from .operators.sketch import kmv_minima
+
+    docs = _docs(spark, sf_dir)
+    npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
+    elems = (
+        docs.select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+            "text",
+        )
+        .select("lang", F.expr("substring(text, pos, 8)").alias("tok"))
+    )
+    mins = kmv_minima(elems, ["lang"], "tok", KMV_K).select(
+        "lang", "h"
+    ).persist()
+    langs = mins.select("lang").distinct().withColumn("_k", F.lit(1))
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"), "_k")
+        .join(langs.select(F.col("lang").alias("lang_b"), "_k"), "_k")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .drop("_k")
+    )
+    ma = pairs.join(mins.withColumnRenamed("lang", "lang_a"), "lang_a")
+    mb = pairs.join(mins.withColumnRenamed("lang", "lang_b"), "lang_b")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang_a", "lang_b").orderBy("h")
+    union_sk = (
+        ma.unionByName(mb)
+        .dropDuplicates(["lang_a", "lang_b", "h"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= KMV_K)
+        .drop("_rn")
+    )
+    shared = (
+        union_sk.join(
+            ma.select("lang_a", "lang_b", "h").distinct(),
+            ["lang_a", "lang_b", "h"], "semi",
+        )
+        .join(
+            mb.select("lang_a", "lang_b", "h").distinct(),
+            ["lang_a", "lang_b", "h"], "semi",
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    m = 1 << 48
+    est = F.when(
+        F.col("_nm") < KMV_K, F.col("_nm")
+    ).otherwise(
+        F.lit(KMV_K - 1) * floor_div(F.lit(m), F.col("_kth"))
+        + floor_div(
+            F.lit(KMV_K - 1) * (F.lit(m) % F.col("_kth")), F.col("_kth")
+        )
+    )
+    ustats = union_sk.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_nm"),
+        F.max("h").cast("long").alias("_kth"),
+    ).withColumn("est_union", est.cast("long"))
+    out = ustats.join(shared, ["lang_a", "lang_b"], "left").select(
+        "lang_a",
+        "lang_b",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        "est_union",
+        floor_div(
+            F.coalesce(F.col("n_shared"), F.lit(0)) * 1_000_000,
+            F.col("_nm"),
+        ).cast("long").alias("jacc_x1e6"),
+    )
+    return out.withColumn(
+        "est_inter",
+        AN.floor_div(
+            F.col("jacc_x1e6") * F.col("est_union"), F.lit(1_000_000)
+        ).cast("long"),
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    m = 1 << 48
+    return f"""
+WITH hs AS MATERIALIZED (
+  SELECT DISTINCT lang,
+         CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 12)) AS BIGINT) AS h
+  FROM (
+    SELECT lang, substring(text, pos, 8) AS w
+    FROM documents,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) t(pos)
+  ) sh),
+mins AS MATERIALIZED (
+  SELECT lang, h FROM (
+    SELECT lang, h,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM hs) r WHERE rn <= {KMV_K}),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM (SELECT DISTINCT lang FROM mins) a
+  JOIN (SELECT DISTINCT lang FROM mins) b ON a.lang < b.lang),
+u2 AS MATERIALIZED (
+  SELECT lang_a, lang_b, h FROM (
+    SELECT lang_a, lang_b, h,
+           ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b
+                              ORDER BY h) AS rn
+    FROM (
+      SELECT DISTINCT p.lang_a, p.lang_b, m.h
+      FROM pairs p JOIN mins m ON m.lang IN (p.lang_a, p.lang_b)) d
+  ) r WHERE rn <= {KMV_K}),
+shared AS (
+  SELECT u.lang_a, u.lang_b, COUNT(*)::BIGINT AS n_shared
+  FROM u2 u
+  WHERE EXISTS (SELECT 1 FROM mins a
+                WHERE a.lang = u.lang_a AND a.h = u.h)
+    AND EXISTS (SELECT 1 FROM mins b
+                WHERE b.lang = u.lang_b AND b.h = u.h)
+  GROUP BY 1, 2),
+ustats AS (
+  SELECT lang_a, lang_b, COUNT(*)::BIGINT AS nm, MAX(h) AS kth
+  FROM u2 GROUP BY 1, 2)
+SELECT us.lang_a, us.lang_b,
+       COALESCE(s.n_shared, 0)::BIGINT AS n_shared,
+       (CASE WHEN nm < {KMV_K} THEN nm
+             ELSE {KMV_K - 1} * ({m} // kth)
+                  + ({KMV_K - 1} * ({m} % kth)) // kth
+        END)::BIGINT AS est_union,
+       ((COALESCE(s.n_shared, 0) * 1000000) // nm)::BIGINT AS jacc_x1e6,
+       ((((COALESCE(s.n_shared, 0) * 1000000) // nm)
+         * (CASE WHEN nm < {KMV_K} THEN nm
+                 ELSE {KMV_K - 1} * ({m} // kth)
+                      + ({KMV_K - 1} * ({m} % kth)) // kth END))
+        // 1000000)::BIGINT AS est_inter
+FROM ustats us LEFT JOIN shared s
+  ON s.lang_a = us.lang_a AND s.lang_b = us.lang_b
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters BY THE SKETCH (operators/cms.py): build
     the d=4 x w=512 Count-Min sketch over all token occurrences, then
@@ -14390,6 +14537,7 @@ EXT_QUERIES = {
         q_hll_distinct_as_of,
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
     ),
+    "kmv_overlap_langs": (q_kmv_overlap_langs, _kmv_overlap_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
     "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
