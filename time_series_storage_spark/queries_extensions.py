@@ -9307,6 +9307,12 @@ def q_kmv_overlap_langs(spark, sf_dir):
         .where(F.col("lang_a") < F.col("lang_b"))
         .drop("_k")
     )
+    # the tiny pair table materializes once (localCheckpoint): the
+    # constant-key join behind it plans as a bounded scalar NLJ, and
+    # WITHOUT the checkpoint every downstream branch (union sketch,
+    # both membership probes, the stats) would re-print that one join
+    # — the replicated-scalar pattern the plan sweep flags
+    pairs = pairs.localCheckpoint()
     ma = pairs.join(mins.withColumnRenamed("lang", "lang_a"), "lang_a")
     mb = pairs.join(mins.withColumnRenamed("lang", "lang_b"), "lang_b")
     from pyspark.sql import Window
