@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 10
-# (this session): the 27 second-wave queries (HLL batch +
+# (this session): the 28 second-wave queries (HLL batch +
 # max-merge store + as-of time travel; CMS heavy hitters +
 # additive store; label-prop
 # communities; basket rules; Hilbert layout; RRF fusion; SAX; MMR;
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 # stats; Theil-Sen; MaxMatch; rolling HLL) lead — none has EVER been
 # externally gated — followed by the continuation-block queries and
 # r10-first-half queries (also never driver-gated) up to the 50 line.
-# The rows those 27 displaced below 50 (ts_counter_* / ts_avg_* engine
+# The rows those 28 displaced below 50 (ts_counter_* / ts_avg_* engine
 # shapes + the r6-parked trivials, stable since r2-r5) keep
 # tools/check_oracle sweeps + the full-registry sf0.001 pytest oracle
 # suite and lead r11's window together with the 21 r7 overflow rows
@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     "hll_distinct_as_of",
     "hll_union_langs",
     "kmv_overlap_langs",
+    "source_token_gini",
     "split_leakage_audit",
     "sample_kcenter_coreset",
     "search_bm25_topk",

@@ -9425,6 +9425,66 @@ FROM ustats us LEFT JOIN shared s
 """
 
 
+def q_source_token_gini(spark, sf_dir):
+    """Per-source lexical diversity as Gini impurity (1 - sum p_i^2,
+    the Simpson-index complement) — the concentration monitor a
+    curation pipeline watches next to distinct counts: a source whose
+    Gini collapses is emitting boilerplate even if its vocabulary
+    size holds. Exact integer arithmetic with a scale-safe staging:
+    gini_x1e9 = 1e9 - (1e9 * (sum(c^2) div N)) div N — the inner
+    floor first, so no intermediate exceeds sum(c^2) * 1e9 / N and
+    the formula survives billion-token sources where the naive
+    sum(c^2)*1e9 overflows. Two partial-aggregated exchanges
+    ((source, token) counts, then per-source sums)."""
+    from .operators.analytics import floor_div
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    )
+    per = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_ss"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.lit(1_000_000_000)
+            - floor_div(
+                F.lit(1_000_000_000)
+                * floor_div(F.col("_ss"), F.col("n_tokens")),
+                F.col("n_tokens"),
+            )
+        ).cast("long").alias("gini_x1e9"),
+    )
+
+
+SQL_SOURCE_TOKEN_GINI = """
+WITH toks AS (
+  SELECT source, w AS tok FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents) u),
+per AS (SELECT source, tok, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT source, SUM(c)::BIGINT AS n_tokens,
+         COUNT(*)::BIGINT AS n_distinct,
+         SUM(c * c)::BIGINT AS ss
+  FROM per GROUP BY source)
+SELECT source, n_tokens, n_distinct,
+       (1000000000 - (1000000000 * (ss // n_tokens)) // n_tokens)::BIGINT
+         AS gini_x1e9
+FROM agg
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters BY THE SKETCH (operators/cms.py): build
     the d=4 x w=512 Count-Min sketch over all token occurrences, then
@@ -14544,6 +14604,7 @@ EXT_QUERIES = {
         _hll_sql("source", where=f"WHERE doc_id < {FPSTORE_BASE}"),
     ),
     "kmv_overlap_langs": (q_kmv_overlap_langs, _kmv_overlap_sql()),
+    "source_token_gini": (q_source_token_gini, SQL_SOURCE_TOKEN_GINI),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "cms_incremental": (q_cms_incremental, SQL_CMS_INCREMENTAL),
     "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
