@@ -224,22 +224,33 @@ def main() -> None:
         shape: times.pop(f"__control_{shape}__")
         for shape in ("scan", "shuffle", "join")
     }
-    total = round(sum(times.values()), 3)
+    # Headline hygiene (r10 verdict): the headline `value` is the sum
+    # of best-of timings over the DRIVER-GATED WINDOW (the first 50
+    # registry entries — the same set the compact line's `queries`
+    # dict shows), so headline ~= sum(queries) is checkable from the
+    # artifact itself. The whole-registry sum (~228 queries, most of
+    # which never fit the capture window) rides along as its own
+    # field; neither number ever contained warmup or cache-clear
+    # overhead — every entry is a best-of-N steady-state timing.
+    gate_names = [n for n in qs if not n.startswith("__")][:50]
+    total = round(sum(times[n] for n in gate_names if n in times), 3)
     base = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "registry_total_seconds": round(sum(times.values()), 3),
+        "n_queries": len(times),
         "control": control,
         "controls": controls,
         "sf": sf,
     }
-    # Full per-query dict first (121 queries overflow the driver's
-    # 2000-char stdout tail capture — this line is for local logs)...
+    # Full per-query dict first (the full registry overflows the
+    # driver's 2000-char stdout tail capture — this line is for local
+    # logs)...
     print(json.dumps({**base, "queries": times, "full": True}))
     # ...then a compact LAST line guaranteed to fit the capture window:
     # the driver-gated window (first 50 registry entries) plus the
     # top-15 slowest overall, trimmed if the line would overflow.
-    gate_names = [n for n in qs if not n.startswith("__")][:50]
     candidates = [
         {
             **{n: times[n] for n in gate_names if n in times},

@@ -99,6 +99,12 @@ class Bm25StatsStore(_SnapshotArtifactStore):
         (id, rank, score_x1e6, n_hit_terms)."""
         from .analytics import floor_div
 
+        if not list(query_terms):
+            # isin() with zero arguments is a TypeError deep inside the
+            # plan; surface the contract violation at the API boundary
+            # like the other parameter guards (hll_rolling_estimate,
+            # mmr_topk)
+            raise ValueError("query_terms must be non-empty")
         toks = docs.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
         )
@@ -122,7 +128,7 @@ class Bm25StatsStore(_SnapshotArtifactStore):
         )
         sat_x1e6 = floor_div(
             F.col("_tf") * F.lit((k1_x10 + 10) * 10_000_000_000),
-            F.col("_tf") * 50_000 + F.lit(k1_x10 // 2) * norm_x1e4,
+            F.col("_tf") * 100_000 + F.lit(k1_x10) * norm_x1e4,
         )
         scored = (
             tf.join(F.broadcast(df_), "tok")

@@ -167,6 +167,16 @@ def cms_join_estimate(
     size question without touching either input again — at 100 TB the
     alternative is the join itself.
 
+    Magnitude bound (the hll.py discipline): each per-row product
+    a_k*b_k and the row sum must fit int64. With w = 512 buckets a
+    bucket holds ~N/512 occurrences, so the row sum is ~N_a*N_b/512;
+    int64 overflows once N_a*N_b exceeds ~2^63*512 ~ 4.7e21 — i.e.
+    when BOTH inputs approach ~7e10 occurrences. Inside the 100 TB
+    regime, pre-scale one side's counters (divide by 2^s, multiply
+    the estimate back) or widen to decimal before the product; the
+    default geometry is documented-safe to ~10^10 occurrences per
+    side.
+
     Output: one row, ``est_join`` (long)."""
     a = counters_a.select("i", "b", F.col("c").alias("_ca"))
     b = counters_b.select("i", "b", F.col("c").alias("_cb"))

@@ -1626,9 +1626,15 @@ def mmr_topk(
             .agg(F.max("_psim").alias("_msim"))
         )
         pick = (
+            # LEFT join so a candidate absent from the pair table (a
+            # query whose candidate set is a singleton — no pair rows
+            # at all) still scores under the maxsim=0-over-empty-set
+            # convention the oracle's LEFT JOIN uses; the coalesce
+            # below is live, not decorative (r10 advice)
             rem.join(
                 ms,
                 (rem["q_id"] == ms["q_id"]) & (rem["vec_id"] == ms["_ca"]),
+                "left",
             )
             .select(
                 rem["q_id"],

@@ -1488,6 +1488,11 @@ def maxmatch_segment(
     Output: (word, n_occurrences, n_pieces, seg) — seg is the
     '|'-joined piece sequence.
     """
+    if max_rounds < 1:
+        # with zero rounds `done` never materializes and the tail
+        # union would raise a bare AttributeError; fail at the API
+        # boundary like hll_rolling_estimate / mmr_topk (r10 advice)
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     v = F.broadcast(vocab.select(F.col("piece").alias("_c")))
     active = word_counts.select(
         "word",

@@ -8794,9 +8794,14 @@ def q_search_bm25_topk(spark, sf_dir):
         F.lit(BM25_B_X4 * 2_500) * F.col("_dl") * F.col("_n"),
         F.col("_tl"),
     )
+    # denominator carries tf and k1*norm at the SAME x1e5 scale
+    # (tf*1e5 + k1_x10*norm_x1e4 = 1e5*(tf + k1*norm)), so
+    # numerator/denominator = sat * 1e6 exactly as documented — the
+    # r10 advice found the halved form overstated the scale by 2x
+    # (ranking-neutral; the oracle and store mirrored it identically)
     sat_x1e6 = floor_div(
         F.col("_tf") * F.lit((BM25_K1_X10 + 10) * 10_000_000_000),
-        F.col("_tf") * 50_000 + F.lit(BM25_K1_X10 // 2) * norm_x1e4,
+        F.col("_tf") * 100_000 + F.lit(BM25_K1_X10) * norm_x1e4,
     )
     scored = (
         tf.join(F.broadcast(df_), "tok")
@@ -8845,8 +8850,8 @@ scored AS (
   SELECT tf.doc_id,
          ((((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1))
           * ((tf * {k1p1_scale})
-             // (tf * 50000
-                 + {BM25_K1_X10 // 2}
+             // (tf * 100000
+                 + {BM25_K1_X10}
                    * ({10_000 - BM25_B_X4 * 2_500}
                       + ({BM25_B_X4 * 2_500} * dl.dl * n) // tl))))
            // 1000000 AS s
