@@ -14642,3 +14642,167 @@ EXT_QUERIES = {
         q_semantic_dedup_incremental, _semantic_dedup_incremental_sql(),
     ),
 }
+
+
+# -- round 11: persisted uniform reservoir sample (ReservoirStore) ----------
+
+RES_K = 8  # reservoir capacity per source
+
+
+def _res_rank_sql() -> str:
+    """DuckDB mirror of the store's derandomized tag: the portable
+    60-bit md5 of the salted doc id (operators/dedup.md5_long)."""
+    return (
+        "CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', doc_id)), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+def _res_members_sql(where: str = "") -> str:
+    # tie-break mirrors the store exactly: ids are STORED as strings,
+    # so the secondary sort key is the string form of doc_id
+    return f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars, {_res_rank_sql()} AS rk,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_res_rank_sql()}, CAST(doc_id AS VARCHAR)) AS smp_rank
+  FROM documents {where}
+)
+SELECT source, smp_rank::BIGINT AS smp_rank, doc_id::BIGINT AS doc_id,
+       rk::BIGINT AS rk, n_chars::BIGINT AS n_chars
+FROM r WHERE smp_rank <= {RES_K}
+"""
+
+
+def _res_summary_sql() -> str:
+    return f"""
+WITH m AS ({_res_members_sql()})
+SELECT source, COUNT(*)::BIGINT AS n_sample, MAX(rk)::BIGINT AS kth_rank,
+       SUM(n_chars)::BIGINT AS sum_val
+FROM m GROUP BY source
+"""
+
+
+def _res_store(spark, sf_dir):
+    """The persisted reservoir for ``sf_dir`` — built by TWO absorbs
+    (history slice doc_id < FPSTORE_BASE, then the increment slice) so
+    the gated reads exercise the keep-min merge across commits;
+    staleness-keyed and flock-guarded exactly like the other store
+    builders (operators/reservoir_store.py)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.reservoir_store import ReservoirStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:res-v1:k={RES_K}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_res_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return ReservoirStore(spark, root, k=RES_K)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = ReservoirStore(spark, root, k=RES_K)
+                docs = _docs(spark, sf_dir).select(
+                    "source", "doc_id", "n_chars"
+                )
+                for pred in (
+                    F.col("doc_id") < FPSTORE_BASE,
+                    F.col("doc_id") >= FPSTORE_BASE,
+                ):
+                    store.absorb(
+                        docs.where(pred), "source", "doc_id", "n_chars"
+                    )
+                store.pin_corpus(fp)
+    return store
+
+
+def _res_members(sample):
+    """(source, smp_rank, doc_id, rk, n_chars) from a store sample
+    frame — rank recomputed with the store's own (rk, string-id)
+    ordering so the oracle's ROW_NUMBER mirrors it exactly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gk").orderBy("rk", "id")
+    return sample.withColumn(
+        "smp_rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("gk").alias("source"),
+        "smp_rank",
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("val").cast("long").alias("n_chars"),
+    )
+
+
+def q_sample_reservoir_members(spark, sf_dir):
+    """The persisted per-source uniform reservoir ITSELF, row for row
+    — the derandomized Vitter sample (bottom-k by salted md5 rank)
+    maintained across TWO absorbs by the keep-min merge. The oracle
+    recomputes the sample from scratch over the full corpus: a green
+    hash proves union-of-slice-reservoirs reselects to the one-shot
+    reservoir exactly (operators/reservoir_store.py's mergeability
+    argument), members, ranks and payloads all. At 100 TB this read
+    touches <= k rows per (source, absorb) — never the corpus."""
+    store = _res_store(spark, sf_dir)
+    return _res_members(store.sample())
+
+
+def q_reservoir_incremental(spark, sf_dir):
+    """Per-source reservoir SUMMARIES as a pure read of the two-absorb
+    store: (n_sample, kth_rank, sum_val) — size, selection threshold,
+    and the sample-sum estimator the reservoir serves. Oracle
+    recomputes from scratch; hash-matching proves the emission
+    arithmetic equals the one-shot sample's."""
+    store = _res_store(spark, sf_dir)
+    return store.summaries(key_name="source").select(
+        "source", "n_sample", "kth_rank", "sum_val"
+    )
+
+
+def q_reservoir_as_of(spark, sf_dir):
+    """TIME TRAVEL on the reservoir: the sample AS OF THE FIRST COMMIT
+    (history slice only), read from the same store the incremental
+    gates read at HEAD. The oracle recomputes over doc_id <
+    FPSTORE_BASE alone: a green hash proves the second absorb is
+    invisible to the historical read — the lakehouse as-of contract on
+    a row-valued store, externally checked."""
+    store = _res_store(spark, sf_dir)
+    v0 = store.snapshot_versions()[0]
+    return _res_members(store.sample_as_of(v0))
+
+
+EXT_QUERIES.update({
+    "sample_reservoir_members": (
+        q_sample_reservoir_members, _res_members_sql(),
+    ),
+    "reservoir_incremental": (q_reservoir_incremental, _res_summary_sql()),
+    "reservoir_as_of": (
+        q_reservoir_as_of,
+        _res_members_sql(where=f"WHERE doc_id < {FPSTORE_BASE}"),
+    ),
+})
