@@ -14806,3 +14806,186 @@ EXT_QUERIES.update({
         _res_members_sql(where=f"WHERE doc_id < {FPSTORE_BASE}"),
     ),
 })
+
+
+# -- round 11: mergeable rank-quantile sketch (qsketch + its store) ---------
+
+QSK_SPLIT_TS = "2024-01-16 00:00:00"  # history | increment for the store
+
+
+def _qsk_val():
+    # the registry's fixed-point discipline: value -> integer
+    # milliunits (>= 10 for this table — the sketch needs v >= 1)
+    return F.round(F.col("value") * 1000).cast("long")
+
+
+_QSK_VAL_SQL = "ROUND(value * 1000)::BIGINT"
+
+
+def _qsk_counters_sql(keys_sql: str, where: str = "") -> str:
+    from .operators.qsketch import qsk_bucket_sql
+
+    return (
+        f"SELECT {keys_sql}, {qsk_bucket_sql(_QSK_VAL_SQL)} AS b, "
+        f"COUNT(*)::BIGINT AS c FROM events {where} "
+        f"GROUP BY ALL"
+    )
+
+
+def _qsk_sql(key: str = "event_type", where: str = "") -> str:
+    from .operators.qsketch import qsk_quantiles_sql
+
+    return qsk_quantiles_sql(_qsk_counters_sql(key, where), [key])
+
+
+def q_qsk_event_percentiles(spark, sf_dir):
+    """Mergeable rank-quantile sketch, one-shot: p50/p95/p99 of the
+    event value (x1000 fixed-point) per event_type from the log2
+    sub-bucketed histogram (operators/qsketch.py — the deterministic
+    HdrHistogram/DDSketch-family sketch; every reported percentile is
+    within 2^-5 relative below the true value, by construction). The
+    whole plan is one partial-aggregated exchange to sketch state
+    (<= ~1600 rows per key regardless of volume) + one window pass
+    over that state — at 100 TB the raw events are touched exactly
+    once and everything after is sketch-sized."""
+    from .operators.qsketch import qsk_counters, qsk_quantiles
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", _qsk_val().alias("v")
+    )
+    cnt = qsk_counters(ev, ["event_type"], "v")
+    return qsk_quantiles(cnt, ["event_type"]).select(
+        "event_type", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+def q_qsk_week_rollup(spark, sf_dir):
+    """THE MERGE, in-plan: per-(event_type, day) sketches are built
+    first, then SUMMED to (event_type, week) and served — while the
+    oracle computes each week's percentiles DIRECTLY from raw rows. A
+    green hash proves sum-of-daily-sketches == direct weekly sketch
+    exactly (addition is order-free), i.e. the production rollup
+    pattern — keep daily sketches, answer any coarser grain by
+    summing counts, never by averaging percentiles. Day-grain state
+    is the only thing reshuffled; raw rows are read once."""
+    from .operators.qsketch import qsk_counters, qsk_quantiles
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .alias("day"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .alias("wk"),
+        _qsk_val().alias("v"),
+    )
+    daily = qsk_counters(ev, ["event_type", "day", "wk"], "v")
+    weekly = daily.groupBy("event_type", "wk", "b").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    return qsk_quantiles(weekly, ["event_type", "wk"]).select(
+        "event_type", "wk", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+def _qsk_week_sql() -> str:
+    from .operators.qsketch import qsk_quantiles_sql
+
+    cnt = _qsk_counters_sql(
+        "event_type, strftime(date_trunc('week', ts), "
+        "'%Y-%m-%d %H:%M:%S') AS wk"
+    )
+    return qsk_quantiles_sql(cnt, ["event_type", "wk"])
+
+
+def _qsk_store(spark, sf_dir):
+    """The persisted quantile sketch for ``sf_dir`` — built by TWO
+    absorbs (history slice ts < QSK_SPLIT_TS, then the rest) so the
+    gated reads exercise the additive merge across commits;
+    staleness-keyed and flock-guarded like the other store builders
+    (operators/qsketch_store.py)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.qsketch_store import QuantileSketchStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{QSK_SPLIT_TS}:qsk-v1:s=5".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_qsk_store")
+    root = os.path.join(base, key)
+    os.makedirs(base, exist_ok=True)
+
+    def _open():
+        try:
+            return QuantileSketchStore(spark, root)
+        except ValueError:
+            return None
+
+    store = _open()
+    fp = files_fingerprint(src) + ":2abs"
+    if store is None or store.is_stale(fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = QuantileSketchStore(spark, root)
+                ev = read_table(spark, sf_dir, "events").select(
+                    "event_type", F.col("ts"), _qsk_val().alias("v")
+                )
+                for pred in (
+                    F.col("ts") < QSK_SPLIT_TS,
+                    F.col("ts") >= QSK_SPLIT_TS,
+                ):
+                    store.absorb(ev.where(pred), "event_type", "v")
+                store.pin_corpus(fp)
+    return store
+
+
+def q_qsk_incremental(spark, sf_dir):
+    """Per-event_type percentiles as a PURE READ of the persisted
+    QuantileSketchStore — built by two separate absorbs, so the row
+    the gate hashes is the ADDITIVE MERGE across commits. The oracle
+    recomputes the sketch from scratch over the full corpus: matching
+    proves sum-of-slice-counts equals the one-shot sketch, served
+    percentiles included. The read touches sketch-sized state only —
+    never the events."""
+    store = _qsk_store(spark, sf_dir)
+    return store.quantiles(key_name="event_type").select(
+        "event_type", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+def q_qsk_as_of(spark, sf_dir):
+    """TIME TRAVEL on the quantile sketch: percentiles AS OF THE
+    FIRST COMMIT (history slice only), read from the same store the
+    incremental gate reads at HEAD. The oracle recomputes over ts <
+    QSK_SPLIT_TS alone: a green hash proves the later absorb is
+    invisible to the historical read — "what did we believe p99 was
+    then", externally checked."""
+    store = _qsk_store(spark, sf_dir)
+    v0 = store.snapshot_versions()[0]
+    return store.quantiles_as_of(v0, key_name="event_type").select(
+        "event_type", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+EXT_QUERIES.update({
+    "qsk_event_percentiles": (q_qsk_event_percentiles, _qsk_sql()),
+    "qsk_week_rollup": (q_qsk_week_rollup, _qsk_week_sql()),
+    "qsk_incremental": (q_qsk_incremental, _qsk_sql()),
+    "qsk_as_of": (
+        q_qsk_as_of,
+        _qsk_sql(where=f"WHERE ts < TIMESTAMP '{QSK_SPLIT_TS}'"),
+    ),
+})

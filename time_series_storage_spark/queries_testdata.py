@@ -643,3 +643,84 @@ CORE_QUERIES = {
     "ts_interp_fill": (q_interp_fill, SQL_INTERP_FILL),
     "ts_rate_sparse": (q_rate, SQL_RATE),
 }
+
+
+# -- round 11: streaming-maintained rollup under the external gate ----------
+
+STREAM_SPLIT_S = "2024-01-16 00:00:00"  # micro-batch 1 | micro-batch 2
+
+
+def build_streamed_engine(spark: SparkSession, sf_dir: str) -> TimeSeries:
+    """An engine whose ONLY physical data is a rollup maintained by
+    Structured Streaming: the events table is staged as two source
+    files, streamed with maxFilesPerTrigger=1 (two real micro-batches
+    through the exactly-once RollupMergeSink MERGE), and the engine's
+    event store stays EMPTY — every read must be served from the
+    stream-maintained rollup. This is BASELINE.json's north star
+    ("Structured Streaming for ingestion, DataFrame aggregations for
+    queries") composed end-to-end, under the driver's hash gate
+    rather than a pytest pin (r10 verdict item 3)."""
+    import tempfile
+
+    from .plans import RollupStore
+    from .streaming.ingest import stream_events, streaming_rollup_refresh
+
+    key = (id(spark), sf_dir, "streamed")
+    if key in _ENGINES:
+        return _ENGINES[key]
+    work = tempfile.mkdtemp(prefix="tss_streamed_")
+    src = read_events(spark, sf_dir).withColumn("one", F.lit(1.0))
+    # two files staged by time: the second micro-batch is entirely
+    # "late" relative to the first's max timestamp — unbounded-
+    # lateness merging is the point of the foreachBatch MERGE path
+    src.where(F.col("ts") >= STREAM_SPLIT_S).coalesce(1).write.parquet(
+        f"{work}/src/f1"
+    )
+    src.where(F.col("ts") < STREAM_SPLIT_S).coalesce(1).write.parquet(
+        f"{work}/src/f2"
+    )
+    schema = spark.read.parquet(f"{work}/src/f1").schema
+
+    store = RollupStore(spark, f"{work}/rollups")
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("evt_count", "counter", 10)
+    eng.define_dimension("event_type", facts=["evt_count"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*")
+    )
+    ev = stream_events(
+        stream, "evt_count", value_col="one",
+        dim_cols={"event_type": "event_type"},
+    )
+    q = (
+        streaming_rollup_refresh(ev, eng, store, "evt_count", "event_type")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _ENGINES[key] = eng
+    return eng
+
+
+def q_counter_hour_streamed(spark, sf_dir):
+    """A10 get-timeseries served from the STREAMING-MAINTAINED rollup:
+    identical query to ts_counter_hour_fill (Q3 hour collapse + Q5/Q6
+    dense zero-fill), identical oracle — but the physical source is
+    the exactly-once foreachBatch MERGE of two real micro-batches
+    (the second wholly late), with the raw event store empty. A green
+    hash proves stream-merge -> best-grouping -> collapse -> fill
+    equals the batch pipeline bit-for-bit."""
+    eng = build_streamed_engine(spark, sf_dir)
+    df = eng.get_timeseries(
+        "evt_count", "event_type", {}, START, FINISH, step="hour"
+    )
+    return df.select("event_type", _ts_str(), _long("counter", "counter"))
+
+
+CORE_QUERIES["ts_counter_hour_streamed"] = (
+    q_counter_hour_streamed, SQL_COUNTER_HOUR,
+)
