@@ -808,11 +808,29 @@ def knn_label_audit(
     vote contradicts the stored label.
     """
     nn = brute_force_topk(queries, corpus, id_col, vec_col, k=k)
+    return knn_label_vote(nn, queries, corpus, id_col, label_col)
+
+
+def knn_label_vote(
+    nn: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The audit's VOTE STAGE alone, over any neighbor ranking
+    ``nn`` (q_id, vec_id, ...) — exact (:func:`knn_label_audit`) or
+    served from the persisted IVF index
+    (queries_extensions.q_knn_label_audit_ivf). Factoring it out is
+    the 100-TB recipe made code: the neighbor SOURCE changes with
+    scale, the vote never does. Output contract matches
+    :func:`knn_label_audit`."""
     lab = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("_nl")
     )
     votes = (
-        nn.join(lab, "vec_id")
+        nn.select("q_id", "vec_id")
+        .join(lab, "vec_id")
         .groupBy("q_id", "_nl")
         .agg(F.count(F.lit(1)).alias("_votes"))
     )
