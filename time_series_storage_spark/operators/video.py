@@ -243,9 +243,13 @@ class VideoNearDupStore(ImgNearDupStore):
         path: str,
         max_hamming: int = 8,
         n_samples: int = 4,
+        id_kind: str = "long",
     ):
+        from .phash import _check_id_kind, _id_params
+
         self.max_hamming = max_hamming
         self.n_samples = n_samples
+        self.id_kind = _check_id_kind(id_kind)
         # bypass the parent __init__ — its params pin carries the
         # image identity; the base validates THESE params against the
         # stored meta on reopen
@@ -253,7 +257,8 @@ class VideoNearDupStore(ImgNearDupStore):
             self,
             spark,
             path,
-            ["video-sig-v1", PHASH_BANDS, max_hamming, n_samples],
+            ["video-sig-v1", PHASH_BANDS, max_hamming, n_samples,
+             *_id_params(id_kind)],
             "VideoNearDupStore",
         )
 
