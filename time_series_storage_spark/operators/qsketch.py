@@ -209,3 +209,97 @@ SELECT {ks}, MAX(n)::BIGINT AS n_total,
        {picks}
 FROM cum GROUP BY {ks}
 """
+
+
+def qsk_rolling_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    window_buckets: int = 7,
+    qs: tuple = QSK_QS,
+    sub_bits: int = QSK_SUB_BITS,
+) -> DataFrame:
+    """ROLLING percentiles — the SLO dashboard read ("p95 over the
+    trailing 7 days, per service, every day") served entirely from
+    per-bucket sketch state. Values bucket per (key, time bucket)
+    into at most ~1600 sketch rows each; every sketch row then
+    contributes to the ``window_buckets`` serve-days it participates
+    in (one generator explode of the row — work is sketch-rows x
+    window, NEVER data x window), bucket counts re-SUM per (key,
+    serve-day, bucket) — addition is the merge, so this is exactly
+    the week-rollup argument applied to a sliding grain — and the
+    quantile walk runs per (key, serve-day). Serve-days are the
+    OBSERVED buckets (the rolling-HLL convention: no phantom rows
+    after the last day).
+
+    Output: keys + ``bucket_idx`` (the window's END bucket) +
+    (n_total, p{q}_lb ...) longs. ``n_total`` is the trailing-window
+    observation count — the denominator a percentile SLO reports
+    next to its value."""
+    if window_buckets < 1:
+        raise ValueError(
+            f"window_buckets must be >= 1, got {window_buckets}"
+        )
+    bidx = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+    ).cast("long")
+    cnt = qsk_counters(
+        df.select(*keys, bidx.alias("_bi"), F.col(value_col).alias("_v")),
+        [*keys, "_bi"],
+        "_v",
+        sub_bits,
+    )
+    spread = cnt.select(
+        *keys,
+        "b",
+        "c",
+        F.explode(
+            F.sequence(
+                F.col("_bi"),
+                F.col("_bi") + F.lit(int(window_buckets) - 1),
+            )
+        ).alias("bucket_idx"),
+    )
+    observed = cnt.select(*keys, F.col("_bi").alias("bucket_idx")).distinct()
+    rolled = (
+        spread.join(observed, [*keys, "bucket_idx"], "semi")
+        .groupBy(*keys, "bucket_idx", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return qsk_quantiles(rolled, [*keys, "bucket_idx"], qs, sub_bits)
+
+
+def qsk_rolling_quantiles_sql(
+    value_expr: str,
+    keys: list[str],
+    table: str = "events",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+    window_buckets: int = 7,
+    qs: tuple = QSK_QS,
+    sub_bits: int = QSK_SUB_BITS,
+) -> str:
+    """Oracle mirror of :func:`qsk_rolling_quantiles` (DuckDB)."""
+    ks = ", ".join(keys)
+    bidx = f"(CAST(floor(epoch({ts_col})) AS BIGINT) // {bucket_seconds})"
+    on = " AND ".join(
+        [f"sp.{k} = obs.{k}" for k in keys]
+        + ["sp.bucket_idx = obs.bucket_idx"]
+    )
+    counters = f"""
+SELECT {', '.join('sp.' + k for k in keys)}, sp.bucket_idx, sp.b,
+       SUM(sp.c)::BIGINT AS c FROM (
+  SELECT {ks}, bi + off AS bucket_idx, b, c
+  FROM (
+    SELECT {ks}, {bidx} AS bi,
+           {qsk_bucket_sql(value_expr, sub_bits)} AS b,
+           COUNT(*)::BIGINT AS c
+    FROM {table} GROUP BY ALL) base,
+    unnest(generate_series(0, {int(window_buckets) - 1})) t(off)
+) sp
+JOIN (SELECT DISTINCT {ks}, {bidx} AS bucket_idx FROM {table}) obs
+  ON {on}
+GROUP BY ALL"""
+    return qsk_quantiles_sql(counters, [*keys, "bucket_idx"], qs, sub_bits)

@@ -15086,3 +15086,37 @@ EXT_QUERIES.update({
         q_knn_label_audit_ivf, _knn_label_audit_ivf_sql(),
     ),
 })
+
+
+def q_qsk_rolling_p95(spark, sf_dir):
+    """ROLLING percentiles from sketch state — the SLO dashboard read
+    (trailing-7-day p50/p95/p99 per event_type, one row per observed
+    day): per-day sketches spread to the serve-days they participate
+    in (one generator explode over SKETCH rows — work is sketch x
+    window, never data x window), re-summed, quantile-walked. The
+    oracle recomputes every trailing window from raw rows: a green
+    hash proves the sliding-grain re-aggregation exact, the
+    qsk_week_rollup argument applied per day."""
+    from .operators.qsketch import qsk_rolling_quantiles
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", _qsk_val().alias("v")
+    )
+    return qsk_rolling_quantiles(
+        ev, ["event_type"], "v", "ts", window_buckets=7
+    ).select(
+        "event_type", "bucket_idx", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+def _qsk_rolling_sql() -> str:
+    from .operators.qsketch import qsk_rolling_quantiles_sql
+
+    return qsk_rolling_quantiles_sql(
+        _QSK_VAL_SQL, ["event_type"], window_buckets=7
+    )
+
+
+EXT_QUERIES.update({
+    "qsk_rolling_p95": (q_qsk_rolling_p95, _qsk_rolling_sql()),
+})
