@@ -27,14 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 # (this session) implements the r10 verdict's rotation exactly: after
 # r10 the union of CORRECTNESS_r01..r10 left 21 registry rows with NO
 # external gate row ever and 23 rows stale since r6/r7 — this window
-# is the 10 new r11 queries + those 21 + the 7 r6 rows + 12 of the 16
+# is the 11 new r11 queries + those 21 + the 7 r6 rows + 11 of the 16
 # r7-stale core ts_* rows (computed from the CORRECTNESS artifacts,
 # not by hand).  After a green r11, every row in the registry except
 # the ordered backlog below the line has an external gate at most 4
 # rounds old, and zero rows are never-gated.
 _GATE_PRIORITY = [
     # --- round-11 window (the first 50 are the driver's hard hash
-    # --- gate). 1-10: the ten r11 queries (quantile-sketch family
+    # --- gate). 1-11: the eleven r11 queries (quantile-sketch family
     # --- incl. rolling SLO percentiles,
     # --- reservoir family, streaming-served get_timeseries,
     # --- IVF-served label audit) — never externally gated ---
@@ -43,12 +43,13 @@ _GATE_PRIORITY = [
     "qsk_incremental",
     "qsk_as_of",
     "qsk_rolling_p95",
+    "qsk_error_audit",
     "sample_reservoir_members",
     "reservoir_incremental",
     "reservoir_as_of",
     "ts_counter_hour_streamed",
     "knn_label_audit_ivf",
-    # --- 11-31: the 21 rows that had NEVER had a driver gate row
+    # --- 12-32: the 21 rows that had NEVER had a driver gate row
     # --- (r10 positions 51+; verified green locally in r10/r11) ---
     "label_norm_robust",
     "distinct_incremental",
@@ -71,7 +72,7 @@ _GATE_PRIORITY = [
     "pipeline_modern_incremental",
     "doc_novelty_incremental",
     "source_length_robust",
-    # --- 32-38: the seven r6-stale rows (longest-unrotated) ---
+    # --- 33-39: the seven r6-stale rows (longest-unrotated) ---
     "local_supplier_volume",
     "ts_hourly_profile",
     "pricing_summary",
@@ -79,15 +80,18 @@ _GATE_PRIORITY = [
     "customers_without_urgent_orders",
     "large_orders",
     "cheapest_supplier",
-    # --- 39-50: twelve of the sixteen r7-stale core ts_* rows
+    # --- 40-50: eleven of the sixteen r7-stale core ts_* rows
     # --- (the reference's actual section-2 surface; last external
-    # --- gate r7). The four deferred below the line are each
+    # --- gate r7). The five deferred below the line are each
     # --- shadowed by a SAME-ORACLE row inside the window
     # --- (hour_fill by ts_counter_hour_streamed+_materialized,
     # --- avg_hour_fill / histogram_day by their _materialized
     # --- twins, histogram_quantiles by the four qsk_* gates
     # --- hashing the same cum*100>=q*n walk + by
-    # --- ts_histogram_merged sharing its input CTE) — they lead
+    # --- ts_histogram_merged sharing its input CTE,
+    # --- rollup_slice15 by the three _materialized rows + the
+    # --- streamed gate exercising the same slice-grain rollup
+    # --- layout) — they lead
     # --- r12 with the rest of the r7 block ---
     "ts_counter_none",
     "ts_counter_day_offset3",
@@ -97,11 +101,10 @@ _GATE_PRIORITY = [
     "ts_counter_nil_filter",
     "ts_avg_none",
     "ts_histogram_merged",
-    "ts_rollup_slice15",
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: the four deferred core rows
+    # --- below the 50-row gate line: the five deferred core rows
     # --- first (they lead r12), then every remaining row ordered
     # --- by staleness of its last external gate (r7 block, r8
     # --- block, r9 block, r10 freshest); all keep pytest/sweep
@@ -111,6 +114,7 @@ _GATE_PRIORITY = [
     "ts_avg_hour_fill",
     "ts_histogram_day",
     "ts_histogram_quantiles",
+    "ts_rollup_slice15",
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",

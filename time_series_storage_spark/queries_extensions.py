@@ -15120,3 +15120,96 @@ def _qsk_rolling_sql() -> str:
 EXT_QUERIES.update({
     "qsk_rolling_p95": (q_qsk_rolling_p95, _qsk_rolling_sql()),
 })
+
+
+def q_qsk_error_audit(spark, sf_dir):
+    """Sketch ERROR AUDIT under the external hash (the
+    sim_recall_audit / dedup_lsh_audit pattern applied to quantiles):
+    per event_type, the EXACT rank percentiles (p50/p95/p99 at rank
+    ceil(q*n/100) over the raw x1000 values — one data-sized window
+    pass, the audit's deliberate cost) side by side with the sketch's
+    served lower bounds, plus an integer ok-flag asserting the
+    published guarantee lb <= exact AND (exact - lb) * 32 <= exact
+    (the 2^-5 relative bound; exact for values below 2^6). A green
+    hash means both engines agree the bound HELD on this data — the
+    guarantee tested where it matters, not just on synthetic pytest
+    rows. At 100 TB run the exact side on an audit sample; the sketch
+    side is the production read."""
+    from pyspark.sql import Window
+
+    from .operators.qsketch import qsk_counters, qsk_quantiles
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", _qsk_val().alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w) * 100).alias("_r100"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("_r100") >= F.lit(q) * F.col("_n"), F.col("v"))
+            ).cast("long").alias(f"p{q}_exact")
+            for q in (50, 95, 99)
+        ]
+    )
+    sk = qsk_quantiles(
+        qsk_counters(ev, ["event_type"], "v"), ["event_type"]
+    )
+    out = exact.join(sk, "event_type")
+    cols = [F.col("event_type"), F.col("n_total")]
+    for q in (50, 95, 99):
+        e, lb = F.col(f"p{q}_exact"), F.col(f"p{q}_lb")
+        cols += [
+            e.alias(f"p{q}_exact"),
+            lb.alias(f"p{q}_lb"),
+            (
+                (lb <= e)
+                & ((e < 64) | ((e - lb) * 32 <= e))
+            ).cast("long").alias(f"p{q}_ok"),
+        ]
+    return out.select(*cols)
+
+
+def _qsk_error_audit_sql() -> str:
+    from .operators.qsketch import qsk_quantiles_sql
+
+    exact_picks = ",\n         ".join(
+        f"MIN(CASE WHEN r100 >= {q} * n THEN v END)::BIGINT AS p{q}_exact"
+        for q in (50, 95, 99)
+    )
+    ok_cols = ",\n       ".join(
+        f"e.p{q}_exact, s.p{q}_lb,\n"
+        f"       (CASE WHEN s.p{q}_lb <= e.p{q}_exact AND "
+        f"(e.p{q}_exact < 64 OR (e.p{q}_exact - s.p{q}_lb) * 32 <= "
+        f"e.p{q}_exact) THEN 1 ELSE 0 END)::BIGINT AS p{q}_ok"
+        for q in (50, 95, 99)
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_type, {_QSK_VAL_SQL} AS v FROM events),
+ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) * 100
+           AS r100,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vals),
+exact AS (
+  SELECT event_type,
+         {exact_picks}
+  FROM ranked GROUP BY event_type),
+sk AS ({qsk_quantiles_sql(_qsk_counters_sql("event_type"), ["event_type"])})
+SELECT e.event_type, s.n_total,
+       {ok_cols}
+FROM exact e JOIN sk s ON s.event_type = e.event_type
+"""
+
+
+EXT_QUERIES.update({
+    "qsk_error_audit": (q_qsk_error_audit, _qsk_error_audit_sql()),
+})
