@@ -176,3 +176,32 @@ def test_audio_video_stores_accept_id_kind(spark, tmp_path):
     assert a.id_kind == v.id_kind == "string"
     with pytest.raises(ValueError, match="id_kind"):
         AudioNearDupStore(spark, str(tmp_path / "b"), id_kind="int")
+
+
+def test_reoffered_retained_id_does_not_duplicate_mapping(spark, tmp_path):
+    """r11 review finding: re-offering a RETAINED string id (changed,
+    non-near-dup content — a caller contract breach the store must
+    still stay sane under) must not append a second (mid, orig) map
+    row, and emissions must stay one row per id."""
+    day1, _ = _payloads()
+    store = ImgNearDupStore(
+        spark, str(tmp_path / "s"), max_hamming=MAXH, id_kind="string"
+    )
+    store.absorb(_df_str(spark, day1), "id", "payload")
+    n_map = store.id_mapping().count()
+    # re-offer id 1 with completely different content (id 12's bytes)
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    new_payload = bytes(rng.randint(0, 256, size=64, dtype=np.uint8))
+    again = spark.createDataFrame(
+        [(_uuid(1), bytearray(encode_jpeg(bytes_to_mosaic(new_payload))))],
+        "id string, payload binary",
+    )
+    out = store.absorb(again, "id", "payload").collect()
+    # at most one emission row, and the mapping did not grow a dup
+    assert len(out) <= 1
+    mapping = store.id_mapping().collect()
+    mids = [r.mid for r in mapping]
+    assert len(mids) == len(set(mids))
+    assert store.id_mapping().count() >= n_map

@@ -250,3 +250,21 @@ def test_store_foreach_batch_streaming(spark, tmp_path):
     assert [b for b, _ in seen] == [0, 1, 1]
     assert seen[1] == seen[2]
     assert _read_q(store) == _want(ROWS)
+
+
+def test_store_rejects_values_below_one(spark, tmp_path):
+    """r11 review finding: a value < 1 has no bucket (and negatives
+    render differently in Spark's conv vs DuckDB's printf), so the
+    absorb must fail LOUDLY instead of poisoning persisted state."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    store = QuantileSketchStore(spark, str(tmp_path / "g"))
+    bad = spark.createDataFrame([("a", 5), ("a", 0)], SCHEMA)
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException, Exception),
+        match="must be >= 1",
+    ):
+        store.absorb(bad, "k", "v")
+    # nothing committed
+    assert store.quantiles().count() == 0

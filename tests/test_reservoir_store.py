@@ -204,3 +204,21 @@ def test_reservoir_foreach_batch_streaming(spark, tmp_path):
     assert [b for b, _ in seen] == [0, 1, 1]
     assert seen[1] == seen[2]  # replay saw the identical emission
     assert _read(st) == _model(ROWS)
+
+
+def test_reservoir_duplicate_rows_in_one_increment(spark, tmp_path):
+    """r11 review finding: duplicate (key, id) rows inside ONE
+    increment (at-least-once upstream delivery) must not occupy
+    multiple local top-k slots and starve true members out of the
+    appended state. With k copies of the lowest-ranked id in one
+    partition, the store must still retain the full reservoir."""
+    lowest = min(range(40), key=_rank)
+    dup_rows = [("s0", lowest, lowest * 10)] * (K + 2) + [
+        ("s0", i, i * 10) for i in range(40) if i != lowest
+    ]
+    st = ReservoirStore(spark, str(tmp_path / "d"), k=K)
+    # one partition forces every duplicate into the same local top-k
+    st.absorb(_df(spark, dup_rows).coalesce(1), "k", "id", "v")
+    want = _model([("s0", i, i * 10) for i in range(40)])
+    assert _read(st) == want
+    assert len(_read(st)["s0"]) == K

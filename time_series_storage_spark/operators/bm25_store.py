@@ -99,7 +99,10 @@ class Bm25StatsStore(_SnapshotArtifactStore):
         (id, rank, score_x1e6, n_hit_terms)."""
         from .analytics import floor_div
 
-        if not list(query_terms):
+        # materialize ONCE: a one-pass iterable consumed by the guard
+        # would otherwise reach isin() empty
+        query_terms = list(query_terms)
+        if not query_terms:
             # isin() with zero arguments is a TypeError deep inside the
             # plan; surface the contract violation at the API boundary
             # like the other parameter guards (hll_rolling_estimate,
@@ -111,12 +114,12 @@ class Bm25StatsStore(_SnapshotArtifactStore):
         dl = toks.groupBy(id_col).agg(
             F.count(F.lit(1)).cast("long").alias("_dl")
         )
-        qterms = toks.where(F.col("tok").isin(*list(query_terms)))
+        qterms = toks.where(F.col("tok").isin(*query_terms))
         tf = qterms.groupBy(id_col, "tok").agg(
             F.count(F.lit(1)).cast("long").alias("_tf")
         )
         df_ = self.df_counts().where(
-            F.col("tok").isin(*list(query_terms))
+            F.col("tok").isin(*query_terms)
         )
         idf = floor_div(
             (2 * F.col("_n") - 2 * F.col("df") + 1) * 1_000_000,

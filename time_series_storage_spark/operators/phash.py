@@ -376,7 +376,11 @@ class ImgNearDupStore(_SnapshotArtifactStore):
         absorbs and replays, because the mapping commits with them."""
         if self.id_kind != "string":
             return df
-        m = self.id_mapping().select(
+        # distinct as belt-and-braces: the absorb path appends each
+        # mid's mapping row at most once (anti-join against history),
+        # but translation must stay cardinality-preserving even over
+        # a store written before that guard existed
+        m = self.id_mapping().distinct().select(
             F.col("mid").alias(id_col), "orig"
         )
         others = [c for c in df.columns if c != id_col]
@@ -517,14 +521,18 @@ class ImgNearDupStore(_SnapshotArtifactStore):
                 ]
                 if inc_map is not None:
                     # mapping rows only for RETAINED ids — state stays
-                    # O(retained), matching hash/band
+                    # O(retained), matching hash/band — and only NEW
+                    # mids: a re-offered retained id would otherwise
+                    # append its (mid, orig) row again and the inner
+                    # join in _translate_ids would duplicate every
+                    # later emission row for that id
                     tables.append((
                         "map",
                         inc_map.join(
                             surv_ids.select(F.col(id_col).alias("mid")),
                             "mid",
                             "semi",
-                        ),
+                        ).join(self.id_mapping(), "mid", "anti"),
                     ))
                 out = self._commit_increment(
                     meta, tables, id_col, batch_id

@@ -118,10 +118,30 @@ class QuantileSketchStore(_SnapshotArtifactStore):
             replay = self._replay_result(meta, batch_id, key_col)
             if replay is not None:
                 return replay
+            # loud in-plan boundary guard (the maxmatch/bm25 guard
+            # discipline, enforced where it matters most — persisted
+            # state): a value < 1 has NO bucket under the sketch
+            # contract, and Spark's conv() and DuckDB's printf('%b')
+            # render negatives differently, so letting one through
+            # would poison the store with state the oracle can never
+            # reproduce. raise_error fails the absorb job with the
+            # offending value instead.
+            v = F.col(value_col).cast("long")
+            checked = F.when(v >= 1, v).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "QuantileSketchStore: values must be >= 1 "
+                            "(scale to fixed-point first), got "
+                        ),
+                        v.cast("string"),
+                    )
+                )
+            )
             inc = qsk_counters(
                 elements.select(
                     F.col(key_col).cast("string").alias("gk"),
-                    F.col(value_col).cast("long").alias("_v"),
+                    checked.alias("_v"),
                 ),
                 ["gk"],
                 "_v",

@@ -164,8 +164,14 @@ class ReservoirStore(_SnapshotArtifactStore):
             if replay is not None:
                 return replay
             # local selection: the increment's OWN bottom-k per key,
-            # two-phase so a hot key sorts per-partition first
+            # two-phase so a hot key sorts per-partition first.
+            # (gk, id) dedup comes FIRST: duplicate rows inside one
+            # increment (at-least-once upstream delivery) would
+            # otherwise occupy multiple local top-k slots and starve
+            # true members out of the appended state — the one place
+            # the read-time dedup in _reselect cannot repair
             tagged = self._tagged(rows, key_col, id_col, val_col)
+            tagged = tagged.dropDuplicates(["gk", "id"])
             wp = Window.partitionBy(F.spark_partition_id(), "gk").orderBy(
                 "rk", "id"
             )

@@ -14684,61 +14684,78 @@ FROM m GROUP BY source
 """
 
 
-def _res_store(spark, sf_dir):
-    """The persisted reservoir for ``sf_dir`` — built by TWO absorbs
-    (history slice doc_id < FPSTORE_BASE, then the increment slice) so
-    the gated reads exercise the keep-min merge across commits;
-    staleness-keyed and flock-guarded exactly like the other store
-    builders (operators/reservoir_store.py)."""
+def _cached_store(base_name, key_material, fingerprint, open_fn, build_fn):
+    """The single seam for the per-sf-dir persisted store builders:
+    stores live under the system temp dir keyed by (corpus path x
+    params), staleness is the corpus files' fingerprint, rebuilds are
+    double-checked under a file lock so concurrent sessions build
+    once. ``open_fn(root)`` constructs/opens (a ValueError = stale
+    format/params cache -> rebuild); ``build_fn(store)`` runs the
+    absorbs. The 22 pre-r11 builders inline this same sequence; new
+    builders use this helper so locking/staleness fixes have one home
+    (r11 review finding)."""
     import contextlib
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from .operators.reservoir_store import ReservoirStore
-    from .operators.vector_index import files_fingerprint
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"{os.path.realpath(src)}:{FPSTORE_BASE}:res-v1:k={RES_K}".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "tss_res_store")
+    key = hashlib.md5(key_material.encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), base_name)
     root = os.path.join(base, key)
     os.makedirs(base, exist_ok=True)
 
     def _open():
         try:
-            return ReservoirStore(spark, root, k=RES_K)
+            return open_fn(root)
         except ValueError:
             return None
 
     store = _open()
-    fp = files_fingerprint(src) + ":2abs"
-    if store is None or store.is_stale(fp):
-        lock_path = os.path.join(base, key + ".lock")
-        with open(lock_path, "w") as lock_fh:
+    if store is None or store.is_stale(fingerprint):
+        with open(os.path.join(base, key + ".lock"), "w") as lock_fh:
             with contextlib.suppress(ImportError):
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
             store = _open()
-            if store is None or store.is_stale(fp):
+            if store is None or store.is_stale(fingerprint):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(root, exist_ok=True)
-                store = ReservoirStore(spark, root, k=RES_K)
-                docs = _docs(spark, sf_dir).select(
-                    "source", "doc_id", "n_chars"
-                )
-                for pred in (
-                    F.col("doc_id") < FPSTORE_BASE,
-                    F.col("doc_id") >= FPSTORE_BASE,
-                ):
-                    store.absorb(
-                        docs.where(pred), "source", "doc_id", "n_chars"
-                    )
-                store.pin_corpus(fp)
+                store = open_fn(root)
+                build_fn(store)
+                store.pin_corpus(fingerprint)
     return store
+
+
+def _res_store(spark, sf_dir):
+    """The persisted reservoir for ``sf_dir`` — built by TWO absorbs
+    (history slice doc_id < FPSTORE_BASE, then the increment slice) so
+    the gated reads exercise the keep-min merge across commits;
+    staleness-keyed and flock-guarded via the shared builder seam
+    (operators/reservoir_store.py)."""
+    import os
+
+    from .operators.reservoir_store import ReservoirStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(store):
+        docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+        for pred in (
+            F.col("doc_id") < FPSTORE_BASE,
+            F.col("doc_id") >= FPSTORE_BASE,
+        ):
+            store.absorb(docs.where(pred), "source", "doc_id", "n_chars")
+
+    return _cached_store(
+        "tss_res_store",
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:res-v1:k={RES_K}",
+        files_fingerprint(src) + ":2abs",
+        lambda root: ReservoirStore(spark, root, k=RES_K),
+        build,
+    )
 
 
 def _res_members(sample):
@@ -14901,55 +14918,32 @@ def _qsk_store(spark, sf_dir):
     """The persisted quantile sketch for ``sf_dir`` — built by TWO
     absorbs (history slice ts < QSK_SPLIT_TS, then the rest) so the
     gated reads exercise the additive merge across commits;
-    staleness-keyed and flock-guarded like the other store builders
+    staleness-keyed and flock-guarded via the shared builder seam
     (operators/qsketch_store.py)."""
-    import contextlib
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from .operators.qsketch_store import QuantileSketchStore
     from .operators.vector_index import files_fingerprint
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(
-        f"{os.path.realpath(src)}:{QSK_SPLIT_TS}:qsk-v1:s=5".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "tss_qsk_store")
-    root = os.path.join(base, key)
-    os.makedirs(base, exist_ok=True)
 
-    def _open():
-        try:
-            return QuantileSketchStore(spark, root)
-        except ValueError:
-            return None
+    def build(store):
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_type", F.col("ts"), _qsk_val().alias("v")
+        )
+        for pred in (
+            F.col("ts") < QSK_SPLIT_TS,
+            F.col("ts") >= QSK_SPLIT_TS,
+        ):
+            store.absorb(ev.where(pred), "event_type", "v")
 
-    store = _open()
-    fp = files_fingerprint(src) + ":2abs"
-    if store is None or store.is_stale(fp):
-        lock_path = os.path.join(base, key + ".lock")
-        with open(lock_path, "w") as lock_fh:
-            with contextlib.suppress(ImportError):
-                import fcntl
-
-                fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            store = _open()
-            if store is None or store.is_stale(fp):
-                shutil.rmtree(root, ignore_errors=True)
-                os.makedirs(root, exist_ok=True)
-                store = QuantileSketchStore(spark, root)
-                ev = read_table(spark, sf_dir, "events").select(
-                    "event_type", F.col("ts"), _qsk_val().alias("v")
-                )
-                for pred in (
-                    F.col("ts") < QSK_SPLIT_TS,
-                    F.col("ts") >= QSK_SPLIT_TS,
-                ):
-                    store.absorb(ev.where(pred), "event_type", "v")
-                store.pin_corpus(fp)
-    return store
+    return _cached_store(
+        "tss_qsk_store",
+        f"{os.path.realpath(src)}:{QSK_SPLIT_TS}:qsk-v1:s=5",
+        files_fingerprint(src) + ":2abs",
+        lambda root: QuantileSketchStore(spark, root),
+        build,
+    )
 
 
 def q_qsk_incremental(spark, sf_dir):

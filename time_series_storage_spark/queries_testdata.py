@@ -701,7 +701,15 @@ def build_streamed_engine(spark: SparkSession, sf_dir: str) -> TimeSeries:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout WITHOUT
+    # raising — a half-merged engine must never reach the cache (the
+    # gate would hash silently short data with no diagnostic)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "build_streamed_engine: availableNow stream did not finish "
+            "within 300s; refusing to serve a partially-merged rollup"
+        )
     _ENGINES[key] = eng
     return eng
 
