@@ -14832,11 +14832,17 @@ QSK_SPLIT_TS = "2024-01-16 00:00:00"  # history | increment for the store
 
 def _qsk_val():
     # the registry's fixed-point discipline: value -> integer
-    # milliunits (>= 10 for this table — the sketch needs v >= 1)
-    return F.round(F.col("value") * 1000).cast("long")
+    # milliunits, CLAMPED to the sketch's v >= 1 domain (sf0.1 holds a
+    # handful of sub-milliunit values that round to 0 — the store's
+    # boundary guard caught exactly this in the r11 bench run; the
+    # clamp is the documented fixed-point floor, mirrored in the
+    # oracle, so both engines bucket those rows identically)
+    return F.greatest(
+        F.lit(1).cast("long"), F.round(F.col("value") * 1000).cast("long")
+    )
 
 
-_QSK_VAL_SQL = "ROUND(value * 1000)::BIGINT"
+_QSK_VAL_SQL = "GREATEST(1, ROUND(value * 1000))::BIGINT"
 
 
 def _qsk_counters_sql(keys_sql: str, where: str = "") -> str:
