@@ -104,12 +104,17 @@ _GATE_PRIORITY = [
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: the five deferred core rows
+    # --- below the 50-row gate line: first the two r11 LATE
+    # --- additions (written after this round's window was frozen and
+    # --- pre-verified; they are the only never-gated rows and MUST
+    # --- lead r12), then the five deferred core rows
     # --- first (they lead r12), then every remaining row ordered
     # --- by staleness of its last external gate (r7 block, r8
     # --- block, r9 block, r10 freshest); all keep pytest/sweep
     # --- coverage (tests/test_extensions_oracle.py runs the FULL
     # --- registry at sf0.001) ---
+    "sample_weighted_reservoir",
+    "qsk_p99_regression",
     "ts_counter_hour_fill",
     "ts_avg_hour_fill",
     "ts_histogram_day",

@@ -222,3 +222,65 @@ def test_reservoir_duplicate_rows_in_one_increment(spark, tmp_path):
     want = _model([("s0", i, i * 10) for i in range(40)])
     assert _read(st) == want
     assert len(_read(st)["s0"]) == K
+
+
+def test_weighted_reservoir_properties(spark):
+    """operators/split.weighted_reservoir — the oracle replays rank
+    and selection; this pins what it can't see: (a) the weight guard
+    fires loudly in-plan, (b) weights actually TILT inclusion (a
+    max-weight item is sampled far more often than weight-1 peers
+    across salts — the replication reduction working as designed),
+    (c) weight-1 everywhere degenerates to the uniform bottom-k."""
+    import pytest as _pt
+
+    from time_series_storage_spark.operators.dedup import md5_long
+    from time_series_storage_spark.operators.split import (
+        weighted_reservoir,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("s", i, 64 if i == 0 else 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, id long, w long")
+    # (b): across 12 salts, the weight-64 item should be selected in
+    # a clear majority of k=4 reservoirs; any single weight-1 item
+    # should not be
+    hits = 0
+    for t in range(12):
+        got = {
+            r.id
+            for r in weighted_reservoir(
+                df, ["k"], "id", "w", 4, salt=f"t{t}"
+            ).collect()
+        }
+        hits += 0 in got
+    assert hits >= 8, hits
+    # (c): all-1 weights == uniform stratified bottom-k
+    uni = spark.createDataFrame(
+        [("s", i, 1) for i in range(60)], "k string, id long, w long"
+    )
+    got = sorted(
+        r.id for r in weighted_reservoir(uni, ["k"], "id", "w", 5).collect()
+    )
+    want = sorted(
+        sorted(
+            range(60),
+            key=lambda i: (
+                int(
+                    __import__("hashlib")
+                    .md5(f"v1:{i}:1".encode())
+                    .hexdigest()[:15],
+                    16,
+                ),
+                i,
+            ),
+        )[:5]
+    )
+    assert got == want
+    # (a): out-of-range weight fails the job loudly
+    bad = spark.createDataFrame(
+        [("s", 1, 0)], "k string, id long, w long"
+    )
+    with _pt.raises(Exception, match="weight must be in"):
+        weighted_reservoir(bad, ["k"], "id", "w", 4).collect()
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_reservoir(uni, ["k"], "id", "w", 0)

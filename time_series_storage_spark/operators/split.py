@@ -337,3 +337,79 @@ def waterfill_mix(
     return _topk_per_key(
         capped, [key_col], id_col, F.col("alloc"), salt
     ).withColumnRenamed("_rank", "mix_rank")
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    max_weight: int = 64,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic WEIGHTED reservoir: per stratum, a fixed-k sample
+    where an item's inclusion odds scale with its integer weight — by
+    the classic replication reduction (Chao 1982's integer-weight
+    special case; the exact-arithmetic sibling of
+    Efraimidis-Spirakis A-ES, whose u^(1/w) keys need transcendental
+    arithmetic no hash-gate oracle can replay): item i with weight w_i
+    enters as w_i salted copies (hash(salt:id:j), j in 1..w_i), its
+    effective rank is the MIN copy hash, and the reservoir is the
+    bottom-k items by (rank, id). The sample is EXACTLY the uniform
+    bottom-k over the weight-expanded multiset, deduped to items — a
+    pure function of the (id, weight) set, so it shares every
+    reservoir property the uniform sampler has: deterministic,
+    order-free, mergeable, and recomputable in SQL.
+
+    Weights must be integers in [1, max_weight] — the expansion costs
+    O(w) rows per item (generator explode, no shuffle until the final
+    per-key selection), so the cap is validated IN-PLAN and a weight
+    outside it fails the job loudly rather than silently exploding
+    cost or silently truncating odds.
+
+    Output: strata_cols + (id_col, rank, smp_rank) — smp_rank in 1..k
+    by (rank, id)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    w = F.col(weight_col).cast("long")
+    checked = F.when((w >= 1) & (w <= max_weight), w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_reservoir: weight must be in "
+                    f"[1, {max_weight}], got "
+                ),
+                w.cast("string"),
+            )
+        )
+    )
+    copies = df.select(
+        *strata_cols,
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), checked)).alias("_j"),
+    ).select(
+        *strata_cols,
+        id_col,
+        md5_long(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("_j").cast("string"),
+            )
+        ).alias("_r"),
+    )
+    ranks = copies.groupBy(*strata_cols, id_col).agg(
+        F.min("_r").alias("rank")
+    )
+    win = Window.partitionBy(*strata_cols).orderBy("rank", id_col)
+    return (
+        ranks.withColumn("smp_rank", F.row_number().over(win).cast("long"))
+        .where(F.col("smp_rank") <= k)
+        .select(*strata_cols, id_col, F.col("rank"), "smp_rank")
+    )

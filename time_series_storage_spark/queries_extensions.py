@@ -15213,3 +15213,134 @@ FROM exact e JOIN sk s ON s.event_type = e.event_type
 EXT_QUERIES.update({
     "qsk_error_audit": (q_qsk_error_audit, _qsk_error_audit_sql()),
 })
+
+
+# -- round 11 late additions: weighted reservoir + p99 SLO regression -------
+
+WRES_K = 8  # weighted reservoir capacity per source
+
+
+def q_sample_weighted_reservoir(spark, sf_dir):
+    """WEIGHTED reservoir (operators/split.weighted_reservoir): per
+    source, a fixed-8 sample whose inclusion odds scale with document
+    length — weight = clamp(n_chars // 100, 1, 64), the replication
+    reduction whose min-copy-hash ranks stay exact integers in any
+    engine (the A-ES u^(1/w) keys cannot). The oracle expands the
+    same copies with generate_series and replays rank and selection
+    bit-for-bit. Plan: one generator explode (O(weight) rows, no
+    shuffle) -> per-(source, doc) min -> exact per-source top-k."""
+    from .operators.split import weighted_reservoir
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.least(F.lit(64), F.floor(F.col("n_chars") / 100))
+        ).cast("long").alias("w"),
+    )
+    return weighted_reservoir(
+        docs, ["source"], "doc_id", "w", WRES_K
+    ).select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "smp_rank",
+    )
+
+
+SQL_SAMPLE_WEIGHTED_RESERVOIR = f"""
+WITH weighted AS (
+  SELECT source, doc_id,
+         GREATEST(1, LEAST(64, n_chars // 100)) AS w
+  FROM documents),
+copies AS (
+  SELECT source, doc_id,
+         CAST(CONCAT('0x', SUBSTRING(
+             md5(concat('v1:', doc_id, ':', j)), 1, 15)) AS BIGINT) AS r
+  FROM weighted, unnest(generate_series(1, w)) t(j)),
+ranks AS (
+  SELECT source, doc_id, MIN(r) AS rank
+  FROM copies GROUP BY 1, 2),
+sel AS (
+  SELECT source, doc_id, rank,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY rank, doc_id) AS smp_rank
+  FROM ranks)
+SELECT source, doc_id::BIGINT AS doc_id, rank::BIGINT AS rank,
+       smp_rank::BIGINT AS smp_rank
+FROM sel WHERE smp_rank <= {WRES_K}
+"""
+
+
+QSK_BREACH_X10 = 11  # breach = day p95 above 1.1x the trailing baseline
+
+
+def q_qsk_p99_regression(spark, sf_dir):
+    """SLO REGRESSION DETECTOR composed from sketch state: per
+    (event_type, day), today's p95 (single-day sketch = the rolling
+    read at window 1) against the trailing-7-day baseline (the
+    rolling read at window 7), breach-flagged when day * 10 >
+    baseline * {QSK_BREACH_X10} — all integer, no division. This is
+    the alerting query a latency SLO actually runs every day at 100
+    TB: both sides are served from per-day sketch rows; raw events
+    are read once. The oracle recomputes both windows from raw rows
+    and must agree on every flag."""
+    from .operators.qsketch import qsk_rolling_quantiles
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", _qsk_val().alias("v")
+    )
+    day = qsk_rolling_quantiles(
+        ev, ["event_type"], "v", "ts", window_buckets=1
+    ).select(
+        "event_type", "bucket_idx",
+        F.col("n_total").alias("day_n"),
+        F.col("p95_lb").alias("day_p95"),
+    )
+    base = qsk_rolling_quantiles(
+        ev, ["event_type"], "v", "ts", window_buckets=7
+    ).select(
+        "event_type", "bucket_idx",
+        F.col("p95_lb").alias("base_p95"),
+    )
+    return day.join(base, ["event_type", "bucket_idx"]).select(
+        "event_type",
+        "bucket_idx",
+        "day_n",
+        "day_p95",
+        "base_p95",
+        (F.col("day_p95") * 10 > F.col("base_p95") * QSK_BREACH_X10)
+        .cast("long").alias("breach"),
+    )
+
+
+def _qsk_p99_regression_sql() -> str:
+    from .operators.qsketch import qsk_rolling_quantiles_sql
+
+    day = qsk_rolling_quantiles_sql(
+        _QSK_VAL_SQL, ["event_type"], window_buckets=1
+    )
+    base = qsk_rolling_quantiles_sql(
+        _QSK_VAL_SQL, ["event_type"], window_buckets=7
+    )
+    return f"""
+WITH day AS ({day}), base AS ({base})
+SELECT d.event_type, d.bucket_idx,
+       d.n_total::BIGINT AS day_n,
+       d.p95_lb::BIGINT AS day_p95,
+       b.p95_lb::BIGINT AS base_p95,
+       (CASE WHEN d.p95_lb * 10 > b.p95_lb * {QSK_BREACH_X10}
+             THEN 1 ELSE 0 END)::BIGINT AS breach
+FROM day d JOIN base b
+  ON b.event_type = d.event_type AND b.bucket_idx = d.bucket_idx
+"""
+
+
+EXT_QUERIES.update({
+    "sample_weighted_reservoir": (
+        q_sample_weighted_reservoir, SQL_SAMPLE_WEIGHTED_RESERVOIR,
+    ),
+    "qsk_p99_regression": (
+        q_qsk_p99_regression, _qsk_p99_regression_sql(),
+    ),
+})
