@@ -617,6 +617,9 @@ def test_monitored_curation_crash_any_commit_converges(
 def _sk_stores(spark, tmp_path):
     from time_series_storage_spark.operators.cms_store import CmsStore
     from time_series_storage_spark.operators.hll_store import HllSketchStore
+    from time_series_storage_spark.operators.qsketch_store import (
+        QuantileSketchStore,
+    )
     from time_series_storage_spark.operators.sketch_store import (
         KmvSketchStore,
     )
@@ -626,6 +629,7 @@ def _sk_stores(spark, tmp_path):
     kmv = KmvSketchStore(spark, str(tmp_path / "kmv"), k=5)
     hll = HllSketchStore(spark, str(tmp_path / "hll"))
     cms = CmsStore(spark, str(tmp_path / "cms"))
+    qsk = QuantileSketchStore(spark, str(tmp_path / "qsk"))
     lm.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
     fp.absorb(_mon_df(spark, MON_DAY1), "doc_id", "text")
     day1_toks = _mon_df(spark, MON_DAY1).select(
@@ -634,7 +638,17 @@ def _sk_stores(spark, tmp_path):
     kmv.absorb(day1_toks, "source", "_tok")
     hll.absorb(day1_toks, "source", "_tok")
     cms.absorb(day1_toks, "_tok")
-    return {"lm": lm, "fp": fp, "kmv": kmv, "hll": hll, "cms": cms}
+    day1_lens = _mon_df(spark, MON_DAY1).select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")),
+        ).cast("long").alias("_len"),
+    )
+    qsk.absorb(day1_lens, "source", "_len")
+    return {
+        "lm": lm, "fp": fp, "kmv": kmv, "hll": hll, "cms": cms, "qsk": qsk,
+    }
 
 
 def _run_sketch_audited(spark, tmp_path, crash_store=None, crash_batch=None):
@@ -643,17 +657,22 @@ def _run_sketch_audited(spark, tmp_path, crash_store=None, crash_batch=None):
     )
 
     stores = _sk_stores(spark, tmp_path)
-    surv, kmv_e, hll_e, cms_e = {}, {}, {}, {}
+    surv, kmv_e, hll_e, cms_e, qsk_e = {}, {}, {}, {}, {}
 
-    def emit(sdf, kdf, hdf, cdf, bid):
+    def emit(sdf, kdf, hdf, cdf, qdf, bid):
         surv[bid] = sorted(r.doc_id for r in sdf.collect())
         kmv_e[bid] = {r.source: r.est_distinct for r in kdf.collect()}
         hll_e[bid] = {r.source: r.est_distinct for r in hdf.collect()}
         cms_e[bid] = {r._tok: r.est_cnt for r in cdf.collect()}
+        qsk_e[bid] = {
+            r.source: (r.n_total, r.p50_lb, r.p95_lb, r.p99_lb)
+            for r in qdf.collect()
+        }
 
     fn = sketch_audited_curation_foreach_batch(
         stores["lm"], stores["fp"], stores["kmv"], stores["hll"],
         stores["cms"], THR, "doc_id", "text", "source", emit,
+        qsk_store=stores["qsk"],
     )
     for bid, batch in ((0, MON_B0), (1, MON_B1)):
         if crash_batch == bid and crash_store is not None:
@@ -668,7 +687,7 @@ def _run_sketch_audited(spark, tmp_path, crash_store=None, crash_batch=None):
                 fn(_mon_df(spark, batch), bid)
             target._commit_fault = None
         fn(_mon_df(spark, batch), bid)
-    return stores, (surv, kmv_e, hll_e, cms_e)
+    return stores, (surv, kmv_e, hll_e, cms_e, qsk_e)
 
 
 def test_sketch_audited_chain_end_to_end(spark, tmp_path):
@@ -677,7 +696,7 @@ def test_sketch_audited_chain_end_to_end(spark, tmp_path):
     exactly the survivor keys/tokens, and the KMV and HLL estimates
     agree on the tiny per-key vocabularies (both exact/near-exact in
     the small regime by construction)."""
-    stores, (surv, kmv_e, hll_e, cms_e) = _run_sketch_audited(
+    stores, (surv, kmv_e, hll_e, cms_e, qsk_e) = _run_sketch_audited(
         spark, tmp_path
     )
     assert surv[0] == [11] and surv[1] == [22]
@@ -704,17 +723,26 @@ def test_sketch_audited_chain_end_to_end(spark, tmp_path):
     assert set(cms_e[1]) == {"the", "cat", "sat", "on", "a", "log"}
     # every CMS estimate >= this batch's own count (overestimate-only)
     assert all(v >= 1 for v in cms_e[1].values())
+    # the quantile member (6th store): emissions cover exactly the
+    # survivor keys, percentile lower bounds are monotone, and doc
+    # 22's 6-token length is inside the served [p50_lb, p99_lb+width]
+    assert set(qsk_e[0]) == {"web"} and set(qsk_e[1]) == {"news"}
+    for n_total, p50, p95, p99 in qsk_e[1].values():
+        assert n_total >= 1 and 1 <= p50 <= p95 <= p99
 
 
-@pytest.mark.parametrize("crash_store", ["lm", "fp", "kmv", "hll", "cms"])
+@pytest.mark.parametrize(
+    "crash_store", ["lm", "fp", "kmv", "hll", "cms", "qsk"]
+)
 def test_sketch_audited_chain_crash_any_commit_converges(
     spark, tmp_path, crash_store
 ):
-    """A commit crash at ANY of the five stores, replayed under the
-    same batch id, converges every store and all four emissions to
+    """A commit crash at ANY of the six stores, replayed under the
+    same batch id, converges every store and all five emissions to
     the no-crash state — the full-algebra instantiation of the
-    module's induction argument (union, additive, keep-min, max, and
-    additive-counter disciplines in one chain)."""
+    module's induction argument (union, additive, keep-min, max,
+    additive-counter and additive-quantile disciplines in one
+    chain)."""
     clean_tmp = tmp_path / "clean"
     crash_tmp = tmp_path / "crash"
     clean_tmp.mkdir()
@@ -727,6 +755,9 @@ def test_sketch_audited_chain_crash_any_commit_converges(
     # the crashed store's final state equals its never-crashed twin
     from time_series_storage_spark.operators.cms_store import CmsStore
     from time_series_storage_spark.operators.hll_store import HllSketchStore
+    from time_series_storage_spark.operators.qsketch_store import (
+        QuantileSketchStore,
+    )
     from time_series_storage_spark.operators.sketch_store import (
         KmvSketchStore,
     )
@@ -737,6 +768,8 @@ def test_sketch_audited_chain_crash_any_commit_converges(
         "hll": lambda d: HllSketchStore(spark, str(d / "hll"))
         .registers().collect(),
         "cms": lambda d: CmsStore(spark, str(d / "cms"))
+        .counters().collect(),
+        "qsk": lambda d: QuantileSketchStore(spark, str(d / "qsk"))
         .counters().collect(),
     }
     for name, read in twins.items():

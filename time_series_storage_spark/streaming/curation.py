@@ -320,31 +320,38 @@ def sketch_audited_curation_foreach_batch(
     text_col: str,
     key_col: str,
     emit,
+    qsk_store=None,
 ):
-    """Curation audited by the FULL sketch family — five stores
+    """Curation audited by the FULL sketch family — six stores
     spanning EVERY merge discipline in the snapshot-store algebra in
     one exactly-once ``foreachBatch``: the ADDITIVE LM model gates,
-    the UNION-merge fingerprint set dedups, and the survivors' tokens
-    feed three monitoring sketches at once — KEEP-MIN
+    the UNION-merge fingerprint set dedups, and the survivors feed
+    four monitoring sketches at once — KEEP-MIN
     (:class:`~..operators.sketch_store.KmvSketchStore`) and MAX
     (:class:`~..operators.hll_store.HllSketchStore`) both tracking
     per-key distinct vocabulary (two independent estimators of the
-    same quantity: their disagreement is itself an alert signal), and
-    the ADDITIVE Count-Min counters
+    same quantity: their disagreement is itself an alert signal), the
+    ADDITIVE Count-Min counters
     (:class:`~..operators.cms_store.CmsStore`) tracking token
-    frequencies for heavy-hitter drift.
+    frequencies for heavy-hitter drift, and (r11, optional for
+    back-compat) the rank-quantile member
+    (:class:`~..operators.qsketch_store.QuantileSketchStore`)
+    tracking the per-key distribution of survivor document LENGTHS —
+    "did today's accepted docs suddenly get short?", the length-drift
+    alert curation pipelines watch beside vocabulary drift.
 
     ``emit(survivors_df, kmv_df, hll_df, cms_df, batch_id)`` receives
-    all four committed emissions.
+    the committed emissions; with ``qsk_store`` the quantile emission
+    rides fifth: ``emit(surv, kmv, hll, cms, qsk, batch_id)``.
 
     Exactly-once by the module docstring's induction, now at length
-    FIVE: each sketch store is one more idempotent ``batch_id``
-    absorber, and the glue that feeds all three (semi-join of the
-    batch to the committed fingerprint survivors + one token explode)
-    is deterministic given the upstream emissions — a crash between
-    ANY two commits replays the already-committed stores as re-reads
-    and the rest as first-time absorbs (crash-tested at every one of
-    the five boundaries).
+    SIX: each sketch store is one more idempotent ``batch_id``
+    absorber, and the glue that feeds all four (semi-join of the
+    batch to the committed fingerprint survivors + one token explode
+    + one token-count projection) is deterministic given the upstream
+    emissions — a crash between ANY two commits replays the
+    already-committed stores as re-reads and the rest as first-time
+    absorbs (crash-tested at every one of the six boundaries).
     """
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -368,6 +375,24 @@ def sketch_audited_curation_foreach_batch(
         kmv = kmv_store.absorb(toks, key_col, "_tok", batch_id=batch_id)
         hll = hll_store.absorb(toks, key_col, "_tok", batch_id=batch_id)
         cms = cms_store.absorb(toks, "_tok", batch_id=batch_id)
-        emit(survivors, kmv, hll, cms, batch_id)
+        if qsk_store is None:
+            emit(survivors, kmv, hll, cms, batch_id)
+            return
+        # survivor doc length in tokens, clamped to the sketch's
+        # v >= 1 domain (an all-whitespace survivor counts as 1)
+        lens = surv_docs.select(
+            F.col(key_col),
+            F.greatest(
+                F.lit(1),
+                F.size(
+                    F.filter(
+                        F.split(F.col(text_col), " "),
+                        lambda t: t != "",
+                    )
+                ),
+            ).cast("long").alias("_len"),
+        )
+        qsk = qsk_store.absorb(lens, key_col, "_len", batch_id=batch_id)
+        emit(survivors, kmv, hll, cms, qsk, batch_id)
 
     return _fn
