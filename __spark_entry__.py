@@ -104,7 +104,7 @@ _GATE_PRIORITY = [
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: first the two r11 LATE
+    # --- below the 50-row gate line: first the three r11 LATE
     # --- additions (written after this round's window was frozen and
     # --- pre-verified; they are the only never-gated rows and MUST
     # --- lead r12), then the five deferred core rows
@@ -115,6 +115,7 @@ _GATE_PRIORITY = [
     # --- registry at sf0.001) ---
     "sample_weighted_reservoir",
     "qsk_p99_regression",
+    "dedup_ppjoin",
     "ts_counter_hour_fill",
     "ts_avg_hour_fill",
     "ts_histogram_day",

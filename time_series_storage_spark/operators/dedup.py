@@ -2660,3 +2660,105 @@ class EmbNearDupStore(_SnapshotArtifactStore):
             emit(survivors, int(batch_id))
 
         return fn
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_x1000: int = 900,
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering — the
+    AllPairs/PPJoin family (Bayardo, Ma & Srikant WWW'07; Xiao et al.
+    WWW'08): every document pair whose token-set Jaccard reaches the
+    threshold, WITHOUT the all-pairs comparison and WITHOUT
+    approximation. This is the exact counterpart to the MinHash-LSH
+    operator: LSH trades recall for speed; prefix filtering keeps
+    100% recall by a pigeonhole argument — order each document's
+    tokens by ascending global document frequency (rarest first,
+    ties by token), keep only the first ``|d| - ceil(t*|d|) + 1``
+    as its PREFIX; any pair with Jaccard >= t shares at least
+    ``ceil(t*max(|x|,|y|))`` tokens, so removing fewer than that
+    many from either side must leave a shared token in BOTH prefixes.
+    Candidates therefore come from ONE equi-join on prefix tokens
+    only, and rarest-first ordering makes those join keys the
+    LOW-frequency tokens — tiny buckets by construction, the skew
+    story inverted in our favor. Survivors verify EXACTLY.
+
+    The driver gate's oracle computes the same pair set by brute
+    force: a green hash is a machine-checked proof that the prefix
+    filter was LOSSLESS on this corpus, not just fast.
+
+    Plan shape: token df is one partial-aggregated exchange
+    (vocabulary-sized); per-doc ordering is a window partitioned BY
+    DOCUMENT (no global sort anywhere — the (df, tok) pair IS the
+    order key, so no global rank materializes); the candidate join
+    and the two verification joins are all equi-joins keyed on
+    prefix tokens / pair ids. Nothing is quadratic in the corpus;
+    work scales with candidates, which the threshold controls.
+
+    Output: (d1, d2, inter, jacc_x1000) — d1 < d2, exact floored
+    fixed-point Jaccard, only pairs at or above the threshold.
+    """
+    from .analytics import ceil_div, floor_div
+
+    if not 0 < threshold_x1000 <= 1000:
+        raise ValueError(
+            f"threshold_x1000 must be in (0, 1000], got {threshold_x1000}"
+        )
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "tok")
+    pref = (
+        toks.join(dfreq, "tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "_id")
+        .where(
+            F.col("_pos")
+            <= F.col("_n")
+            - ceil_div(
+                F.lit(int(threshold_x1000)) * F.col("_n"), F.lit(1000)
+            )
+            + 1
+        )
+        .select("_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("_id").alias("d1"), "tok")
+        .join(pref.select(F.col("_id").alias("d2"), "tok"), "tok")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    t1 = toks.select(F.col("_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("_id").alias("d2"), "tok")
+    inter = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    s1 = sizes.select(F.col("_id").alias("d1"), F.col("_n").alias("_n1"))
+    s2 = sizes.select(F.col("_id").alias("d2"), F.col("_n").alias("_n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            floor_div(
+                F.lit(1000) * F.col("inter"),
+                F.col("_n1") + F.col("_n2") - F.col("inter"),
+            ).alias("jacc_x1000"),
+        )
+        .where(F.col("jacc_x1000") >= threshold_x1000)
+    )

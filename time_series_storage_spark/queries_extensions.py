@@ -15344,3 +15344,55 @@ EXT_QUERIES.update({
         q_qsk_p99_regression, _qsk_p99_regression_sql(),
     ),
 })
+
+
+PPJOIN_THRESHOLD = 900  # token-set Jaccard >= 0.9
+PPJOIN_DOC_LIMIT = 1000  # gate slice: this corpus is ~39% true pairs
+
+
+def q_dedup_ppjoin(spark, sf_dir):
+    """EXACT set-similarity join by prefix filtering
+    (operators/dedup.ppjoin_pairs — AllPairs/PPJoin, Bayardo et al.
+    WWW'07): every pair at token Jaccard >= 0.9, candidates from ONE
+    equi-join on rarest-first prefix tokens, verified exactly. The
+    oracle computes the same pair set by BRUTE FORCE — a green hash
+    is a machine-checked losslessness proof for the prefix filter on
+    this corpus, the exact-recall counterpart to dedup_minhash_lsh.
+    Gate slice: doc_id < {limit} (the NGRAM_DOC_LIMIT convention) —
+    the synthetic corpus is pathologically duplicated (~39% of ALL
+    pairs pass 0.9 at sf0.1), so an unbounded exact join is
+    OUTPUT-bound: cost scales with true matches, not docs^2 (the
+    MinHash scale-probe argument); production corpora with sane dup
+    rates run it unbounded."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < PPJOIN_DOC_LIMIT)
+    return D.ppjoin_pairs(
+        docs, "doc_id", "text", PPJOIN_THRESHOLD
+    ).select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("inter"),
+        F.col("jacc_x1000"),
+    )
+
+
+SQL_DEDUP_PPJOIN = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents WHERE doc_id < {PPJOIN_DOC_LIMIT}) u),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1::BIGINT AS d1, d2::BIGINT AS d2, inter::BIGINT AS inter,
+       ((1000 * inter) // (s1.n + s2.n - inter))::BIGINT AS jacc_x1000
+FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE (1000 * inter) // (s1.n + s2.n - inter) >= {PPJOIN_THRESHOLD}
+"""
+
+
+EXT_QUERIES.update({
+    "dedup_ppjoin": (q_dedup_ppjoin, SQL_DEDUP_PPJOIN),
+})
