@@ -104,7 +104,7 @@ _GATE_PRIORITY = [
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: first the three r11 LATE
+    # --- below the 50-row gate line: first the five r11 LATE
     # --- additions (written after this round's window was frozen and
     # --- pre-verified; they are the only never-gated rows and MUST
     # --- lead r12), then the five deferred core rows
@@ -116,6 +116,8 @@ _GATE_PRIORITY = [
     "sample_weighted_reservoir",
     "qsk_p99_regression",
     "dedup_ppjoin",
+    "wres_members_incremental",
+    "qsk_weighted_price",
     "ts_counter_hour_fill",
     "ts_avg_hour_fill",
     "ts_histogram_day",

@@ -284,3 +284,56 @@ def test_weighted_reservoir_properties(spark):
         weighted_reservoir(bad, ["k"], "id", "w", 4).collect()
     with _pt.raises(ValueError, match="k must be"):
         weighted_reservoir(uni, ["k"], "id", "w", 0)
+
+
+def test_weighted_store_merge_equals_one_shot(spark, tmp_path):
+    """WeightedReservoirStore: the keep-min merge holds for weighted
+    ranks exactly as for uniform ones (rank = min-of-w-copy-hashes is
+    a pure function of (id, weight)); weight guard rides in-plan;
+    params pin includes the weight bound."""
+    from time_series_storage_spark.operators.reservoir_store import (
+        WeightedReservoirStore,
+    )
+
+    wrows = [(f"s{i % 2}", i, (i % 5) + 1) for i in range(30)]
+
+    def _wrank(i, w):
+        return min(
+            int(
+                __import__("hashlib")
+                .md5(f"v1:{i}:{j}".encode())
+                .hexdigest()[:15],
+                16,
+            )
+            for j in range(1, w + 1)
+        )
+
+    def _wmodel(rows, k=K):
+        byk: dict = {}
+        for key, i, w in rows:
+            byk.setdefault(key, {})[str(i)] = w
+        out = {}
+        for key, ids in byk.items():
+            ordered = sorted(
+                ids, key=lambda s: (_wrank(int(s), ids[s]), s)
+            )[:k]
+            out[key] = {
+                (s, _wrank(int(s), ids[s]), ids[s]) for s in ordered
+            }
+        return out
+
+    one = WeightedReservoirStore(spark, str(tmp_path / "o"), k=K)
+    one.absorb(_df(spark, wrows), "k", "id", "v")
+    split = WeightedReservoirStore(spark, str(tmp_path / "s"), k=K)
+    split.absorb(_df(spark, wrows[::2]), "k", "id", "v")
+    split.absorb(_df(spark, wrows[1::2]), "k", "id", "v")
+    assert _read(one) == _read(split) == _wmodel(wrows)
+    # weight guard
+    bad = _df(spark, [("s0", 99, 0)])
+    with pytest.raises(Exception, match="weight must be in"):
+        one.absorb(bad, "k", "id", "v")
+    # params pin includes the bound
+    with pytest.raises(ValueError, match="params"):
+        WeightedReservoirStore(
+            spark, str(tmp_path / "o"), k=K, max_weight=32
+        )

@@ -131,16 +131,34 @@ def qsk_counters(
     keys: list[str],
     value_col: str,
     sub_bits: int = QSK_SUB_BITS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key sketch state: (keys..., b, c) bucket counts — ONE
     partial-aggregated exchange; output bounded by the sketch property
     (<= ~1600 rows per key at s = 5), never by data volume. Values
     must be integers >= 1 (scale doubles to fixed-point first; the
-    gate queries use the registry's x1000 discipline)."""
+    gate queries use the registry's x1000 discipline).
+
+    ``weight_col`` (integer >= 0) turns the state into a WEIGHTED
+    quantile sketch — bucket counts sum weights instead of rows, so
+    the served percentiles answer "the value below which q% of total
+    WEIGHT lies" (volume-weighted price percentiles, request-count-
+    weighted latency). Everything downstream (merge by addition, the
+    cum*100 >= q*n walk, rollups, the store) is weight-agnostic —
+    counts were always just non-negative longs."""
+    agg = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     return (
-        df.select(*keys, qsk_bucket(value_col, sub_bits).alias("b"))
+        df.select(
+            *keys,
+            qsk_bucket(value_col, sub_bits).alias("b"),
+            *([weight_col] if weight_col is not None else []),
+        )
         .groupBy(*keys, "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(agg.cast("long").alias("c"))
     )
 
 

@@ -25,9 +25,10 @@ Algorithm R's RNG state, it is a pure function of the row SET:
   (``dropDuplicates`` on (key, id) before the reselection), the
   max-merge property the HLL member pinned — here it additionally
   makes the store safe under at-least-once upstream delivery.
-* Weighted variant (Efraimidis-Spirakis A-ES) is the same machinery
-  with tag = hash^(1/w); kept out until a gate needs it — the
-  uniform tag is the one the oracle can mirror in integer SQL.
+* Weighted variant: :class:`WeightedReservoirStore` below — the
+  replication reduction (min-of-w-copy-hashes rank) rather than
+  A-ES's hash^(1/w), because the integer rank is the one an SQL
+  oracle can replay bit-for-bit.
 
 Emission contract (exactly-once under ``batch_id``): absorb emits one
 row per key the increment touched — (key, n_sample, kth_rank,
@@ -228,3 +229,101 @@ class ReservoirStore(_SnapshotArtifactStore):
             emit(out, batch_id)
 
         return _fn
+
+
+class WeightedReservoirStore(ReservoirStore):
+    """Persisted INCREMENTAL *weighted* reservoir — the keep-min
+    member completing the sampler pair (uniform above, weighted
+    here): per key, a fixed-k sample whose inclusion odds scale with
+    each item's integer weight, by the replication reduction of
+    operators/split.weighted_reservoir (w salted copies, effective
+    rank = MIN copy hash, bottom-k by (rank, id)). The rank is a pure
+    function of (id, weight), so every property the uniform store
+    proves carries over verbatim: exact keep-min merge under any
+    slicing, algebraic idempotence, prune to the <= k floor,
+    hard-linked time travel, exactly-once batch replay.
+
+    Contract: WEIGHT IS AN ATTRIBUTE OF THE ID (like content for the
+    fingerprint stores). Re-offering an id with a different weight is
+    a caller contract breach; the store's dedup keeps the smallest
+    rank ever committed for the id (deterministic, monotone — never
+    two slots), and the stored ``val`` column carries the weight the
+    surviving rank was computed from.
+
+    The stored ``val`` is the item's weight; summaries() therefore
+    emits ``sum_val`` = the sample's total weight — the denominator a
+    weighted estimator reports beside its sample.
+
+    Scale shape: the only cost over the uniform store is the
+    generator explode of O(weight) copies per increment row (no
+    shuffle — it collapses back to one row per (key, id) in the same
+    stage's partial aggregate), bounded by ``max_weight`` which rides
+    the params pin and is enforced IN-PLAN with a loud raise_error.
+    """
+
+    FORMAT = 1
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = DEFAULT_K,
+        max_weight: int = 64,
+        salt: str = "v1",
+    ):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if max_weight < 1:
+            raise ValueError(
+                f"max_weight must be >= 1, got {max_weight}"
+            )
+        self.k = int(k)
+        self.max_weight = int(max_weight)
+        self.salt = str(salt)
+        _SnapshotArtifactStore.__init__(
+            self,
+            spark,
+            path,
+            [f"wres-v1:k={self.k}:mw={self.max_weight}:salt={self.salt}"],
+            "WeightedReservoirStore",
+        )
+
+    def _tagged(
+        self, rows: DataFrame, key_col: str, id_col: str, w_col: str
+    ) -> DataFrame:
+        w = F.col(w_col).cast("long")
+        checked = F.when(
+            (w >= 1) & (w <= self.max_weight), w
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"WeightedReservoirStore: weight must be in "
+                        f"[1, {self.max_weight}], got "
+                    ),
+                    w.cast("string"),
+                )
+            )
+        )
+        copies = rows.select(
+            F.col(key_col).cast("string").alias("gk"),
+            F.col(id_col).cast("string").alias("id"),
+            checked.alias("_w"),
+            F.explode(F.sequence(F.lit(1), checked)).alias("_j"),
+        )
+        return copies.select(
+            "gk",
+            "id",
+            "_w",
+            md5_long(
+                F.concat(
+                    F.lit(f"{self.salt}:"),
+                    F.col("id"),
+                    F.lit(":"),
+                    F.col("_j").cast("string"),
+                )
+            ).alias("_r"),
+        ).groupBy("gk", "id").agg(
+            F.min("_r").alias("rk"),
+            F.max("_w").cast("long").alias("val"),
+        ).select("gk", "rk", "id", "val")

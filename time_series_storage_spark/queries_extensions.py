@@ -15396,3 +15396,139 @@ WHERE (1000 * inter) // (s1.n + s2.n - inter) >= {PPJOIN_THRESHOLD}
 EXT_QUERIES.update({
     "dedup_ppjoin": (q_dedup_ppjoin, SQL_DEDUP_PPJOIN),
 })
+
+
+def _wres_store(spark, sf_dir):
+    """Persisted WEIGHTED reservoir for ``sf_dir`` — two absorbs split
+    at FPSTORE_BASE through the shared builder seam; weight =
+    clamp(n_chars // 100, 1, 64) (the sample_weighted_reservoir
+    convention, so the two gates describe the same sampling design
+    batch- and store-side)."""
+    import os
+
+    from .operators.reservoir_store import WeightedReservoirStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(store):
+        docs = _docs(spark, sf_dir).select(
+            "source",
+            "doc_id",
+            F.greatest(
+                F.lit(1),
+                F.least(F.lit(64), F.floor(F.col("n_chars") / 100)),
+            ).cast("long").alias("w"),
+        )
+        for pred in (
+            F.col("doc_id") < FPSTORE_BASE,
+            F.col("doc_id") >= FPSTORE_BASE,
+        ):
+            store.absorb(docs.where(pred), "source", "doc_id", "w")
+
+    return _cached_store(
+        "tss_wres_store",
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:wres-v1:k={WRES_K}",
+        files_fingerprint(src) + ":2abs",
+        lambda root: WeightedReservoirStore(spark, root, k=WRES_K),
+        build,
+    )
+
+
+def q_wres_members_incremental(spark, sf_dir):
+    """The persisted WEIGHTED reservoir, member for member, as a pure
+    read of the two-absorb store (operators/reservoir_store.py:
+    WeightedReservoirStore — min-of-w-copy-hashes ranks, keep-min
+    merge). The oracle recomputes the weighted sample from scratch
+    over the full corpus: a green hash proves the weighted merge is
+    exactly as sliceable as the uniform one — ranks are pure
+    functions of (id, weight), so union-of-slice-reservoirs reselects
+    to the one-shot weighted sample bit-for-bit."""
+    from pyspark.sql import Window
+
+    store = _wres_store(spark, sf_dir)
+    w = Window.partitionBy("gk").orderBy("rk", "id")
+    return store.sample().withColumn(
+        "smp_rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("gk").alias("source"),
+        "smp_rank",
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("rk").cast("long").alias("rank"),
+        F.col("val").cast("long").alias("w"),
+    )
+
+
+SQL_WRES_MEMBERS = f"""
+WITH weighted AS (
+  SELECT source, doc_id,
+         GREATEST(1, LEAST(64, n_chars // 100)) AS w
+  FROM documents),
+copies AS (
+  SELECT source, doc_id, w,
+         CAST(CONCAT('0x', SUBSTRING(
+             md5(concat('v1:', doc_id, ':', j)), 1, 15)) AS BIGINT) AS r
+  FROM weighted, unnest(generate_series(1, w)) t(j)),
+ranks AS (
+  SELECT source, doc_id, MAX(w) AS w, MIN(r) AS rank
+  FROM copies GROUP BY 1, 2),
+sel AS (
+  SELECT source, doc_id, rank, w,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY rank, CAST(doc_id AS VARCHAR))
+           AS smp_rank
+  FROM ranks)
+SELECT source, smp_rank::BIGINT AS smp_rank, doc_id::BIGINT AS doc_id,
+       rank::BIGINT AS rank, w::BIGINT AS w
+FROM sel WHERE smp_rank <= {WRES_K}
+"""
+
+
+EXT_QUERIES.update({
+    "wres_members_incremental": (
+        q_wres_members_incremental, SQL_WRES_MEMBERS,
+    ),
+})
+
+
+def q_qsk_weighted_price(spark, sf_dir):
+    """WEIGHTED quantiles from the same sketch: per l_returnflag, the
+    volume-weighted percentiles of line price (p50/p95/p99 of
+    l_extendedprice cents where each line counts l_quantity times) —
+    "below what price does half the shipped VOLUME trade", the
+    weighted question unweighted percentiles silently misanswer.
+    Bucket counts sum integer weights instead of rows
+    (operators/qsketch.qsk_counters weight_col); everything downstream
+    is unchanged, so the weighted sketch inherits every merge/rollup
+    property the gates above prove. Oracle recomputes with the same
+    weighted counts."""
+    from .operators.qsketch import qsk_counters, qsk_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.greatest(
+            F.lit(1), F.round(F.col("l_extendedprice") * 100)
+        ).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    cnt = qsk_counters(li, ["l_returnflag"], "v", weight_col="w")
+    return qsk_quantiles(cnt, ["l_returnflag"]).select(
+        "l_returnflag", "n_total", "p50_lb", "p95_lb", "p99_lb"
+    )
+
+
+def _qsk_weighted_sql() -> str:
+    from .operators.qsketch import qsk_bucket_sql, qsk_quantiles_sql
+
+    v = "GREATEST(1, ROUND(l_extendedprice * 100))::BIGINT"
+    cnt = (
+        f"SELECT l_returnflag, {qsk_bucket_sql(v)} AS b, "
+        f"SUM(CAST(l_quantity AS BIGINT))::BIGINT AS c "
+        f"FROM lineitem GROUP BY ALL"
+    )
+    return qsk_quantiles_sql(cnt, ["l_returnflag"])
+
+
+EXT_QUERIES.update({
+    "qsk_weighted_price": (q_qsk_weighted_price, _qsk_weighted_sql()),
+})
