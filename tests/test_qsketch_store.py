@@ -268,3 +268,22 @@ def test_store_rejects_values_below_one(spark, tmp_path):
         store.absorb(bad, "k", "v")
     # nothing committed
     assert store.quantiles().count() == 0
+
+
+def test_store_weighted_absorb_equals_expanded_rows(spark, tmp_path):
+    """Weighted absorb (weight_col) must equal absorbing each row
+    weight-many times — the replication semantics — and weighted +
+    unweighted absorbs compose (both are plain additive counts)."""
+    wrows = [("a", 7, 3), ("a", 100, 2), ("b", 12, 5)]
+    expanded = [(k, v) for k, v, w in wrows for _ in range(w)]
+    wdf = spark.createDataFrame(wrows, "k string, v long, w long")
+    a = QuantileSketchStore(spark, str(tmp_path / "w"))
+    a.absorb(wdf, "k", "v", weight_col="w")
+    b = QuantileSketchStore(spark, str(tmp_path / "e"))
+    b.absorb(spark.createDataFrame(expanded, SCHEMA), "k", "v")
+    assert _read_q(a) == _read_q(b)
+    # compose an unweighted increment on top of the weighted store
+    extra = [("a", 5), ("b", 12)]
+    a.absorb(spark.createDataFrame(extra, SCHEMA), "k", "v")
+    b.absorb(spark.createDataFrame(extra, SCHEMA), "k", "v")
+    assert _read_q(a) == _read_q(b)

@@ -109,10 +109,14 @@ class QuantileSketchStore(_SnapshotArtifactStore):
         key_col: str,
         value_col: str,
         batch_id: int | None = None,
+        weight_col: str | None = None,
     ) -> DataFrame:
         """Add one increment of (key, integer value >= 1) observations
         and emit the POST-merge percentiles for the touched keys.
-        Exactly-once under ``batch_id`` replay."""
+        Exactly-once under ``batch_id`` replay. ``weight_col`` makes
+        the increment WEIGHTED (bucket counts sum integer weights —
+        qsk_counters' weighted form); weighted and unweighted absorbs
+        compose freely since both append plain non-negative counts."""
         with self._locked():
             meta = self._store.current_meta(self.path)
             replay = self._replay_result(meta, batch_id, key_col)
@@ -138,14 +142,18 @@ class QuantileSketchStore(_SnapshotArtifactStore):
                     )
                 )
             )
+            cols = [
+                F.col(key_col).cast("string").alias("gk"),
+                checked.alias("_v"),
+            ]
+            if weight_col is not None:
+                cols.append(F.col(weight_col).cast("long").alias("_w"))
             inc = qsk_counters(
-                elements.select(
-                    F.col(key_col).cast("string").alias("gk"),
-                    checked.alias("_v"),
-                ),
+                elements.select(*cols),
                 ["gk"],
                 "_v",
                 self.sub_bits,
+                weight_col="_w" if weight_col is not None else None,
             )
             touched = inc.select("gk").distinct()
             hist = self._table("qb", _QB_SCHEMA).join(
