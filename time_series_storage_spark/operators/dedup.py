@@ -2762,3 +2762,242 @@ def ppjoin_pairs(
         )
         .where(F.col("jacc_x1000") >= threshold_x1000)
     )
+
+
+def hashed_token_sets(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, tok_set, n): each document's DISTINCT whitespace tokens as
+    an ASCENDING-sorted array of portable 60-bit md5 hashes — the
+    exact-Jaccard unit of :func:`ppjoin_pairs`' incremental twin. The
+    ascending hash order IS the prefix-filter total order (see
+    :class:`PrefixJoinStore`: a fixed universal order is what makes
+    prefixes stable across absorbs)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+        .select("id", md5_long(F.col("_t")).alias("_h"))
+        .distinct()
+    )
+    return toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("_h")).alias("tok_set"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+class PrefixJoinStore(_SnapshotArtifactStore):
+    """Persisted prefix-filter index + token-set artifact for
+    INCREMENTAL EXACT-Jaccard near-dup — the third member of the
+    daily-ingest dedup trio (LSH bands = approximate-recall near-dup,
+    exact-substring chunks = containment, THIS = exact-threshold set
+    similarity), on the same snapshot protocol and the same
+    first-day-wins sequential winner semantics as
+    :class:`NearDupStore`.
+
+    THE INCREMENTAL-PREFIX INSIGHT: batch PPJoin orders tokens by
+    ascending document frequency (a performance heuristic — rare
+    tokens make small candidate buckets), but df DRIFTS as the corpus
+    grows, and the pigeonhole theorem requires BOTH compared prefixes
+    under ONE total order — an old document's persisted df-order
+    prefix can silently lose the completeness guarantee against a new
+    document's prefix computed under the new df. The theorem holds
+    for ANY fixed total order, so the store pins the order to the
+    TOKEN HASH ITSELF (ascending md5 — a universal, corpus-independent
+    order): every document's prefix is a pure function of its own
+    token set, fixed forever at absorb time, and exactness survives
+    arbitrarily many increments. The price is df-oblivious (random)
+    prefix tokens instead of rare ones — candidate buckets are
+    average-sized rather than minimal — which is the documented trade
+    for a soundness guarantee no drifting order can give.
+
+    Tables, per RETAINED document:
+
+    * ``set``  — (id, tok_set ascending array<long>, n): exact-
+      verification targets (candidate-driven join, never a scan).
+    * ``pref`` — (id, h): the prefix index, ``|d| - ceil(t*|d|) + 1``
+      rows per doc. Probing an increment is ONE equi-join on h.
+
+    Winner semantics: an increment doc is a duplicate iff its exact
+    token Jaccard with some STORED survivor reaches the threshold;
+    the remainder min-id-clusters within the increment (connected
+    components of the verified pair graph). Sequential, not
+    batch-recompute — the NearDupStore contract, with NO approximation
+    anywhere: the gate's oracle replays the same model from scratch
+    and must hash-match exactly.
+    """
+
+    SET_SCHEMA = "id long, tok_set array<long>, n long"
+    PREF_SCHEMA = "id long, h long"
+
+    def __init__(self, spark, path: str, threshold_x1000: int = 900):
+        if not 0 < threshold_x1000 <= 1000:
+            raise ValueError(
+                f"threshold_x1000 must be in (0, 1000], got "
+                f"{threshold_x1000}"
+            )
+        self.threshold_x1000 = int(threshold_x1000)
+        super().__init__(
+            spark, path, [f"ppjoin-v1:t={self.threshold_x1000}"],
+            "PrefixJoinStore",
+        )
+
+    def sets(self) -> DataFrame:
+        """(id, tok_set, n) for every retained document."""
+        return self._table("set", self.SET_SCHEMA)
+
+    def prefixes(self) -> DataFrame:
+        """(id, h) prefix index of retained documents."""
+        return self._table("pref", self.PREF_SCHEMA)
+
+    def _prefix_rows(self, sets: DataFrame) -> DataFrame:
+        from .analytics import ceil_div
+
+        p = F.col("n") - ceil_div(
+            F.lit(self.threshold_x1000) * F.col("n"), F.lit(1000)
+        ) + 1
+        return sets.select(
+            "id",
+            F.explode(F.slice(F.col("tok_set"), F.lit(1), p)).alias("h"),
+        )
+
+    def _jacc(self, common, n1, n2):
+        from .analytics import floor_div
+
+        return floor_div(common * 1000, n1 + n2 - common)
+
+    def _increment_parts(self, new_docs, id_col, text_col):
+        sets_inc = hashed_token_sets(new_docs, id_col, text_col).persist()
+        pref_inc = self._prefix_rows(sets_inc)
+        # --- history probe: ONE equi-join on the persisted prefix ----
+        cand = (
+            pref_inc.select(F.col("id").alias("d_new"), "h")
+            .join(
+                self.prefixes().select(F.col("id").alias("d_old"), "h"),
+                "h",
+            )
+            .select("d_new", "d_old")
+            .distinct()
+        )
+        a = sets_inc.select(
+            F.col("id").alias("d_new"),
+            F.col("tok_set").alias("s1"),
+            F.col("n").alias("n1"),
+        )
+        b = self.sets().select(
+            F.col("id").alias("d_old"),
+            F.col("tok_set").alias("s2"),
+            F.col("n").alias("n2"),
+        )
+        common = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+        hist_dup = (
+            cand.join(a, "d_new")
+            .join(b, "d_old")
+            .where(
+                self._jacc(common, F.col("n1"), F.col("n2"))
+                >= self.threshold_x1000
+            )
+            .select(F.col("d_new").alias("id"))
+            .distinct()
+        )
+        # --- within-increment clusters among the remainder -----------
+        ok_sets = sets_inc.join(hist_dup, "id", "left_anti").persist()
+        pref_ok = self._prefix_rows(ok_sets)
+        cand_in = (
+            pref_ok.select(F.col("id").alias("d1"), "h")
+            .join(pref_ok.select(F.col("id").alias("d2"), "h"), "h")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        p1 = ok_sets.select(
+            F.col("id").alias("d1"),
+            F.col("tok_set").alias("s1"),
+            F.col("n").alias("n1"),
+        )
+        p2 = ok_sets.select(
+            F.col("id").alias("d2"),
+            F.col("tok_set").alias("s2"),
+            F.col("n").alias("n2"),
+        )
+        pairs = (
+            cand_in.join(p1, "d1")
+            .join(p2, "d2")
+            .where(
+                self._jacc(common, F.col("n1"), F.col("n2"))
+                >= self.threshold_x1000
+            )
+            .select("d1", "d2")
+        )
+        cc = duplicate_clusters(pairs, ok_sets.select("id"), "id")
+        survivors = (
+            cc.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(F.col("cluster").cast("long").alias("id"), "n_members")
+        )
+        return survivors, sets_inc, ok_sets
+
+    def dedup_increment(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Survivors of ``new_docs`` against the stored corpus and
+        within the increment — pure read, exact Jaccard end to end.
+        Output: (id, n_members). NOTE: runs the iterative CC driver
+        loop — eager, like ``dedup_clusters``."""
+        surv, sets_inc, ok_sets = self._increment_parts(
+            new_docs, id_col, text_col
+        )
+        out = surv.localCheckpoint()
+        for df in (sets_inc, ok_sets):
+            df.unpersist()
+        return out.withColumnRenamed("id", id_col)
+
+    def absorb(
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup the increment, then commit the survivors' set + prefix
+        rows (plus the (id, n_members) emission) as the next snapshot.
+        Exactly-once under ``batch_id`` replay."""
+        with self._locked():
+            meta = self._store.current_meta(self.path)
+            replay = self._replay_result(meta, batch_id, id_col)
+            if replay is not None:
+                return replay
+            surv, sets_inc, ok_sets = self._increment_parts(
+                new_docs, id_col, text_col
+            )
+            surv = surv.persist()
+            try:
+                keep = sets_inc.join(
+                    surv.select("id"), "id", "left_semi"
+                )
+                return self._commit_increment(
+                    meta,
+                    [
+                        ("set", keep.select("id", "tok_set", "n")),
+                        ("pref", self._prefix_rows(keep)),
+                        ("surv", surv.select("id", "n_members")),
+                    ],
+                    id_col,
+                    batch_id,
+                )
+            finally:
+                for df in (sets_inc, ok_sets, surv):
+                    df.unpersist()
+
+    def foreach_batch(self, id_col: str, text_col: str, emit):
+        """Exactly-once ``foreachBatch`` exact-Jaccard dedup sink."""
+
+        def fn(batch_df, batch_id):
+            survivors = self.absorb(
+                batch_df, id_col, text_col, batch_id=int(batch_id)
+            )
+            emit(survivors, int(batch_id))
+
+        return fn

@@ -15532,3 +15532,118 @@ def _qsk_weighted_sql() -> str:
 EXT_QUERIES.update({
     "qsk_weighted_price": (q_qsk_weighted_price, _qsk_weighted_sql()),
 })
+
+
+def _ppjoin_store(spark, sf_dir):
+    """Persisted PrefixJoinStore for ``sf_dir`` — the base slice
+    (doc_id < FPSTORE_BASE, within the PPJOIN_DOC_LIMIT gate slice)
+    absorbed on first use through the shared builder seam; the gated
+    read probes the increment against it."""
+    import os
+
+    from .operators.dedup import PrefixJoinStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(store):
+        base = _docs(spark, sf_dir).where(
+            (F.col("doc_id") < FPSTORE_BASE)
+            & (F.col("doc_id") < PPJOIN_DOC_LIMIT)
+        )
+        store.absorb(base, "doc_id", "text")
+
+    return _cached_store(
+        "tss_ppjoin_store",
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:{PPJOIN_DOC_LIMIT}"
+        f":ppjoin-v1:t={PPJOIN_THRESHOLD}",
+        files_fingerprint(src) + ":1abs",
+        lambda root: PrefixJoinStore(
+            spark, root, threshold_x1000=PPJOIN_THRESHOLD
+        ),
+        build,
+    )
+
+
+def q_ppjoin_incremental(spark, sf_dir):
+    """Daily-ingest EXACT-Jaccard near-dup as a gated query: survivors
+    of the increment against the persisted PrefixJoinStore (pinned
+    hash-order prefix index — see the class docstring for why a FIXED
+    universal token order, not df order, is what keeps the pigeonhole
+    completeness guarantee valid across absorbs). The probe is one
+    equi-join on prefix hashes + candidate-driven exact verification;
+    the oracle replays the whole two-day sequential model from scratch
+    with NO approximation anywhere — base exact-Jaccard clustering ->
+    base survivors -> increment history probe -> increment clustering
+    — so a green hash proves store + incremental prefix probe ==
+    from-scratch exact model, the losslessness statement in
+    incremental form."""
+    store = _ppjoin_store(spark, sf_dir)
+    inc = _docs(spark, sf_dir).where(
+        (F.col("doc_id") >= FPSTORE_BASE)
+        & (F.col("doc_id") < PPJOIN_DOC_LIMIT)
+    )
+    return store.dedup_increment(inc, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _ppjoin_incremental_sql() -> str:
+    b, lim, t = FPSTORE_BASE, PPJOIN_DOC_LIMIT, PPJOIN_THRESHOLD
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents WHERE doc_id < {lim}) u),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+jpairs AS (
+  SELECT p.d1, p.d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM toks a JOIN toks b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) p
+  JOIN sizes s1 ON s1.doc_id = p.d1 JOIN sizes s2 ON s2.doc_id = p.d2
+  WHERE (1000 * p.inter) // (s1.n + s2.n - p.inter) >= {t}),
+base_pairs AS (SELECT d1, d2 FROM jpairs WHERE d2 < {b}),
+base_edges AS (SELECT d1 AS a, d2 AS b FROM base_pairs
+               UNION ALL SELECT d2, d1 FROM base_pairs),
+base_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < {b}
+  UNION
+  SELECT e.b, r.label FROM base_reach r JOIN base_edges e ON e.a = r.node
+),
+base_cl AS (SELECT node, MIN(label) AS cluster FROM base_reach GROUP BY node),
+base_surv AS (SELECT node AS id FROM base_cl WHERE node = cluster),
+hist_dup AS (
+  SELECT DISTINCT p.d2 AS id
+  FROM jpairs p JOIN base_surv s ON p.d1 = s.id
+  WHERE p.d2 >= {b}
+),
+ok AS (SELECT doc_id FROM documents
+       WHERE doc_id >= {b} AND doc_id < {lim}
+         AND doc_id NOT IN (SELECT id FROM hist_dup)),
+inc_pairs AS (
+  SELECT d1, d2 FROM jpairs
+  WHERE d1 >= {b}
+    AND d1 IN (SELECT doc_id FROM ok)
+    AND d2 IN (SELECT doc_id FROM ok)
+),
+inc_edges AS (SELECT d1 AS a, d2 AS b FROM inc_pairs
+              UNION ALL SELECT d2, d1 FROM inc_pairs),
+inc_reach(node, label) AS (
+  SELECT doc_id, doc_id FROM ok
+  UNION
+  SELECT e.b, r.label FROM inc_reach r JOIN inc_edges e ON e.a = r.node
+),
+inc_cl AS (SELECT node, MIN(label) AS cluster FROM inc_reach GROUP BY node)
+SELECT cluster::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_members
+FROM inc_cl GROUP BY cluster
+"""
+
+
+EXT_QUERIES.update({
+    "ppjoin_incremental": (q_ppjoin_incremental, _ppjoin_incremental_sql()),
+})
