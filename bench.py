@@ -176,7 +176,7 @@ def main() -> None:
     multi_job = {
         "dedup_clusters", "dedup_clusters_star", "entity_resolution_parts",
         "sim_topk_ivf_kmeans", "dedup_source_overlap", "pipeline_e2e",
-        "dedup_near_incremental",  # iterative CC driver loop inside
+        "dedup_near_incremental", "ppjoin_incremental",  # iterative CC driver loop inside
         # the normalizers themselves must be noise-robust
         "__control__", "__control_scan__", "__control_shuffle__",
         "__control_join__",
