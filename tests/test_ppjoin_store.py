@@ -174,3 +174,42 @@ def test_hashed_token_sets_sorted_and_distinct(spark):
         for t in ("a", "b", "c")
     )
     assert row.tok_set == want and row.n == 3
+
+
+def test_ppjoin_store_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end file stream through the store's foreachBatch sink:
+    pre-stream history suppresses its exact-Jaccard near-dups, batch-2
+    docs dedup against batch-1 SURVIVORS (cross-micro-batch state),
+    and the emitted survivor stream equals the sequential model."""
+    store = PrefixJoinStore(spark, str(tmp_path / "p"), threshold_x1000=T)
+    store.absorb(_df(spark, DAY1), "doc_id", "text")
+    src = str(tmp_path / "feed")
+    _df(spark, {k: DAY2[k] for k in (10, 11)}).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    _df(spark, {k: DAY2[k] for k in (12, 13)}).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    emitted: dict = {}
+
+    def emit(df, bid):
+        emitted[bid] = sorted(r.doc_id for r in df.collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # batch 0: doc 10 is a history dup of survivor 3; 11 survives.
+    # batch 1: doc 12 dedups against RETAINED SURVIVOR 11
+    # (jacc(11,12) = 600 >= T) across micro-batches; 13 survives.
+    assert emitted[0] == [11]
+    assert emitted[1] == [13]
