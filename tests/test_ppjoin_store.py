@@ -213,3 +213,31 @@ def test_ppjoin_store_foreach_batch_streaming(spark, tmp_path):
     # (jacc(11,12) = 600 >= T) across micro-batches; 13 survives.
     assert emitted[0] == [11]
     assert emitted[1] == [13]
+
+
+def test_ppjoin_store_whitespace_only_doc_is_singleton(spark, tmp_path):
+    """r11 review finding: a whitespace-only doc has no tokens, pairs
+    with nothing, and must flow through as a SINGLETON SURVIVOR (the
+    from-scratch replay seeds clustering from the full doc list) —
+    not silently vanish from survivors and state."""
+    store = PrefixJoinStore(spark, str(tmp_path / "p"), threshold_x1000=T)
+    day = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_members
+        for r in store.absorb(day, "doc_id", "text").collect()
+    }
+    assert got.get(2) == 1  # the empty doc survives as a singleton
+    assert store.sets().where("id = 2").collect()[0].n == 0
+    # and a second empty doc on day 2 also survives (jaccard with the
+    # stored empty set is never evaluated — no shared prefix token)
+    day2 = spark.createDataFrame(
+        [(10, " ")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: r.n_members
+        for r in store.absorb(day2, "doc_id", "text").collect()
+    }
+    assert got2 == {10: 1}

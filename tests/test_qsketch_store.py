@@ -287,3 +287,29 @@ def test_store_weighted_absorb_equals_expanded_rows(spark, tmp_path):
     a.absorb(spark.createDataFrame(extra, SCHEMA), "k", "v")
     b.absorb(spark.createDataFrame(extra, SCHEMA), "k", "v")
     assert _read_q(a) == _read_q(b)
+
+
+def test_store_weighted_absorb_rejects_bad_weights(spark, tmp_path):
+    """r11 review finding: a negative or NULL weight would commit a
+    negative/short bucket count into irreparable additive state — the
+    absorb must fail loudly; zero weights are legal no-ops that never
+    persist as c=0 rows."""
+    store = QuantileSketchStore(spark, str(tmp_path / "w"))
+    bad = spark.createDataFrame(
+        [("a", 5, 2), ("a", 7, -1)], "k string, v long, w long"
+    )
+    with pytest.raises(Exception, match="weights must be >= 0"):
+        store.absorb(bad, "k", "v", weight_col="w")
+    assert store.quantiles().count() == 0
+    nul = spark.createDataFrame(
+        [("a", 5, None)], "k string, v long, w long"
+    )
+    with pytest.raises(Exception, match="weights must be >= 0"):
+        store.absorb(nul, "k", "v", weight_col="w")
+    # zero weights: no-op rows, no c=0 state
+    zw = spark.createDataFrame(
+        [("a", 5, 0), ("a", 9, 3)], "k string, v long, w long"
+    )
+    store.absorb(zw, "k", "v", weight_col="w")
+    rows = store._table("qb", "gk string, b int, c long").collect()
+    assert all(r.c > 0 for r in rows) and len(rows) == 1

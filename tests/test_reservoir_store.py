@@ -337,3 +337,34 @@ def test_weighted_store_merge_equals_one_shot(spark, tmp_path):
         WeightedReservoirStore(
             spark, str(tmp_path / "o"), k=K, max_weight=32
         )
+
+
+def test_weighted_store_weight_drift_is_deterministic(spark, tmp_path):
+    """r11 review finding: re-offering an id with a CHANGED weight (a
+    contract breach) must still read back deterministically — the
+    dedup keeps the smallest (rank, weight) row, never an arbitrary
+    partition-order pick."""
+    from time_series_storage_spark.operators.reservoir_store import (
+        WeightedReservoirStore,
+    )
+
+    st = WeightedReservoirStore(spark, str(tmp_path / "d"), k=K)
+    st.absorb(_df(spark, [("s", 1, 1), ("s", 2, 1)]), "k", "id", "v")
+    st.absorb(_df(spark, [("s", 1, 5)]), "k", "id", "v")  # weight drift
+
+    def _wrank(i, w):
+        return min(
+            int(
+                __import__("hashlib")
+                .md5(f"v1:{i}:{j}".encode())
+                .hexdigest()[:15],
+                16,
+            )
+            for j in range(1, w + 1)
+        )
+
+    want_rk = min(_wrank(1, 1), _wrank(1, 5))
+    want_val = 1 if _wrank(1, 1) <= _wrank(1, 5) else 5
+    for _ in range(3):  # stable across repeated reads
+        got = {r.id: (r.rk, r.val) for r in st.sample().collect()}
+        assert got["1"] == (want_rk, want_val)

@@ -2772,7 +2772,14 @@ def hashed_token_sets(
     exact-Jaccard unit of :func:`ppjoin_pairs`' incremental twin. The
     ascending hash order IS the prefix-filter total order (see
     :class:`PrefixJoinStore`: a fixed universal order is what makes
-    prefixes stable across absorbs)."""
+    prefixes stable across absorbs).
+
+    EVERY input document gets a row — a whitespace-only / null-text
+    doc carries an EMPTY set (n = 0). Dropping it instead would make
+    the store silently lose the doc (it can never pair with anything,
+    so the sequential model says: singleton survivor), diverging from
+    any from-scratch replay that seeds clustering from the full doc
+    list (r11 review finding)."""
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
@@ -2782,9 +2789,20 @@ def hashed_token_sets(
         .select("id", md5_long(F.col("_t")).alias("_h"))
         .distinct()
     )
-    return toks.groupBy("id").agg(
+    sets = toks.groupBy("id").agg(
         F.sort_array(F.collect_set("_h")).alias("tok_set"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(sets, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "tok_set", F.array().cast("array<long>")
+            ).alias("tok_set"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
     )
 
 

@@ -147,9 +147,36 @@ class QuantileSketchStore(_SnapshotArtifactStore):
                 checked.alias("_v"),
             ]
             if weight_col is not None:
-                cols.append(F.col(weight_col).cast("long").alias("_w"))
+                # the value guard's twin: a negative weight would
+                # commit a NEGATIVE bucket count into additive state
+                # (irreparable — cumulative walks regress forever) and
+                # a NULL one would silently drop its row from the sum;
+                # zero-weight rows are legal no-ops and are filtered
+                # below rather than persisted as c=0 state
+                wv = F.col(weight_col).cast("long")
+                wchecked = F.when(wv >= 0, wv).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "QuantileSketchStore: weights must be "
+                                ">= 0 and non-null, got "
+                            ),
+                            F.coalesce(
+                                wv.cast("string"), F.lit("NULL")
+                            ),
+                        )
+                    )
+                )
+                cols.append(wchecked.alias("_w"))
+            rows = elements.select(*cols)
+            if weight_col is not None:
+                # _w is guaranteed non-null >= 0 by the guard above
+                # (NULL takes the otherwise/raise_error branch: NULL
+                # >= 0 is NULL, not true); drop the legal zero-weight
+                # no-ops so they never persist as c=0 state rows
+                rows = rows.where(F.col("_w") > 0)
             inc = qsk_counters(
-                elements.select(*cols),
+                rows,
                 ["gk"],
                 "_v",
                 self.sub_bits,

@@ -91,6 +91,14 @@ class ReservoirStore(_SnapshotArtifactStore):
             f"{c} long" for c in self._EMIT_COLS
         )
 
+    def _dedup(self, candidates: DataFrame) -> DataFrame:
+        """Collapse (gk, id) duplicates. For the uniform store every
+        duplicate row is IDENTICAL (rank and payload are pure
+        functions of the id), so dropDuplicates is deterministic;
+        subclasses whose rows can differ across absorbs override this
+        with an explicit deterministic pick."""
+        return candidates.dropDuplicates(["gk", "id"])
+
     def _reselect(self, candidates: DataFrame) -> DataFrame:
         """The keep-min merge: bottom-k rows per key by (tag, id) over
         whatever candidate rows exist. Input is already sketch-sized
@@ -99,7 +107,7 @@ class ReservoirStore(_SnapshotArtifactStore):
         or re-offered rows cannot occupy two slots."""
         w = Window.partitionBy("gk").orderBy("rk", "id")
         return (
-            candidates.dropDuplicates(["gk", "id"])
+            self._dedup(candidates)
             .withColumn("_rank", F.row_number().over(w))
             .where(F.col("_rank") <= self.k)
             .drop("_rank")
@@ -246,9 +254,12 @@ class WeightedReservoirStore(ReservoirStore):
     Contract: WEIGHT IS AN ATTRIBUTE OF THE ID (like content for the
     fingerprint stores). Re-offering an id with a different weight is
     a caller contract breach; the store's dedup keeps the smallest
-    rank ever committed for the id (deterministic, monotone — never
-    two slots), and the stored ``val`` column carries the weight the
-    surviving rank was computed from.
+    (rank, weight) row ever committed for the id (an explicit
+    deterministic pick — see :meth:`_dedup` — because unlike the
+    uniform store, duplicate (key, id) rows here can carry DIFFERENT
+    ranks, and an arbitrary dropDuplicates would flap between them
+    across runs), and the stored ``val`` column carries the weight
+    the surviving rank was computed from.
 
     The stored ``val`` is the item's weight; summaries() therefore
     emits ``sum_val`` = the sample's total weight — the denominator a
@@ -288,22 +299,31 @@ class WeightedReservoirStore(ReservoirStore):
             "WeightedReservoirStore",
         )
 
+    def _dedup(self, candidates: DataFrame) -> DataFrame:
+        """Deterministic duplicate pick: the smallest (rk, val) row
+        per (gk, id). Duplicate rows can only arise from a weight
+        that changed across absorbs (a contract breach the store must
+        still stay deterministic under); min-rank is also monotone —
+        a row once in the reservoir can only be displaced by GLOBAL
+        competition, never by its own re-offer."""
+        w0 = Window.partitionBy("gk", "id").orderBy("rk", "val")
+        return (
+            candidates.withColumn("_dr", F.row_number().over(w0))
+            .where(F.col("_dr") == 1)
+            .drop("_dr")
+        )
+
     def _tagged(
         self, rows: DataFrame, key_col: str, id_col: str, w_col: str
     ) -> DataFrame:
-        w = F.col(w_col).cast("long")
-        checked = F.when(
-            (w >= 1) & (w <= self.max_weight), w
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"WeightedReservoirStore: weight must be in "
-                        f"[1, {self.max_weight}], got "
-                    ),
-                    w.cast("string"),
-                )
-            )
+        # the guard and the copy-rank formula are the SHARED helpers
+        # of operators/split.py — one definition for the batch sampler
+        # and this store, so salt format / bound semantics cannot
+        # drift between the twins
+        from .split import checked_weight, copy_rank
+
+        checked = checked_weight(
+            w_col, self.max_weight, "WeightedReservoirStore"
         )
         copies = rows.select(
             F.col(key_col).cast("string").alias("gk"),
@@ -315,14 +335,7 @@ class WeightedReservoirStore(ReservoirStore):
             "gk",
             "id",
             "_w",
-            md5_long(
-                F.concat(
-                    F.lit(f"{self.salt}:"),
-                    F.col("id"),
-                    F.lit(":"),
-                    F.col("_j").cast("string"),
-                )
-            ).alias("_r"),
+            copy_rank("id", "_j", self.salt).alias("_r"),
         ).groupBy("gk", "id").agg(
             F.min("_r").alias("rk"),
             F.max("_w").cast("long").alias("val"),

@@ -339,6 +339,39 @@ def waterfill_mix(
     ).withColumnRenamed("_rank", "mix_rank")
 
 
+def checked_weight(w_col, max_weight: int, ctx: str):
+    """Shared in-plan weight guard of the replication-reduction
+    samplers (weighted_reservoir here; WeightedReservoirStore in
+    reservoir_store.py): integer weight in [1, max_weight] or a loud
+    raise_error naming the caller — ONE definition so the bound
+    semantics and message can never drift between the batch and store
+    twins (r11 review finding)."""
+    w = (F.col(w_col) if isinstance(w_col, str) else w_col).cast("long")
+    return F.when((w >= 1) & (w <= max_weight), w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: weight must be in [1, {max_weight}], got "),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+
+
+def copy_rank(id_str, j, salt: str = "v1"):
+    """Shared rank of one replication copy: md5('salt:id:j') as the
+    portable 60-bit integer — the formula BOTH weighted samplers and
+    every SQL oracle mirror; a salt-format change in one place is a
+    silent exactness break, hence one definition."""
+    i = F.col(id_str) if isinstance(id_str, str) else id_str
+    jj = F.col(j) if isinstance(j, str) else j
+    return md5_long(
+        F.concat(
+            F.lit(f"{salt}:"), i.cast("string"),
+            F.lit(":"), jj.cast("string"),
+        )
+    )
+
+
 def weighted_reservoir(
     df: DataFrame,
     strata_cols: list[str],
@@ -376,18 +409,7 @@ def weighted_reservoir(
         raise ValueError(f"k must be >= 1, got {k}")
     if max_weight < 1:
         raise ValueError(f"max_weight must be >= 1, got {max_weight}")
-    w = F.col(weight_col).cast("long")
-    checked = F.when((w >= 1) & (w <= max_weight), w).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_reservoir: weight must be in "
-                    f"[1, {max_weight}], got "
-                ),
-                w.cast("string"),
-            )
-        )
-    )
+    checked = checked_weight(weight_col, max_weight, "weighted_reservoir")
     copies = df.select(
         *strata_cols,
         F.col(id_col),
@@ -395,14 +417,7 @@ def weighted_reservoir(
     ).select(
         *strata_cols,
         id_col,
-        md5_long(
-            F.concat(
-                F.lit(f"{salt}:"),
-                F.col(id_col).cast("string"),
-                F.lit(":"),
-                F.col("_j").cast("string"),
-            )
-        ).alias("_r"),
+        copy_rank(id_col, "_j", salt).alias("_r"),
     )
     ranks = copies.groupBy(*strata_cols, id_col).agg(
         F.min("_r").alias("rank")

@@ -15277,31 +15277,53 @@ QSK_BREACH_X10 = 11  # breach = day p95 above 1.1x the trailing baseline
 
 def q_qsk_p99_regression(spark, sf_dir):
     """SLO REGRESSION DETECTOR composed from sketch state: per
-    (event_type, day), today's p95 (single-day sketch = the rolling
-    read at window 1) against the trailing-7-day baseline (the
-    rolling read at window 7), breach-flagged when day * 10 >
-    baseline * {QSK_BREACH_X10} — all integer, no division. This is
-    the alerting query a latency SLO actually runs every day at 100
-    TB: both sides are served from per-day sketch rows; raw events
-    are read once. The oracle recomputes both windows from raw rows
-    and must agree on every flag."""
-    from .operators.qsketch import qsk_rolling_quantiles
+    (event_type, day), today's p95 against the trailing-7-day
+    baseline ENDING YESTERDAY — the baseline deliberately EXCLUDES
+    the day under test, else a large one-day regression inflates its
+    own denominator and can self-mask (r11 review finding). Breach =
+    day * 10 > baseline * {QSK_BREACH_X10} — all integer, no
+    division. Raw events are read ONCE: one bucketing aggregate to
+    per-(key, day) sketch rows; the day-side read and the trailing
+    window (one generator explode over SKETCH rows, serve-days
+    idx+1..idx+7) both derive from it. A key's first observed day has
+    no baseline and emits no row (nothing to regress against). This
+    is the alerting query a latency SLO runs every day at 100 TB —
+    everything after the single scan is sketch-sized."""
+    from .operators.qsketch import qsk_counters, qsk_quantiles
 
     ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "ts", _qsk_val().alias("v")
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / 86_400)
+        .cast("long").alias("_bi"),
+        _qsk_val().alias("v"),
     )
-    day = qsk_rolling_quantiles(
-        ev, ["event_type"], "v", "ts", window_buckets=1
+    cnt = qsk_counters(ev, ["event_type", "_bi"], "v")
+    day = qsk_quantiles(
+        cnt.withColumnRenamed("_bi", "bucket_idx"),
+        ["event_type", "bucket_idx"],
     ).select(
         "event_type", "bucket_idx",
         F.col("n_total").alias("day_n"),
         F.col("p95_lb").alias("day_p95"),
     )
-    base = qsk_rolling_quantiles(
-        ev, ["event_type"], "v", "ts", window_buckets=7
-    ).select(
-        "event_type", "bucket_idx",
-        F.col("p95_lb").alias("base_p95"),
+    spread = cnt.select(
+        "event_type",
+        "b",
+        "c",
+        F.explode(
+            F.sequence(F.col("_bi") + 1, F.col("_bi") + 7)
+        ).alias("bucket_idx"),
+    )
+    observed = cnt.select(
+        "event_type", F.col("_bi").alias("bucket_idx")
+    ).distinct()
+    rolled = (
+        spread.join(observed, ["event_type", "bucket_idx"], "semi")
+        .groupBy("event_type", "bucket_idx", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    base = qsk_quantiles(rolled, ["event_type", "bucket_idx"]).select(
+        "event_type", "bucket_idx", F.col("p95_lb").alias("base_p95")
     )
     return day.join(base, ["event_type", "bucket_idx"]).select(
         "event_type",
@@ -15315,16 +15337,28 @@ def q_qsk_p99_regression(spark, sf_dir):
 
 
 def _qsk_p99_regression_sql() -> str:
-    from .operators.qsketch import qsk_rolling_quantiles_sql
+    from .operators.qsketch import qsk_bucket_sql, qsk_quantiles_sql
 
-    day = qsk_rolling_quantiles_sql(
-        _QSK_VAL_SQL, ["event_type"], window_buckets=1
+    bidx = "(CAST(floor(epoch(ts)) AS BIGINT) // 86400)"
+    cnt = (
+        f"SELECT event_type, {bidx} AS bi, "
+        f"{qsk_bucket_sql(_QSK_VAL_SQL)} AS b, COUNT(*)::BIGINT AS c "
+        f"FROM events GROUP BY ALL"
     )
-    base = qsk_rolling_quantiles_sql(
-        _QSK_VAL_SQL, ["event_type"], window_buckets=7
+    day_q = qsk_quantiles_sql(
+        f"SELECT event_type, bi AS bucket_idx, b, c FROM ({cnt}) c0",
+        ["event_type", "bucket_idx"],
     )
+    base_cnt = f"""
+SELECT sp.event_type, sp.bucket_idx, sp.b, SUM(sp.c)::BIGINT AS c FROM (
+  SELECT event_type, bi + off AS bucket_idx, b, c
+  FROM ({cnt}) c1, unnest(generate_series(1, 7)) t(off)) sp
+JOIN (SELECT DISTINCT event_type, bi AS bucket_idx FROM ({cnt}) c2) obs
+  ON sp.event_type = obs.event_type AND sp.bucket_idx = obs.bucket_idx
+GROUP BY ALL"""
+    base_q = qsk_quantiles_sql(base_cnt, ["event_type", "bucket_idx"])
     return f"""
-WITH day AS ({day}), base AS ({base})
+WITH day AS ({day_q}), base AS ({base_q})
 SELECT d.event_type, d.bucket_idx,
        d.n_total::BIGINT AS day_n,
        d.p95_lb::BIGINT AS day_p95,
