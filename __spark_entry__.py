@@ -104,7 +104,7 @@ _GATE_PRIORITY = [
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: first the six r11 LATE
+    # --- below the 50-row gate line: first the seven r11 LATE
     # --- additions (written after this round's window was frozen and
     # --- pre-verified; they are the only never-gated rows and MUST
     # --- lead r12), then the five deferred core rows
@@ -119,6 +119,7 @@ _GATE_PRIORITY = [
     "wres_members_incremental",
     "qsk_weighted_price",
     "ppjoin_incremental",
+    "reservoir_mean_audit",
     "ts_counter_hour_fill",
     "ts_avg_hour_fill",
     "ts_histogram_day",

@@ -15681,3 +15681,60 @@ FROM inc_cl GROUP BY cluster
 EXT_QUERIES.update({
     "ppjoin_incremental": (q_ppjoin_incremental, _ppjoin_incremental_sql()),
 })
+
+
+def q_reservoir_mean_audit(spark, sf_dir):
+    """The reservoir's ESTIMATOR IN USE, audited (the qsk_error_audit
+    pattern for samplers): per source, the sample mean served from the
+    persisted reservoir summaries (floor(sum_val / n_sample) — the
+    read a 100 TB pipeline would make) beside the exact population
+    mean over raw documents, with the absolute error as an integer
+    column. A green hash proves both engines agree on estimator AND
+    ground truth; the error column makes sampling quality a DATUM in
+    the gate rather than a claim in a docstring. At scale the exact
+    side is the audit's deliberate cost — the estimator side touches
+    k rows per source."""
+    from .operators.analytics import floor_div
+
+    store = _res_store(spark, sf_dir)
+    est = store.summaries(key_name="source").select(
+        "source",
+        "n_sample",
+        floor_div(F.col("sum_val"), F.col("n_sample")).alias("est_mean"),
+    )
+    exact = _docs(spark, sf_dir).groupBy("source").agg(
+        floor_div(
+            F.sum(F.col("n_chars").cast("long")), F.count(F.lit(1))
+        ).alias("true_mean")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_sample",
+        "est_mean",
+        "true_mean",
+        F.abs(F.col("est_mean") - F.col("true_mean"))
+        .cast("long").alias("abs_err"),
+    )
+
+
+def _reservoir_mean_audit_sql() -> str:
+    return f"""
+WITH m AS ({_res_members_sql()}),
+est AS (
+  SELECT source, COUNT(*)::BIGINT AS n_sample,
+         (SUM(n_chars) // COUNT(*))::BIGINT AS est_mean
+  FROM m GROUP BY source),
+exact AS (
+  SELECT source, (SUM(n_chars) // COUNT(*))::BIGINT AS true_mean
+  FROM documents GROUP BY source)
+SELECT e.source, e.n_sample, e.est_mean, x.true_mean,
+       ABS(e.est_mean - x.true_mean)::BIGINT AS abs_err
+FROM est e JOIN exact x ON x.source = e.source
+"""
+
+
+EXT_QUERIES.update({
+    "reservoir_mean_audit": (
+        q_reservoir_mean_audit, _reservoir_mean_audit_sql(),
+    ),
+})
