@@ -235,9 +235,17 @@ def main() -> None:
     gate_names = [n for n in qs if not n.startswith("__")][:50]
     total = round(sum(times[n] for n in gate_names if n in times), 3)
     base = {
-        "metric": "total_query_seconds",
+        # r11 ADVICE: the headline changed meaning in r11 (whole-
+        # registry sum -> gated-window sum) without a rename; make the
+        # metric name say what it measures and version the artifact so
+        # cross-round consumers can't conflate the two definitions.
+        # BENCH_r01..r10 `value` = whole-registry sum (schema v1,
+        # implicit); BENCH_r11 `value` = gated-window sum under the old
+        # name; r12+ = gated-window sum under this name, schema 2.
+        "metric": "gated_window_seconds",
         "value": total,
         "unit": "sec",
+        "bench_schema": 2,
         "registry_total_seconds": round(sum(times.values()), 3),
         "n_queries": len(times),
         "control": control,

@@ -246,3 +246,28 @@ def test_bpe_prod_4k_merges_scale(spark):
     for w, (toks, n) in list(by_word.items())[:50]:
         want = fold_encode_word(w, table)
         assert toks == want and n == len(want), w
+
+
+def test_bpe_fit_degenerate_inputs(spark):
+    """r11 verdict #7: the documented merge-count ceiling's edge
+    cases. num_merges=0 must return an empty merge table WITHOUT
+    running any argmax jobs, and a corpus whose words are all single
+    characters (no adjacent pairs anywhere) must stop early and
+    return empty regardless of the requested merge count — the loop's
+    only other exit."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c c a")], "doc_id long, text string"
+    )
+    zero = bpe_fit(docs, num_merges=0)
+    assert zero.count() == 0
+    assert zero.columns == ["rank", "left", "right", "n"]
+    # single-char words: _pair_counts is empty on round 1 -> early stop
+    singles = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    none = bpe_fit(singles, num_merges=50)
+    assert none.count() == 0
+    # encode with an empty merge table degrades to chars (not a crash)
+    enc = bpe_encode(singles, none)
+    rows = {(r.doc_id, r.word_idx): r.n_toks for r in enc.collect()}
+    assert rows == {(1, 0): 1, (1, 1): 1, (1, 2): 1, (2, 0): 1, (2, 1): 1}

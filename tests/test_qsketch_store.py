@@ -263,11 +263,36 @@ def test_store_rejects_values_below_one(spark, tmp_path):
     bad = spark.createDataFrame([("a", 5), ("a", 0)], SCHEMA)
     with pytest.raises(
         (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException, Exception),
-        match="must be >= 1",
+        match=r"must be in \[1, 2\^53\)",
     ):
         store.absorb(bad, "k", "v")
     # nothing committed
     assert store.quantiles().count() == 0
+
+
+def test_store_rejects_values_at_or_above_2_53(spark, tmp_path):
+    """r11 ADVICE: the lower-bound guard's twin. qsk_bucket's
+    floor(v / 2^sh) rides IEEE doubles, exact only below 2^53 — an
+    epoch-nanos-sized long would bucket differently in Spark (double
+    division) than in the DuckDB oracle (exact integer division),
+    committing state the oracle can never reproduce. The absorb must
+    fail loudly at the documented exactness ceiling instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    store = QuantileSketchStore(spark, str(tmp_path / "g53"))
+    bad = spark.createDataFrame([("a", 5), ("a", 1 << 53)], SCHEMA)
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException, Exception),
+        match=r"must be in \[1, 2\^53\)",
+    ):
+        store.absorb(bad, "k", "v")
+    assert store.quantiles().count() == 0
+    # the boundary itself: 2^53 - 1 is the largest exact value and
+    # must still absorb cleanly
+    ok = spark.createDataFrame([("a", (1 << 53) - 1)], SCHEMA)
+    store.absorb(ok, "k", "v")
+    assert store.quantiles().count() > 0
 
 
 def test_store_weighted_absorb_equals_expanded_rows(spark, tmp_path):

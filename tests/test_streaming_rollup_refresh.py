@@ -339,3 +339,54 @@ def test_duckdb_ident_mapping_is_injective():
         assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", i), i
     # deterministic
     assert [_ident(n) for n in names] == idents
+
+
+def test_duckdb_merge_delta_is_rollup_bounded(spark, tmp_path):
+    """r11 verdict #7: the backend's driver-side toPandas is bounded
+    by distinct (dims x slice buckets) in the batch — NOT its raw row
+    count. Pin that: 3000 raw events collapsing to 3 users x 2 slice
+    buckets must hand the backend exactly 6 delta rows (per grouping
+    that includes user), however many rows the batch carried."""
+    from time_series_storage_spark.streaming.duckdb_backend import (
+        DuckDBMergeBackend,
+    )
+    from time_series_storage_spark.streaming.ingest import RollupMergeSink
+
+    store = RollupStore(spark, str(tmp_path / "bstore"))
+    eng = TimeSeries(spark, rollup_store=store)
+    eng.define_fact("hits", "counter", 15)
+    eng.define_dimension("company", group_only=True)
+    eng.define_dimension("user", grouped_by=[["company"], []], facts=["hits"])
+
+    batch = stream_events(
+        spark.range(0, 3000).select(
+            # two 15-minute buckets: minutes 0 and 20
+            (F.lit(T0) + F.make_interval(mins=(F.col("id") % 2) * 20)).alias(
+                "ts"
+            ),
+            F.lit(1.0).alias("value"),
+            F.lit("c0").alias("company"),
+            F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias(
+                "user"
+            ),
+        ),
+        "hits",
+        dim_cols={"company": "company", "user": "user"},
+    )
+    captured = []
+
+    class CountingBackend(DuckDBMergeBackend):
+        def merge(self, delta, grouping, fact, batch_id):
+            captured.append((tuple(grouping), delta.count()))
+            super().merge(delta, grouping, fact, batch_id)
+
+    backend = CountingBackend(str(tmp_path / "b.duckdb"))
+    sink = RollupMergeSink(eng, store, "hits", "user", backend=backend)
+    sink(batch, 0)
+    sizes = dict(captured)
+    # groupings: (company, user) and (user,) — both 3 users x 2 buckets
+    assert all(n == 6 for n in sizes.values()), sizes
+    # and the merged content carries the full 3000-event mass
+    for g in sizes:
+        pdf = backend.read_rollup(list(g), "hits")
+        assert int(pdf["counter"].sum()) == 3000

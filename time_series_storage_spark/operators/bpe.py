@@ -118,7 +118,22 @@ def bpe_fit(
 
     The returned frame is driver-materialized (num_merges rows — the
     merge table is a bounded artifact like a codebook, the documented
-    small boundary)."""
+    small boundary).
+
+    Practical ceiling (the hll.py magnitude-bound discipline): the
+    fit loop collects ONE argmax row per merge — a driver round-trip
+    per rank, inherent to sequential BPE (merge r+1's pair counts
+    depend on merge r having been applied; no published formulation
+    parallelizes across ranks without changing the learned vocab).
+    Each round-trip is a tiny job over the DISTINCT-WORD table (not
+    the corpus — words_with_counts aggregates first, so corpus size
+    only affects round 0), but a production 32k-merge vocab means
+    32k sequential jobs: at even ~0.2 s/job that is ~2 h of pure
+    scheduling latency regardless of cluster size. Budget
+    num_merges accordingly (hundreds are interactive; tens of
+    thousands are a batch job you checkpoint and reuse via
+    bpe_encode_words, whose cost is independent of this loop).
+    num_merges <= 0 returns an empty merge table (no jobs run)."""
     spark = docs.sparkSession
     state = (
         words_with_counts(docs, text_col)

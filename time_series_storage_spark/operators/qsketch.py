@@ -301,7 +301,13 @@ def qsk_rolling_quantiles_sql(
 ) -> str:
     """Oracle mirror of :func:`qsk_rolling_quantiles` (DuckDB)."""
     ks = ", ".join(keys)
-    bidx = f"(CAST(floor(epoch({ts_col})) AS BIGINT) // {bucket_seconds})"
+    # explicit floor division (NOT DuckDB's `//`, which truncates
+    # toward zero: (-7)//2 = -3 there) so pre-1970 timestamps bucket
+    # identically to the Spark side's F.floor(unix_timestamp / n)
+    bidx = (
+        f"CAST(floor(CAST(floor(epoch({ts_col})) AS BIGINT)"
+        f" / {bucket_seconds}.0) AS BIGINT)"
+    )
     on = " AND ".join(
         [f"sp.{k} = obs.{k}" for k in keys]
         + ["sp.bucket_idx = obs.bucket_idx"]

@@ -128,17 +128,24 @@ class QuantileSketchStore(_SnapshotArtifactStore):
             # contract, and Spark's conv() and DuckDB's printf('%b')
             # render negatives differently, so letting one through
             # would poison the store with state the oracle can never
-            # reproduce. raise_error fails the absorb job with the
-            # offending value instead.
+            # reproduce. The UPPER bound is the documented exactness
+            # ceiling (qsk_bucket's floor(v / 2^sh) rides IEEE
+            # doubles, exact only below 2^53): an epoch-nanos long
+            # above it would bucket differently here than in the
+            # DuckDB oracle's exact integer division — the same
+            # irreproducible-state poisoning, from the other side.
+            # raise_error fails the absorb job with the offending
+            # value instead of committing it.
             v = F.col(value_col).cast("long")
-            checked = F.when(v >= 1, v).otherwise(
+            checked = F.when((v >= 1) & (v < F.lit(1 << 53)), v).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "QuantileSketchStore: values must be >= 1 "
-                            "(scale to fixed-point first), got "
+                            "QuantileSketchStore: values must be in "
+                            "[1, 2^53) (scale to fixed-point first), "
+                            "got "
                         ),
-                        v.cast("string"),
+                        F.coalesce(v.cast("string"), F.lit("NULL")),
                     )
                 )
             )

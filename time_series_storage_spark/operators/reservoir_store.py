@@ -130,6 +130,16 @@ class ReservoirStore(_SnapshotArtifactStore):
 
     @staticmethod
     def _summarize(sample: DataFrame) -> DataFrame:
+        # kth_rank is max(rk) over the CURRENT sample. It is a valid
+        # "would this row have been sampled?" rejection threshold ONLY
+        # when n_sample == k (reservoir full): while the reservoir is
+        # unfull, ANY new row is admitted regardless of rank, so
+        # readers must gate threshold use on n_sample — compare
+        # candidate_rank < kth_rank only where n_sample == k, admit
+        # unconditionally otherwise. Emitting max(rk) (not NULL) for
+        # unfull keys is deliberate: it keeps the column a pure
+        # function of the sample rows (merge = one-shot under the
+        # hash gate) and still answers "largest rank currently held".
         return sample.groupBy("gk").agg(
             F.count(F.lit(1)).cast("long").alias("n_sample"),
             F.max("rk").cast("long").alias("kth_rank"),
@@ -146,7 +156,9 @@ class ReservoirStore(_SnapshotArtifactStore):
 
     def summaries(self, key_name: str = "gk") -> DataFrame:
         """One row per key ever absorbed: (key, n_sample, kth_rank,
-        sum_val) — the same arithmetic the absorb emission uses."""
+        sum_val) — the same arithmetic the absorb emission uses.
+        kth_rank is a selection threshold only when n_sample == k;
+        see :meth:`_summarize` for the unfull-reservoir contract."""
         return self._summarize(self.sample()).withColumnRenamed(
             "gk", key_name
         )

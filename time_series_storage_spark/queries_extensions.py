@@ -15339,7 +15339,10 @@ def q_qsk_p99_regression(spark, sf_dir):
 def _qsk_p99_regression_sql() -> str:
     from .operators.qsketch import qsk_bucket_sql, qsk_quantiles_sql
 
-    bidx = "(CAST(floor(epoch(ts)) AS BIGINT) // 86400)"
+    # explicit floor division (qsketch.py discipline): DuckDB's `//`
+    # truncates toward zero, diverging from Spark's F.floor for
+    # pre-1970 timestamps
+    bidx = "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)"
     cnt = (
         f"SELECT event_type, {bidx} AS bi, "
         f"{qsk_bucket_sql(_QSK_VAL_SQL)} AS b, COUNT(*)::BIGINT AS c "

@@ -98,7 +98,21 @@ class DuckDBMergeBackend(RollupMergeBackend):
             measures.append("total")
         if fact.type == "histogram":
             keys.append("bucket_lo")
-        pdf = delta.toPandas()  # slice-grain delta: micro-batch-bounded
+        # Driver-side materialization of the micro-batch's ROLLUP
+        # DELTA — bounded by distinct (dims x slice-buckets [x
+        # histogram buckets]) touched in ONE micro-batch, NOT by its
+        # raw row count (the upstream groupBy collapsed that). The
+        # bound is real but input-shaped: a batch spanning D distinct
+        # dim combos and S slice buckets yields <= D*S rows, so a
+        # pathological high-cardinality dim (e.g. a per-user path
+        # dim) with a large trigger interval could balloon this —
+        # cap trigger intervals or pre-hash such dims before
+        # declaring them. At the reference's shape (category-like
+        # dims, minutes-grain slices) D*S is thousands of rows per
+        # batch. The backend exists as the single-process ACID seam;
+        # a lakehouse MERGE backend replaces this wholesale (same
+        # RollupMergeBackend interface) when jars are available.
+        pdf = delta.toPandas()
         cols = keys + measures
         pdf = pdf[cols]
         key_sql = ", ".join(f'"{k}"' for k in keys)
