@@ -1489,6 +1489,198 @@ def pq_topk(
     )
 
 
+def pq_kmeans_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    dim: int = EMBED_DIM,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Per-subspace Lloyd-refined PQ codebook in exact fixed-point
+    arithmetic — the trained counterpart of :func:`pq_codebook`, same
+    output shape (s, code, cw array<long> x1000) so
+    :func:`pq_encode` and every ADC consumer work unchanged.
+
+    Starts from the sampled codebook and runs ``n_iter`` Lloyd steps
+    PER SUBSPACE, all m of them inside one plan (subspace is just a
+    grouping column): assign every (vector, subspace) pair to its
+    min-squared-L2 codeword (exact integer d2 over the x1000-quantized
+    subvectors, ties to the lowest code via the composite
+    ``d2 * n_codes + code`` inside ``min_by`` — the
+    :func:`pq_encode` discipline), then recompute each codeword
+    component as the FLOORED integer mean of its members' quantized
+    components. Components never leave the x1000-long domain, so the
+    refined codebook — and every code and ADC score derived from it —
+    is bit-reproducible across engines and partitionings: the whole
+    IVF-PQ index sits under the hash gate. Codewords that lose all
+    members drop out (code ids keep their original values, exactly
+    like empty IVF cells).
+
+    Per iteration: one broadcast join + partial-aggregated ``min_by``
+    (assignment — corpus x m x n_codes rows, but codebook-sized state
+    only), one posexplode + (s, code, j) partial-aggregated mean. The
+    finished codebook (<= m * n_codes rows) is collected and
+    re-created as a literal frame, same rationale as
+    :func:`ivf_kmeans_centroids`: an ANN codebook is a driver-side
+    artifact by design, and inlining keeps downstream encode/score
+    plans from re-running the refinement once per use.
+    """
+    d_sub = dim // m
+    cents = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("_v")
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("_v"),
+        )
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("s"),
+            _pq_subq("_v", "s", d_sub).alias("subq"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("subq", "cw", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iter):
+        assigned = (
+            sub.join(F.broadcast(cents), "s")
+            .select(
+                "vec_id",
+                "s",
+                "code",
+                "subq",
+                (d2 * n_codes + F.col("code")).alias("_k"),
+            )
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by("code", F.col("_k")).cast("long").alias("code"),
+                F.first("subq").alias("subq"),
+            )
+        )
+        comp = assigned.select(
+            "s", "code", F.posexplode("subq").alias("j", "q")
+        )
+        means = comp.groupBy("s", "code", "j").agg(
+            F.floor(F.sum("q") / F.count("*")).cast("long").alias("cq")
+        )
+        cents = means.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cq"))),
+                lambda t: t["cq"],
+            ).alias("cw")
+        )
+    rows = [
+        (int(r["s"]), int(r["code"]), [int(x) for x in r["cw"]])
+        for r in cents.collect()
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "s: long, code: long, cw: array<long>"
+    )
+
+
+def ivfpq_probe_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    pq_cb: DataFrame,
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF-PQ serving (Jegou et al., TPAMI'11): probe the ``nprobe``
+    max-cosine coarse cells per query, then rank ONLY those cells'
+    vectors by asymmetric distance through the query's exact-integer
+    LUT — the corpus's full-precision vectors are never touched at
+    query time; it exists only as ``m`` small codes per vector.
+
+    ``centroids`` is the coarse codebook (cell_id, c_vec); ``pq_cb``
+    the PQ codebook (s, code, cw x1000); ``codes`` the encoded corpus
+    (cell_id, vec_id, s, code) — typically unpacked from a persisted
+    :class:`~.vector_index.IvfIndexStore` PQ artifact, in which case
+    the broadcast probe join dynamically prunes the
+    cell_id-partitioned codes scan to the probed cells only (the same
+    pruning contract as :func:`ivf_probe_topk`, at ~1/16th the bytes
+    per pruned partition).
+
+    Output: (q_id, vec_id, rank, adc_x1e6) — the :func:`pq_topk`
+    contract, restricted to probed cells. Integer end-to-end past the
+    probe step: no float enters the score compare path.
+    """
+    d_sub = dim // m
+    # 1. coarse probes: tiny, per-query nprobe rows, broadcast
+    qsims = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(centroids)).select(
+        "q_id",
+        "q_vec",
+        "cell_id",
+        F.round(cosine("q_vec", "c_vec") * 1e6).cast("long").alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    # 2. per-query LUT of exact-integer partial dots (q_count x m x
+    #    n_codes rows — broadcast side by construction)
+    qsub = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        _as_double(vec_col).alias("_v"),
+    ).select(
+        "q_id",
+        F.col("s").cast("long").alias("s"),
+        _pq_subq("_v", "s", d_sub).alias("qsubq"),
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsubq", "cw", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(F.broadcast(pq_cb), "s").select(
+        "q_id", "s", "code", pdot.alias("pdot")
+    )
+    # 3. probed-cell candidates scored through the LUT: the only
+    #    corpus-sized work, and it reads codes (m longs/vector), not
+    #    vectors. cell_id rides along (functional on vec_id) so a
+    #    rerank consumer can re-fetch the shortlist's full vectors
+    #    with a partition-pruned (cell_id, vec_id) join instead of a
+    #    full assignment scan.
+    plist = probes.select("q_id", "cell_id")
+    scored = (
+        codes.join(F.broadcast(plist), "cell_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum("pdot").cast("long").alias("adc_x1e6"),
+            F.first("cell_id").alias("cell_id"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "adc_x1e6", "cell_id")
+    )
+
+
 def rrf_fuse(
     rankings: list,
     k: int = 10,

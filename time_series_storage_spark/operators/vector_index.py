@@ -48,12 +48,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..plans.materialize import VersionedStore
 from .similarity import (
+    EMBED_DIM,
     IVF_CELLS,
     IVF_NPROBE,
+    PQ_CODES,
+    cosine,
     ivf_assign,
     ivf_centroids,
     ivf_kmeans_centroids,
     ivf_probe_topk,
+    ivfpq_probe_topk,
+    pq_encode,
+    pq_kmeans_codebook,
 )
 
 
@@ -215,12 +221,27 @@ class IvfIndexStore(VersionedStore):
         n_cells: int = IVF_CELLS,
         kmeans_iters: int = 0,
         fingerprint: Optional[str] = None,
+        pq_m: Optional[int] = None,
+        pq_codes: int = PQ_CODES,
+        pq_iters: int = 2,
     ) -> str:
         """Build and atomically publish the next index version.
 
         One assignment pass over the corpus (broadcast centroids +
         per-vector argmax), written partitioned by ``cell_id``; the
         codebook itself is ``n_cells`` rows. Returns the version id.
+
+        ``pq_m`` switches on PRODUCT QUANTIZATION (IVF-PQ, Jegou et
+        al. TPAMI'11): a per-subspace fixed-point Lloyd codebook
+        (``pq_m`` subspaces x ``pq_codes`` codewords, ``pq_iters``
+        refinement rounds) is trained on the corpus and every vector
+        is additionally persisted as ``pq_m`` small integer codes
+        packed into one array — the artifact a billion-vector corpus
+        actually serves from, at a fraction of the full-float
+        assignment's bytes (the assignment tree stays alongside for
+        exact rerank and for drift rebuilds). The codes tree is
+        partitioned by ``cell_id`` like the assignment, so
+        :meth:`topk_adc` probes prune to the probed cells' files.
 
         Crash atomicity: the two Spark writes (centroids, assignment)
         are two separate jobs, so they land in a dot-prefixed staging
@@ -242,6 +263,11 @@ class IvfIndexStore(VersionedStore):
         else:
             centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        pq_cb = None
+        if pq_m is not None:
+            pq_cb = pq_kmeans_codebook(
+                corpus, id_col, vec_col, pq_m, pq_codes, EMBED_DIM, pq_iters
+            )
         with self._locked():
             # sweep staging orphans from any previously CRASHED build —
             # safe under the lock: no live writer's staging can be here
@@ -269,19 +295,65 @@ class IvfIndexStore(VersionedStore):
                 .parquet(os.path.join(staging, "assignment"))
             )
             self._fault("after_assignment")
+            params = {"n_cells": n_cells, "kmeans_iters": kmeans_iters}
+            if pq_m is not None:
+                # PQ artifacts: codebook (tiny) + packed codes. Encode
+                # FROM the just-staged assignment (one read gives
+                # vec_id, embedding AND cell_id — no second argmax
+                # pass over the corpus, no join back for cell ids).
+                pq_cb.coalesce(1).write.parquet(
+                    os.path.join(staging, "pqcodebook")
+                )
+                staged = self.spark.read.parquet(
+                    os.path.join(staging, "assignment")
+                )
+                self._write_pqcodes(staged, pq_cb, pq_m, pq_codes, staging)
+                self._fault("after_pqcodes")
+                params.update(
+                    {"pq_m": pq_m, "pq_codes": pq_codes, "pq_iters": pq_iters}
+                )
             os.replace(staging, final)
             self._fault("after_rename")
             self._publish(
                 version,
-                extra={
-                    "fingerprint": fingerprint,
-                    "params": {
-                        "n_cells": n_cells,
-                        "kmeans_iters": kmeans_iters,
-                    },
-                },
+                extra={"fingerprint": fingerprint, "params": params},
             )
             return version
+
+    def _write_pqcodes(
+        self,
+        rows: DataFrame,
+        pq_cb: DataFrame,
+        pq_m: int,
+        pq_codes: int,
+        staging: str,
+    ) -> None:
+        """Encode (cell_id, vec_id, embedding) rows against ``pq_cb``
+        and write the PACKED codes tree into ``staging``: one row per
+        vector, ``codes`` = the ``pq_m`` codeword indexes in subspace
+        order as an array<int> — the ~byte-per-subspace artifact —
+        partitioned by ``cell_id`` so ADC probes prune like the
+        assignment does."""
+        tall = pq_encode(
+            rows, pq_cb, "vec_id", "embedding", pq_m, pq_codes, EMBED_DIM
+        )
+        packed = (
+            tall.groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda t: t["code"].cast("int"),
+                ).alias("codes")
+            )
+            .join(rows.select("vec_id", "cell_id"), "vec_id")
+        )
+        (
+            packed.select("cell_id", "vec_id", "codes")
+            .repartition(F.col("cell_id"))
+            .write.option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("cell_id")
+            .parquet(os.path.join(staging, "pqcodes"))
+        )
 
     def absorb(
         self,
@@ -346,6 +418,26 @@ class IvfIndexStore(VersionedStore):
                 .parquet(os.path.join(staging, "assignment"))
             )
             self._fault("after_assignment")
+            # 1b) PQ store: encode the increment against the FROZEN
+            #     stored PQ codebook (same frozen-artifact rule as the
+            #     coarse centroids — retraining per increment is the
+            #     full-scan cost absorb exists to avoid, and a frozen
+            #     codebook keeps the grown codes tree bit-identical to
+            #     a from-scratch encode of the grown corpus, which is
+            #     what the gated oracle recomputes)
+            params = meta.get("params") or {}
+            if params.get("pq_m") is not None:
+                staged = self.spark.read.parquet(
+                    os.path.join(staging, "assignment")
+                )
+                self._write_pqcodes(
+                    staged,
+                    self.pq_codebook_df(),
+                    int(params["pq_m"]),
+                    int(params["pq_codes"]),
+                    staging,
+                )
+                self._fault("after_pqcodes")
             # 2) hard-link the previous version beside it (centroids
             #    verbatim; assignment partition-by-partition, renaming
             #    to avoid part-file collisions)
@@ -371,6 +463,17 @@ class IvfIndexStore(VersionedStore):
                 os.path.join(staging, "assignment"),
                 meta["version"],
             )
+            if params.get("pq_m") is not None:
+                _link(
+                    os.path.join(prev, "pqcodebook"),
+                    os.path.join(staging, "pqcodebook"),
+                    meta["version"],
+                )
+                _link(
+                    os.path.join(prev, "pqcodes"),
+                    os.path.join(staging, "pqcodes"),
+                    meta["version"],
+                )
             self._fault("after_link")
             os.replace(staging, final)
             self._fault("after_rename")
@@ -447,19 +550,41 @@ class IvfIndexStore(VersionedStore):
                 .parquet(os.path.join(staging, "assignment"))
             )
             self._fault("after_assignment")
-            cdst = os.path.join(staging, "centroids")
-            os.makedirs(cdst, exist_ok=True)
-            csrc = os.path.join(prev, "centroids")
-            for name in sorted(os.listdir(csrc)):
-                if name.endswith(".parquet"):
-                    try:
-                        os.link(
-                            os.path.join(csrc, name), os.path.join(cdst, name)
-                        )
-                    except OSError:
-                        shutil.copy2(
-                            os.path.join(csrc, name), os.path.join(cdst, name)
-                        )
+            if (meta.get("params") or {}).get("pq_m") is not None:
+                # codes accumulate hard-linked file sets exactly like
+                # the assignment; rewrite them to the same per-cell
+                # file budget (content unchanged — compaction never
+                # re-encodes)
+                (
+                    self.pqcodes_packed()
+                    .repartition(F.col("cell_id"))
+                    .sortWithinPartitions("vec_id")
+                    .write.option("maxRecordsPerFile", max_rows)
+                    .partitionBy("cell_id")
+                    .parquet(os.path.join(staging, "pqcodes"))
+                )
+                self._fault("after_pqcodes")
+
+            def _link_flat(sub: str) -> None:
+                dst = os.path.join(staging, sub)
+                os.makedirs(dst, exist_ok=True)
+                src = os.path.join(prev, sub)
+                for name in sorted(os.listdir(src)):
+                    if name.endswith(".parquet"):
+                        try:
+                            os.link(
+                                os.path.join(src, name),
+                                os.path.join(dst, name),
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(src, name),
+                                os.path.join(dst, name),
+                            )
+
+            _link_flat("centroids")
+            if (meta.get("params") or {}).get("pq_m") is not None:
+                _link_flat("pqcodebook")
             self._fault("after_link")
             os.replace(staging, final)
             self._fault("after_rename")
@@ -480,20 +605,37 @@ class IvfIndexStore(VersionedStore):
         n_cells: int = IVF_CELLS,
         kmeans_iters: int = 0,
         fingerprint: Optional[str] = None,
+        pq_m: Optional[int] = None,
+        pq_codes: int = PQ_CODES,
+        pq_iters: int = 2,
     ) -> bool:
         """Build only when no committed version matches the requested
         (fingerprint, params). Returns True when a build happened."""
+        want = {"n_cells": n_cells, "kmeans_iters": kmeans_iters}
+        if pq_m is not None:
+            want.update(
+                {"pq_m": pq_m, "pq_codes": pq_codes, "pq_iters": pq_iters}
+            )
         meta = self._meta()
         fresh = (
             meta is not None
             and self._version_dir() is not None
             and meta.get("fingerprint") == fingerprint
-            and meta.get("params")
-            == {"n_cells": n_cells, "kmeans_iters": kmeans_iters}
+            and meta.get("params") == want
         )
         if fresh:
             return False
-        self.build(corpus, id_col, vec_col, n_cells, kmeans_iters, fingerprint)
+        self.build(
+            corpus,
+            id_col,
+            vec_col,
+            n_cells,
+            kmeans_iters,
+            fingerprint,
+            pq_m=pq_m,
+            pq_codes=pq_codes,
+            pq_iters=pq_iters,
+        )
         return True
 
     # -- drift policy -------------------------------------------------------
@@ -595,6 +737,11 @@ class IvfIndexStore(VersionedStore):
             n_cells=int(params.get("n_cells", IVF_CELLS)),
             kmeans_iters=int(params.get("kmeans_iters", 0)),
             fingerprint=meta.get("fingerprint"),
+            pq_m=(
+                int(params["pq_m"]) if params.get("pq_m") is not None else None
+            ),
+            pq_codes=int(params.get("pq_codes", PQ_CODES)),
+            pq_iters=int(params.get("pq_iters", 2)),
         )
         after = self.recall_probe(queries, k=k, nprobe=nprobe, sample=sample)
         patch = {"recall_x1e6": after}
@@ -617,6 +764,30 @@ class IvfIndexStore(VersionedStore):
     def assignment(self) -> DataFrame:
         return self._read("assignment")
 
+    def pq_codebook_df(self) -> DataFrame:
+        """The stored PQ codebook (s, code, cw array<long> x1000)."""
+        return self._read("pqcodebook")
+
+    def pqcodes_packed(self) -> DataFrame:
+        """The stored packed codes (cell_id, vec_id, codes array<int>)
+        — the artifact an ADC query actually scans."""
+        return self._read("pqcodes")
+
+    def pqcodes(self) -> DataFrame:
+        """Unpacked view of the codes tree: (cell_id, vec_id, s, code)
+        — one posexplode projection over the packed artifact; the
+        shape :func:`~.similarity.ivfpq_probe_topk` joins on."""
+        return self.pqcodes_packed().select(
+            "cell_id",
+            "vec_id",
+            F.posexplode("codes").alias("s", "code"),
+        ).select(
+            "cell_id",
+            "vec_id",
+            F.col("s").cast("long").alias("s"),
+            F.col("code").cast("long").alias("code"),
+        )
+
     def topk(
         self,
         queries: DataFrame,
@@ -631,6 +802,78 @@ class IvfIndexStore(VersionedStore):
         return ivf_probe_topk(
             queries, self.centroids(), self.assignment(),
             id_col, vec_col, k, nprobe,
+        )
+
+    def topk_adc(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+        refine: int = 8,
+    ) -> DataFrame:
+        """IVF-PQ top-k served from the committed index: ADC shortlist
+        over the probed cells' CODES (never the full vectors), then —
+        when ``refine > 1`` — an exact-cosine rerank of the
+        ``k * refine`` shortlist against the assignment tree, fetched
+        by a broadcast (cell_id, vec_id) join that dynamically prunes
+        to the probed cells. This is the published billion-scale
+        serving recipe (Jegou et al. TPAMI'11 IVFADC + re-ranking):
+        the corpus-sized scan touches ~nprobe/n_cells of an artifact
+        ~1/16th the assignment's bytes, and full vectors are read for
+        only shortlist-many rows per query.
+
+        Output with rerank: (q_id, vec_id, rank, sim_x1e6) — EXACT
+        cosine scores on the shortlist, the :meth:`topk` contract.
+        With ``refine <= 1``: (q_id, vec_id, rank, adc_x1e6), the raw
+        integer ADC contract of :func:`~.similarity.pq_topk`.
+        """
+        from pyspark.sql import Window
+
+        params = (self._meta() or {}).get("params") or {}
+        if params.get("pq_m") is None:
+            raise ValueError(
+                f"IVF index at {self.path} has no PQ artifacts — "
+                "build(pq_m=...) the index before serving topk_adc"
+            )
+        m = int(params["pq_m"])
+        shortlist = ivfpq_probe_topk(
+            queries,
+            self.centroids(),
+            self.pq_codebook_df(),
+            self.pqcodes(),
+            id_col,
+            vec_col,
+            k=k * max(int(refine), 1),
+            nprobe=nprobe,
+            m=m,
+        )
+        if refine <= 1:
+            return shortlist.select("q_id", "vec_id", "rank", "adc_x1e6")
+        fetched = self.assignment().join(
+            F.broadcast(shortlist.select("q_id", "vec_id", "cell_id")),
+            ["cell_id", "vec_id"],
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            )
+        )
+        sims = fetched.join(q, "q_id").select(
+            "q_id",
+            "vec_id",
+            F.round(cosine("q_vec", "embedding") * 1e6)
+            .cast("long")
+            .alias("sim_x1e6"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim_x1e6").desc(), F.col("vec_id")
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("q_id", "vec_id", "rank", "sim_x1e6")
         )
 
     def drop(self) -> None:
