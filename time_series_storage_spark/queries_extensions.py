@@ -2442,6 +2442,289 @@ WHERE rank <= {SIM_TOPK}
 """
 
 
+# -- similarity: IVF-PQ served from the persisted compressed index ----------
+
+IVFPQ_M = 8       # subspaces: 64 dims -> 8 x 8
+IVFPQ_CODES = 16  # codewords per subspace
+IVFPQ_ITERS = 2   # per-subspace Lloyd rounds
+IVFPQ_NPROBE = 12
+IVFPQ_REFINE = 8  # ADC shortlist = k * refine, exact-reranked
+
+
+def _ivfpq_index(spark, sf_dir):
+    """The persisted IVF-PQ index for ``sf_dir``'s embeddings —
+    coarse codebook Lloyd-refined (2 iters), per-subspace PQ codebook
+    trained the same fixed-point way, packed codes partitioned by
+    cell (operators/vector_index.py). Cache-keyed and staleness-gated
+    like _ivf_index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.vector_index import IvfIndexStore, files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{S.IVF_CELLS}:2"
+        f":pq{IVFPQ_M}x{IVFPQ_CODES}x{IVFPQ_ITERS}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "tss_ivfpq_index", key)
+    try:
+        store = IvfIndexStore(spark, root)
+    except ValueError:  # format-stamp refusal: stale cache, rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        store = IvfIndexStore(spark, root)
+    store.refresh_if_stale(
+        _emb(spark, sf_dir),
+        n_cells=S.IVF_CELLS,
+        kmeans_iters=2,
+        fingerprint=files_fingerprint(src),
+        pq_m=IVFPQ_M,
+        pq_codes=IVFPQ_CODES,
+        pq_iters=IVFPQ_ITERS,
+    )
+    return store
+
+
+def q_sim_topk_ivfpq(spark, sf_dir):
+    """Top-k served from the persisted IVF-PQ index — the published
+    billion-scale recipe (Jegou et al. TPAMI'11 IVFADC + re-ranking):
+    the probe scans the probed cells' PACKED CODES (~1/16th the
+    assignment's bytes, operators/vector_index.py:_write_pqcodes),
+    shortlists k*{IVFPQ_REFINE} candidates by exact-integer ADC
+    through a broadcast LUT, then reranks the shortlist with exact
+    cosine over full vectors fetched by a partition-pruned
+    (cell_id, vec_id) join. Every stage — per-subspace fixed-point
+    Lloyd codebook, integer encode, integer ADC, rerank — is
+    bit-reproducible, so the oracle replays the ENTIRE pipeline
+    (train + encode + ADC + rerank) and the hash gate proves the
+    compressed index serves exactly what a from-scratch recompute
+    would."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    store = _ivfpq_index(spark, sf_dir)
+    return store.topk_adc(
+        qs, k=SIM_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
+def _pq_kmeans_ctes(
+    m: int = IVFPQ_M,
+    n_codes: int = IVFPQ_CODES,
+    n_iter: int = IVFPQ_ITERS,
+    d_sub: int | None = None,
+    fit_where: str = "",
+) -> str:
+    """CTE chain mirroring operators.similarity.pq_kmeans_codebook in
+    the TALL representation (s, code, j, cq): subv = every vector's
+    x1000-quantized subvector components; pq0 = the sampled init
+    (lowest-id n_codes vectors); each Lloyd round = min-integer-d2
+    assignment (arg_min on the d2*n_codes+code composite — the Spark
+    min_by tiebreak) + floored integer component means. Emits
+    ``subsp``, ``subv``, ``pq0..pq{n_iter}``, and ``enc`` (the final
+    corpus encode against pq{n_iter}).
+
+    ``fit_where`` (e.g. ``"WHERE vec_id < 300"``) restricts the FIT
+    corpus — init sampling and every Lloyd round — without touching
+    ``subv``/``enc``, which stay full-corpus: the incremental index's
+    frozen-codebook shape."""
+    d_sub = d_sub or (S.EMBED_DIM // m)
+    subspaces = ", ".join(f"({s})" for s in range(m))
+    qcomp = (
+        f"CAST(round(CAST(e.embedding[s.s * {d_sub} + g.j] AS DOUBLE)"
+        f" * {S.PQ_SCALE}) AS BIGINT)"
+    )
+    fit_src = (
+        f"(SELECT * FROM subv WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings {fit_where}))"
+        if fit_where
+        else "subv"
+    )
+    blocks = [
+        f"subsp(s) AS (VALUES {subspaces})",
+        f"""subv AS (
+  SELECT e.vec_id, s.s, g.j, {qcomp} AS q
+  FROM embeddings e, subsp s,
+       unnest(generate_series(1, {d_sub})) g(j))""",
+        f"""pq0 AS (
+  SELECT v.s, b.code, v.j, v.q AS cq
+  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec_id
+        FROM (SELECT vec_id FROM embeddings {fit_where}
+              ORDER BY vec_id LIMIT {n_codes})) b
+  JOIN subv v USING (vec_id))""",
+    ]
+    enc_tpl = """{name} AS (
+  SELECT vec_id, s, arg_min(code, d2 * {nc} + code) AS code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+    FROM {src} v JOIN {cb} c ON v.s = c.s AND v.j = c.j
+    GROUP BY v.vec_id, v.s, c.code)
+  GROUP BY vec_id, s)"""
+    for i in range(1, n_iter + 1):
+        blocks.append(
+            enc_tpl.format(
+                name=f"penc{i}", nc=n_codes, cb=f"pq{i - 1}", src=fit_src
+            )
+        )
+        blocks.append(f"""pq{i} AS (
+  SELECT e.s, e.code, v.j,
+         CAST(FLOOR(SUM(v.q)::DOUBLE / COUNT(*)) AS BIGINT) AS cq
+  FROM penc{i} e JOIN subv v ON v.vec_id = e.vec_id AND v.s = e.s
+  GROUP BY e.s, e.code, v.j)""")
+    blocks.append(
+        enc_tpl.format(name="enc", nc=n_codes, cb=f"pq{n_iter}", src="subv")
+    )
+    return ",\n".join(blocks)
+
+
+def _sim_topk_ivfpq_sql(fit_where: str = "") -> str:
+    shortk = SIM_TOPK * IVFPQ_REFINE
+    return f"""
+WITH {_kmeans_cents_ctes(2, where=fit_where)},
+cents AS (SELECT * FROM cents2),
+asim AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.c_vec')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {SIM_QUERY_COUNT}),
+qsim AS (SELECT q.q_id, c.cell_id,
+                {_cos_sql('q.q_vec', 'c.c_vec')} AS c_sim
+         FROM q CROSS JOIN cents c),
+probes AS (SELECT q_id, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY c_sim DESC, cell_id) AS rn
+    FROM qsim) WHERE rn <= {IVFPQ_NPROBE}),
+{_pq_kmeans_ctes(fit_where=fit_where)},
+lut AS (
+  SELECT v.vec_id AS q_id, v.s, c.code, SUM(v.q * c.cq) AS pdot
+  FROM subv v JOIN pq{IVFPQ_ITERS} c ON v.s = c.s AND v.j = c.j
+  WHERE v.vec_id < {SIM_QUERY_COUNT}
+  GROUP BY v.vec_id, v.s, c.code),
+cand AS (SELECT p.q_id, a.vec_id
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE a.vec_id <> p.q_id),
+scored AS (
+  SELECT c.q_id, c.vec_id, SUM(l.pdot) AS adc
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN lut l ON l.q_id = c.q_id AND l.s = e.s AND l.code = e.code
+  GROUP BY c.q_id, c.vec_id),
+short AS (SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {shortk}),
+rer AS (
+  SELECT s.q_id, s.vec_id,
+         {_cos_sql('qe.embedding', 'ce.embedding')} AS sim_x1e6
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ce ON ce.vec_id = s.vec_id)
+SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, sim_x1e6
+FROM (SELECT q_id, vec_id, sim_x1e6,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_x1e6 DESC, vec_id) AS rank
+      FROM rer)
+WHERE rank <= {SIM_TOPK}
+"""
+
+
+def _ivfpq_inc_index(spark, sf_dir):
+    """The INCREMENTALLY-GROWN IVF-PQ index: coarse + PQ codebooks
+    trained on the base slice (vec_id < {EMB_IVF_BASE}) once, the
+    increment absorbed against BOTH frozen codebooks (assign + encode
+    + hard-link commit, O(increment) I/O). Same cache/lock discipline
+    as _ivf_inc_index."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.vector_index import IvfIndexStore, files_fingerprint
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = files_fingerprint(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{S.IVF_CELLS}:2:{EMB_IVF_BASE}"
+        f":pq{IVFPQ_M}x{IVFPQ_CODES}x{IVFPQ_ITERS}:inc-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_ivfpq_inc_index")
+    os.makedirs(base, exist_ok=True)
+    root = os.path.join(base, key)
+    try:
+        store = IvfIndexStore(spark, root)
+    except ValueError:
+        shutil.rmtree(root, ignore_errors=True)
+        store = IvfIndexStore(spark, root)
+    want_fp = fp + ":absorbed"
+    meta = store._meta()
+    if meta is None or meta.get("fingerprint") != want_fp:
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            meta = store._meta()
+            if meta is None or meta.get("fingerprint") != want_fp:
+                store.drop()
+                emb = _emb(spark, sf_dir)
+                store.build(
+                    emb.where(F.col("vec_id") < EMB_IVF_BASE),
+                    n_cells=S.IVF_CELLS,
+                    kmeans_iters=2,
+                    fingerprint=fp + ":base",
+                    pq_m=IVFPQ_M,
+                    pq_codes=IVFPQ_CODES,
+                    pq_iters=IVFPQ_ITERS,
+                )
+                store.absorb(
+                    emb.where(F.col("vec_id") >= EMB_IVF_BASE),
+                    fingerprint=want_fp,
+                )
+    return store
+
+
+def q_ivfpq_incremental(spark, sf_dir):
+    """IVF-PQ top-k served from an INCREMENTALLY-GROWN compressed
+    index: both codebooks (coarse cells AND per-subspace PQ) were
+    trained on the base slice once; new vectors were absorbed against
+    the FROZEN pair — one assign pass + one encode pass per
+    increment, hard-linked history, O(increment) I/O
+    (operators/vector_index.py:absorb). The oracle refits both
+    codebooks on the base slice and assigns + encodes the WHOLE grown
+    corpus from scratch, so a green hash proves the absorbed packed
+    codes tree is bit-identical to a from-scratch encode against the
+    same frozen codebooks — the daily-ingest correctness contract for
+    a compressed billion-vector index."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    store = _ivfpq_inc_index(spark, sf_dir)
+    return store.topk_adc(
+        qs, k=SIM_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank"),
+        F.col("sim_x1e6"),
+    )
+
+
 # -- similarity: hyperplane-LSH bucketed pairs ------------------------------
 
 def q_sim_lsh(spark, sf_dir):
@@ -14347,6 +14630,11 @@ EXT_QUERIES = {
         q_label_centroid_confusion, _centroid_confusion_sql(),
     ),
     "sim_topk_pq": (q_sim_topk_pq, _pq_sql()),
+    "sim_topk_ivfpq": (q_sim_topk_ivfpq, _sim_topk_ivfpq_sql()),
+    "ivfpq_incremental": (
+        q_ivfpq_incremental,
+        _sim_topk_ivfpq_sql(fit_where=f"WHERE vec_id < {EMB_IVF_BASE}"),
+    ),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
     "label_norm_robust": (
