@@ -10847,6 +10847,180 @@ FROM est
 """
 
 
+# -- tokenizer: unigram-LM (SentencePiece family, Viterbi-EM) ---------------
+
+
+def q_unigram_fit_pieces(spark, sf_dir):
+    """The fitted unigram-LM vocabulary (operators/unigram.py): seed
+    substrings -> {U.UNI_EM_ROUNDS} Viterbi-EM rounds -> final
+    (piece, c, cost) with EXACT-INTEGER log2 fixed-point costs (the
+    normalize + square-and-extract-bit algorithm — no transcendental
+    ln anywhere, so the trained MODEL itself sits under the hash
+    gate; the oracle replays seed, every EM round's Viterbi DP, and
+    the cost arithmetic step for step)."""
+    from .operators import unigram as U
+    from .operators.bpe import words_with_counts
+
+    wc = words_with_counts(_docs(spark, sf_dir))
+    return U.unigram_fit(wc).select(
+        "piece", F.col("c").cast("long").alias("c"), F.col("cost")
+    )
+
+
+def q_unigram_segment(spark, sf_dir):
+    """Viterbi segmentation of the corpus's distinct words under the
+    fitted unigram LM — the serving read of the third tokenizer
+    family (BPE merge walk, MaxMatch greedy, THIS: global-optimum
+    dynamic program). The DP runs as a fixed {U.UNI_MAX_WORD}-round
+    driver loop (one broadcast vocab join + one partial min/min_by
+    per position — the maxmatch plan shape; nothing keyed on corpus
+    size), winners picked by the scalar composite (cost*64 + start),
+    and the oracle replays the ENTIRE fit + DP as unrolled CTEs."""
+    from .operators import unigram as U
+    from .operators.bpe import words_with_counts
+
+    wc = words_with_counts(_docs(spark, sf_dir))
+    return U.unigram_segment(wc).select(
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        "n_pieces",
+        "seg",
+        "cost",
+    )
+
+
+def _unigram_ctes() -> str:
+    """The full unigram-LM trainer as unrolled CTEs: words, seed,
+    then per EM round r: cost{r} (exact-integer log2 chain via
+    log2_fix_cte), dp{r}_0..{UNI_MAX_WORD} (Viterbi forward DP,
+    min/arg_min on the cost*64+start composite), seg{r}, used{r},
+    voc{r+1}; finally cost{R} for the served model."""
+    from .operators import unigram as U
+
+    L, V, R, W = (
+        U.UNI_MAX_PIECE,
+        U.UNI_VOCAB,
+        U.UNI_EM_ROUNDS,
+        U.UNI_MAX_WORD,
+    )
+    lens = ", ".join(f"({l})" for l in range(1, L + 1))
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents) t
+  WHERE w <> '' GROUP BY w)""",
+        f"""subs AS MATERIALIZED (
+  SELECT substring(w, p.p, l.l) AS piece, SUM(cnt)::BIGINT AS c
+  FROM words, unnest(generate_series(1, length(w))) p(p),
+       (VALUES {lens}) l(l)
+  WHERE p.p + l.l - 1 <= length(w)
+  GROUP BY piece)""",
+        f"""voc0 AS (
+  SELECT piece, c FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+    FROM subs WHERE length(piece) > 1) WHERE rn <= {V})""",
+    ]
+
+    for r in range(R):
+        parts.append(
+            f"""cost{r} AS MATERIALIZED (
+{U.log2_fix_cte(
+    f"SELECT piece, c, (SELECT SUM(c) FROM voc{r}) AS _T FROM voc{r}",
+    keys="piece",
+)})"""
+        )
+        parts.extend(
+            _unigram_viterbi_blocks(f"cost{r}", f"dp{r}_")
+        )
+        parts.append(f"""used{r} AS MATERIALIZED (
+  SELECT piece, SUM(cnt)::BIGINT AS c FROM (
+    SELECT cnt, unnest(string_split(seg, '|')) AS piece
+    FROM dp{r}_fin) GROUP BY piece)""")
+        parts.append(f"""voc{r + 1} AS MATERIALIZED (
+  SELECT s.piece, greatest(COALESCE(u.c, 0), 1)::BIGINT AS c
+  FROM (SELECT piece FROM voc0 WHERE length(piece) = 1) s
+  LEFT JOIN used{r} u USING (piece)
+  UNION ALL
+  SELECT piece, c FROM used{r} WHERE length(piece) > 1)""")
+    parts.append(
+        f"""cost{R} AS MATERIALIZED (
+{U.log2_fix_cte(
+    f"SELECT piece, c, (SELECT SUM(c) FROM voc{R}) AS _T FROM voc{R}",
+    keys="piece",
+)})"""
+    )
+    return ",\n".join(parts)
+
+
+def _unigram_fit_sql() -> str:
+    from .operators import unigram as U
+
+    return f"""
+WITH {_unigram_ctes()}
+SELECT piece, c::BIGINT AS c, cost::BIGINT AS cost
+FROM cost{U.UNI_EM_ROUNDS}
+"""
+
+
+def _unigram_segment_sql() -> str:
+    from .operators import unigram as U
+
+    R = U.UNI_EM_ROUNDS
+    final_dp = ",\n".join(
+        _unigram_viterbi_blocks(f"cost{R}", "fdp_")
+    )
+    return f"""
+WITH {_unigram_ctes()},
+{final_dp}
+SELECT w, cnt::BIGINT AS cnt,
+       len(string_split(seg, '|'))::BIGINT AS n_pieces,
+       seg, cost::BIGINT AS cost
+FROM fdp_fin
+"""
+
+
+def _unigram_viterbi_blocks(cost_cte: str, prefix: str) -> list[str]:
+    """One full Viterbi forward-DP pass as CTE blocks — used for
+    every EM round and for the final serving read (same generator,
+    different cost table)."""
+    from .operators import unigram as U
+
+    L, W = U.UNI_MAX_PIECE, U.UNI_MAX_WORD
+    blocks = [
+        f"""{prefix}0 AS (
+  SELECT w, cnt, 0::BIGINT AS cost, '' AS seg
+  FROM words WHERE length(w) <= {W})"""
+    ]
+    for i in range(1, W + 1):
+        arms = []
+        for j in range(max(0, i - L), i):
+            arms.append(f"""  SELECT d.w, d.cnt,
+         (d.cost + v.cost) * 64 + {j} AS comp,
+         d.seg || '|' || substring(d.w, {j + 1}, {i - j}) AS seg
+  FROM {prefix}{j} d
+  JOIN {cost_cte} v ON v.piece = substring(d.w, {j + 1}, {i - j})
+  WHERE length(d.w) >= {i}""")
+        union = "\n  UNION ALL\n".join(arms)
+        blocks.append(f"""{prefix}{i} AS MATERIALIZED (
+  SELECT w, cnt, min(comp) // 64 AS cost, arg_min(seg, comp) AS seg
+  FROM (
+{union}
+  ) GROUP BY w, cnt)""")
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT w, cnt, cost, seg FROM {prefix}{i} WHERE length(w) = {i}"
+        for i in range(1, W + 1)
+    )
+    blocks.append(f"""{prefix}fin AS MATERIALIZED (
+  SELECT w, cnt, cost, substring(seg, 2) AS seg FROM (
+{finals}
+  ))""")
+    return blocks
+
+
 def q_maxmatch_segment(spark, sf_dir):
     """Greedy longest-match (MaxMatch / WordPiece-encode-style)
     subword segmentation (operators/text.py:maxmatch_segment) over a
@@ -14913,6 +15087,8 @@ EXT_QUERIES = {
     "ts_theilsen_slope": (q_ts_theilsen_slope, SQL_TS_THEILSEN),
     "ts_mann_kendall": (q_ts_mann_kendall, SQL_TS_MANN_KENDALL),
     "maxmatch_segment": (q_maxmatch_segment, _maxmatch_sql()),
+    "unigram_fit_pieces": (q_unigram_fit_pieces, _unigram_fit_sql()),
+    "unigram_segment": (q_unigram_segment, _unigram_segment_sql()),
     "rolling_weekly_users_hll": (
         q_rolling_weekly_users_hll, _rolling_hll_sql(),
     ),
