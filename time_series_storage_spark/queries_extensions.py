@@ -15837,12 +15837,141 @@ FROM day d JOIN base b
 """
 
 
+_QSK_STREAM_STORES: dict = {}
+
+
+def _qsk_streamed_store(spark, sf_dir):
+    """A QuantileSketchStore MAINTAINED BY STRUCTURED STREAMING over
+    the events table: the source is staged as two files split by
+    timestamp (the second micro-batch entirely 'late', the
+    build_streamed_engine discipline), streamed with
+    maxFilesPerTrigger=1 through the store's exactly-once
+    ``foreach_batch`` sink — per-(event_type, day) latency sketches
+    accumulate by ADDITIVE merge across real micro-batches, and every
+    downstream read is served from committed store state only."""
+    import tempfile
+
+    from .operators.qsketch_store import QuantileSketchStore
+    from .queries_testdata import STREAM_SPLIT_S, read_events
+
+    key = (id(spark), sf_dir)
+    if key in _QSK_STREAM_STORES:
+        return _QSK_STREAM_STORES[key]
+    work = tempfile.mkdtemp(prefix="tss_qsk_streamed_")
+    src = read_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.floor(F.unix_timestamp(F.col("ts")) / 86_400)
+            .cast("long")
+            .cast("string"),
+        ).alias("gk"),
+        _qsk_val().alias("v"),
+        F.col("ts"),
+    )
+    src.where(F.col("ts") >= STREAM_SPLIT_S).coalesce(1).write.parquet(
+        f"{work}/src/f1"
+    )
+    src.where(F.col("ts") < STREAM_SPLIT_S).coalesce(1).write.parquet(
+        f"{work}/src/f2"
+    )
+    schema = spark.read.parquet(f"{work}/src/f1").schema
+    store = QuantileSketchStore(spark, f"{work}/store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("gk", "v", lambda df, b: None)
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "_qsk_streamed_store: availableNow stream did not finish "
+            "within 300s; refusing to serve a partially-absorbed store"
+        )
+    _QSK_STREAM_STORES[key] = store
+    return store
+
+
+def q_qsk_p99_streamed(spark, sf_dir):
+    """The SLO regression detector SERVED FROM THE STREAM-MAINTAINED
+    QuantileSketchStore — q_qsk_p99_regression's read (today's p95 vs
+    the trailing-7-day baseline ending yesterday, integer breach
+    compare) with the raw events never touched at query time: the
+    per-(event_type, day) sketch counters come out of a store that
+    two real micro-batches (the second wholly late) built through the
+    exactly-once foreachBatch sink. The oracle recomputes breaches
+    from RAW ROWS (_qsk_p99_regression_sql, unchanged), so a green
+    hash proves stream-absorb -> additive merge -> rolling
+    sketch-algebra read equals the batch pipeline bit-for-bit — the
+    six-store curation chain's alerting leg under the external gate."""
+    from .operators.qsketch import qsk_quantiles
+
+    store = _qsk_streamed_store(spark, sf_dir)
+    cnt = store.counters().select(
+        F.substring_index(F.col("gk"), ":", 1).alias("event_type"),
+        F.substring_index(F.col("gk"), ":", -1)
+        .cast("long")
+        .alias("_bi"),
+        "b",
+        "c",
+    )
+    day = qsk_quantiles(
+        cnt.withColumnRenamed("_bi", "bucket_idx"),
+        ["event_type", "bucket_idx"],
+    ).select(
+        "event_type",
+        "bucket_idx",
+        F.col("n_total").alias("day_n"),
+        F.col("p95_lb").alias("day_p95"),
+    )
+    spread = cnt.select(
+        "event_type",
+        "b",
+        "c",
+        F.explode(
+            F.sequence(F.col("_bi") + 1, F.col("_bi") + 7)
+        ).alias("bucket_idx"),
+    )
+    observed = cnt.select(
+        "event_type", F.col("_bi").alias("bucket_idx")
+    ).distinct()
+    rolled = (
+        spread.join(observed, ["event_type", "bucket_idx"], "semi")
+        .groupBy("event_type", "bucket_idx", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    base = qsk_quantiles(rolled, ["event_type", "bucket_idx"]).select(
+        "event_type", "bucket_idx", F.col("p95_lb").alias("base_p95")
+    )
+    return day.join(base, ["event_type", "bucket_idx"]).select(
+        "event_type",
+        "bucket_idx",
+        "day_n",
+        "day_p95",
+        "base_p95",
+        (F.col("day_p95") * 10 > F.col("base_p95") * QSK_BREACH_X10)
+        .cast("long")
+        .alias("breach"),
+    )
+
+
 EXT_QUERIES.update({
     "sample_weighted_reservoir": (
         q_sample_weighted_reservoir, SQL_SAMPLE_WEIGHTED_RESERVOIR,
     ),
     "qsk_p99_regression": (
         q_qsk_p99_regression, _qsk_p99_regression_sql(),
+    ),
+    "qsk_p99_streamed": (
+        q_qsk_p99_streamed, _qsk_p99_regression_sql(),
     ),
 })
 
