@@ -23,96 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 11
-# (this session) implements the r10 verdict's rotation exactly: after
-# r10 the union of CORRECTNESS_r01..r10 left 21 registry rows with NO
-# external gate row ever and 23 rows stale since r6/r7 — this window
-# is the 11 new r11 queries + those 21 + the 7 r6 rows + 11 of the 16
-# r7-stale core ts_* rows (computed from the CORRECTNESS artifacts,
-# not by hand).  After a green r11, every row in the registry except
-# the ordered backlog below the line has an external gate at most 4
-# rounds old, and zero rows are never-gated.
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 12
+# (this session) implements the r11 verdict's rotation exactly: the 5
+# new r12 queries + the 7 never-gated r11 late additions + the 5
+# r7-stale core ts_* rows + 33 of the 34 remaining r7-stale rows
+# (computed from the CORRECTNESS artifacts, not by hand).  After a
+# green r12, zero rows are never-gated and the oldest external gate
+# registry-wide is r7 on exactly one row (fuzzy_part_names, leading
+# r13).
 _GATE_PRIORITY = [
-    # --- round-11 window (the first 50 are the driver's hard hash
-    # --- gate). 1-11: the eleven r11 queries (quantile-sketch family
-    # --- incl. rolling SLO percentiles,
-    # --- reservoir family, streaming-served get_timeseries,
-    # --- IVF-served label audit) — never externally gated ---
-    "qsk_event_percentiles",
-    "qsk_week_rollup",
-    "qsk_incremental",
-    "qsk_as_of",
-    "qsk_rolling_p95",
-    "qsk_error_audit",
-    "sample_reservoir_members",
-    "reservoir_incremental",
-    "reservoir_as_of",
-    "ts_counter_hour_streamed",
-    "knn_label_audit_ivf",
-    # --- 12-32: the 21 rows that had NEVER had a driver gate row
-    # --- (r10 positions 51+; verified green locally in r10/r11) ---
-    "label_norm_robust",
-    "distinct_incremental",
-    "decontaminate_incremental",
-    "dup_graph_triangles",
-    "curation_attrition",
-    "sim_margin_mine",
-    "semantic_dedup_incremental",
-    "dedup_keep_best",
-    "dup_graph_pagerank",
-    "dedup_canonical_pagerank",
-    "dedup_clusters_incremental",
-    "dedup_keep_best_incremental",
-    "sim_topk_mips",
-    "sim_range_search",
-    "sample_temperature_mix",
-    "sample_waterfill",
-    "ts_holt_linear",
-    "ts_holt_forecast",
-    "pipeline_modern_incremental",
-    "doc_novelty_incremental",
-    "source_length_robust",
-    # --- 33-39: the seven r6-stale rows (longest-unrotated) ---
-    "local_supplier_volume",
-    "ts_hourly_profile",
-    "pricing_summary",
-    "top_open_orders",
-    "customers_without_urgent_orders",
-    "large_orders",
-    "cheapest_supplier",
-    # --- 40-50: eleven of the sixteen r7-stale core ts_* rows
-    # --- (the reference's actual section-2 surface; last external
-    # --- gate r7). The five deferred below the line are each
-    # --- shadowed by a SAME-ORACLE row inside the window
-    # --- (hour_fill by ts_counter_hour_streamed+_materialized,
-    # --- avg_hour_fill / histogram_day by their _materialized
-    # --- twins, histogram_quantiles by the four qsk_* gates
-    # --- hashing the same cum*100>=q*n walk + by
-    # --- ts_histogram_merged sharing its input CTE,
-    # --- rollup_slice15 by the three _materialized rows + the
-    # --- streamed gate exercising the same slice-grain rollup
-    # --- layout) — they lead
-    # --- r12 with the rest of the r7 block ---
-    "ts_counter_none",
-    "ts_counter_day_offset3",
-    "ts_counter_week_sunday",
-    "ts_counter_month",
-    "ts_counter_hierarchy_day",
-    "ts_counter_nil_filter",
-    "ts_avg_none",
-    "ts_histogram_merged",
-    "ts_counter_hour_materialized",
-    "ts_avg_hour_materialized",
-    "ts_histogram_day_materialized",
-    # --- below the 50-row gate line: first the seven r11 LATE
-    # --- additions (written after this round's window was frozen and
-    # --- pre-verified; they are the only never-gated rows and MUST
-    # --- lead r12), then the five deferred core rows
-    # --- first (they lead r12), then every remaining row ordered
-    # --- by staleness of its last external gate (r7 block, r8
-    # --- block, r9 block, r10 freshest); all keep pytest/sweep
-    # --- coverage (tests/test_extensions_oracle.py runs the FULL
-    # --- registry at sf0.001) ---
+    # --- round-12 window (the first 50 are the driver's hard hash
+    # --- gate), composed per the r11 verdict's rotation directive,
+    # --- computed from the CORRECTNESS_r01..r11 artifacts (see git
+    # --- history for the derivation script). 1-5: the five NEW r12
+    # --- queries (IVF-PQ store-served top-k + its incremental twin,
+    # --- unigram-LM tokenizer model + segmentation, stream-served
+    # --- SLO p95 regression) — never externally gated ---
+    "sim_topk_ivfpq",
+    "ivfpq_incremental",
+    "unigram_fit_pieces",
+    "unigram_segment",
+    "qsk_p99_streamed",
+    # --- 6-12: the seven r11 post-window late additions — the
+    # --- only previously never-gated rows registry-wide ---
     "sample_weighted_reservoir",
     "qsk_p99_regression",
     "dedup_ppjoin",
@@ -120,11 +53,17 @@ _GATE_PRIORITY = [
     "qsk_weighted_price",
     "ppjoin_incremental",
     "reservoir_mean_audit",
+    # --- 13-17: the five r7-stale CORE ts_* rows (the
+    # --- reference's own fill/histogram/rollup read path,
+    # --- query.clj:84-118) the r11 window deferred ---
     "ts_counter_hour_fill",
     "ts_avg_hour_fill",
     "ts_histogram_day",
     "ts_histogram_quantiles",
     "ts_rollup_slice15",
+    # --- 18-50: the 33 longest-unrotated rows (r7-stale, in
+    # --- registry order; fuzzy_part_names, the 34th, leads the
+    # --- backlog and r13) ---
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",
@@ -158,6 +97,12 @@ _GATE_PRIORITY = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_simhash",
+    # --- below the 50-row gate line: every remaining row ordered
+    # --- by staleness of its last external gate (the single
+    # --- leftover r7 row first, then the r8 block, r9, r10, r11
+    # --- freshest); all keep pytest/sweep coverage
+    # --- (tests/test_extensions_oracle.py runs the FULL registry
+    # --- at sf0.001) ---
     "fuzzy_part_names",
     "forecast_revenue_delta",
     "nation_market_share",
@@ -309,6 +254,56 @@ _GATE_PRIORITY = [
     "emb_spectral_outliers",
     "lang_id_confusion",
     "emb_power_iteration2",
+    "qsk_event_percentiles",
+    "qsk_week_rollup",
+    "qsk_incremental",
+    "qsk_as_of",
+    "qsk_rolling_p95",
+    "qsk_error_audit",
+    "sample_reservoir_members",
+    "reservoir_incremental",
+    "reservoir_as_of",
+    "ts_counter_hour_streamed",
+    "knn_label_audit_ivf",
+    "label_norm_robust",
+    "distinct_incremental",
+    "decontaminate_incremental",
+    "dup_graph_triangles",
+    "curation_attrition",
+    "sim_margin_mine",
+    "semantic_dedup_incremental",
+    "dedup_keep_best",
+    "dup_graph_pagerank",
+    "dedup_canonical_pagerank",
+    "dedup_clusters_incremental",
+    "dedup_keep_best_incremental",
+    "sim_topk_mips",
+    "sim_range_search",
+    "sample_temperature_mix",
+    "sample_waterfill",
+    "ts_holt_linear",
+    "ts_holt_forecast",
+    "pipeline_modern_incremental",
+    "doc_novelty_incremental",
+    "source_length_robust",
+    "local_supplier_volume",
+    "ts_hourly_profile",
+    "pricing_summary",
+    "top_open_orders",
+    "customers_without_urgent_orders",
+    "large_orders",
+    "cheapest_supplier",
+    "ts_counter_none",
+    "ts_counter_day_offset3",
+    "ts_counter_week_sunday",
+    "ts_counter_month",
+    "ts_counter_hierarchy_day",
+    "ts_counter_nil_filter",
+    "ts_avg_none",
+    "ts_histogram_merged",
+    "ts_counter_hour_materialized",
+    "ts_avg_hour_materialized",
+    "ts_histogram_day_materialized",
 ]
 
 

@@ -15,6 +15,9 @@ materialized rollup's lifecycle, so this store reuses the engine's
     <path>/_current                      {"version", "fingerprint", "params"}
     <path>/v00000003/centroids/*.parquet (cell_id, c_vec)  — tiny
     <path>/v00000003/assignment/cell_id=N/*.parquet        — corpus-sized
+    <path>/v00000003/pqcodebook/*.parquet (s, code, cw)    — tiny, PQ only
+    <path>/v00000003/pqcodes/cell_id=N/*.parquet           — corpus-sized /
+                                                             ~16x smaller
 
 The assignment tree is partitioned by ``cell_id``: the query path joins
 it against a broadcast probe list on ``cell_id``, so Spark's dynamic
