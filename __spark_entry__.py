@@ -35,16 +35,18 @@ _GATE_PRIORITY = [
     # --- round-12 window (the first 50 are the driver's hard hash
     # --- gate), composed per the r11 verdict's rotation directive,
     # --- computed from the CORRECTNESS_r01..r11 artifacts (see git
-    # --- history for the derivation script). 1-5: the five NEW r12
+    # --- history for the derivation script). 1-6: the six NEW r12
     # --- queries (IVF-PQ store-served top-k + its incremental twin,
     # --- unigram-LM tokenizer model + segmentation, stream-served
-    # --- SLO p95 regression) — never externally gated ---
+    # --- SLO p95 regression, incrementally-refit tokenizer) —
+    # --- never externally gated ---
     "sim_topk_ivfpq",
     "ivfpq_incremental",
     "unigram_fit_pieces",
     "unigram_segment",
     "qsk_p99_streamed",
-    # --- 6-12: the seven r11 post-window late additions — the
+    "unigram_incremental",
+    # --- 7-13: the seven r11 post-window late additions — the
     # --- only previously never-gated rows registry-wide ---
     "sample_weighted_reservoir",
     "qsk_p99_regression",
@@ -53,7 +55,7 @@ _GATE_PRIORITY = [
     "qsk_weighted_price",
     "ppjoin_incremental",
     "reservoir_mean_audit",
-    # --- 13-17: the five r7-stale CORE ts_* rows (the
+    # --- 14-18: the five r7-stale CORE ts_* rows (the
     # --- reference's own fill/histogram/rollup read path,
     # --- query.clj:84-118) the r11 window deferred ---
     "ts_counter_hour_fill",
@@ -61,9 +63,9 @@ _GATE_PRIORITY = [
     "ts_histogram_day",
     "ts_histogram_quantiles",
     "ts_rollup_slice15",
-    # --- 18-50: the 33 longest-unrotated rows (r7-stale, in
-    # --- registry order; fuzzy_part_names, the 34th, leads the
-    # --- backlog and r13) ---
+    # --- 19-50: the 32 longest-unrotated rows (r7-stale, in
+    # --- registry order; dedup_simhash and fuzzy_part_names,
+    # --- the 33rd/34th, lead the backlog and r13) ---
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",
@@ -96,13 +98,13 @@ _GATE_PRIORITY = [
     "decontaminate_bloom",
     "dedup_clusters",
     "dedup_clusters_star",
-    "dedup_simhash",
     # --- below the 50-row gate line: every remaining row ordered
     # --- by staleness of its last external gate (the single
     # --- leftover r7 row first, then the r8 block, r9, r10, r11
     # --- freshest); all keep pytest/sweep coverage
     # --- (tests/test_extensions_oracle.py runs the FULL registry
     # --- at sf0.001) ---
+    "dedup_simhash",
     "fuzzy_part_names",
     "forecast_revenue_delta",
     "nation_market_share",

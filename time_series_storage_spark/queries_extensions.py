@@ -10850,6 +10850,90 @@ FROM est
 # -- tokenizer: unigram-LM (SentencePiece family, Viterbi-EM) ---------------
 
 
+def _unigram_inc_store(spark, sf_dir):
+    """The word-count sufficient statistics of the unigram tokenizer
+    maintained INCREMENTALLY: the additive LmModelStore absorbs the
+    corpus in two batches (history doc_id < {FPSTORE_BASE}, then the
+    rest) under distinct batch ids — its summed ``uni`` table is
+    exactly words_with_counts of the grown corpus, so the tokenizer
+    refits from store state without ever rescanning historical text.
+    Cache/lock/fingerprint discipline of _ivf_inc_index (the
+    ':absorbed' suffix keeps a half-built store from reading fresh)."""
+    import contextlib
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.lm_store import LmModelStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = files_fingerprint(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:uni-inc-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "tss_unigram_inc")
+    os.makedirs(base, exist_ok=True)
+    root = os.path.join(base, key)
+
+    def _open():
+        try:
+            return LmModelStore(spark, root)
+        except ValueError:
+            return None
+
+    want_fp = fp + ":absorbed"
+    store = _open()
+    if store is None or store.is_stale(want_fp):
+        lock_path = os.path.join(base, key + ".lock")
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            store = _open()
+            if store is None or store.is_stale(want_fp):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(root, exist_ok=True)
+                store = LmModelStore(spark, root)
+                docs = _docs(spark, sf_dir)
+                store.absorb(
+                    docs.where(F.col("doc_id") < FPSTORE_BASE),
+                    "doc_id", "text", batch_id=0,
+                )
+                store.absorb(
+                    docs.where(F.col("doc_id") >= FPSTORE_BASE),
+                    "doc_id", "text", batch_id=1,
+                )
+                store.pin_corpus(want_fp)
+    return store
+
+
+def q_unigram_incremental(spark, sf_dir):
+    """The tokenizer's daily-ingest story: the unigram model refit
+    from INCREMENTALLY-MAINTAINED word counts — the additive
+    LmModelStore absorbed the corpus in two exactly-once batches, and
+    the fit (a pure function of the (word, count) table) runs over
+    the store's summed counts instead of a corpus rescan. The oracle
+    refits from raw text, so a green hash proves the absorbed
+    sufficient statistics — and therefore the served model and every
+    segmentation under it — equal the from-scratch fit bit-for-bit."""
+    from .operators import unigram as U
+
+    store = _unigram_inc_store(spark, sf_dir)
+    wc = store.unigram_counts().select(
+        "w", F.col("c1").cast("long").alias("cnt")
+    )
+    return U.unigram_segment(wc).select(
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        "n_pieces",
+        "seg",
+        "cost",
+    )
+
+
 def q_unigram_fit_pieces(spark, sf_dir):
     """The fitted unigram-LM vocabulary (operators/unigram.py): seed
     substrings -> {U.UNI_EM_ROUNDS} Viterbi-EM rounds -> final
@@ -15089,6 +15173,7 @@ EXT_QUERIES = {
     "maxmatch_segment": (q_maxmatch_segment, _maxmatch_sql()),
     "unigram_fit_pieces": (q_unigram_fit_pieces, _unigram_fit_sql()),
     "unigram_segment": (q_unigram_segment, _unigram_segment_sql()),
+    "unigram_incremental": (q_unigram_incremental, _unigram_segment_sql()),
     "rolling_weekly_users_hll": (
         q_rolling_weekly_users_hll, _rolling_hll_sql(),
     ),
