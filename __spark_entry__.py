@@ -35,10 +35,11 @@ _GATE_PRIORITY = [
     # --- round-12 window (the first 50 are the driver's hard hash
     # --- gate), composed per the r11 verdict's rotation directive,
     # --- computed from the CORRECTNESS_r01..r11 artifacts (see git
-    # --- history for the derivation script). 1-6: the six NEW r12
+    # --- history for the derivation script). 1-7: the seven NEW r12
     # --- queries (IVF-PQ store-served top-k + its incremental twin,
     # --- unigram-LM tokenizer model + segmentation, stream-served
-    # --- SLO p95 regression, incrementally-refit tokenizer) —
+    # --- SLO p95 regression, incrementally-refit tokenizer,
+    # --- per-doc token budget) —
     # --- never externally gated ---
     "sim_topk_ivfpq",
     "ivfpq_incremental",
@@ -46,7 +47,8 @@ _GATE_PRIORITY = [
     "unigram_segment",
     "qsk_p99_streamed",
     "unigram_incremental",
-    # --- 7-13: the seven r11 post-window late additions — the
+    "unigram_doc_tokens",
+    # --- 8-14: the seven r11 post-window late additions — the
     # --- only previously never-gated rows registry-wide ---
     "sample_weighted_reservoir",
     "qsk_p99_regression",
@@ -55,7 +57,7 @@ _GATE_PRIORITY = [
     "qsk_weighted_price",
     "ppjoin_incremental",
     "reservoir_mean_audit",
-    # --- 14-18: the five r7-stale CORE ts_* rows (the
+    # --- 15-19: the five r7-stale CORE ts_* rows (the
     # --- reference's own fill/histogram/rollup read path,
     # --- query.clj:84-118) the r11 window deferred ---
     "ts_counter_hour_fill",
@@ -63,9 +65,9 @@ _GATE_PRIORITY = [
     "ts_histogram_day",
     "ts_histogram_quantiles",
     "ts_rollup_slice15",
-    # --- 19-50: the 32 longest-unrotated rows (r7-stale, in
-    # --- registry order; dedup_simhash and fuzzy_part_names,
-    # --- the 33rd/34th, lead the backlog and r13) ---
+    # --- 20-50: the 31 longest-unrotated rows (r7-stale, in
+    # --- registry order; the remaining three r7 rows lead the
+    # --- backlog and r13) ---
     "dedup_near_incremental",
     "emb_near_incremental",
     "volume_shipping",
@@ -97,13 +99,13 @@ _GATE_PRIORITY = [
     "decontaminate_token_ngram",
     "decontaminate_bloom",
     "dedup_clusters",
-    "dedup_clusters_star",
     # --- below the 50-row gate line: every remaining row ordered
     # --- by staleness of its last external gate (the single
     # --- leftover r7 row first, then the r8 block, r9, r10, r11
     # --- freshest); all keep pytest/sweep coverage
     # --- (tests/test_extensions_oracle.py runs the FULL registry
     # --- at sf0.001) ---
+    "dedup_clusters_star",
     "dedup_simhash",
     "fuzzy_part_names",
     "forecast_revenue_delta",

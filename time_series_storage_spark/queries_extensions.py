@@ -11067,6 +11067,59 @@ FROM fdp_fin
 """
 
 
+def q_unigram_doc_tokens(spark, sf_dir):
+    """Per-document token budget under the FITTED unigram vocab — the
+    read a training-data pipeline runs before packing: how many
+    subword tokens is each document? Viterbi runs ONCE per DISTINCT
+    word (the bpe_encode_prod discipline), documents join their words
+    against that table — cost is corpus words + one broadcast-sized
+    join, never corpus x DP. Output: (doc_id, n_words, n_tokens)."""
+    from .operators import unigram as U
+    from .operators.bpe import words_with_counts
+
+    docs = _docs(spark, sf_dir)
+    wc = words_with_counts(docs)
+    segs = U.unigram_segment(wc).select("w", "n_pieces")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        words.join(F.broadcast(segs), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words",
+            "n_tokens",
+        )
+    )
+
+
+def _unigram_doc_tokens_sql() -> str:
+    from .operators import unigram as U
+
+    R = U.UNI_EM_ROUNDS
+    final_dp = ",\n".join(_unigram_viterbi_blocks(f"cost{R}", "fdp_"))
+    return f"""
+WITH {_unigram_ctes()},
+{final_dp},
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents) t WHERE w <> '')
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(np)::BIGINT AS n_tokens
+FROM docw
+JOIN (SELECT w, len(string_split(seg, '|'))::BIGINT AS np
+      FROM fdp_fin) s USING (w)
+GROUP BY doc_id
+"""
+
+
 def _unigram_viterbi_blocks(cost_cte: str, prefix: str) -> list[str]:
     """One full Viterbi forward-DP pass as CTE blocks — used for
     every EM round and for the final serving read (same generator,
@@ -15174,6 +15227,7 @@ EXT_QUERIES = {
     "unigram_fit_pieces": (q_unigram_fit_pieces, _unigram_fit_sql()),
     "unigram_segment": (q_unigram_segment, _unigram_segment_sql()),
     "unigram_incremental": (q_unigram_incremental, _unigram_segment_sql()),
+    "unigram_doc_tokens": (q_unigram_doc_tokens, _unigram_doc_tokens_sql()),
     "rolling_weekly_users_hll": (
         q_rolling_weekly_users_hll, _rolling_hll_sql(),
     ),
