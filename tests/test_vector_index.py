@@ -718,3 +718,43 @@ def test_pq_compact_preserves_codes_and_serving(spark, tmp_path):
     st.compact()
     assert _rows(st.pqcodes_packed()) == packed_before
     assert _rows(st.topk_adc(q, k=5, nprobe=12)) == before
+
+
+def test_pq_absorb_foreach_batch_streaming(spark, tmp_path):
+    """The ANN-ingest sink on a PQ store: two streamed micro-batches
+    absorbed via foreachBatch must leave a codes tree identical to a
+    from-scratch encode of the grown corpus against the frozen PQ
+    codebook, and the ADC serving path identical to the recompute."""
+    from time_series_storage_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(EMB)
+    q = emb.where(F.col("vec_id") < 4)
+    st = _pq_store(spark, tmp_path)
+    _build_pq(st, emb.where(F.col("vec_id") < 300))
+    src = str(tmp_path / "feed")
+    emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).coalesce(1).write.parquet(src + "/f0")
+    emb.where(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    seen = []
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sq = (
+        stream.writeStream.foreachBatch(
+            st.foreach_batch(emit=lambda v, b: seen.append((b, v)))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    assert sq.exception() is None
+    assert len(seen) == 2
+    assert st.pqcodes_packed().count() == emb.count()
+    want = pq_encode(emb, st.pq_codebook_df(), m=8, n_codes=16)
+    assert _rows(st.pqcodes().select("vec_id", "s", "code")) == _rows(want)
