@@ -854,9 +854,16 @@ class IvfIndexStore(VersionedStore):
         )
         if refine <= 1:
             return shortlist.select("q_id", "vec_id", "rank", "adc_x1e6")
+        # materialize the shortlist before the rerank join: it must be
+        # broadcast-sized anyway (it IS the broadcast side below), and
+        # without this the rerank's dynamic-partition-pruning subquery
+        # would carry a second full copy of the ADC plan — the probe
+        # cross-join and the codes scan would run twice per query
+        shortlist = shortlist.select(
+            "q_id", "vec_id", "cell_id"
+        ).localCheckpoint()
         fetched = self.assignment().join(
-            F.broadcast(shortlist.select("q_id", "vec_id", "cell_id")),
-            ["cell_id", "vec_id"],
+            F.broadcast(shortlist), ["cell_id", "vec_id"]
         )
         q = F.broadcast(
             queries.select(
