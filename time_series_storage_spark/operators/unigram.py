@@ -45,24 +45,30 @@ whole trainer sits under the hash gate. Precision: 2^-frac_bits in
 log2 units per piece (frac_bits=8 -> ~0.4% relative), far inside the
 model-quality noise floor of a subword vocab.
 
-Viterbi is a forward DP over character positions run as a FIXED
-``max_word_len``-round driver loop (the maxmatch_segment shape): at
-position i every predecessor j in [i - max_piece_len, i - 1] offers
-``substring(word, j+1, i-j)`` if it is a vocabulary piece; the
-winner minimizes the scalar composite ``(cost_j + cost(piece)) *
-64 + j`` (single-BIGINT tiebreak discipline — DuckDB's arg_min takes
-only scalar keys), which orders by total cost then by earliest start.
-Each round is one broadcast vocab join + one partial-aggregated
-min/min_by; nothing is keyed on corpus size. Words longer than
+Viterbi is a forward DP over character positions, evaluated as ONE
+shuffle-free projection (:func:`unigram_viterbi`): ``F.aggregate``
+over the position sequence carries the dp array of (cost, seg)
+structs, at position i every predecessor j in
+[i - max_piece_len, i - 1] offers ``substring(word, j+1, i-j)``
+looked up in a LITERAL cost map, and the winner is ``array_min``
+over the candidate structs keyed by the scalar composite
+``(cost_j + cost(piece)) * 64 + j`` (single-BIGINT tiebreak
+discipline — DuckDB's arg_min takes only scalar keys), which orders
+by total cost then by earliest start. No join, no shuffle, no
+driver loop; nothing is keyed on corpus size. The SQL oracle
+replays the same DP as a fixed ``max_word_len``-deep unrolled CTE
+chain with the identical composite. Words longer than
 ``max_word_len`` are excluded up front IN BOTH ENGINES (loudly
 countable by the caller; the corpus tables' max word length is 8
 against the default 16).
 
 Magnitude bounds (the hll.py discipline): ``T < 2^33`` total
 weighted piece occurrences (so ``T << 30`` stays under 2^63) —
-enforced by an in-plan raise_error; per-piece cost <= (33 + 1) * 256
+enforced by :func:`log2_fix`'s loud ValueError at the point the
+collected counts become costs; per-piece cost <= (33 + 1) * 256
 < 2^14, times <= max_word_len pieces, times 64 for the composite:
-< 2^25, no overflow anywhere.
+< 2^25, no overflow anywhere (the >= 2^40 unknown-piece sentinel
+band stays clear of real costs by 15 bits).
 """
 
 from __future__ import annotations
