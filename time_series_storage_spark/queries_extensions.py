@@ -2725,6 +2725,101 @@ def q_ivfpq_incremental(spark, sf_dir):
     )
 
 
+# -- sampling: cluster-balanced subset selection -----------------------------
+
+CBAL_K = 64  # target subset size (pre-quota-floor)
+
+
+def q_sample_cluster_quota(spark, sf_dir):
+    """Diversity-balanced subset selection over EMBEDDING clusters —
+    the data-driven counterpart of sample_stratified_lang (strata
+    discovered by k-means instead of taken from a metadata column;
+    the shape behind cluster-balanced data-selection recipes such as
+    SemDeDup-style diversity sampling): assign every vector to its
+    fixed-point k-means cell, give each cell an exact proportional
+    quota ``max(1, floor(K * n_cell / N))`` (small clusters keep one
+    representative — the diversity guarantee), and pick each cell's
+    members by the derandomized bottom-rank trick (ascending salted
+    md5 — the ReservoirStore discipline, a pure function of the id
+    set, so the oracle replays the 'random' choice exactly).
+
+    Plan: one broadcast assignment pass, one cell-size aggregate
+    (cells-sized), one broadcast quota join, one per-cell rank
+    window. Nothing shuffles twice; the sample is K-ish rows however
+    large the corpus. Output: (cell_id, vec_id, pick_rank, quota)."""
+    from .operators.dedup import md5_long
+
+    emb = _emb(spark, sf_dir)
+    cents = S.ivf_kmeans_centroids(emb, n_cells=S.IVF_CELLS, n_iter=2)
+    assigned = S.ivf_assign(emb, cents).select("cell_id", "vec_id")
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    tot = sizes.agg(F.sum("n_c").cast("long").alias("n"))
+    quota = sizes.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        F.greatest(
+            F.lit(1).cast("long"),
+            AN.floor_div(F.lit(CBAL_K) * F.col("n_c"), F.col("n")),
+        ).alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    rk = md5_long(
+        F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(rk.asc(), F.col("vec_id"))
+    ranked = assigned.withColumn(
+        "pick_rank", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "cell_id")
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "pick_rank",
+            "quota",
+        )
+    )
+
+
+def _sample_cluster_quota_sql() -> str:
+    rk = (
+        "CAST(CONCAT('0x', SUBSTRING(md5('cbal:' || "
+        "CAST(a.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_cents_ctes(2)},
+cents AS (SELECT * FROM cents2),
+asim AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.c_vec')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+sizes AS (SELECT cell_id, COUNT(*)::BIGINT AS n_c
+          FROM assigned GROUP BY cell_id),
+tot AS (SELECT SUM(n_c)::BIGINT AS n FROM sizes),
+quota AS (SELECT cell_id,
+                 GREATEST(1, ({CBAL_K} * n_c) // n)::BIGINT AS quota
+          FROM sizes, tot),
+ranked AS (
+  SELECT a.cell_id, a.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY a.cell_id
+                            ORDER BY {rk}, a.vec_id) AS pick_rank
+  FROM assigned a)
+SELECT r.cell_id::BIGINT AS cell_id, r.vec_id::BIGINT AS vec_id,
+       r.pick_rank::BIGINT AS pick_rank, q.quota
+FROM ranked r JOIN quota q USING (cell_id)
+WHERE r.pick_rank <= q.quota
+"""
+
+
 # -- similarity: hyperplane-LSH bucketed pairs ------------------------------
 
 def q_sim_lsh(spark, sf_dir):
@@ -14945,6 +15040,9 @@ EXT_QUERIES = {
     "ivfpq_incremental": (
         q_ivfpq_incremental,
         _sim_topk_ivfpq_sql(fit_where=f"WHERE vec_id < {EMB_IVF_BASE}"),
+    ),
+    "sample_cluster_quota": (
+        q_sample_cluster_quota, _sample_cluster_quota_sql(),
     ),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
