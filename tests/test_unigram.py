@@ -186,3 +186,51 @@ def test_max_word_exclusion_matches_both_engines(spark):
     wc = _wc_df(spark, {"short": 4, "x" * (U.UNI_MAX_WORD + 1): 9})
     got = {r["w"] for r in U.unigram_segment(wc).collect()}
     assert got == {"short"}
+
+
+@given(
+    st.integers(min_value=1, max_value=(1 << 33) - 1).flatmap(
+        lambda t: st.tuples(st.just(t), st.integers(min_value=1, max_value=t))
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_log2_fix_accuracy_over_full_domain(tc):
+    """Hypothesis sweep of the whole legal (total, c) domain: the
+    exact-integer log2 must stay within 2/256 of true log2 and match
+    the independent bigint model bit-for-bit."""
+    total, c = tc
+    got = U.log2_fix(total, c)
+    assert got == _py_log2fix(total, c)
+    want = math.log2(total / c) * (1 << U.UNI_FRAC_BITS)
+    assert abs(got - want) <= 2, (total, c, got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=(1 << 33) - 1),
+            st.integers(min_value=1, max_value=(1 << 33) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_log2_fix_cte_matches_python_in_duckdb(rows):
+    """The SQL mirror run IN DUCKDB must equal the Python spec on
+    random inputs — the unit-level form of the cross-engine claim the
+    gated queries make end-to-end (no Spark needed: this pins the
+    DuckDB half alone, fast)."""
+    import duckdb
+
+    data = [
+        (i, max(c, 1), max(t, c, 1))
+        for i, (c, t) in enumerate(rows)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE inp (k BIGINT, c BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO inp VALUES (?, ?, ?)", data)
+    sql = U.log2_fix_cte("SELECT k, c, t AS _T FROM inp", keys="k")
+    got = {k: cost for k, _c, cost in con.execute(sql).fetchall()}
+    for k, c, t in data:
+        assert got[k] == U.log2_fix(t, c), (k, c, t)
