@@ -35,7 +35,7 @@ _GATE_PRIORITY = [
     # --- round-12 window (the first 50 are the driver's hard hash
     # --- gate), composed per the r11 verdict's rotation directive,
     # --- computed from the CORRECTNESS_r01..r11 artifacts (see git
-    # --- history for the derivation script). 1-8: the eight NEW r12
+    # --- history for the derivation script). 1-9: the nine NEW r12
     # --- queries (IVF-PQ store-served top-k + its incremental twin,
     # --- unigram-LM tokenizer model + segmentation, stream-served
     # --- SLO p95 regression, incrementally-refit tokenizer,
@@ -49,7 +49,8 @@ _GATE_PRIORITY = [
     "unigram_incremental",
     "unigram_doc_tokens",
     "sample_cluster_quota",
-    # --- 9-15: the seven r11 post-window late additions — the
+    "sample_cluster_served",
+    # --- 10-16: the seven r11 post-window late additions — the
     # --- only previously never-gated rows registry-wide ---
     "sample_weighted_reservoir",
     "qsk_p99_regression",
@@ -58,7 +59,7 @@ _GATE_PRIORITY = [
     "qsk_weighted_price",
     "ppjoin_incremental",
     "reservoir_mean_audit",
-    # --- 16-20: the five r7-stale CORE ts_* rows (the
+    # --- 17-21: the five r7-stale CORE ts_* rows (the
     # --- reference's own fill/histogram/rollup read path,
     # --- query.clj:84-118) the r11 window deferred ---
     "ts_counter_hour_fill",
@@ -66,8 +67,8 @@ _GATE_PRIORITY = [
     "ts_histogram_day",
     "ts_histogram_quantiles",
     "ts_rollup_slice15",
-    # --- 21-50: the 30 longest-unrotated rows (r7-stale, in
-    # --- registry order; the remaining four r7 rows lead the
+    # --- 22-50: the 29 longest-unrotated rows (r7-stale, in
+    # --- registry order; the remaining five r7 rows lead the
     # --- backlog and r13) ---
     "dedup_near_incremental",
     "emb_near_incremental",
@@ -98,13 +99,13 @@ _GATE_PRIORITY = [
     "dedup_ngram_jaccard",
     "decontaminate_ngram",
     "decontaminate_token_ngram",
-    "decontaminate_bloom",
     # --- below the 50-row gate line: every remaining row ordered
     # --- by staleness of its last external gate (the single
     # --- leftover r7 row first, then the r8 block, r9, r10, r11
     # --- freshest); all keep pytest/sweep coverage
     # --- (tests/test_extensions_oracle.py runs the FULL registry
     # --- at sf0.001) ---
+    "decontaminate_bloom",
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_simhash",

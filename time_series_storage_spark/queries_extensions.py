@@ -2784,6 +2784,51 @@ def q_sample_cluster_quota(spark, sf_dir):
     )
 
 
+def q_sample_cluster_served(spark, sf_dir):
+    """sample_cluster_quota SERVED FROM THE PERSISTED INDEX — the
+    materialized-twin discipline (ts_counter_hour_materialized):
+    identical read, identical oracle, but the cell assignment comes
+    out of IvfIndexStore (built once, fingerprint-gated) instead of a
+    query-time k-means — at 100 TB the sampler is one cells-sized
+    aggregate + one window over the stored assignment, no training
+    pass. A green hash proves store-served cells == from-scratch
+    cells on the way to the same sample."""
+    from .operators.dedup import md5_long
+
+    store = _ivf_index(spark, sf_dir, kmeans_iters=2)
+    assigned = store.assignment().select("cell_id", "vec_id")
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    tot = sizes.agg(F.sum("n_c").cast("long").alias("n"))
+    quota = sizes.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        F.greatest(
+            F.lit(1).cast("long"),
+            AN.floor_div(F.lit(CBAL_K) * F.col("n_c"), F.col("n")),
+        ).alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    rk = md5_long(
+        F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(rk.asc(), F.col("vec_id"))
+    ranked = assigned.withColumn(
+        "pick_rank", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "cell_id")
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "pick_rank",
+            "quota",
+        )
+    )
+
+
 def _sample_cluster_quota_sql() -> str:
     rk = (
         "CAST(CONCAT('0x', SUBSTRING(md5('cbal:' || "
@@ -15043,6 +15088,9 @@ EXT_QUERIES = {
     ),
     "sample_cluster_quota": (
         q_sample_cluster_quota, _sample_cluster_quota_sql(),
+    ),
+    "sample_cluster_served": (
+        q_sample_cluster_served, _sample_cluster_quota_sql(),
     ),
     "dedup_source_overlap": (q_source_overlap, _source_overlap_sql()),
     "corpus_stats_by_source": (q_corpus_stats, SQL_CORPUS_STATS),
