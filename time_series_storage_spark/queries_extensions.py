@@ -2747,24 +2747,38 @@ def q_sample_cluster_quota(spark, sf_dir):
     (cells-sized), one broadcast quota join, one per-cell rank
     window. Nothing shuffles twice; the sample is K-ish rows however
     large the corpus. Output: (cell_id, vec_id, pick_rank, quota)."""
-    from .operators.dedup import md5_long
-
     emb = _emb(spark, sf_dir)
     cents = S.ivf_kmeans_centroids(emb, n_cells=S.IVF_CELLS, n_iter=2)
     assigned = S.ivf_assign(emb, cents).select("cell_id", "vec_id")
-    sizes = assigned.groupBy("cell_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
-    )
-    tot = sizes.agg(F.sum("n_c").cast("long").alias("n"))
-    quota = sizes.crossJoin(F.broadcast(tot)).select(
-        "cell_id",
-        F.greatest(
-            F.lit(1).cast("long"),
-            AN.floor_div(F.lit(CBAL_K) * F.col("n_c"), F.col("n")),
-        ).alias("quota"),
-    )
+    return _cluster_quota_pick(spark, assigned)
+
+
+def _cluster_quota_pick(spark, assigned):
+    """Shared sampler tail: exact proportional quotas + bottom-rank
+    picks over a (cell_id, vec_id) assignment. The quota table is a
+    bounded artifact (one row per CELL) — computed with one
+    cells-sized collect and inlined as a literal frame (the codebook
+    discipline), which keeps the final plan to a SINGLE pass over the
+    assignment: the in-plan scalar-total formulation re-evaluated the
+    assignment subtree once per derived frame (sizes, total, ranked —
+    the plan sweep's BNLJ budget flagged exactly that)."""
     from pyspark.sql import Window
 
+    from .operators.dedup import md5_long
+
+    size_rows = (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+        .collect()
+    )
+    n = sum(int(r["n_c"]) for r in size_rows)
+    quota = spark.createDataFrame(
+        sorted(
+            (int(r["cell_id"]), max(1, CBAL_K * int(r["n_c"]) // n))
+            for r in size_rows
+        ),
+        "cell_id long, quota long",
+    )
     rk = md5_long(
         F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
     )
@@ -2793,40 +2807,9 @@ def q_sample_cluster_served(spark, sf_dir):
     aggregate + one window over the stored assignment, no training
     pass. A green hash proves store-served cells == from-scratch
     cells on the way to the same sample."""
-    from .operators.dedup import md5_long
-
     store = _ivf_index(spark, sf_dir, kmeans_iters=2)
     assigned = store.assignment().select("cell_id", "vec_id")
-    sizes = assigned.groupBy("cell_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
-    )
-    tot = sizes.agg(F.sum("n_c").cast("long").alias("n"))
-    quota = sizes.crossJoin(F.broadcast(tot)).select(
-        "cell_id",
-        F.greatest(
-            F.lit(1).cast("long"),
-            AN.floor_div(F.lit(CBAL_K) * F.col("n_c"), F.col("n")),
-        ).alias("quota"),
-    )
-    from pyspark.sql import Window
-
-    rk = md5_long(
-        F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
-    )
-    w = Window.partitionBy("cell_id").orderBy(rk.asc(), F.col("vec_id"))
-    ranked = assigned.withColumn(
-        "pick_rank", F.row_number().over(w).cast("long")
-    )
-    return (
-        ranked.join(F.broadcast(quota), "cell_id")
-        .where(F.col("pick_rank") <= F.col("quota"))
-        .select(
-            F.col("cell_id").cast("long").alias("cell_id"),
-            F.col("vec_id").cast("long").alias("vec_id"),
-            "pick_rank",
-            "quota",
-        )
-    )
+    return _cluster_quota_pick(spark, assigned)
 
 
 def _sample_cluster_quota_sql() -> str:
