@@ -23,93 +23,31 @@ from pyspark.sql import DataFrame, SparkSession
 # put the newest queries plus everything the previous round's driver gate
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
-# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 12
-# (this session) implements the r11 verdict's rotation exactly: the 5
-# new r12 queries + the 7 never-gated r11 late additions + the 5
-# r7-stale core ts_* rows + 33 of the 34 remaining r7-stale rows
-# (computed from the CORRECTNESS artifacts, not by hand).  After a
-# green r12, zero rows are never-gated and the oldest external gate
-# registry-wide is r7 on exactly one row (fuzzy_part_names, leading
-# r13).
+# registry at sf0.001) and tools/check_oracle.py sweeps.  Round 13
+# (this session) implements the r12 verdict's rotation exactly: the 2
+# new r13 queries + the 5 r7-stale graph/fuzzy rows + the 43
+# longest-unrotated r8 rows in registry order (computed from the
+# CORRECTNESS artifacts, not by hand).  After a green r13, zero rows
+# are never-gated and the oldest external gate registry-wide advances
+# from r7 to r8 (exactly the seven r8 rows leading the backlog below
+# the line — they lead r14).
 _GATE_PRIORITY = [
-    # --- round-12 window (the first 50 are the driver's hard hash
-    # --- gate), composed per the r11 verdict's rotation directive,
-    # --- computed from the CORRECTNESS_r01..r11 artifacts (see git
-    # --- history for the derivation script). 1-9: the nine NEW r12
-    # --- queries (IVF-PQ store-served top-k + its incremental twin,
-    # --- unigram-LM tokenizer model + segmentation, stream-served
-    # --- SLO p95 regression, incrementally-refit tokenizer,
-    # --- per-doc token budget, cluster-balanced sampling) —
-    # --- never externally gated ---
-    "sim_topk_ivfpq",
-    "ivfpq_incremental",
-    "unigram_fit_pieces",
-    "unigram_segment",
-    "qsk_p99_streamed",
-    "unigram_incremental",
-    "unigram_doc_tokens",
-    "sample_cluster_quota",
-    "sample_cluster_served",
-    # --- 10-16: the seven r11 post-window late additions — the
-    # --- only previously never-gated rows registry-wide ---
-    "sample_weighted_reservoir",
-    "qsk_p99_regression",
-    "dedup_ppjoin",
-    "wres_members_incremental",
-    "qsk_weighted_price",
-    "ppjoin_incremental",
-    "reservoir_mean_audit",
-    # --- 17-21: the five r7-stale CORE ts_* rows (the
-    # --- reference's own fill/histogram/rollup read path,
-    # --- query.clj:84-118) the r11 window deferred ---
-    "ts_counter_hour_fill",
-    "ts_avg_hour_fill",
-    "ts_histogram_day",
-    "ts_histogram_quantiles",
-    "ts_rollup_slice15",
-    # --- 22-50: the 29 longest-unrotated rows (r7-stale, in
-    # --- registry order; the remaining five r7 rows lead the
-    # --- backlog and r13) ---
-    "dedup_near_incremental",
-    "emb_near_incremental",
-    "volume_shipping",
-    "sales_opportunity",
-    "events_zorder_cells",
-    "bpe_fit_merges",
-    "bpe_encode_docs",
-    "jpeg_gray_decode",
-    "order_priority_returns",
-    "supplier_return_blame",
-    "ts_cusum_changepoint",
-    "brand_quantity_revenue",
-    "ts_rolling_corr",
-    "top_return_customers",
-    "mm_audio_frames",
-    "dedup_incremental",
-    "events_pii_scrub",
-    "events_json_kv",
-    "mm_media_meta",
-    "mm_frame_sample",
-    "mm_feature_stub",
-    "ts_rolling_3h",
-    "ts_interp_fill",
-    "ts_rate_sparse",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngram",
-    "decontaminate_token_ngram",
-    # --- below the 50-row gate line: every remaining row ordered
-    # --- by staleness of its last external gate (the single
-    # --- leftover r7 row first, then the r8 block, r9, r10, r11
-    # --- freshest); all keep pytest/sweep coverage
-    # --- (tests/test_extensions_oracle.py runs the FULL registry
-    # --- at sf0.001) ---
+    # --- round-13 window (the first 50 are the driver's hard hash
+    # --- gate), composed per the r12 verdict's rotation directive,
+    # --- computed from the CORRECTNESS_r01..r12 artifacts. 1-2: the
+    # --- two NEW r13 queries (token-budgeted mixture sampler;
+    # --- IVF-PQ nprobe recall/work audit) — never externally gated ---
+    "sample_token_budget_mix",
+    "ivfpq_nprobe_audit",
+    # --- 3-7: the five r7-stale rows (the graph/CC dedup family +
+    # --- fuzzy match — last external gate four rounds old) ---
     "decontaminate_bloom",
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_simhash",
     "fuzzy_part_names",
+    # --- 8-50: the 43 longest-unrotated r8 rows, registry order
+    # --- (the remaining seven r8 rows lead the backlog and r14) ---
     "forecast_revenue_delta",
     "nation_market_share",
     "product_profit",
@@ -153,6 +91,11 @@ _GATE_PRIORITY = [
     "sim_topk_ivf_kmeans",
     "sim_lsh_pairs",
     "dedup_embedding_cosine",
+    # --- below the 50-row gate line: every remaining row ordered
+    # --- by staleness of its last external gate (the seven leftover
+    # --- r8 rows first, then r9, r10, r11, r12 freshest); all keep
+    # --- pytest/sweep coverage (tests/test_extensions_oracle.py
+    # --- runs the FULL registry at sf0.001) ---
     "text_token_stats",
     "text_quality",
     "text_quality_filter",
@@ -310,6 +253,56 @@ _GATE_PRIORITY = [
     "ts_counter_hour_materialized",
     "ts_avg_hour_materialized",
     "ts_histogram_day_materialized",
+    "sim_topk_ivfpq",
+    "ivfpq_incremental",
+    "unigram_fit_pieces",
+    "unigram_segment",
+    "qsk_p99_streamed",
+    "unigram_incremental",
+    "unigram_doc_tokens",
+    "sample_cluster_quota",
+    "sample_cluster_served",
+    "sample_weighted_reservoir",
+    "qsk_p99_regression",
+    "dedup_ppjoin",
+    "wres_members_incremental",
+    "qsk_weighted_price",
+    "ppjoin_incremental",
+    "reservoir_mean_audit",
+    "ts_counter_hour_fill",
+    "ts_avg_hour_fill",
+    "ts_histogram_day",
+    "ts_histogram_quantiles",
+    "ts_rollup_slice15",
+    "dedup_near_incremental",
+    "emb_near_incremental",
+    "volume_shipping",
+    "sales_opportunity",
+    "events_zorder_cells",
+    "bpe_fit_merges",
+    "bpe_encode_docs",
+    "jpeg_gray_decode",
+    "order_priority_returns",
+    "supplier_return_blame",
+    "ts_cusum_changepoint",
+    "brand_quantity_revenue",
+    "ts_rolling_corr",
+    "top_return_customers",
+    "mm_audio_frames",
+    "dedup_incremental",
+    "events_pii_scrub",
+    "events_json_kv",
+    "mm_media_meta",
+    "mm_frame_sample",
+    "mm_feature_stub",
+    "ts_rolling_3h",
+    "ts_interp_fill",
+    "ts_rate_sparse",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram",
+    "decontaminate_token_ngram",
 ]
 
 

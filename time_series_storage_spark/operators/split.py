@@ -339,6 +339,114 @@ def waterfill_mix(
     ).withColumnRenamed("_rank", "mix_rank")
 
 
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    tokens_col: str,
+    total_budget: int,
+    temperature: int = 2,
+    salt: str = "v1",
+) -> DataFrame:
+    """TOKEN-budgeted mixture sampling: allocate a ``total_budget``
+    measured in TOKENS (not documents) across ``key_col`` groups
+    proportionally to ``group_tokens ** (1/T)``, then admit each
+    group's documents in derandomized hash order until the running
+    token sum crosses the group's quota. This is what real
+    training-data pipelines allocate by — a source of long documents
+    must not get the same document count as a source of tweets
+    (the token-level reading of the UniMax / temperature-sampling
+    rules :func:`temperature_mix` applies to document counts).
+
+    Exactness contract: same as :func:`temperature_mix` — T in
+    {1, 2, 4} only (identity or correctly-rounded sqrt chains over
+    integer token sums, scaled by 1e6), so the per-key quota is pure
+    integer arithmetic: ``quota_g = (total_budget * w_g) // sum(w)``
+    with ``w_g = floor(tokens_g^(1/T) * 1e6)``. Admission is the
+    greedy prefix rule: a document enters iff the token sum of the
+    documents BEFORE it (exclusive prefix in hash order) is still
+    below the quota — so the boundary document that crosses the
+    quota is admitted and every key with a positive quota yields at
+    least one document (the diversity guarantee the cluster sampler's
+    ``max(1, ...)`` floor encodes; here it falls out of the rule).
+
+    Plan shape: per-key token totals are one partial-aggregated
+    exchange; the quota table (one row per source) broadcast-joins
+    onto the scan. The prefix-sum admission is EXACT TWO-PHASE like
+    :func:`_topk_per_key` — a naive ``sum() OVER (PARTITION BY key
+    ORDER BY hash)`` sorts a whole source in one task, a straggler by
+    construction when one crawl dump holds most of the corpus.
+    Instead: (1) a local cumulative sum within (key,
+    source-partition) discards every row whose LOCAL exclusive
+    prefix already reaches the quota — sound because the global
+    exclusive prefix of a row is >= its local one (the global order
+    interleaves other partitions' rows, never removes local
+    predecessors), and complete for the admitted set because every
+    hash-order predecessor of an admitted row is itself admitted
+    (prefix sums are monotone, tokens are positive), so no admitted
+    row's prefix loses a contribution to the pruning; (2) the exact
+    global rank + cumulative sum runs over the survivors —
+    ~quota/min_tokens rows per key, bounded by construction.
+    Phase-2 output is bit-identical to the naive single window.
+
+    Output: the admitted rows + ``mix_rank`` (1-based hash-order rank
+    within the key), ``cum_tokens`` (inclusive running token sum —
+    the quota-fill audit column), ``quota`` (the key's token quota).
+    """
+    if temperature not in (1, 2, 4):
+        raise ValueError(
+            f"token_budget_mix: temperature={temperature!r} is not "
+            "cross-engine exact; supported temperatures are 1, 2 and 4 "
+            "(identity or correctly-rounded sqrt chains)"
+        )
+    from pyspark.sql import Window
+
+    from .analytics import floor_div
+
+    toks = F.col(tokens_col).cast("long")
+    totals = df.groupBy(key_col).agg(F.sum(toks).alias("_tok"))
+    if temperature == 1:
+        w = F.col("_tok") * F.lit(1_000_000)
+    elif temperature == 2:
+        w = F.floor(F.sqrt(F.col("_tok")) * F.lit(1e6)).cast("long")
+    else:
+        w = (
+            F.floor(F.sqrt(F.sqrt(F.col("_tok"))) * F.lit(1e6))
+            .cast("long")
+        )
+    weights = totals.select(F.col(key_col), w.alias("_w"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    quota = weights.crossJoin(F.broadcast(total)).select(
+        F.col(key_col),
+        floor_div(F.lit(int(total_budget)) * F.col("_w"), F.col("_tw"))
+        .cast("long")
+        .alias("quota"),
+    )
+    capped = df.join(F.broadcast(quota), key_col)
+    order = [split_bucket_raw(id_col, salt), F.col(id_col)]
+    # phase 1: per-(key, source-partition) local prefix prune
+    w_local = (
+        Window.partitionBy(key_col, F.spark_partition_id())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = (
+        capped.withColumn("_lcum", F.sum(toks).over(w_local))
+        .where(F.col("_lcum") - toks < F.col("quota"))
+        .drop("_lcum")
+    )
+    # phase 2: exact global rank + running sum over the survivors
+    w_rank = Window.partitionBy(key_col).orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        survivors.withColumn(
+            "mix_rank", F.row_number().over(w_rank).cast("long")
+        )
+        .withColumn("cum_tokens", F.sum(toks).over(w_cum).cast("long"))
+        .where(F.col("cum_tokens") - toks < F.col("quota"))
+    )
+
+
 def checked_weight(w_col, max_weight: int, ctx: str):
     """Shared in-plan weight guard of the replication-reduction
     samplers (weighted_reservoir here; WeightedReservoirStore in

@@ -69,6 +69,29 @@ collected counts become costs; per-piece cost <= (33 + 1) * 256
 < 2^14, times <= max_word_len pieces, times 64 for the composite:
 < 2^25, no overflow anywhere (the >= 2^40 unknown-piece sentinel
 band stays clear of real costs by 15 bits).
+
+Serve-scale knobs — what grows where when the corpus isn't the gate
+corpus:
+
+* ``max_word`` (default 16 vs the gate corpus's max word length 8)
+  bounds the DP positions. On the ENGINE side it is only the length
+  of the per-row ``F.aggregate`` sequence — cost linear in
+  ``max_word``, still one shuffle-free codegen'd projection, so
+  raising it to 64 for real text is a constant-factor change to the
+  same plan. On the ORACLE side it is the unrolled CTE DEPTH (one dp
+  block per position per EM round) — the replay SQL grows linearly;
+  it is the oracle, not the engine, that pays for long words. Words
+  LONGER than ``max_word`` are excluded from segmentation in both
+  engines — never silently: :func:`unigram_excluded` surfaces the
+  dropped word/occurrence counts so a pipeline pins or budgets the
+  exclusion before trusting downstream per-document token sums.
+* ``vocab_size`` (UNI_VOCAB=24, sized to the tiny gate corpus) sets
+  the multi-char piece budget. The fitted vocabulary rides the plan
+  as a LITERAL cost map (codebook discipline: one collect of a
+  model-sized artifact, never corpus-sized), so production values
+  (32k-256k pieces, the SentencePiece range) stay driver-safe; the
+  binding constraint at scale is the ``T < 2^33`` occurrence bound
+  above, which :func:`log2_fix` checks loudly at fit time.
 """
 
 from __future__ import annotations
@@ -232,8 +255,10 @@ def unigram_viterbi(
     vocabulary is a bounded artifact; see :func:`log2_fix`). No join,
     no shuffle, no driver loop: segmentation cost is one codegen'd
     pass over the distinct-word table. Words longer than ``max_word``
-    are excluded IN BOTH ENGINES. Output: (w, cnt, n_pieces, seg,
-    cost) — seg the '|'-joined winning piece sequence."""
+    are excluded IN BOTH ENGINES — count them with
+    :func:`unigram_excluded` before trusting downstream token sums.
+    Output: (w, cnt, n_pieces, seg, cost) — seg the '|'-joined
+    winning piece sequence."""
     pairs = sorted(
         (r["piece"], int(r["cost"])) for r in costs.collect()
     )
@@ -305,6 +330,26 @@ def unigram_viterbi(
         # every append added exactly one leading '|'
         F.substring(last["seg"], 2, 1 << 20).alias("seg"),
         last["cost"].alias("cost"),
+    )
+
+
+def unigram_excluded(
+    word_counts: DataFrame, max_word: int = UNI_MAX_WORD
+) -> DataFrame:
+    """The words :func:`unigram_viterbi` EXCLUDES (length >
+    ``max_word``), surfaced as a one-row countable frame instead of a
+    silent drop: (n_excluded_words, n_excluded_occurrences). A
+    pipeline pins this to zero (or budgets it) before trusting
+    per-document token counts — an excluded word contributes to NO
+    downstream n_tokens sum in either engine, so an unnoticed
+    long-word tail silently deflates every token budget built on the
+    segmentation. SQL mirror: ``SELECT COUNT(*), COALESCE(SUM(cnt),
+    0) FROM words WHERE length(w) > max_word``."""
+    return word_counts.where(F.length("w") > int(max_word)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_excluded_words"),
+        F.coalesce(F.sum("cnt"), F.lit(0))
+        .cast("long")
+        .alias("n_excluded_occurrences"),
     )
 
 

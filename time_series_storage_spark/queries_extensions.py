@@ -2761,7 +2761,17 @@ def _cluster_quota_pick(spark, assigned):
     discipline), which keeps the final plan to a SINGLE pass over the
     assignment: the in-plan scalar-total formulation re-evaluated the
     assignment subtree once per derived frame (sizes, total, ranked —
-    the plan sweep's BNLJ budget flagged exactly that)."""
+    the plan sweep's BNLJ budget flagged exactly that).
+
+    The per-cell selection is the EXACT TWO-PHASE bottom-k of
+    operators/split.py:_topk_per_key (local rank within (cell,
+    source-partition), keep the local top-quota, exact global rank
+    over the ~quota x partitions survivors) — a single
+    ``row_number() OVER (PARTITION BY cell_id)`` sorts a mega-cell
+    in one task under extreme skew; the two-phase form bounds every
+    sort by partition size and is provably output-identical (any row
+    the local phase drops is beaten quota times within one partition
+    alone, so it cannot hold a global rank <= quota)."""
     from pyspark.sql import Window
 
     from .operators.dedup import md5_long
@@ -2782,12 +2792,21 @@ def _cluster_quota_pick(spark, assigned):
     rk = md5_long(
         F.concat(F.lit("cbal:"), F.col("vec_id").cast("string"))
     )
-    w = Window.partitionBy("cell_id").orderBy(rk.asc(), F.col("vec_id"))
-    ranked = assigned.withColumn(
-        "pick_rank", F.row_number().over(w).cast("long")
+    order = [rk.asc(), F.col("vec_id")]
+    capped = assigned.join(F.broadcast(quota), "cell_id")
+    w_local = Window.partitionBy(
+        "cell_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        capped.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= F.col("quota"))
+        .drop("_lrank")
     )
+    w_global = Window.partitionBy("cell_id").orderBy(*order)
     return (
-        ranked.join(F.broadcast(quota), "cell_id")
+        survivors.withColumn(
+            "pick_rank", F.row_number().over(w_global).cast("long")
+        )
         .where(F.col("pick_rank") <= F.col("quota"))
         .select(
             F.col("cell_id").cast("long").alias("cell_id"),
@@ -16600,5 +16619,313 @@ FROM est e JOIN exact x ON x.source = e.source
 EXT_QUERIES.update({
     "reservoir_mean_audit": (
         q_reservoir_mean_audit, _reservoir_mean_audit_sql(),
+    ),
+})
+
+
+# -- round 13: token-budgeted mixture + ANN serving-knob audit ---------------
+
+TOKMIX_BUDGET = 24_000  # total subword-token budget across all sources
+
+
+def _doc_token_table(spark, sf_dir):
+    """(doc_id, source, n_tokens): per-document subword token budgets
+    under the FITTED unigram vocab — the unigram_doc_tokens read
+    (operators/unigram.py) with the source column kept. Viterbi runs
+    once per DISTINCT word; documents broadcast-join the segmented
+    word table, so cost is corpus words + one broadcast join, never
+    corpus x DP."""
+    from .operators import unigram as U
+    from .operators.bpe import words_with_counts
+
+    docs = _docs(spark, sf_dir)
+    wc = words_with_counts(docs)
+    segs = U.unigram_segment(wc).select("w", "n_pieces")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        words.join(F.broadcast(segs), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
+    )
+
+
+def q_sample_token_budget_mix(spark, sf_dir):
+    """TOKEN-budgeted source mixture — what a real training-data
+    pipeline allocates by: the {TOKMIX_BUDGET}-token budget is split
+    across sources by tempered TOKEN mass (T=2: quota_g =
+    (B * floor(sqrt(tokens_g) * 1e6)) // sum(w) — the
+    sample_temperature_mix rule applied to subword-token sums instead
+    of document counts), and each source admits documents in
+    derandomized salted-hash order until the running token sum
+    crosses its quota (boundary document admitted, so every source
+    with a positive quota contributes). Per-document token counts are
+    the EXACT fitted-unigram budgets of unigram_doc_tokens, so the
+    whole chain — tokenizer fit, per-doc budgets, tempered quotas,
+    prefix-sum admission — sits under one hash gate. The admission
+    window is the exact two-phase prefix prune
+    (operators/split.py:token_budget_mix), so one mega-source never
+    sorts in a single task."""
+    toks = _doc_token_table(spark, sf_dir)
+    return SP.token_budget_mix(
+        toks, "source", "doc_id", "n_tokens", TOKMIX_BUDGET, temperature=2
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "mix_rank",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "quota",
+    )
+
+
+def _sample_token_budget_mix_sql() -> str:
+    from .operators import unigram as U
+
+    R = U.UNI_EM_ROUNDS
+    final_dp = ",\n".join(_unigram_viterbi_blocks(f"cost{R}", "fdp_"))
+    rk = (
+        "CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH {_unigram_ctes()},
+{final_dp},
+docw AS (
+  SELECT doc_id, source, w FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents) t WHERE w <> ''),
+doctok AS (
+  SELECT doc_id, source, SUM(np)::BIGINT AS n_tokens
+  FROM docw
+  JOIN (SELECT w, len(string_split(seg, '|'))::BIGINT AS np
+        FROM fdp_fin) s USING (w)
+  GROUP BY doc_id, source),
+totals AS (SELECT source, SUM(n_tokens) AS tok FROM doctok GROUP BY source),
+wt AS (SELECT source, CAST(FLOOR(sqrt(tok) * 1e6) AS BIGINT) AS w
+       FROM totals),
+tot AS (SELECT SUM(w) AS tw FROM wt),
+quota AS (SELECT source, ({TOKMIX_BUDGET} * w) // tw AS quota
+          FROM wt CROSS JOIN tot),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {rk}, doc_id) AS mix_rank,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY {rk}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM doctok)
+SELECT r.doc_id::BIGINT AS doc_id, r.source,
+       r.mix_rank::BIGINT AS mix_rank, r.n_tokens,
+       r.cum_tokens::BIGINT AS cum_tokens, q.quota::BIGINT AS quota
+FROM r JOIN quota q USING (source)
+WHERE r.cum_tokens - r.n_tokens < q.quota
+"""
+
+
+EXT_QUERIES.update({
+    "sample_token_budget_mix": (
+        q_sample_token_budget_mix, _sample_token_budget_mix_sql(),
+    ),
+})
+
+
+IVFPQ_NPROBE_SWEEP = (4, 8, 12, 16)
+
+
+def q_ivfpq_nprobe_audit(spark, sf_dir):
+    """ANN SERVING-KNOB AUDIT under the external hash (the
+    qsk_error_audit pattern applied to IVF-PQ): sweep nprobe over
+    {IVFPQ_NPROBE_SWEEP}, serve top-{SIM_TOPK} from the persisted
+    compressed index at each setting, and emit per setting the
+    measured recall against the EXACT brute-force cosine top-k
+    beside the measured probed fraction of the corpus — the
+    recall-vs-work trade-off a 100-TB serving tier tunes nprobe by,
+    as a gated DATUM instead of the hand-pinned IVFPQ_NPROBE
+    constant. recall_x1e6 = floor(1e6 * hits / (n_q * k));
+    probed_x1e6 = floor(1e6 * sum over queries of probed-cell member
+    counts / (n_q * corpus)). A green hash means both engines agree
+    on the ENTIRE measurement chain: coarse + PQ codebook training,
+    encode, per-setting ADC shortlist + rerank, exact ground truth,
+    and the ratio arithmetic. At scale the exact side runs on an
+    audit query sample (n_q = {SIM_QUERY_COUNT} here); the ANN side
+    is the production read repeated once per candidate setting."""
+    from pyspark.sql import Window
+
+    from .operators.analytics import floor_div
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    store = _ivfpq_index(spark, sf_dir)
+    n_q = qs.count()
+    n_corpus = emb.count()
+    exact = S.brute_force_topk(qs, emb, k=SIM_TOPK).select(
+        "q_id", "vec_id"
+    )
+    ann = None
+    for np_ in IVFPQ_NPROBE_SWEEP:
+        part = store.topk_adc(
+            qs, k=SIM_TOPK, nprobe=np_, refine=IVFPQ_REFINE
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"), "q_id", "vec_id"
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    hits = (
+        ann.join(exact, ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    # probed-cell member mass per setting: rank cells once by the
+    # serving tie-break (c_sim desc, cell_id), take rn <= nprobe per
+    # sweep row, weight by stored cell sizes
+    qsims = qs.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).join(F.broadcast(store.centroids())).select(
+        "q_id",
+        "cell_id",
+        F.round(S.cosine("q_vec", "c_vec") * 1e6)
+        .cast("long")
+        .alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell_id")
+    )
+    ranked = qsims.withColumn("_rn", F.row_number().over(wq)).select(
+        "q_id", "cell_id", "_rn"
+    )
+    sizes = store.assignment().groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    sweep = spark.createDataFrame(
+        [(int(n),) for n in IVFPQ_NPROBE_SWEEP], "nprobe long"
+    )
+    probed = (
+        ranked.crossJoin(F.broadcast(sweep))
+        .where(F.col("_rn") <= F.col("nprobe"))
+        .join(F.broadcast(sizes), "cell_id")
+        .groupBy("nprobe")
+        .agg(F.sum("n_c").cast("long").alias("probed_n"))
+    )
+    return (
+        probed.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(int(n_q)).cast("long").alias("n_queries"),
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+            floor_div(
+                F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000),
+                F.lit(int(n_q) * SIM_TOPK),
+            ).cast("long").alias("recall_x1e6"),
+            floor_div(
+                F.col("probed_n") * F.lit(1_000_000),
+                F.lit(int(n_q) * int(n_corpus)),
+            ).cast("long").alias("probed_x1e6"),
+        )
+    )
+
+
+def _ivfpq_nprobe_audit_sql() -> str:
+    shortk = SIM_TOPK * IVFPQ_REFINE
+    nps = ", ".join(f"({n})" for n in IVFPQ_NPROBE_SWEEP)
+    return f"""
+WITH {_kmeans_cents_ctes(2)},
+cents AS (SELECT * FROM cents2),
+asim AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.c_vec')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {SIM_QUERY_COUNT}),
+qsim AS (SELECT q.q_id, c.cell_id,
+                {_cos_sql('q.q_vec', 'c.c_vec')} AS c_sim
+         FROM q CROSS JOIN cents c),
+pranked AS (SELECT q_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY c_sim DESC, cell_id) AS rn
+            FROM qsim),
+nps(nprobe) AS (VALUES {nps}),
+probes AS (SELECT n.nprobe, p.q_id, p.cell_id
+           FROM pranked p CROSS JOIN nps n WHERE p.rn <= n.nprobe),
+{_pq_kmeans_ctes()},
+lut AS (
+  SELECT v.vec_id AS q_id, v.s, c.code, SUM(v.q * c.cq) AS pdot
+  FROM subv v JOIN pq{IVFPQ_ITERS} c ON v.s = c.s AND v.j = c.j
+  WHERE v.vec_id < {SIM_QUERY_COUNT}
+  GROUP BY v.vec_id, v.s, c.code),
+cand AS (SELECT p.nprobe, p.q_id, a.vec_id
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE a.vec_id <> p.q_id),
+scored AS (
+  SELECT c.nprobe, c.q_id, c.vec_id, SUM(l.pdot) AS adc
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN lut l ON l.q_id = c.q_id AND l.s = e.s AND l.code = e.code
+  GROUP BY c.nprobe, c.q_id, c.vec_id),
+short AS (SELECT nprobe, q_id, vec_id FROM (
+    SELECT nprobe, q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                              ORDER BY adc DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {shortk}),
+rer AS (
+  SELECT s.nprobe, s.q_id, s.vec_id,
+         {_cos_sql('qe.embedding', 'ce.embedding')} AS sim_x1e6
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ce ON ce.vec_id = s.vec_id),
+ann AS (SELECT nprobe, q_id, vec_id FROM (
+    SELECT nprobe, q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rank
+    FROM rer) WHERE rank <= {SIM_TOPK}),
+esims AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(round(({_dot_sql('q.q_vec', 'c.embedding')})
+                    / (({_norm_sql('q.q_vec')}) * ({_norm_sql('c.embedding')}))
+                    * 1e6) AS BIGINT) AS sim_x1e6
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+exact AS (SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rank
+    FROM esims) WHERE rank <= {SIM_TOPK}),
+nq AS (SELECT COUNT(*) AS n_q FROM q),
+nc AS (SELECT COUNT(*) AS n FROM embeddings),
+hits AS (
+  SELECT a.nprobe, COUNT(*)::BIGINT AS hits
+  FROM ann a JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY a.nprobe),
+sizes AS (SELECT cell_id, COUNT(*)::BIGINT AS n_c
+          FROM assigned GROUP BY cell_id),
+probed AS (
+  SELECT p.nprobe, SUM(s.n_c)::BIGINT AS probed_n
+  FROM probes p JOIN sizes s USING (cell_id)
+  GROUP BY p.nprobe)
+SELECT p.nprobe::BIGINT AS nprobe, nq.n_q::BIGINT AS n_queries,
+       COALESCE(h.hits, 0)::BIGINT AS hits,
+       ((COALESCE(h.hits, 0) * 1000000)
+        // (nq.n_q * {SIM_TOPK}))::BIGINT AS recall_x1e6,
+       ((p.probed_n * 1000000) // (nq.n_q * nc.n))::BIGINT AS probed_x1e6
+FROM probed p
+LEFT JOIN hits h USING (nprobe)
+CROSS JOIN nq CROSS JOIN nc
+"""
+
+
+EXT_QUERIES.update({
+    "ivfpq_nprobe_audit": (
+        q_ivfpq_nprobe_audit, _ivfpq_nprobe_audit_sql(),
     ),
 })
