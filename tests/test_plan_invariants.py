@@ -42,6 +42,14 @@ _NLJ_OVERRIDES = {
     # each replan the upstream — the same ONE scalar join printed
     # four times, never a wide build side
     "pipeline_modern_curation": 4,
+    # the ANN serving audits union one topk_adc plan PER SWEPT
+    # SETTING; every branch carries the same keyless broadcast of the
+    # 16-row centroid table (the coarse-probe join — build side is
+    # n_cells rows by construction) plus the sweep-literal cross join
+    # (4 rows / 16 rows). Wide per-branch work is the ADC equi-join;
+    # the NLJs are all constant-size build sides
+    "ivfpq_nprobe_audit": 5,
+    "ivfpq_serving_grid": 9,
 }
 
 

@@ -11115,12 +11115,19 @@ def q_unigram_segment(spark, sf_dir):
     )
 
 
-def _unigram_ctes() -> str:
+def _unigram_ctes(fit_where: str = "") -> str:
     """The full unigram-LM trainer as unrolled CTEs: words, seed,
     then per EM round r: cost{r} (exact-integer log2 chain via
     log2_fix_cte), dp{r}_0..{UNI_MAX_WORD} (Viterbi forward DP,
     min/arg_min on the cost*64+start composite), seg{r}, used{r},
-    voc{r+1}; finally cost{R} for the served model."""
+    voc{r+1}; finally cost{R} for the served model.
+
+    ``fit_where`` (e.g. ``"WHERE doc_id < 250"``) restricts the FIT
+    corpus — seed substrings and every EM round run over the base
+    slice's words only — without touching the full-corpus ``words``
+    CTE the callers' serving DP and doc joins read: the frozen-model
+    shape of the TokenLedgerStore (the _pq_kmeans_ctes fit_where
+    convention)."""
     from .operators import unigram as U
 
     L, V, R, W = (
@@ -11130,15 +11137,24 @@ def _unigram_ctes() -> str:
         U.UNI_MAX_WORD,
     )
     lens = ", ".join(f"({l})" for l in range(1, L + 1))
+    fw = "fwords" if fit_where else "words"
     parts = [
         """words AS MATERIALIZED (
   SELECT w, COUNT(*)::BIGINT AS cnt
   FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
         FROM documents) t
   WHERE w <> '' GROUP BY w)""",
+    ]
+    if fit_where:
+        parts.append(f"""fwords AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents {fit_where}) t
+  WHERE w <> '' GROUP BY w)""")
+    parts += [
         f"""subs AS MATERIALIZED (
   SELECT substring(w, p.p, l.l) AS piece, SUM(cnt)::BIGINT AS c
-  FROM words, unnest(generate_series(1, length(w))) p(p),
+  FROM {fw}, unnest(generate_series(1, length(w))) p(p),
        (VALUES {lens}) l(l)
   WHERE p.p + l.l - 1 <= length(w)
   GROUP BY piece)""",
@@ -11160,7 +11176,7 @@ def _unigram_ctes() -> str:
 )})"""
         )
         parts.extend(
-            _unigram_viterbi_blocks(f"cost{r}", f"dp{r}_")
+            _unigram_viterbi_blocks(f"cost{r}", f"dp{r}_", words_cte=fw)
         )
         parts.append(f"""used{r} AS MATERIALIZED (
   SELECT piece, SUM(cnt)::BIGINT AS c FROM (
@@ -11262,17 +11278,21 @@ GROUP BY doc_id
 """
 
 
-def _unigram_viterbi_blocks(cost_cte: str, prefix: str) -> list[str]:
+def _unigram_viterbi_blocks(
+    cost_cte: str, prefix: str, words_cte: str = "words"
+) -> list[str]:
     """One full Viterbi forward-DP pass as CTE blocks — used for
     every EM round and for the final serving read (same generator,
-    different cost table)."""
+    different cost table; ``words_cte`` restricts the segmented word
+    set, e.g. the frozen-model fit runs over the base slice's words
+    while the serving read runs over the full corpus's)."""
     from .operators import unigram as U
 
     L, W = U.UNI_MAX_PIECE, U.UNI_MAX_WORD
     blocks = [
         f"""{prefix}0 AS (
   SELECT w, cnt, 0::BIGINT AS cost, '' AS seg
-  FROM words WHERE length(w) <= {W})"""
+  FROM {words_cte} WHERE length(w) <= {W})"""
     ]
     for i in range(1, W + 1):
         arms = []
@@ -16682,7 +16702,12 @@ def q_sample_token_budget_mix(spark, sf_dir):
     )
 
 
-def _sample_token_budget_mix_sql() -> str:
+def _sample_token_budget_mix_sql(fit_where: str = "") -> str:
+    """The token-budget mixer replay: tokenizer fit (optionally
+    restricted to a base slice — the frozen-ledger shape), full-corpus
+    serving DP, per-doc token sums, tempered quotas, prefix-sum
+    admission. One generator for both the from-scratch and the
+    store-served/incremental gates."""
     from .operators import unigram as U
 
     R = U.UNI_EM_ROUNDS
@@ -16692,7 +16717,7 @@ def _sample_token_budget_mix_sql() -> str:
         "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
     )
     return f"""
-WITH {_unigram_ctes()},
+WITH {_unigram_ctes(fit_where)},
 {final_dp},
 docw AS (
   SELECT doc_id, source, w FROM (
@@ -16927,5 +16952,241 @@ CROSS JOIN nq CROSS JOIN nc
 EXT_QUERIES.update({
     "ivfpq_nprobe_audit": (
         q_ivfpq_nprobe_audit, _ivfpq_nprobe_audit_sql(),
+    ),
+})
+
+
+def _tokledger_store(spark, sf_dir):
+    """Persisted TokenLedgerStore for ``sf_dir``'s documents: the
+    unigram model FIT ON THE BASE SLICE (doc_id < {FPSTORE_BASE}) and
+    frozen; the increment priced against the frozen model and absorbed
+    (O(increment) — one Viterbi projection over the increment's
+    distinct words, no refit). Cache-keyed and staleness-gated through
+    the shared builder seam."""
+    import os
+
+    from .operators.token_ledger import TokenLedgerStore
+    from .operators.vector_index import files_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(store):
+        docs = _docs(spark, sf_dir)
+        store.fit_base(docs.where(F.col("doc_id") < FPSTORE_BASE))
+        store.absorb(docs.where(F.col("doc_id") >= FPSTORE_BASE))
+
+    return _cached_store(
+        "tss_tokledger_store",
+        f"{os.path.realpath(src)}:{FPSTORE_BASE}:tokledger-v1"
+        f":b={TOKMIX_BUDGET}",
+        files_fingerprint(src) + ":2abs",
+        lambda root: TokenLedgerStore(spark, root),
+        build,
+    )
+
+
+def q_tokmix_incremental(spark, sf_dir):
+    """Token-budgeted mixture SERVED FROM THE PERSISTED LEDGER under a
+    FROZEN tokenizer — the production shape of
+    sample_token_budget_mix: the unigram model was fit ONCE on the
+    base slice (doc_id < {FPSTORE_BASE}) and frozen (retraining would
+    re-price history and silently shift every served budget); the
+    increment was priced under that frozen model at absorb time
+    (operators/token_ledger.py — one Viterbi projection over the
+    increment's distinct words + one broadcast join, O(increment));
+    the serving read is one scan of the ledger + the tempered-quota
+    prefix admission, touching no raw text. The oracle refits the
+    base-slice model from raw text, prices the WHOLE corpus under it,
+    and replays quotas + admission — a green hash proves frozen-model
+    absorbs compose to exactly the from-scratch pricing, the
+    daily-ingest correctness contract for token accounting."""
+    store = _tokledger_store(spark, sf_dir)
+    return SP.token_budget_mix(
+        store.ledger(), "source", "doc_id", "n_tokens",
+        TOKMIX_BUDGET, temperature=2,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "mix_rank",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "quota",
+    )
+
+
+EXT_QUERIES.update({
+    "tokmix_incremental": (
+        q_tokmix_incremental,
+        _sample_token_budget_mix_sql(
+            fit_where=f"WHERE doc_id < {FPSTORE_BASE}"
+        ),
+    ),
+})
+
+
+IVFPQ_REFINE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ivfpq_serving_grid(spark, sf_dir):
+    """The FULL IVF-PQ serving-contract map: recall measured over the
+    (nprobe x refine) grid {IVFPQ_NPROBE_SWEEP} x {IVFPQ_REFINE_SWEEP}
+    against the exact brute-force top-k — the 2-D completion of
+    ivfpq_nprobe_audit's 1-D sweep, and the datum that EXPLAINS its
+    saturation dip: at fixed refine the ADC shortlist (k * refine
+    rows) gets crowded as nprobe adds candidates whose quantized
+    scores outrank true neighbors, so recall declines past the knee;
+    walking the refine axis shows the shortlist budget that buys the
+    recall back. refine=1 is the no-rerank serving mode (the ADC
+    top-k IS the answer set — identical set to reranking a k-row
+    shortlist, so one oracle path covers both modes). A green hash
+    covers codebook training, encode, all 16 grid cells' ADC +
+    rerank, the exact ground truth, and the ratio arithmetic. At
+    100 TB this grid — run on an audit sample — is the serving-tier
+    capacity-planning table: pick the cheapest (nprobe, refine) cell
+    meeting the recall SLO."""
+    from .operators.analytics import floor_div
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
+    store = _ivfpq_index(spark, sf_dir)
+    n_q = qs.count()
+    exact = S.brute_force_topk(qs, emb, k=SIM_TOPK).select(
+        "q_id", "vec_id"
+    )
+    ann = None
+    for np_ in IVFPQ_NPROBE_SWEEP:
+        for rf in IVFPQ_REFINE_SWEEP:
+            part = store.topk_adc(
+                qs, k=SIM_TOPK, nprobe=np_, refine=rf
+            ).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(rf).cast("long").alias("refine"),
+                "q_id",
+                "vec_id",
+            )
+            ann = part if ann is None else ann.unionByName(part)
+    hits = (
+        ann.join(exact, ["q_id", "vec_id"])
+        .groupBy("nprobe", "refine")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    grid = spark.createDataFrame(
+        [
+            (int(n), int(r))
+            for n in IVFPQ_NPROBE_SWEEP
+            for r in IVFPQ_REFINE_SWEEP
+        ],
+        "nprobe long, refine long",
+    )
+    return grid.join(hits, ["nprobe", "refine"], "left").select(
+        "nprobe",
+        "refine",
+        F.lit(int(n_q)).cast("long").alias("n_queries"),
+        (F.lit(SIM_TOPK) * F.col("refine")).cast("long").alias(
+            "shortlist_k"
+        ),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        floor_div(
+            F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000),
+            F.lit(int(n_q) * SIM_TOPK),
+        ).cast("long").alias("recall_x1e6"),
+    )
+
+
+def _ivfpq_serving_grid_sql() -> str:
+    nps = ", ".join(f"({n})" for n in IVFPQ_NPROBE_SWEEP)
+    rfs = ", ".join(f"({r})" for r in IVFPQ_REFINE_SWEEP)
+    return f"""
+WITH {_kmeans_cents_ctes(2)},
+cents AS (SELECT * FROM cents2),
+asim AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.c_vec')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT cell_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM asim) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {SIM_QUERY_COUNT}),
+qsim AS (SELECT q.q_id, c.cell_id,
+                {_cos_sql('q.q_vec', 'c.c_vec')} AS c_sim
+         FROM q CROSS JOIN cents c),
+pranked AS (SELECT q_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY c_sim DESC, cell_id) AS rn
+            FROM qsim),
+nps(nprobe) AS (VALUES {nps}),
+rfs(refine) AS (VALUES {rfs}),
+probes AS (SELECT n.nprobe, p.q_id, p.cell_id
+           FROM pranked p CROSS JOIN nps n WHERE p.rn <= n.nprobe),
+{_pq_kmeans_ctes()},
+lut AS (
+  SELECT v.vec_id AS q_id, v.s, c.code, SUM(v.q * c.cq) AS pdot
+  FROM subv v JOIN pq{IVFPQ_ITERS} c ON v.s = c.s AND v.j = c.j
+  WHERE v.vec_id < {SIM_QUERY_COUNT}
+  GROUP BY v.vec_id, v.s, c.code),
+cand AS (SELECT p.nprobe, p.q_id, a.vec_id
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE a.vec_id <> p.q_id),
+scored AS (
+  SELECT c.nprobe, c.q_id, c.vec_id, SUM(l.pdot) AS adc
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN lut l ON l.q_id = c.q_id AND l.s = e.s AND l.code = e.code
+  GROUP BY c.nprobe, c.q_id, c.vec_id),
+sranked AS (
+  SELECT nprobe, q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                            ORDER BY adc DESC, vec_id) AS rn
+  FROM scored),
+short AS (SELECT r.refine, s.nprobe, s.q_id, s.vec_id
+          FROM sranked s CROSS JOIN rfs r
+          WHERE s.rn <= {SIM_TOPK} * r.refine),
+rer AS (
+  SELECT s.nprobe, s.refine, s.q_id, s.vec_id,
+         {_cos_sql('qe.embedding', 'ce.embedding')} AS sim_x1e6
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ce ON ce.vec_id = s.vec_id),
+ann AS (SELECT nprobe, refine, q_id, vec_id FROM (
+    SELECT nprobe, refine, q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, refine, q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rank
+    FROM rer) WHERE rank <= {SIM_TOPK}),
+esims AS (
+  SELECT q.q_id, c.vec_id,
+         CAST(round(({_dot_sql('q.q_vec', 'c.embedding')})
+                    / (({_norm_sql('q.q_vec')}) * ({_norm_sql('c.embedding')}))
+                    * 1e6) AS BIGINT) AS sim_x1e6
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+exact AS (SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim_x1e6 DESC, vec_id) AS rank
+    FROM esims) WHERE rank <= {SIM_TOPK}),
+nq AS (SELECT COUNT(*) AS n_q FROM q),
+hits AS (
+  SELECT a.nprobe, a.refine, COUNT(*)::BIGINT AS hits
+  FROM ann a JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY a.nprobe, a.refine),
+grid AS (SELECT nprobe, refine FROM nps CROSS JOIN rfs)
+SELECT g.nprobe::BIGINT AS nprobe, g.refine::BIGINT AS refine,
+       nq.n_q::BIGINT AS n_queries,
+       ({SIM_TOPK} * g.refine)::BIGINT AS shortlist_k,
+       COALESCE(h.hits, 0)::BIGINT AS hits,
+       ((COALESCE(h.hits, 0) * 1000000)
+        // (nq.n_q * {SIM_TOPK}))::BIGINT AS recall_x1e6
+FROM grid g
+LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.refine = g.refine
+CROSS JOIN nq
+"""
+
+
+EXT_QUERIES.update({
+    "ivfpq_serving_grid": (
+        q_ivfpq_serving_grid, _ivfpq_serving_grid_sql(),
     ),
 })
