@@ -268,3 +268,112 @@ def test_unigram_excluded_zero_when_all_words_fit(spark):
     row = unigram_excluded(wc).collect()[0]
     assert row["n_excluded_words"] == 0
     assert row["n_excluded_occurrences"] == 0
+
+
+# -- epochs plan --------------------------------------------------------------
+
+
+def _ref_epochs(rows, budget, temperature=2):
+    import math
+
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for key, i, tok in rows:
+        by_key.setdefault(key, []).append((i, tok))
+    totals = {k: sum(t for _, t in v) for k, v in by_key.items()}
+    assert temperature == 2
+    w = {k: math.floor(math.sqrt(n) * 1e6) for k, n in totals.items()}
+    tw = sum(w.values())
+    out = {}
+    for k, members in by_key.items():
+        quota = (budget * w[k]) // tw
+        full = quota // totals[k]
+        rem = quota - full * totals[k]
+        members.sort(key=lambda it: (_h(it[0]), it[0]))
+        pd = pt = cum = 0
+        for i, tok in members:
+            if cum >= rem:
+                break
+            cum += tok
+            pd += 1
+            pt += tok
+        out[k] = (
+            len(members), totals[k], quota, full, pd, pt,
+            full * totals[k] + pt,
+        )
+    return out
+
+
+def test_epochs_plan_matches_naive_reference(spark):
+    from time_series_storage_spark.operators.split import epochs_plan
+
+    rows = [
+        (f"s{g}", g * 1000 + i, 1 + (i * 5 + g) % 30)
+        for g in range(4)
+        for i in range((g + 1) * 25)
+    ]
+    got = {
+        r["src"]: (
+            r["n_docs"], r["n_tokens"], r["quota"], r["epochs_full"],
+            r["partial_docs"], r["partial_tokens"], r["served_tokens"],
+        )
+        for r in epochs_plan(
+            _mix_df(spark, rows).repartition(8), "src", "id", "tok", 9000
+        ).collect()
+    }
+    assert got == _ref_epochs(rows, 9000)
+    # replication is active somewhere and never undershoots the quota
+    # by a full division step
+    assert any(v[3] >= 1 for v in got.values())
+    for n_docs, n_tok, quota, full, pd, pt, served in got.values():
+        rem = quota - full * n_tok
+        assert (served >= quota) if rem > 0 else (served == quota)
+
+
+def test_epochs_plan_exact_division_serves_exactly(spark):
+    from time_series_storage_spark.operators.split import epochs_plan
+
+    # one key, quota an exact multiple of the mass: rem = 0, no
+    # partial epoch, served == quota
+    rows = [("a", i, 10) for i in range(10)]  # mass 100
+    r = epochs_plan(_mix_df(spark, rows), "src", "id", "tok", 300).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (
+        row["quota"], row["epochs_full"], row["partial_docs"],
+        row["partial_tokens"], row["served_tokens"],
+    ) == (300, 3, 0, 0, 300)
+
+
+def test_epochs_plan_subunit_quota_is_mixer_prefix(spark):
+    from time_series_storage_spark.operators.split import (
+        epochs_plan,
+        token_budget_mix,
+    )
+
+    # when quota < mass for every key (epochs_full = 0), the partial
+    # epoch IS the mixer's admitted set — the two operators agree on
+    # the shared prefix semantics
+    rows = [
+        (f"s{g}", g * 100 + i, 2 + (i + g) % 7)
+        for g in range(3)
+        for i in range(40)
+    ]
+    budget = 90
+    plan = {
+        r["src"]: (r["partial_docs"], r["partial_tokens"])
+        for r in epochs_plan(
+            _mix_df(spark, rows), "src", "id", "tok", budget
+        ).collect()
+    }
+    mix = token_budget_mix(
+        _mix_df(spark, rows), "src", "id", "tok", budget
+    )
+    agg = {
+        r["src"]: (r["n"], r["t"])
+        for r in mix.groupBy("src")
+        .agg(
+            F.count("*").alias("n"), F.sum("tok").alias("t")
+        )
+        .collect()
+    }
+    assert plan == agg

@@ -339,6 +339,58 @@ def waterfill_mix(
     ).withColumnRenamed("_rank", "mix_rank")
 
 
+def _tempered_token_quota(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    total_budget: int,
+    temperature: int,
+    ctx: str,
+) -> DataFrame:
+    """Shared tempered-TOKEN quota table of the token samplers
+    (:func:`token_budget_mix`, :func:`epochs_plan`): one row per key
+    with (key, n_docs, n_tokens, quota) where ``quota =
+    (total_budget * w) // sum(w)``, ``w = floor(tokens^(1/T) * 1e6)``.
+    T restricted to {1, 2, 4} — the exactness contract of
+    :func:`temperature_mix` (identity / correctly-rounded sqrt
+    chains); anything else raises loudly naming the caller. One
+    partial-aggregated exchange + a one-row broadcast total."""
+    if temperature not in (1, 2, 4):
+        raise ValueError(
+            f"{ctx}: temperature={temperature!r} is not cross-engine "
+            "exact; supported temperatures are 1, 2 and 4 (identity "
+            "or correctly-rounded sqrt chains)"
+        )
+    from .analytics import floor_div
+
+    toks = F.col(tokens_col).cast("long")
+    totals = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).alias("_tok"),
+    )
+    if temperature == 1:
+        w = F.col("_tok") * F.lit(1_000_000)
+    elif temperature == 2:
+        w = F.floor(F.sqrt(F.col("_tok")) * F.lit(1e6)).cast("long")
+    else:
+        w = (
+            F.floor(F.sqrt(F.sqrt(F.col("_tok"))) * F.lit(1e6))
+            .cast("long")
+        )
+    weights = totals.select(
+        F.col(key_col), "n_docs", F.col("_tok"), w.alias("_w")
+    )
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    return weights.crossJoin(F.broadcast(total)).select(
+        F.col(key_col),
+        "n_docs",
+        F.col("_tok").cast("long").alias("n_tokens"),
+        floor_div(F.lit(int(total_budget)) * F.col("_w"), F.col("_tw"))
+        .cast("long")
+        .alias("quota"),
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     key_col: str,
@@ -393,36 +445,14 @@ def token_budget_mix(
     within the key), ``cum_tokens`` (inclusive running token sum —
     the quota-fill audit column), ``quota`` (the key's token quota).
     """
-    if temperature not in (1, 2, 4):
-        raise ValueError(
-            f"token_budget_mix: temperature={temperature!r} is not "
-            "cross-engine exact; supported temperatures are 1, 2 and 4 "
-            "(identity or correctly-rounded sqrt chains)"
-        )
     from pyspark.sql import Window
 
-    from .analytics import floor_div
-
-    toks = F.col(tokens_col).cast("long")
-    totals = df.groupBy(key_col).agg(F.sum(toks).alias("_tok"))
-    if temperature == 1:
-        w = F.col("_tok") * F.lit(1_000_000)
-    elif temperature == 2:
-        w = F.floor(F.sqrt(F.col("_tok")) * F.lit(1e6)).cast("long")
-    else:
-        w = (
-            F.floor(F.sqrt(F.sqrt(F.col("_tok"))) * F.lit(1e6))
-            .cast("long")
-        )
-    weights = totals.select(F.col(key_col), w.alias("_w"))
-    total = weights.agg(F.sum("_w").alias("_tw"))
-    quota = weights.crossJoin(F.broadcast(total)).select(
-        F.col(key_col),
-        floor_div(F.lit(int(total_budget)) * F.col("_w"), F.col("_tw"))
-        .cast("long")
-        .alias("quota"),
+    quota = _tempered_token_quota(
+        df, key_col, tokens_col, total_budget, temperature,
+        ctx="token_budget_mix",
     )
-    capped = df.join(F.broadcast(quota), key_col)
+    toks = F.col(tokens_col).cast("long")
+    capped = df.join(F.broadcast(quota.select(key_col, "quota")), key_col)
     order = [split_bucket_raw(id_col, salt), F.col(id_col)]
     # phase 1: per-(key, source-partition) local prefix prune
     w_local = (
@@ -444,6 +474,110 @@ def token_budget_mix(
         )
         .withColumn("cum_tokens", F.sum(toks).over(w_cum).cast("long"))
         .where(F.col("cum_tokens") - toks < F.col("quota"))
+    )
+
+
+def epochs_plan(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    tokens_col: str,
+    total_budget: int,
+    temperature: int = 2,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-key EPOCHS TABLE when the token quota EXCEEDS what a key
+    has — the other half of token budgeting (:func:`token_budget_mix`
+    handles quota < mass; this handles quota >= mass, where a pipeline
+    REPLICATES the source). This is the 'epochs per source' table
+    LLM data cards publish: a quota of 3.4x a source's token mass
+    means 3 full passes plus a partial epoch holding the first docs
+    (in the same derandomized hash order the mixer admits by) whose
+    token prefix covers the remainder.
+
+    All integer: ``epochs_full = quota // n_tokens``, ``rem = quota -
+    epochs_full * n_tokens``; the partial epoch admits by the
+    boundary-inclusive prefix rule (first doc crossing ``rem`` is in,
+    so ``served_tokens = epochs_full * n_tokens + partial_tokens >=
+    quota`` whenever ``rem > 0`` — replication never undershoots by
+    more than the floor division; ``rem = 0`` serves exactly).
+
+    Plan shape: the quota table is one row per key
+    (:func:`_tempered_token_quota`); the partial-epoch admission is
+    the same exact two-phase prefix prune as the mixer (survivors
+    bounded by ~rem/min_tokens per key), and the final output is one
+    aggregated row per key: (key, n_docs, n_tokens, quota,
+    epochs_full, partial_docs, partial_tokens, served_tokens).
+    """
+    from pyspark.sql import Window
+
+    from .analytics import floor_div
+
+    quota = _tempered_token_quota(
+        df, key_col, tokens_col, total_budget, temperature,
+        ctx="epochs_plan",
+    ).select(
+        F.col(key_col),
+        "n_docs",
+        "n_tokens",
+        "quota",
+        floor_div(F.col("quota"), F.col("n_tokens"))
+        .cast("long")
+        .alias("epochs_full"),
+        (
+            F.col("quota")
+            - floor_div(F.col("quota"), F.col("n_tokens"))
+            * F.col("n_tokens")
+        ).cast("long").alias("_rem"),
+    )
+    toks = F.col(tokens_col).cast("long")
+    capped = df.join(
+        F.broadcast(quota.select(key_col, "_rem")), key_col
+    )
+    order = [split_bucket_raw(id_col, salt), F.col(id_col)]
+    w_local = (
+        Window.partitionBy(key_col, F.spark_partition_id())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = (
+        capped.withColumn("_lcum", F.sum(toks).over(w_local))
+        .where(F.col("_lcum") - toks < F.col("_rem"))
+        .drop("_lcum")
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        survivors.withColumn("_cum", F.sum(toks).over(w_cum))
+        .where(F.col("_cum") - toks < F.col("_rem"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("partial_docs"),
+            F.sum(toks).cast("long").alias("partial_tokens"),
+        )
+    )
+    return (
+        quota.join(partial, key_col, "left")
+        .select(
+            F.col(key_col),
+            "n_docs",
+            "n_tokens",
+            "quota",
+            "epochs_full",
+            F.coalesce("partial_docs", F.lit(0))
+            .cast("long")
+            .alias("partial_docs"),
+            F.coalesce("partial_tokens", F.lit(0))
+            .cast("long")
+            .alias("partial_tokens"),
+            (
+                F.col("epochs_full") * F.col("n_tokens")
+                + F.coalesce("partial_tokens", F.lit(0))
+            ).cast("long").alias("served_tokens"),
+        )
     )
 
 

@@ -17190,3 +17190,95 @@ EXT_QUERIES.update({
         q_ivfpq_serving_grid, _ivfpq_serving_grid_sql(),
     ),
 })
+
+
+EPOCHS_BUDGET = 300_000  # token budget > corpus mass: replication active
+
+
+def q_sample_epochs_plan(spark, sf_dir):
+    """The per-source EPOCHS TABLE (operators/split.py:epochs_plan) —
+    what an LLM data card publishes when the token budget EXCEEDS the
+    corpus: tempered per-source quotas (T=2 over token mass, the
+    sample_token_budget_mix rule) divided into full passes + a
+    partial epoch whose membership is the same derandomized
+    hash-order prefix the mixer admits by. Token prices come from the
+    PERSISTED frozen-tokenizer ledger (operators/token_ledger.py), so
+    the serving read touches no raw text and composes with
+    tokmix_incremental's store. The oracle refits the base-slice
+    model, prices the corpus, and replays quotas, floor-division
+    epochs and the partial-epoch prefix — every number on the card is
+    under the hash. Output: one row per source (n_docs, n_tokens,
+    quota, epochs_full, partial_docs, partial_tokens,
+    served_tokens)."""
+    store = _tokledger_store(spark, sf_dir)
+    return SP.epochs_plan(
+        store.ledger(), "source", "doc_id", "n_tokens",
+        EPOCHS_BUDGET, temperature=2,
+    )
+
+
+def _sample_epochs_plan_sql() -> str:
+    from .operators import unigram as U
+
+    R = U.UNI_EM_ROUNDS
+    final_dp = ",\n".join(_unigram_viterbi_blocks(f"cost{R}", "fdp_"))
+    rk = (
+        "CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH {_unigram_ctes(f"WHERE doc_id < {FPSTORE_BASE}")},
+{final_dp},
+docw AS (
+  SELECT doc_id, source, w FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents) t WHERE w <> ''),
+doctok AS (
+  SELECT doc_id, source, SUM(np)::BIGINT AS n_tokens
+  FROM docw
+  JOIN (SELECT w, len(string_split(seg, '|'))::BIGINT AS np
+        FROM fdp_fin) s USING (w)
+  GROUP BY doc_id, source),
+totals AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+                  SUM(n_tokens)::BIGINT AS n_tokens
+           FROM doctok GROUP BY source),
+wt AS (SELECT source, n_docs, n_tokens,
+              CAST(FLOOR(sqrt(n_tokens) * 1e6) AS BIGINT) AS w
+       FROM totals),
+tot AS (SELECT SUM(w) AS tw FROM wt),
+eq AS (SELECT source, n_docs, n_tokens,
+              ({EPOCHS_BUDGET} * w) // tw AS quota,
+              (({EPOCHS_BUDGET} * w) // tw) // n_tokens AS epochs_full,
+              ({EPOCHS_BUDGET} * w) // tw
+                - ((({EPOCHS_BUDGET} * w) // tw) // n_tokens)
+                  * n_tokens AS rem
+       FROM wt CROSS JOIN tot),
+r AS (
+  SELECT doc_id, source, n_tokens AS dt,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY {rk}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM doctok),
+part AS (
+  SELECT r.source, COUNT(*)::BIGINT AS partial_docs,
+         SUM(r.dt)::BIGINT AS partial_tokens
+  FROM r JOIN eq USING (source)
+  WHERE r.cum - r.dt < eq.rem
+  GROUP BY r.source)
+SELECT e.source, e.n_docs, e.n_tokens,
+       e.quota::BIGINT AS quota,
+       e.epochs_full::BIGINT AS epochs_full,
+       COALESCE(p.partial_docs, 0)::BIGINT AS partial_docs,
+       COALESCE(p.partial_tokens, 0)::BIGINT AS partial_tokens,
+       (e.epochs_full * e.n_tokens
+        + COALESCE(p.partial_tokens, 0))::BIGINT AS served_tokens
+FROM eq e LEFT JOIN part p USING (source)
+"""
+
+
+EXT_QUERIES.update({
+    "sample_epochs_plan": (
+        q_sample_epochs_plan, _sample_epochs_plan_sql(),
+    ),
+})
