@@ -197,3 +197,47 @@ def test_long_word_excluded_from_prices_and_countable(spark, tmp_path):
         words_with_counts(_df(spark, inc))
     ).collect()[0]
     assert row["n_excluded_words"] == 1  # the silent-deflation guard
+
+
+def test_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end: a file stream priced-then-absorbed through the
+    FROZEN model via foreachBatch — two real micro-batches, each
+    emission carrying its batch's prices, final ledger equal to the
+    batch-built one and the model untouched throughout."""
+    store = TokenLedgerStore(spark, str(tmp_path / "s"))
+    store.fit_base(_df(spark, BASE))
+    model_before = sorted(map(tuple, store.model().collect()))
+
+    src = str(tmp_path / "feed")
+    _df(spark, INC[:1]).coalesce(1).write.parquet(src + "/f0")
+    _df(spark, INC[1:]).coalesce(1).write.parquet(src + "/f1")
+
+    emitted = {}
+
+    def emit(df, bid):
+        emitted[bid] = {r.doc_id: r.n_tokens for r in df.collect()}
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "source", "text", emit)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert len(emitted) == 2
+    by_doc = {}
+    for prices in emitted.values():
+        by_doc.update(prices)
+    want = _expected_prices(spark, BASE, INC)
+    assert by_doc == {d: t for (d, _s), t in want.items()}
+    assert _ledger(store) == _expected_prices(spark, BASE, BASE + INC)
+    # frozen contract survives the stream: model bit-identical
+    assert sorted(map(tuple, store.model().collect())) == model_before

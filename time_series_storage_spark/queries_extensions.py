@@ -17282,3 +17282,101 @@ EXT_QUERIES.update({
         q_sample_epochs_plan, _sample_epochs_plan_sql(),
     ),
 })
+
+
+_TOKLED_STREAM_STORES: dict = {}
+
+
+def _tokledger_streamed_store(spark, sf_dir):
+    """A TokenLedgerStore whose increments arrive BY STRUCTURED
+    STREAMING: the model is fit once on the base slice (fit is a
+    one-time batch act by design — the frozen contract), then the
+    increment is staged as two parquet files (split mid-increment)
+    and streamed with maxFilesPerTrigger=1 through the store's
+    exactly-once ``foreach_batch`` sink — two real micro-batches,
+    each priced under the frozen model at arrival and committed under
+    its batch id. Every downstream read serves from committed store
+    state only (the _qsk_streamed_store discipline applied to token
+    accounting)."""
+    import tempfile
+
+    from .operators.token_ledger import TokenLedgerStore
+
+    key = (id(spark), sf_dir)
+    if key in _TOKLED_STREAM_STORES:
+        return _TOKLED_STREAM_STORES[key]
+    work = tempfile.mkdtemp(prefix="tss_tokled_streamed_")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    # split the increment mid-range so both micro-batches are real
+    # (one tiny build-time aggregate; never part of the serving read)
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    mid = FPSTORE_BASE + max(1, (max_id + 1 - FPSTORE_BASE) // 2)
+    docs.where(
+        (F.col("doc_id") >= FPSTORE_BASE) & (F.col("doc_id") < mid)
+    ).coalesce(1).write.parquet(f"{work}/src/f1")
+    docs.where(F.col("doc_id") >= mid).coalesce(1).write.parquet(
+        f"{work}/src/f2"
+    )
+    store = TokenLedgerStore(spark, f"{work}/store")
+    store.fit_base(docs.where(F.col("doc_id") < FPSTORE_BASE))
+    schema = spark.read.parquet(f"{work}/src/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch(
+                "doc_id", "source", "text", lambda df, b: None
+            )
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "_tokledger_streamed_store: availableNow stream did not "
+            "finish within 300s; refusing to serve a "
+            "partially-absorbed ledger"
+        )
+    _TOKLED_STREAM_STORES[key] = store
+    return store
+
+
+def q_tokmix_streamed(spark, sf_dir):
+    """tokmix_incremental's read SERVED FROM THE STREAM-MAINTAINED
+    LEDGER: the frozen base-fit model priced two real micro-batches
+    of arriving documents through the exactly-once foreachBatch sink
+    (operators/token_ledger.py:foreach_batch), and the budget mixer
+    runs over committed ledger state with raw text never touched at
+    query time. The oracle is UNCHANGED from tokmix_incremental
+    (refit base model, price the whole corpus, replay quotas +
+    admission), so a green hash proves stream-absorb under the frozen
+    model == batch absorb == from-scratch pricing — token accounting
+    joins the sketch store (qsk_p99_streamed) in the
+    streaming-serving family."""
+    store = _tokledger_streamed_store(spark, sf_dir)
+    return SP.token_budget_mix(
+        store.ledger(), "source", "doc_id", "n_tokens",
+        TOKMIX_BUDGET, temperature=2,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "mix_rank",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "quota",
+    )
+
+
+EXT_QUERIES.update({
+    "tokmix_streamed": (
+        q_tokmix_streamed,
+        _sample_token_budget_mix_sql(
+            fit_where=f"WHERE doc_id < {FPSTORE_BASE}"
+        ),
+    ),
+})
