@@ -17380,3 +17380,55 @@ EXT_QUERIES.update({
         ),
     ),
 })
+
+
+def q_tokmix_training_order(spark, sf_dir):
+    """The final serialization step of the token pipeline — the
+    deterministic TRAINING ORDER over the admitted mix: sources
+    INTERLEAVED round-robin by admission rank (every source's rank-1
+    document before any rank-2 document, ties broken by source then
+    doc_id), so no source appears as a contiguous block and reruns,
+    engines and partitionings produce the identical sequence — the
+    derandomized shard-shuffle every pipeline performs before packing
+    shards. One global rank window — over the ADMITTED set only,
+    which is budget-bounded by construction (~quota/avg_tokens rows
+    per source, never the corpus), so the single-partition window is
+    a bounded artifact, not a corpus sort. Serves from the persisted
+    frozen-tokenizer ledger; the oracle replays pricing, quotas,
+    admission and the interleave rank. Output: (train_pos, doc_id,
+    source, mix_rank, n_tokens)."""
+    from pyspark.sql import Window
+
+    store = _tokledger_store(spark, sf_dir)
+    sel = SP.token_budget_mix(
+        store.ledger(), "source", "doc_id", "n_tokens",
+        TOKMIX_BUDGET, temperature=2,
+    )
+    w = Window.orderBy("mix_rank", "source", F.col("doc_id"))
+    return sel.select(
+        F.row_number().over(w).cast("long").alias("train_pos"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "mix_rank",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _tokmix_training_order_sql() -> str:
+    mix = _sample_token_budget_mix_sql(
+        fit_where=f"WHERE doc_id < {FPSTORE_BASE}"
+    )
+    return f"""
+WITH adm AS ({mix})
+SELECT ROW_NUMBER() OVER (
+         ORDER BY mix_rank, source, doc_id)::BIGINT AS train_pos,
+       doc_id, source, mix_rank, n_tokens
+FROM adm
+"""
+
+
+EXT_QUERIES.update({
+    "tokmix_training_order": (
+        q_tokmix_training_order, _tokmix_training_order_sql(),
+    ),
+})
