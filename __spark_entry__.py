@@ -24,38 +24,42 @@ from pyspark.sql import DataFrame, SparkSession
 # did NOT cover at the front; long-stable rows rotate to the back and
 # stay covered by pytest (tests/test_extensions_oracle.py runs the full
 # registry at sf0.001) and tools/check_oracle.py sweeps.  Round 13
-# (this session) implements the r12 verdict's rotation exactly: the 7
-# new r13 queries + the 5 r7-stale graph/fuzzy rows + the 38
+# (this session) implements the r12 verdict's rotation exactly: the 9
+# new r13 queries + the 5 r7-stale graph/fuzzy rows + the 36
 # longest-unrotated r8 rows in registry order (computed from the
 # CORRECTNESS artifacts, not by hand).  After a green r13, zero rows
 # are never-gated and the oldest external gate registry-wide advances
-# from r7 to r8 (exactly the twelve r8 rows leading the backlog below
+# from r7 to r8 (exactly the fourteen r8 rows leading the backlog below
 # the line — they lead r14).
 _GATE_PRIORITY = [
     # --- round-13 window (the first 50 are the driver's hard hash
     # --- gate), composed per the r12 verdict's rotation directive,
-    # --- computed from the CORRECTNESS_r01..r12 artifacts. 1-7: the
-    # --- seven NEW r13 queries (token-budgeted mixture sampler; its
-    # --- frozen-ledger store-served and stream-served twins; the
-    # --- deterministic training-order serialization; the per-source
-    # --- epochs plan; IVF-PQ nprobe recall/work audit + the full
-    # --- nprobe x refine serving grid) — never externally gated ---
+    # --- computed from the CORRECTNESS_r01..r12 artifacts. 1-9: the
+    # --- nine NEW r13 queries — the token-accounting pipeline
+    # --- (tempered token mixer; frozen-ledger store-served and
+    # --- stream-served twins; training-order serialization;
+    # --- concatenate-and-cut context packing; epochs plan; UniMax
+    # --- token waterfill) and the ANN serving audits (nprobe
+    # --- recall/work sweep + full nprobe x refine grid) — never
+    # --- externally gated ---
     "sample_token_budget_mix",
     "tokmix_incremental",
     "tokmix_streamed",
     "tokmix_training_order",
+    "tokmix_pack_contexts",
     "sample_epochs_plan",
+    "sample_token_waterfill",
     "ivfpq_nprobe_audit",
     "ivfpq_serving_grid",
-    # --- 8-12: the five r7-stale rows (the graph/CC dedup family +
+    # --- 10-14: the five r7-stale rows (the graph/CC dedup family +
     # --- fuzzy match — last external gate four rounds old) ---
     "decontaminate_bloom",
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_simhash",
     "fuzzy_part_names",
-    # --- 13-50: the 38 longest-unrotated r8 rows, registry order
-    # --- (the remaining twelve r8 rows lead the backlog and r14) ---
+    # --- 15-50: the 36 longest-unrotated r8 rows, registry order
+    # --- (the remaining fourteen r8 rows lead the backlog and r14) ---
     "forecast_revenue_delta",
     "nation_market_share",
     "product_profit",
@@ -92,13 +96,14 @@ _GATE_PRIORITY = [
     "asof_nearest_click",
     "sessionize_user_30m",
     "interval_join_purchase_session",
+    # --- below the 50-row gate line: every remaining row ordered
+    # --- by staleness of its last external gate (the fourteen
+    # --- leftover r8 rows first, then r9, r10, r11, r12 freshest);
+    # --- all keep pytest/sweep coverage
+    # --- (tests/test_extensions_oracle.py runs the FULL registry at
+    # --- sf0.001) ---
     "interval_overlap_incidents",
     "funnel_view_click_purchase",
-    # --- below the 50-row gate line: every remaining row ordered
-    # --- by staleness of its last external gate (the twelve leftover
-    # --- r8 rows first, then r9, r10, r11, r12 freshest); all keep
-    # --- pytest/sweep coverage (tests/test_extensions_oracle.py
-    # --- runs the FULL registry at sf0.001) ---
     "sim_topk_cosine",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",

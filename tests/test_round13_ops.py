@@ -377,3 +377,123 @@ def test_epochs_plan_subunit_quota_is_mixer_prefix(spark):
         .collect()
     }
     assert plan == agg
+
+
+# -- token waterfill ----------------------------------------------------------
+
+
+def _ref_token_waterfill(rows, budget):
+    """Closed-form UniMax waterfill on token masses + prefix
+    admission, replicated via the paper's iterate-smallest-first
+    loop (the independent formulation the closed form must equal)."""
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for key, i, tok in rows:
+        by_key.setdefault(key, []).append((i, tok))
+    masses = {k: sum(t for _, t in v) for k, v in by_key.items()}
+    # iterative water-filling: smallest source first
+    todo = sorted(masses, key=lambda k: (masses[k], k))
+    alloc = {}
+    b = budget
+    while todo:
+        share = b // len(todo)
+        k = todo[0]
+        if masses[k] <= share:
+            alloc[k] = masses[k]
+            b -= masses[k]
+            todo.pop(0)
+        else:
+            # everyone left is capped at the equal share; the floor
+            # remainder goes to the LAST keys in sort order
+            r = b - share * len(todo)
+            for j, kk in enumerate(todo):
+                alloc[kk] = share + (1 if j >= len(todo) - r else 0)
+            todo = []
+    out = {}
+    for k, members in by_key.items():
+        members.sort(key=lambda it: (_h(it[0]), it[0]))
+        cum = 0
+        for rank, (i, tok) in enumerate(members, start=1):
+            if cum >= alloc[k]:
+                break
+            cum += tok
+            out[(k, i)] = (rank, cum, alloc[k])
+    return out
+
+
+def test_token_waterfill_matches_iterative_unimax(spark):
+    from time_series_storage_spark.operators.split import (
+        token_waterfill_mix,
+    )
+
+    # masses straddle the equal share: small keys fit entirely
+    # (redistribution live), large keys capped, remainder nonzero
+    rows = (
+        [("tiny", i, 3) for i in range(10)]          # mass 30
+        + [("small", 100 + i, 5) for i in range(20)]  # mass 100
+        + [("mid", 200 + i, 7) for i in range(50)]    # mass 350
+        + [("big", 300 + i, 9) for i in range(100)]   # mass 900
+    )
+    for budget in (200, 500, 997, 1380, 2000):
+        got = {
+            (r["src"], r["id"]): (r["mix_rank"], r["cum_tokens"], r["alloc"])
+            for r in token_waterfill_mix(
+                _mix_df(spark, rows).repartition(8),
+                "src", "id", "tok", budget,
+            ).collect()
+        }
+        assert got == _ref_token_waterfill(rows, budget), budget
+
+
+def test_token_waterfill_fitting_key_admits_all_exactly(spark):
+    from time_series_storage_spark.operators.split import (
+        token_waterfill_mix,
+    )
+
+    rows = [("a", i, 4) for i in range(5)] + [
+        ("b", 100 + i, 50) for i in range(40)
+    ]
+    sel = token_waterfill_mix(
+        _mix_df(spark, rows), "src", "id", "tok", 600
+    )
+    a_rows = [r for r in sel.collect() if r["src"] == "a"]
+    # source a (mass 20 <= share) fits: every doc admitted, allocation
+    # equals mass, no boundary overshoot
+    assert len(a_rows) == 5
+    assert all(r["alloc"] == 20 for r in a_rows)
+    assert max(r["cum_tokens"] for r in a_rows) == 20
+
+
+# -- context packing ----------------------------------------------------------
+
+
+def test_pack_contexts_layout_invariants(spark):
+    from time_series_storage_spark.queries_extensions import (
+        CTX_LEN,
+        q_tokmix_pack_contexts,
+    )
+
+    rows = q_tokmix_pack_contexts(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    rows.sort(key=lambda r: r["train_pos"])
+    cum = 0
+    for i, r in enumerate(rows, start=1):
+        assert r["train_pos"] == i  # dense positions
+        # placement arithmetic: start/offset recover the prefix sum
+        assert r["ctx_start"] * CTX_LEN + r["ctx_offset"] == cum
+        assert 0 <= r["ctx_offset"] < CTX_LEN
+        cum += r["n_tokens"]
+        last_tok = cum - 1
+        assert (
+            r["n_ctx_spanned"]
+            == last_tok // CTX_LEN - r["ctx_start"] + 1
+        )
+    # the packed stream is gap-free: every context index up to the
+    # last is touched by some document
+    touched = set()
+    for r in rows:
+        touched.update(
+            range(r["ctx_start"], r["ctx_start"] + r["n_ctx_spanned"])
+        )
+    assert touched == set(range((cum - 1) // CTX_LEN + 1))

@@ -445,16 +445,36 @@ def token_budget_mix(
     within the key), ``cum_tokens`` (inclusive running token sum —
     the quota-fill audit column), ``quota`` (the key's token quota).
     """
-    from pyspark.sql import Window
-
     quota = _tempered_token_quota(
         df, key_col, tokens_col, total_budget, temperature,
         ctx="token_budget_mix",
     )
-    toks = F.col(tokens_col).cast("long")
     capped = df.join(F.broadcast(quota.select(key_col, "quota")), key_col)
+    return _prefix_admit(capped, key_col, id_col, tokens_col, "quota", salt)
+
+
+def _prefix_admit(
+    capped: DataFrame,
+    key_col: str,
+    id_col: str,
+    tokens_col: str,
+    quota_col: str,
+    salt: str,
+) -> DataFrame:
+    """Shared EXACT TWO-PHASE prefix admission of the token samplers:
+    ``capped`` already carries the per-row token quota in
+    ``quota_col``; admit rows in (salted-hash, id) order while the
+    EXCLUSIVE token prefix is below the quota (boundary row admitted).
+    Phase 1 prunes on the per-(key, input-partition) local prefix —
+    sound because the global prefix dominates the local one, complete
+    because every hash-order predecessor of an admitted row is itself
+    admitted; phase 2 computes the exact global rank + running sum
+    over the bounded survivors, bit-identical to the naive single
+    window. Adds ``mix_rank`` and ``cum_tokens``."""
+    from pyspark.sql import Window
+
+    toks = F.col(tokens_col).cast("long")
     order = [split_bucket_raw(id_col, salt), F.col(id_col)]
-    # phase 1: per-(key, source-partition) local prefix prune
     w_local = (
         Window.partitionBy(key_col, F.spark_partition_id())
         .orderBy(*order)
@@ -462,10 +482,9 @@ def token_budget_mix(
     )
     survivors = (
         capped.withColumn("_lcum", F.sum(toks).over(w_local))
-        .where(F.col("_lcum") - toks < F.col("quota"))
+        .where(F.col("_lcum") - toks < F.col(quota_col))
         .drop("_lcum")
     )
-    # phase 2: exact global rank + running sum over the survivors
     w_rank = Window.partitionBy(key_col).orderBy(*order)
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -473,7 +492,87 @@ def token_budget_mix(
             "mix_rank", F.row_number().over(w_rank).cast("long")
         )
         .withColumn("cum_tokens", F.sum(toks).over(w_cum).cast("long"))
-        .where(F.col("cum_tokens") - toks < F.col("quota"))
+        .where(F.col("cum_tokens") - toks < F.col(quota_col))
+    )
+
+
+def token_waterfill_mix(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    tokens_col: str,
+    total_budget: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """UniMax water-filling (Chung et al. 2023) in the paper's OWN
+    budget unit — TOKENS: every key gets an equal share of the token
+    budget capped at its actual token mass, with what small keys
+    can't use redistributed to the large ones. :func:`waterfill_mix`
+    is this rule over document counts; real UniMax allocates token
+    budgets, and this operator is that — the same closed form
+    (sorted-prefix threshold k over the G-row token-mass table, floor
+    remainder concentrated on the last keys in sort order, pure
+    integer arithmetic) evaluated on per-key TOKEN sums, followed by
+    the boundary-inclusive hash-order prefix admission
+    (:func:`_prefix_admit`) instead of a row-count top-k: a key's
+    documents enter until their token prefix covers its allocation.
+
+    A fully-fitting key (alloc = its whole mass) admits every
+    document exactly; a capped key overshoots its allocation by at
+    most one boundary document (the :func:`token_budget_mix`
+    convention, so the two allocation rules compose with the same
+    downstream packing/ordering steps).
+
+    Output: admitted rows + ``mix_rank`` + ``cum_tokens`` + ``alloc``
+    (the key's token allocation)."""
+    from pyspark.sql import Window
+
+    from .analytics import floor_div
+
+    toks = F.col(tokens_col).cast("long")
+    counts = df.groupBy(key_col).agg(F.sum(toks).alias("_n"))
+    wo = Window.orderBy(F.col("_n"), F.col(key_col))
+    wall = Window.partitionBy()
+    sized = counts.select(
+        F.col(key_col),
+        "_n",
+        (F.sum("_n").over(wo) - F.col("_n")).alias("_prefix"),
+        F.row_number().over(wo).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("_g"),
+        F.sum("_n").over(wo).alias("_cum"),
+    )
+    b = F.lit(int(total_budget))
+    fits = sized.withColumn(
+        "_fits",
+        (F.col("_prefix") + (F.col("_g") - F.col("_i") + 1) * F.col("_n"))
+        <= b,
+    )
+    krow = fits.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_fits"), F.col("_i"))), F.lit(0)
+        ).alias("_k"),
+        F.coalesce(
+            F.max(F.when(F.col("_fits"), F.col("_cum"))), F.lit(0)
+        ).alias("_prefix_k"),
+    )
+    rem = b - F.col("_prefix_k")
+    m = F.col("_g") - F.col("_k")
+    base = floor_div(rem, m)
+    leftover = rem - base * m
+    alloc = fits.crossJoin(F.broadcast(krow)).select(
+        F.col(key_col),
+        F.when(F.col("_i") <= F.col("_k"), F.col("_n"))
+        .otherwise(
+            base
+            + F.when(F.col("_i") > F.col("_g") - leftover, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    capped = df.join(F.broadcast(alloc), key_col)
+    return _prefix_admit(
+        capped, key_col, id_col, tokens_col, "alloc", salt
     )
 
 

@@ -17432,3 +17432,198 @@ EXT_QUERIES.update({
         q_tokmix_training_order, _tokmix_training_order_sql(),
     ),
 })
+
+
+TOKWF_BUDGET = 86_000  # strictly between G*min_mass (~81k/77k) and the
+                       # total corpus mass (~94k/92k) at both gate
+                       # corpora: the waterfill threshold k > 0 (small
+                       # sources fit entirely, redistribution live) AND
+                       # large sources are capped — every branch of the
+                       # closed form is exercised, not the trivial edges
+
+
+def q_sample_token_waterfill(spark, sf_dir):
+    """UniMax water-filling in the paper's OWN unit — TOKENS
+    (operators/split.py:token_waterfill_mix): equal token share per
+    source capped at the source's actual token mass, small sources'
+    unused share redistributed, all in the closed form (sorted-prefix
+    threshold + floor-remainder-to-last-keys, pure integers); a
+    source's documents then enter by the boundary-inclusive
+    hash-order token prefix until its allocation is covered. The
+    {TOKWF_BUDGET}-token budget deliberately straddles the per-source
+    masses (~4.2k-5.3k tokens each at the gate corpora), so some
+    sources FIT entirely (threshold k > 0 — the redistribution arm is
+    live) while the rest are capped at the redistributed share —
+    every branch of the closed form is under the hash, not just the
+    trivially-capped one. Serves from the persisted frozen-tokenizer
+    ledger; the oracle refits the base model, prices the corpus, and
+    replays the waterfill arithmetic + prefix admission verbatim."""
+    store = _tokledger_store(spark, sf_dir)
+    return SP.token_waterfill_mix(
+        store.ledger(), "source", "doc_id", "n_tokens", TOKWF_BUDGET
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "mix_rank",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "alloc",
+    )
+
+
+def _sample_token_waterfill_sql() -> str:
+    from .operators import unigram as U
+
+    R = U.UNI_EM_ROUNDS
+    final_dp = ",\n".join(_unigram_viterbi_blocks(f"cost{R}", "fdp_"))
+    rk = (
+        "CAST(CONCAT('0x', SUBSTRING(md5(concat('v1:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH {_unigram_ctes(f"WHERE doc_id < {FPSTORE_BASE}")},
+{final_dp},
+docw AS (
+  SELECT doc_id, source, w FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents) t WHERE w <> ''),
+doctok AS (
+  SELECT doc_id, source, SUM(np)::BIGINT AS n_tokens
+  FROM docw
+  JOIN (SELECT w, len(string_split(seg, '|'))::BIGINT AS np
+        FROM fdp_fin) s USING (w)
+  GROUP BY doc_id, source),
+counts AS (SELECT source, SUM(n_tokens) AS n FROM doctok GROUP BY source),
+sized AS (
+  SELECT source, n,
+         SUM(n) OVER w - n AS prefix,
+         ROW_NUMBER() OVER w AS i,
+         COUNT(*) OVER () AS g,
+         SUM(n) OVER w AS cum
+  FROM counts
+  WINDOW w AS (ORDER BY n, source)
+),
+kr AS (SELECT
+         COALESCE(MAX(CASE WHEN prefix + (g - i + 1) * n
+                           <= {TOKWF_BUDGET} THEN i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN prefix + (g - i + 1) * n
+                           <= {TOKWF_BUDGET} THEN cum END), 0) AS pk
+       FROM sized),
+alloc AS (
+  SELECT source,
+         CASE WHEN i <= k THEN n
+              ELSE ({TOKWF_BUDGET} - pk) // (g - k)
+                   + (CASE WHEN i > g - (({TOKWF_BUDGET} - pk)
+                                         - (({TOKWF_BUDGET} - pk)
+                                            // (g - k)) * (g - k))
+                           THEN 1 ELSE 0 END) END AS alloc
+  FROM sized CROSS JOIN kr
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {rk}, doc_id) AS mix_rank,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY {rk}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM doctok)
+SELECT r.doc_id::BIGINT AS doc_id, r.source,
+       r.mix_rank::BIGINT AS mix_rank, r.n_tokens,
+       r.cum_tokens::BIGINT AS cum_tokens, a.alloc::BIGINT AS alloc
+FROM r JOIN alloc a USING (source)
+WHERE r.cum_tokens - r.n_tokens < a.alloc
+"""
+
+
+EXT_QUERIES.update({
+    "sample_token_waterfill": (
+        q_sample_token_waterfill, _sample_token_waterfill_sql(),
+    ),
+})
+
+
+CTX_LEN = 256  # tokens per packed training context
+
+
+def q_tokmix_pack_contexts(spark, sf_dir):
+    """The SHARD-WRITER arithmetic — concatenate-and-cut context
+    packing (the GPT-2/LLaMA pretraining convention: documents
+    concatenated in training order, cut every {CTX_LEN} tokens) over
+    the admitted token mix: each admitted document's exact placement
+    in the packed stream — which context window it starts in
+    (ctx_start), at what token offset (ctx_offset), and how many
+    windows it spans (n_ctx_spanned = 1 + (cum-1)//{CTX_LEN} -
+    ctx_start). Pure integer arithmetic over the training-order
+    cumulative token sum, so the entire physical layout of the
+    training shards is hash-gated before a single byte is written.
+    The global window runs over the ADMITTED set only — budget-
+    bounded by construction, never the corpus. Serves from the
+    persisted frozen-tokenizer ledger. Output: (train_pos, doc_id,
+    source, n_tokens, ctx_start, ctx_offset, n_ctx_spanned)."""
+    from pyspark.sql import Window
+
+    from .operators.analytics import floor_div
+
+    store = _tokledger_store(spark, sf_dir)
+    sel = SP.token_budget_mix(
+        store.ledger(), "source", "doc_id", "n_tokens",
+        TOKMIX_BUDGET, temperature=2,
+    )
+    w = Window.orderBy("mix_rank", "source", F.col("doc_id"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = F.col("n_tokens").cast("long")
+    packed = sel.select(
+        F.row_number().over(w).cast("long").alias("train_pos"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        toks.alias("n_tokens"),
+        F.sum(toks).over(wc).cast("long").alias("_cum"),
+    )
+    start = floor_div(F.col("_cum") - F.col("n_tokens"), F.lit(CTX_LEN))
+    return packed.select(
+        "train_pos",
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.cast("long").alias("ctx_start"),
+        F.pmod(F.col("_cum") - F.col("n_tokens"), F.lit(CTX_LEN))
+        .cast("long")
+        .alias("ctx_offset"),
+        (
+            floor_div(F.col("_cum") - F.lit(1), F.lit(CTX_LEN))
+            - start
+            + F.lit(1)
+        ).cast("long").alias("n_ctx_spanned"),
+    )
+
+
+def _tokmix_pack_contexts_sql() -> str:
+    mix = _sample_token_budget_mix_sql(
+        fit_where=f"WHERE doc_id < {FPSTORE_BASE}"
+    )
+    return f"""
+WITH adm AS ({mix}),
+ordered AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (
+           ORDER BY mix_rank, source, doc_id) AS train_pos,
+         SUM(n_tokens) OVER (
+           ORDER BY mix_rank, source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM adm)
+SELECT train_pos::BIGINT AS train_pos, doc_id, source, n_tokens,
+       ((cum - n_tokens) // {CTX_LEN})::BIGINT AS ctx_start,
+       ((cum - n_tokens) % {CTX_LEN})::BIGINT AS ctx_offset,
+       ((cum - 1) // {CTX_LEN} - (cum - n_tokens) // {CTX_LEN}
+        + 1)::BIGINT AS n_ctx_spanned
+FROM ordered
+"""
+
+
+EXT_QUERIES.update({
+    "tokmix_pack_contexts": (
+        q_tokmix_pack_contexts, _tokmix_pack_contexts_sql(),
+    ),
+})
