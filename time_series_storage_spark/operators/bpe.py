@@ -135,13 +135,21 @@ def bpe_fit(
     bpe_encode_words, whose cost is independent of this loop).
     num_merges <= 0 returns an empty merge table (no jobs run)."""
     spark = docs.sparkSession
-    state = (
+    # ONE materialization (the corpus aggregate); each round then
+    # evaluates the accumulated literal-replace chain over it inside
+    # the round's own argmax job — round r is one job, not two (the
+    # old per-round localCheckpoint doubled the scheduling latency
+    # this loop's docstring budgets, and the replace chain is the
+    # same codegen'd projection the encode side already runs)
+    state0 = (
         words_with_counts(docs, text_col)
         .select("w", "cnt", _serialize_chars(F.col("w")).alias("s"))
         .localCheckpoint()
     )
+    scol = F.col("s")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
+        state = state0.select("w", "cnt", scol.alias("s"))
         best = (
             _pair_counts(state)
             .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
@@ -152,9 +160,7 @@ def bpe_fit(
             break
         left, right, n = best[0]["left"], best[0]["right"], best[0]["n"]
         merges.append((rank, left, right, int(n)))
-        state = state.withColumn(
-            "s", apply_merge(F.col("s"), left, right)
-        ).localCheckpoint()
+        scol = apply_merge(scol, left, right)
     return spark.createDataFrame(
         merges, "rank long, left string, right string, n long"
     )

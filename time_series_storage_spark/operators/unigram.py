@@ -211,21 +211,29 @@ def unigram_seed(
     return singles.unionByName(multis)
 
 
+def _costed_rows(
+    rows: list, frac_bits: int = UNI_FRAC_BITS
+) -> list:
+    """[(piece, c)] -> sorted [(piece, c, cost)]: exact-integer -log2
+    fixed-point costs against the vocab's own total, computed with
+    exact Python ints (:func:`log2_fix`, which also enforces the
+    T < 2^33 magnitude bound loudly)."""
+    total = sum(c for _, c in rows)
+    return [
+        (p, c, log2_fix(total, c, frac_bits)) for p, c in sorted(rows)
+    ]
+
+
 def _with_costs(vocab: DataFrame, frac_bits: int = UNI_FRAC_BITS) -> DataFrame:
     """(piece, c) -> (piece, c, cost): exact-integer -log2 fixed-
     point costs against the vocab's own total. The count table is a
     bounded artifact (alphabet + vocab_size rows) — collected,
-    costed with exact Python ints (:func:`log2_fix`, which also
-    enforces the T < 2^33 magnitude bound loudly), and re-created as
-    a literal frame so downstream Viterbi plans never re-run the fit
-    lineage."""
+    costed with exact Python ints (:func:`log2_fix`), and re-created
+    as a literal frame so downstream Viterbi plans never re-run the
+    fit lineage."""
     rows = [(r["piece"], int(r["c"])) for r in vocab.collect()]
-    total = sum(c for _, c in rows)
-    costed = [
-        (p, c, log2_fix(total, c, frac_bits)) for p, c in sorted(rows)
-    ]
     return vocab.sparkSession.createDataFrame(
-        costed, "piece: string, c: long, cost: long"
+        _costed_rows(rows, frac_bits), "piece: string, c: long, cost: long"
     )
 
 
@@ -258,10 +266,17 @@ def unigram_viterbi(
     are excluded IN BOTH ENGINES — count them with
     :func:`unigram_excluded` before trusting downstream token sums.
     Output: (w, cnt, n_pieces, seg, cost) — seg the '|'-joined
-    winning piece sequence."""
-    pairs = sorted(
-        (r["piece"], int(r["cost"])) for r in costs.collect()
-    )
+    winning piece sequence.
+
+    ``costs`` is a (piece, c, cost) frame or an already-driver-side
+    list of (piece, ..., cost) tuples (the fit loop's shape — saves
+    the collect job on a table that is a bounded literal anyway)."""
+    if isinstance(costs, DataFrame):
+        pairs = sorted(
+            (r["piece"], int(r["cost"])) for r in costs.collect()
+        )
+    else:
+        pairs = sorted((t[0], int(t[-1])) for t in costs)
     cost_map = F.create_map(
         *[x for p, c in pairs for x in (F.lit(p), F.lit(c))]
     )
@@ -359,39 +374,53 @@ def unigram_fit(
     vocab_size: int = UNI_VOCAB,
     em_rounds: int = UNI_EM_ROUNDS,
     max_word: int = UNI_MAX_WORD,
+    *,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """Fixed-round Viterbi-EM unigram fit. Output: the final
     vocabulary (piece, c, cost) — costs from the post-EM counts, the
-    table :func:`unigram_viterbi` serves reads from."""
+    table :func:`unigram_viterbi` serves reads from.
+
+    The vocabulary is a BOUNDED artifact (alphabet + vocab_size
+    rows), so the whole EM state lives driver-side between rounds:
+    each round is exactly ONE Spark job (the used-piece count
+    collect over the Viterbi projection) instead of the old
+    per-round localCheckpoint + collect pair — the arithmetic
+    (greatest(count, 1) on seed singles, used multis kept verbatim)
+    is the same exact-integer rule, applied to the collected counts.
+    ``assume_materialized=True`` skips the defensive localCheckpoint
+    when the caller already materialized ``word_counts``."""
     # materialize the distinct-word table ONCE: every DP step and EM
     # round re-actions it, and without this the corpus scan + count
     # shuffle re-runs inside each tiny job
-    word_counts = word_counts.localCheckpoint()
-    vocab = unigram_seed(word_counts, max_piece, vocab_size)
-    singles = vocab.where(F.length("piece") == 1).select("piece")
+    if not assume_materialized:
+        word_counts = word_counts.localCheckpoint()
+    spark = word_counts.sparkSession
+    vocab_rows = [
+        (r["piece"], int(r["c"]))
+        for r in unigram_seed(word_counts, max_piece, vocab_size).collect()
+    ]
+    singles = sorted(p for p, _ in vocab_rows if len(p) == 1)
+    singles_set = set(singles)
     for _ in range(int(em_rounds)):
         segs = unigram_viterbi(
-            word_counts, _with_costs(vocab), max_piece, max_word
+            word_counts, _costed_rows(vocab_rows), max_piece, max_word
         )
-        used = (
-            segs.select(
+        used = {
+            r["piece"]: int(r["c"])
+            for r in segs.select(
                 "cnt", F.explode(F.split("seg", r"\|")).alias("piece")
             )
             .groupBy("piece")
             .agg(F.sum("cnt").cast("long").alias("c"))
-        )
-        kept_singles = (
-            singles.join(used, "piece", "left")
-            .select(
-                "piece",
-                F.greatest(F.coalesce("c", F.lit(0)), F.lit(1)).alias("c"),
-            )
-        )
-        kept_multis = used.join(
-            singles, "piece", "left_anti"
-        ).select("piece", "c")
-        vocab = kept_singles.unionByName(kept_multis).localCheckpoint()
-    return _with_costs(vocab)
+            .collect()
+        }
+        vocab_rows = [(p, max(used.get(p, 0), 1)) for p in singles] + [
+            (p, c) for p, c in used.items() if p not in singles_set
+        ]
+    return spark.createDataFrame(
+        _costed_rows(vocab_rows), "piece: string, c: long, cost: long"
+    )
 
 
 def unigram_segment(
@@ -406,6 +435,11 @@ def unigram_segment(
     n_pieces, seg, cost)."""
     word_counts = word_counts.localCheckpoint()
     model = unigram_fit(
-        word_counts, max_piece, vocab_size, em_rounds, max_word
+        word_counts,
+        max_piece,
+        vocab_size,
+        em_rounds,
+        max_word,
+        assume_materialized=True,
     )
     return unigram_viterbi(word_counts, model, max_piece, max_word)

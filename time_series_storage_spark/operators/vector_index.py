@@ -886,5 +886,200 @@ class IvfIndexStore(VersionedStore):
             .select("q_id", "vec_id", "rank", "sim_x1e6")
         )
 
+    def topk_adc_sweep(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobes: tuple = (IVF_NPROBE,),
+        refines: tuple = (8,),
+    ) -> DataFrame:
+        """Every (nprobe, refine) serving cell of the sweep in ONE
+        shared pipeline — the audit-query shape (`ivfpq_nprobe_audit`,
+        `ivfpq_serving_grid`) that previously called :meth:`topk_adc`
+        once per cell and re-ran the probe + LUT + codes-scan ADC pass
+        each time.  A candidate's ADC score depends on neither knob,
+        and the candidate set at nprobe = n is exactly "cells with
+        probe rank <= n", so the whole grid is derivable from one
+        scored frame:
+
+        1. probe ranks once up to max(nprobes); ADC-score each
+           candidate once (the only corpus-sized work — one codes
+           scan instead of one per swept cell);
+        2. per-nprobe ADC ranks via a tier explode + ONE window
+           partitioned by (nprobe, q_id) — identical rank arithmetic
+           to the per-call window because the tier's candidate set
+           and (adc DESC, vec_id) order are identical;
+        3. exact-cosine rerank computed once per DISTINCT shortlist
+           pair (cosine is per-pair, independent of the sweep), then
+           per-(nprobe, refine) final ranks from one window.
+
+        The shortlist is localCheckpoint-staged like :meth:`topk_adc`
+        (it is the broadcast side of the rerank fetch; without the
+        stage the dynamic-partition-pruning subquery would re-run the
+        ADC plan).  Output: (nprobe, refine, q_id, vec_id, rank) —
+        rank is the cell's serving rank (ADC rank when refine <= 1,
+        exact-rerank rank otherwise), so each (nprobe, refine) slice
+        is row-for-row :meth:`topk_adc`'s answer set at those knobs.
+        """
+        from pyspark.sql import Window
+
+        from .similarity import EMBED_DIM as _DIM
+        from .similarity import _as_double, _pq_subq
+
+        params = (self._meta() or {}).get("params") or {}
+        if params.get("pq_m") is None:
+            raise ValueError(
+                f"IVF index at {self.path} has no PQ artifacts — "
+                "build(pq_m=...) the index before serving topk_adc_sweep"
+            )
+        m = int(params["pq_m"])
+        d_sub = _DIM // m
+        nprobes = tuple(sorted(int(n) for n in nprobes))
+        refines = tuple(sorted(int(r) for r in refines))
+        max_np = max(nprobes)
+        max_rf = max(max(refines), 1)
+        # 1. coarse probe ranks once, up to the largest swept nprobe
+        qsims = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).join(F.broadcast(self.centroids())).select(
+            "q_id",
+            "cell_id",
+            F.round(cosine("q_vec", "c_vec") * 1e6)
+            .cast("long")
+            .alias("c_sim"),
+        )
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("c_sim").desc(), F.col("cell_id")
+        )
+        plist = (
+            qsims.withColumn("_pr", F.row_number().over(wq))
+            .where(F.col("_pr") <= max_np)
+            .select("q_id", "cell_id", "_pr")
+        )
+        # 2. per-query LUT of exact-integer partial dots (identical
+        #    construction to ivfpq_probe_topk)
+        qsub = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            _as_double(vec_col).alias("_v"),
+        ).select(
+            "q_id",
+            F.col("s").cast("long").alias("s"),
+            _pq_subq("_v", "s", d_sub).alias("qsubq"),
+        )
+        pdot = F.aggregate(
+            F.zip_with("qsubq", "cw", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        lut = qsub.join(F.broadcast(self.pq_codebook_df()), "s").select(
+            "q_id", "s", "code", pdot.alias("pdot")
+        )
+        # 3. ONE ADC pass over the probed cells' codes, then the
+        #    nprobe-tier explode: a candidate in the cell probed at
+        #    rank pr belongs to every tier with nprobe >= pr
+        scored = (
+            self.pqcodes()
+            .join(F.broadcast(plist), "cell_id")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .join(F.broadcast(lut), ["q_id", "s", "code"])
+            .groupBy("q_id", "vec_id")
+            .agg(
+                F.sum("pdot").cast("long").alias("adc_x1e6"),
+                F.first("cell_id").alias("cell_id"),
+                F.min("_pr").alias("_pr"),
+            )
+        )
+        np_arr = F.array(*[F.lit(n) for n in nprobes])
+        tiers = scored.select(
+            "q_id",
+            "vec_id",
+            "adc_x1e6",
+            "cell_id",
+            F.explode(
+                F.filter(np_arr, lambda n: n >= F.col("_pr"))
+            ).alias("nprobe"),
+        )
+        wt = Window.partitionBy("nprobe", "q_id").orderBy(
+            F.col("adc_x1e6").desc(), F.col("vec_id")
+        )
+        shortlist = (
+            tiers.withColumn("_rn", F.row_number().over(wt))
+            .where(F.col("_rn") <= k * max_rf)
+            .localCheckpoint()
+        )
+        out = None
+        adc_refines = [r for r in refines if r <= 1]
+        rr_refines = [r for r in refines if r > 1]
+        if adc_refines:
+            # refine <= 1 serving mode: the ADC top-k IS the answer
+            rf_arr = F.array(*[F.lit(r) for r in adc_refines])
+            out = (
+                shortlist.where(F.col("_rn") <= k)
+                .select(
+                    "nprobe",
+                    F.explode(rf_arr).alias("_rf"),
+                    "q_id",
+                    "vec_id",
+                    "_rn",
+                )
+                .select(
+                    F.col("nprobe").cast("long").alias("nprobe"),
+                    F.col("_rf").cast("long").alias("refine"),
+                    "q_id",
+                    "vec_id",
+                    F.col("_rn").cast("long").alias("rank"),
+                )
+            )
+        if rr_refines:
+            # exact-cosine rerank, once per DISTINCT shortlist pair
+            pairs = shortlist.select(
+                "q_id", "vec_id", "cell_id"
+            ).distinct()
+            fetched = self.assignment().join(
+                F.broadcast(pairs), ["cell_id", "vec_id"]
+            )
+            q = F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"),
+                    F.col(vec_col).alias("q_vec"),
+                )
+            )
+            sims = fetched.join(q, "q_id").select(
+                "q_id",
+                "vec_id",
+                F.round(cosine("q_vec", "embedding") * 1e6)
+                .cast("long")
+                .alias("sim_x1e6"),
+            )
+            rf_arr = F.array(*[F.lit(r) for r in rr_refines])
+            sl = shortlist.join(sims, ["q_id", "vec_id"]).select(
+                "nprobe",
+                "q_id",
+                "vec_id",
+                "sim_x1e6",
+                F.explode(
+                    F.filter(rf_arr, lambda r: F.col("_rn") <= k * r)
+                ).alias("refine"),
+            )
+            wr = Window.partitionBy("nprobe", "refine", "q_id").orderBy(
+                F.col("sim_x1e6").desc(), F.col("vec_id")
+            )
+            rr = (
+                sl.withColumn("rank", F.row_number().over(wr).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(
+                    F.col("nprobe").cast("long").alias("nprobe"),
+                    F.col("refine").cast("long").alias("refine"),
+                    "q_id",
+                    "vec_id",
+                    "rank",
+                )
+            )
+            out = rr if out is None else out.unionByName(rr)
+        return out
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -2225,8 +2225,15 @@ def q_semantic_dedup(spark, sf_dir):
     cents = S.ivf_kmeans_centroids(
         emb, n_cells=S.IVF_CELLS, n_iter=2
     )
+    # split each cell's quadratic pair search so n_cells tasks don't
+    # cap the stage; sized from the session's parallelism, not a
+    # local[32] constant
+    par = spark.sparkContext.defaultParallelism
     return S.semantic_dedup(
-        emb, cents, threshold_x1e6=SEMDEDUP_THRESHOLD
+        emb,
+        cents,
+        threshold_x1e6=SEMDEDUP_THRESHOLD,
+        pair_fanout=max(1, 2 * par // S.IVF_CELLS),
     )
 
 
@@ -2337,9 +2344,13 @@ def q_text_semantic_dedup(spark, sf_dir):
     )
     cents = S.ivf_centroids(vecs, "doc_id", "embedding",
                             n_cells=TXT_SEM_CELLS)
+    # split each cell's quadratic pair search so TXT_SEM_CELLS tasks
+    # don't cap the stage; sized from the session's parallelism
+    par = spark.sparkContext.defaultParallelism
     return S.semantic_dedup(
         vecs, cents, "doc_id", "embedding",
         threshold_x1e6=TXT_SEM_THRESHOLD,
+        pair_fanout=max(1, 2 * par // TXT_SEM_CELLS),
     )
 
 
@@ -16787,19 +16798,27 @@ def q_ivfpq_nprobe_audit(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < SIM_QUERY_COUNT)
     store = _ivfpq_index(spark, sf_dir)
-    n_q = qs.count()
-    n_corpus = emb.count()
+    # one job for both literals instead of two count() actions
+    counts = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("vec_id") < SIM_QUERY_COUNT, 1).otherwise(0)
+        ).alias("nq"),
+    ).first()
+    n_q, n_corpus = int(counts["nq"]), int(counts["n"])
     exact = S.brute_force_topk(qs, emb, k=SIM_TOPK).select(
         "q_id", "vec_id"
     )
-    ann = None
-    for np_ in IVFPQ_NPROBE_SWEEP:
-        part = store.topk_adc(
-            qs, k=SIM_TOPK, nprobe=np_, refine=IVFPQ_REFINE
-        ).select(
-            F.lit(np_).cast("long").alias("nprobe"), "q_id", "vec_id"
-        )
-        ann = part if ann is None else ann.unionByName(part)
+    # ONE shared probe + ADC + rerank pipeline across the sweep
+    # (vector_index.topk_adc_sweep) — per-setting sets identical to
+    # the per-call topk_adc loop this replaces (ADC scores are
+    # nprobe-independent; candidate set at nprobe=n is probe-rank<=n)
+    ann = store.topk_adc_sweep(
+        qs,
+        k=SIM_TOPK,
+        nprobes=IVFPQ_NPROBE_SWEEP,
+        refines=(IVFPQ_REFINE,),
+    ).select("nprobe", "q_id", "vec_id")
     hits = (
         ann.join(exact, ["q_id", "vec_id"])
         .groupBy("nprobe")
@@ -17053,18 +17072,17 @@ def q_ivfpq_serving_grid(spark, sf_dir):
     exact = S.brute_force_topk(qs, emb, k=SIM_TOPK).select(
         "q_id", "vec_id"
     )
-    ann = None
-    for np_ in IVFPQ_NPROBE_SWEEP:
-        for rf in IVFPQ_REFINE_SWEEP:
-            part = store.topk_adc(
-                qs, k=SIM_TOPK, nprobe=np_, refine=rf
-            ).select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.lit(rf).cast("long").alias("refine"),
-                "q_id",
-                "vec_id",
-            )
-            ann = part if ann is None else ann.unionByName(part)
+    # ONE shared probe + ADC + rerank pipeline across all 16 grid
+    # cells (vector_index.topk_adc_sweep) — per-cell sets identical
+    # to the 16-call topk_adc loop this replaces (ADC scores are
+    # knob-independent; rerank cosine is per-pair), at one codes scan
+    # and one rerank fetch instead of sixteen
+    ann = store.topk_adc_sweep(
+        qs,
+        k=SIM_TOPK,
+        nprobes=IVFPQ_NPROBE_SWEEP,
+        refines=IVFPQ_REFINE_SWEEP,
+    ).select("nprobe", "refine", "q_id", "vec_id")
     hits = (
         ann.join(exact, ["q_id", "vec_id"])
         .groupBy("nprobe", "refine")
