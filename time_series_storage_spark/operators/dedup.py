@@ -615,22 +615,34 @@ def connected_components(
         F.col(id_col).cast("long").alias("label"),
     ).localCheckpoint()
     for _ in range(max_iter):
+        # one shuffle per round: the previous label rides the SAME
+        # aggregation as the propagation (rows tagged by source; a
+        # node's old label = its unique lab-branch row), so the
+        # fixpoint probe is a filter over the round's checkpoint
+        # instead of a second join job. Labels are identical to the
+        # join formulation: min over (own ∪ propagated) is unchanged,
+        # and nodes reached only via edges have old = NULL, which the
+        # != filter drops — exactly the rows the old inner join
+        # dropped.
         prop = edges.join(lab, F.col("src") == F.col("node")).select(
-            F.col("dst").alias("node"), F.col("label")
+            F.col("dst").alias("node"), F.col("label"), F.lit(0).alias("o")
         )
         new = (
-            lab.union(prop)
+            lab.select("node", "label", F.lit(1).alias("o"))
+            .union(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("o") == 1, F.col("label"))).alias(
+                    "old"
+                ),
+            )
             .localCheckpoint()
         )
         changed = (
-            new.join(lab.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new.where(F.col("label") != F.col("old")).limit(1).count()
         )
-        lab = new
+        lab = new.select("node", "label")
         if round_counter is not None:  # scale-probe diagnostics
             round_counter.append(1)
         if changed == 0:

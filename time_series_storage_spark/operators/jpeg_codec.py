@@ -76,6 +76,12 @@ AC_VALS = [
 FLAT_Q = np.full(64, 16, dtype=np.int32)
 FLAT_Q[0] = 8
 
+# test hook: True routes encode/decode through the general einsum +
+# sequential-reader paths even where a fast path applies, so the
+# bitwise-equality suites can compare both (the fast paths' contract
+# is byte-identical output)
+_DISABLE_FAST = False
+
 
 def _dct_mat() -> np.ndarray:
     n = np.arange(8)
@@ -161,46 +167,73 @@ def encode_jpeg(img, qtable=None) -> bytes:
     padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
     padded -= 128.0
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
-    # all blocks in one einsum: (bh, bw, 8, 8) DCT
     blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,bcjk,lk->bcil", _C, blocks, _C)
-    zz = coef.reshape(bh, bw, 64)[:, :, _ZR]
-    quant = np.round(zz / q).astype(np.int64)
+    flat = blocks.reshape(bh, bw, 64)
+    if (
+        not _DISABLE_FAST
+        and int(q[0]) == 8
+        and bool((flat == flat[:, :, :1]).all())
+    ):
+        # constant-tile fast path (the mosaic shape): for a block that
+        # is a single value v' = v - 128, the exact DCT is DC-only with
+        # DC = 8*v'. In float, the einsum's DC is 8*v'*(1 + d) with
+        # |d| ~ 1e-14 (order-dependent, stride-sensitive), and every AC
+        # is |ac| < 1e-11. round(ac/q) = 0 for any q >= 1, and with
+        # q[0] == 8 round(8*v'*(1+d)/8) = v' exactly (v' integral, the
+        # perturbation can never reach the .5 boundary) — so the
+        # quantized block is [v', 0 x 63] REGARDLESS of einsum
+        # evaluation order, and skipping the DCT is bit-identical.
+        # (For q[0] != 8 the DC ratio can land on a .5 boundary where
+        # the 1e-14 perturbation decides the round — general path.)
+        quant = np.zeros((bh, bw, 64), dtype=np.int64)
+        quant[:, :, 0] = flat[:, :, 0].astype(np.int64)
+    else:
+        # all blocks in one einsum: (bh, bw, 8, 8) DCT
+        coef = np.einsum("ij,bcjk,lk->bcil", _C, blocks, _C)
+        zz = coef.reshape(bh, bw, 64)[:, :, _ZR]
+        quant = np.round(zz / q).astype(np.int64)
 
+    # per-block bookkeeping vectorized once (plain-int rows, any-AC
+    # flag, last nonzero index) — the emitted symbol/bit sequence is
+    # identical to the per-block numpy version this replaces
+    qrows = quant.reshape(-1, 64)
+    nz = qrows != 0
+    anyv = nz.any(axis=1)
+    last_arr = np.where(anyv, 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+    qlist = qrows.tolist()
+    lastl = last_arr.tolist()
     bw_ = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            blk = quant[by, bx]
-            diff = int(blk[0]) - prev_dc
-            prev_dc = int(blk[0])
-            cat = _category(diff)
-            code, length = _DC_ENC[cat]
+    for bi, blk in enumerate(qlist):
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        cat = _category(diff)
+        code, length = _DC_ENC[cat]
+        bw_.write(code, length)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bw_.write(mag, cat)
+        run = 0
+        last_nz = lastl[bi]
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                if k > last_nz:
+                    code, length = _AC_ENC[0x00]  # EOB
+                    bw_.write(code, length)
+                    break
+                run += 1
+                if run == 16:
+                    code, length = _AC_ENC[0xF0]  # ZRL
+                    bw_.write(code, length)
+                    run = 0
+                continue
+            cat = _category(v)
+            code, length = _AC_ENC[(run << 4) | cat]
             bw_.write(code, length)
-            if cat:
-                mag = diff if diff > 0 else diff + (1 << cat) - 1
-                bw_.write(mag, cat)
+            mag = v if v > 0 else v + (1 << cat) - 1
+            bw_.write(mag, cat)
             run = 0
-            last_nz = int(np.max(np.nonzero(blk)[0])) if blk.any() else 0
-            for k in range(1, 64):
-                v = int(blk[k])
-                if v == 0:
-                    if k > last_nz:
-                        code, length = _AC_ENC[0x00]  # EOB
-                        bw_.write(code, length)
-                        break
-                    run += 1
-                    if run == 16:
-                        code, length = _AC_ENC[0xF0]  # ZRL
-                        bw_.write(code, length)
-                        run = 0
-                    continue
-                cat = _category(v)
-                code, length = _AC_ENC[(run << 4) | cat]
-                bw_.write(code, length)
-                mag = v if v > 0 else v + (1 << cat) - 1
-                bw_.write(mag, cat)
-                run = 0
     data = bw_.flush()
 
     def seg(marker, body):
@@ -257,6 +290,47 @@ def _decode_table(bits, vals):
     """((length, code) -> symbol) canonical decode map."""
     enc = _canonical_codes(bits, vals)
     return {(length, code): sym for sym, (code, length) in enc.items()}
+
+
+_FAST_TABLES: dict = {}
+
+
+def _fast_decode_table(bits, vals):
+    """(len16, sym16): 65536-entry first-match tables — entry p holds
+    the length and symbol of the unique prefix-free code that prefixes
+    the 16-bit window p (0 length = no code within 16 bits). One
+    lookup replaces up to 16 bit-by-bit reads; the matched (symbol,
+    length) is identical to the sequential reader's because the code
+    set is prefix-free. Cached on the (bits, vals) content — streams
+    all carrying the Annex K tables build this once per process."""
+    key = (tuple(bits), tuple(vals))
+    cached = _FAST_TABLES.get(key)
+    if cached is not None:
+        return cached
+    len16 = [0] * 65536
+    sym16 = [0] * 65536
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        for p in range(lo, lo + (1 << (16 - length))):
+            len16[p] = length
+            sym16[p] = sym
+    _FAST_TABLES[key] = (len16, sym16)
+    return len16, sym16
+
+
+def _has_bad_stuffing(raw: bytes) -> bool:
+    """True iff any 0xFF in ``raw`` is not followed by a stuffed 0x00
+    (including a trailing 0xFF) — the condition under which the lazy
+    bit-by-bit reader's error placement differs from eager unstuffing,
+    so the decoder falls back to the sequential reader."""
+    start = 0
+    while True:
+        i = raw.find(0xFF, start)
+        if i < 0:
+            return False
+        if i + 1 >= len(raw) or raw[i + 1] != 0x00:
+            return True
+        start = i + 2
 
 
 def _read_symbol(br: _BitReader, table) -> int:
@@ -335,9 +409,15 @@ def decode_jpeg(data) -> np.ndarray:
                 if len(bits) < 16 or len(vals) < n:
                     raise ValueError("jpeg: truncated DHT segment")
                 if tc == 0:
-                    dc_tab = _decode_table(bits, vals)
+                    dc_tab = (
+                        _decode_table(bits, vals),
+                        _fast_decode_table(bits, vals),
+                    )
                 else:
-                    ac_tab = _decode_table(bits, vals)
+                    ac_tab = (
+                        _decode_table(bits, vals),
+                        _fast_decode_table(bits, vals),
+                    )
                 b += 17 + n
         elif marker == SOS:
             scan = data[pos + seglen:]
@@ -351,21 +431,59 @@ def decode_jpeg(data) -> np.ndarray:
     end = scan.rfind(b"\xff" + bytes([EOI]))
     if end < 0:
         raise ValueError("jpeg: missing EOI")
-    br = _BitReader(scan[:end])
+    raw = scan[:end]
     q = qtables[qid]
     bh, bw = (h + 7) // 8, (w + 7) // 8
+    if not _DISABLE_FAST and not _has_bad_stuffing(raw):
+        out, all_dc = _entropy_decode_fast(
+            raw.replace(b"\xff\x00", b"\xff"), dc_tab[1], ac_tab[1],
+            bh, bw, q,
+        )
+    else:
+        out, all_dc = _entropy_decode_seq(
+            raw, dc_tab[0], ac_tab[0], bh, bw, q
+        )
+    if all_dc and not _DISABLE_FAST:
+        # DC-only fast path: every non-DC coefficient is an exact
+        # float 0.0, so each output element of the IDCT einsum is its
+        # single nonzero term (_C[0,i] * dc) * _C[0,l] — adding exact
+        # zeros never changes a float — and _C[0,:] is one repeated
+        # value, making the whole 8x8 block the same pixel. The
+        # product grouping (left-to-right over the einsum operands)
+        # is pinned by test_multimodal_jpeg's bitwise-equality fuzz.
+        t = (_C[0, 0] * out[:, :, 0]) * _C[0, 0]
+        tiles = np.clip(np.round(t + 128.0), 0, 255).astype(np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        return img[:h, :w]
+    coef = np.zeros((bh, bw, 64))
+    coef[:, :, _ZR] = out
+    coef = coef.reshape(bh, bw, 8, 8)
+    pixels = np.einsum("ji,bcjk,kl->bcil", _C, coef, _C)
+    img = pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    img = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return img[:h, :w]
+
+
+def _entropy_decode_seq(raw, dc_map, ac_map, bh, bw, q):
+    """Sequential bit-by-bit entropy decode (the original reader) —
+    kept verbatim as the fallback for streams with malformed byte
+    stuffing, whose lazy error placement it preserves exactly.
+    Returns (out, all_dc): the dequantized (bh, bw, 64) zigzag
+    coefficients and whether every block was DC-only."""
+    br = _BitReader(raw)
     out = np.empty((bh, bw, 64), dtype=np.float64)
     prev_dc = 0
+    all_dc = True
     for by in range(bh):
         for bx in range(bw):
             blk = np.zeros(64, dtype=np.int64)
-            cat = _read_symbol(br, dc_tab)
+            cat = _read_symbol(br, dc_map)
             diff = _extend(br.read_bits(cat), cat)
             prev_dc += diff
             blk[0] = prev_dc
             k = 1
             while k < 64:
-                rs = _read_symbol(br, ac_tab)
+                rs = _read_symbol(br, ac_map)
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -383,14 +501,111 @@ def decode_jpeg(data) -> np.ndarray:
                     raise ValueError("jpeg: AC run past block end")
                 blk[k] = _extend(br.read_bits(cat), cat)
                 k += 1
+                all_dc = False
             out[by, bx] = blk * q
-    coef = np.zeros((bh, bw, 64))
-    coef[:, :, _ZR] = out
-    coef = coef.reshape(bh, bw, 8, 8)
-    pixels = np.einsum("ji,bcjk,kl->bcil", _C, coef, _C)
-    img = pixels.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    img = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return img[:h, :w]
+    return out, all_dc
+
+
+def _entropy_decode_fast(data, dc_fast, ac_fast, bh, bw, q):
+    """Table-driven entropy decode over pre-unstuffed bytes: one
+    16-bit-window lookup per Huffman symbol instead of up to 16
+    bit-level reads. Decodes the identical (symbol, length) sequence
+    as the sequential reader (prefix-free codes), raises the same
+    errors at the same logical positions (exhaustion checked against
+    the true bit count before any consume). Returns (out, all_dc)."""
+    dc_len, dc_sym = dc_fast
+    ac_len, ac_sym = ac_fast
+    total = 8 * len(data)
+    padded = data + b"\x00\x00\x00\x00"
+    qi = [int(x) for x in q]
+    pos = 0
+    rows = []
+    prev_dc = 0
+    all_dc = True
+    n_blocks = bh * bw
+    for _ in range(n_blocks):
+        blk = [0] * 64
+        # --- DC symbol ---
+        i, sh = pos >> 3, pos & 7
+        w16 = (
+            int.from_bytes(padded[i:i + 3], "big") >> (8 - sh)
+        ) & 0xFFFF
+        ln = dc_len[w16]
+        if ln == 0:
+            raise ValueError(
+                "jpeg: entropy data exhausted"
+                if total - pos < 16
+                else "jpeg: invalid Huffman code"
+            )
+        if pos + ln > total:
+            raise ValueError("jpeg: entropy data exhausted")
+        cat = dc_sym[w16]
+        pos += ln
+        if cat:
+            if pos + cat > total:
+                raise ValueError("jpeg: entropy data exhausted")
+            i, sh = pos >> 3, pos & 7
+            mag = (
+                int.from_bytes(padded[i:i + 4], "big")
+                >> (32 - sh - cat)
+            ) & ((1 << cat) - 1)
+            pos += cat
+            diff = mag if mag >= (1 << (cat - 1)) else mag - (1 << cat) + 1
+        else:
+            diff = 0
+        prev_dc += diff
+        blk[0] = prev_dc * qi[0]
+        # --- AC run ---
+        k = 1
+        while k < 64:
+            i, sh = pos >> 3, pos & 7
+            w16 = (
+                int.from_bytes(padded[i:i + 3], "big") >> (8 - sh)
+            ) & 0xFFFF
+            ln = ac_len[w16]
+            if ln == 0:
+                raise ValueError(
+                    "jpeg: entropy data exhausted"
+                    if total - pos < 16
+                    else "jpeg: invalid Huffman code"
+                )
+            if pos + ln > total:
+                raise ValueError("jpeg: entropy data exhausted")
+            rs = ac_sym[w16]
+            pos += ln
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                if k > 63:
+                    raise ValueError("jpeg: ZRL run past block end")
+                continue
+            run, cat = rs >> 4, rs & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            if cat:
+                if pos + cat > total:
+                    raise ValueError("jpeg: entropy data exhausted")
+                i, sh = pos >> 3, pos & 7
+                mag = (
+                    int.from_bytes(padded[i:i + 4], "big")
+                    >> (32 - sh - cat)
+                ) & ((1 << cat) - 1)
+                pos += cat
+                v = (
+                    mag
+                    if mag >= (1 << (cat - 1))
+                    else mag - (1 << cat) + 1
+                )
+            else:
+                v = 0
+            blk[k] = v * qi[k]
+            k += 1
+            all_dc = False
+        rows.append(blk)
+    out = np.asarray(rows, dtype=np.float64).reshape(bh, bw, 64)
+    return out, all_dc
 
 
 def bytes_to_mosaic(payload: bytes) -> np.ndarray:

@@ -574,6 +574,14 @@ def hamming_near_dup_pairs(
             f"max_hamming must be in [0, {PHASH_BANDS - 1}] for perfect "
             f"recall over {PHASH_BANDS} bands; got {max_hamming}"
         )
+    # materialize the (id, hash) table ONCE: it is one small row per
+    # media item, but its lineage is the modality hash pass (decode +
+    # hash mapInPandas) and it feeds THREE subtrees below — the
+    # over-cap bucket aggregate and both sides of the band self-join —
+    # which would otherwise re-run the Python pass three times
+    hashes = hashes.select(
+        F.col(id_col).alias(id_col), F.col(hash_col).alias(hash_col)
+    ).localCheckpoint()
     exploded = hamming_band_rows(hashes, id_col, hash_col)
     if max_bucket_size is not None:
         over = (
