@@ -944,7 +944,7 @@ def pagerank(
     from .analytics import floor_div
 
     one_minus_d = (100 - damping_x100) * 10_000  # (1-d) at x1e6 scale
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = ed.join(
             ranks, ed["src"] == ranks["node"]
         ).select(
@@ -963,7 +963,14 @@ def pagerank(
                     F.lit(100),
                 )
             ).cast("long").alias("rank_x1e6"),
-        ).localCheckpoint()
+        )
+        # checkpoint every SECOND round (and the last): there is no
+        # convergence probe, so a round's only consumer is the next
+        # round — un-checkpointed rounds fuse into the next
+        # materialization job (same arithmetic, half the job count)
+        # while the cadence still bounds lineage depth at 2
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     ed.unpersist()
     edges.unpersist()
     return ranks
@@ -1033,6 +1040,10 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("_new"), F.col("label")).alias("label"),
             )
+            # per-round checkpoint stays: ``labels`` has TWO consumers
+            # per round (the votes join and the carry-forward left
+            # join), so pagerank's cadence-2 fusion would evaluate an
+            # un-materialized round twice in the next job
             .localCheckpoint()
         )
     edges.unpersist()
@@ -2353,6 +2364,12 @@ class NearDupStore(_SnapshotArtifactStore):
             )
             .select(F.col("d_new").alias(id_col))
             .distinct()
+            # materialized ONCE: the dup-id list is bounded by the
+            # increment, but its lineage is the whole history probe +
+            # exact-Jaccard verify, and it feeds BOTH anti-joins below
+            # (ok_sets and sig_ok) — lazy, the first clustering job
+            # would run the probe subtree twice
+            .localCheckpoint()
         )
         # --- within-increment clusters among the remainder -----------
         ok_sets = sets_inc.join(hist_dup, id_col, "left_anti").persist()

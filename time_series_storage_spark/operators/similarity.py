@@ -61,6 +61,23 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for a frame about to do heavy PER-PAIR work
+    (a broadcast-query scan computing O(dim) folds per corpus row per
+    query): when the input has fewer partitions than the session's
+    cores — the gate corpus is ONE parquet file, so its scan is ONE
+    task and the whole pair stage serializes on it — round-robin
+    repartition to ``defaultParallelism``. Scale-adaptive by
+    construction: derived from the session, not a constant, and a
+    corpus already wider than the core count (any real corpus) passes
+    through untouched, so no shuffle is added at scale."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -74,21 +91,34 @@ def brute_force_topk(
     the corpus scan stays shuffle-free; the only shuffle is the
     per-query top-k window, which AQE sizes to q-count partitions.
     Ties break on candidate id (deterministic).
+
+    Per-pair arithmetic is the hoisted form: each side's norm is
+    computed ONCE per row (queries in the broadcast projection, corpus
+    before the join) and the pair expression is ``dot / (qn * cn)`` —
+    the same doubles in the same order as ``cosine()`` (which evaluates
+    norm(q) * norm(c) afresh per pair), so scores are bit-identical
+    while per-pair work drops from three O(dim) folds to one.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("_qn"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    )
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+    ).select("vec_id", "c_vec", norm("c_vec").alias("_cn"))
     sims = (
         c.join(q, F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine("q_vec", "c_vec") * 1e6).cast("long").alias("sim_x1e6"),
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn")) * 1e6
+            ).cast("long").alias("sim_x1e6"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -750,7 +780,11 @@ def int8_topk(
             F.col(id_col).alias("q_id"), F.col("qvec").alias("q_codes")
         )
     )
-    cc = quantize_int8(corpus, id_col, vec_col).select(
+    cc = quantize_int8(
+        _spread(corpus.select(F.col(id_col), F.col(vec_col))),
+        id_col,
+        vec_col,
+    ).select(
         F.col(id_col).alias("vec_id"), F.col("qvec").alias("c_codes")
     )
     qdot = F.aggregate(
@@ -1828,7 +1862,7 @@ def mmr_topk(
     )
     cand = cands.join(cv, "vec_id").select(
         "q_id", "vec_id", "sim_x1e6", "_v"
-    )
+    ).localCheckpoint()
     a = cand.select(
         "q_id", F.col("vec_id").alias("_ca"), F.col("_v").alias("_va")
     )
@@ -1844,66 +1878,61 @@ def mmr_topk(
             "_cb",
             F.round(cosine("_va", "_vb") * 1e6).cast("long").alias("_psim"),
         )
-        .persist()
     )
-    rel = cand.select("q_id", "vec_id", "sim_x1e6")
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("mmr_x1e12"), F.asc("vec_id")
+    # ---- greedy selection DRIVER-SIDE over bounded integer state ----
+    # The relevance and pair-sim tables are BOUNDED BY CONSTRUCTION
+    # (<= nq * prefilter_k and <= nq * prefilter_k^2 integer rows —
+    # queries are a small serving/audit set by this operator's
+    # contract, prefilter caps candidates), yet the old loop ran ~3
+    # Spark jobs per greedy step (argmax + two checkpoint
+    # materializations) x k steps on them — pure scheduling overhead
+    # on literals, the same shape the unigram-EM fit shed. All FLOAT
+    # work (cosines) stays distributed and bit-identical; only the
+    # exact-integer greedy (long mul/sub/max, ties to smaller id) runs
+    # here, so the result is provably the old fixpoint: identical
+    # scores, identical argmax rule, step by step.
+    rel_rows = cand.select("q_id", "vec_id", "sim_x1e6").collect()
+    pair_rows = pair.collect()
+    rel_by_q: dict = {}
+    for r in rel_rows:
+        rel_by_q.setdefault(r["q_id"], []).append(
+            (r["vec_id"], r["sim_x1e6"])
+        )
+    psim = {
+        (r["q_id"], r["_ca"], r["_cb"]): r["_psim"] for r in pair_rows
+    }
+    out_rows = []
+    for qid in sorted(rel_by_q):
+        remaining = dict(sorted(rel_by_q[qid]))
+        selected: list = []
+        for t in range(1, k + 1):
+            if not remaining:
+                break
+            best_vid = best_score = None
+            for vid, sim in remaining.items():
+                if t == 1:
+                    score = lam * sim
+                else:
+                    sims_sel = [
+                        psim[(qid, vid, s)]
+                        for s in selected
+                        if (qid, vid, s) in psim
+                    ]
+                    msim = max(sims_sel) if sims_sel else 0
+                    score = lam * sim - lam1 * msim
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and vid < best_vid)
+                ):
+                    best_vid, best_score = vid, score
+            out_rows.append((int(qid), int(best_vid), t, int(best_score)))
+            selected.append(best_vid)
+            del remaining[best_vid]
+    return queries.sparkSession.createDataFrame(
+        out_rows or [],
+        "q_id long, vec_id long, step long, mmr_x1e12 long",
     )
-    first = (
-        rel.select(
-            "q_id",
-            "vec_id",
-            (F.lit(lam) * F.col("sim_x1e6")).cast("long").alias("mmr_x1e12"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("q_id", "vec_id", F.lit(1).cast("long").alias("step"),
-                "mmr_x1e12")
-    )
-    sel = first.localCheckpoint()
-    rem = rel.join(
-        sel.select("q_id", "vec_id"), ["q_id", "vec_id"], "anti"
-    ).localCheckpoint()
-    for t in range(2, k + 1):
-        ms = (
-            pair.join(
-                sel.select("q_id", F.col("vec_id").alias("_cb")),
-                ["q_id", "_cb"],
-            )
-            .groupBy("q_id", "_ca")
-            .agg(F.max("_psim").alias("_msim"))
-        )
-        pick = (
-            # LEFT join so a candidate absent from the pair table (a
-            # query whose candidate set is a singleton — no pair rows
-            # at all) still scores under the maxsim=0-over-empty-set
-            # convention the oracle's LEFT JOIN uses; the coalesce
-            # below is live, not decorative (r10 advice)
-            rem.join(
-                ms,
-                (rem["q_id"] == ms["q_id"]) & (rem["vec_id"] == ms["_ca"]),
-                "left",
-            )
-            .select(
-                rem["q_id"],
-                rem["vec_id"],
-                (
-                    F.lit(lam) * F.col("sim_x1e6")
-                    - F.lit(lam1) * F.coalesce(F.col("_msim"), F.lit(0))
-                ).cast("long").alias("mmr_x1e12"),
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("q_id", "vec_id",
-                    F.lit(t).cast("long").alias("step"), "mmr_x1e12")
-        )
-        sel = sel.unionByName(pick).localCheckpoint()
-        rem = rem.join(
-            pick.select("q_id", "vec_id"), ["q_id", "vec_id"], "anti"
-        ).localCheckpoint()
-    pair.unpersist()
-    return sel
 
 
 def kcenter_coreset(

@@ -16700,7 +16700,11 @@ def q_sample_token_budget_mix(spark, sf_dir):
     window is the exact two-phase prefix prune
     (operators/split.py:token_budget_mix), so one mega-source never
     sorts in a single task."""
-    toks = _doc_token_table(spark, sf_dir)
+    # persisted: the token table feeds BOTH the tempered-quota
+    # aggregate (materialized first as the broadcast side) and the
+    # admission scan — without the cache the whole Viterbi-join +
+    # explode + groupBy DAG evaluates twice per run
+    toks = _doc_token_table(spark, sf_dir).persist()
     return SP.token_budget_mix(
         toks, "source", "doc_id", "n_tokens", TOKMIX_BUDGET, temperature=2
     ).select(
