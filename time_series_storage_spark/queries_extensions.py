@@ -9030,11 +9030,18 @@ def q_hll_distinct_by_lang(spark, sf_dir):
     exchange (max combines map-side); nothing is keyed on corpus
     size."""
     from .operators.hll import hll_distinct
+    from .operators.parallel import cpu_partitions
 
     docs = _docs(spark, sf_dir)
     npos = F.greatest(F.length(F.col("text")) - 7, F.lit(1))
     elems = (
-        docs.select(
+        docs.select("doc_id", "lang", "text")
+        # pinned repartition ahead of the hash-dense explode (the
+        # sketch_distinct_tokens discipline): the single-file corpus
+        # scan is ONE task, which would run every per-position md5
+        # single-threaded
+        .repartition(cpu_partitions(docs), F.col("doc_id"))
+        .select(
             "lang",
             F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
             "text",
