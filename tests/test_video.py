@@ -152,6 +152,36 @@ def test_signature_matches_python_model(spark):
     assert 0 <= min(got.values()) and max(got.values()) < 1 << 63
 
 
+def test_fused_signatures_match_composed_path(spark):
+    """video_signatures_fused (one mapInPandas pass, r13 optimization)
+    must be bit-identical to video_signature(video_frame_sample(...))
+    — the composed path it replaced in video_near_dup_pairs and the
+    store's hash hook."""
+    from time_series_storage_spark.operators.video import (
+        video_signatures_fused,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog " * 6
+    t2 = t1[:200] + "EDITED FRAME CONTENT XX XX XXX" + t1[230:]
+    t3 = "completely different content made of other words " * 5
+    t4 = "x"  # single short frame
+    df = spark.createDataFrame(
+        [(1, _clip(t1)), (2, _clip(t2)), (3, _clip(t3)), (4, _clip(t4))],
+        "id long, payload binary",
+    )
+    composed = {
+        r.id: r.sig
+        for r in video_signature(
+            video_frame_sample(df, "id", "payload", 4)
+        ).collect()
+    }
+    fused = {
+        r.id: r.sig
+        for r in video_signatures_fused(df, "id", "payload", 4).collect()
+    }
+    assert fused == composed
+
+
 def test_near_dup_pairs_edit_tolerant(spark):
     """An edited middle frame leaves the majority signature within
     the Hamming bar; an unrelated clip stays out."""

@@ -868,30 +868,27 @@ def duplicate_clusters(
             f"duplicate_clusters: unknown algorithm {algorithm!r} "
             "(expected 'auto', 'minlabel' or 'star')"
         )
-    cached = None
     if algorithm == "auto":
-        # persist BEFORE the probe: the pair search (an LSH band join +
-        # verify at every call site) is the expensive stage at scale,
-        # and without the cache it would execute once for the bounded
-        # probe count and AGAIN inside the chosen CC algorithm. Both
-        # CC variants eagerly materialize their own edge snapshot
-        # (localCheckpoint / persisted first round) before returning,
-        # so the cache can be released here.
-        cached = pairs.persist()
-        probed = cached.limit(star_edge_threshold).count()
+        # materialize the pair set ONCE (localCheckpoint) before the
+        # probe: the pair search (an LSH band join + verify at every
+        # call site) is the expensive stage at scale, and BOTH CC
+        # variants immediately materialize their own edge snapshot
+        # from it anyway — so a full one-job materialization here is
+        # never wasted work, the bounded probe becomes a free read of
+        # the checkpoint, and the chosen algorithm's snapshot job
+        # reads checkpointed rows instead of re-running the pair DAG's
+        # final stages (the old persist + limit().count() probe only
+        # cached the partitions the limit touched).
+        pairs = pairs.localCheckpoint()
+        probed = pairs.limit(star_edge_threshold).count()
         algorithm = "star" if probed >= star_edge_threshold else "minlabel"
-        pairs = cached
-    try:
-        if algorithm == "minlabel":
-            return connected_components(
-                pairs, nodes, id_col, round_counter=round_counter
-            )
-        return connected_components_star(
+    if algorithm == "minlabel":
+        return connected_components(
             pairs, nodes, id_col, round_counter=round_counter
         )
-    finally:
-        if cached is not None:
-            cached.unpersist()
+    return connected_components_star(
+        pairs, nodes, id_col, round_counter=round_counter
+    )
 
 
 def pagerank(

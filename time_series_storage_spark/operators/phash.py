@@ -445,8 +445,13 @@ class ImgNearDupStore(_SnapshotArtifactStore):
         )
         # --- within-increment clusters among the remainder -----------
         ok = hashes.join(hist_dup, id_col, "left_anti").persist()
+        # assume_materialized: ``ok`` is persisted right above, so the
+        # pair search's eager input checkpoint would be a pure extra
+        # job over the decode+probe lineage (measured 2.5x on the
+        # audio increment gate)
         pairs = hamming_near_dup_pairs(
-            ok, id_col, "phash", self.max_hamming
+            ok, id_col, "phash", self.max_hamming,
+            assume_materialized=True,
         ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
         cc = duplicate_clusters(pairs, ok.select(id_col), id_col)
         survivors = (
@@ -562,13 +567,18 @@ def hamming_near_dup_pairs(
     hash_col: str = "phash",
     max_hamming: int = 8,
     max_bucket_size: int | None = None,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs (id1 < id2, hamming <= max_hamming)
     from a (id, phash) table. Banded equi-join candidates (PERFECT
     recall for max_hamming <= 8 by pigeonhole over 9 bands), exact
     ``bit_count(xor)`` verify. ``max_bucket_size`` drops over-cap
     buckets (boilerplate-image skew guard, same semantics as
-    dedup.lsh_candidate_pairs; None = exact)."""
+    dedup.lsh_candidate_pairs; None = exact).
+    ``assume_materialized`` skips the input checkpoint below — pass
+    True when the caller already persisted/checkpointed ``hashes``
+    (the store increment path), where the eager extra job is pure
+    overhead."""
     if not 0 <= max_hamming <= PHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {PHASH_BANDS - 1}] for perfect "
@@ -579,9 +589,10 @@ def hamming_near_dup_pairs(
     # hash mapInPandas) and it feeds THREE subtrees below — the
     # over-cap bucket aggregate and both sides of the band self-join —
     # which would otherwise re-run the Python pass three times
-    hashes = hashes.select(
-        F.col(id_col).alias(id_col), F.col(hash_col).alias(hash_col)
-    ).localCheckpoint()
+    if not assume_materialized:
+        hashes = hashes.select(
+            F.col(id_col).alias(id_col), F.col(hash_col).alias(hash_col)
+        ).localCheckpoint()
     exploded = hamming_band_rows(hashes, id_col, hash_col)
     if max_bucket_size is not None:
         over = (

@@ -164,6 +164,61 @@ def video_frame_sample(
     )
 
 
+def video_signatures_fused(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    n_samples: int = 4,
+) -> DataFrame:
+    """(id, sig): parse + sample + decode + hash + temporal-majority
+    fold in ONE Arrow ``mapInPandas`` pass — bit-identical to
+    ``video_signature(video_frame_sample(df, ...))`` (the composed
+    path that stays for the per-frame gate query and tests).
+
+    Why the fusion is free: every sampled frame of a clip comes out
+    of that clip's OWN payload row, so the per-bit majority vote is
+    row-local — the composed path's (id, bit) exchange plus 63 SUM
+    aggregates buy distribution the data never needs. Arithmetic is
+    identical exact-integer work (``bit_i = 2 * ones_i > n_frames``
+    on the same 63-bit dHashes), just in Python ints instead of Spark
+    longs; consumers (the Hamming band engine, the store probe) see
+    one row per clip instead of ``n_samples``."""
+    import pandas as pd
+
+    from .phash import require_integral_id
+
+    require_integral_id(df, id_col, "video_signatures_fused")
+
+    def sample(batches):
+        from .jpeg_codec import decode_jpeg
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                index = parse_video_index(b)
+                hs = []
+                for k in sample_indices(len(index), n_samples):
+                    off, ln = index[k]
+                    hs.append(dhash_gray_image(decode_jpeg(b[off : off + ln])))
+                n = len(hs)
+                sig = 0
+                for bit in range(PHASH_BITS):
+                    ones = sum((h >> bit) & 1 for h in hs)
+                    if 2 * ones > n:
+                        sig |= 1 << bit
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(sample, "id long, sig long")
+
+
 def video_signature(
     frame_hashes: DataFrame, id_col: str = "id", hash_col: str = "phash"
 ) -> DataFrame:
@@ -211,9 +266,7 @@ def video_near_dup_pairs(
     ``max_hamming <= 8``, hot-bucket guarded, never all-pairs)."""
     from .phash import hamming_near_dup_pairs
 
-    sigs = video_signature(
-        video_frame_sample(videos, id_col, payload_col, n_samples)
-    )
+    sigs = video_signatures_fused(videos, id_col, payload_col, n_samples)
     return hamming_near_dup_pairs(
         sigs,
         "id",
@@ -263,12 +316,8 @@ class VideoNearDupStore(ImgNearDupStore):
         )
 
     def _hash_increment(self, new_media, id_col, payload_col):
-        sigs = video_signature(
-            video_frame_sample(
-                new_media, id_col, payload_col, self.n_samples
-            ),
-            "id",
-            "phash",
+        sigs = video_signatures_fused(
+            new_media, id_col, payload_col, self.n_samples
         )
         return sigs.select(
             F.col("id").alias(id_col), F.col("sig").alias("phash")
