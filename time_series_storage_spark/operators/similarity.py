@@ -216,6 +216,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (ties -> lowest
     cell id). The centroid table is broadcast (it is tiny by
@@ -226,14 +227,37 @@ def ivf_assign(
     one partition) and the exchange carries one row per vector
     instead of n_cells rows plus a sort (the old row_number window).
     Same argmax rule — max sim, ties to the lowest cell — hence the
-    same output: (cell_id, vec_id, embedding)."""
-    sims = corpus.select(
+    same output: (cell_id, vec_id, embedding).
+
+    Per-pair arithmetic is the hoisted form (the brute_force_topk
+    discipline): each centroid's norm is computed once in the
+    broadcast projection, each vector's norm once before the join,
+    and the pair expression is ``dot / (en * cn)`` — the same doubles
+    in the same order as ``cosine()``, so sims are bit-identical
+    while per-pair work drops from three O(dim) interpreted folds to
+    one. The corpus side goes through ``_spread`` first: the n_cells
+    x O(dim) fold work per corpus row is exactly the heavy per-pair
+    stage that a one-file scan would serialize into a single task.
+    Pass ``spread=False`` when the corpus is NOT a plain scan (e.g. an
+    aggregate output): it already has shuffle-partition parallelism,
+    and ``_spread``'s partition probe would materialize the upstream
+    query stages eagerly under AQE — a measured extra full evaluation
+    per call."""
+    cen = centroids.select(
+        "cell_id", "c_vec", norm("c_vec").alias("_cn")
+    )
+    base = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(F.broadcast(centroids)).select(
+    )
+    if spread:
+        base = _spread(base)
+    sims = base.withColumn("_en", norm("embedding")).join(F.broadcast(cen)).select(
         "cell_id",
         "vec_id",
         "embedding",
-        F.round(cosine("embedding", "c_vec") * 1e6).cast("long").alias("sim_x1e6"),
+        F.round(
+            dot("embedding", "c_vec") / (F.col("_en") * F.col("_cn")) * 1e6
+        ).cast("long").alias("sim_x1e6"),
     )
     best = sims.groupBy("vec_id").agg(
         F.min_by(
@@ -286,6 +310,23 @@ def ivf_kmeans_centroids(
     base = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+
+    def _literal(cents_df):
+        # the codebook is a bounded driver-side artifact (n_cells
+        # rows) EVERY iteration, not just at the end: collecting it
+        # per Lloyd step keeps each step a flat self-contained job
+        # over a literal centroid frame instead of nesting the whole
+        # previous refinement (broadcast-of-aggregate subtrees,
+        # superlinear planning) into one deep plan. Exact round-trip:
+        # components are m/1e6 doubles and survive the Python hop
+        # bit-identically.
+        rows = [(r["cell_id"], list(r["c_vec"])) for r in cents_df.collect()]
+        return corpus.sparkSession.createDataFrame(
+            rows, "cell_id: long, c_vec: array<double>"
+        )
+
+    if n_iter <= 0:
+        return _literal(cents)
     for _ in range(n_iter):
         assigned = ivf_assign(base, cents, "vec_id", "embedding")
         comp = assigned.select(
@@ -296,16 +337,15 @@ def ivf_kmeans_centroids(
         means = comp.groupBy("cell_id", "j").agg(
             F.floor(F.sum("q") / F.count("*")).alias("m")
         )
-        cents = means.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "m"))),
-                lambda s: s["m"] / F.lit(1e6),
-            ).alias("c_vec")
+        cents = _literal(
+            means.groupBy("cell_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "m"))),
+                    lambda s: s["m"] / F.lit(1e6),
+                ).alias("c_vec")
+            )
         )
-    rows = [(r["cell_id"], list(r["c_vec"])) for r in cents.collect()]
-    return corpus.sparkSession.createDataFrame(
-        rows, "cell_id: long, c_vec: array<double>"
-    )
+    return cents
 
 
 def ivf_topk(
@@ -628,6 +668,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold_x1e6: int = 300_000,
     pair_fanout: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells are the blocking buckets; within
@@ -659,9 +700,12 @@ def semantic_dedup(
     n_cells x fanout ~ cluster parallelism; None = no split. Pair
     coverage is exact — every v2 lands in exactly one bucket.
 
+    ``spread`` passes through to :func:`ivf_assign` — False when the
+    corpus is an aggregate output, not a scan.
+
     Output: (vec_id, cell_id, is_kept) for every corpus vector.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, spread)
     # per-vector norms once: cosine = dot / (n1 * n2) with n1, n2 the
     # identical doubles norm() yields — 3x fewer per-pair array ops,
     # bit-identical scores

@@ -2351,6 +2351,10 @@ def q_text_semantic_dedup(spark, sf_dir):
         vecs, cents, "doc_id", "embedding",
         threshold_x1e6=TXT_SEM_THRESHOLD,
         pair_fanout=max(1, 2 * par // TXT_SEM_CELLS),
+        # vecs is an aggregate output (hashing-trick groupBy), not a
+        # scan: it already carries shuffle parallelism, and the spread
+        # partition probe would eagerly materialize the hashing DAG
+        spread=False,
     )
 
 
