@@ -2361,12 +2361,14 @@ class NearDupStore(_SnapshotArtifactStore):
             )
             .select(F.col("d_new").alias(id_col))
             .distinct()
-            # materialized ONCE: the dup-id list is bounded by the
+            # shared ONCE: the dup-id list is bounded by the
             # increment, but its lineage is the whole history probe +
             # exact-Jaccard verify, and it feeds BOTH anti-joins below
-            # (ok_sets and sig_ok) — lazy, the first clustering job
-            # would run the probe subtree twice
-            .localCheckpoint()
+            # (ok_sets and sig_ok). A lazy persist (r13: was an eager
+            # localCheckpoint) lets the block cache dedup the two
+            # consumers inside the pair-set materialization job
+            # instead of paying a separate serial probe job up front.
+            .persist()
         )
         # --- within-increment clusters among the remainder -----------
         ok_sets = sets_inc.join(hist_dup, id_col, "left_anti").persist()

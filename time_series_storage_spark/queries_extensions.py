@@ -4225,15 +4225,15 @@ def q_pipeline_modern_curation(spark, sf_dir):
     verdict is integer-exact, so the final reassembled-text md5 hashes
     the WHOLE composition. Scale shape: stage 1 rides the scan, stage
     2 never shuffles wider than the 256-bucket space, stage 3's
-    shuffles are all fixed-width hash keys. The lazy one-DAG form
-    replans the stage-1/2 subtree under each of stage 3's branches
-    (exchanges dedupe at runtime; the one scalar totals broadcast is
-    the plan sweep's budgeted NLJ) — at 100 TB run it staged instead:
-    materialize the selection ids (a trivially small table) or use the
-    store-backed O(increment) forms (gopher is stateless, the LM/DSIR
-    models are persisted count tables, `_esub_fp_store` is the
-    substring stage), which is exactly the
-    pipeline_incremental_curation pattern."""
+    shuffles are all fixed-width hash keys. The selection ids are
+    STAGED (localCheckpoint — a trivially small table), so stage 3's
+    branches read the checkpoint instead of replanning the stage-1/2
+    scoring subtree per branch (r13 optimization; the curation_
+    attrition discipline); at 100 TB the store-backed O(increment)
+    forms (gopher is stateless, the LM/DSIR models are persisted
+    count tables, `_esub_fp_store` is the substring stage) remain the
+    daily-ingest shape — exactly the pipeline_incremental_curation
+    pattern."""
     docs = _docs(spark, sf_dir)
     g = T.gopher_quality_rules(docs, min_stops=GOPHER_MIN_STOPS).where(
         F.col("keep") == 1
@@ -4244,7 +4244,7 @@ def q_pipeline_modern_curation(spark, sf_dir):
     d = T.dsir_importance(kept1, "doc_id", "text", "_is_target")
     sel = d.where(
         F.col("sum_ratio_x1e9") >= F.lit(DSIR_KEEP_X1E9) * F.col("n_terms")
-    ).select("doc_id")
+    ).select("doc_id").localCheckpoint()
     kept2 = docs.join(sel, "doc_id", "left_semi")
     return T.exact_substring_dedup(
         kept2, "doc_id", "text", window_words=ESUB_WINDOW_WORDS
