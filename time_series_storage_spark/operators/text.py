@@ -680,9 +680,19 @@ def exact_substring_dedup(
     wins = substring_windows(
         docs, id_col, text_col, window_words, pk_limit
     ).select(F.col(id_col), "_start", F.md5("_win").alias("_wh"), "_pk")
-    firsts = wins.groupBy("_wh").agg(F.min("_pk").alias("_mk"))
+    # first-occurrence via ONE window min over the hash partition: the
+    # old groupBy + join-back form evaluated the window projection
+    # (tokenize + W-word concat + per-position md5, the dominant CPU
+    # cost) TWICE — the planner broadcast the firsts aggregate, so the
+    # intended exchange reuse never fired, and a broadcast of the
+    # distinct-window table is corpus-sized at scale. One evaluation,
+    # one fixed-width shuffle keyed _wh, no broadcast; rows where
+    # _pk != min(_pk) over _wh are exactly the old join's output.
+    from pyspark.sql import Window
+
+    w_first = Window.partitionBy("_wh")
     dup_occ = (
-        wins.join(firsts, "_wh")
+        wins.withColumn("_mk", F.min("_pk").over(w_first))
         .where(F.col("_pk") != F.col("_mk"))
         .select(F.col(id_col), "_start")
     )
