@@ -1265,13 +1265,15 @@ def test_position_keyed_chunks_raises_past_pk_limit(spark):
         T.position_keyed_chunks(bad, chunk_words=2, pk_limit=4).collect()
 
 
-def test_duplicate_clusters_auto_probe_rides_a_persisted_pair_set(
+def test_duplicate_clusters_auto_probe_rides_a_materialized_pair_set(
     spark, monkeypatch
 ):
     """The auto dispatch must evaluate the (expensive) pair DAG once:
-    the probe count and the CC rounds share one persisted frame — the
-    frame handed to the chosen algorithm is cached, and it is the same
-    frame the probe counted. Cache released after dispatch."""
+    since r13 the pair set is localCheckpointed BEFORE the bounded
+    probe, so the probe count and the chosen algorithm's edge snapshot
+    both read checkpointed rows — the frame handed to the algorithm
+    must be a checkpoint (plan truncated to an ExistingRDD scan), not
+    the live pair DAG."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["d1", "d2"]
     )
@@ -1282,8 +1284,7 @@ def test_duplicate_clusters_auto_probe_rides_a_persisted_pair_set(
     real = D.connected_components
 
     def spy(p, n, id_col="id", **kw):
-        seen["persisted"] = p.storageLevel.useMemory or p.storageLevel.useDisk
-        seen["frame"] = p
+        seen["plan"] = p._jdf.queryExecution().executedPlan().toString()
         return real(p, n, id_col, **kw)
 
     monkeypatch.setattr(D, "connected_components", spy)
@@ -1291,11 +1292,11 @@ def test_duplicate_clusters_auto_probe_rides_a_persisted_pair_set(
         r["node"]: r["cluster"]
         for r in D.duplicate_clusters(pairs, nodes, "id").collect()
     }
-    assert seen["persisted"] is True
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
-    # released after dispatch: nothing left pinned in the cache
-    lvl = seen["frame"].storageLevel
-    assert not (lvl.useMemory or lvl.useDisk)
+    # checkpointed input: the algorithm's frame is a bare RDD scan,
+    # not the pair DAG (no join/aggregate left above the source)
+    plan = seen["plan"]
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def _esub_model(doc_rows, W):

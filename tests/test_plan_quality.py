@@ -1045,18 +1045,23 @@ def test_lm_score_incremental_pushed_keyed_joins_no_python(spark):
 
 
 def test_video_near_dup_one_decode_pass_banded_join(spark):
-    """Video near-dup: exactly ONE Arrow evaluator (the decode +
-    sample + hash pass — payload bytes never leave it), the majority
-    fold partial-aggregates, the pair search is an equi-join on
+    """Video near-dup: exactly ONE Arrow evaluator — since r13 the
+    fused decode + sample + hash + per-clip majority pass (the vote is
+    row-local, so NO aggregate exchange remains between the Python
+    pass and the band index), the pair search is an equi-join on
     (band, key) — never a nested-loop — and verify is a projection."""
     from time_series_storage_spark.queries_extensions import (
         q_video_near_dup,
     )
 
     plan = _plan(q_video_near_dup(spark, "/root/testdata/sf0.001"))
-    assert plan.count("ArrowEvalPython") <= 1
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
-    assert "partial_sum" in plan or "partial_count" in plan
+    # the fused decode+hash+majority pass is checkpointed by the pair
+    # search, so the final plan starts from a bare (id, sig) RDD scan
+    # — NO Python evaluator and NO majority aggregate may remain
+    # between it and the band equi-join
+    assert "Scan ExistingRDD[id" in plan
+    assert "_o62" not in plan  # the composed path's 63-col aggregate
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
@@ -1114,18 +1119,24 @@ def test_gopher_rules_plan_is_shuffle_free_projection(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_exact_substring_plan_partial_min_no_python(spark):
-    """Exact substring dedup's first-occurrence pass must partial-
-    aggregate the min position key map-side (the shuffle carries one
-    row per distinct window hash per partition), with zero Python and
-    no cartesian anywhere in the DAG."""
+def test_exact_substring_plan_single_eval_window_min_no_python(spark):
+    """Exact substring dedup's first-occurrence pass is a window min
+    over the hash partition (r13): the expensive window-fingerprint
+    projection must appear ONCE in the plan — the old groupBy + join-
+    back form evaluated it twice and broadcast a corpus-sized firsts
+    aggregate — with zero Python and no cartesian anywhere."""
     from time_series_storage_spark.operators import text as T
 
     docs = spark.createDataFrame(
         [(1, "a b c d e f g h i j k l")], ["doc_id", "text"]
     )
     plan = _plan(T.exact_substring_dedup(docs, window_words=5))
-    assert "partial_min" in plan
+    assert plan.count("Window") == 1
+    # exactly THREE Generate nodes: the stride-1 window explode ONCE
+    # (the duplicated-subtree shape — the wins explode appearing
+    # twice — is the regression this pins against), plus the word
+    # posexplode and the covered-position sequence explode
+    assert plan.count("Generate") == 3, plan.count("Generate")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
