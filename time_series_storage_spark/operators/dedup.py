@@ -771,11 +771,19 @@ def kcore_peel(
 
     Plan shape: the iterative-DataFrame loop under the repo's loop
     discipline — the edge set is localCheckpoint-staged ONCE (the LSH
-    pair DAG upstream evaluates exactly once), each round is one
-    degree aggregation + one anti join + two semi joins, and both the
-    alive set and the live edge set re-checkpoint per round so round
-    N never replays rounds 1..N-1 and the final plan does not grow
-    with ``n_rounds``.
+    pair DAG upstream evaluates exactly once), and each round runs
+    exactly ONE eager job: the newly-removed set is the only state
+    checkpointed per round (r13 — the old form also re-checkpointed
+    the alive node set and the live edge set, 3 jobs per round);
+    the alive set is derived lazily as ``base ANTI removed_so_far``
+    and the live edge set as ``edges ANTI removed_so_far`` on both
+    endpoints — both over checkpointed inputs, so the per-round plan
+    stays bounded (the removed union holds at most ``n_rounds``
+    checkpointed frames) and round N never replays rounds 1..N-1.
+    Restriction equivalence: progressively filtering the edge set
+    round by round equals one anti-join against the accumulated
+    removed set, because edge restriction is idempotent and the
+    removed sets are disjoint.
 
     Output: one row per node of ``nodes`` — (node, degree,
     removed_round, in_core): ``degree`` in the FULL graph,
@@ -796,10 +804,22 @@ def kcore_peel(
         .select("node", F.coalesce("_d", F.lit(0)).cast("long").alias("degree"))
         .localCheckpoint()
     )
-    alive = base.localCheckpoint()
-    live = edges
+    alive0 = base.localCheckpoint()
     removed = None
     for r in range(1, n_rounds + 1):
+        if removed is None:
+            alive, live = alive0, edges
+        else:
+            alive = alive0.join(removed, "node", "left_anti")
+            live = edges.join(
+                removed.select(F.col("node").alias("src")),
+                "src",
+                "left_anti",
+            ).join(
+                removed.select(F.col("node").alias("dst")),
+                "dst",
+                "left_anti",
+            )
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         rm = (
             alive.join(deg, alive["node"] == deg["src"], "left")
@@ -809,14 +829,6 @@ def kcore_peel(
             .localCheckpoint()
         )
         removed = rm if removed is None else removed.union(rm)
-        alive = alive.join(rm, "node", "left_anti").localCheckpoint()
-        live = (
-            live.join(
-                alive.select(F.col("node").alias("src")), "src", "semi"
-            )
-            .join(alive.select(F.col("node").alias("dst")), "dst", "semi")
-            .localCheckpoint()
-        )
     out = deg0.join(removed, "node", "left").select(
         "node",
         "degree",
