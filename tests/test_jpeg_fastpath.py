@@ -102,6 +102,34 @@ def test_bad_stuffing_falls_back_to_sequential_reader():
         jc.decode_jpeg(bytes(enc))
 
 
+def test_vectorized_entropy_encode_stuffing_dense(general_path):
+    # max-magnitude DC diffs (0 <-> 255) produce 0xFF-dense entropy
+    # bytes — the vectorized encoder's byte-stuffing and 1-padding
+    # must match the writer loop bit for bit
+    for L in (1, 2, 3, 64, 255):
+        payload = bytes(([0, 255] * ((L + 1) // 2))[:L])
+        img = jc.bytes_to_mosaic(payload)
+        enc = jc.encode_jpeg(img)
+        assert enc == general_path(jc.encode_jpeg, img)
+        fast = jc.decode_jpeg(enc)
+        assert (fast == general_path(jc.decode_jpeg, enc)).all()
+        assert jc.mosaic_to_bytes(fast[:, : 8 * L]) == payload
+
+
+def test_speculative_decode_bails_on_mixed_stream(general_path):
+    # one non-constant tile forces an AC coefficient: the DC-only
+    # speculation must fall back to the general reader and still
+    # produce bit-identical pixels
+    img = jc.bytes_to_mosaic(bytes(range(48))).copy()
+    img[0, 0] = 255  # break tile 0's constancy (encoder takes the
+    # general einsum path, stream carries AC symbols)
+    enc = jc.encode_jpeg(img)
+    assert enc == general_path(jc.encode_jpeg, img)
+    d_fast = jc.decode_jpeg(enc)
+    d_slow = general_path(jc.decode_jpeg, enc)
+    assert (d_fast == d_slow).all()
+
+
 def test_dc_only_idct_grouping_pinned():
     # the fast IDCT's product grouping must match the einsum term
     # grouping bit-for-bit: (C00 * dc) * C00

@@ -116,6 +116,56 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+# vectorized support tables for the constant-tile entropy encoder:
+# DC code/length per category (baseline DC categories are 0..11), the
+# EOB symbol, and a |diff| -> category LUT (DC diffs of 8-bit samples
+# are bounded at 255)
+_DC_CODE_ARR = np.array([_DC_ENC[c][0] for c in range(12)], dtype=np.int64)
+_DC_LEN_ARR = np.array([_DC_ENC[c][1] for c in range(12)], dtype=np.int64)
+_EOB_CODE, _EOB_LEN = _AC_ENC[0x00]
+_CAT_LUT = np.array([int(v).bit_length() for v in range(256)], dtype=np.int64)
+
+
+def _entropy_encode_dc_only(dcs: np.ndarray) -> bytes:
+    """Entropy-code blocks of the exact form ``[dc, 0 x 63]`` (scan
+    order) in one numpy pass — bit-identical to the general per-block
+    loop on that input, which emits per block: DC category code, the
+    magnitude bits (skipped at category 0, where the loop writes
+    nothing), then EOB. Bits concatenate MSB-first, the final byte is
+    1-padded, and every emitted 0xFF byte gets a stuffed 0x00 — the
+    same stream :class:`_BitWriter` produces (stuffed zeros are not
+    part of the bit stream in either form). Pinned against the general
+    path by tests/test_jpeg_fastpath.py's bitwise-equality suite."""
+    dcs = dcs.astype(np.int64)
+    diffs = np.empty_like(dcs)
+    diffs[0] = dcs[0]
+    np.subtract(dcs[1:], dcs[:-1], out=diffs[1:])
+    cats = _CAT_LUT[np.abs(diffs)]
+    mags = np.where(diffs > 0, diffs, diffs + (np.int64(1) << cats) - 1)
+    n = dcs.shape[0]
+    vals = np.empty(3 * n, dtype=np.int64)
+    lens = np.empty(3 * n, dtype=np.int64)
+    vals[0::3] = _DC_CODE_ARR[cats]
+    lens[0::3] = _DC_LEN_ARR[cats]
+    vals[1::3] = mags
+    lens[1::3] = cats
+    vals[2::3] = _EOB_CODE
+    lens[2::3] = _EOB_LEN
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    item = np.repeat(np.arange(vals.shape[0]), lens)
+    bitpos = np.arange(total, dtype=np.int64) - (ends - lens)[item]
+    bits = (vals[item] >> (lens[item] - 1 - bitpos)) & 1
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.int64)])
+    by = np.packbits(bits.astype(np.uint8))
+    ff = np.nonzero(by == 0xFF)[0]
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -185,56 +235,58 @@ def encode_jpeg(img, qtable=None) -> bytes:
         # evaluation order, and skipping the DCT is bit-identical.
         # (For q[0] != 8 the DC ratio can land on a .5 boundary where
         # the 1e-14 perturbation decides the round — general path.)
-        quant = np.zeros((bh, bw, 64), dtype=np.int64)
-        quant[:, :, 0] = flat[:, :, 0].astype(np.int64)
+        # The entropy stream of DC-only blocks is likewise a closed
+        # form (DC code + mag + EOB per block), so it is emitted in
+        # one numpy pass instead of the per-block writer loop.
+        data = _entropy_encode_dc_only(flat[:, :, 0].astype(np.int64).ravel())
     else:
         # all blocks in one einsum: (bh, bw, 8, 8) DCT
         coef = np.einsum("ij,bcjk,lk->bcil", _C, blocks, _C)
         zz = coef.reshape(bh, bw, 64)[:, :, _ZR]
         quant = np.round(zz / q).astype(np.int64)
 
-    # per-block bookkeeping vectorized once (plain-int rows, any-AC
-    # flag, last nonzero index) — the emitted symbol/bit sequence is
-    # identical to the per-block numpy version this replaces
-    qrows = quant.reshape(-1, 64)
-    nz = qrows != 0
-    anyv = nz.any(axis=1)
-    last_arr = np.where(anyv, 63 - np.argmax(nz[:, ::-1], axis=1), 0)
-    qlist = qrows.tolist()
-    lastl = last_arr.tolist()
-    bw_ = _BitWriter()
-    prev_dc = 0
-    for bi, blk in enumerate(qlist):
-        diff = blk[0] - prev_dc
-        prev_dc = blk[0]
-        cat = _category(diff)
-        code, length = _DC_ENC[cat]
-        bw_.write(code, length)
-        if cat:
-            mag = diff if diff > 0 else diff + (1 << cat) - 1
-            bw_.write(mag, cat)
-        run = 0
-        last_nz = lastl[bi]
-        for k in range(1, 64):
-            v = blk[k]
-            if v == 0:
-                if k > last_nz:
-                    code, length = _AC_ENC[0x00]  # EOB
-                    bw_.write(code, length)
-                    break
-                run += 1
-                if run == 16:
-                    code, length = _AC_ENC[0xF0]  # ZRL
-                    bw_.write(code, length)
-                    run = 0
-                continue
-            cat = _category(v)
-            code, length = _AC_ENC[(run << 4) | cat]
+        # per-block bookkeeping vectorized once (plain-int rows, any-AC
+        # flag, last nonzero index) — the emitted symbol/bit sequence is
+        # identical to the per-block numpy version this replaces
+        qrows = quant.reshape(-1, 64)
+        nz = qrows != 0
+        anyv = nz.any(axis=1)
+        last_arr = np.where(anyv, 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        qlist = qrows.tolist()
+        lastl = last_arr.tolist()
+        bw_ = _BitWriter()
+        prev_dc = 0
+        for bi, blk in enumerate(qlist):
+            diff = blk[0] - prev_dc
+            prev_dc = blk[0]
+            cat = _category(diff)
+            code, length = _DC_ENC[cat]
             bw_.write(code, length)
-            mag = v if v > 0 else v + (1 << cat) - 1
-            bw_.write(mag, cat)
+            if cat:
+                mag = diff if diff > 0 else diff + (1 << cat) - 1
+                bw_.write(mag, cat)
             run = 0
-    data = bw_.flush()
+            last_nz = lastl[bi]
+            for k in range(1, 64):
+                v = blk[k]
+                if v == 0:
+                    if k > last_nz:
+                        code, length = _AC_ENC[0x00]  # EOB
+                        bw_.write(code, length)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, length = _AC_ENC[0xF0]  # ZRL
+                        bw_.write(code, length)
+                        run = 0
+                    continue
+                cat = _category(v)
+                code, length = _AC_ENC[(run << 4) | cat]
+                bw_.write(code, length)
+                mag = v if v > 0 else v + (1 << cat) - 1
+                bw_.write(mag, cat)
+                run = 0
+        data = bw_.flush()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -286,10 +338,21 @@ class _BitReader:
         return v
 
 
+_SEQ_TABLES: dict = {}
+
+
 def _decode_table(bits, vals):
-    """((length, code) -> symbol) canonical decode map."""
+    """((length, code) -> symbol) canonical decode map. Cached on the
+    (bits, vals) content — streams all carrying the Annex K tables
+    rebuild nothing after the first decode of the process."""
+    key = (tuple(bits), tuple(vals))
+    cached = _SEQ_TABLES.get(key)
+    if cached is not None:
+        return cached
     enc = _canonical_codes(bits, vals)
-    return {(length, code): sym for sym, (code, length) in enc.items()}
+    out = {(length, code): sym for sym, (code, length) in enc.items()}
+    _SEQ_TABLES[key] = out
+    return out
 
 
 _FAST_TABLES: dict = {}
@@ -316,6 +379,97 @@ def _fast_decode_table(bits, vals):
             sym16[p] = sym
     _FAST_TABLES[key] = (len16, sym16)
     return len16, sym16
+
+
+_FAST_TABLES_NP: dict = {}
+
+
+def _fast_decode_table_np(bits, vals):
+    """int64 numpy mirrors of :func:`_fast_decode_table`'s 65536-entry
+    (length, symbol) tables, for the vectorized speculative decoder.
+    Same per-process cache discipline."""
+    key = (tuple(bits), tuple(vals))
+    cached = _FAST_TABLES_NP.get(key)
+    if cached is not None:
+        return cached
+    len16, sym16 = _fast_decode_table(bits, vals)
+    out = (
+        np.array(len16, dtype=np.int64),
+        np.array(sym16, dtype=np.int64),
+    )
+    _FAST_TABLES_NP[key] = out
+    return out
+
+
+def _entropy_decode_dc_only_vec(data, dc_np, ac_np, n_blocks, q0):
+    """SPECULATIVE vectorized decode of ``n_blocks`` DC-only blocks
+    from pre-unstuffed entropy bytes: returns the dequantized DC
+    values (int64, scan order) when every block is exactly
+    ``DC symbol + magnitude + EOB`` within bounds, else ``None`` —
+    the caller falls back to the general reader, which re-decodes
+    from scratch and raises the exact errors corrupt streams owe.
+
+    How: the per-bit-position window tables make "length of a DC-only
+    block starting at bit p" a pure array function of p, computed for
+    EVERY position at once; the block starts are then the orbit of 0
+    under that step map (one cheap scalar walk), and the DC diffs are
+    extracted vectorized at those starts. Categories above 11 (not a
+    baseline DC class) or any non-EOB follower abort the speculation.
+    Bit-for-bit the consumption order of the sequential reader on the
+    accepting inputs (pinned by tests/test_jpeg_fastpath.py)."""
+    dc_len16, dc_sym16 = dc_np
+    ac_len16, ac_sym16 = ac_np
+    total = 8 * len(data)
+    if total == 0:
+        return None
+    buf = np.frombuffer(
+        bytes(data) + b"\x00\x00\x00\x00", dtype=np.uint8
+    ).astype(np.int64)
+    w32 = (buf[:-3] << 24) | (buf[1:-2] << 16) | (buf[2:-1] << 8) | buf[3:]
+    # scalar probe of block 0 before paying the full-stream precompute
+    # (non-mosaic streams bail here at ~zero cost)
+    w16p = int(w32[0] >> 16) & 0xFFFF
+    dl = int(dc_len16[w16p])
+    cat0 = int(dc_sym16[w16p])
+    if dl == 0 or cat0 > 11 or dl + cat0 > total:
+        return None
+    am0 = dl + cat0
+    w16b = int(w32[am0 >> 3] >> (16 - (am0 & 7))) & 0xFFFF
+    if int(ac_len16[w16b]) == 0 or int(ac_sym16[w16b]) != 0:
+        return None
+    pos_all = np.arange(total + 1, dtype=np.int64)
+    w16 = (w32[pos_all >> 3] >> (16 - (pos_all & 7))) & 0xFFFF
+    dlen = dc_len16[w16]
+    cat = dc_sym16[w16]
+    after_mag = pos_all + dlen + cat
+    valid_dc = (dlen > 0) & (cat <= 11) & (after_mag <= total)
+    am_safe = np.where(valid_dc, after_mag, 0)
+    w16a = (w32[am_safe >> 3] >> (16 - (am_safe & 7))) & 0xFFFF
+    alen = ac_len16[w16a]
+    nxt = am_safe + alen
+    ok_step = (
+        valid_dc & (alen > 0) & (ac_sym16[w16a] == 0) & (nxt <= total)
+    )
+    starts = np.empty(n_blocks, dtype=np.int64)
+    p = 0
+    for b in range(n_blocks):
+        if not ok_step[p]:
+            return None
+        starts[b] = p
+        p = int(nxt[p])
+    s16 = w16[starts]
+    cats = dc_sym16[s16]
+    mpos = starts + dc_len16[s16]
+    mags = (w32[mpos >> 3] >> (32 - (mpos & 7) - cats)) & (
+        (np.int64(1) << cats) - 1
+    )
+    half = np.int64(1) << np.maximum(cats - 1, 0)
+    diffs = np.where(
+        cats == 0,
+        0,
+        np.where(mags >= half, mags, mags - (np.int64(1) << cats) + 1),
+    )
+    return np.cumsum(diffs) * q0
 
 
 def _has_bad_stuffing(raw: bytes) -> bool:
@@ -412,11 +566,13 @@ def decode_jpeg(data) -> np.ndarray:
                     dc_tab = (
                         _decode_table(bits, vals),
                         _fast_decode_table(bits, vals),
+                        _fast_decode_table_np(bits, vals),
                     )
                 else:
                     ac_tab = (
                         _decode_table(bits, vals),
                         _fast_decode_table(bits, vals),
+                        _fast_decode_table_np(bits, vals),
                     )
                 b += 17 + n
         elif marker == SOS:
@@ -435,8 +591,21 @@ def decode_jpeg(data) -> np.ndarray:
     q = qtables[qid]
     bh, bw = (h + 7) // 8, (w + 7) // 8
     if not _DISABLE_FAST and not _has_bad_stuffing(raw):
+        unstuffed = raw.replace(b"\xff\x00", b"\xff")
+        dcs = _entropy_decode_dc_only_vec(
+            unstuffed, dc_tab[2], ac_tab[2], bh * bw, int(q[0])
+        )
+        if dcs is not None:
+            # the DC-only closed form below, applied straight to the
+            # speculatively decoded DC array (same dequantized values
+            # the reader loop would put in out[:, :, 0], same float
+            # ops in the same order — bit-identical pixels)
+            t = (_C[0, 0] * dcs.astype(np.float64).reshape(bh, bw)) * _C[0, 0]
+            tiles = np.clip(np.round(t + 128.0), 0, 255).astype(np.uint8)
+            img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            return img[:h, :w]
         out, all_dc = _entropy_decode_fast(
-            raw.replace(b"\xff\x00", b"\xff"), dc_tab[1], ac_tab[1],
+            unstuffed, dc_tab[1], ac_tab[1],
             bh, bw, q,
         )
     else:
