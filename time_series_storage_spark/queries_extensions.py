@@ -2336,12 +2336,20 @@ def q_text_semantic_dedup(spark, sf_dir):
     emb = T.hashed_doc_embedding(
         _docs(spark, sf_dir), "doc_id", "text", dim=EMB_HASH_DIM
     )
+    # persisted (lazily — an eager localCheckpoint here measured as a
+    # pure added job): the hashed-vector table has THREE consumers in
+    # this one DAG (the sampled codebook, the assignment, and the
+    # final is_kept join), and AQE exchange reuse only dedups the
+    # aggregate under the two consumers whose exchanges match — the
+    # codebook's limit probe and the pair search replan it. One cache
+    # entry of ~corpus x dim doubles, dropped by the bench's
+    # per-query cache clear.
     vecs = emb.where(F.col("l1") > 0).select(
         F.col("doc_id"),
         F.transform(
             F.split("emb_str", " "), lambda x: x.cast("double")
         ).alias("embedding"),
-    )
+    ).persist()
     cents = S.ivf_centroids(vecs, "doc_id", "embedding",
                             n_cells=TXT_SEM_CELLS)
     # split each cell's quadratic pair search so TXT_SEM_CELLS tasks
