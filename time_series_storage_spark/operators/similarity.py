@@ -705,7 +705,13 @@ def semantic_dedup(
 
     Output: (vec_id, cell_id, is_kept) for every corpus vector.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, spread)
+    # persisted (lazily): the assignment — a per-vector n_cells x
+    # O(dim) argmax fold — feeds BOTH the pair search and the final
+    # is_kept join, and nothing upstream dedups the fold across the
+    # two consumers. One corpus-sized cache entry (MEMORY_AND_DISK —
+    # spills rather than evicts at scale), exactly the assignment
+    # table an IVF store would persist on disk for the same reason.
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, spread).persist()
     # per-vector norms once: cosine = dot / (n1 * n2) with n1, n2 the
     # identical doubles norm() yields — 3x fewer per-pair array ops,
     # bit-identical scores
