@@ -64,6 +64,14 @@ def test_registry_plan_invariants(spark):
     violations: list[str] = []
     for name, fn in sorted(qs.items()):
         try:
+            # per-query cache isolation, matching bench.py's
+            # clearCache-between-queries methodology: queries that
+            # register in-query persists would otherwise stack
+            # InMemoryRelation layers from EVERY previously planned
+            # query into later plans, repeating each cached subtree's
+            # scalar-broadcast text and inflating the NLJ counts with
+            # occurrences no real (per-query) execution contains
+            spark.catalog.clearCache()
             df = fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # construction failure is its own bug
