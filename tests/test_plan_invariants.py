@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 # queries whose plan intentionally carries >0 BroadcastNestedLoopJoin
