@@ -1029,6 +1029,52 @@ def test_duplicate_clusters_dispatch_and_equivalence(spark):
         duplicate_clusters(pairs, nodes, algorithm="bogus")
 
 
+def test_unionfind_clusters_matches_distributed(spark):
+    """The auto-dispatch union-find branch (edge count below
+    UF_EDGE_THRESHOLD) is output-identical to both distributed CC
+    variants on chains, merged components, self-labeled singletons,
+    and an empty edge set — including min-label semantics when edges
+    arrive in an adversarial order."""
+    from time_series_storage_spark.operators.dedup import (
+        _unionfind_clusters,
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        # chain + separate pair + singleton
+        [(1, 2), (2, 3), (5, 6)],
+        # two components merged late by a bridge, reversed id order
+        [(9, 8), (7, 8), (2, 3), (1, 2), (3, 7)],
+        # duplicate edges and a triangle
+        [(4, 5), (5, 6), (4, 6), (4, 5)],
+        # empty graph: everyone a singleton
+        [],
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["id"])
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            edges or [(None, None)], "d1: long, d2: long"
+        )
+        if not edges:
+            pairs = pairs.where(F.col("d1").isNotNull())
+        uf = {
+            (r.node, r.cluster)
+            for r in _unionfind_clusters(pairs, nodes, "id").collect()
+        }
+        ml = {
+            (r.node, r.cluster)
+            for r in connected_components(pairs, nodes, "id").collect()
+        }
+        st = {
+            (r.node, r.cluster)
+            for r in connected_components_star(
+                pairs, nodes, "id"
+            ).collect()
+        }
+        assert uf == ml == st, edges
+
+
 def test_semantic_dedup_blocks_by_cluster_and_dominates(spark):
     """SemDeDup semantics on crafted vectors: two tight clusters far
     apart; within each cluster the lowest-id vector survives and the

@@ -845,6 +845,71 @@ def kcore_peel(
 
 STAR_EDGE_THRESHOLD = 250_000
 
+# auto-dispatch collects the pair set and runs driver-side union-find
+# below this edge count (see duplicate_clusters for the bounded-driver
+# argument); at or above it the distributed variants take over
+UF_EDGE_THRESHOLD = 50_000
+
+
+def _unionfind_clusters(
+    pairs: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Driver-side connected components for a SMALL, ALREADY-COUNTED
+    pair set: collect the edges, union-find in Python, re-attach the
+    (node, cluster) map as a broadcast literal frame onto the node
+    base. Output-identical to :func:`connected_components` /
+    :func:`connected_components_star` (cluster = smallest id in the
+    component; singletons label themselves — a node absent from the
+    map coalesces to itself on the left join).
+
+    Bounded-driver argument (the reason this is safe at 100 TB): the
+    caller has ALREADY materialized the pair set and counted it with a
+    bounded ``limit(threshold).count()`` probe — this path only runs
+    when that exact count is <= UF_EDGE_THRESHOLD (50k edges = ~800 KB
+    of longs collected, ~2x that many map rows broadcast back), the
+    same order as the bounded artifacts the engine already collects
+    (codebooks, vocabularies, BPE merge tables). Incremental-store
+    graphs (daily increments minus history dups) sit far below the
+    bound; anything larger takes the distributed min-label / star
+    path exactly as before. The win is structural: min-label runs
+    diameter-many rounds x (checkpoint + fixpoint probe) jobs — pure
+    sequential scheduling latency on an increment-sized graph — while
+    this is ONE collect of rows the checkpoint already holds."""
+    rows = pairs.select(
+        F.col("d1").cast("long"), F.col("d2").cast("long")
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min keeps the root the smallest id seen so far
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    # only non-root members need map rows: a node whose cluster is
+    # itself coalesces correctly from the left join's null
+    mapping = [
+        (n, find(n)) for n in list(parent) if find(n) != n
+    ]
+    spark = pairs.sparkSession
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    if not mapping:
+        return base.select("node", F.col("node").alias("cluster"))
+    mdf = spark.createDataFrame(mapping, "node: long, cluster: long")
+    return base.join(F.broadcast(mdf), "node", "left").select(
+        "node", F.coalesce("cluster", F.col("node")).alias("cluster")
+    )
+
 
 def duplicate_clusters(
     pairs: DataFrame,
@@ -855,8 +920,12 @@ def duplicate_clusters(
     round_counter: list | None = None,
 ) -> DataFrame:
     """THE duplicate-clustering entry point: connected components of a
-    near-dup pair graph, dispatching between the two identical-output
-    algorithms on measured edge count.
+    near-dup pair graph, dispatching between three identical-output
+    strategies on measured edge count: driver-side union-find below
+    ``UF_EDGE_THRESHOLD`` (increment-sized graphs — one bounded
+    collect instead of a round loop; see :func:`_unionfind_clusters`),
+    min-label propagation below ``star_edge_threshold``, and
+    large-star/small-star above it.
 
     The 30x scale probe (SCALE_PROBE.md) is the reason this exists:
     min-label propagation grew 5.99x in time at 30x data vs
@@ -893,6 +962,11 @@ def duplicate_clusters(
         # cached the partitions the limit touched).
         pairs = pairs.localCheckpoint()
         probed = pairs.limit(star_edge_threshold).count()
+        if probed <= UF_EDGE_THRESHOLD:
+            # exact count (probe cap not reached): increment-sized
+            # graph — one bounded collect + union-find replaces the
+            # whole round loop (see _unionfind_clusters)
+            return _unionfind_clusters(pairs, nodes, id_col)
         algorithm = "star" if probed >= star_edge_threshold else "minlabel"
     if algorithm == "minlabel":
         return connected_components(
